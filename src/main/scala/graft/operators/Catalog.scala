@@ -1,0 +1,451 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.profile.Profiler
+import graft.quality.{Dedup, NullRepair}
+import graft.transform.Cleansers
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The oracle-gated query catalog: every SURVEY.md §2 operator group is
+  * exercised by at least one named query here, each paired with a
+  * DuckDB SQL spelling in [[Catalog.oracle]] that must hash-match
+  * exactly (see [[Exact]] for the float discipline).
+  *
+  * Column names are aliased identically on both sides — the driver
+  * sorts columns by name before hashing. Every query also carries a
+  * deterministic ORDER BY on both sides (cheap at verify scale; bench
+  * uses the un-sorted pipelines).
+  */
+object Catalog {
+  import Exact._
+
+  /** Shared null-injection view over customer (negative balances and the
+    * BUILDING segment become NULL) — mirrors the loanstats null topology
+    * without mutating fixtures (FIXTURES.md B).
+    */
+  private def customerNulls(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, sfDir).select(
+      $"c_custkey",
+      when($"c_acctbal" < 0, lit(null)).otherwise($"c_acctbal").as("bal"),
+      when($"c_mktsegment" === "BUILDING", lit(null)).otherwise($"c_mktsegment").as("seg"))
+  }
+  private val customerNullsSql =
+    """cn AS (SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+      |  CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS seg
+      | FROM customer)""".stripMargin
+
+  /** D1 occurrence numbering over a composite key (lineitem analogue of
+    * the 22-column loanstats window, SURVEY §2.3).
+    */
+  private def dupWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.withOccurrenceId(
+      Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+      keys = Seq("l_partkey", "l_suppkey"),
+      order = Seq($"l_orderkey", $"l_linenumber"))
+  }
+  private val dupWindowSql =
+    """dw AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  ROW_NUMBER() OVER (PARTITION BY l_partkey, l_suppkey
+      |                     ORDER BY l_orderkey, l_linenumber) AS occur_id
+      | FROM lineitem)""".stripMargin
+
+  // ----------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 — wide projection + F2 range predicate (pushed to parquet scan)
+    "p1_projection" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .filter($"l_quantity" > 30)
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    // F3 — disjunctive predicate as isin
+    "f3_filter_in" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .filter($"o_orderstatus".isin("F", "P"))
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .orderBy($"o_orderkey")
+    }),
+
+    // F6/F7/A3 — regex validator + conditional flag + census
+    "f6_regex_validate" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .withColumn("lang_flag",
+          when($"lang".rlike("^(en|fr)$"), "valid").otherwise("invalid"))
+        .groupBy($"lang", $"lang_flag").agg(count(lit(1)).as("cnt"))
+        .orderBy($"lang")
+    }),
+
+    // D1 — duplicate-occurrence numbering (windowed)
+    "d1_dup_window" -> ((spark, dir) =>
+      dupWindow(spark, dir).orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // D2 — occurrence histogram
+    "d2_dup_profile" -> ((spark, dir) => Dedup.occurrenceProfile(dupWindow(spark, dir))),
+
+    // D3 — reconciliation sum(cnt) == input rows
+    "d3_reconcile" -> ((spark, dir) =>
+      Dedup.reconcile(Dedup.occurrenceProfile(dupWindow(spark, dir)))),
+
+    // D4 — dedup by first occurrence
+    "d4_dedup_filter" -> ((spark, dir) =>
+      Dedup.dedupByOccurrence(dupWindow(spark, dir))
+        .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_partkey"), col("l_suppkey"))),
+
+    // D6 — whole-row distinct (partial-agg based)
+    "d6_distinct" -> ((spark, dir) => {
+      import spark.implicits._
+      Dedup.dropExactDuplicates(
+        Tables.lineitem(spark, dir).select($"l_returnflag", $"l_linestatus"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // N1 — per-column null census (single row)
+    "n1_null_census" -> ((spark, dir) => NullRepair.nullCensus(customerNulls(spark, dir))),
+
+    // N2/F4 — rows containing any null (dynamic OR-fold)
+    "n2_null_rows" -> ((spark, dir) =>
+      NullRepair.rowsWithAnyNull(customerNulls(spark, dir))
+        .select(col("c_custkey")).orderBy(col("c_custkey"))),
+
+    // N4 — drop-any-null
+    "n4_dropna" -> ((spark, dir) =>
+      NullRepair.dropNulls(customerNulls(spark, dir))
+        .select(col("c_custkey")).orderBy(col("c_custkey"))),
+
+    // N6/N7 — per-column constant fill
+    "n6_fillna" -> ((spark, dir) =>
+      NullRepair.fill(customerNulls(spark, dir), Map("bal" -> 0.0, "seg" -> "UNKNOWN"))
+        .orderBy(col("c_custkey"))),
+
+    // N8 — mean imputation (broadcast scalar, not driver closure)
+    "n8_impute_mean" -> ((spark, dir) =>
+      NullRepair.imputeMean(customerNulls(spark, dir), Seq("bal"))
+        .select(col("c_custkey"), col("bal")).orderBy(col("c_custkey"))),
+
+    // N10 — group census with percent-of-total
+    "n10_group_census" -> ((spark, dir) => {
+      val cust = Tables.customer(spark, dir)
+      NullRepair.groupCensus(cust, Seq("c_mktsegment"), cust.count())
+    }),
+
+    // A6 — global min/max scalars
+    "a6_minmax" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir).agg(
+        min($"o_totalprice").as("min_price"),
+        max($"o_totalprice").as("max_price"),
+        count(lit(1)).as("n"))
+    }),
+
+    // A7 — summary statistics (exact describe)
+    "a7_describe" -> ((spark, dir) =>
+      Profiler.describeExact(Tables.orders(spark, dir), "o_totalprice")),
+
+    // A8 — distinct values
+    "a8_distinct" -> ((spark, dir) =>
+      Profiler.distinctValues(Tables.orders(spark, dir), "o_orderpriority")),
+
+    // W1 — ranking family over a partition
+    "w1_rank" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc)
+      val wTie = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.customer(spark, dir)
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          row_number().over(wTie).as("rn"))
+        .orderBy($"c_mktsegment", $"rn")
+    }),
+
+    // O2/O4 — top-k with deterministic tiebreak (TakeOrderedAndProject)
+    "o2_topk" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
+    // U1 — filter-then-union idiom
+    "u1_union" -> ((spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir).select($"o_orderkey", $"o_orderstatus")
+      o.filter($"o_orderstatus" === "F").union(o.filter($"o_orderstatus" === "O"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // C1/C2 — regex replace/extract cleansing
+    "c1_regex_clean" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.part(spark, dir).select(
+        $"p_partkey",
+        regexp_replace($"p_type", " ", "_").as("type_u"),
+        regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"))
+        .orderBy($"p_partkey")
+    }),
+
+    // C7 — month-token extraction ("1-URGENT" → "1"; dash-less unchanged)
+    "c7_month_token" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir).select(
+        $"o_orderkey",
+        Cleansers.monthToken($"o_orderpriority").as("priority_code"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // C8 — term parse " N months" → N.0 (round-trips p_size)
+    "c8_term_parse" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.part(spark, dir).select(
+        $"p_partkey",
+        Cleansers.termMonths(concat(lit(" "), $"p_size".cast("string"), lit(" months")))
+          .as("term"))
+        .orderBy($"p_partkey")
+    }),
+
+    // C9/A6 — min-max normalization via broadcast aggregate
+    "c9_normalize" -> ((spark, dir) => {
+      val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+      Cleansers.minMaxNormalize(o, Seq("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // J1 — dimension joins (broadcast both dims; no shuffle of customer)
+    "j1_join_broadcast" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .join(broadcast(Tables.nation(spark, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(spark, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+        .orderBy($"r_name")
+    }),
+
+    // J2 — fact-fact shuffle join + exact revenue rollup
+    "j2_join_shuffle" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // J3 — anti join: customers with no orders
+    "j3_join_anti" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey").orderBy($"c_custkey")
+    }),
+
+    // J4 — semi join: count of customers with at least one order
+    "j4_join_semi" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_semi")
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
+    // E1 — tumbling-hour event rollup (batch face of the streaming op)
+    "e1_event_windows" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+        .orderBy($"hour_start", $"event_type")
+    }),
+
+    // E2 — JSON property extraction + census
+    "e2_json_extract" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .select(get_json_object($"props", "$.k").cast("int").as("k_val"))
+        .groupBy($"k_val").agg(count(lit(1)).as("cnt"))
+        .orderBy($"k_val")
+    }),
+
+    // R1 — seeded bernoulli sample (rows-only gate: RNG is engine-specific)
+    "r1_sample" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir).sample(withReplacement = false, 0.3, 42)
+        .select($"o_orderkey", $"o_orderstatus")
+    })
+  )
+
+  // ------------------------------------------------------------------ oracle
+
+  def oracle: Map[String, String] = Map(
+    "p1_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 30
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f3_filter_in" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus IN ('F','P')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "f6_regex_validate" ->
+      """SELECT lang,
+        |  CASE WHEN regexp_matches(lang, '^(en|fr)$') THEN 'valid' ELSE 'invalid' END AS lang_flag,
+        |  COUNT(*) AS cnt
+        |FROM documents GROUP BY 1, 2 ORDER BY lang""".stripMargin,
+
+    "d1_dup_window" ->
+      s"""WITH $dupWindowSql
+         |SELECT * FROM dw ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "d2_dup_profile" ->
+      s"""WITH $dupWindowSql
+         |SELECT occur_id, COUNT(*) AS cnt FROM dw GROUP BY occur_id ORDER BY occur_id""".stripMargin,
+
+    "d3_reconcile" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS total_rows FROM lineitem""",
+
+    "d4_dedup_filter" ->
+      s"""WITH $dupWindowSql
+         |SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber
+         |FROM dw WHERE occur_id <= 1 ORDER BY l_partkey, l_suppkey""".stripMargin,
+
+    "d6_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "n1_null_census" ->
+      s"""WITH $customerNullsSql
+         |SELECT COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS c_custkey,
+         |       COUNT(CASE WHEN bal IS NULL THEN 1 END) AS bal,
+         |       COUNT(CASE WHEN seg IS NULL THEN 1 END) AS seg
+         |FROM cn""".stripMargin,
+
+    "n2_null_rows" ->
+      s"""WITH $customerNullsSql
+         |SELECT c_custkey FROM cn
+         |WHERE c_custkey IS NULL OR bal IS NULL OR seg IS NULL
+         |ORDER BY c_custkey""".stripMargin,
+
+    "n4_dropna" ->
+      s"""WITH $customerNullsSql
+         |SELECT c_custkey FROM cn
+         |WHERE c_custkey IS NOT NULL AND bal IS NOT NULL AND seg IS NOT NULL
+         |ORDER BY c_custkey""".stripMargin,
+
+    "n6_fillna" ->
+      s"""WITH $customerNullsSql
+         |SELECT c_custkey, COALESCE(bal, 0.0) AS bal, COALESCE(seg, 'UNKNOWN') AS seg
+         |FROM cn ORDER BY c_custkey""".stripMargin,
+
+    "n8_impute_mean" ->
+      s"""WITH $customerNullsSql
+         |SELECT c_custkey,
+         |  COALESCE(bal,
+         |    (SELECT CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(bal) AS DOUBLE) FROM cn)
+         |  ) AS bal
+         |FROM cn ORDER BY c_custkey""".stripMargin,
+
+    "n10_group_census" ->
+      """SELECT c_mktsegment, COUNT(*) AS cnt,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM customer) AS DOUBLE) AS percent
+        |FROM customer GROUP BY c_mktsegment
+        |ORDER BY cnt DESC, c_mktsegment""".stripMargin,
+
+    "a6_minmax" ->
+      """SELECT MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  COUNT(*) AS n FROM orders""".stripMargin,
+
+    "a7_describe" -> Profiler.describeExactSql("orders", "o_totalprice"),
+
+    "a8_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+
+    "w1_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+        |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |FROM customer ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "o2_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "u1_union" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "c1_regex_clean" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_type, ' ', '_', 'g') AS type_u,
+        |  COALESCE(regexp_extract(p_brand, '([0-9]+)', 1), '') AS brand_num
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "c7_month_token" ->
+      """SELECT o_orderkey, split_part(o_orderpriority, '-', 1) AS priority_code
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "c8_term_parse" ->
+      """SELECT p_partkey,
+        |  CAST(replace(' ' || CAST(p_size AS VARCHAR) || ' months', 'months', '') AS DOUBLE) AS term
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "c9_normalize" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CASE WHEN (SELECT MAX(o_totalprice) FROM orders) = (SELECT MIN(o_totalprice) FROM orders)
+        |       THEN 0.0
+        |       ELSE (o_totalprice - (SELECT MIN(o_totalprice) FROM orders))
+        |            / ((SELECT MAX(o_totalprice) FROM orders) - (SELECT MIN(o_totalprice) FROM orders))
+        |  END AS o_totalprice_norm
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "j1_join_broadcast" ->
+      s"""SELECT r_name, COUNT(*) AS n_cust, ${sqlDsum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "j2_join_shuffle" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+         |  CAST(SUM(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "j3_join_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j4_join_semi" ->
+      """SELECT COUNT(*) AS n_active FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "e1_event_windows" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+         |  COUNT(*) AS n_events, ${sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    "e2_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val, COUNT(*) AS cnt
+        |FROM events GROUP BY k_val ORDER BY k_val""".stripMargin
+    // r1_sample: deliberately no oracle — sampling RNG is engine-specific
+  )
+}

@@ -1,0 +1,63 @@
+package graft.quality
+
+import graft.operators.Exact
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, NumericType}
+
+/** Null detection & repair (SURVEY.md §2.4; reference sites
+  * "Null Detection and Null Replacement.ipynb" cells 4–14 and
+  * BDE4-Workshop1-1530.ipynb cells 25–42).
+  *
+  * All operators are single-pass declarative plans except
+  * [[imputeMean]], which is the reference's deliberate two-phase
+  * "manual scalar subquery" (aggregate job → repair job). We keep the
+  * two-job structure but broadcast the 1-row aggregate instead of
+  * collecting scalars into a closure — at 1000 executors that is one
+  * tiny broadcast, not a driver round-trip per column, and the repair
+  * stage stays in whole-stage codegen.
+  */
+object NullRepair {
+
+  /** N1 — per-column null counts, one output row, original column names. */
+  def nullCensus(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c =>
+      count(when(col(c).isNull, lit(1))).as(c)): _*)
+
+  /** F4/N2 — rows where any column is null (dynamic OR-fold). */
+  def rowsWithAnyNull(df: DataFrame): DataFrame =
+    df.filter(df.columns.map(col(_).isNull).reduce(_ || _))
+
+  /** N3/N4/N5 — drop rows by null policy. */
+  def dropNulls(df: DataFrame, how: String = "any", subset: Seq[String] = Nil): DataFrame =
+    if (subset.isEmpty) df.na.drop(how) else df.na.drop(how, subset)
+
+  /** N6/N7 — constant fills (per-column map, type-coerced like the
+    * reference's `fillna` dict).
+    */
+  def fill(df: DataFrame, values: Map[String, Any]): DataFrame =
+    df.na.fill(values)
+
+  /** N8 — mean imputation of numeric columns: exact decimal mean over
+    * the non-null values, broadcast back, `coalesce` repair.
+    */
+  def imputeMean(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(sum(Exact.dec(col(c))).cast(DoubleType).as(s"__sum_$c"),
+          count(col(c)).cast(DoubleType).as(s"__n_$c"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val repaired = cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__sum_$c") / col(s"__n_$c")))
+    }
+    repaired.drop(cols.flatMap(c => Seq(s"__sum_$c", s"__n_$c")): _*)
+  }
+
+  /** N10 — group census with percent-of-total for null analysis. */
+  def groupCensus(df: DataFrame, keys: Seq[String], total: Long): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("percent", col("cnt").cast(DoubleType) / lit(total.toDouble))
+      .orderBy(desc("cnt"), struct(keys.map(col): _*))
+}

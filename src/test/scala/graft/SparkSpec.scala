@@ -1,0 +1,14 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM, one session). */
+object TestSpark {
+  lazy val spark: SparkSession = graft.core.Sessions.local(4)
+}
+
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  val sf0001 = "/root/testdata/sf0.001"
+}
