@@ -7,9 +7,11 @@ object SparkEntry {
     operators.Relational.q1Agg(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries ++ operators.Catalog.queries
+    operators.Relational.queries ++ operators.Catalog.queries ++
+      operators.TrainingCatalog.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracle ++ operators.Catalog.oracle
+    operators.Relational.oracle ++ operators.Catalog.oracle ++
+      operators.TrainingCatalog.oracle
 }

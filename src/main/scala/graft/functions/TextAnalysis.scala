@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (north-star extensions beyond the reference surface; BASELINE.json):
+  * token counting, quality scoring, n-gram-heuristic language ID, and
+  * document fingerprinting. All pure Catalyst expressions — no UDFs —
+  * so the whole stage stays in whole-stage codegen and runs as one
+  * projection over the scan at any scale.
+  *
+  * Cross-engine discipline: every score is built from integer counts
+  * and single double divisions/multiplications, so the DuckDB oracle
+  * reproduces values bit-for-bit (see operators.Exact).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the fixtures are single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokenizer: word pieces OR single non-space symbols —
+    * the standard pre-tokenization shape.
+    */
+  def regexTokens(text: Column): Column =
+    expr_regexp_extract_all(text, "[A-Za-z0-9]+|[^A-Za-z0-9\\s]")
+  private def expr_regexp_extract_all(c: Column, pattern: String): Column =
+    regexp_extract_all(c, lit(pattern), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length via an exact integer fold (cross-engine safe). */
+  def meanTokenLen(text: Column): Column =
+    aggregate(transform(tokens(text), t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / size(tokens(text)).cast("double")
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Order fixes the tie-break priority.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and", "to", "in"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+    "es" -> Seq("el", "los", "y", "de", "que", "en", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ein", "nicht", "ist"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "wo3", "you3", "he2"))
+
+  private def hits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(words)))
+
+  /** Language-ID: argmax of stopword hits, fixed priority order on
+    * ties, 'und' when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val hitCols = stopwords.map { case (l, ws) => l -> hits(text, ws) }
+    val mx = greatest(hitCols.map(_._2): _*)
+    val chain = hitCols.foldLeft(when(mx === 0, "und")) {
+      case (acc, (l, h)) => acc.when(h === mx, l)
+    }
+    chain.otherwise("und")
+  }
+
+  /** Stopword ratio against the English list (a standard quality
+    * signal: natural prose has a stable stopword density).
+    */
+  def stopwordRatio(text: Column): Column =
+    hits(text, stopwords.head._2).cast("double") / size(tokens(text)).cast("double")
+
+  /** Fraction of punctuation characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+      .cast("double") / length(text).cast("double")
+
+  /** Composite quality score in [0,1]: length saturation + stopword
+    * density + punctuation cleanliness.
+    */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) * lit(0.3) +
+      stopwordRatio(text) * lit(0.4) +
+      (lit(1.0) - punctRatio(text)) * lit(0.3)
+
+  /** Exact content fingerprint. */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Normalization-invariant fingerprint: lowercase, collapse runs of
+    * whitespace, trim — the canonical exact-dedup key.
+    */
+  def normalizedFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  // ------------------------------------------------------- DuckDB spellings
+
+  /** SQL fragments mirroring the expressions above, used to build
+    * oracle strings that stay in lock-step with the Scala constants.
+    */
+  object Sql {
+    def tokens(t: String) = s"string_split($t, ' ')"
+    def tokenCount(t: String) = s"len(${tokens(t)})"
+    def meanTokenLen(t: String) =
+      s"CAST(list_reduce(list_transform(${tokens(t)}, x -> len(x)), (a, b) -> a + b) AS DOUBLE)" +
+        s" / CAST(${tokenCount(t)} AS DOUBLE)"
+    def hits(t: String, words: Seq[String]) =
+      s"len(list_filter(${tokens(t)}, x -> list_contains([${words.map(w => s"'$w'").mkString(",")}], x)))"
+    def langId(t: String): String = {
+      val hitExprs = stopwords.map { case (l, ws) => l -> hits(t, ws) }
+      val mx = s"greatest(${hitExprs.map(_._2).mkString(", ")})"
+      val whens = hitExprs.map { case (l, h) => s"WHEN $h = $mx THEN '$l'" }.mkString(" ")
+      s"CASE WHEN $mx = 0 THEN 'und' $whens ELSE 'und' END"
+    }
+    def stopwordRatio(t: String) =
+      s"CAST(${hits(t, stopwords.head._2)} AS DOUBLE) / CAST(${tokenCount(t)} AS DOUBLE)"
+    def punctRatio(t: String) =
+      s"CAST(len($t) - len(regexp_replace($t, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(len($t) AS DOUBLE)"
+    def qualityScore(t: String) =
+      s"least(CAST(${tokenCount(t)} AS DOUBLE) / 100.0, 1.0) * 0.3 + " +
+        s"${stopwordRatio(t)} * 0.4 + (1.0 - ${punctRatio(t)}) * 0.3"
+    def normalizedFingerprint(t: String) =
+      s"md5(trim(regexp_replace(lower($t), '\\s+', ' ', 'g')))"
+  }
+}

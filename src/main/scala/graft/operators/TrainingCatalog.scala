@@ -1,0 +1,297 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.dedup.TextDedup
+import graft.functions.TextAnalysis
+import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (BASELINE.json north-star): text
+  * analysis, exact + near dedup (MinHash-LSH / SimHash / n-gram
+  * Jaccard), and embedding similarity search — each oracle-gated.
+  *
+  * The sf fixtures have no planted text duplicates, so the dedup
+  * queries run over a deterministic augmentation: every 10th document
+  * gains an exact copy (x1) or a first-token-dropped near-variant
+  * (x4/x5), ids offset by 1e6. Both sides (Spark and DuckDB) build the
+  * same augmentation, so the operators are exercised on real duplicate
+  * structure.
+  */
+object TrainingCatalog {
+
+  private val VariantOffset = 1000000L
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+  /** Original docs + exact copies of every 10th. */
+  private def docsWithCopies(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    d.union(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + VariantOffset).as("doc_id"), col("text")))
+  }
+  private val docsWithCopiesSql =
+    s"""augx AS (SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $VariantOffset, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Original docs + near-variants (first token dropped) of every 10th. */
+  private def docsWithVariants(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    d.union(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + VariantOffset).as("doc_id"),
+        expr("substring(text, locate(' ', text) + 1)").as("text")))
+  }
+  private val docsWithVariantsSql =
+    s"""augv AS (SELECT doc_id, text FROM documents
+       | UNION ALL
+       | SELECT doc_id + $VariantOffset, substring(text, strpos(text, ' ') + 1)
+       | FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val lshDims = Seq(0, 8, 16, 24, 32, 40, 48, 56)
+  private val annQueryIds: Seq[Long] = (0L until 10L)
+
+  /** Embeddings + near-variants of every 20th vector: odd dims scaled
+    * by 1.25 (exact in binary, signs preserved → same LSH bucket),
+    * giving planted pairs at cos ≈ 0.994. All elements become doubles
+    * on both sides so the arithmetic is engine-identical.
+    */
+  private def embWithVariants(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val variants = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + VariantOffset).as("vec_id"),
+        transform(sequence(lit(1), size(col("embedding"))),
+          i => element_at(col("embedding"), i) *
+            when(i % 2 === 0, lit(1.25)).otherwise(lit(1.0))).as("embedding"))
+    e.union(variants)
+  }
+  private val embWithVariantsSql =
+    s"""emba AS (
+       | SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+       | FROM embeddings
+       | UNION ALL
+       | SELECT vec_id + $VariantOffset,
+       |   list_transform(generate_series(1, len(embedding)),
+       |     i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN i % 2 = 0 THEN 1.25 ELSE 1.0 END))
+       | FROM embeddings WHERE vec_id % 20 = 0)""".stripMargin
+
+  // ----------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting + mean token length
+    "t1_token_stats" -> ((spark, dir) =>
+      docs(spark, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        size(TextAnalysis.regexTokens(col("text"))).as("n_regex_tokens"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy(col("doc_id"))),
+
+    // quality scoring
+    "t2_quality" -> ((spark, dir) =>
+      docs(spark, dir).select(
+        col("doc_id"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // language-ID census against the labeled lang column
+    "t3_lang_id" -> ((spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("lang"), col("lang_pred"))),
+
+    // fingerprints (raw + normalization-invariant)
+    "t4_fingerprint" -> ((spark, dir) =>
+      docs(spark, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.normalizedFingerprint(col("text")).as("fp_norm"))
+        .orderBy(col("doc_id"))),
+
+    // exact dedup: hash-group, representative = min id
+    "x1_exact_dedup" -> ((spark, dir) =>
+      docsWithCopies(spark, dir)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("rep_id"))),
+
+    // minhash signatures
+    "x2_minhash_sig" -> ((spark, dir) =>
+      TextDedup.minhashSignatures(
+        TextDedup.shingleSets(docs(spark, dir), "doc_id", "text"), "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // LSH band keys
+    "x3_lsh_bands" -> ((spark, dir) =>
+      TextDedup.bandKeys(
+        TextDedup.minhashSignatures(
+          TextDedup.shingleSets(docs(spark, dir), "doc_id", "text"), "doc_id"),
+        "doc_id")
+        .orderBy(col("doc_id"), col("band_id"))),
+
+    // LSH candidate pairs over the near-variant corpus
+    "x4_lsh_candidates" -> ((spark, dir) =>
+      TextDedup.candidatePairs(
+        TextDedup.bandKeys(
+          TextDedup.minhashSignatures(
+            TextDedup.shingleSets(docsWithVariants(spark, dir), "doc_id", "text"),
+            "doc_id"),
+          "doc_id"),
+        "doc_id")
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // exact n-gram Jaccard on the LSH candidates
+    "x5_jaccard" -> ((spark, dir) => {
+      val sh = TextDedup.shingleSets(docsWithVariants(spark, dir), "doc_id", "text")
+      val pairs = TextDedup.candidatePairs(
+        TextDedup.bandKeys(
+          TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
+        "doc_id")
+      TextDedup.jaccard(pairs, sh, "doc_id").orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // simhash bit strings
+    "x6_simhash" -> ((spark, dir) =>
+      TextDedup.simhash(docs(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // brute-force exact cosine top-k (baseline)
+    "v1_cosine_topk" -> ((spark, dir) =>
+      Similarity.bruteForceTopK(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", annQueryIds, k = 5)
+        .orderBy(col("query_id"), col("rn"))),
+
+    // LSH-bucketed ANN (scale path)
+    "v2_ann_lsh" -> ((spark, dir) =>
+      Similarity.lshTopK(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", annQueryIds, k = 5, dims = lshDims)
+        .orderBy(col("query_id"), col("rn"))),
+
+    // embedding near-duplicate pairs within LSH buckets (over the
+    // variant-augmented corpus — the raw fixture has no near-dups)
+    "v3_embed_neardup" -> ((spark, dir) =>
+      Similarity.nearDupPairs(embWithVariants(spark, dir),
+        "vec_id", "embedding", threshold = 0.9, dims = lshDims)
+        .orderBy(col("a_id"), col("b_id")))
+  )
+
+  // ------------------------------------------------------------------ oracle
+
+  import TextAnalysis.{Sql => T}
+  import TextDedup.{Sql => D}
+  import Similarity.{Sql => S}
+
+  private def shCte(src: String) = s"sh AS ${D.shingleSets(src, "doc_id", "text")}"
+  private val sigCte = s"sig AS (SELECT doc_id, ${D.minhashAggs()} FROM sh GROUP BY doc_id)"
+  private val bandsCte = "bands AS (" + D.bandKeyExprs().map { case (b, e) =>
+    s"SELECT doc_id, $b AS band_id, $e AS band_key FROM sig"
+  }.mkString(" UNION ALL ") + ")"
+  private val pairsCte =
+    """pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      | FROM bands a JOIN bands b
+      |   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "t1_token_stats" ->
+      s"""SELECT doc_id, ${T.tokenCount("text")} AS n_tokens,
+         |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_regex_tokens,
+         |  ${T.meanTokenLen("text")} AS mean_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality" ->
+      s"""SELECT doc_id, ${T.stopwordRatio("text")} AS stop_ratio,
+         |  ${T.punctRatio("text")} AS punct_ratio,
+         |  ${T.qualityScore("text")} AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t3_lang_id" ->
+      s"""SELECT lang, ${T.langId("text")} AS lang_pred, COUNT(*) AS cnt
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+
+    "t4_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp, ${T.normalizedFingerprint("text")} AS fp_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x1_exact_dedup" ->
+      s"""WITH $docsWithCopiesSql
+         |SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_copies
+         |FROM augx GROUP BY fp ORDER BY rep_id""".stripMargin,
+
+    "x2_minhash_sig" ->
+      s"""WITH ${shCte("documents")}
+         |SELECT doc_id, ${TextDedup.Sql.minhashAggs()}
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x3_lsh_bands" ->
+      s"""WITH ${shCte("documents")}, $sigCte, $bandsCte
+         |SELECT doc_id, band_id, band_key FROM bands ORDER BY doc_id, band_id""".stripMargin,
+
+    "x4_lsh_candidates" ->
+      s"""WITH $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte
+         |SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id""".stripMargin,
+
+    "x5_jaccard" ->
+      s"""WITH $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.a_id
+         |  JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY p.a_id, p.b_id)
+         |SELECT i.a_id, i.b_id,
+         |  CAST(i.n AS DOUBLE) / CAST(za.sz + zb.sz - i.n AS DOUBLE) AS jacc
+         |FROM inter i
+         |JOIN sz za ON za.doc_id = i.a_id
+         |JOIN sz zb ON zb.doc_id = i.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "x6_simhash" ->
+      s"""SELECT doc_id, simhash FROM ${D.simhashSql("documents", "doc_id", "text")} s
+         |ORDER BY doc_id""".stripMargin,
+
+    "v1_cosine_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+         |           WHERE vec_id < ${annQueryIds.max + 1}),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    round(${S.cosine("q_vec", "c_vec")}, 6) AS cos_sim
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    "v2_ann_lsh" ->
+      s"""WITH wb AS (SELECT vec_id, embedding,
+         |    ${S.signBucket("embedding", lshDims)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM wb
+         |      WHERE vec_id < ${annQueryIds.max + 1}),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM wb),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    round(${S.cosine("q_vec", "c_vec")}, 6) AS cos_sim
+         |  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    "v3_embed_neardup" ->
+      s"""WITH $embWithVariantsSql,
+         |wb AS (SELECT vec_id, embedding,
+         |    ${S.signBucket("embedding", lshDims)} AS bucket FROM emba)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(${S.cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(${S.cosine("a.embedding", "b.embedding")}, 6) >= 0.9
+         |ORDER BY a_id, b_id""".stripMargin
+  )
+}

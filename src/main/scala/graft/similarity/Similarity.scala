@@ -1,0 +1,125 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`): brute-force cosine top-k as the exact baseline and
+  * a sign-bit LSH-bucketed variant as the scale path.
+  *
+  * Scale shape:
+  *  - query vectors are broadcast (they're the small side by
+  *    construction), so the candidate scan is a single pass with no
+  *    candidate-side shuffle;
+  *  - top-k selection uses [[TopKAgg]], a typed Aggregator with a
+  *    bounded buffer, so the heavy reduction happens map-side
+  *    (partial aggregation) and only k rows per query cross the wire —
+  *    a `Window`+`row_number` formulation would shuffle every scored
+  *    row;
+  *  - the LSH variant buckets both sides on sign bits of fixed
+  *    dimensions (bit-sampling LSH for cosine), turning the cross
+  *    product into an equi-join Catalyst can shuffle-partition; recall
+  *    is tunable via the number of sampled dimensions.
+  *
+  * Cross-engine discipline: dot products are left-fold double sums in
+  * array order (`aggregate` over `zip_with`), which DuckDB reproduces
+  * with `list_reduce`/`list_transform`; similarity values are rounded
+  * (away from any representable tie) only for rank tie-breaking.
+  */
+object Similarity {
+
+  /** Deterministic left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Sign-bit LSH bucket key over `dims` (0-based) — equal keys =
+    * same orthant on the sampled axes.
+    */
+  def signBucket(emb: Column, dims: Seq[Int]): Column =
+    concat(dims.map(d => when(element_at(emb, d + 1) >= 0, "1").otherwise("0")): _*)
+
+  /** Bounded top-k partial aggregator over (score, id) pairs; keeps the
+    * k largest by (score, then id) — map-side combinable.
+    */
+  class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      s.sortBy { case (sc, id) => (-sc, id) }.take(k)
+    def zero: Seq[(Double, Long)] = Seq.empty
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = trim(b :+ a)
+    def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b1 ++ b2)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder
+  }
+
+  /** Brute-force exact top-k neighbors for `queryIds` (self excluded).
+    * Output: query_id, neighbor_id, cos_sim (rounded to 6 dp for rank
+    * stability), rn 1..k.
+    */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+    topK(scored, k)
+  }
+
+  /** LSH-bucketed ANN: identical contract to [[bruteForceTopK]] but
+    * only candidates sharing the query's sign bucket are scored.
+    */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int, dims: Seq[Int]): DataFrame = {
+    val withBucket = emb.withColumn("bucket", signBucket(col(vecCol), dims))
+    val q = withBucket.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
+    val c = withBucket.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+    topK(scored, k)
+  }
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    val agg = udaf(new TopKAgg(k))
+    scored
+      .groupBy(col("query_id"))
+      .agg(agg(col("cos_sim"), col("neighbor_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rn"),
+        col("col._2").as("neighbor_id"), col("col._1").as("cos_sim"))
+  }
+
+  /** Near-duplicate pairs by embedding cosine within LSH buckets. */
+  def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, dims: Seq[Int]): DataFrame = {
+    val withBucket = emb.withColumn("bucket", signBucket(col(vecCol), dims))
+    val a = withBucket.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("bucket"))
+    val b = withBucket.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", round(cosine(col("a_vec"), col("b_vec")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("a_id", "b_id", "cos_sim")
+  }
+
+  // ------------------------------------------------------- DuckDB spellings
+
+  object Sql {
+    def dot(a: String, b: String): String =
+      s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+    def cosine(a: String, b: String): String =
+      s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+    def signBucket(e: String, dims: Seq[Int]): String =
+      dims.map(d => s"CASE WHEN $e[${d + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+    (3L, "quick brown fox jumps over the lazy dog tonight"),     // near dup (first token dropped)
+    (4L, "completely different words about spark and scala engines"),
+    (5L, "too short")                                            // < 3 tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  test("shingleSets: n-1-k+1 shingles per doc, short docs drop out") {
+    val sh = TextDedup.shingleSets(corpus, "doc_id", "text")
+    val counts = sh.groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts(4L) == 6) // 8 tokens → 6 trigrams
+    assert(!counts.contains(5L))
+    assert(sh.filter($"doc_id" === 1 && $"shingle" === "the quick brown").count() == 1)
+  }
+
+  test("minhash: identical docs get identical signatures; near dups share bands") {
+    val sigs = TextDedup.minhashSignatures(
+      TextDedup.shingleSets(corpus, "doc_id", "text"), "doc_id").cache()
+    val rows = sigs.collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(4L))
+    val pairs = TextDedup.candidatePairs(TextDedup.bandKeys(sigs, "doc_id"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // high-overlap near dup
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("jaccard: exact dup = 1.0; disjoint docs never become candidates") {
+    val sh = TextDedup.shingleSets(corpus, "doc_id", "text")
+    val pairs = TextDedup.candidatePairs(
+      TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"), "doc_id")
+    val jacc = TextDedup.jaccard(pairs, sh, "doc_id")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(jacc((1L, 2L)) == 1.0)
+    jacc.get((1L, 3L)).foreach(j => assert(j > 0.8 && j < 1.0))
+  }
+
+  test("simhash: identical docs equal; bit width respected") {
+    val sh = TextDedup.simhash(corpus, "doc_id", "text").as[(Long, String)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+    assert(sh(1L) != sh(4L))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c).head().get(0)
+
+  test("tokenCount / meanTokenLen") {
+    assert(one(TextAnalysis.tokenCount(col("t")), "a bb ccc") == 3)
+    assert(one(TextAnalysis.meanTokenLen(col("t")), "a bb ccc") == 2.0)
+  }
+
+  test("regexTokens splits words and symbols BPE-style") {
+    val toks = one(TextAnalysis.regexTokens(col("t")), "don't stop!")
+      .asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(toks == Seq("don", "'", "t", "stop", "!"))
+  }
+
+  test("langId picks dominant stopword language; und when none") {
+    assert(one(TextAnalysis.langId(col("t")), "the cat is of and mice") == "en")
+    assert(one(TextAnalysis.langId(col("t")), "le chat et la souris") == "fr")
+    assert(one(TextAnalysis.langId(col("t")), "zzz qqq www") == "und")
+    // tie between en and fr resolves to en (fixed priority)
+    assert(one(TextAnalysis.langId(col("t")), "the le") == "en")
+  }
+
+  test("quality score is in [0,1] and penalizes punctuation soup") {
+    val clean = one(TextAnalysis.qualityScore(col("t")),
+      "the quick brown fox is one of the best and fastest").asInstanceOf[Double]
+    val soup = one(TextAnalysis.qualityScore(col("t")), "!!! ??? %%% ###").asInstanceOf[Double]
+    assert(clean > soup && clean <= 1.0 && soup >= 0.0)
+  }
+
+  test("normalized fingerprint is case/whitespace invariant; raw is not") {
+    val a = one(TextAnalysis.normalizedFingerprint(col("t")), "Hello  World")
+    val b = one(TextAnalysis.normalizedFingerprint(col("t")), "hello world ")
+    val ra = one(TextAnalysis.fingerprint(col("t")), "Hello  World")
+    val rb = one(TextAnalysis.fingerprint(col("t")), "hello world ")
+    assert(a == b && ra != rb)
+  }
+}

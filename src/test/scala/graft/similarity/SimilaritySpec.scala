@@ -1,0 +1,51 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Array(2.0f, 0.0f, 0.0f))   // colinear with 0
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: identity / orthogonal / opposite / scale-invariant") {
+    def cos(a: Int, b: Int): Double = {
+      val x = vecs.filter($"vec_id" === a).select($"embedding".as("x"))
+      val y = vecs.filter($"vec_id" === b).select($"embedding".as("y"))
+      x.crossJoin(y).select(Similarity.cosine($"x", $"y")).as[Double].head()
+    }
+    assert(math.abs(cos(0, 4) - 1.0) < 1e-12)
+    assert(cos(0, 2) == 0.0)
+    assert(math.abs(cos(0, 3) + 1.0) < 1e-12)
+    assert(cos(0, 1) > 0.99 && cos(0, 1) < 1.0)
+  }
+
+  test("bruteForceTopK ranks by similarity with id tiebreak") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L), k = 3)
+      .orderBy($"rn").select($"neighbor_id").as[Long].collect()
+    assert(top.toSeq == Seq(4L, 1L, 2L)) // colinear first, near second, orthogonal third
+  }
+
+  test("signBucket groups colinear vectors; lshTopK stays within bucket") {
+    val dims = Seq(0, 1)
+    val buckets = vecs.select($"vec_id", Similarity.signBucket($"embedding", dims).as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(buckets(0L) == buckets(4L))
+    assert(buckets(0L) != buckets(3L))
+    val top = Similarity.lshTopK(vecs, "vec_id", "embedding", Seq(0L), k = 5, dims)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(top.contains(4L) && !top.contains(3L))
+  }
+
+  test("nearDupPairs finds only the colinear pair at 0.999") {
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.999, Seq(0, 1))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 4L))) // (0,1)/(1,4) sit at cos ≈ 0.9939, below 0.999
+  }
+}
