@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.sources.{LogParser, Sinks, Sources}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink operators (SURVEY.md §2.1) as oracle-gated queries.
+  * Round-trips write to a per-run temp dir under java.io.tmpdir; the
+  * oracle compares against the original fixture table (S9→S1) or an
+  * independently-derived expected relation (S3/S4), which is the
+  * strongest kind of oracle — it never touches our parse path.
+  */
+object SourcesCatalog {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private val customerSchema = StructType(Seq(
+    StructField("c_custkey", LongType), StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** Deterministic Apache-log corpus built from `documents` (every 50th
+    * line is garbage to exercise the malformed path).
+    */
+  private def logLines(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(
+      when($"doc_id" % 50 === 0, lit("GARBAGE LINE"))
+        .otherwise(concat(
+          $"source", lit(" - - [0"), ($"doc_id" % 9 + 1).cast("string"),
+          lit("/Aug/1995:12:34:5"), ($"doc_id" % 10).cast("string"),
+          lit(" -0400] \"GET /doc/"), $"doc_id".cast("string"),
+          lit(" HTTP/1.0\" 200 "), $"n_chars".cast("string")))
+        .as("value"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S9 → S1: CSV sink then scan with explicit schema (exact round-trip)
+    "s1_csv_roundtrip" -> ((spark, dir) => {
+      val out = tmp("csv")
+      Sinks.csv(Tables.customer(spark, dir), out)
+      Sources.csv(spark, out, Some(customerSchema), mode = "FAILFAST")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // S3: DROPMALFORMED silently drops short/unparseable rows
+    "s3_malformed_policy" -> ((spark, dir) => {
+      val d = tmp("bad")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(d, "data.csv"),
+        """k,v,name
+          |1,1.5,alpha
+          |2,oops,beta
+          |3,2.5
+          |4,3.5,delta,extra
+          |5,4.5,epsilon
+          |""".stripMargin)
+      val schema = StructType(Seq(StructField("k", IntegerType),
+        StructField("v", DoubleType), StructField("name", StringType)))
+      Sources.csv(spark, d, Some(schema)).orderBy(col("k"))
+    }),
+
+    // S4/C4: native regex log parse incl. timestamp reassembly;
+    // malformed lines drop out via na.drop
+    "s4_log_parse" -> ((spark, dir) =>
+      LogParser.cleanParse(logLines(spark, dir)).orderBy(col("path"))),
+
+    // S5: literal rows (the reference's employees toy table)
+    "s5_literal" -> ((spark, dir) => {
+      import spark.implicits._
+      Seq(("James", "Sales", 3000L), ("Michael", "Sales", 4600L),
+        ("Robert", "Sales", 4100L), ("Maria", "Finance", 3000L))
+        .toDF("employee_name", "department", "salary")
+        .orderBy($"employee_name")
+    }),
+
+    // S8 → S7: JDBC write then readback through embedded Derby
+    "s7_jdbc_roundtrip" -> ((spark, dir) => {
+      val db = tmp("derby") + "/db"
+      val opts = Map(
+        "url" -> s"jdbc:derby:$db;create=true",
+        "dbtable" -> "nation_rt",
+        "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+      Sinks.jdbc(Tables.nation(spark, dir), opts)
+      Sources.jdbc(spark, opts)
+        .select(col("n_nationkey").cast("int"), col("n_name"), col("n_regionkey").cast("int"))
+        .orderBy(col("n_nationkey"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "s1_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "s3_malformed_policy" ->
+      """SELECT * FROM (VALUES (1, 1.5, 'alpha'), (5, 4.5, 'epsilon')) t(k, v, name)
+        |ORDER BY k""".stripMargin,
+
+    // independently-derived expected parse (never touches a regex)
+    "s4_log_parse" ->
+      """SELECT source AS ip_addr,
+        |  CAST(doc_id % 9 + 1 AS INTEGER) AS day_of_month,
+        |  'Aug' AS month, 1995 AS year, 12 AS hour, 34 AS minute,
+        |  CAST(50 + doc_id % 10 AS INTEGER) AS second,
+        |  '-0400' AS timezone, 'GET' AS method,
+        |  '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+        |  'HTTP/1.0' AS protocol, 200 AS status,
+        |  CAST(n_chars AS BIGINT) AS bytes,
+        |  make_timestamp(1995, 8, CAST(doc_id % 9 + 1 AS INTEGER),
+        |                 12, 34, CAST(50 + doc_id % 10 AS DOUBLE)) AS datetime_stamp
+        |FROM documents WHERE doc_id % 50 <> 0
+        |ORDER BY path""".stripMargin,
+
+    "s5_literal" ->
+      """SELECT * FROM (VALUES
+        |  ('James', 'Sales', 3000), ('Michael', 'Sales', 4600),
+        |  ('Robert', 'Sales', 4100), ('Maria', 'Finance', 3000))
+        |  t(employee_name, department, salary)
+        |ORDER BY employee_name""".stripMargin,
+
+    "s7_jdbc_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"""
+  )
+}

@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Ingestion surface (SURVEY.md §2.1 S1–S7): CSV with malformed-row
+  * policies, text scan, literal rows, JDBC. Schema-on-read is retained
+  * as an option, but explicit `StructType` is the default path — at
+  * 100 TB an `inferSchema` pass is a full extra scan of the input.
+  */
+object Sources {
+
+  /** S1/S2/S3 — CSV scan. `mode` ∈ DROPMALFORMED | PERMISSIVE |
+    * FAILFAST (reference uses DROPMALFORMED everywhere; the silent-drop
+    * behavior is observable via row counts, BASELINE.md).
+    *
+    * Caveat (CSV column pruning): under DROPMALFORMED, a query that
+    * reads no columns (e.g. a bare `count()`) can see un-dropped rows
+    * because malformed detection only runs for parsed columns. Counts
+    * intended to observe the drop must project at least one column.
+    */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+          header: Boolean = true, mode: String = "DROPMALFORMED",
+          inferSchema: Boolean = false): DataFrame = {
+    val r = spark.read.format("csv")
+      .option("header", header).option("mode", mode)
+    val withSchema = schema match {
+      case Some(s) => r.schema(s)
+      case None    => r.option("inferSchema", inferSchema)
+    }
+    withSchema.load(path)
+  }
+
+  /** S4 — text scan kept relational (one `value` column), no RDD hop. */
+  def text(spark: SparkSession, path: String): DataFrame = spark.read.text(path)
+
+  /** S7 — JDBC scan; options must include url, dbtable, driver. */
+  def jdbc(spark: SparkSession, options: Map[String, String]): DataFrame =
+    spark.read.format("jdbc").options(options).load()
+}
+
+/** Output surface (SURVEY.md §2.1 S8–S10). */
+object Sinks {
+
+  /** S9 — CSV sink. */
+  def csv(df: DataFrame, path: String, header: Boolean = true,
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header).csv(path)
+
+  /** S8 — JDBC sink. */
+  def jdbc(df: DataFrame, options: Map[String, String],
+           mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("jdbc").options(options).save()
+
+  /** S10 — warehouse load: the reference stages CSV to object storage
+    * then shells out to `bq load` (loanStat-DataproctoBQ.py:372-382).
+    * We keep the stage-then-load contract behind an interface so a real
+    * connector (or a `scala.sys.process` CLI wrapper) can plug in; the
+    * default just records the command it would run (no egress here).
+    */
+  trait WarehouseLoader {
+    def load(stagedDir: String, table: String, autodetect: Boolean): Unit
+  }
+  final class RecordingLoader extends WarehouseLoader {
+    val commands = scala.collection.mutable.ArrayBuffer.empty[String]
+    def load(stagedDir: String, table: String, autodetect: Boolean): Unit =
+      commands += s"load --source_format=CSV --replace ${if (autodetect) "--autodetect " else ""}$table $stagedDir/*"
+  }
+  final class WarehouseSink(loader: WarehouseLoader) {
+    def save(df: DataFrame, stagingDir: String, table: String,
+             autodetect: Boolean = true): Unit = {
+      Sinks.csv(df, stagingDir, header = false)
+      loader.load(stagingDir, table, autodetect)
+    }
+  }
+}

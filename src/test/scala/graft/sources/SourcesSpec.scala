@@ -1,0 +1,42 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LogParser parses a canonical NASA-style line (FIXTURES.md A4)") {
+    val line = """in24.inetnebr.com - - [01/Aug/1995:00:00:01 -0400] "GET /shuttle/missions/sts-68/news/sts-68-mcc-05.txt HTTP/1.0" 200 1839"""
+    val parsed = LogParser.cleanParse(Seq(line, "not a log line").toDF("value"))
+    val r = parsed.collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[String]("ip_addr") == "in24.inetnebr.com")
+    assert(row.getAs[Int]("day_of_month") == 1 && row.getAs[String]("month") == "Aug")
+    assert(row.getAs[Int]("status") == 200 && row.getAs[Long]("bytes") == 1839L)
+    assert(row.getAs[java.sql.Timestamp]("datetime_stamp").toString.startsWith("1995-08-01 00:00:01"))
+  }
+
+  test("WarehouseSink stages CSV and issues one load command (S10)") {
+    val loader = new Sinks.RecordingLoader
+    val sink = new Sinks.WarehouseSink(loader)
+    val dir = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    sink.save(Seq((1, "a"), (2, "b")).toDF("k", "v"), dir, "ds.tbl")
+    assert(loader.commands.toList == List(s"load --source_format=CSV --replace --autodetect ds.tbl $dir/*"))
+    val back = Sources.csv(spark, dir, header = false, inferSchema = true)
+    assert(back.count() == 2)
+  }
+
+  test("CSV modes: PERMISSIVE keeps malformed rows as nulls, DROPMALFORMED drops") {
+    import org.apache.spark.sql.types._
+    val d = java.nio.file.Files.createTempDirectory("graft_csvmode").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(d, "x.csv"),
+      "k,v\n1,1.5\nbad\n2,2.5\n")
+    val schema = StructType(Seq(StructField("k", IntegerType), StructField("v", DoubleType)))
+    // materialize columns: under CSV column pruning a bare count() does
+    // not parse any column, so DROPMALFORMED has nothing to drop on
+    assert(Sources.csv(spark, d, Some(schema), mode = "DROPMALFORMED").collect().length == 2)
+    assert(Sources.csv(spark, d, Some(schema), mode = "PERMISSIVE").collect().length == 3)
+  }
+}
