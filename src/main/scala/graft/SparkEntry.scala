@@ -8,10 +8,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Catalog.queries ++
-      operators.TrainingCatalog.queries ++ operators.SourcesCatalog.queries
+      operators.TrainingCatalog.queries ++ operators.SourcesCatalog.queries ++
+      operators.QualityMlCatalog.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++ operators.Catalog.oracle ++
-      operators.TrainingCatalog.oracle ++ operators.SourcesCatalog.oracle
+      operators.TrainingCatalog.oracle ++ operators.SourcesCatalog.oracle ++
+      operators.QualityMlCatalog.oracle
 }

@@ -1,0 +1,84 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
+import org.apache.spark.ml.attribute.AttributeGroup
+import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+import org.apache.spark.ml.feature._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ML feature/classifier pipeline (SURVEY.md §2.13 M1–M8): label +
+  * categorical indexing (`handleInvalid='keep'`, matching the
+  * reference so category arity — and therefore the MLPC input width —
+  * is reproducible), one-hot encoding, optional bucketing of a
+  * continuous column, vector assembly, MLPC with the layer-0 width
+  * read from the assembler's attribute metadata
+  * (LAB-2022-Standalone-SparkML-CSV-to-MLPCModel-3.ipynb cell 115).
+  */
+object FeaturePipeline {
+
+  final case class Config(
+      labelCol: String,
+      categoricalCols: Seq[String],
+      continuousCols: Seq[String],
+      buckets: Map[String, Array[Double]] = Map.empty,
+      hiddenLayers: Seq[Int] = Seq(5),
+      numClasses: Int = 2,
+      seed: Long = 42L,
+      maxIter: Int = 40)
+
+  /** Feature stages only (no classifier): indexers → encoders →
+    * bucketizers → assembler producing `features`.
+    */
+  def featureStages(cfg: Config): Seq[PipelineStage] = {
+    val labelIndexer = new StringIndexer()
+      .setInputCol(cfg.labelCol).setOutputCol("indexedLabel")
+      .setHandleInvalid("keep")
+    val catIndexers = cfg.categoricalCols.map(c =>
+      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
+        .setHandleInvalid("keep"))
+    val encoders = cfg.categoricalCols.map(c =>
+      new OneHotEncoder().setInputCol(s"${c}_idx").setOutputCol(s"${c}_vec"))
+    val bucketizers = cfg.buckets.toSeq.map { case (c, splits) =>
+      new Bucketizer().setInputCol(c).setOutputCol(s"${c}_bkt").setSplits(splits)
+    }
+    val inputCols =
+      cfg.categoricalCols.map(c => s"${c}_vec") ++
+        cfg.continuousCols.filterNot(cfg.buckets.contains) ++
+        cfg.buckets.keys.map(c => s"${c}_bkt")
+    val assembler = new VectorAssembler()
+      .setInputCols(inputCols.toArray).setOutputCol("features")
+    (labelIndexer +: catIndexers) ++ encoders ++ bucketizers :+ assembler
+  }
+
+  /** M4 — assembled feature width from attribute metadata. */
+  def featureWidth(assembled: DataFrame): Int =
+    AttributeGroup.fromStructField(assembled.schema("features")).size
+
+  /** M5/M6 — fit features, read width, fit MLPC, return the composed
+    * model. Two fits are unavoidable because MLPC needs `layers` up
+    * front; the feature transform of the training frame is reused.
+    */
+  def fit(train: DataFrame, cfg: Config): PipelineModel = {
+    val features = new Pipeline().setStages(featureStages(cfg).toArray).fit(train)
+    val assembled = features.transform(train)
+    val width = featureWidth(assembled)
+    val mlpc = new MultilayerPerceptronClassifier()
+      .setLabelCol("indexedLabel").setFeaturesCol("features")
+      .setLayers((width +: cfg.hiddenLayers :+ cfg.numClasses).toArray.map(_.toInt))
+      .setSeed(cfg.seed).setMaxIter(cfg.maxIter)
+    val model = mlpc.fit(assembled)
+    new Pipeline().setStages(Array(features, model)).fit(train.limit(0))
+  }
+
+  /** Class rebalancing (R1/U1): seeded with-replacement downsample of
+    * the majority class unioned with the rest — the reference's
+    * sample(True, 0.3, 42) + union idiom (MLPCModel-3.py:344,356).
+    */
+  def rebalance(df: DataFrame, labelCol: String, majority: String,
+                fraction: Double, seed: Long): DataFrame = {
+    val maj = df.filter(col(labelCol) === majority)
+      .sample(withReplacement = true, fraction, seed)
+    df.filter(col(labelCol) =!= majority).union(maj)
+  }
+}
