@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.multimodal.BinaryOps
+import graft.streaming.EventStream
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming + multimodal queries. `e3_stream_windows` drives the full
+  * Structured Streaming micro-batch machinery (file source → watermark
+  * → tumbling windows → memory sink) and must produce EXACTLY the
+  * batch rollup — its oracle is the same SQL as `e1_event_windows`.
+  */
+object StreamMediaCatalog {
+
+  private val streamNo = new AtomicInteger(0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e3_stream_windows" -> ((spark, dir) => {
+      // file source wants a directory: expose the fixture via symlink
+      val d = java.nio.file.Files.createTempDirectory("graft_stream")
+      d.toFile.deleteOnExit()
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val rolled = EventStream.tumblingCounts(EventStream.read(spark, d.toString))
+      EventStream.runToMemory(spark, rolled,
+        s"stream_windows_${streamNo.incrementAndGet()}")
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
+    "m1_media_features" -> ((spark, dir) => {
+      val media = BinaryOps.asMediaTable(Tables.documents(spark, dir))
+      val feats = BinaryOps.extractFeatures(media)
+      val fCols = (0 until BinaryOps.FeatureDim).map(i =>
+        element_at(col("features"), i + 1).as(s"f$i"))
+      feats.toDF().select(
+        Seq(col("doc_id"), col("width"), col("height")) ++ fCols: _*)
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    // identical to the batch rollup — streaming must agree with batch
+    "e3_stream_windows" -> Catalog.oracle("e1_event_windows"),
+
+    // independent derivation: utf-8 payload bytes of ASCII text are the
+    // codepoints, so f_i = ord(text[i]) / 255
+    "m1_media_features" -> {
+      val fs = (0 until BinaryOps.FeatureDim).map(i =>
+        s"CASE WHEN len(text) > $i THEN CAST(ord(substr(text, ${i + 1}, 1)) AS DOUBLE) / 255.0 ELSE 0.0 END AS f$i")
+        .mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  CAST(n_chars % 640 AS INTEGER) AS width,
+         |  CAST(n_chars % 480 AS INTEGER) AS height,
+         |  $fs
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }
+  )
+}

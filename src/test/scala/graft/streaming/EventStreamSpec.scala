@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling rollup equals the batch rollup (sf0.001)") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_spec")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.tumblingCounts(EventStream.read(spark, d.toString)), "spec_windows")
+    val batch = graft.core.Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+    val s = streamed.select($"hour_start", $"event_type", $"n_events")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val b = batch.as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(s == b && s.nonEmpty)
+  }
+
+  test("append mode with watermark emits only closed windows") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_append")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    val q = EventStream.runToMemory(spark,
+      EventStream.tumblingCounts(EventStream.read(spark, d.toString), watermark = "30 minutes"),
+      "spec_append", org.apache.spark.sql.streaming.OutputMode.Append())
+    // single micro-batch: watermark advances only after it completes, so
+    // append emits windows closed w.r.t. the final watermark — strictly
+    // fewer than complete mode's, and never the last (open) window
+    val total = graft.core.Tables.events(spark, sf0001)
+      .select(date_trunc("hour", $"ts")).distinct().count()
+    assert(q.select($"hour_start").distinct().count() < total)
+  }
+
+  test("stateful sessionization merges events within the gap") {
+    import EventStream.{Event, UserSession}
+    val base = 1700000000000L
+    val events = Seq(
+      Event(1L, new java.sql.Timestamp(base), "c", 1.0),
+      Event(1L, new java.sql.Timestamp(base + 60000), "c", 1.0),   // same session
+      Event(1L, new java.sql.Timestamp(base + 10000000), "c", 1.0), // new session
+      Event(2L, new java.sql.Timestamp(base), "c", 1.0)
+    ).toDS()
+    // batch harness for the stateful function: group + fold directly
+    val sessions = EventStream.userSessions(events, gapMs = 30 * 60 * 1000)
+    // flatMapGroupsWithState on a batch Dataset emits only closed
+    // sessions (state never times out in batch), so user 1's first
+    // session is emitted; trailing open sessions stay in state
+    val out = sessions.collect()
+    assert(out.exists(s => s.user_id == 1L && s.n_events == 2 && s.seconds == 60.0))
+  }
+}
