@@ -1,5 +1,14 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.bench.Pipelines
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main (driver contract): runs the headline pipelines on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Timed work is the full
+  * pipeline execution (terminal count over the materialized plan);
+  * CSV staging for the ETL pipeline is untimed setup, mirroring the
+  * reference whose input CSV pre-exists on HDFS (BASELINE.md).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +16,34 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // setup (untimed): stage ETL input CSV; warm the JVM/codegen paths
+    val csvDir = Pipelines.stageLoanCsv(spark, sfDir)
+    Pipelines.q1(spark, sfDir).count()
+
+    val headline: Seq[(String, () => DataFrame)] = Seq(
+      "etl_upstream" -> (() => Pipelines.etlUpstream(spark, csvDir)),
+      "dedup_window" -> (() => Pipelines.dedupWindow(spark, sfDir)),
+      "q1_agg" -> (() => Pipelines.q1(spark, sfDir)),
+      "join_agg" -> (() => Pipelines.joinAgg(spark, sfDir)),
+      "minhash_lsh" -> (() => Pipelines.minhashLsh(spark, sfDir)),
+      "ann_topk" -> (() => Pipelines.annTopK(spark, sfDir)),
+      "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)))
+
+    val results = headline.map { case (name, mk) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try mk().count() catch { case _: Throwable => -1L }
+      val secs = (System.nanoTime() - t0) / 1e9
+      (name, secs, n)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

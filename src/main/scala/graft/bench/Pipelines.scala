@@ -1,0 +1,109 @@
+package graft.bench
+
+import graft.core.Tables
+import graft.dedup.TextDedup
+import graft.functions.TextAnalysis
+import graft.operators.Exact
+import graft.quality.Dedup
+import graft.similarity.Similarity
+import graft.sources.{Sinks, Sources}
+import graft.transform.Cleansers
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Headline benchmark pipelines mirroring BASELINE.md:
+  *  - `etl_upstream` = entry point A (SURVEY §3.1): CSV scan →
+  *    project → dropna → native cleanse/cast → status filter → dropna
+  *    (reference: 100.56 s for 1.4M rows on local[*]);
+  *  - `dedup_window` = entry point B (§3.2): full-width occurrence
+  *    window + histogram + dedup count (reference: 1,432,466 →
+  *    1,142,104 rows);
+  *  plus the engine's scale-path operators (join/agg, MinHash-LSH,
+  *  ANN) so regressions in the non-reference surface show up too.
+  *
+  * CSV staging for the ETL pipeline happens once per JVM (setup, not
+  * timed) — the reference's input is already-materialized CSV on HDFS.
+  */
+object Pipelines {
+
+  /** Loan-like CSV staging (setup). */
+  def stageLoanCsv(spark: SparkSession, sfDir: String): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_csv").toString
+    val df = Tables.orders(spark, sfDir)
+      .join(broadcast(Tables.customer(spark, sfDir)), $"o_custkey" === $"c_custkey")
+      .select(
+        $"o_orderkey", $"o_orderstatus".as("loan_status"),
+        concat($"o_totalprice".cast("string"), lit("%")).as("int_rate"),
+        concat(lit(" "), ($"o_orderkey" % 60 + 1).cast("string"), lit(" months")).as("term"),
+        concat(lit("Apr-"), (year($"o_orderdate")).cast("string")).as("earliest_cr_line"),
+        $"c_acctbal".as("annual_inc"), $"c_mktsegment".as("purpose"))
+    Sinks.csv(df, dir)
+    dir
+  }
+
+  val loanSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("loan_status", StringType),
+    StructField("int_rate", StringType), StructField("term", StringType),
+    StructField("earliest_cr_line", StringType), StructField("annual_inc", DoubleType),
+    StructField("purpose", StringType)))
+
+  /** Entry point A upstream: all cleansing is native Catalyst (the
+    * rewrite's headline optimization — no Python-worker hops, filters
+    * reach the scan).
+    */
+  def etlUpstream(spark: SparkSession, csvDir: String): DataFrame = {
+    import Cleansers._
+    val df = Sources.csv(spark, csvDir, Some(loanSchema))
+    applyCastPlan(df.na.drop("any"), Seq(
+      ColumnSpec("int_rate", DoubleType, stripPercent),
+      ColumnSpec("term", DoubleType, c => regexp_replace(c, "months", "")),
+      ColumnSpec("earliest_cr_line", StringType, monthToken)))
+      .filter(col("loan_status").isin("F", "O"))
+      .na.drop("any")
+  }
+
+  /** Entry point B: full-width window dedup with occurrence profile. */
+  def dedupWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val keys = li.columns.toSeq.filterNot(_ == "l_quantity")
+    Dedup.dedupByOccurrence(
+      Dedup.withOccurrenceId(li, keys, Seq(col("l_quantity"))))
+  }
+
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // distinct=false: min-hash is multiset-safe, skip the set shuffle;
+    // repartition: the fixture is one parquet file = one input partition
+    val sh = TextDedup.shingleSets(docs, "doc_id", "text", distinct = false,
+      parallelism = Some(spark.sparkContext.defaultParallelism))
+    TextDedup.candidatePairs(
+      TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
+      "doc_id")
+  }
+
+  def annTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", (0L until 10L), k = 10)
+
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.normalizedFingerprint(col("text")).as("fp"))
+
+  def joinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(Exact.dec($"l_extendedprice") * (lit(1) - Exact.dec($"l_discount")))
+          .cast("double").as("revenue"))
+  }
+
+  def q1(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Relational.q1Agg(spark, sfDir)
+}

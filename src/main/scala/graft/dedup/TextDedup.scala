@@ -31,30 +31,67 @@ object TextDedup {
   val RowsPerBand = 2
   require(Bands * RowsPerBand == NumHashes)
 
-  /** Distinct (id, shingle) pairs; docs shorter than `k` tokens carry
-    * no shingles and drop out (they can't near-dup at this n-gram size).
+  /** (id, shingle) pairs; docs shorter than `k` tokens carry no
+    * shingles and drop out (they can't near-dup at this n-gram size).
+    *
+    * Implementation note: this is a typed `flatMap`, not a
+    * `transform(sequence(...))` higher-order expression. HOF lambdas
+    * run interpreted (no codegen, no common-subexpression elimination),
+    * so the `split` was re-evaluated per element_at per shingle —
+    * measured ~10× slower than this compiled path at sf0.1. Token
+    * split uses limit -1 to match Spark/DuckDB `split` semantics on
+    * trailing separators.
+    *
+    * `distinct = false` skips the set-dedup shuffle — correct for
+    * MinHash/LSH (min over a multiset equals min over its set), and at
+    * corpus scale that shuffle is the single biggest cost of the
+    * pipeline. Jaccard needs real sets: pass `distinct = true` there.
+    *
+    * `parallelism`: a single large input file arrives as few
+    * partitions; shingling+hashing is the CPU-heavy stage, so
+    * re-spreading the (tiny) doc rows before it is usually worth one
+    * small shuffle. No-op when the input is already well-partitioned.
     */
   def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                  k: Int = DefaultShingle): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val sh = transform(
-      sequence(lit(0), size(toks) - k),
-      i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + lit(j))): _*))
-    df.filter(size(toks) >= k)
-      .select(col(idCol), explode(sh).as("shingle"))
-      .distinct()
+                  k: Int = DefaultShingle, distinct: Boolean = true,
+                  parallelism: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in = parallelism.map(df.repartition).getOrElse(df)
+    val pairs = in.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        if (toks.length < k) Iterator.empty
+        else toks.sliding(k).map(w => (id, w.mkString(" ")))
+      }
+      .toDF(idCol, "shingle")
+    if (distinct) pairs.distinct() else pairs
   }
 
-  private def hashShingle(seed: Int, shingle: Column): Column =
-    md5(concat(lit(s"$seed:"), shingle))
+  /** Universal-hash family over one md5-derived 32-bit base hash:
+    * h_j(x) = (a_j * h(x) + b_j) mod P. One digest per shingle instead
+    * of `numHashes` — 8× less hashing on the scan — and every term
+    * stays below 2^63 (a_j < 2^31, h < 2^32) so the int64 arithmetic
+    * is exact and overflow-free in any engine.
+    */
+  val HashP = 4294967311L // prime > 2^32
+  val HashA: Seq[Long] = Seq(1000003L, 1200007L, 1400009L, 1600033L,
+    1800017L, 2000003L, 2200013L, 2400007L)
+  val HashB: Seq[Long] = Seq(12345L, 23456L, 34567L, 45678L,
+    56789L, 67890L, 78901L, 89012L)
 
-  /** MinHash signature: `numHashes` lexicographic-min md5 columns
+  private def baseHash(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature: `numHashes` min-of-universal-hash long columns
     * `sig_0..sig_{n-1}` per id.
     */
   def minhashSignatures(shingles: DataFrame, idCol: String,
                         numHashes: Int = NumHashes): DataFrame = {
+    val h = baseHash(col("shingle"))
     val aggs = (0 until numHashes).map(j =>
-      min(hashShingle(j, col("shingle"))).as(s"sig_$j"))
+      min((lit(HashA(j)) * h + lit(HashB(j))) % lit(HashP)).as(s"sig_$j"))
     shingles.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -65,17 +102,23 @@ object TextDedup {
                rowsPerBand: Int = RowsPerBand): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val key = md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*))
+        (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}").cast("string")): _*))
       struct(lit(b).as("band_id"), key.as("band_key"))
     }
     sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
       .select(col(idCol), col("bk.band_id"), col("bk.band_key"))
   }
 
-  /** Candidate pairs (a_id < b_id) sharing at least one band. */
+  /** Candidate pairs (a_id < b_id) sharing at least one band.
+    * The band table is cached before the self-join: it is tiny
+    * (docs × bands rows) while its lineage — scan → shingle → minhash —
+    * is the expensive part, and a self-join would otherwise execute
+    * that lineage twice.
+    */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val a = bands.select(col(idCol).as("a_id"), col("band_id"), col("band_key"))
-    val b = bands.select(col(idCol).as("b_id"), col("band_id"), col("band_key"))
+    val cached = bands.cache()
+    val a = cached.select(col(idCol).as("a_id"), col("band_id"), col("band_key"))
+    val b = cached.select(col(idCol).as("b_id"), col("band_id"), col("band_key"))
     a.join(b, Seq("band_id", "band_key"))
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
@@ -128,13 +171,17 @@ object TextDedup {
          | WHERE len(t) >= $k)""".stripMargin
     }
 
-    def minhashAggs(numHashes: Int = NumHashes): String =
+    def minhashAggs(numHashes: Int = NumHashes): String = {
+      val h = "(('0x' || substr(md5(shingle), 1, 8))::BIGINT)"
       (0 until numHashes)
-        .map(j => s"min(md5('$j:' || shingle)) AS sig_$j").mkString(", ")
+        .map(j => s"min((${HashA(j)} * $h + ${HashB(j)}) % $HashP) AS sig_$j")
+        .mkString(", ")
+    }
 
     def bandKeyExprs(bands: Int = Bands, rowsPerBand: Int = RowsPerBand): Seq[(Int, String)] =
       (0 until bands).map { b =>
-        val cols = (0 until rowsPerBand).map(r => s"sig_${b * rowsPerBand + r}")
+        val cols = (0 until rowsPerBand)
+          .map(r => s"CAST(sig_${b * rowsPerBand + r} AS VARCHAR)")
         b -> s"md5(${cols.mkString(" || '|' || ")})"
       }
 

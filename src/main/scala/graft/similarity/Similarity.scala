@@ -65,11 +65,16 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryIds: Seq[Long], k: Int): DataFrame = {
+    // norms are precomputed once per side (not per pair): same values,
+    // one third of the fold work in the pair loop
     val q = emb.filter(col(idCol).isInCollection(queryIds))
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        l2norm(col(vecCol)).as("q_nrm"))
+    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      l2norm(col(vecCol)).as("c_nrm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
     topK(scored, k)
   }
 
@@ -80,11 +85,14 @@ object Similarity {
               queryIds: Seq[Long], k: Int, dims: Seq[Int]): DataFrame = {
     val withBucket = emb.withColumn("bucket", signBucket(col(vecCol), dims))
     val q = withBucket.filter(col(idCol).isInCollection(queryIds))
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"))
-    val c = withBucket.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"),
+        l2norm(col(vecCol)).as("q_nrm"))
+    val c = withBucket.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col("bucket"), l2norm(col(vecCol)).as("c_nrm"))
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
     topK(scored, k)
   }
 
@@ -103,11 +111,14 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dims: Seq[Int]): DataFrame = {
     val withBucket = emb.withColumn("bucket", signBucket(col(vecCol), dims))
-    val a = withBucket.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("bucket"))
-    val b = withBucket.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("bucket"))
+    val a = withBucket.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
+      col("bucket"), l2norm(col(vecCol)).as("a_nrm"))
+    val b = withBucket.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
+      col("bucket"), l2norm(col(vecCol)).as("b_nrm"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("cos_sim", round(cosine(col("a_vec"), col("b_vec")), 6))
+      .withColumn("cos_sim",
+        round(dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
   }

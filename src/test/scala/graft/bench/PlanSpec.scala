@@ -1,0 +1,60 @@
+package graft.bench
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan audits: these are the properties that decide whether
+  * the plans survive a 100× scale-up — filter/projection pushdown into
+  * the parquet scan, broadcast vs shuffle join choice, partial (map-
+  * side) aggregation, and whole-stage codegen coverage.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("p1_projection: predicate and projection reach the parquet scan") {
+    val plan = planOf(graft.operators.Catalog.queries("p1_projection")(spark, sf0001))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("l_extendedprice,l_discount"), "projection not pruned")
+  }
+
+  test("j1: dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = planOf(graft.operators.Catalog.queries("j1_join_broadcast")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q1_agg: aggregation is two-phase (map-side partial)") {
+    val qe: QueryExecution =
+      graft.operators.Relational.q1Agg(spark, sf0001).queryExecution
+    val aggs = qe.executedPlan.toString.linesIterator
+      .filter(_.contains("HashAggregate")).toSeq
+    assert(aggs.exists(_.contains("partial_")), "no partial aggregation")
+    assert(aggs.size >= 2)
+  }
+
+  test("q1_agg: whole-stage codegen covers the scan→partial-agg hot path") {
+    val df = graft.operators.Relational.q1Agg(spark, sf0001)
+    df.collect() // AQE: codegen spans appear only in THIS qe's finalized plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen spans in finalized plan:\n$plan")
+  }
+
+  test("minhash signatures: single shuffle with partial min combine") {
+    val df = Pipelines.minhashLsh(spark, sf0001)
+    val plan = planOf(df)
+    assert(plan.contains("partial_min"), "minhash min not map-side combined")
+  }
+
+  test("etl upstream: casts/cleansers stay native (no UDF in plan)") {
+    val csv = Pipelines.stageLoanCsv(spark, sf0001)
+    val plan = planOf(Pipelines.etlUpstream(spark, csv))
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
+      "cleansing must be pure Catalyst expressions")
+  }
+}
