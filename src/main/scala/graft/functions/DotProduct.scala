@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two numeric arrays, with whole-stage
+  * codegen. Replaces the `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+  * formulation, whose higher-order lambdas run interpreted (one
+  * closure dispatch per element) — measured several times slower on
+  * the ANN scoring path.
+  *
+  * Semantics (kept bit-identical to the fold it replaces, which the
+  * DuckDB oracle also mirrors): left-to-right accumulation in index
+  * order, `acc + (a_i.toDouble * b_i.toDouble)`; NULL if either array
+  * is NULL or lengths differ. Elements must be FLOAT or DOUBLE arrays.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dot_product needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      val aFloat = elemType(left) == FloatType
+      val bFloat = elemType(right) == FloatType
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Column-level entry point. */
+  def dot_product(a: Column, b: Column): Column =
+    ColumnBridge.toColumn(
+      DotProduct(ColumnBridge.toExpr(a), ColumnBridge.toExpr(b)))
+}

@@ -29,8 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic left-fold dot product in double precision. */
+  /** Deterministic left-fold dot product in double precision —
+    * codegen'd custom expression (see [[graft.functions.DotProduct]]);
+    * bit-identical to the HOF fold it replaced.
+    */
   def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dot_product(a, b)
+
+  /** The interpreted HOF formulation, kept as the semantic reference
+    * for parity tests.
+    */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

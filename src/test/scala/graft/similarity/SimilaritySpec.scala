@@ -14,6 +14,25 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(2.0f, 0.0f, 0.0f))   // colinear with 0
   ).toDF("vec_id", "embedding")
 
+  test("native dot_product is bit-identical to the HOF fold on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001).limit(200).cache()
+    val a = emb.select($"vec_id".as("a_id"), $"embedding".as("a"))
+    val b = emb.select($"vec_id".as("b_id"), $"embedding".as("b"))
+    val pairs = a.crossJoin(b).limit(5000)
+    val diffs = pairs.select(
+      Similarity.dot($"a", $"b").as("fast"),
+      Similarity.dotFold($"a", $"b").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diffs.isEmpty, "codegen dot product diverged from reference fold")
+  }
+
+  test("dot_product: null on length mismatch, works for double arrays") {
+    val df = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    assert(df.select(Similarity.dot($"a", $"b")).as[Double].head() == 11.0)
+    val bad = Seq((Array(1.0, 2.0), Array(3.0))).toDF("a", "b")
+    assert(bad.select(Similarity.dot($"a", $"b")).head().isNullAt(0))
+  }
+
   test("cosine: identity / orthogonal / opposite / scale-invariant") {
     def cos(a: Int, b: Int): Double = {
       val x = vecs.filter($"vec_id" === a).select($"embedding".as("x"))
