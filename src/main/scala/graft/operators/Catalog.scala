@@ -281,6 +281,15 @@ object Catalog {
         .orderBy($"k_val")
     }),
 
+    // X4 — temp-view + SQL-text entry point (the reference registers a
+    // view but never queries it; we expose the full surface)
+    "x4_temp_view_sql" -> ((spark, dir) => {
+      Tables.orders(spark, dir).createOrReplaceTempView("orders_v")
+      spark.sql(
+        """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders_v
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // R1 — seeded bernoulli sample (rows-only gate: RNG is engine-specific)
     "r1_sample" -> ((spark, dir) => {
       import spark.implicits._
@@ -445,7 +454,11 @@ object Catalog {
 
     "e2_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val, COUNT(*) AS cnt
-        |FROM events GROUP BY k_val ORDER BY k_val""".stripMargin
+        |FROM events GROUP BY k_val ORDER BY k_val""".stripMargin,
+
+    "x4_temp_view_sql" ->
+      """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     // r1_sample: deliberately no oracle — sampling RNG is engine-specific
   )
 }

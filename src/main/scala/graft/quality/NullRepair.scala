@@ -54,6 +54,18 @@ object NullRepair {
     repaired.drop(cols.flatMap(c => Seq(s"__sum_$c", s"__n_$c")): _*)
   }
 
+  /** N9 — median imputation via spark.ml Imputer; the reference fits
+    * the statistic on a *filtered subset* and applies it to the full
+    * frame (Null Detection….ipynb cells 12–14), hence `fitOn`.
+    */
+  def imputeMedian(df: DataFrame, cols: Seq[String],
+                   fitOn: Option[DataFrame] = None): DataFrame = {
+    val imputer = new org.apache.spark.ml.feature.Imputer()
+      .setInputCols(cols.toArray).setOutputCols(cols.toArray)
+      .setStrategy("median")
+    imputer.fit(fitOn.getOrElse(df)).transform(df)
+  }
+
   /** N10 — group census with percent-of-total for null analysis. */
   def groupCensus(df: DataFrame, keys: Seq[String], total: Long): DataFrame =
     df.groupBy(keys.map(col): _*)

@@ -55,6 +55,16 @@ class NullRepairSpec extends SparkSpec {
     assert(vals.nonEmpty && vals.forall(v => math.abs(v - 391.625) < 1e-9))
   }
 
+  test("N9: median imputation fit on the Store 1 subset fills with 448") {
+    val df = storeRevenue.withColumn("Revenue", $"Revenue".cast(DoubleType))
+    val imputed = NullRepair.imputeMedian(df, Seq("Revenue"),
+      fitOn = Some(df.filter($"Store" === "Store 1")))
+    // golden from FIXTURES.md A1: median of Store 1's {448, 499, 432} = 448
+    val filled = imputed.join(df.filter($"Revenue".isNull), Seq("Store", "WeekInMonth"))
+      .select(imputed("Revenue")).as[Double].collect()
+    assert(filled.nonEmpty && filled.forall(_ == 448.0))
+  }
+
   test("N10: group census percents sum to 1") {
     val census = NullRepair.groupCensus(storeRevenue.na.drop("all"),
       Seq("Store"), 9L)
