@@ -53,6 +53,8 @@ object Sessions {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_warehouse")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -281,6 +281,27 @@ object Catalog {
         .orderBy($"k_val")
     }),
 
+    // W2 — analytic windows beyond ranking: running sum, lag, lead
+    "w2_running" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(spark, dir).select(
+        $"o_custkey", $"o_orderkey",
+        sum(dec($"o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_total"),
+        lag($"o_orderkey", 1).over(w).as("prev_order"),
+        lead($"o_orderkey", 1).over(w).as("next_order"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // K1 — salted two-phase aggregation (skew path); must equal the
+    // plain groupBy exactly
+    "k1_salted_agg" -> ((spark, dir) =>
+      Skew.saltedCountSum(Tables.lineitem(spark, dir),
+        Seq("l_returnflag"), "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
+
     // X4 — temp-view + SQL-text entry point (the reference registers a
     // view but never queries it; we expose the full surface)
     "x4_temp_view_sql" -> ((spark, dir) => {
@@ -458,7 +479,21 @@ object Catalog {
 
     "x4_temp_view_sql" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "w2_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  LAG(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |  LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "k1_salted_agg" ->
+      s"""SELECT l_returnflag, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_extendedprice")} AS sum_l_extendedprice
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     // r1_sample: deliberately no oracle — sampling RNG is engine-specific
   )
 }

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling utilities. AQE's skew-join splitting covers joins at
+  * runtime; for *aggregations* over hot keys the classic fix is
+  * salting: spread each key over `salts` sub-keys, partially aggregate,
+  * then combine. Valid for algebraic aggregates (sum/count/min/max) —
+  * the two-phase rewrite is exact, and with decimal sums it is also
+  * bit-exact (associative), so salted and unsalted plans hash-match.
+  *
+  * At 100 TB: use when one group key holds a disproportionate share of
+  * rows (e.g. a null-bucket or a bot user-id) and the partial-agg
+  * map-side combine alone can't flatten it — salting moves the hot
+  * key's reduction work onto `salts` reducers.
+  */
+object Skew {
+
+  final case class SaltedAgg(partial: Seq[Column], combine: Seq[Column])
+
+  /** Salted count+sum aggregate: exact same result as
+    * `df.groupBy(keys).agg(count, dsum(col))` for any salt count.
+    */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], sumCol: String,
+                     salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(Exact.dec(col(sumCol))).as("__sum"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__cnt")).as("cnt"),
+        sum(col("__sum")).cast("double").as(s"sum_$sumCol"))
+  }
+}

@@ -52,6 +52,21 @@ object Sinks {
            mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).format("jdbc").options(options).save()
 
+  /** Bucketed catalog table: co-locates data on the bucket columns so
+    * equi-joins/aggregations on them need NO shuffle (SURVEY.md §4
+    * partitioning row; the 100 TB answer to repeated fact-fact joins:
+    * pay the layout cost once at write time, every later join is
+    * exchange-free).
+    */
+  def bucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+               buckets: Int, sortCols: Seq[String] = Nil,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** S10 — warehouse load: the reference stages CSV to object storage
     * then shells out to `bq load` (loanStat-DataproctoBQ.py:372-382).
     * We keep the stage-then-load contract behind an interface so a real

@@ -62,9 +62,8 @@ def main(sf_dir, out_dir):
         for c in g.columns:
             gv, wv = g[c].tolist(), w[c].tolist()
             if gv != wv:
-                i = next(i for i, (a, b) in enumerate(zip(gv, wv)) if a != b and a == a or b == b and a != b)
                 for i, (a, b) in enumerate(zip(gv, wv)):
-                    if a != b and not (a != a and b != b):
+                    if a != b and not (a != a and b != b):  # NaN==NaN ok
                         mismatch = f"col {c} row {i}: {a!r} vs {b!r}"
                         break
                 if mismatch:
