@@ -158,6 +158,37 @@ object TextDedup {
     voted.select(col(idCol), concat(bitChars: _*).as("simhash"))
   }
 
+  /** SimHash near-dup candidates with hamming distance ≤ 1 via the
+    * pigeonhole principle: split the bit string into two halves — any
+    * pair within hamming 1 agrees exactly on at least one half, so an
+    * equi-join per half finds all such pairs (then the exact hamming
+    * filter removes half-collisions that differ more). Same join-not-
+    * cross-product shape as MinHash banding, so it scales the same way.
+    */
+  def simhashCandidates(sims: DataFrame, idCol: String,
+                        maxHamming: Int = 1): DataFrame = {
+    val bits = 16
+    val half = bits / 2
+    val banded = sims.select(col(idCol), col("simhash"),
+      explode(array(
+        struct(lit(0).as("band"), substring(col("simhash"), 1, half).as("key")),
+        struct(lit(1).as("band"), substring(col("simhash"), half + 1, half).as("key")))).as("b"))
+      .select(col(idCol), col("simhash"), col("b.band"), col("b.key"))
+      .cache()
+    val a = banded.select(col(idCol).as("a_id"), col("simhash").as("a_sim"),
+      col("band"), col("key"))
+    val b = banded.select(col(idCol).as("b_id"), col("simhash").as("b_sim"),
+      col("band"), col("key"))
+    val hamming = (1 to bits).map(i =>
+      when(substring(col("a_sim"), i, 1) =!= substring(col("b_sim"), i, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), hamming.as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------------- DuckDB spellings
 
   object Sql {

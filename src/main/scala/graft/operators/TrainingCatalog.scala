@@ -160,6 +160,13 @@ object TrainingCatalog {
       TextDedup.simhash(docs(spark, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // simhash hamming-≤1 near-dup candidates over the copy-augmented
+    // corpus (pigeonhole half-banding; exact copies land at hamming 0)
+    "x7_simhash_neardup" -> ((spark, dir) =>
+      TextDedup.simhashCandidates(
+        TextDedup.simhash(docsWithCopies(spark, dir), "doc_id", "text"), "doc_id")
+        .orderBy(col("a_id"), col("b_id"))),
+
     // brute-force exact cosine top-k (baseline)
     "v1_cosine_topk" -> ((spark, dir) =>
       Similarity.bruteForceTopK(Tables.embeddings(spark, dir),
@@ -170,6 +177,14 @@ object TrainingCatalog {
     "v2_ann_lsh" -> ((spark, dir) =>
       Similarity.lshTopK(Tables.embeddings(spark, dir),
         "vec_id", "embedding", annQueryIds, k = 5, dims = lshDims)
+        .orderBy(col("query_id"), col("rn"))),
+
+    // IVF ANN (KMeans coarse quantizer, probe-2) — rows-only gate:
+    // KMeans centers are not cross-engine reproducible; recall is
+    // asserted vs brute force in SimilaritySpec
+    "v4_ivf_topk" -> ((spark, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", annQueryIds, k = 5, nCentroids = 16, nProbe = 2)
         .orderBy(col("query_id"), col("rn"))),
 
     // embedding near-duplicate pairs within LSH buckets (over the
@@ -253,6 +268,24 @@ object TrainingCatalog {
     "x6_simhash" ->
       s"""SELECT doc_id, simhash FROM ${D.simhashSql("documents", "doc_id", "text")} s
          |ORDER BY doc_id""".stripMargin,
+
+    "x7_simhash_neardup" -> {
+      val hamming = (1 to 16)
+        .map(i => s"CASE WHEN substr(a.simhash, $i, 1) <> substr(b.simhash, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $docsWithCopiesSql,
+         |sims AS (SELECT doc_id, simhash FROM ${D.simhashSql("augx", "doc_id", "text")} s),
+         |banded AS (
+         |  SELECT doc_id, simhash, 0 AS band, substr(simhash, 1, 8) AS key FROM sims
+         |  UNION ALL
+         |  SELECT doc_id, simhash, 1 AS band, substr(simhash, 9, 8) AS key FROM sims),
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    $hamming AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 1
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     "v1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings

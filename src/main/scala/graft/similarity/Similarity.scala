@@ -116,6 +116,57 @@ object Similarity {
         col("col._2").as("neighbor_id"), col("col._1").as("cos_sim"))
   }
 
+  /** IVF (inverted-file) ANN: a KMeans coarse quantizer partitions the
+    * corpus into `nCentroids` cells; each query probes only its
+    * `nProbe` nearest cells. The candidate side is scanned once with an
+    * equi-join on cell id (shuffle keyed by cell — balanced because
+    * KMeans balances mass), so cost scales with corpus/nCentroids ×
+    * nProbe instead of the full corpus. Recall is tunable via nProbe.
+    * Not oracle-gated (KMeans centers are not cross-engine
+    * reproducible); recall is asserted against brute force in tests.
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int, nCentroids: Int, nProbe: Int,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    val withVec = emb.withColumn("__fv",
+      array_to_vector(transform(col(vecCol), x => x.cast("double")))).cache()
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("__fv").fit(withVec)
+    val assigned = model.transform(withVec)
+      .select(col(idCol), col(vecCol), col("prediction").as("cell"))
+
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+
+    // probe selection: nProbe nearest centroids per query (cheap —
+    // queries × nCentroids rows)
+    val q = assigned.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", dot(col("centroid"), col("centroid"))
+        - lit(2.0) * dot(transform(col("q_vec"), x => x.cast("double")), col("centroid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val probeSet = probes
+      .withColumn("pr", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("q_vec"), col("cell"))
+
+    val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      col("cell"), l2norm(col(vecCol)).as("c_nrm"))
+    val scored = c.join(broadcast(probeSet), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        round(dot(col("q_vec"), col("c_vec")) / (l2norm(col("q_vec")) * col("c_nrm")), 6))
+    topK(scored, k)
+  }
+
   /** Near-duplicate pairs by embedding cosine within LSH buckets. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dims: Seq[Int]): DataFrame = {

@@ -62,6 +62,20 @@ class SimilaritySpec extends SparkSpec {
     assert(top.contains(4L) && !top.contains(3L))
   }
 
+  test("ivfTopK with full probing recovers the brute-force neighbors") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001).cache()
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L), k = 3)
+      .select($"query_id", $"rn", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    // probe every cell → IVF must equal brute force exactly
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", Seq(0L, 1L),
+      k = 3, nCentroids = 4, nProbe = 4)
+      .select($"query_id", $"rn", $"neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == brute)
+    // partial probing returns a subset of cells' candidates, k rows max
+    val partial = Similarity.ivfTopK(emb, "vec_id", "embedding", Seq(0L), 3, 4, 1)
+    assert(partial.count() <= 3)
+  }
+
   test("nearDupPairs finds only the colinear pair at 0.999") {
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.999, Seq(0, 1))
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
