@@ -37,14 +37,22 @@ object Bench {
 
     val results = headline.map { case (name, mk) =>
       val t0 = System.nanoTime()
-      val n = try mk().count() catch { case _: Throwable => -1L }
+      val n = try mk().count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
+      }
       val secs = (System.nanoTime() - t0) / 1e9
       (name, secs, n)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // a failed pipeline must not masquerade as a fast run
+    val qs = results.map { case (k, v, n) =>
+      "\"" + k + "\":" + (if (n < 0) -1.0 else v)
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, n) if n < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -84,9 +84,7 @@ object DedupAuditApp {
     // validity audit + repair on a constructed percent column (§3.2 validator loop)
     val rates = Tables.part(spark, sf).select(col("p_partkey"),
       concat(col("p_retailprice").cast("string"), lit("%")).as("rate_str"))
-    val rule = Validator.ValidationRule("rate_str", "rate_flag", "^[0-9]+(\\.[0-9]+)?%$",
-      when(col("rate_str").rlike("^[0-9]+(\\.[0-9]+)?%$"),
-        Cleansers.percentToDouble(col("rate_str"))))
+    val rule = QualityMlCatalog.rateRule
     Validator.census(rates, Seq(rule)).show(truncate = false)
     val repaired = Validator.repair(rates, Seq(rule))
     println(s"[re-validate] allValid=${repaired.filter(col("rate_str").isNull).isEmpty}")

@@ -158,21 +158,29 @@ object TextDedup {
     voted.select(col(idCol), concat(bitChars: _*).as("simhash"))
   }
 
-  /** SimHash near-dup candidates with hamming distance ≤ 1 via the
-    * pigeonhole principle: split the bit string into two halves — any
-    * pair within hamming 1 agrees exactly on at least one half, so an
-    * equi-join per half finds all such pairs (then the exact hamming
-    * filter removes half-collisions that differ more). Same join-not-
-    * cross-product shape as MinHash banding, so it scales the same way.
+  /** SimHash near-dup candidates with hamming distance ≤ `maxHamming`
+    * via the pigeonhole principle: split the bit string into
+    * `maxHamming + 1` bands — a pair within the distance budget agrees
+    * exactly on at least one band, so an equi-join per band finds every
+    * such pair (the exact hamming filter then removes band-collisions
+    * that differ more). Same join-not-cross-product shape as MinHash
+    * banding, so it scales the same way. `bits` must match the
+    * `simhash(bits = …)` that produced the signatures and be divisible
+    * by the band count. The band table is cached (tiny: ids × bands)
+    * so the self-join doesn't recompute its lineage; callers release it
+    * via `spark.catalog.clearCache()` between pipelines.
     */
   def simhashCandidates(sims: DataFrame, idCol: String,
-                        maxHamming: Int = 1): DataFrame = {
-    val bits = 16
-    val half = bits / 2
+                        maxHamming: Int = 1, bits: Int = 16): DataFrame = {
+    val nBands = maxHamming + 1
+    require(bits % nBands == 0,
+      s"bits=$bits must be divisible by maxHamming+1=$nBands bands")
+    val width = bits / nBands
+    val bandStructs = (0 until nBands).map(bnd =>
+      struct(lit(bnd).as("band"),
+        substring(col("simhash"), bnd * width + 1, width).as("key")))
     val banded = sims.select(col(idCol), col("simhash"),
-      explode(array(
-        struct(lit(0).as("band"), substring(col("simhash"), 1, half).as("key")),
-        struct(lit(1).as("band"), substring(col("simhash"), half + 1, half).as("key")))).as("b"))
+      explode(array(bandStructs: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band"), col("b.key"))
       .cache()
     val a = banded.select(col(idCol).as("a_id"), col("simhash").as("a_sim"),

@@ -36,6 +36,10 @@ case class DotProduct(left: Expression, right: Expression)
     }
   }
 
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -44,9 +48,12 @@ case class DotProduct(left: Expression, right: Expression)
     else {
       val aFloat = elemType(left) == FloatType
       val bFloat = elemType(right) == FloatType
+      val checkNulls = mayHaveNullElems
       var acc = 0.0
       var i = 0
       while (i < n) {
+        // NULL element propagates (matches the HOF fold / DuckDB)
+        if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
         val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
         val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
         acc += x * y
@@ -59,6 +66,10 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
     val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    val nullCheck = if (mayHaveNullElems)
+      (a: String, b: String, i: String) =>
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+    else (_: String, _: String, _: String) => ""
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -70,9 +81,10 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    ${nullCheck(a, b, i)}
          |    $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -65,10 +65,13 @@ object TextAnalysis {
   def stopwordRatio(text: Column): Column =
     hits(text, stopwords.head._2).cast("double") / size(tokens(text)).cast("double")
 
-  /** Fraction of punctuation characters. */
+  /** Fraction of punctuation characters; 0.0 for empty text (Spark's
+    * x/0 → NULL and DuckDB's → NaN would otherwise disagree).
+    */
   def punctRatio(text: Column): Column =
-    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
-      .cast("double") / length(text).cast("double")
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+        .cast("double") / length(text).cast("double"))
 
   /** Composite quality score in [0,1]: length saturation + stopword
     * density + punctuation cleanliness.
@@ -109,7 +112,8 @@ object TextAnalysis {
     def stopwordRatio(t: String) =
       s"CAST(${hits(t, stopwords.head._2)} AS DOUBLE) / CAST(${tokenCount(t)} AS DOUBLE)"
     def punctRatio(t: String) =
-      s"CAST(len($t) - len(regexp_replace($t, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(len($t) AS DOUBLE)"
+      s"CASE WHEN len($t) = 0 THEN 0.0 ELSE " +
+        s"CAST(len($t) - len(regexp_replace($t, '[[:punct:]]', '', 'g')) AS DOUBLE) / CAST(len($t) AS DOUBLE) END"
     def qualityScore(t: String) =
       s"least(CAST(${tokenCount(t)} AS DOUBLE) / 100.0, 1.0) * 0.3 + " +
         s"${stopwordRatio(t)} * 0.4 + (1.0 - ${punctRatio(t)}) * 0.3"

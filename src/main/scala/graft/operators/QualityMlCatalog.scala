@@ -27,14 +27,13 @@ object QualityMlCatalog {
         .as("rate_str"))
   }
 
-  /** Repair guarded by the validity pattern: irreparable values become
-    * NULL instead of an ANSI cast error (Spark 4 default).
+  /** The shared loan-like percent rule (Validator.repair applies the
+    * validity guard itself — the pattern is stated once).
     */
-  private val rateRule = Validator.ValidationRule(
+  val rateRule: Validator.ValidationRule = Validator.ValidationRule(
     column = "rate_str", flagCol = "rate_flag",
     pattern = "^[0-9]+(\\.[0-9]+)?%$",
-    repair = when(col("rate_str").rlike("^[0-9]+(\\.[0-9]+)?%$"),
-      Cleansers.percentToDouble(col("rate_str"))))
+    repair = Cleansers.percentToDouble(col("rate_str")))
 
   /** Shared loan-like classification frame (entry point C analogue). */
   def loanLike(spark: SparkSession, sfDir: String): DataFrame = {

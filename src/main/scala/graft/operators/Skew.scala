@@ -21,10 +21,19 @@ object Skew {
 
   /** Salted count+sum aggregate: exact same result as
     * `df.groupBy(keys).agg(count, dsum(col))` for any salt count.
+    *
+    * The salt is a deterministic hash of the whole row — NOT
+    * `monotonically_increasing_id`/`rand`, which change on task retry
+    * and silently lose or double-count rows when a reducer has already
+    * consumed the old assignment (the nondeterministic-repartition
+    * bug). Trade-off: byte-identical duplicate rows share a salt; hot
+    * keys whose rows differ in any other column (the normal case)
+    * spread evenly.
     */
   def saltedCountSum(df: DataFrame, keys: Seq[String], sumCol: String,
                      salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(count(lit(1)).as("__cnt"), sum(Exact.dec(col(sumCol))).as("__sum"))

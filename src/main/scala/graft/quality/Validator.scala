@@ -18,7 +18,11 @@ object Validator {
   /** @param column   column under audit
     * @param flagCol  name of the validity flag column to add
     * @param pattern  regex that valid values must match
-    * @param repair   expression producing the repaired value
+    * @param repair   expression producing the repaired value; applied
+    *                 ONLY to pattern-valid values ([[repair]] wraps it
+    *                 in the guard), so irreparable values become NULL
+    *                 instead of ANSI cast errors and callers never
+    *                 restate the pattern
     */
   final case class ValidationRule(column: String, flagCol: String,
                                   pattern: String, repair: Column)
@@ -42,11 +46,12 @@ object Validator {
     }.reduce(_ unionByName _)
   }
 
-  /** Apply every rule's repair expression (single projection), leaving
-    * non-audited columns untouched.
+  /** Apply every rule's repair expression to its pattern-valid values
+    * (invalid → NULL), leaving non-audited columns untouched.
     */
   def repair(df: DataFrame, rules: Seq[ValidationRule]): DataFrame =
-    rules.foldLeft(df)((d, r) => d.withColumn(r.column, r.repair))
+    rules.foldLeft(df)((d, r) => d.withColumn(r.column,
+      when(col(r.column).rlike(r.pattern), r.repair)))
 
   /** Re-validate after repair: true iff no invalid values remain. */
   def allValid(df: DataFrame, rules: Seq[ValidationRule]): Boolean =

@@ -156,14 +156,14 @@ object Similarity {
     val probeSet = probes
       .withColumn("pr", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("q_vec"), col("cell"))
+      .select(col("query_id"), col("q_vec"), l2norm(col("q_vec")).as("q_nrm"), col("cell"))
 
     val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       col("cell"), l2norm(col(vecCol)).as("c_nrm"))
     val scored = c.join(broadcast(probeSet), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
-        round(dot(col("q_vec"), col("c_vec")) / (l2norm(col("q_vec")) * col("c_nrm")), 6))
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
     topK(scored, k)
   }
 

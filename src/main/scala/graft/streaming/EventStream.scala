@@ -67,35 +67,50 @@ object EventStream {
                                n_events: Int, seconds: Double)
 
   /** Stateful sessionization: events within `gapMs` of each other merge
-    * into one session per user; sessions emit on timeout (event-time
-    * semantics via GroupState timestamps).
+    * into one session per user. Sessions emit when a later event opens
+    * a new session OR when the gap elapses with no event (event-time
+    * timeout, so per-user state is actually evicted in a real stream —
+    * the state-size bound DESIGN.md claims). Requires a watermark on
+    * the event timestamp when run as a stream. Within a batch, events
+    * are time-sorted; an event landing inside [start−gap, end+gap]
+    * extends the current session in either direction, so bounded
+    * out-of-order input can't produce end < start.
     */
   def userSessions(events: org.apache.spark.sql.Dataset[Event],
                    gapMs: Long): org.apache.spark.sql.Dataset[UserSession] = {
     import events.sparkSession.implicits._
+    def close(uid: Long, s: SessionState): UserSession =
+      UserSession(uid, s.start, s.end, s.n, (s.end - s.start) / 1e3)
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (uid, it, state: GroupState[SessionState]) =>
-          val times = it.map(_.ts.getTime).toSeq.sorted
-          if (times.isEmpty) Iterator.empty
-          else {
-            // fold new events into (possibly) multiple gap-split sessions
-            val startState = state.getOption
+          if (!it.hasNext && state.hasTimedOut) {
+            // gap elapsed: emit the open session and evict state
+            val out = state.getOption.map(close(uid, _)).iterator
+            state.remove()
+            out
+          } else {
+            val times = it.map(_.ts.getTime).toSeq.sorted
             var sessions = Vector.empty[UserSession]
-            var cur = startState
+            var cur = state.getOption
             times.foreach { t =>
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    end = math.max(s.end, t), n = s.n + 1))
                 case Some(s) =>
-                  sessions :+= UserSession(uid, s.start, s.end, s.n, (s.end - s.start) / 1e3)
+                  sessions :+= close(uid, s)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }
             }
-            cur.foreach(state.update)
+            cur.foreach { s =>
+              state.update(s)
+              // fires once the watermark passes the session's gap edge
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
             sessions.iterator
           }
       }

@@ -13,8 +13,7 @@ class ValidatorSpec extends SparkSpec {
 
   private val rule = Validator.ValidationRule(
     "int_rate", "int_rate_flag", "^[0-9]+(\\.[0-9]+)?%$",
-    repair = when($"int_rate".rlike("^[0-9]+(\\.[0-9]+)?%$"),
-      Cleansers.percentToDouble($"int_rate")))
+    repair = Cleansers.percentToDouble($"int_rate"))
 
   test("validate flags exactly the invalid value") {
     val flagged = Validator.validate(rows, Seq(rule))

@@ -33,6 +33,13 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.select(Similarity.dot($"a", $"b")).head().isNullAt(0))
   }
 
+  test("dot_product: NULL array element propagates like the fold / oracle") {
+    val df = Seq((Array[java.lang.Double](1.0, null), Array[java.lang.Double](3.0, 4.0)))
+      .toDF("a", "b")
+    assert(df.select(Similarity.dot($"a", $"b")).head().isNullAt(0))
+    assert(df.select(Similarity.dotFold($"a", $"b")).head().isNullAt(0))
+  }
+
   test("cosine: identity / orthogonal / opposite / scale-invariant") {
     def cos(a: Int, b: Int): Double = {
       val x = vecs.filter($"vec_id" === a).select($"embedding".as("x"))
