@@ -302,6 +302,19 @@ object Catalog {
         Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"))),
 
+    // A10 — sketch aggregates for 100 TB profiling: HLL distinct counts
+    // and approximate quantiles replace exact distinct/percentile scans
+    // (rows-only: sketch internals are engine-specific; accuracy bounds
+    // are asserted in SketchSpec)
+    "a10_sketches" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir).agg(
+        approx_count_distinct($"l_partkey").as("nd_partkey"),
+        approx_count_distinct($"l_orderkey").as("nd_orderkey"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50_price"),
+        percentile_approx($"l_extendedprice", lit(0.99), lit(10000)).as("p99_price"))
+    }),
+
     // X4 — temp-view + SQL-text entry point (the reference registers a
     // view but never queries it; we expose the full surface)
     "x4_temp_view_sql" -> ((spark, dir) => {

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Union}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule for the reference's filter-then-union idiom
+  * (SURVEY.md §2.8 U1 / §4 "custom Rule" row):
+  *
+  *   df.filter(c === a).union(df.filter(c === b))   [a ≠ b]
+  *     ⇒ df.filter(c.isin(a, b))
+  *
+  * appears in LAB-2022-Standalone-SparkML-CSV-to-MLPCModel-3.ipynb:1824
+  * and loanStat-DataproctoBQ.py:301. The rewrite halves the scan count
+  * (one pass instead of two over the same child) — at 100 TB that is
+  * the difference between reading the fact table once or twice.
+  *
+  * Safety: both branches must be the SAME canonical child, the
+  * predicates must be equality on the same column (matched by output
+  * ordinal, not exprId — the two branches carry distinct instances),
+  * and the literals must differ; a row can then never satisfy both
+  * branches, so bag-union semantics are preserved exactly. Ordering is
+  * not preserved — both forms are unordered bags.
+  */
+object UnionFilterToIsin extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+
+  import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+
+  /** One branch of the union decomposed: the equality predicate found
+    * in its (possibly project-wrapped, isnotnull-augmented) filter, the
+    * column's ordinal in that filter's child, and the branch with the
+    * equality masked out — canonical equality of the masked branches
+    * proves the two sides are the same plan up to the literal.
+    */
+  private case class Branch(equality: EqualTo, attr: AttributeReference,
+                            lit: Literal, ordinal: Int, masked: LogicalPlan)
+
+  private def analyze(branch: LogicalPlan): Option[Branch] = {
+    var found: Option[(EqualTo, AttributeReference, Literal, Int)] = None
+    val masked = branch.transform {
+      case f @ Filter(cond, child) if found.isEmpty =>
+        val preds = splitConjunctivePredicates(cond)
+        val hit = preds.collectFirst {
+          case e @ EqualTo(a: AttributeReference, l: Literal)
+              if child.output.indexWhere(_.exprId == a.exprId) >= 0 =>
+            (e, a, l, child.output.indexWhere(_.exprId == a.exprId))
+        }
+        hit match {
+          case Some((e, a, l, ord)) =>
+            found = Some((e, a, l, ord))
+            val rest = preds.filterNot(_.asInstanceOf[AnyRef] eq e)
+            Filter((rest :+ (Literal.TrueLiteral: Expression)).reduce(And), child)
+          case None => f
+        }
+    }
+    found.map { case (e, a, l, ord) => Branch(e, a, l, ord, masked) }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case u @ Union(Seq(b1, b2), false, false) =>
+      (analyze(b1), analyze(b2)) match {
+        case (Some(m1), Some(m2))
+            if m1.masked.canonicalized == m2.masked.canonicalized &&
+              m1.ordinal == m2.ordinal && m1.lit != m2.lit =>
+          // keep branch 1, widening its equality to isin(la, lb)
+          b1.transform {
+            case Filter(cond, child) =>
+              Filter(cond.transform {
+                case e if e.asInstanceOf[AnyRef] eq m1.equality =>
+                  In(m1.attr, Seq(m1.lit, m2.lit))
+              }, child)
+          }
+        case _ => u
+      }
+  }
+}
+
+/** Entry point for `SparkSession.builder().withExtensions(...)` or the
+  * `spark.sql.extensions` conf.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => UnionFilterToIsin)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // getOrCreate ignores withExtensions once any session exists (suite
+  // ordering), so register the rule on the shared session via
+  // experimental.extraOptimizations — same injection point semantics
+  // (post-optimizer batch), production uses GraftExtensions/
+  // spark.sql.extensions
+  private lazy val spark: SparkSession = {
+    val s = graft.TestSpark.spark
+    s.experimental.extraOptimizations = Seq(UnionFilterToIsin)
+    s
+  }
+
+  test("filter-union on the same child rewrites to a single isin filter") {
+    import spark.implicits._
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_orderstatus")
+    val unioned = o.filter($"o_orderstatus" === "F")
+      .union(o.filter($"o_orderstatus" === "O"))
+    val optimized = unioned.queryExecution.optimizedPlan
+    assert(!optimized.toString.contains("Union"),
+      s"Union should be rewritten:\n$optimized")
+    assert(optimized.toString.contains(" IN "), s"expected isin:\n$optimized")
+    // semantics: same multiset as the un-rewritten form
+    val expected = o.filter($"o_orderstatus".isin("F", "O"))
+      .groupBy($"o_orderstatus").count().as[(String, Long)].collect().toMap
+    val got = unioned.groupBy($"o_orderstatus").count().as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("no rewrite when literals are equal (bag union duplicates rows) or children differ") {
+    import spark.implicits._
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_orderstatus")
+    // equal literals: union keeps duplicates, isin would dedup — must NOT rewrite
+    val dup = o.filter($"o_orderstatus" === "F").union(o.filter($"o_orderstatus" === "F"))
+    assert(dup.queryExecution.optimizedPlan.toString.contains("Union"))
+    assert(dup.count() == 2 * o.filter($"o_orderstatus" === "F").count())
+    // different children: must NOT rewrite
+    val o2 = o.limit(10)
+    val mixed = o.filter($"o_orderstatus" === "F").union(o2.filter($"o_orderstatus" === "O"))
+    assert(mixed.queryExecution.optimizedPlan.toString.contains("Union"))
+  }
+}
