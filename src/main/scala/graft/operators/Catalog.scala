@@ -302,6 +302,42 @@ object Catalog {
         Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"))),
 
+    // G1 — cube: all grouping-set rollups in one pass
+    "g1_cube" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("cnt"), dsum($"l_quantity").as("sum_qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // G2 — pivot: priorities to columns, exact sums
+    "g2_pivot" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .groupBy($"o_orderstatus")
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(dsum($"o_totalprice"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // I1/I2 — set intersect / except (distinct semantics both engines)
+    "i1_intersect" -> ((spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+      o.filter($"o_orderstatus" === "F").select($"o_custkey")
+        .intersect(o.filter($"o_orderstatus" === "O").select($"o_custkey"))
+        .orderBy($"o_custkey")
+    }),
+    "i2_except" -> ((spark, dir) => {
+      import spark.implicits._
+      val o = Tables.orders(spark, dir)
+      o.filter($"o_orderstatus" === "F").select($"o_custkey")
+        .except(o.filter($"o_orderstatus" === "O").select($"o_custkey"))
+        .orderBy($"o_custkey")
+    }),
+
     // A10 — sketch aggregates for 100 TB profiling: HLL distinct counts
     // and approximate quantiles replace exact distinct/percentile scans
     // (rows-only: sketch internals are engine-specific; accuracy bounds
@@ -493,6 +529,33 @@ object Catalog {
     "x4_temp_view_sql" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "g1_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "g2_pivot" ->
+      s"""SELECT o_orderstatus,
+         |  ${sqlDsum("CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END")} AS "1-URGENT",
+         |  ${sqlDsum("CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END")} AS "2-HIGH",
+         |  ${sqlDsum("CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END")} AS "3-MEDIUM",
+         |  ${sqlDsum("CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END")} AS "4-NOT SPECIFIED",
+         |  ${sqlDsum("CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END")} AS "5-LOW"
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "i1_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "i2_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
 
     "w2_running" ->
       """SELECT o_custkey, o_orderkey,
