@@ -302,6 +302,24 @@ object Catalog {
         Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"))),
 
+    // AJ1 — as-of join: each purchase enriched with the user's most
+    // recent prior (or simultaneous) click; epoch-micros longs on both
+    // engines so the ordering is identical
+    "aj1_asof_join" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("ts_us"), $"value")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_us", $"event_id", $"value")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts_us", $"event_id".as("click_id"),
+          $"value".as("click_value"))
+      AsOfJoin.asof(purchases, clicks, keys = Seq("user_id"), tsCol = "ts_us",
+        rightCols = Seq("click_id", "click_value"))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    }),
+
     // G1 — cube: all grouping-set rollups in one pass
     "g1_cube" -> ((spark, dir) => {
       import spark.implicits._
@@ -529,6 +547,18 @@ object Catalog {
     "x4_temp_view_sql" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "aj1_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+        |p AS (SELECT user_id, ts_us, event_id, value FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us AS c_ts, event_id AS click_id, value AS click_value
+        |      FROM ev WHERE event_type = 'click')
+        |SELECT p.user_id, p.ts_us, p.event_id, p.value,
+        |       c.click_id AS r_click_id, c.click_value AS r_click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.c_ts
+        |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin,
 
     "g1_cube" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
