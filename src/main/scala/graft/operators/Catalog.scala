@@ -302,6 +302,42 @@ object Catalog {
         Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"))),
 
+    // E4 — session windows (gap-based) per user; oracle derives the
+    // same sessions independently via lag + running sum, so Spark's
+    // native session_window semantics (end = last event + gap) are
+    // cross-checked, not assumed
+    "e4_session_windows" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_micros($"w.start").as("start_us"),
+          unix_micros($"w.end").as("end_us"),
+          $"n_events")
+        .orderBy($"user_id", $"start_us")
+    }),
+
+    // RJ1 — range self-join via time-binning: pairs of same-user events
+    // within 10 minutes, as a bin equi-join + filter instead of an
+    // inequality join (the non-exploding formulation at scale)
+    "rj1_range_join" -> ((spark, dir) => {
+      import spark.implicits._
+      val tolUs = 10L * 60 * 1000000
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      val a = ev.select($"user_id", $"event_id".as("a_id"), $"ts_us".as("a_ts"))
+        .withColumn("bin", explode(array(
+          expr(s"a_ts div $tolUs") - 1, expr(s"a_ts div $tolUs"),
+          expr(s"a_ts div $tolUs") + 1)))
+      val b = ev.select($"user_id", $"event_id".as("b_id"), $"ts_us".as("b_ts"))
+        .withColumn("bin", expr(s"b_ts div $tolUs"))
+      a.join(b, Seq("user_id", "bin"))
+        .filter($"a_id" < $"b_id" && abs($"b_ts" - $"a_ts") <= tolUs)
+        .select($"user_id", $"a_id", $"b_id").distinct()
+        .orderBy($"user_id", $"a_id", $"b_id")
+    }),
+
     // AJ1 — as-of join: each purchase enriched with the user's most
     // recent prior (or simultaneous) click; epoch-micros longs on both
     // engines so the ordering is identical
@@ -547,6 +583,30 @@ object Catalog {
     "x4_temp_view_sql" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "e4_session_windows" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |marked AS (SELECT user_id, us,
+        |    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        |sess AS (SELECT user_id, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, MIN(us) AS start_us,
+        |  MAX(us) + 1800000000 AS end_us, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "rj1_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT a.user_id AS user_id, a.event_id AS a_id, b.event_id AS b_id
+        |FROM ev a JOIN ev b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(b.us - a.us) <= 600000000
+        |ORDER BY a.user_id, a_id, b_id""".stripMargin,
 
     "aj1_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
