@@ -90,6 +90,53 @@ object TextAnalysis {
   def normalizedFingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  /** Winnowing fingerprints (Schleimer et al.'s document-fingerprint
+    * selection): hash every `k`-char gram, keep the minimum hash of
+    * each sliding window of `w` gram hashes, emit the distinct mins.
+    * Guarantees any shared substring of length ≥ k + w − 1 yields a
+    * shared fingerprint. Compiled flatMap (per-row loop, no shuffle
+    * until the distinct); hashes are md5-derived 32-bit values so the
+    * DuckDB oracle reproduces them exactly. Ties by value are safe:
+    * the fingerprint IS the value.
+    */
+  def winnowingFingerprints(df: org.apache.spark.sql.DataFrame, idCol: String,
+                            textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
+      org.apache.spark.sql.functions.col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          if (text.length < k) Iterator.empty
+          else {
+            val n = text.length - k + 1
+            val h = new Array[Long](n)
+            var i = 0
+            while (i < n) {
+              val dig = md.digest(text.substring(i, i + k).getBytes("UTF-8"))
+              // first 8 hex chars = first 4 bytes, as unsigned
+              h(i) = java.lang.Integer.toUnsignedLong(
+                ((dig(0) & 0xff) << 24) | ((dig(1) & 0xff) << 16) |
+                  ((dig(2) & 0xff) << 8) | (dig(3) & 0xff))
+              i += 1
+            }
+            val fps = scala.collection.mutable.LinkedHashSet.empty[Long]
+            var j = 0
+            while (j <= n - w) {
+              var m = h(j); var x = j + 1
+              while (x < j + w) { if (h(x) < m) m = h(x); x += 1 }
+              fps += m
+              j += 1
+            }
+            fps.iterator.map(id -> _)
+          }
+        }
+      }
+      .toDF(idCol, "fp").distinct()
+  }
+
   // ------------------------------------------------------- DuckDB spellings
 
   /** SQL fragments mirroring the expressions above, used to build

@@ -160,6 +160,12 @@ object TrainingCatalog {
       TextDedup.simhash(docs(spark, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // winnowing fingerprints (k=8 chars, window 4) — shared substrings
+    // of length ≥ 11 guarantee shared fingerprints
+    "x8_winnow_fp" -> ((spark, dir) =>
+      TextAnalysis.winnowingFingerprints(docs(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("fp"))),
+
     // simhash hamming-≤1 near-dup candidates over the copy-augmented
     // corpus (pigeonhole half-banding; exact copies land at hamming 0)
     "x7_simhash_neardup" -> ((spark, dir) =>
@@ -268,6 +274,17 @@ object TrainingCatalog {
     "x6_simhash" ->
       s"""SELECT doc_id, simhash FROM ${D.simhashSql("documents", "doc_id", "text")} s
          |ORDER BY doc_id""".stripMargin,
+
+    "x8_winnow_fp" ->
+      """WITH kg AS (SELECT doc_id,
+        |    list_transform(generate_series(1, len(text) - 7),
+        |      i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT) AS h
+        |  FROM documents WHERE len(text) >= 8),
+        |fps AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(h) - 3),
+        |      j -> list_min(h[j:j+3]))) AS fp
+        |  FROM kg)
+        |SELECT DISTINCT doc_id, fp FROM fps ORDER BY doc_id, fp""".stripMargin,
 
     "x7_simhash_neardup" -> {
       val hamming = (1 to 16)

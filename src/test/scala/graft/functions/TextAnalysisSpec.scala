@@ -35,6 +35,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean > soup && clean <= 1.0 && soup >= 0.0)
   }
 
+  test("winnowing: shared substring >= k+w-1 chars implies shared fingerprint") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "said the quick brown fox jumps high today"), // shares >= 11-char run
+      (3L, "zzzzz completely unrelated content here qq")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) intersect fp(2L)).nonEmpty)
+    assert((fp(1L) intersect fp(3L)).isEmpty)
+    // identical docs → identical fingerprint sets
+    val dup = Seq((1L, "abcdefghijklmnop"), (2L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    val dfp = TextAnalysis.winnowingFingerprints(dup, "doc_id", "text")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(dfp(1L) == dfp(2L))
+  }
+
   test("normalized fingerprint is case/whitespace invariant; raw is not") {
     val a = one(TextAnalysis.normalizedFingerprint(col("t")), "Hello  World")
     val b = one(TextAnalysis.normalizedFingerprint(col("t")), "hello world ")

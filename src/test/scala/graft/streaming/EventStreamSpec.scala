@@ -38,6 +38,25 @@ class EventStreamSpec extends SparkSpec {
     assert(q.select($"hour_start").distinct().count() < total)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_join")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    // static dim: user segment by id parity
+    val dim = spark.range(0, 10000).select($"id".as("user_id"),
+      when($"id" % 2 === 0, "even").otherwise("odd").as("segment"))
+    val enriched = EventStream.read(spark, d.toString)
+      .join(dim, "user_id")
+      .groupBy($"segment").agg(count(lit(1)).as("n"))
+    val got = EventStream.runToMemory(spark, enriched, "spec_enrich")
+      .as[(String, Long)].collect().toMap
+    val want = graft.core.Tables.events(spark, sf0001)
+      .join(dim, "user_id").groupBy($"segment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("stateful sessionization merges events within the gap") {
     import EventStream.{Event, UserSession}
     val base = 1700000000000L
