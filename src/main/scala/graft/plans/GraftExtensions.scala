@@ -78,10 +78,17 @@ object UnionFilterToIsin extends Rule[LogicalPlan]
 }
 
 /** Entry point for `SparkSession.builder().withExtensions(...)` or the
-  * `spark.sql.extensions` conf.
+  * `spark.sql.extensions` conf: the optimizer rule plus the engine's
+  * SQL-callable functions (`SELECT dot_product(a, b)`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => UnionFilterToIsin)
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.DotProduct].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.DotProduct(exprs(0), exprs(1))))
   }
 }

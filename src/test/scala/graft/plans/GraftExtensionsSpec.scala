@@ -34,6 +34,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("dot_product is SQL-callable when extensions are installed") {
+    // injectFunction path needs a built-with-extensions session; the
+    // registry API is the same, so register directly here
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1)),
+      "built-in")
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+
   test("no rewrite when literals are equal (bag union duplicates rows) or children differ") {
     import spark.implicits._
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
