@@ -56,8 +56,11 @@ object Bench {
         }
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val (secs, n) = runs.minBy(_._1)
-      (name, secs, if (runs.exists(_._2 < 0)) -1L else n)
+      // a failed run must not contribute its (fast) duration to the
+      // total; min over successful runs only
+      val ok = runs.filter(_._2 >= 0)
+      if (ok.isEmpty) (name, runs.map(_._1).max, -1L)
+      else (name, ok.map(_._1).min, ok.head._2)
     }
     // a failed pipeline must not masquerade as a fast run
     val qs = results.map { case (k, v, n) =>

@@ -134,7 +134,8 @@ object TextAnalysis {
           }
         }
       }
-      .toDF(idCol, "fp").distinct()
+      // already unique: per-document dedup above + one row per id
+      .toDF(idCol, "fp")
   }
 
   // ------------------------------------------------------- DuckDB spellings

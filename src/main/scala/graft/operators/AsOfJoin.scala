@@ -33,28 +33,35 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            tsCol: String, rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // common layout: keys ++ ts ++ side ++ left payload ++ right payload
+    // the right payload rides as ONE struct so the carried match is an
+    // atomic right row — per-column last(ignoreNulls) would substitute
+    // stale values for NULL fields and emit a row that never existed
+    val rStructType = org.apache.spark.sql.types.StructType(rightCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
     val lNorm = left
       .withColumn("__side", lit(1))
       .select((keys.map(col) :+ col(tsCol) :+ col("__side")) ++
-        leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col) ++
-        rightCols.map(c => lit(null).as(s"__r_$c")): _*)
+        leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val rNorm = right
       .withColumn("__side", lit(0))
       .select((keys.map(col) :+ col(tsCol) :+ col("__side")) ++
         leftCols.filterNot(c => keys.contains(c) || c == tsCol)
-          .map(c => lit(null).as(c)) ++
-        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+          .map(c => lit(null).as(c)) :+
+        struct(rightCols.map(col): _*).as("__r"): _*)
 
+    // ties among right rows at equal (key, ts) are broken by the
+    // greatest payload struct — deterministic across runs (a native
+    // ASOF picks arbitrarily; callers needing a specific pick should
+    // include a tiebreaker column in rightCols first)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__r").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(lNorm.unionByName(rNorm)) { (d, c) =>
-      d.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = lNorm.unionByName(rNorm)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((keys.map(col) :+ col(tsCol)) ++
         leftCols.filterNot(c => keys.contains(c) || c == tsCol).map(col) ++
-        rightCols.map(c => col(s"__asof_$c").as(s"r_$c")): _*)
+        rightCols.map(c => col(s"__asof.$c").as(s"r_$c")): _*)
   }
 }

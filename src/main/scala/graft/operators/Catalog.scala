@@ -332,9 +332,11 @@ object Catalog {
           expr(s"a_ts div $tolUs") + 1)))
       val b = ev.select($"user_id", $"event_id".as("b_id"), $"ts_us".as("b_ts"))
         .withColumn("bin", expr(s"b_ts div $tolUs"))
+      // no distinct needed: b carries one bin and a's three exploded
+      // bins are distinct, so each qualifying pair joins exactly once
       a.join(b, Seq("user_id", "bin"))
         .filter($"a_id" < $"b_id" && abs($"b_ts" - $"a_ts") <= tolUs)
-        .select($"user_id", $"a_id", $"b_id").distinct()
+        .select($"user_id", $"a_id", $"b_id")
         .orderBy($"user_id", $"a_id", $"b_id")
     }),
 

@@ -37,25 +37,31 @@ object UnionFilterToIsin extends Rule[LogicalPlan]
   private case class Branch(equality: EqualTo, attr: AttributeReference,
                             lit: Literal, ordinal: Int, masked: LogicalPlan)
 
+  /** Walk ONLY through per-row operators (Project) to find the Filter.
+    * A Filter below anything row-merging/limiting (Aggregate, Limit,
+    * Window, …) must NOT be matched: the "a row satisfies at most one
+    * branch" safety argument holds only when the path from the Filter
+    * to the Union is per-row, otherwise the rewrite merges aggregates
+    * or halves limits (wrong results, confirmed by test).
+    */
   private def analyze(branch: LogicalPlan): Option[Branch] = {
-    var found: Option[(EqualTo, AttributeReference, Literal, Int)] = None
-    val masked = branch.transform {
-      case f @ Filter(cond, child) if found.isEmpty =>
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    branch match {
+      case Project(list, inner) =>
+        analyze(inner).map(b => b.copy(masked = Project(list, b.masked)))
+      case Filter(cond, child) =>
         val preds = splitConjunctivePredicates(cond)
-        val hit = preds.collectFirst {
+        preds.collectFirst {
           case e @ EqualTo(a: AttributeReference, l: Literal)
               if child.output.indexWhere(_.exprId == a.exprId) >= 0 =>
             (e, a, l, child.output.indexWhere(_.exprId == a.exprId))
+        }.map { case (e, a, l, ord) =>
+          val rest = preds.filterNot(_.asInstanceOf[AnyRef] eq e)
+          val masked = Filter((rest :+ (Literal.TrueLiteral: Expression)).reduce(And), child)
+          Branch(e, a, l, ord, masked)
         }
-        hit match {
-          case Some((e, a, l, ord)) =>
-            found = Some((e, a, l, ord))
-            val rest = preds.filterNot(_.asInstanceOf[AnyRef] eq e)
-            Filter((rest :+ (Literal.TrueLiteral: Expression)).reduce(And), child)
-          case None => f
-        }
+      case _ => None
     }
-    found.map { case (e, a, l, ord) => Branch(e, a, l, ord, masked) }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
@@ -64,8 +70,10 @@ object UnionFilterToIsin extends Rule[LogicalPlan]
         case (Some(m1), Some(m2))
             if m1.masked.canonicalized == m2.masked.canonicalized &&
               m1.ordinal == m2.ordinal && m1.lit != m2.lit =>
-          // keep branch 1, widening its equality to isin(la, lb)
-          b1.transform {
+          // keep branch 1, widening its equality to isin(la, lb);
+          // transformUp touches the (Project*/Filter) spine only —
+          // analyze() guaranteed that is the whole branch
+          b1.transformUp {
             case Filter(cond, child) =>
               Filter(cond.transform {
                 case e if e.asInstanceOf[AnyRef] eq m1.equality =>
@@ -88,7 +96,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.DotProduct].getName, "dot_product"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.DotProduct(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"dot_product requires exactly 2 arguments, got ${exprs.length}")
+        graft.functions.DotProduct(exprs(0), exprs(1))
+      }))
   }
 }

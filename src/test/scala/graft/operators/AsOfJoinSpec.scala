@@ -34,4 +34,29 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 14L, 500L, None),
       ("B", 16L, 600L, Some(9.0))))
   }
+
+  test("matched right row is carried atomically: NULL fields stay NULL, no stale mixing") {
+    val quotes = Seq(
+      ("A", 10L, Some(5.0), 1L),          // older row, non-null price
+      ("A", 20L, None: Option[Double], 2L) // latest row has NULL price
+    ).toDF("sym", "ts", "price", "qid")
+    val trades = Seq(("A", 25L, 100L)).toDF("sym", "ts", "qty")
+    val r = AsOfJoin.asof(trades, quotes, Seq("sym"), "ts", Seq("qid", "price")).head()
+    // the match is quote qid=2 — its NULL price must NOT be backfilled
+    // from qid=1 (per-column carry would fabricate (2, 5.0))
+    assert(r.getAs[Long]("r_qid") == 2L)
+    assert(r.isNullAt(r.fieldIndex("r_price")))
+  }
+
+  test("ties among right rows at equal ts resolve deterministically") {
+    val quotes = Seq(("A", 10L, 1.0, 7L), ("A", 10L, 2.0, 3L))
+      .toDF("sym", "ts", "price", "qid")
+    val trades = Seq(("A", 15L, 100L)).toDF("sym", "ts", "qty")
+    val picks = (1 to 3).map { _ =>
+      AsOfJoin.asof(trades, quotes, Seq("sym"), "ts", Seq("qid", "price"))
+        .head().getAs[Long]("r_qid")
+    }
+    assert(picks.distinct.size == 1) // same pick every run (greatest payload struct)
+    assert(picks.head == 7L)
+  }
 }

@@ -4,7 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-class GraftExtensionsSpec extends AnyFunSuite {
+class GraftExtensionsSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
+
+  // the rule is installed on the SHARED session — remove it after this
+  // suite so later suites don't run under it (order-dependence)
+  override def afterAll(): Unit = {
+    graft.TestSpark.spark.experimental.extraOptimizations = Nil
+  }
 
   // getOrCreate ignores withExtensions once any session exists (suite
   // ordering), so register the rule on the shared session via
@@ -44,6 +51,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
     assert(r.getDouble(0) == 11.0)
+  }
+
+  test("no rewrite when the filter sits below an aggregate or limit (row-merging ops)") {
+    import spark.implicits._
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    // filter → groupBy → union: merging these would sum counts across
+    // branches (confirmed wrong before the fix) — Union must survive
+    val aggUnion = o.filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_orderstatus").count()
+      .union(o.filter($"o_orderpriority" === "2-HIGH")
+        .groupBy($"o_orderstatus").count())
+    assert(aggUnion.queryExecution.optimizedPlan.toString.contains("Union"))
+    assert(aggUnion.count() ==
+      o.filter($"o_orderpriority" === "1-URGENT").select($"o_orderstatus").distinct().count() +
+        o.filter($"o_orderpriority" === "2-HIGH").select($"o_orderstatus").distinct().count())
+    // filter → limit → union: halving rows would be wrong
+    val limUnion = o.filter($"o_orderstatus" === "F").limit(5)
+      .union(o.filter($"o_orderstatus" === "O").limit(5))
+    assert(limUnion.queryExecution.optimizedPlan.toString.contains("Union"))
+    assert(limUnion.count() == 10)
   }
 
   test("no rewrite when literals are equal (bag union duplicates rows) or children differ") {
