@@ -110,6 +110,18 @@ object Catalog {
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
 
+    // F8 — empty-string vs NULL distinction (the reference counts both
+    // separately: LAB-…-MLPCModel-3.ipynb cell 33)
+    "f8_empty_vs_null" -> ((spark, dir) => {
+      import spark.implicits._
+      customerNulls(spark, dir)
+        .withColumn("seg", when($"c_custkey" % 7 === 0, "").otherwise($"seg"))
+        .agg(
+          count(when($"seg" === "", 1)).as("n_empty"),
+          count(when($"seg".isNull, 1)).as("n_null"),
+          count(when($"seg".isNotNull && $"seg" =!= "", 1)).as("n_value"))
+    }),
+
     // N1 — per-column null census (single row)
     "n1_null_census" -> ((spark, dir) => NullRepair.nullCensus(customerNulls(spark, dir))),
 
@@ -462,6 +474,15 @@ object Catalog {
     "d6_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "f8_empty_vs_null" ->
+      s"""WITH $customerNullsSql,
+         |cn2 AS (SELECT c_custkey, bal,
+         |    CASE WHEN c_custkey % 7 = 0 THEN '' ELSE seg END AS seg FROM cn)
+         |SELECT COUNT(CASE WHEN seg = '' THEN 1 END) AS n_empty,
+         |  COUNT(CASE WHEN seg IS NULL THEN 1 END) AS n_null,
+         |  COUNT(CASE WHEN seg IS NOT NULL AND seg <> '' THEN 1 END) AS n_value
+         |FROM cn2""".stripMargin,
 
     "n1_null_census" ->
       s"""WITH $customerNullsSql
