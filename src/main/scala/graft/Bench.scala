@@ -38,10 +38,12 @@ object Bench {
         spark.read.parquet(s"$sinkDir/etl")
       }),
       "dedup_window" -> (() => Pipelines.dedupWindow(spark, sfDir)),
+      "dedup_exact" -> (() => Pipelines.dedupExact(spark, sfDir)),
       "q1_agg" -> (() => Pipelines.q1(spark, sfDir)),
       "join_agg" -> (() => Pipelines.joinAgg(spark, sfDir)),
       "minhash_lsh" -> (() => Pipelines.minhashLsh(spark, sfDir)),
       "ann_topk" -> (() => Pipelines.annTopK(spark, sfDir)),
+      "ann_lsh" -> (() => Pipelines.lshTopK(spark, sfDir)),
       "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)))
 
     // best-of-2: single-shot numbers on a shared host carry multi-second

@@ -72,6 +72,18 @@ object Pipelines {
       Dedup.withOccurrenceId(li, keys, Seq(col("l_quantity"))))
   }
 
+  /** The cheap dedup path (no occurrence profile): partial-agg
+    * distinct — DESIGN.md claims this beats the window when only the
+    * deduplicated output is needed; the bench measures both.
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dropExactDuplicates(
+      Tables.lineitem(spark, sfDir).drop("l_quantity"))
+
+  def lshTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      (0L until 10L), k = 10, dims = Seq(0, 8, 16, 24, 32, 40, 48, 56))
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     // distinct=false: min-hash is multiset-safe, skip the set shuffle;
