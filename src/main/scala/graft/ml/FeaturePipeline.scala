@@ -22,6 +22,10 @@ object FeaturePipeline {
       categoricalCols: Seq[String],
       continuousCols: Seq[String],
       buckets: Map[String, Array[Double]] = Map.empty,
+      // data-driven alternative to explicit splits (the reference
+      // imports QuantileDiscretizer but never instantiates it —
+      // SURVEY §2.13 M3; we support both)
+      quantileBuckets: Map[String, Int] = Map.empty,
       hiddenLayers: Seq[Int] = Seq(5),
       numClasses: Int = 2,
       seed: Long = 42L,
@@ -42,13 +46,19 @@ object FeaturePipeline {
     val bucketizers = cfg.buckets.toSeq.map { case (c, splits) =>
       new Bucketizer().setInputCol(c).setOutputCol(s"${c}_bkt").setSplits(splits)
     }
+    val discretizers = cfg.quantileBuckets.toSeq.map { case (c, n) =>
+      new QuantileDiscretizer().setInputCol(c).setOutputCol(s"${c}_qbkt")
+        .setNumBuckets(n)
+    }
     val inputCols =
       cfg.categoricalCols.map(c => s"${c}_vec") ++
-        cfg.continuousCols.filterNot(cfg.buckets.contains) ++
-        cfg.buckets.keys.map(c => s"${c}_bkt")
+        cfg.continuousCols.filterNot(c =>
+          cfg.buckets.contains(c) || cfg.quantileBuckets.contains(c)) ++
+        cfg.buckets.keys.map(c => s"${c}_bkt") ++
+        cfg.quantileBuckets.keys.map(c => s"${c}_qbkt")
     val assembler = new VectorAssembler()
       .setInputCols(inputCols.toArray).setOutputCol("features")
-    (labelIndexer +: catIndexers) ++ encoders ++ bucketizers :+ assembler
+    (labelIndexer +: catIndexers) ++ encoders ++ bucketizers ++ discretizers :+ assembler
   }
 
   /** M4 — assembled feature width from attribute metadata. */

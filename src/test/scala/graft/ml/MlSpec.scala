@@ -38,6 +38,18 @@ class MlSpec extends SparkSpec {
     assert(FeaturePipeline.featureWidth(features.transform(df)) == 3)
   }
 
+  test("M3: quantile discretizer buckets a continuous feature into n bins") {
+    val df = toy(500)
+    val qcfg = cfg.copy(continuousCols = Seq("x"), quantileBuckets = Map("x" -> 4))
+    val features = new org.apache.spark.ml.Pipeline()
+      .setStages(FeaturePipeline.featureStages(qcfg).toArray).fit(df)
+    val out = features.transform(df)
+    val bins = out.select("x_qbkt").distinct().count()
+    assert(bins >= 3 && bins <= 4) // ~4 quantile bins on continuous data
+    // width: onehot(2+keep dropLast=2) + 1 discretized = 3
+    assert(FeaturePipeline.featureWidth(out) == 3)
+  }
+
   test("M7: confusion metrics handle zero denominators like the reference") {
     val scored = Seq(("pos", "pos"), ("pos", "pos"), ("pos", "neg"))
       .toDF("label", "pred")
