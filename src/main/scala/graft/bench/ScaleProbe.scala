@@ -1,0 +1,70 @@
+package graft.bench
+
+import graft.core.Tables
+import graft.dedup.TextDedup
+import graft.quality.Dedup
+import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up rehearsal (dev tool): multiply the sf0.1 fixtures N× by
+  * unioning id-offset copies, then time the shuffle-heavy operators.
+  * The point is the growth CURVE — a pipeline whose cost grows
+  * super-linearly here would melt at 100 TB regardless of constants.
+  */
+object ScaleProbe {
+
+  private def multiply(df: DataFrame, idCol: String, copies: Int, offset: Long): DataFrame =
+    (1 until copies).foldLeft(df)((acc, i) =>
+      acc.union(df.withColumn(idCol, col(idCol) + lit(i * offset))))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    for (m <- Seq(1, 4, 16)) {
+      println(s"--- multiplier $m")
+      val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m, 1000000000L)
+        .repartition(64).cache()
+      li.count()
+      val keys = li.columns.toSeq.filterNot(_ == "l_quantity")
+      time(s"dedup_window x$m") {
+        Dedup.dedupByOccurrence(
+          Dedup.withOccurrenceId(li, keys, Seq(col("l_quantity")))).count()
+      }
+      time(s"dedup_exact x$m") {
+        Dedup.dropExactDuplicates(li.drop("l_quantity")).count()
+      }
+      li.unpersist()
+
+      val docs = multiply(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        "doc_id", m, 1000000L)
+      time(s"minhash_lsh x$m") {
+        val sh = TextDedup.shingleSets(docs, "doc_id", "text", distinct = false,
+          parallelism = Some(64))
+        TextDedup.candidatePairs(
+          TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
+          "doc_id").count()
+      }
+      spark.catalog.clearCache()
+
+      val emb = multiply(Tables.embeddings(spark, sfDir), "vec_id", m, 1000000L)
+      time(s"ann_lsh x$m") {
+        Similarity.lshTopK(emb, "vec_id", "embedding", (0L until 10L), 10,
+          Seq(0, 8, 16, 24, 32, 40, 48, 56)).count()
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
