@@ -58,6 +58,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // spill-aware input splits: 128m scan partitions keep per-task
+      // memory bounded regardless of file sizes (cluster deployments
+      // tune this with executor memory; AQE handles the shuffle side)
+      .config("spark.sql.files.maxPartitionBytes", "128m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -58,6 +58,27 @@ object BinaryOps {
         MediaFeatures(r.doc_id, r.format, r.width, r.height, decodeStub(r.payload))))
   }
 
+  /** ===== STUB: batch decoder =====
+    * Real codecs (and any GPU/SIMD feature extractor) want BATCHES, not
+    * rows — this is the Scala analogue of a pandas `mapInPandas` batch
+    * UDF: the partition iterator is chunked, the whole chunk is handed
+    * to the (stubbed) codec at once, results stream back out. Output is
+    * row-for-row identical to [[extractFeatures]].
+    */
+  def extractFeaturesBatched(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "format", "width", "height")
+      .as[MediaRecord]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        // a real implementation decodes `batch` in one codec/device call
+        val decoded = batch.map(r => decodeStub(r.payload))
+        batch.lazyZip(decoded).map { (r, f) =>
+          MediaFeatures(r.doc_id, r.format, r.width, r.height, f)
+        }
+      })
+  }
+
   /** Stub resize: metadata-only transform (a real one would re-decode;
     * the contract — new dims, same features — is what downstream sees).
     */

@@ -23,6 +23,16 @@ class BinaryOpsSpec extends SparkSpec {
     assert(feats(2L).features(2) == 0.0) // "xy" has 2 bytes → padding
   }
 
+  test("batched decode is row-identical to per-row decode (incl. odd batch edges)") {
+    val docs = graft.core.Tables.documents(spark, sf0001).limit(150)
+    val media = BinaryOps.asMediaTable(docs)
+    val perRow = BinaryOps.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    val batched = BinaryOps.extractFeaturesBatched(media, batchSize = 7).collect()
+      .map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(batched == perRow && perRow.size == 150)
+  }
+
   test("resize keeps features, changes metadata; frameSample strides") {
     val feats = BinaryOps.extractFeatures(media)
     val resized = BinaryOps.resize(feats, 64, 64).collect().head
