@@ -28,6 +28,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 2)
   }
 
+  test("JDBC source pushes filters down to the database") {
+    import graft.core.Tables
+    val db = java.nio.file.Files.createTempDirectory("graft_jdbc_pd").toString + "/db"
+    val opts = Map("url" -> s"jdbc:derby:$db;create=true",
+      "dbtable" -> "nation_pd", "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    Sinks.jdbc(Tables.nation(spark, sf0001), opts)
+    val filtered = Sources.jdbc(spark, opts).filter($"n_regionkey" === 1)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      s"JDBC filter not pushed:\n$plan")
+    assert(filtered.count() > 0)
+  }
+
   test("CSV modes: PERMISSIVE keeps malformed rows as nulls, DROPMALFORMED drops") {
     import org.apache.spark.sql.types._
     val d = java.nio.file.Files.createTempDirectory("graft_csvmode").toString

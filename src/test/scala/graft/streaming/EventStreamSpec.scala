@@ -57,6 +57,31 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("parquet file sink with checkpoint: restart does not duplicate output") {
+    val src = java.nio.file.Files.createTempDirectory("graft_fsink_src")
+    java.nio.file.Files.createSymbolicLink(
+      src.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft_fsink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ckpt").toString
+
+    def runOnce(): Unit = {
+      val q = EventStream.read(spark, src.toString)
+        .select($"event_id", $"user_id", $"event_type")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    runOnce() // same checkpoint: no new input → nothing reprocessed
+    val afterSecond = spark.read.parquet(out).count()
+    val batch = graft.core.Tables.events(spark, sf0001).count()
+    assert(afterFirst == batch && afterSecond == batch,
+      s"expected exactly-once $batch rows, got $afterFirst then $afterSecond")
+  }
+
   test("stateful sessionization merges events within the gap") {
     import EventStream.{Event, UserSession}
     val base = 1700000000000L
