@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // run every query under the engine's optimizer extension: all 70
+    // oracles then continuously gate the rewrite's semantics-preservation
+    spark.experimental.extraOptimizations = Seq(graft.plans.UnionFilterToIsin)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
