@@ -80,9 +80,18 @@ object Pipelines {
     Dedup.dropExactDuplicates(
       Tables.lineitem(spark, sfDir).drop("l_quantity"))
 
+  /** ANN bench configuration, shared with ScaleProbe so the rehearsal
+    * measures the same operator setup as the headline bench.
+    */
+  val AnnQueryIds: Seq[Long] = (0L until 10L)
+  val AnnK = 10
+  val AnnLshDims: Seq[Int] = Seq(0, 8, 16, 24, 32, 40, 48, 56)
+
   def lshTopK(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-      (0L until 10L), k = 10, dims = Seq(0, 8, 16, 24, 32, 40, 48, 56))
+    lshTopKOn(Tables.embeddings(spark, sfDir))
+
+  def lshTopKOn(emb: DataFrame): DataFrame =
+    Similarity.lshTopK(emb, "vec_id", "embedding", AnnQueryIds, AnnK, AnnLshDims)
 
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -97,7 +106,7 @@ object Pipelines {
 
   def annTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir),
-      "vec_id", "embedding", (0L until 10L), k = 10)
+      "vec_id", "embedding", AnnQueryIds, AnnK)
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(

@@ -46,23 +46,29 @@ object ScaleProbe {
       }
       li.unpersist()
 
+      // materialize inputs before timing (same methodology as the
+      // lineitem block) so the curves measure operator cost, not the
+      // union/scan of the multiplied input
       val docs = multiply(
         Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
-        "doc_id", m, 1000000L)
+        "doc_id", m, 1000000L).repartition(64).cache()
+      docs.count()
       time(s"minhash_lsh x$m") {
-        val sh = TextDedup.shingleSets(docs, "doc_id", "text", distinct = false,
-          parallelism = Some(64))
+        val sh = TextDedup.shingleSets(docs, "doc_id", "text", distinct = false)
         TextDedup.candidatePairs(
           TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
           "doc_id").count()
       }
+      docs.unpersist()
       spark.catalog.clearCache()
 
       val emb = multiply(Tables.embeddings(spark, sfDir), "vec_id", m, 1000000L)
+        .repartition(64).cache()
+      emb.count()
       time(s"ann_lsh x$m") {
-        Similarity.lshTopK(emb, "vec_id", "embedding", (0L until 10L), 10,
-          Seq(0, 8, 16, 24, 32, 40, 48, 56)).count()
+        Pipelines.lshTopKOn(emb).count()
       }
+      emb.unpersist()
       spark.catalog.clearCache()
     }
     spark.stop()

@@ -58,10 +58,9 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // spill-aware input splits: 128m scan partitions keep per-task
-      // memory bounded regardless of file sizes (cluster deployments
-      // tune this with executor memory; AQE handles the shuffle side)
-      .config("spark.sql.files.maxPartitionBytes", "128m")
+      // scan-split sizing: the 128m default maxPartitionBytes already
+      // bounds per-task scan memory; cluster deployments retune it
+      // against executor memory, AQE handles the shuffle side
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -35,6 +35,9 @@ object FeaturePipeline {
     * bucketizers → assembler producing `features`.
     */
   def featureStages(cfg: Config): Seq[PipelineStage] = {
+    require(cfg.buckets.keySet.intersect(cfg.quantileBuckets.keySet).isEmpty,
+      "a column may use explicit OR quantile buckets, not both: " +
+        cfg.buckets.keySet.intersect(cfg.quantileBuckets.keySet).mkString(","))
     val labelIndexer = new StringIndexer()
       .setInputCol(cfg.labelCol).setOutputCol("indexedLabel")
       .setHandleInvalid("keep")

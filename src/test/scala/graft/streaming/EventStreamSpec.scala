@@ -6,13 +6,19 @@ import org.apache.spark.sql.functions._
 class EventStreamSpec extends SparkSpec {
   import spark.implicits._
 
-  test("streaming tumbling rollup equals the batch rollup (sf0.001)") {
-    val d = java.nio.file.Files.createTempDirectory("graft_stream_spec")
+  /** File-source dir exposing the fixture via symlink. */
+  private def streamSrcDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
     java.nio.file.Files.createSymbolicLink(
       d.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    d.toString
+  }
+
+  test("streaming tumbling rollup equals the batch rollup (sf0.001)") {
+    val d = streamSrcDir("graft_stream_spec")
     val streamed = EventStream.runToMemory(spark,
-      EventStream.tumblingCounts(EventStream.read(spark, d.toString)), "spec_windows")
+      EventStream.tumblingCounts(EventStream.read(spark, d)), "spec_windows")
     val batch = graft.core.Tables.events(spark, sf0001)
       .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
       .agg(count(lit(1)).as("n_events"))
@@ -23,12 +29,9 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("append mode with watermark emits only closed windows") {
-    val d = java.nio.file.Files.createTempDirectory("graft_stream_append")
-    java.nio.file.Files.createSymbolicLink(
-      d.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    val d = streamSrcDir("graft_stream_append")
     val q = EventStream.runToMemory(spark,
-      EventStream.tumblingCounts(EventStream.read(spark, d.toString), watermark = "30 minutes"),
+      EventStream.tumblingCounts(EventStream.read(spark, d), watermark = "30 minutes"),
       "spec_append", org.apache.spark.sql.streaming.OutputMode.Append())
     // single micro-batch: watermark advances only after it completes, so
     // append emits windows closed w.r.t. the final watermark — strictly
@@ -39,14 +42,11 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("stream-static enrichment join matches the batch join") {
-    val d = java.nio.file.Files.createTempDirectory("graft_stream_join")
-    java.nio.file.Files.createSymbolicLink(
-      d.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    val d = streamSrcDir("graft_stream_join")
     // static dim: user segment by id parity
     val dim = spark.range(0, 10000).select($"id".as("user_id"),
       when($"id" % 2 === 0, "even").otherwise("odd").as("segment"))
-    val enriched = EventStream.read(spark, d.toString)
+    val enriched = EventStream.read(spark, d)
       .join(dim, "user_id")
       .groupBy($"segment").agg(count(lit(1)).as("n"))
     val got = EventStream.runToMemory(spark, enriched, "spec_enrich")
@@ -58,15 +58,12 @@ class EventStreamSpec extends SparkSpec {
   }
 
   test("parquet file sink with checkpoint: restart does not duplicate output") {
-    val src = java.nio.file.Files.createTempDirectory("graft_fsink_src")
-    java.nio.file.Files.createSymbolicLink(
-      src.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    val src = streamSrcDir("graft_fsink_src")
     val out = java.nio.file.Files.createTempDirectory("graft_fsink_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft_fsink_ckpt").toString
 
     def runOnce(): Unit = {
-      val q = EventStream.read(spark, src.toString)
+      val q = EventStream.read(spark, src)
         .select($"event_id", $"user_id", $"event_type")
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
