@@ -65,6 +65,19 @@ object SourcesCatalog {
       Sources.csv(spark, d, Some(schema)).orderBy(col("k"))
     }),
 
+    // JSONL round-trip: the standard training-corpus format (quotes,
+    // unicode, nulls all survive the escape/unescape exactly)
+    "s2_jsonl_roundtrip" -> ((spark, dir) => {
+      val out = tmp("jsonl")
+      Sinks.jsonl(Tables.documents(spark, dir), out)
+      Sources.jsonl(spark, out, Some(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // S4/C4: native regex log parse incl. timestamp reassembly;
     // malformed lines drop out via na.drop
     "s4_log_parse" -> ((spark, dir) =>
@@ -101,6 +114,10 @@ object SourcesCatalog {
     "s3_malformed_policy" ->
       """SELECT * FROM (VALUES (1, 1.5, 'alpha'), (5, 4.5, 'epsilon')) t(k, v, name)
         |ORDER BY k""".stripMargin,
+
+    "s2_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // independently-derived expected parse (never touches a regex)
     "s4_log_parse" ->

@@ -34,6 +34,15 @@ object Sources {
   /** S4 — text scan kept relational (one `value` column), no RDD hop. */
   def text(spark: SparkSession, path: String): DataFrame = spark.read.text(path)
 
+  /** JSONL scan — the standard training-corpus wire format; explicit
+    * schema by default (inference = an extra full scan at 100 TB).
+    */
+  def jsonl(spark: SparkSession, path: String,
+            schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.map(r.schema).getOrElse(r).json(path)
+  }
+
   /** S7 — JDBC scan; options must include url, dbtable, driver. */
   def jdbc(spark: SparkSession, options: Map[String, String]): DataFrame =
     spark.read.format("jdbc").options(options).load()
@@ -46,6 +55,11 @@ object Sinks {
   def csv(df: DataFrame, path: String, header: Boolean = true,
           mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", header).csv(path)
+
+  /** JSONL sink. */
+  def jsonl(df: DataFrame, path: String,
+            mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
 
   /** S8 — JDBC sink. */
   def jdbc(df: DataFrame, options: Map[String, String],

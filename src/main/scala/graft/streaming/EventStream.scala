@@ -48,6 +48,16 @@ object EventStream {
       .select(col("w.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drops re-delivered duplicates while only
+    * keeping state for the watermark horizon — the bounded-state form
+    * of exact dedup for continuous training-data ingestion (an
+    * unbounded `dropDuplicates` would accumulate state forever).
+    */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Run a streaming frame to completion against a memory sink and
     * return the materialized table (drives the whole micro-batch
     * machinery; used by the verify gate and tests).

@@ -79,6 +79,21 @@ class EventStreamSpec extends SparkSpec {
       s"expected exactly-once $batch rows, got $afterFirst then $afterSecond")
   }
 
+  test("dropDuplicatesWithinWatermark removes re-delivered events with bounded state") {
+    // two symlinks to the same file → every event delivered twice
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+    Seq("events.parquet", "events_redelivered.parquet").foreach { n =>
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(n), java.nio.file.Paths.get(s"$sf0001/events.parquet"))
+    }
+    val deduped = EventStream.dedupWithinWatermark(
+      EventStream.read(spark, d.toString), Seq("event_id"))
+    val got = EventStream.runToMemory(spark, deduped, "spec_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append()).count()
+    val distinctIds = graft.core.Tables.events(spark, sf0001).count()
+    assert(got == distinctIds, s"expected $distinctIds deduped rows, got $got")
+  }
+
   test("stateful sessionization merges events within the gap") {
     import EventStream.{Event, UserSession}
     val base = 1700000000000L
