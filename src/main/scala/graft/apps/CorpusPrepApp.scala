@@ -1,0 +1,69 @@
+package graft.apps
+
+import graft.core.Tables
+import graft.dedup.TextDedup
+import graft.functions.TextAnalysis
+import graft.pipeline.Runner
+import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The training-corpus preparation pipeline end-to-end (the engine's
+  * north-star use case, BASELINE.json): JSONL ingest → language filter
+  * → quality floor → exact dedup → MinHash-LSH near-dedup → curated
+  * JSONL + stats. Every stage is one of the engine's gated operators;
+  * this app is the composition a data-curation user actually runs.
+  *
+  * Scale notes: the whole pipeline is two aggregations (exact-dedup
+  * group, minhash signatures) + one band join on a corpus that only
+  * shrinks stage by stage; nothing collects to the driver but the
+  * stage counts.
+  */
+object CorpusPrepApp {
+
+  /** Near-dup removal: drop the larger id of every candidate pair with
+    * Jaccard ≥ threshold (greedy, keeps the earliest document —
+    * full connected components would need iteration; at curation scale
+    * the greedy rule is the standard choice).
+    */
+  def dropNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = TextDedup.shingleSets(docs, "doc_id", "text", distinct = true)
+    val pairs = TextDedup.candidatePairs(
+      TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
+      "doc_id")
+    val dupIds = TextDedup.jaccard(pairs, sh, "doc_id")
+      .filter(col("jacc") >= threshold)
+      .select(col("b_id").as("doc_id")).distinct()
+    docs.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = AppUtil.session()
+    val sf = AppUtil.sfDir(args)
+
+    // stage 0 (ingest): stage the fixture as JSONL, read it back — the
+    // wire format a real corpus arrives in
+    val staging = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    Sinks.jsonl(Tables.documents(spark, sf), staging)
+    val raw = Sources.jsonl(spark, staging).cache()
+
+    val result = Runner.run(raw, Seq(
+      Runner.Stage("lang_filter", df =>
+        df.filter(TextAnalysis.langId(col("text")).isin("en", "und"))),
+      Runner.Stage("quality_floor", df =>
+        df.filter(TextAnalysis.qualityScore(col("text")) >= 0.3)),
+      Runner.Stage("exact_dedup", df => {
+        val reps = df.groupBy(md5(col("text")).as("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        df.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+      }),
+      Runner.Stage("near_dedup", dropNearDups(_, threshold = 0.8))),
+      countCheckpoints = true)
+    AppUtil.printReports(result.reports)
+
+    val outDir = java.nio.file.Files.createTempDirectory("graft_corpus_out").toString
+    Sinks.jsonl(result.output.select("doc_id", "text", "lang", "source", "n_chars"), outDir)
+    println(s"[corpus] curated ${result.output.count()} / ${raw.count()} docs -> $outDir")
+    spark.stop()
+  }
+}
