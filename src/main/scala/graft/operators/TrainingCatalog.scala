@@ -160,6 +160,16 @@ object TrainingCatalog {
       TextDedup.simhash(docs(spark, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // corpus bigram frequency census (vocabulary statistics) — top 50
+    // with deterministic tiebreak
+    "t5_ngram_census" -> ((spark, dir) =>
+      TextDedup.shingleSets(docs(spark, dir), "doc_id", "text", k = 2,
+        distinct = false)
+        .groupBy(col("shingle").as("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("bigram"))
+        .limit(50)),
+
     // winnowing fingerprints (k=8 chars, window 4) — shared substrings
     // of length ≥ 11 guarantee shared fingerprints
     "x8_winnow_fp" -> ((spark, dir) =>
@@ -274,6 +284,14 @@ object TrainingCatalog {
     "x6_simhash" ->
       s"""SELECT doc_id, simhash FROM ${D.simhashSql("documents", "doc_id", "text")} s
          |ORDER BY doc_id""".stripMargin,
+
+    "t5_ngram_census" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT t[i] || ' ' || t[i+1] AS bigram
+        |  FROM tok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2)
+        |SELECT bigram, COUNT(*) AS cnt FROM bg
+        |GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
 
     "x8_winnow_fp" ->
       """WITH kg AS (SELECT doc_id,
