@@ -48,7 +48,7 @@ object EtlApp {
     AppUtil.printReports(result.reports)
 
     // JDBC load + write-then-readback verification (S8→S7)
-    val db = java.nio.file.Files.createTempDirectory("graft_etl_derby").toString + "/db"
+    val db = graft.core.Staging.tmpDir("etl_derby") + "/db"
     val opts = Map("url" -> s"jdbc:derby:$db;create=true",
       "dbtable" -> "loan_clean", "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
     Sinks.jdbc(result.output, opts)

@@ -43,7 +43,7 @@ object CorpusPrepApp {
 
     // stage 0 (ingest): stage the fixture as JSONL, read it back — the
     // wire format a real corpus arrives in
-    val staging = java.nio.file.Files.createTempDirectory("graft_corpus").toString
+    val staging = graft.core.Staging.tmpDir("corpus")
     Sinks.jsonl(Tables.documents(spark, sf), staging)
     val raw = Sources.jsonl(spark, staging).cache()
 
@@ -61,6 +61,8 @@ object CorpusPrepApp {
       countCheckpoints = true)
     AppUtil.printReports(result.reports)
 
+    // the curated corpus is the app's deliverable — NOT under the
+    // auto-cleaned staging root; it must survive JVM exit
     val outDir = java.nio.file.Files.createTempDirectory("graft_corpus_out").toString
     Sinks.jsonl(result.output.select("doc_id", "text", "lang", "source", "n_chars"), outDir)
     println(s"[corpus] curated ${result.output.count()} / ${raw.count()} docs -> $outDir")

@@ -30,7 +30,7 @@ object Pipelines {
   /** Loan-like CSV staging (setup). */
   def stageLoanCsv(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_bench_csv").toString
+    val dir = graft.core.Staging.tmpDir("bench_csv")
     val df = Tables.orders(spark, sfDir)
       .join(broadcast(Tables.customer(spark, sfDir)), $"o_custkey" === $"c_custkey")
       .select(

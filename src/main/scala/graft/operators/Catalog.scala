@@ -631,17 +631,26 @@ object Catalog {
         |  AND abs(b.us - a.us) <= 600000000
         |ORDER BY a.user_id, a_id, b_id""".stripMargin,
 
+    // explicit argmax rather than DuckDB's native ASOF JOIN: among clicks
+    // tied at equal (user_id, c_ts), native ASOF picks arbitrarily while
+    // the Spark side (AsOfJoin.scala) deterministically carries the
+    // greatest (click_id, click_value) struct — spell that pick out here
     "aj1_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
         |p AS (SELECT user_id, ts_us, event_id, value FROM ev WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts_us AS c_ts, event_id AS click_id, value AS click_value
-        |      FROM ev WHERE event_type = 'click')
-        |SELECT p.user_id, p.ts_us, p.event_id, p.value,
-        |       c.click_id AS r_click_id, c.click_value AS r_click_value
-        |FROM p ASOF LEFT JOIN c
-        |  ON p.user_id = c.user_id AND p.ts_us >= c.c_ts
-        |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin,
+        |      FROM ev WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.ts_us, p.event_id, p.value,
+        |             c.click_id, c.click_value,
+        |             ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |               ORDER BY c.c_ts DESC, c.click_id DESC, c.click_value DESC) AS rn
+        |      FROM p LEFT JOIN c
+        |        ON p.user_id = c.user_id AND c.c_ts <= p.ts_us)
+        |SELECT user_id, ts_us, event_id, value,
+        |       click_id AS r_click_id, click_value AS r_click_value
+        |FROM j WHERE rn = 1
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "g1_cube" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,

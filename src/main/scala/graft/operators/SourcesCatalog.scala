@@ -14,11 +14,7 @@ import org.apache.spark.sql.types._
   */
 object SourcesCatalog {
 
-  private def tmp(name: String): String = {
-    val d = java.nio.file.Files.createTempDirectory(s"graft_$name")
-    d.toFile.deleteOnExit()
-    d.toString
-  }
+  private def tmp(name: String): String = graft.core.Staging.tmpDir(name)
 
   private val customerSchema = StructType(Seq(
     StructField("c_custkey", LongType), StructField("c_name", StringType),

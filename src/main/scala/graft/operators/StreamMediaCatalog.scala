@@ -19,8 +19,7 @@ object StreamMediaCatalog {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e3_stream_windows" -> ((spark, dir) => {
       // file source wants a directory: expose the fixture via symlink
-      val d = java.nio.file.Files.createTempDirectory("graft_stream")
-      d.toFile.deleteOnExit()
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream"))
       java.nio.file.Files.createSymbolicLink(
         d.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))

@@ -44,32 +44,38 @@ object UnionFilterToIsin extends Rule[LogicalPlan]
     * to the Union is per-row, otherwise the rewrite merges aggregates
     * or halves limits (wrong results, confirmed by test).
     */
-  private def analyze(branch: LogicalPlan): Option[Branch] = {
+  private def analyze(branch: LogicalPlan): Seq[Branch] = {
     import org.apache.spark.sql.catalyst.plans.logical.Project
     branch match {
       case Project(list, inner) =>
         analyze(inner).map(b => b.copy(masked = Project(list, b.masked)))
       case Filter(cond, child) =>
+        // every equality predicate is a candidate: branches like
+        // (c1=1 AND c2=5) vs (c1=1 AND c2=6) only unify on the SECOND
+        // equality, so taking just the first would miss the rewrite
         val preds = splitConjunctivePredicates(cond)
-        preds.collectFirst {
+        preds.collect {
           case e @ EqualTo(a: AttributeReference, l: Literal)
               if child.output.indexWhere(_.exprId == a.exprId) >= 0 =>
-            (e, a, l, child.output.indexWhere(_.exprId == a.exprId))
-        }.map { case (e, a, l, ord) =>
-          val rest = preds.filterNot(_.asInstanceOf[AnyRef] eq e)
-          val masked = Filter((rest :+ (Literal.TrueLiteral: Expression)).reduce(And), child)
-          Branch(e, a, l, ord, masked)
+            val ord = child.output.indexWhere(_.exprId == a.exprId)
+            val rest = preds.filterNot(_.asInstanceOf[AnyRef] eq e)
+            val masked = Filter((rest :+ (Literal.TrueLiteral: Expression)).reduce(And), child)
+            Branch(e, a, l, ord, masked)
         }
-      case _ => None
+      case _ => Nil
     }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case u @ Union(Seq(b1, b2), false, false) =>
-      (analyze(b1), analyze(b2)) match {
-        case (Some(m1), Some(m2))
-            if m1.masked.canonicalized == m2.masked.canonicalized &&
-              m1.ordinal == m2.ordinal && m1.lit != m2.lit =>
+      val pair = (for {
+        m1 <- analyze(b1).iterator
+        m2 <- analyze(b2).iterator
+        if m1.masked.canonicalized == m2.masked.canonicalized &&
+          m1.ordinal == m2.ordinal && m1.lit != m2.lit
+      } yield (m1, m2)).nextOption()
+      pair match {
+        case Some((m1, m2)) =>
           // keep branch 1, widening its equality to isin(la, lb);
           // transformUp touches the (Project*/Filter) spine only —
           // analyze() guaranteed that is the whole branch
@@ -80,7 +86,7 @@ object UnionFilterToIsin extends Rule[LogicalPlan]
                   In(m1.attr, Seq(m1.lit, m2.lit))
               }, child)
           }
-        case _ => u
+        case None => u
       }
   }
 }

@@ -73,6 +73,23 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(limUnion.count() == 10)
   }
 
+  test("rewrite still found when branches differ only in a LATER equality predicate") {
+    import spark.implicits._
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_orderstatus", $"o_orderpriority")
+    // c1=x AND c2=a  UNION  c1=x AND c2=b — the unifying pair is the
+    // SECOND equality; a first-predicate-only analyze misses it
+    val unioned = o
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "F")
+      .union(o.filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "O"))
+    val optimized = unioned.queryExecution.optimizedPlan
+    assert(!optimized.toString.contains("Union"),
+      s"Union should be rewritten on the second equality:\n$optimized")
+    val expected = o.filter($"o_orderpriority" === "1-URGENT" &&
+      $"o_orderstatus".isin("F", "O")).count()
+    assert(unioned.count() == expected)
+  }
+
   test("no rewrite when literals are equal (bag union duplicates rows) or children differ") {
     import spark.implicits._
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
