@@ -407,16 +407,27 @@ object Catalog {
     }),
 
     // A10 — sketch aggregates for 100 TB profiling: HLL distinct counts
-    // and approximate quantiles replace exact distinct/percentile scans
-    // (rows-only: sketch internals are engine-specific; accuracy bounds
-    // are asserted in SketchSpec)
+    // and approximate quantiles replace exact distinct/percentile scans.
+    // Oracle-gated: the exact distinct counts are verified by DuckDB
+    // directly, and the sketch outputs are gated as within-bounds flags
+    // (sketch internals are engine-specific; DuckDB asserts the flags'
+    // expected value, SketchSpec asserts the bounds analytically)
     "a10_sketches" -> ((spark, dir) => {
       import spark.implicits._
       Tables.lineitem(spark, dir).agg(
-        approx_count_distinct($"l_partkey").as("nd_partkey"),
-        approx_count_distinct($"l_orderkey").as("nd_orderkey"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50_price"),
-        percentile_approx($"l_extendedprice", lit(0.99), lit(10000)).as("p99_price"))
+          countDistinct($"l_partkey").as("nd_partkey"),
+          countDistinct($"l_orderkey").as("nd_orderkey"),
+          approx_count_distinct($"l_partkey").as("hll_pk"),
+          approx_count_distinct($"l_orderkey").as("hll_ok"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(10000)).as("p50"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"))
+        .select($"nd_partkey", $"nd_orderkey",
+          ($"hll_pk" >= $"nd_partkey" * 0.9 && $"hll_pk" <= $"nd_partkey" * 1.1)
+            .cast("int").as("hll_partkey_within_10pct"),
+          ($"hll_ok" >= $"nd_orderkey" * 0.9 && $"hll_ok" <= $"nd_orderkey" * 1.1)
+            .cast("int").as("hll_orderkey_within_10pct"),
+          (abs($"p50" - $"p50_exact") <= abs($"p50_exact") * 0.01)
+            .cast("int").as("p50_within_1pct"))
     }),
 
     // X4 — temp-view + SQL-text entry point (the reference registers a
@@ -433,6 +444,16 @@ object Catalog {
       import spark.implicits._
       Tables.orders(spark, dir).sample(withReplacement = false, 0.3, 42)
         .select($"o_orderkey", $"o_orderstatus")
+    }),
+
+    // R3 — deterministic hash-gate sample (oracle-exact: the keep/drop
+    // decision is a pure function of the key, identical in any engine —
+    // the sampling primitive that survives repartitioning at 100 TB)
+    "r3_hash_sample" -> ((spark, dir) => {
+      import spark.implicits._
+      Sampling.hashSample(Tables.orders(spark, dir), "o_orderkey", 0.3)
+        .select($"o_orderkey", $"o_orderstatus")
+        .orderBy($"o_orderkey")
     })
   )
 
@@ -678,6 +699,21 @@ object Catalog {
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |ORDER BY o_custkey""".stripMargin,
+
+    // exact distinct counts verified directly; the sketch columns are
+    // gated as bound flags whose expected value DuckDB asserts
+    "a10_sketches" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS nd_partkey,
+        |  COUNT(DISTINCT l_orderkey) AS nd_orderkey,
+        |  1 AS hll_partkey_within_10pct,
+        |  1 AS hll_orderkey_within_10pct,
+        |  1 AS p50_within_1pct
+        |FROM lineitem""".stripMargin,
+
+    "r3_hash_sample" ->
+      s"""SELECT o_orderkey, o_orderstatus FROM orders
+         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '${Sampling.thresholdHex(0.3)}'
+         |ORDER BY o_orderkey""".stripMargin,
 
     "w2_running" ->
       """SELECT o_custkey, o_orderkey,

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling (SURVEY.md §2.11 R1's
+  * scale-path sibling). `df.sample(seed)` is reproducible only within
+  * one engine AND one partitioning — at 100 TB a repartition or an AQE
+  * re-plan silently changes which rows a seeded RNG sample keeps.
+  * Hash-gating on a stable key has none of that: the keep/drop decision
+  * is a pure per-row function, so it survives repartitioning, retries,
+  * and engine swaps, and the same expression doubles as a consistent
+  * train/holdout splitter (disjoint fractions never overlap).
+  */
+object Sampling {
+
+  /** Lowercase 8-hex-digit threshold for `fraction` of the 32-bit
+    * md5-prefix space — shared with the DuckDB oracle so both engines
+    * gate on the identical constant.
+    */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val t = math.round(fraction * (1L << 32)).min((1L << 32) - 1)
+    f"$t%08x"
+  }
+
+  /** Keep rows whose md5(key) 32-bit hex prefix < fraction * 2^32. */
+  def hashGate(key: Column, fraction: Double): Column =
+    substring(md5(key.cast("string")), 1, 8) < lit(thresholdHex(fraction))
+
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashGate(col(keyCol), fraction))
+}
