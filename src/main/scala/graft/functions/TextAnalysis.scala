@@ -138,6 +138,55 @@ object TextAnalysis {
       .toDF(idCol, "fp")
   }
 
+  /** Per-document repetition signals (the Gopher-rule family): token
+    * count, distinct-token ratio, and dominant-bigram fraction. High
+    * bigram dominance / low distinct ratio marks boilerplate and
+    * degenerate generations — the standard pre-training quality cut.
+    * Shape at scale: two partial-aggregated groupBys keyed by doc —
+    * no cross-document state, so it parallelizes per-document.
+    */
+  def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.TextDedup
+    val uni = TextDedup.shingleSets(df, idCol, textCol, k = 1, distinct = false)
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("shingle")).as("n_distinct"))
+    val bg = TextDedup.shingleSets(df, idCol, textCol, k = 2, distinct = false)
+      .groupBy(col(idCol), col("shingle")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("max_bg"), sum(col("c")).as("n_bg"))
+    uni.join(bg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("distinct_ratio"),
+        round(col("max_bg").cast("double") / col("n_bg"), 6)
+          .as("top_bigram_frac"))
+  }
+
+  /** Per (document, term) TF-IDF with sklearn-style smooth idf:
+    * tf * (ln((N+1)/(df+1)) + 1). tf and df stay integer-exact; the
+    * one ln+multiply rounds to 6 dp for cross-engine parity. Scale
+    * shape: tf and df are both term-keyed partial aggregations, joined
+    * on term (vocabulary can exceed broadcast size — shuffle join is
+    * correct); N rides in as a broadcast single-row cross join, never
+    * a driver-side collect.
+    */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.TextDedup
+    val tf = TextDedup.shingleSets(df, idCol, textCol, k = 1, distinct = false)
+      .groupBy(col(idCol), col("shingle").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0)), 6).as("tfidf"))
+  }
+
   // ------------------------------------------------------- DuckDB spellings
 
   /** SQL fragments mirroring the expressions above, used to build

@@ -170,6 +170,18 @@ object TrainingCatalog {
         .orderBy(desc("cnt"), col("bigram"))
         .limit(50)),
 
+    // per-doc repetition signals (Gopher-rule family): token count,
+    // distinct-token ratio, dominant-bigram fraction
+    "t6_repetition" -> ((spark, dir) =>
+      TextAnalysis.repetitionProfile(docs(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // per (doc, term) TF-IDF, smooth idf; integer tf/df + one rounded
+    // ln-multiply (deterministic keys in the ORDER BY, no float ranks)
+    "t7_tfidf" -> ((spark, dir) =>
+      TextAnalysis.tfidf(docs(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("term"))),
+
     // winnowing fingerprints (k=8 chars, window 4) — shared substrings
     // of length ≥ 11 guarantee shared fingerprints
     "x8_winnow_fp" -> ((spark, dir) =>
@@ -385,6 +397,34 @@ object TrainingCatalog {
 
     "v6_ivf_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
-         |FROM embeddings WHERE vec_id < ${annQueryIds.max + 1}""".stripMargin
+         |FROM embeddings WHERE vec_id < ${annQueryIds.max + 1}""".stripMargin,
+
+    "t6_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |ustat AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |    COUNT(DISTINCT tk) AS n_distinct FROM uni GROUP BY doc_id),
+        |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+        |  FROM tok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bstat AS (SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS n_bg
+        |  FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+        |        GROUP BY doc_id, bigram) GROUP BY doc_id)
+        |SELECT u.doc_id, u.n_tokens,
+        |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+        |  round(CAST(max_bg AS DOUBLE) / n_bg, 6) AS top_bigram_frac
+        |FROM ustat u LEFT JOIN bstat b ON u.doc_id = b.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
+
+    "t7_tfidf" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |tf AS (SELECT doc_id, tk AS term, COUNT(*) AS tf FROM uni GROUP BY doc_id, tk),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT t.doc_id, t.term, t.tf, d.df,
+        |  round(t.tf * (ln((n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
+        |ORDER BY t.doc_id, t.term""".stripMargin
   )
 }

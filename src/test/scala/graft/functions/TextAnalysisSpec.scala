@@ -52,6 +52,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dfp(1L) == dfp(2L))
   }
 
+  test("repetitionProfile golden values") {
+    val d = Seq((1L, "a a a b"), (2L, "x y z w")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionProfile(d, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double, Double)].collect()
+    // doc 1: 4 tokens, 2 distinct; bigrams (a a)x2 (a b)x1 → 2/3
+    assert(r(0) == ((1L, 4L, 0.5, 0.666667)))
+    // doc 2: all distinct; every bigram unique → 1/3
+    assert(r(1) == ((2L, 4L, 1.0, 0.333333)))
+  }
+
+  test("tfidf golden values (smooth idf)") {
+    val d = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidf(d, "doc_id", "text")
+      .orderBy($"doc_id", $"term")
+      .as[(Long, String, Long, Long, Double)].collect()
+    // N=2; df(a)=2 → idf=ln(3/3)+1=1; df(b)=df(c)=1 → idf=ln(3/2)+1
+    val rare = BigDecimal(math.log(1.5) + 1.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.toSeq == Seq(
+      (1L, "a", 1L, 2L, 1.0), (1L, "b", 1L, 1L, rare),
+      (2L, "a", 1L, 2L, 1.0), (2L, "c", 1L, 1L, rare)))
+  }
+
   test("normalized fingerprint is case/whitespace invariant; raw is not") {
     val a = one(TextAnalysis.normalizedFingerprint(col("t")), "Hello  World")
     val b = one(TextAnalysis.normalizedFingerprint(col("t")), "hello world ")
