@@ -454,6 +454,32 @@ object Catalog {
       Sampling.hashSample(Tables.orders(spark, dir), "o_orderkey", 0.3)
         .select($"o_orderkey", $"o_orderstatus")
         .orderBy($"o_orderkey")
+    }),
+
+    // R4 — stratified hash-gate sample (deterministic sampleBy: rebalance
+    // classes in one codegen'd filter, no per-stratum passes)
+    "r4_stratified_sample" -> ((spark, dir) => {
+      import spark.implicits._
+      Sampling.stratifiedHashSample(Tables.orders(spark, dir),
+        "o_orderkey", "o_orderstatus", Map("F" -> 0.5, "O" -> 0.1, "P" -> 1.0))
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("kept"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // A11 — argmax-per-group WITHOUT a window: max over a comparison
+    // struct aggregates with map-side partials, so each partition sends
+    // ONE row per key through the shuffle — a window row_number ships
+    // every row. (Struct max plans as SortAggregate — variable-width
+    // buffer — but the partial combine is what matters at 100 TB.)
+    // Lexicographic struct compare gives a deterministic tie-break.
+    "a11_argmax" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .groupBy($"o_custkey")
+        .agg(max(struct($"o_totalprice", $"o_orderkey")).as("m"))
+        .select($"o_custkey", $"m.o_totalprice".as("best_price"),
+          $"m.o_orderkey".as("best_order"))
+        .orderBy($"o_custkey")
     })
   )
 
@@ -714,6 +740,22 @@ object Catalog {
       s"""SELECT o_orderkey, o_orderstatus FROM orders
          |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '${Sampling.thresholdHex(0.3)}'
          |ORDER BY o_orderkey""".stripMargin,
+
+    "r4_stratified_sample" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS kept FROM orders
+         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) <
+         |  CASE o_orderstatus
+         |    WHEN 'F' THEN '${Sampling.thresholdHex(0.5)}'
+         |    WHEN 'O' THEN '${Sampling.thresholdHex(0.1)}'
+         |    WHEN 'P' THEN '${Sampling.thresholdHex(1.0)}'
+         |    ELSE '${Sampling.thresholdHex(0.0)}' END
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "a11_argmax" ->
+      """SELECT o_custkey,
+        |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).p AS best_price,
+        |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS best_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "w2_running" ->
       """SELECT o_custkey, o_orderkey,

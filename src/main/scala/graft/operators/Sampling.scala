@@ -30,4 +30,19 @@ object Sampling {
 
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashGate(col(keyCol), fraction))
+
+  /** Stratified variant (the `sampleBy` shape, made deterministic):
+    * per-stratum keep fractions, strata not listed keep `default`.
+    * Still one codegen'd projection+filter over the scan — no
+    * per-stratum passes, no driver-side stratum discovery.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           fractions: Map[String, Double],
+                           default: Double = 0.0): DataFrame = {
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(thresholdHex(default))) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit(thresholdHex(f))).otherwise(acc)
+    }
+    df.filter(substring(md5(col(keyCol).cast("string")), 1, 8) < threshold)
+  }
 }

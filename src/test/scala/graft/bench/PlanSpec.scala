@@ -51,6 +51,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_min"), "minhash min not map-side combined")
   }
 
+  test("a11_argmax: struct-max argmax combines map-side, no window") {
+    val plan = planOf(graft.operators.Catalog.queries("a11_argmax")(spark, sf0001))
+    // partial_max is the point: one row per key crosses the shuffle
+    // (struct max plans as SortAggregate — that's fine; a Window would
+    // ship and sort EVERY row)
+    assert(plan.contains("partial_max"), s"struct max not map-side combined:\n$plan")
+    assert(!plan.contains("Window"), s"argmax must not need a window:\n$plan")
+  }
+
+  test("hash sample: the md5 gate is a plain filter over the scan (no shuffle)") {
+    val df = graft.operators.Sampling.hashSample(
+      spark.read.parquet(s"$sf0001/orders.parquet"), "o_orderkey", 0.3)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
   test("etl upstream: casts/cleansers stay native (no UDF in plan)") {
     val csv = Pipelines.stageLoanCsv(spark, sf0001)
     val plan = planOf(Pipelines.etlUpstream(spark, csv))

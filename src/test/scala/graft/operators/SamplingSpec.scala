@@ -27,6 +27,19 @@ class SamplingSpec extends graft.SparkSpec {
     assert(inner.join(outer, Seq("o_orderkey"), "left_anti").count() == 0)
   }
 
+  test("stratified hash sample keeps per-stratum fractions") {
+    val o = Tables.orders(spark, sf001)
+    val s = Sampling.stratifiedHashSample(o, "o_orderkey", "o_orderstatus",
+      Map("F" -> 0.5, "O" -> 0.1, "P" -> 1.0))
+    def byStatus(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("o_orderstatus").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = byStatus(s); val tot = byStatus(o)
+    assert(math.abs(kept("F").toDouble / tot("F") - 0.5) < 0.03)
+    assert(math.abs(kept("O").toDouble / tot("O") - 0.1) < 0.03)
+    assert(kept("P") == tot("P")) // fraction 1.0 keeps every row
+  }
+
   test("thresholdHex endpoints and width") {
     assert(Sampling.thresholdHex(0.0) == "00000000")
     assert(Sampling.thresholdHex(1.0) == "ffffffff")
