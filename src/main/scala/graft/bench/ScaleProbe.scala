@@ -59,6 +59,12 @@ object ScaleProbe {
           TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
           "doc_id").count()
       }
+      time(s"tfidf x$m") {
+        graft.functions.TextAnalysis.tfidf(docs, "doc_id", "text").count()
+      }
+      time(s"repetition x$m") {
+        graft.functions.TextAnalysis.repetitionProfile(docs, "doc_id", "text").count()
+      }
       docs.unpersist()
       spark.catalog.clearCache()
 

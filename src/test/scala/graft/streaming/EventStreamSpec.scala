@@ -79,6 +79,29 @@ class EventStreamSpec extends SparkSpec {
       s"expected exactly-once $batch rows, got $afterFirst then $afterSecond")
   }
 
+  test("jsonl stream sink: stream-written corpus reads back equal to the batch frame") {
+    // the wire format a curated corpus ships in — stream variant of
+    // Sinks.jsonl, with checkpointed exactly-once file commits
+    val src = streamSrcDir("graft_jsink_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_jsink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_jsink_ckpt").toString
+    val q = EventStream.read(spark, src)
+      .select($"event_id", $"user_id", $"event_type")
+      .writeStream.format("json")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val back = spark.read.schema(schema).json(out)
+    val batch = graft.core.Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"event_type")
+    assert(back.count() == batch.count())
+    assert(back.except(batch).isEmpty && batch.except(back).isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered events with bounded state") {
     // two symlinks to the same file → every event delivered twice
     val d = java.nio.file.Files.createTempDirectory("graft_stream_dup")
