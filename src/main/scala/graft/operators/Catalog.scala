@@ -145,11 +145,10 @@ object Catalog {
       NullRepair.imputeMean(customerNulls(spark, dir), Seq("bal"))
         .select(col("c_custkey"), col("bal")).orderBy(col("c_custkey"))),
 
-    // N10 — group census with percent-of-total
-    "n10_group_census" -> ((spark, dir) => {
-      val cust = Tables.customer(spark, dir)
-      NullRepair.groupCensus(cust, Seq("c_mktsegment"), cust.count())
-    }),
+    // N10 — group census with percent-of-total (denominator broadcast
+    // in-plan, no driver-side count)
+    "n10_group_census" -> ((spark, dir) =>
+      NullRepair.groupCensus(Tables.customer(spark, dir), Seq("c_mktsegment"))),
 
     // A6 — global min/max scalars
     "a6_minmax" -> ((spark, dir) => {
@@ -254,8 +253,7 @@ object Catalog {
         .groupBy($"o_orderstatus")
         .agg(
           count(lit(1)).as("n_items"),
-          sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
-            .cast("double").as("revenue"))
+          dsumDisc($"l_extendedprice", $"l_discount").as("revenue"))
         .orderBy($"o_orderstatus")
     }),
 
@@ -628,7 +626,7 @@ object Catalog {
 
     "j2_join_shuffle" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_items,
-         |  CAST(SUM(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")})) AS DOUBLE) AS revenue
+         |  ${sqlDsumDisc("l_extendedprice", "l_discount")} AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
@@ -738,17 +736,17 @@ object Catalog {
 
     "r3_hash_sample" ->
       s"""SELECT o_orderkey, o_orderstatus FROM orders
-         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '${Sampling.thresholdHex(0.3)}'
+         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '${Sampling.thresholdToken(0.3)}'
          |ORDER BY o_orderkey""".stripMargin,
 
     "r4_stratified_sample" ->
       s"""SELECT o_orderstatus, COUNT(*) AS kept FROM orders
          |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) <
          |  CASE o_orderstatus
-         |    WHEN 'F' THEN '${Sampling.thresholdHex(0.5)}'
-         |    WHEN 'O' THEN '${Sampling.thresholdHex(0.1)}'
-         |    WHEN 'P' THEN '${Sampling.thresholdHex(1.0)}'
-         |    ELSE '${Sampling.thresholdHex(0.0)}' END
+         |    WHEN 'F' THEN '${Sampling.thresholdToken(0.5)}'
+         |    WHEN 'O' THEN '${Sampling.thresholdToken(0.1)}'
+         |    WHEN 'P' THEN '${Sampling.thresholdToken(1.0)}'
+         |    ELSE '${Sampling.thresholdToken(0.0)}' END
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "a11_argmax" ->

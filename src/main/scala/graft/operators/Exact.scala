@@ -33,10 +33,19 @@ object Exact {
   def davg(c: Column, scale: Int = 2): Column =
     sum(dec(c, scale)).cast(DoubleType) / count(c).cast(DoubleType)
 
+  /** Exact discounted-revenue sum: SUM(dec(price) * (1 - dec(disc))),
+    * returned as double — lives here (with its SQL twin below) so the
+    * Spark and oracle spellings cannot drift apart across call sites.
+    */
+  def dsumDisc(price: Column, disc: Column): Column =
+    sum(dec(price) * (lit(1) - dec(disc))).cast(DoubleType)
+
   /** DuckDB SQL spellings of the same helpers, for oracle strings. */
   def sqlDec(e: String, scale: Int = 2): String = s"CAST($e AS DECIMAL(18,$scale))"
   def sqlDsum(e: String, scale: Int = 2): String =
     s"CAST(SUM(${sqlDec(e, scale)}) AS DOUBLE)"
   def sqlDavg(e: String, scale: Int = 2): String =
     s"CAST(SUM(${sqlDec(e, scale)}) AS DOUBLE) / CAST(COUNT($e) AS DOUBLE)"
+  def sqlDsumDisc(price: String, disc: String): String =
+    s"CAST(SUM(${sqlDec(price)} * (1 - ${sqlDec(disc)})) AS DOUBLE)"
 }

@@ -25,8 +25,7 @@ object Relational {
       .agg(
         dsum($"l_quantity").as("sum_qty"),
         dsum($"l_extendedprice").as("sum_base_price"),
-        sum(dec($"l_extendedprice") * (lit(1) - dec($"l_discount")))
-          .cast("double").as("sum_disc_price"),
+        dsumDisc($"l_extendedprice", $"l_discount").as("sum_disc_price"),
         davg($"l_quantity").as("avg_qty"),
         davg($"l_discount").as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -37,7 +36,7 @@ object Relational {
     s"""SELECT l_returnflag, l_linestatus,
        |  ${sqlDsum("l_quantity")} AS sum_qty,
        |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
-       |  CAST(SUM(${sqlDec("l_extendedprice")} * (1 - ${sqlDec("l_discount")})) AS DOUBLE) AS sum_disc_price,
+       |  ${sqlDsumDisc("l_extendedprice", "l_discount")} AS sum_disc_price,
        |  ${sqlDavg("l_quantity")} AS avg_qty,
        |  ${sqlDavg("l_discount")} AS avg_disc,
        |  COUNT(*) AS count_order

@@ -24,9 +24,19 @@ object Sampling {
     f"$t%08x"
   }
 
+  /** The string actually compared against the md5 prefix. fraction=1.0
+    * cannot be expressed as a hex threshold under strict `<` — clamping
+    * to "ffffffff" would silently drop any row whose prefix is exactly
+    * ffffffff (expected dozens of rows at 100 TB). "g" sorts after
+    * every hex digit, so `prefix < 'g'` keeps ALL rows — same trick in
+    * the SQL oracles, which must use this exact token.
+    */
+  def thresholdToken(fraction: Double): String =
+    if (fraction >= 1.0) "g" else thresholdHex(fraction)
+
   /** Keep rows whose md5(key) 32-bit hex prefix < fraction * 2^32. */
   def hashGate(key: Column, fraction: Double): Column =
-    substring(md5(key.cast("string")), 1, 8) < lit(thresholdHex(fraction))
+    substring(md5(key.cast("string")), 1, 8) < lit(thresholdToken(fraction))
 
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashGate(col(keyCol), fraction))
@@ -40,8 +50,8 @@ object Sampling {
                            fractions: Map[String, Double],
                            default: Double = 0.0): DataFrame = {
     val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
-      lit(thresholdHex(default))) { case (acc, (s, f)) =>
-      when(col(strataCol) === s, lit(thresholdHex(f))).otherwise(acc)
+      lit(thresholdToken(default))) { case (acc, (s, f)) =>
+      when(col(strataCol) === s, lit(thresholdToken(f))).otherwise(acc)
     }
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 8) < threshold)
   }

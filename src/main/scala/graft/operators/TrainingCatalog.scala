@@ -357,7 +357,7 @@ object TrainingCatalog {
 
     "v1_cosine_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
-         |           WHERE vec_id < ${annQueryIds.max + 1}),
+         |           WHERE vec_id IN (${annQueryIds.mkString(",")})),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
          |scored AS (SELECT query_id, neighbor_id,
          |    round(${S.cosine("q_vec", "c_vec")}, 6) AS cos_sim
@@ -373,7 +373,7 @@ object TrainingCatalog {
       s"""WITH wb AS (SELECT vec_id, embedding,
          |    ${S.signBucket("embedding", lshDims)} AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM wb
-         |      WHERE vec_id < ${annQueryIds.max + 1}),
+         |      WHERE vec_id IN (${annQueryIds.mkString(",")})),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM wb),
          |scored AS (SELECT query_id, neighbor_id,
          |    round(${S.cosine("q_vec", "c_vec")}, 6) AS cos_sim
@@ -397,7 +397,7 @@ object TrainingCatalog {
 
     "v6_ivf_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
-         |FROM embeddings WHERE vec_id < ${annQueryIds.max + 1}""".stripMargin,
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 
     "t6_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -66,10 +66,18 @@ object NullRepair {
     imputer.fit(fitOn.getOrElse(df)).transform(df)
   }
 
-  /** N10 — group census with percent-of-total for null analysis. */
-  def groupCensus(df: DataFrame, keys: Seq[String], total: Long): DataFrame =
+  /** N10 — group census with percent-of-total for null analysis.
+    * The denominator joins in as a broadcast 1-row aggregate (same
+    * discipline as imputeMean) — never a driver-side count(), which
+    * would scan the input once more before the query even starts.
+    */
+  def groupCensus(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val total = df.agg(count(lit(1)).cast(DoubleType).as("__total"))
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("percent", col("cnt").cast(DoubleType) / lit(total.toDouble))
+      .crossJoin(broadcast(total))
+      .withColumn("percent", col("cnt").cast(DoubleType) / col("__total"))
+      .drop("__total")
       .orderBy(desc("cnt"), struct(keys.map(col): _*))
+  }
 }

@@ -45,4 +45,12 @@ class SamplingSpec extends graft.SparkSpec {
     assert(Sampling.thresholdHex(1.0) == "ffffffff")
     assert(Sampling.thresholdHex(0.3) == "4ccccccd")
   }
+
+  test("fraction 1.0 keeps EVERY row (strict-< cannot drop prefix ffffffff)") {
+    // a hex threshold under strict < can never express keep-all; the
+    // gate must short-circuit via the 'g' sentinel
+    assert(Sampling.thresholdToken(1.0) == "g")
+    val o = Tables.orders(spark, sf001)
+    assert(Sampling.hashSample(o, "o_orderkey", 1.0).count() == o.count())
+  }
 }

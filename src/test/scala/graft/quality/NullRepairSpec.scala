@@ -66,8 +66,7 @@ class NullRepairSpec extends SparkSpec {
   }
 
   test("N10: group census percents sum to 1") {
-    val census = NullRepair.groupCensus(storeRevenue.na.drop("all"),
-      Seq("Store"), 9L)
+    val census = NullRepair.groupCensus(storeRevenue.na.drop("all"), Seq("Store"))
     val pcts = census.select(sum($"percent")).as[Double].head()
     assert(math.abs(pcts - 1.0) < 1e-9)
   }
