@@ -45,6 +45,19 @@ object SourcesCatalog {
         .orderBy(col("c_custkey"))
     }),
 
+    // columnar round-trips: types survive exactly (no text escaping),
+    // so the oracle is the original fixture relation itself
+    "s8_orc_roundtrip" -> ((spark, dir) => {
+      val out = tmp("orc")
+      Sinks.orc(Tables.customer(spark, dir), out)
+      Sources.orc(spark, out).orderBy(col("c_custkey"))
+    }),
+    "s9_parquet_roundtrip" -> ((spark, dir) => {
+      val out = tmp("pq")
+      Sinks.parquet(Tables.customer(spark, dir), out)
+      Sources.parquet(spark, out).orderBy(col("c_custkey"))
+    }),
+
     // S3: DROPMALFORMED silently drops short/unparseable rows
     "s3_malformed_policy" -> ((spark, dir) => {
       val d = tmp("bad")
@@ -106,6 +119,12 @@ object SourcesCatalog {
     "s1_csv_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "s8_orc_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
+
+    "s9_parquet_roundtrip" ->
+      "SELECT * FROM customer ORDER BY c_custkey",
 
     "s3_malformed_policy" ->
       """SELECT * FROM (VALUES (1, 1.5, 'alpha'), (5, 4.5, 'epsilon')) t(k, v, name)

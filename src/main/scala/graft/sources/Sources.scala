@@ -44,6 +44,12 @@ object Sources {
   }
 
   /** S7 — JDBC scan; options must include url, dbtable, driver. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def jdbc(spark: SparkSession, options: Map[String, String]): DataFrame =
     spark.read.format("jdbc").options(options).load()
 }
@@ -65,6 +71,17 @@ object Sinks {
   def jdbc(df: DataFrame, options: Map[String, String],
            mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).format("jdbc").options(options).save()
+
+  /** Columnar sinks: parquet is the engine's native layout; ORC is the
+    * other columnar wire format a lake migration encounters. Both keep
+    * types exactly (no text escaping), so round-trips are bit-faithful.
+    */
+  def parquet(df: DataFrame, path: String,
+              mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+  def orc(df: DataFrame, path: String,
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
 
   /** Bucketed catalog table: co-locates data on the bucket columns so
     * equi-joins/aggregations on them need NO shuffle (SURVEY.md §4
