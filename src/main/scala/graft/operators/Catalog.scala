@@ -428,6 +428,21 @@ object Catalog {
             .cast("int").as("p50_within_1pct"))
     }),
 
+    // A12 — per-GROUP sketch profile: distinct-cardinality per segment
+    // is the standard 100 TB profiling query; exact counts oracled
+    // directly, HLL gated as a bound flag (same contract as a10)
+    "a12_group_sketches" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir).groupBy($"l_returnflag")
+        .agg(
+          countDistinct($"l_partkey").as("nd_partkey"),
+          approx_count_distinct($"l_partkey").as("hll_pk"))
+        .select($"l_returnflag", $"nd_partkey",
+          ($"hll_pk" >= $"nd_partkey" * 0.9 && $"hll_pk" <= $"nd_partkey" * 1.1)
+            .cast("int").as("hll_within_10pct"))
+        .orderBy($"l_returnflag")
+    }),
+
     // X4 — temp-view + SQL-text entry point (the reference registers a
     // view but never queries it; we expose the full surface)
     "x4_temp_view_sql" -> ((spark, dir) => {
@@ -733,6 +748,11 @@ object Catalog {
         |  1 AS hll_orderkey_within_10pct,
         |  1 AS p50_within_1pct
         |FROM lineitem""".stripMargin,
+
+    "a12_group_sketches" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd_partkey,
+        |  1 AS hll_within_10pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "r3_hash_sample" ->
       s"""SELECT o_orderkey, o_orderstatus FROM orders

@@ -8,8 +8,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
 /** Optimizer rule for the reference's filter-then-union idiom
   * (SURVEY.md §2.8 U1 / §4 "custom Rule" row):
   *
-  *   df.filter(c === a).union(df.filter(c === b))   [a ≠ b]
-  *     ⇒ df.filter(c.isin(a, b))
+  *   df.filter(c === a).union(df.filter(c === b))…   [pairwise distinct]
+  *     ⇒ df.filter(c.isin(a, b, …))
+  *
+  * N-ary: Spark flattens chained unions into one Union node, so the
+  * idiom with three statuses is a single three-branch Union here.
   *
   * appears in LAB-2022-Standalone-SparkML-CSV-to-MLPCModel-3.ipynb:1824
   * and loanStat-DataproctoBQ.py:301. The rewrite halves the scan count
@@ -67,25 +70,36 @@ object UnionFilterToIsin extends Rule[LogicalPlan]
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case u @ Union(Seq(b1, b2), false, false) =>
-      val pair = (for {
-        m1 <- analyze(b1).iterator
-        m2 <- analyze(b2).iterator
-        if m1.masked.canonicalized == m2.masked.canonicalized &&
-          m1.ordinal == m2.ordinal && m1.lit != m2.lit
-      } yield (m1, m2)).nextOption()
-      pair match {
-        case Some((m1, m2)) =>
-          // keep branch 1, widening its equality to isin(la, lb);
-          // transformUp touches the (Project*/Filter) spine only —
-          // analyze() guaranteed that is the whole branch
-          b1.transformUp {
-            case Filter(cond, child) =>
-              Filter(cond.transform {
-                case e if e.asInstanceOf[AnyRef] eq m1.equality =>
-                  In(m1.attr, Seq(m1.lit, m2.lit))
-              }, child)
-          }
+    // n-ary: Spark flattens chained unions, so the reference idiom with
+    // three statuses arrives as ONE Union of three branches
+    case u @ Union(children, false, false) if children.length >= 2 =>
+      val candidateSets = children.map(analyze)
+      val anchor = candidateSets.head.iterator.flatMap { m1 =>
+        // every other branch must contribute a candidate whose masked
+        // plan and column ordinal match the anchor's
+        val matched = candidateSets.tail.map(_.find(m =>
+          m.masked.canonicalized == m1.masked.canonicalized &&
+            m.ordinal == m1.ordinal))
+        if (matched.forall(_.isDefined)) Some((m1, matched.map(_.get)))
+        else None
+      }.nextOption()
+      anchor match {
+        case Some((m1, rest)) =>
+          val lits = m1.lit +: rest.map(_.lit)
+          // pairwise-distinct literals: a row can satisfy at most one
+          // branch, so bag-union semantics are preserved exactly
+          if (lits.distinct.length == lits.length) {
+            // keep branch 1, widening its equality to isin(l1..ln);
+            // transformUp touches the (Project*/Filter) spine only —
+            // analyze() guaranteed that is the whole branch
+            children.head.transformUp {
+              case Filter(cond, child) =>
+                Filter(cond.transform {
+                  case e if e.asInstanceOf[AnyRef] eq m1.equality =>
+                    In(m1.attr, lits)
+                }, child)
+            }
+          } else u
         case None => u
       }
   }

@@ -90,6 +90,29 @@ class GraftExtensionsSpec extends AnyFunSuite
     assert(unioned.count() == expected)
   }
 
+  test("three-branch chained union rewrites to one isin of all three literals") {
+    import spark.implicits._
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority")
+    val unioned = o.filter($"o_orderpriority" === "1-URGENT")
+      .union(o.filter($"o_orderpriority" === "2-HIGH"))
+      .union(o.filter($"o_orderpriority" === "5-LOW"))
+    val optimized = unioned.queryExecution.optimizedPlan
+    assert(!optimized.toString.contains("Union"),
+      s"flattened 3-branch union should rewrite:\n$optimized")
+    val expected = o.filter($"o_orderpriority"
+      .isin("1-URGENT", "2-HIGH", "5-LOW")).count()
+    assert(unioned.count() == expected)
+    // but a repeated literal anywhere forbids it (bag duplicates)
+    val dup3 = o.filter($"o_orderpriority" === "1-URGENT")
+      .union(o.filter($"o_orderpriority" === "2-HIGH"))
+      .union(o.filter($"o_orderpriority" === "1-URGENT"))
+    assert(dup3.queryExecution.optimizedPlan.toString.contains("Union"))
+    assert(dup3.count() ==
+      2 * o.filter($"o_orderpriority" === "1-URGENT").count() +
+        o.filter($"o_orderpriority" === "2-HIGH").count())
+  }
+
   test("no rewrite when literals are equal (bag union duplicates rows) or children differ") {
     import spark.implicits._
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
