@@ -52,6 +52,14 @@ object CorpusPrepApp {
         df.filter(TextAnalysis.langId(col("text")).isin("en", "und"))),
       Runner.Stage("quality_floor", df =>
         df.filter(TextAnalysis.qualityScore(col("text")) >= 0.3)),
+      Runner.Stage("repetition_cut", df =>
+        // Gopher-style: drop documents dominated by one bigram (>50%)
+        // or with too little vocabulary (<25% distinct tokens)
+        df.join(
+          TextAnalysis.repetitionProfile(df, "doc_id", "text")
+            .filter(col("top_bigram_frac") > 0.5 || col("distinct_ratio") < 0.25)
+            .select("doc_id"),
+          Seq("doc_id"), "left_anti")),
       Runner.Stage("exact_dedup", df => {
         val reps = df.groupBy(md5(col("text")).as("fp"))
           .agg(min(col("doc_id")).as("doc_id"))

@@ -138,6 +138,13 @@ object TextAnalysis {
       .toDF(idCol, "fp")
   }
 
+  /** Remove a stopword list from whitespace-tokenized text (vocabulary
+    * pruning before n-gram/TF-IDF stages). Pure Catalyst (filter +
+    * array_join) — one codegen'd projection, no shuffle.
+    */
+  def removeStopwords(text: Column, words: Seq[String]): Column =
+    array_join(filter(tokens(text), t => !t.isInCollection(words)), " ")
+
   /** Per-document repetition signals (the Gopher-rule family): token
     * count, distinct-token ratio, and dominant-bigram fraction. High
     * bigram dominance / low distinct ratio marks boilerplate and

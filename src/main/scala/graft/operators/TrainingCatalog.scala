@@ -170,6 +170,20 @@ object TrainingCatalog {
         .orderBy(desc("cnt"), col("bigram"))
         .limit(50)),
 
+    // stopword removal (vocabulary pruning): en stopword list dropped,
+    // token counts before/after
+    "t8_stopword_filter" -> ((spark, dir) => {
+      val en = TextAnalysis.stopwords.toMap.apply("en")
+      docs(spark, dir).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_before"),
+        TextAnalysis.removeStopwords(col("text"), en).as("pruned"))
+        .withColumn("n_after",
+          when(col("pruned") === "", lit(0))
+            .otherwise(TextAnalysis.tokenCount(col("pruned"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-doc repetition signals (Gopher-rule family): token count,
     // distinct-token ratio, dominant-bigram fraction
     "t6_repetition" -> ((spark, dir) =>
@@ -398,6 +412,20 @@ object TrainingCatalog {
     "v6_ivf_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    "t8_stopword_filter" -> {
+      val en = TextAnalysis.stopwords.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH pr AS (SELECT doc_id,
+         |    len(string_split(text, ' ')) AS n_before,
+         |    array_to_string(list_filter(string_split(text, ' '),
+         |      t -> t NOT IN ($en)), ' ') AS pruned
+         |  FROM documents)
+         |SELECT doc_id, n_before, pruned,
+         |  CASE WHEN pruned = '' THEN 0
+         |       ELSE len(string_split(pruned, ' ')) END AS n_after
+         |FROM pr ORDER BY doc_id""".stripMargin
+    },
 
     "t6_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
