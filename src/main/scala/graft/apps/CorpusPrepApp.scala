@@ -1,7 +1,7 @@
 package graft.apps
 
 import graft.core.Tables
-import graft.dedup.TextDedup
+import graft.dedup.{Components, TextDedup}
 import graft.functions.TextAnalysis
 import graft.pipeline.Runner
 import graft.sources.{Sinks, Sources}
@@ -21,20 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrepApp {
 
-  /** Near-dup removal: drop the larger id of every candidate pair with
-    * Jaccard ≥ threshold (greedy, keeps the earliest document —
-    * full connected components would need iteration; at curation scale
-    * the greedy rule is the standard choice).
+  /** Near-dup removal: LSH candidates → exact-Jaccard confirm →
+    * connected components over the confirmed pairs → keep the minimum
+    * doc_id of every cluster. Transitive closure (not greedy pairwise
+    * dropping) is what guarantees exactly one survivor per dup CLUSTER:
+    * with a chain a~b, b~c where a–c never became a candidate pair,
+    * greedy would still keep a but drops b and c for the wrong reason
+    * (c's only confirmed twin, b, is itself gone).
     */
   def dropNearDups(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = TextDedup.shingleSets(docs, "doc_id", "text", distinct = true)
     val pairs = TextDedup.candidatePairs(
       TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
       "doc_id")
-    val dupIds = TextDedup.jaccard(pairs, sh, "doc_id")
+    val confirmed = TextDedup.jaccard(pairs, sh, "doc_id")
       .filter(col("jacc") >= threshold)
-      .select(col("b_id").as("doc_id")).distinct()
-    docs.join(dupIds, Seq("doc_id"), "left_anti")
+    val comps = Components.connectedComponents(confirmed, docs, "doc_id")
+    docs.join(Components.representatives(comps, "doc_id"), Seq("doc_id"), "left_semi")
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,111 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a candidate-pair edge list —
+  * the principled "dedup group" operator: after LSH/SimHash produces
+  * near-duplicate PAIRS, transitive closure turns pairs into CLUSTERS
+  * so exactly one representative per cluster survives (pairwise greedy
+  * dropping can orphan chain members; components cannot).
+  *
+  * Algorithm: iterative min-label propagation (the Pregel/GraphX
+  * formulation re-expressed relationally). Each superstep is one
+  * shuffle-light join + map-side-combined `min` aggregation:
+  *
+  *   label(v) <- min(label(v), min over neighbors u of label(u))
+  *
+  * Supersteps needed = graph diameter. Near-dup clusters are stars and
+  * short chains (diameter ≤ a few hops), so convergence is fast; for
+  * adversarially long chains the alternating large-star/small-star
+  * variant (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) converges in O(log n) supersteps — same join+min
+  * building blocks, different edge rewiring — and is the drop-in
+  * upgrade if diameters ever get large.
+  *
+  * Scale notes (the 100 TB shape):
+  *  - the edge list is cached once and reused every superstep; labels
+  *    are `localCheckpoint`ed per superstep so the plan does not grow
+  *    linearly with iterations (on a real cluster with a checkpoint
+  *    dir, prefer reliable `checkpoint` for lineage truncation that
+  *    survives executor loss);
+  *  - each superstep moves only (id, long) pairs through the shuffle —
+  *    no document payloads;
+  *  - convergence is detected with one scalar count per superstep (the
+  *    standard Pregel voting action; nothing else reaches the driver);
+  *  - labels only ever decrease, so the fixpoint is the unique
+  *    per-component minimum id — fully deterministic, oracle-exact
+  *    (DuckDB spells the same fixpoint as a recursive CTE).
+  */
+object Components {
+
+  /** Assign every node its component id = the minimum node id reachable
+    * from it. `pairs` carries undirected edges as (`aCol`, `bCol`);
+    * `nodes` contributes the id universe (so singletons — docs with no
+    * near-dup edge — appear with comp = their own id).
+    *
+    * Returns (`idCol`, "comp") with one row per distinct node.
+    */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                          aCol: String = "a_id", bCol: String = "b_id",
+                          maxIter: Int = 25): DataFrame = {
+    val src = col(aCol).cast("long")
+    val dst = col(bCol).cast("long")
+    val edges = pairs.select(src.as("src"), dst.as("dst"))
+      .union(pairs.select(dst.as("src"), src.as("dst")))
+      .cache() // reused every superstep; lineage (LSH pipeline) is the pricey part
+
+    var labels = nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // gather: min neighbor label per node (map-side partial min)
+      val gathered = edges
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      // apply: labels only decrease
+      val next = labels.join(gathered, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint() // truncate per-superstep lineage
+      changed = next.join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter supersteps " +
+        "(diameter too large — switch to large-star/small-star)")
+    edges.unpersist()
+    labels.withColumnRenamed("id", idCol)
+  }
+
+  /** One representative per component: the minimum id (== the component
+    * label itself). Everything else is a near-duplicate to drop.
+    */
+  def representatives(components: DataFrame, idCol: String): DataFrame =
+    components.filter(col(idCol) === col("comp")).select(idCol)
+
+  // ------------------------------------------------------- DuckDB spelling
+
+  object Sql {
+    /** Recursive-CTE fixpoint of the same component definition. Expects
+      * CTEs `$pairsRel(a_id, b_id)` and `$nodesRel($id)` in scope; yields
+      * a relation (id, comp). The UNION (not UNION ALL) is the fixpoint
+      * dedup that guarantees termination.
+      */
+    def componentsCtes(pairsRel: String, nodesRel: String, id: String): String =
+      s"""edges AS (SELECT a_id AS src, b_id AS dst FROM $pairsRel
+         |  UNION SELECT b_id, a_id FROM $pairsRel),
+         |reach AS (
+         |  SELECT $id AS id, $id AS comp FROM $nodesRel
+         |  UNION
+         |  SELECT e.src AS id, r.comp FROM edges e JOIN reach r ON r.id = e.dst
+         |),
+         |comps AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)""".stripMargin
+  }
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Tables
-import graft.dedup.TextDedup
+import graft.dedup.{Components, TextDedup}
 import graft.functions.TextAnalysis
 import graft.similarity.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -153,6 +153,21 @@ object TrainingCatalog {
           TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
         "doc_id")
       TextDedup.jaccard(pairs, sh, "doc_id").orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // transitive closure of the LSH candidates: dedup GROUPS, not just
+    // pairs — every doc (incl. singletons) labeled with its component
+    // representative (min reachable doc_id)
+    "x9_dedup_groups" -> ((spark, dir) => {
+      val d = docsWithVariants(spark, dir)
+      val pairs = TextDedup.candidatePairs(
+        TextDedup.bandKeys(
+          TextDedup.minhashSignatures(
+            TextDedup.shingleSets(d, "doc_id", "text"), "doc_id"),
+          "doc_id"),
+        "doc_id")
+      Components.connectedComponents(pairs, d, "doc_id")
+        .orderBy(col("doc_id"))
     }),
 
     // simhash bit strings
@@ -327,6 +342,11 @@ object TrainingCatalog {
          |JOIN sz za ON za.doc_id = i.a_id
          |JOIN sz zb ON zb.doc_id = i.b_id
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "x9_dedup_groups" ->
+      s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
+         |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")}
+         |SELECT id AS doc_id, comp FROM comps ORDER BY doc_id""".stripMargin,
 
     "x6_simhash" ->
       s"""SELECT doc_id, simhash FROM ${D.simhashSql("documents", "doc_id", "text")} s

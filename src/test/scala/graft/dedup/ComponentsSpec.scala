@@ -1,0 +1,58 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+    val p = pairs.toDF("a_id", "b_id")
+    val n = nodes.toDF("id")
+    Components.connectedComponents(p, n, "id")
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("chain collapses to its minimum (multi-superstep propagation)") {
+    // 5-4-3-2-1 needs label 1 to travel 4 hops
+    val comps = cc(Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)), (1L to 5L))
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("separate clusters keep separate labels; singletons label themselves") {
+    val comps = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L)), Seq(1L, 2L, 3L, 10L, 11L, 99L))
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("matches brute-force transitive closure on a random-ish graph") {
+    // deterministic pseudo-random edges over 30 nodes
+    val nodes = (0L until 30L)
+    val edges = nodes.flatMap(i => if ((i * 7 + 3) % 5 == 0) Seq((i, (i * 13 + 7) % 30)) else Nil)
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    // brute force: union-find on the driver
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = nodes.map(n => n -> find(n)).toMap
+    assert(cc(edges, nodes) == expected)
+  }
+
+  test("representatives keeps exactly the component minima") {
+    val p = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val n = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val comps = Components.connectedComponents(p, n, "doc_id")
+    val reps = Components.representatives(comps, "doc_id").as[Long].collect().toSet
+    assert(reps == Set(1L, 10L, 99L))
+  }
+
+  test("non-convergence within maxIter fails loudly") {
+    val p = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L)).toDF("a_id", "b_id")
+    val n = (1L to 5L).toDF("id")
+    assertThrows[IllegalArgumentException] {
+      Components.connectedComponents(p, n, "id", maxIter = 2)
+    }
+  }
+}
