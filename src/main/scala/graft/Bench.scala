@@ -44,7 +44,8 @@ object Bench {
       "minhash_lsh" -> (() => Pipelines.minhashLsh(spark, sfDir)),
       "ann_topk" -> (() => Pipelines.annTopK(spark, sfDir)),
       "ann_lsh" -> (() => Pipelines.lshTopK(spark, sfDir)),
-      "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)))
+      "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)),
+      "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)))
 
     // untimed warm-up pass: the first execution of each pipeline pays
     // whole-stage-codegen janino compilation and FS cache misses — on a

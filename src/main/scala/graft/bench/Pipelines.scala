@@ -127,4 +127,31 @@ object Pipelines {
 
   def q1(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Relational.q1Agg(spark, sfDir)
+
+  private val streamRunN = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val streamSrcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** File source wants a directory: expose the single-file fixture via
+    * symlink, staged once per (JVM, sfDir).
+    */
+  private def streamSrc(sfDir: String): String =
+    streamSrcDirs.computeIfAbsent(sfDir, { sf =>
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("bench_stream_src"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"), java.nio.file.Paths.get(s"$sf/events.parquet"))
+      d.toString
+    })
+
+  /** Streaming throughput: drive the full micro-batch machinery — file
+    * source over the events parquet → watermark → tumbling rollup →
+    * memory sink — to completion. Measures the streaming path's
+    * end-to-end rate (state store updates included), not just the
+    * batch-equivalent plan. A fresh sink name per run keeps memory-sink
+    * registrations from colliding across warmup/repeat runs.
+    */
+  def streamRollup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.streaming.EventStream.runToMemory(spark,
+      graft.streaming.EventStream.tumblingCounts(
+        graft.streaming.EventStream.read(spark, streamSrc(sfDir))),
+      s"bench_stream_${streamRunN.incrementAndGet()}")
 }

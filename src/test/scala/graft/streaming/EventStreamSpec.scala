@@ -102,6 +102,27 @@ class EventStreamSpec extends SparkSpec {
     assert(back.except(batch).isEmpty && batch.except(back).isEmpty)
   }
 
+  test("csv stream sink: stream-written file reads back equal to the batch frame") {
+    val src = streamSrcDir("graft_csink_src")
+    val out = java.nio.file.Files.createTempDirectory("graft_csink_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_csink_ckpt").toString
+    val q = EventStream.read(spark, src)
+      .select($"event_id", $"user_id", $"event_type")
+      .writeStream.format("csv")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val back = spark.read.schema(schema).csv(out)
+    val batch = graft.core.Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"event_type")
+    assert(back.count() == batch.count())
+    assert(back.except(batch).isEmpty && batch.except(back).isEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark removes re-delivered events with bounded state") {
     // two symlinks to the same file → every event delivered twice
     val d = java.nio.file.Files.createTempDirectory("graft_stream_dup")
