@@ -155,6 +155,13 @@ object TrainingCatalog {
       TextDedup.jaccard(pairs, sh, "doc_id").orderBy(col("a_id"), col("b_id"))
     }),
 
+    // per-label centroid embeddings (label prototypes): one wide
+    // fixed-point aggregation, unpivoted to (label, dim, centroid, n)
+    "v7_group_centroids" -> ((spark, dir) =>
+      Similarity.groupCentroids(
+        Tables.embeddings(spark, dir), "label", "embedding", dim = 64)
+        .orderBy(col("label"), col("dim"))),
+
     // transitive closure of the LSH candidates: dedup GROUPS, not just
     // pairs — every doc (incl. singletons) labeled with its component
     // representative (min reachable doc_id)
@@ -342,6 +349,10 @@ object TrainingCatalog {
          |JOIN sz za ON za.doc_id = i.a_id
          |JOIN sz zb ON zb.doc_id = i.b_id
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "v7_group_centroids" ->
+      s"""${S.groupCentroids("embeddings", "label", "embedding", 64)}
+         |ORDER BY label, dim""".stripMargin,
 
     "x9_dedup_groups" ->
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,

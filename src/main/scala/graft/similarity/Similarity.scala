@@ -183,6 +183,44 @@ object Similarity {
       .select("a_id", "b_id", "cos_sim")
   }
 
+  /** Per-group centroid (mean embedding) — the building block for
+    * semantic cluster profiling, label prototypes, and IVF re-training.
+    *
+    * Output is long-form (`groupCol`, dim, centroid, n): one row per
+    * (group, dimension), deterministic and hash-friendly.
+    *
+    * Scale shape: ONE wide aggregation — `dim` map-side-combined
+    * partial sums per group; only groups × dim scalars cross the
+    * shuffle (a posexplode → groupBy(group, pos) formulation would
+    * shuffle rows × dim exploded elements instead). The tiny result is
+    * then unpivoted.
+    *
+    * Exactness discipline: a double sum is order-dependent in the last
+    * ulp, and full-precision floats sit on decimal-cast tie boundaries,
+    * so neither a raw sum nor the decimal(18,2) route can hash-match a
+    * foreign engine. Instead each element is quantized to a 1e-9 fixed
+    * point (`floor(x * 1e9)` as int64 — floor, not round: both engines
+    * floor identically while round-half ties differ). The int64 sum is
+    * exact and associative; the final two double divisions are the same
+    * IEEE ops on identical operands in both engines. Quantization bias
+    * is ≤ 1e-9 per element — documented, deterministic, and 7 orders
+    * below the fixture's float precision. Headroom: |x| ≤ 1 ⇒ int64
+    * overflows only past ~9e9 rows per group; guard or rescale there.
+    */
+  def groupCentroids(emb: DataFrame, groupCol: String, vecCol: String,
+                     dim: Int): DataFrame = {
+    val scale = 1e9
+    val sums = (1 to dim).map(d =>
+      sum(floor(element_at(col(vecCol), d).cast("double") * lit(scale))).as(s"s_$d"))
+    val aggs = sums :+ count(lit(1)).as("n")
+    val agg = emb.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val unpivot = (1 to dim).map(d => struct(
+      lit(d).as("dim"),
+      (col(s"s_$d").cast("double") / lit(scale) / col("n").cast("double")).as("centroid")))
+    agg.select(col(groupCol), col("n"), explode(array(unpivot: _*)).as("dc"))
+      .select(col(groupCol), col("dc.dim"), col("dc.centroid"), col("n"))
+  }
+
   // ------------------------------------------------------- DuckDB spellings
 
   object Sql {
@@ -192,5 +230,16 @@ object Similarity {
       s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
     def signBucket(e: String, dims: Seq[Int]): String =
       dims.map(d => s"CASE WHEN $e[${d + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+    /** Same fixed-point centroid as [[Similarity.groupCentroids]] —
+      * identical quantization, sum, and division order.
+      */
+    def groupCentroids(src: String, group: String, vec: String, dim: Int): String =
+      s"""SELECT $group, CAST(d.dim AS INTEGER) AS dim,
+         |  CAST(SUM(CAST(FLOOR(CAST($vec[d.dim] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+         |    / 1000000000.0 / CAST(COUNT(*) AS DOUBLE) AS centroid,
+         |  COUNT(*) AS n
+         |FROM $src CROSS JOIN (SELECT unnest(generate_series(1, $dim)) AS dim) d
+         |GROUP BY $group, d.dim""".stripMargin
   }
 }

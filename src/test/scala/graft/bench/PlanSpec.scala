@@ -67,6 +67,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("groupCentroids: one exchange, partial map-side sums (no explode before shuffle)") {
+    val df = graft.similarity.Similarity.groupCentroids(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"), "label", "embedding", dim = 64)
+    val plan = planOf(df)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected exactly one shuffle, got $exchanges:\n$plan")
+    assert(plan.contains("partial_sum"), "centroid sums not map-side combined")
+    // the unpivot explode must sit ABOVE the aggregation (tiny side),
+    // not below it (which would shuffle rows × dim)
+    val genIdx = plan.linesIterator.indexWhere(_.contains("Generate"))
+    val aggIdx = plan.linesIterator.indexWhere(_.contains("HashAggregate"))
+    assert(genIdx >= 0 && aggIdx > genIdx,
+      s"explode must be above the aggregate in the plan:\n$plan")
+  }
+
   test("etl upstream: casts/cleansers stay native (no UDF in plan)") {
     val csv = Pipelines.stageLoanCsv(spark, sf0001)
     val plan = planOf(Pipelines.etlUpstream(spark, csv))

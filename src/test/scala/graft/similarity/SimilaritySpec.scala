@@ -83,6 +83,21 @@ class SimilaritySpec extends SparkSpec {
     assert(partial.count() <= 3)
   }
 
+  test("groupCentroids: exact mean within 1e-9 quantization, incl. negatives") {
+    val emb = Seq(
+      (1, Seq(1.0f, -2.0f)), (1, Seq(3.0f, -4.0f)), // centroid (2, -3)
+      (2, Seq(0.5f, 0.25f))                         // singleton: itself
+    ).toDF("label", "embedding")
+    val rows = Similarity.groupCentroids(emb, "label", "embedding", dim = 2)
+      .select($"label", $"dim", $"centroid", $"n")
+      .as[(Int, Int, Double, Long)].collect()
+      .map { case (l, d, c, n) => (l, d) -> (c, n) }.toMap
+    assert(math.abs(rows((1, 1))._1 - 2.0) <= 1e-9 && rows((1, 1))._2 == 2)
+    assert(math.abs(rows((1, 2))._1 - -3.0) <= 1e-9)
+    assert(math.abs(rows((2, 1))._1 - 0.5) <= 1e-9 && rows((2, 1))._2 == 1)
+    assert(math.abs(rows((2, 2))._1 - 0.25) <= 1e-9)
+  }
+
   test("nearDupPairs finds only the colinear pair at 0.999") {
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "embedding", 0.999, Seq(0, 1))
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
