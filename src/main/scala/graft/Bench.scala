@@ -42,6 +42,7 @@ object Bench {
       "q1_agg" -> (() => Pipelines.q1(spark, sfDir)),
       "join_agg" -> (() => Pipelines.joinAgg(spark, sfDir)),
       "minhash_lsh" -> (() => Pipelines.minhashLsh(spark, sfDir)),
+      "dedup_groups" -> (() => Pipelines.dedupGroups(spark, sfDir)),
       "ann_topk" -> (() => Pipelines.annTopK(spark, sfDir)),
       "ann_lsh" -> (() => Pipelines.lshTopK(spark, sfDir)),
       "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)),

@@ -104,6 +104,16 @@ object Pipelines {
       "doc_id")
   }
 
+  /** Full near-dedup: LSH candidates → transitive closure → one label
+    * per document (the operator chain CorpusPrepApp runs; supersteps
+    * dominate — each is a job, so this measures iteration overhead too).
+    */
+  def dedupGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    graft.dedup.Components.connectedComponents(
+      minhashLsh(spark, sfDir), docs, "doc_id")
+  }
+
   def annTopK(spark: SparkSession, sfDir: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir),
       "vec_id", "embedding", AnnQueryIds, AnnK)

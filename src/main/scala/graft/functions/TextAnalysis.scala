@@ -194,6 +194,42 @@ object TextAnalysis {
           + lit(1.0)), 6).as("tfidf"))
   }
 
+  /** Per-document mean unigram log-probability — the CCNet-style LM
+    * quality signal: score(doc) = mean over tokens of ln p(token),
+    * with p trained on the corpus itself (every token is in-vocabulary
+    * by construction, so no smoothing is needed). Low scores mark
+    * rare-token noise; implausibly high scores mark boilerplate.
+    *
+    * Scale shape: token counts and the (token → corpus count) join are
+    * both term-keyed shuffles (vocabulary can exceed broadcast size);
+    * the corpus total rides in as a broadcast single-row cross join;
+    * the per-doc reduction is a map-side-combined int64 sum.
+    *
+    * Exactness discipline: ln is transcendental (libm results can
+    * differ in the last ulp across engines) and the per-doc sum is
+    * order-dependent in doubles, so each token's log-prob is quantized
+    * once — floor(ln(p) · 1e6) as int64 — and summed exactly; the mean
+    * is two IEEE double divisions on identical operands. Quantization
+    * bias ≤ 1e-6 per token on a signal with O(1) useful resolution.
+    */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.TextDedup
+    val scale = 1e6
+    val toks = TextDedup.shingleSets(df, idCol, textCol, k = 1, distinct = false)
+      .withColumnRenamed("shingle", "tok")
+    val cnt = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(cnt, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp_q",
+        floor(log(col("cnt").cast("double") / col("n_total").cast("double")) * lit(scale)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("lp_q")).cast("double") / lit(scale) / count(lit(1)).cast("double"))
+          .as("mean_logprob"))
+  }
+
   // ------------------------------------------------------- DuckDB spellings
 
   /** SQL fragments mirroring the expressions above, used to build

@@ -155,6 +155,11 @@ object TrainingCatalog {
       TextDedup.jaccard(pairs, sh, "doc_id").orderBy(col("a_id"), col("b_id"))
     }),
 
+    // unigram LM quality signal: mean token log-probability per doc
+    "t9_unigram_lm" -> ((spark, dir) =>
+      TextAnalysis.unigramLogProb(docs(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // per-label centroid embeddings (label prototypes): one wide
     // fixed-point aggregation, unpivoted to (label, dim, centroid, n)
     "v7_group_centroids" -> ((spark, dir) =>
@@ -349,6 +354,17 @@ object TrainingCatalog {
          |JOIN sz za ON za.doc_id = i.a_id
          |JOIN sz zb ON zb.doc_id = i.b_id
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "t9_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |lp AS (SELECT t.doc_id,
+        |    CAST(FLOOR(ln(CAST(c.cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp_q
+        |  FROM tok t JOIN cnt c USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "v7_group_centroids" ->
       s"""${S.groupCentroids("embeddings", "label", "embedding", 64)}

@@ -75,6 +75,19 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "a", 1L, 2L, 1.0), (2L, "c", 1L, 1L, rare)))
   }
 
+  test("unigramLogProb golden values (quantized mean token log-prob)") {
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus: a,a,b,b,c → N=5; p(a)=p(b)=0.4, p(c)=0.2
+    def q(p: Double): Long = math.floor(math.log(p) * 1e6).toLong
+    val exp1 = (3 * q(0.4)).toDouble / 1e6 / 3.0
+    val exp2 = (q(0.4) + q(0.2)).toDouble / 1e6 / 2.0
+    val r = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 3L, exp1), (2L, 2L, exp2)))
+    // common-token doc scores higher than rare-token doc
+    assert(exp1 > exp2)
+  }
+
   test("normalized fingerprint is case/whitespace invariant; raw is not") {
     val a = one(TextAnalysis.normalizedFingerprint(col("t")), "Hello  World")
     val b = one(TextAnalysis.normalizedFingerprint(col("t")), "hello world ")
