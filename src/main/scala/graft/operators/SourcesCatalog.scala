@@ -58,6 +58,18 @@ object SourcesCatalog {
       Sources.parquet(spark, out).orderBy(col("c_custkey"))
     }),
 
+    // XML round-trip (native Spark 4 datasource): explicit schema on
+    // read — XML carries no types, so schema-on-read is the contract.
+    // Columns arrive alphabetized by the XML reader; reorder + sort to
+    // the fixture shape.
+    "s10_xml_roundtrip" -> ((spark, dir) => {
+      val out = tmp("xml")
+      Sinks.xml(Tables.customer(spark, dir), out)
+      Sources.xml(spark, out, schema = Some(customerSchema))
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    }),
+
     // S3: DROPMALFORMED silently drops short/unparseable rows
     "s3_malformed_policy" -> ((spark, dir) => {
       val d = tmp("bad")
@@ -125,6 +137,10 @@ object SourcesCatalog {
 
     "s9_parquet_roundtrip" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+
+    "s10_xml_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "s3_malformed_policy" ->
       """SELECT * FROM (VALUES (1, 1.5, 'alpha'), (5, 4.5, 'epsilon')) t(k, v, name)

@@ -52,6 +52,16 @@ object Sources {
 
   def jdbc(spark: SparkSession, options: Map[String, String]): DataFrame =
     spark.read.format("jdbc").options(options).load()
+
+  /** XML scan (native in Spark 4). Explicit schema for the same
+    * no-extra-scan reason as CSV/JSONL; `rowTag` selects the record
+    * element.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String = "row",
+          schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.format("xml").option("rowTag", rowTag)
+    schema.map(r.schema).getOrElse(r).load(path)
+  }
 }
 
 /** Output surface (SURVEY.md §2.1 S8–S10). */
@@ -82,6 +92,13 @@ object Sinks {
   def orc(df: DataFrame, path: String,
           mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).orc(path)
+
+  /** XML sink (native in Spark 4) — the legacy-feed wire format an
+    * enterprise migration still has to emit/ingest.
+    */
+  def xml(df: DataFrame, path: String, rowTag: String = "row",
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("xml").option("rowTag", rowTag).save(path)
 
   /** Bucketed catalog table: co-locates data on the bucket columns so
     * equi-joins/aggregations on them need NO shuffle (SURVEY.md §4
