@@ -493,6 +493,37 @@ object Catalog {
         .select($"o_custkey", $"m.o_totalprice".as("best_price"),
           $"m.o_orderkey".as("best_order"))
         .orderBy($"o_custkey")
+    }),
+
+    // W3 — distribution window functions: ntile bucketing, percent_rank,
+    // cume_dist. Order is tie-broken by the unique key so every function
+    // is deterministic; the ratios are single IEEE divisions of exact
+    // ints, identical in any engine (no rounding needed).
+    "w3_distribution" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.customer(spark, dir).select(
+        $"c_custkey", $"c_mktsegment", $"c_acctbal",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+        .orderBy($"c_mktsegment", $"c_acctbal".desc, $"c_custkey")
+    }),
+
+    // G3 — unpivot/melt: wide metric columns to long (metric, value)
+    // rows — the normalization step before per-metric aggregation. A
+    // pure projection+generate (no shuffle); the oracle is the UNION ALL
+    // spelling of the same relation.
+    "g3_unpivot" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "metric", "value")
+        .orderBy($"l_orderkey", $"l_linenumber", $"metric")
     })
   )
 
@@ -774,6 +805,22 @@ object Catalog {
         |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).p AS best_price,
         |  (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS best_order
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "w3_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin,
+
+    "g3_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "w2_running" ->
       """SELECT o_custkey, o_orderkey,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.Tables
-import graft.sources.{LogParser, Sinks, Sources}
+import graft.sources.{Layout, LogParser, Sinks, Sources}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -68,6 +68,37 @@ object SourcesCatalog {
       Sources.xml(spark, out, schema = Some(customerSchema))
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .orderBy(col("c_custkey"))
+    }),
+
+    // Hive-partitioned layout: write orders partitioned by derived
+    // o_year (compacted: one file per partition dir), read back with a
+    // partition filter — the scan prunes whole directories at planning
+    // time (LayoutSpec audits PartitionFilters + file counts). Oracle is
+    // the same filter expressed over the unpartitioned fixture.
+    "s11_partition_prune" -> ((spark, dir) => {
+      val out = tmp("part")
+      Layout.compactedPartitionedParquet(
+        Tables.orders(spark, dir).withColumn("o_year", year(col("o_orderdate"))),
+        out, Seq("o_year"))
+      Sources.parquet(spark, out)
+        .filter(col("o_year") === 1997)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority", "o_year")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Range-clustered layout: files carry disjoint [min,max] on the
+    // cluster column so parquet footer stats skip whole files for range
+    // predicates (LayoutSpec proves disjointness). The oracle is the
+    // same range filter over the fixture — layout must not change
+    // results, only the files a scan opens.
+    "s12_range_cluster" -> ((spark, dir) => {
+      val out = tmp("range")
+      Layout.rangeClusteredParquet(Tables.orders(spark, dir), out,
+        "o_totalprice", files = 8)
+      Sources.parquet(spark, out)
+        .filter(col("o_totalprice") >= 100000.0 && col("o_totalprice") < 200000.0)
+        .orderBy(col("o_orderkey"))
     }),
 
     // S3: DROPMALFORMED silently drops short/unparseable rows
@@ -141,6 +172,18 @@ object SourcesCatalog {
     "s10_xml_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "s11_partition_prune" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority,
+        |       CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s12_range_cluster" ->
+      """SELECT * FROM orders
+        |WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "s3_malformed_policy" ->
       """SELECT * FROM (VALUES (1, 1.5, 'alpha'), (5, 4.5, 'epsilon')) t(k, v, name)

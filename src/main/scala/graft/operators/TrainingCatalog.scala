@@ -282,6 +282,26 @@ object TrainingCatalog {
           countDistinct(col("query_id")).as("n_queries"),
           (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
             >= 0.5).cast("int").as("recall_ge_50"))
+    }),
+
+    // Int8-quantized ANN recall audit: recall@5 of the 4×-compressed
+    // scan vs exact float brute force must clear 0.8 (int8 cosine error
+    // with 64 dims is ~1e-2, so ranks rarely flip; measured 1.0 at
+    // sf0.001 and sf0.01). Same oracle contract as v6.
+    "v8_int8_recall" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val int8 = Similarity.int8TopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(int8.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.8).cast("int").as("recall_ge_80"))
     })
   )
 
@@ -458,6 +478,10 @@ object TrainingCatalog {
 
     "v6_ivf_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    "v8_int8_recall" ->
+      s"""SELECT count(*) AS n_queries, 1 AS recall_ge_80
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 
     "t8_stopword_filter" -> {

@@ -167,6 +167,47 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Int8 symmetric per-vector quantization: q = round(x·127 / max|x|),
+    * stored as `array<tinyint>` plus a per-vector double scale — 4× less
+    * memory and bandwidth than float32. The 100 TB point: ANN candidate
+    * scans are memory-bandwidth-bound, so int8 quadruples the corpus an
+    * executor streams per second and the vectors one broadcast batch can
+    * carry. Cosine needs no de-quantization at all — the per-vector
+    * scales cancel in the ratio; the scale column exists for raw
+    * dot-product consumers.
+    */
+  def quantizeInt8(emb: DataFrame, vecCol: String,
+                   qVecCol: String = "qvec", scaleCol: String = "qscale"): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
+    emb.withColumn(scaleCol,
+        when(maxAbs > 0, maxAbs / lit(127.0)).otherwise(lit(1.0)))
+      .withColumn(qVecCol,
+        transform(col(vecCol),
+          x => round(x.cast("double") / col(scaleCol)).cast("tinyint")))
+  }
+
+  /** ANN top-k over the int8-quantized corpus: identical contract to
+    * [[bruteForceTopK]], scores computed on quantized vectors (cast to
+    * double inside the codegen'd projection — int8 values are exactly
+    * representable, so the fold is deterministic). Recall vs the float
+    * baseline is gated in `v8_int8_recall` / SimilaritySpec.
+    */
+  def int8TopK(emb: DataFrame, idCol: String, vecCol: String,
+               queryIds: Seq[Long], k: Int): DataFrame = {
+    val qz = quantizeInt8(emb, vecCol)
+    val q = qz.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"),
+        col("qvec").cast("array<double>").as("q_vec"))
+      .withColumn("q_nrm", l2norm(col("q_vec")))
+    val c = qz.select(col(idCol).as("neighbor_id"),
+        col("qvec").cast("array<double>").as("c_vec"))
+      .withColumn("c_nrm", l2norm(col("c_vec")))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
+    topK(scored, k)
+  }
+
   /** Near-duplicate pairs by embedding cosine within LSH buckets. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dims: Seq[Int]): DataFrame = {

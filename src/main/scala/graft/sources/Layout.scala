@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Physical table layout for the lake (SURVEY.md §4 partitioning row;
+  * beyond the reference, which only ever rewrites whole files).
+  *
+  * At 100 TB the dominant cost of most queries is the scan, and the
+  * three layout levers below are how a scan avoids reading data at all:
+  *
+  *  1. '''Hive-style partitioning''' — partition values become
+  *     directory keys, so a filter on the partition column prunes whole
+  *     directories at PLANNING time (`PartitionFilters` in the scan
+  *     node); pruned files are never opened, never even listed into
+  *     tasks.
+  *  2. '''Compaction''' — a naive partitioned write emits
+  *     (#tasks × #partition-values) files; hash-repartitioning ON the
+  *     partition columns first routes each partition value to exactly
+  *     one task, so each directory gets one file. Millions of small
+  *     files are a real 1000-executor killer (driver listing +
+  *     NameNode/manifest pressure + per-file open cost).
+  *  3. '''Range clustering''' — `repartitionByRange` +
+  *     `sortWithinPartitions` yields files with DISJOINT min/max on the
+  *     cluster column; parquet footer stats then let any range
+  *     predicate skip whole files (row-group pruning), which is the
+  *     poor-man's z-order for a single sort dimension.
+  */
+object Layout {
+
+  /** Hive-style partitioned parquet write. Partition columns must be
+    * low-cardinality (dates, regions, sources) — each distinct value is
+    * a directory.
+    */
+  def partitionedParquet(df: DataFrame, path: String,
+                         partitionCols: Seq[String],
+                         mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Partitioned write with small-file control: one file per partition
+    * directory (each partition value hashes to one task), with
+    * `maxRecordsPerFile` as the safety valve against a runaway hot
+    * partition. The repartition is a shuffle — that's the deliberate
+    * price, paid once at write time, for every later scan listing
+    * O(#partitions) files instead of O(#tasks × #partitions).
+    */
+  def compactedPartitionedParquet(df: DataFrame, path: String,
+                                  partitionCols: Seq[String],
+                                  maxRecordsPerFile: Long = 0L,
+                                  mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val cols: Seq[Column] = partitionCols.map(col)
+    df.repartition(cols: _*)
+      .write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*).parquet(path)
+  }
+
+  /** Range-clustered parquet: `files` output files with disjoint
+    * [min,max] on `clusterCol`, so parquet stats skip whole files for
+    * range predicates. Sampling for the range boundaries is one extra
+    * pass over a sample (Spark's RangePartitioner), amortized across
+    * every later scan.
+    */
+  def rangeClusteredParquet(df: DataFrame, path: String, clusterCol: String,
+                            files: Int,
+                            mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartitionByRange(files, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode(mode).parquet(path)
+}

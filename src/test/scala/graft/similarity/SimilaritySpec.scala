@@ -103,4 +103,36 @@ class SimilaritySpec extends SparkSpec {
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 4L))) // (0,1)/(1,4) sit at cos ≈ 0.9939, below 0.999
   }
+
+  test("quantizeInt8: values in [-127,127], scale inverts within half a step") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001).limit(100)
+    val qz = Similarity.quantizeInt8(emb, "embedding")
+    val bad = qz.select(explode(arrays_zip($"embedding", $"qvec")).as("z"), $"qscale")
+      .select($"z.embedding".cast("double").as("x"),
+        $"z.qvec".cast("double").as("q"), $"qscale")
+      .filter(abs($"q") > 127 || abs($"q" * $"qscale" - $"x") > $"qscale" * 0.5 + lit(1e-12))
+    assert(bad.isEmpty, s"quantization out of bounds: ${bad.head(3).mkString(",")}")
+  }
+
+  test("int8 cosine tracks float cosine within 0.02 on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001).limit(60).cache()
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(0L, 1L), k = 20)
+      .select($"query_id", $"neighbor_id", $"cos_sim".as("c_f"))
+    val quant = Similarity.int8TopK(emb, "vec_id", "embedding", Seq(0L, 1L), k = 20)
+      .select($"query_id", $"neighbor_id", $"cos_sim".as("c_q"))
+    val joined = exact.join(quant, Seq("query_id", "neighbor_id"))
+    val maxErr = joined.agg(max(abs($"c_f" - $"c_q"))).as[Double].head()
+    assert(maxErr <= 0.02, s"int8 cosine drifted: $maxErr")
+  }
+
+  test("int8TopK recall@5 vs float brute force is high") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001).cache()
+    val ids = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", ids, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val int8 = Similarity.int8TopK(emb, "vec_id", "embedding", ids, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val hits = brute.intersect(int8).count()
+    assert(hits >= 20, s"recall@5 too low: $hits/25") // ≥ 0.8
+  }
 }

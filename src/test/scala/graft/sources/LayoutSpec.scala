@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core.{Staging, Tables}
+import org.apache.spark.sql.functions._
+
+/** Layout audits: the properties that make a 100 TB scan cheap —
+  * directory pruning from partition filters, one file per partition
+  * directory, and disjoint per-file ranges for stats-based skipping.
+  */
+class LayoutSpec extends SparkSpec {
+
+  private def listFiles(dir: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+  }
+
+  test("partitioned write prunes directories at planning time") {
+    val out = Staging.tmpDir("layout_prune")
+    Layout.compactedPartitionedParquet(
+      Tables.orders(spark, sf0001).withColumn("o_year", year(col("o_orderdate"))),
+      out, Seq("o_year"))
+
+    val years = listFiles(out).map(_.getParentFile.getName).distinct
+    assert(years.forall(_.startsWith("o_year=")), s"not hive layout: $years")
+
+    val pruned = spark.read.parquet(out).filter(col("o_year") === 1997)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("o_year"),
+      s"partition filter not recognized:\n$plan")
+    // the scan must touch only the matching directory's file(s)
+    val touched = pruned.select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.forall(_.contains("o_year=1997")),
+      s"scan read outside the pruned partition: ${touched.mkString(",")}")
+    assert(listFiles(out).size > touched.length, "pruning had nothing to prune")
+  }
+
+  test("compacted partitioned write emits one file per partition directory") {
+    val out = Staging.tmpDir("layout_compact")
+    Layout.compactedPartitionedParquet(
+      Tables.orders(spark, sf0001).withColumn("o_year", year(col("o_orderdate"))),
+      out, Seq("o_year"))
+    val perDir = listFiles(out).groupBy(_.getParentFile.getName).view.mapValues(_.size)
+    assert(perDir.values.forall(_ == 1),
+      s"small-file control failed, files per dir: ${perDir.toMap}")
+  }
+
+  test("range-clustered files have disjoint [min,max] on the cluster column") {
+    val out = Staging.tmpDir("layout_range")
+    Layout.rangeClusteredParquet(Tables.orders(spark, sf0001), out,
+      "o_totalprice", files = 4)
+    assert(listFiles(out).size == 4)
+
+    val ranges = spark.read.parquet(out)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .collect().map(r => (r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: $ranges")
+      case _ =>
+    }
+    // layout is lossless
+    assert(spark.read.parquet(out).count() == Tables.orders(spark, sf0001).count())
+  }
+}
