@@ -524,6 +524,50 @@ object Catalog {
           Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
           "metric", "value")
         .orderBy($"l_orderkey", $"l_linenumber", $"metric")
+    }),
+
+    // MU1 — MERGE/upsert: a CDC batch (deterministically derived — key%100
+    // rows repriced ×2, key%500 rows reinserted under shifted keys)
+    // overlays the base table. ×2 is an exact IEEE scaling, so values
+    // hash-match any engine.
+    "mu1_merge_upsert" -> ((spark, dir) => {
+      import spark.implicits._
+      val base = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val updates = base.filter($"o_orderkey" % 100 === 0)
+        .select($"o_orderkey", lit("U").as("o_orderstatus"),
+          ($"o_totalprice" * 2).as("o_totalprice"))
+        .unionByName(base.filter($"o_orderkey" % 500 === 0)
+          .select(($"o_orderkey" + 10000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), lit(1.0).as("o_totalprice")))
+      Warehouse.upsert(base, updates, Seq("o_orderkey"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // SC1 — SCD2 interval derivation over the event stream: per-user
+    // event_type changes become [valid_from, valid_to) rows; micros
+    // longs + event_id tiebreak keep the ordering engine-exact
+    "sc1_scd2" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
+      Warehouse.scd2(ev, keys = Seq("user_id"), tsCol = "ts_us",
+        orderCols = Seq($"ts_us", $"event_id"), stateCol = "event_type")
+        .select($"user_id", $"event_type", $"valid_from", $"valid_to", $"is_current")
+        .orderBy($"user_id", $"valid_from")
+    }),
+
+    // E5 — schema'd JSON parse: from_json with an explicit schema stays
+    // in codegen and yields one typed struct per row (e2's
+    // get_json_object re-parses the document per extracted path)
+    "e5_json_schema" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      Tables.events(spark, dir)
+        .select($"event_id",
+          from_json($"props", StructType(Seq(StructField("k", IntegerType)))).as("p"))
+        .select($"event_id", $"p.k".as("k_val"))
+        .orderBy($"event_id")
     })
   )
 
@@ -694,6 +738,10 @@ object Catalog {
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val, COUNT(*) AS cnt
         |FROM events GROUP BY k_val ORDER BY k_val""".stripMargin,
 
+    "e5_json_schema" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "x4_temp_view_sql" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
@@ -821,6 +869,30 @@ object Catalog {
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "mu1_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, 'N', 1.0 FROM base WHERE o_orderkey % 500 = 0)
+        |SELECT b.o_orderkey, b.o_orderstatus, b.o_totalprice FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |UNION ALL SELECT * FROM upd
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sc1_scd2" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    event_id, event_type FROM events),
+        |ch AS (SELECT *, LAG(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM ev),
+        |c2 AS (SELECT user_id, ts_us, event_id, event_type FROM ch
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts_us AS valid_from,
+        |  LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
+        |  LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS is_current
+        |FROM c2 ORDER BY user_id, valid_from""".stripMargin,
 
     "w2_running" ->
       """SELECT o_custkey, o_orderkey,

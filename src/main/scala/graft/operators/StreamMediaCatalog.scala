@@ -37,6 +37,22 @@ object StreamMediaCatalog {
       feats.toDF().select(
         Seq(col("doc_id"), col("width"), col("height")) ++ fCols: _*)
         .orderBy(col("doc_id"))
+    }),
+
+    // stream-stream interval join (watermarked both sides, time-bounded
+    // predicate ⇒ bounded state); inner-join matches emit per
+    // micro-batch, so the static-dir run must equal the batch join the
+    // oracle spells independently
+    "e6_stream_join" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_ss"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val joined = EventStream.purchaseClickJoin(EventStream.read(spark, d.toString))
+      EventStream.runToMemory(spark, joined,
+        s"stream_ss_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("purchase_id"), col("click_id"))
     })
   )
 
@@ -55,6 +71,16 @@ object StreamMediaCatalog {
          |  CAST(n_chars % 480 AS INTEGER) AS height,
          |  $fs
          |FROM documents ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "e6_stream_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+        |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.us >= p.us - 600000000 AND c.us <= p.us
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

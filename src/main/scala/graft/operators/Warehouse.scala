@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators the reference's MSSQL/BigQuery loads
+  * imply but never implement (it only ever full-overwrites —
+  * LAB-2022-Standalone-SparkETL-CSV-to-MSSQL-Copy3.ipynb cell 45 uses
+  * mode("overwrite")): keyed MERGE/upsert and SCD2 interval derivation.
+  * Both are plain relational plans, so Catalyst keeps pushdown/AQE.
+  */
+object Warehouse {
+
+  /** MERGE (upsert): rows of `updates` win over `base` on `keys`;
+    * unmatched update rows are inserts. Expressed as anti-join + union,
+    * which at 100 TB is the right shape: the anti-join broadcasts
+    * whenever `updates` is small (the common CDC batch case — AQE picks
+    * this up from runtime stats), so the base table is never shuffled,
+    * and the union is purely logical (no data movement).
+    *
+    * Schemas must align (`unionByName`); project both sides first.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(updates)
+
+  /** SCD2 interval derivation: collapse a keyed change stream into
+    * `[valid_from, valid_to)` dimension rows. Consecutive rows with the
+    * same `stateCol` value are merged; `valid_to` is NULL on the
+    * current row (`is_current`).
+    *
+    * Both windows share one partitioning+ordering, so the whole
+    * derivation is a single shuffle and a single sort per partition —
+    * the natural shape for billions of rows per day keyed by entity.
+    * Ordering must be made deterministic by the caller via `orderCols`
+    * (include a unique tie-break column).
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], tsCol: String,
+           orderCols: Seq[Column], stateCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(orderCols: _*)
+    changes
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> col(stateCol)))
+      .drop("__prev")
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+}

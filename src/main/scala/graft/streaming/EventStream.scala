@@ -58,6 +58,31 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join: each purchase is joined to the same
+    * user's clicks in the preceding `before` interval. Both sides carry
+    * watermarks AND the join condition bounds c_ts relative to p_ts, so
+    * Spark can evict click-side state once the watermark passes the
+    * interval — the state stays bounded by (watermark + interval) of
+    * traffic, independent of stream length. Without the time-bound
+    * predicate a stream-stream inner join would buffer one side forever.
+    */
+  def purchaseClickJoin(events: DataFrame, before: String = "10 minutes",
+                        watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $before") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("click_id"))
+  }
+
   /** Run a streaming frame to completion against a memory sink and
     * return the materialized table (drives the whole micro-batch
     * machinery; used by the verify gate and tests).

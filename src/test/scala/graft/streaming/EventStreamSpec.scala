@@ -57,6 +57,26 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    val d = streamSrcDir("graft_stream_ss")
+    val joined = EventStream.purchaseClickJoin(EventStream.read(spark, d))
+    val got = EventStream.runToMemory(spark, joined, "spec_ss_join",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, Long, Long)].collect().toSet
+
+    val ev = graft.core.Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"us".as("p_us"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("cu"), $"us".as("c_us"))
+    val want = p.join(c, $"user_id" === $"cu" &&
+        $"c_us" >= $"p_us" - 600000000L && $"c_us" <= $"p_us")
+      .select($"purchase_id", $"user_id", $"click_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("parquet file sink with checkpoint: restart does not duplicate output") {
     val src = streamSrcDir("graft_fsink_src")
     val out = java.nio.file.Files.createTempDirectory("graft_fsink_out").toString
