@@ -59,4 +59,24 @@ object Profiler {
   def groupCount(df: DataFrame, keys: String*): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
       .orderBy(keys.map(col): _*)
+
+  /** O5 — the reference's `describe().toPandas().transpose()` report
+    * (LAB-2022-Standalone-SparkML-CSV-to-MLPCModel-3.ipynb cell 31) as
+    * a driver-side formatter: one row per COLUMN, stats across. The
+    * aggregation itself is distributed (`describe`); only the tiny
+    * (columns × 5) result is collected and pivoted on the driver.
+    */
+  def describeTransposed(df: DataFrame, cols: String*): String = {
+    val d = (if (cols.nonEmpty) df.describe(cols: _*) else df.describe()).collect()
+    val stats = d.map(_.getString(0))                  // count/mean/stddev/min/max
+    val names = (if (cols.nonEmpty) cols else df.columns.toSeq).toIndexedSeq
+    val header = "column" +: stats.toIndexedSeq
+    val rows = names.zipWithIndex.map { case (c, i) =>
+      c +: stats.indices.map(s => Option(d(s).getString(i + 1)).getOrElse("null")).toIndexedSeq
+    }
+    val widths = (header +: rows).transpose.map(_.map(_.length).max)
+    ((header +: rows) map { r =>
+      r.zip(widths).map { case (v, w) => v.padTo(w, ' ') }.mkString("  ")
+    }).mkString("\n")
+  }
 }
