@@ -101,6 +101,18 @@ object SourcesCatalog {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Z-order layout: 2-D box query over the z-clustered copy — layout
+    // must not change results (LayoutSpec proves both dims' per-file
+    // spans narrow, i.e. the skipping actually works)
+    "s13_zorder_box" -> ((spark, dir) => {
+      val out = tmp("zorder")
+      Layout.zOrderClusteredParquet(Tables.orders(spark, dir), out,
+        "o_custkey", "o_totalprice", files = 16)
+      Sources.parquet(spark, out)
+        .filter(col("o_custkey") <= 300 && col("o_totalprice") <= 150000.0)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // S3: DROPMALFORMED silently drops short/unparseable rows
     "s3_malformed_policy" -> ((spark, dir) => {
       val d = tmp("bad")
@@ -183,6 +195,11 @@ object SourcesCatalog {
     "s12_range_cluster" ->
       """SELECT * FROM orders
         |WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "s13_zorder_box" ->
+      """SELECT * FROM orders
+        |WHERE o_custkey <= 300 AND o_totalprice <= 150000.0
         |ORDER BY o_orderkey""".stripMargin,
 
     "s3_malformed_policy" ->

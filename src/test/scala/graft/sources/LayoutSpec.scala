@@ -65,4 +65,37 @@ class LayoutSpec extends SparkSpec {
     // layout is lossless
     assert(spark.read.parquet(out).count() == Tables.orders(spark, sf0001).count())
   }
+
+  test("z-order clustering narrows per-file spans on BOTH dimensions") {
+    val out = Staging.tmpDir("layout_z")
+    val orders = Tables.orders(spark, sf0001)
+    Layout.zOrderClusteredParquet(orders, out, "o_custkey", "o_totalprice",
+      files = 16)
+    assert(listFiles(out).size == 16)
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count(), "z-order layout must be lossless")
+
+    val g = orders.agg(
+      min("o_custkey").cast("double"), max("o_custkey").cast("double"),
+      min("o_totalprice"), max("o_totalprice")).head()
+    val (cLo, cHi, pLo, pHi) = (g.getDouble(0), g.getDouble(1), g.getDouble(2), g.getDouble(3))
+
+    val spans = back.groupBy(input_file_name().as("f")).agg(
+        ((max("o_custkey") - min("o_custkey")).cast("double") / (cHi - cLo)).as("c_span"),
+        ((max("o_totalprice") - min("o_totalprice")) / (pHi - pLo)).as("p_span"))
+      .collect()
+    val avgC = spans.map(_.getDouble(1)).sum / spans.length
+    val avgP = spans.map(_.getDouble(2)).sum / spans.length
+    // a single-column sort would leave the OTHER dim's span ≈ 1.0 per
+    // file; z-order must narrow both
+    assert(avgC < 0.6 && avgP < 0.6,
+      s"z-order did not localize both dims: custkey=$avgC totalprice=$avgP")
+
+    // a 2-D box predicate must be servable from a strict subset of files
+    val boxFiles = back
+      .filter(col("o_custkey") <= (cLo + (cHi - cLo) * 0.25) &&
+        col("o_totalprice") <= pLo + (pHi - pLo) * 0.25)
+      .select(input_file_name()).distinct().count()
+    assert(boxFiles < 16, s"box query touched all files")
+  }
 }
