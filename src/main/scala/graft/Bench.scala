@@ -24,6 +24,7 @@ object Bench {
 
     // setup (untimed): stage ETL input CSV; warm the JVM/codegen paths
     val csvDir = Pipelines.stageLoanCsv(spark, sfDir)
+    val int8Dir = Pipelines.stageInt8(spark, sfDir)
     Pipelines.q1(spark, sfDir).count()
 
     val sinkDir = graft.core.Staging.tmpDir("bench_sink")
@@ -44,6 +45,7 @@ object Bench {
       "minhash_lsh" -> (() => Pipelines.minhashLsh(spark, sfDir)),
       "dedup_groups" -> (() => Pipelines.dedupGroups(spark, sfDir)),
       "ann_topk" -> (() => Pipelines.annTopK(spark, sfDir)),
+      "ann_int8" -> (() => Pipelines.annInt8TopK(spark, int8Dir)),
       "ann_lsh" -> (() => Pipelines.lshTopK(spark, sfDir)),
       "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)),
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)))

@@ -118,6 +118,24 @@ object Pipelines {
     Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir),
       "vec_id", "embedding", AnnQueryIds, AnnK)
 
+  /** Int8 staging (setup, untimed — the production shape quantizes once
+    * at ingest): write the tinyint corpus copy.
+    */
+  def stageInt8(spark: SparkSession, sfDir: String): String = {
+    val dir = graft.core.Staging.tmpDir("bench_int8")
+    Similarity.quantizeInt8(Tables.embeddings(spark, sfDir), "embedding")
+      .select(col("vec_id"), col("qvec"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Int8 ANN scoring over the staged quantized corpus (byte vectors
+    * scored natively by the codegen'd DotProduct — no per-row cast).
+    */
+  def annInt8TopK(spark: SparkSession, int8Dir: String): DataFrame =
+    Similarity.int8TopKQuantized(spark.read.parquet(int8Dir),
+      "vec_id", AnnQueryIds, AnnK)
+
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),

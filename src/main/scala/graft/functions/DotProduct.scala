@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * Semantics (kept bit-identical to the fold it replaces, which the
   * DuckDB oracle also mirrors): left-to-right accumulation in index
   * order, `acc + (a_i.toDouble * b_i.toDouble)`; NULL if either array
-  * is NULL or lengths differ. Elements must be FLOAT or DOUBLE arrays.
+  * is NULL or lengths differ. Elements may be FLOAT, DOUBLE, or
+  * TINYINT arrays (the int8 ANN path scores byte vectors without a
+  * per-row array cast).
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -28,11 +30,12 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      case (ArrayType(FloatType | DoubleType | ByteType, _),
+            ArrayType(FloatType | DoubleType | ByteType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case _ =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"dot_product needs array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+          s"dot_product needs array<float|double|tinyint> inputs, got ${left.dataType} / ${right.dataType}")
     }
   }
 
@@ -46,17 +49,19 @@ case class DotProduct(left: Expression, right: Expression)
     val n = a.numElements()
     if (n != b.numElements()) null
     else {
-      val aFloat = elemType(left) == FloatType
-      val bFloat = elemType(right) == FloatType
+      def get(arr: ArrayData, t: DataType, i: Int): Double = t match {
+        case FloatType => arr.getFloat(i).toDouble
+        case ByteType  => arr.getByte(i).toDouble
+        case _         => arr.getDouble(i)
+      }
+      val (at, bt) = (elemType(left), elemType(right))
       val checkNulls = mayHaveNullElems
       var acc = 0.0
       var i = 0
       while (i < n) {
         // NULL element propagates (matches the HOF fold / DuckDB)
         if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
-        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-        acc += x * y
+        acc += get(a, at, i) * get(b, bt, i)
         i += 1
       }
       acc
@@ -64,8 +69,13 @@ case class DotProduct(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
-    val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    def getter(t: DataType): String = t match {
+      case FloatType => "getFloat"
+      case ByteType  => "getByte"
+      case _         => "getDouble"
+    }
+    val aGet = getter(elemType(left))
+    val bGet = getter(elemType(right))
     val nullCheck = if (mayHaveNullElems)
       (a: String, b: String, i: String) =>
         s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"

@@ -187,20 +187,27 @@ object Similarity {
   }
 
   /** ANN top-k over the int8-quantized corpus: identical contract to
-    * [[bruteForceTopK]], scores computed on quantized vectors (cast to
-    * double inside the codegen'd projection — int8 values are exactly
-    * representable, so the fold is deterministic). Recall vs the float
-    * baseline is gated in `v8_int8_recall` / SimilaritySpec.
+    * [[bruteForceTopK]], scores computed directly on the tinyint
+    * vectors ([[graft.functions.DotProduct]] reads bytes natively —
+    * int8 values are exactly representable in double, so the fold is
+    * deterministic). Recall vs the float baseline is gated in
+    * `v8_int8_recall` / SimilaritySpec.
     */
   def int8TopK(emb: DataFrame, idCol: String, vecCol: String,
-               queryIds: Seq[Long], k: Int): DataFrame = {
-    val qz = quantizeInt8(emb, vecCol)
+               queryIds: Seq[Long], k: Int): DataFrame =
+    int8TopKQuantized(quantizeInt8(emb, vecCol), idCol, queryIds, k)
+
+  /** Scoring-only int8 ANN over an ALREADY-quantized corpus (the
+    * production shape: quantize once at ingest — see
+    * [[quantizeInt8]] — score many times).
+    */
+  def int8TopKQuantized(qz: DataFrame, idCol: String,
+                        queryIds: Seq[Long], k: Int,
+                        qVecCol: String = "qvec"): DataFrame = {
     val q = qz.filter(col(idCol).isInCollection(queryIds))
-      .select(col(idCol).as("query_id"),
-        col("qvec").cast("array<double>").as("q_vec"))
+      .select(col(idCol).as("query_id"), col(qVecCol).as("q_vec"))
       .withColumn("q_nrm", l2norm(col("q_vec")))
-    val c = qz.select(col(idCol).as("neighbor_id"),
-        col("qvec").cast("array<double>").as("c_vec"))
+    val c = qz.select(col(idCol).as("neighbor_id"), col(qVecCol).as("c_vec"))
       .withColumn("c_nrm", l2norm(col("c_vec")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_sim",
