@@ -53,6 +53,9 @@ object Sessions {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft")
+      // engine rules ride along in every session (a cluster deployment
+      // sets spark.sql.extensions=graft.plans.GraftExtensions instead)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_warehouse")
       .config("spark.sql.shuffle.partitions", cores.toString)

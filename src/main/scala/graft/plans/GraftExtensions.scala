@@ -112,6 +112,7 @@ object UnionFilterToIsin extends Rule[LogicalPlan]
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => UnionFilterToIsin)
+    e.injectOptimizerRule(_ => TopOneWindowToArgmax)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
