@@ -557,6 +557,18 @@ object Catalog {
         .orderBy($"user_id", $"valid_from")
     }),
 
+    // J5 — null-safe equi-join (<=>): null keys match each other (the
+    // CDC/SCD key-matching semantics a plain equi-join silently drops);
+    // still a hash-joinable equi-key in Spark, so no plan degradation
+    "j5_nullsafe_join" -> ((spark, dir) => {
+      import spark.implicits._
+      val a = customerNulls(spark, dir).select($"c_custkey".as("a_key"), $"seg".as("a_seg"))
+      val b = customerNulls(spark, dir).select($"c_custkey".as("b_key"), $"seg".as("b_seg"))
+      a.join(b, $"a_seg" <=> $"b_seg")
+        .groupBy($"a_seg").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"a_seg".asc_nulls_first)
+    }),
+
     // E5 — schema'd JSON parse: from_json with an explicit schema stays
     // in codegen and yields one typed struct per row (e2's
     // get_json_object re-parses the document per extracted path)
@@ -741,6 +753,12 @@ object Catalog {
     "e5_json_schema" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "j5_nullsafe_join" ->
+      s"""WITH $customerNullsSql
+         |SELECT a.seg AS a_seg, COUNT(*) AS n_pairs
+         |FROM cn a JOIN cn b ON a.seg IS NOT DISTINCT FROM b.seg
+         |GROUP BY a.seg ORDER BY a_seg NULLS FIRST""".stripMargin,
 
     "x4_temp_view_sql" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders

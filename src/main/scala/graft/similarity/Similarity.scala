@@ -127,22 +127,53 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, nCentroids: Int, nProbe: Int,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L): DataFrame =
+    ivfTopKIndexed(buildIvf(emb, idCol, vecCol, nCentroids, seed),
+      idCol, vecCol, queryIds, k, nProbe)
+
+  /** A built IVF index: the cell-assigned corpus plus the centroid
+    * table. Both are plain DataFrames so the index persists as two
+    * parquet writes ([[saveIvf]]/[[loadIvf]]) — the KMeans training
+    * cost is paid once at ingest, like [[quantizeInt8]]'s staging.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: DataFrame)
+
+  /** Train the coarse quantizer and assign every vector to its cell. */
+  def buildIvf(emb: DataFrame, idCol: String, vecCol: String,
+               nCentroids: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
     import spark.implicits._
-
     val withVec = emb.withColumn("__fv",
       array_to_vector(transform(col(vecCol), x => x.cast("double")))).cache()
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("__fv").fit(withVec)
     val assigned = model.transform(withVec)
       .select(col(idCol), col(vecCol), col("prediction").as("cell"))
-
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
+    IvfIndex(assigned, centroids)
+  }
+
+  /** Persist / reload the index (cell-partitioned corpus copy: probing
+    * a cell then reads only that cell's files — partition pruning does
+    * the candidate selection).
+    */
+  def saveIvf(idx: IvfIndex, dir: String): Unit = {
+    idx.assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/assigned")
+    idx.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(spark.read.parquet(s"$dir/assigned"),
+      spark.read.parquet(s"$dir/centroids"))
+
+  /** Probe-and-score over a built index. */
+  def ivfTopKIndexed(idx: IvfIndex, idCol: String, vecCol: String,
+                     queryIds: Seq[Long], k: Int, nProbe: Int): DataFrame = {
+    val assigned = idx.assigned
+    val centroids = idx.centroids
 
     // probe selection: nProbe nearest centroids per query (cheap —
     // queries × nCentroids rows)

@@ -68,45 +68,59 @@ object Layout {
       .sortWithinPartitions(clusterCol)
       .write.mode(mode).parquet(path)
 
-  /** Z-value of two numeric columns: each is min-max scaled to a
-    * `bits`-bit integer (stats come from one broadcast aggregate — no
-    * driver collect), then the bits are interleaved. Pure native
-    * shift/and/or arithmetic, fully codegen'd.
+  /** Z-value of N numeric columns: each is min-max scaled to a
+    * `bits`-bit integer (stats come from ONE broadcast aggregate — no
+    * driver collect), then the bits are interleaved round-robin. Pure
+    * native shift/and/or arithmetic, fully codegen'd.
     */
-  private[sources] def zValue(df: DataFrame, xCol: String, yCol: String,
+  private[sources] def zValue(df: DataFrame, cols: Seq[String],
                               bits: Int, out: String): DataFrame = {
-    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(bits >= 1 && bits * cols.size <= 62,
+      s"bits×cols out of range: $bits × ${cols.size}")
     val stats = df.agg(
-      min(col(xCol)).cast("double").as("__xlo"), max(col(xCol)).cast("double").as("__xhi"),
-      min(col(yCol)).cast("double").as("__ylo"), max(col(yCol)).cast("double").as("__yhi"))
+      min(col(cols.head)).cast("double").as(s"__lo_0"),
+      cols.zipWithIndex.flatMap { case (c, j) =>
+        (if (j == 0) Nil else Seq(min(col(c)).cast("double").as(s"__lo_$j"))) :+
+          max(col(c)).cast("double").as(s"__hi_$j")
+      }: _*)
     val maxQ = (1L << bits) - 1
-    def quant(c: String, lo: Column, hi: Column): Column =
+    def quant(c: String, j: Int): Column = {
+      val lo = col(s"__lo_$j"); val hi = col(s"__hi_$j")
       when(hi === lo, lit(0L)).otherwise(
         least(floor((col(c).cast("double") - lo) / (hi - lo) * maxQ), lit(maxQ)).cast("long"))
-    val withQ = df.crossJoin(broadcast(stats))
-      .withColumn("__qx", quant(xCol, col("__xlo"), col("__xhi")))
-      .withColumn("__qy", quant(yCol, col("__ylo"), col("__yhi")))
-    val z = (0 until bits).map { i =>
-      shiftleft(shiftright(col("__qx"), i).bitwiseAND(1), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(col("__qy"), i).bitwiseAND(1), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
-    withQ.withColumn(out, z).drop("__xlo", "__xhi", "__ylo", "__yhi", "__qx", "__qy")
+    }
+    val withQ = cols.zipWithIndex.foldLeft(df.crossJoin(broadcast(stats))) {
+      case (d, (c, j)) => d.withColumn(s"__q_$j", quant(c, j))
+    }
+    val n = cols.size
+    val z = (for (i <- 0 until bits; j <- 0 until n) yield
+      shiftleft(shiftright(col(s"__q_$j"), i).bitwiseAND(1), i * n + j))
+      .reduce(_ bitwiseOR _)
+    val drops = Seq("__lo_0") ++ cols.indices.flatMap(j =>
+      (if (j == 0) Nil else Seq(s"__lo_$j")) ++ Seq(s"__hi_$j", s"__q_$j"))
+    withQ.withColumn(out, z).drop(drops: _*)
   }
 
   /** Z-order-clustered parquet: files cover contiguous z-ranges, which
-    * are compact boxes in BOTH dimensions — so parquet min/max stats
-    * skip files for predicates on either column (or a 2-D box), where
-    * single-column range clustering only helps its one sort key. The
-    * multi-dimension answer to "we filter this fact table by customer
-    * AND by amount".
+    * are compact boxes in EVERY clustered dimension — so parquet
+    * min/max stats skip files for predicates on any of the columns (or
+    * an n-D box), where single-column range clustering only helps its
+    * one sort key. The multi-dimension answer to "we filter this fact
+    * table by customer AND by amount AND by date".
     */
   def zOrderClusteredParquet(df: DataFrame, path: String,
-                             xCol: String, yCol: String, files: Int,
+                             cols: Seq[String], files: Int,
                              bits: Int = 16,
                              mode: SaveMode = SaveMode.Overwrite): Unit =
-    zValue(df, xCol, yCol, bits, "__z")
+    zValue(df, cols, bits, "__z")
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode(mode).parquet(path)
+
+  /** Two-column convenience overload. */
+  def zOrderClusteredParquet(df: DataFrame, path: String,
+                             xCol: String, yCol: String, files: Int): Unit =
+    zOrderClusteredParquet(df, path, Seq(xCol, yCol), files)
 }

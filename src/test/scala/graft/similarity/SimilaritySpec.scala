@@ -104,6 +104,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 4L))) // (0,1)/(1,4) sit at cos ≈ 0.9939, below 0.999
   }
 
+  test("IVF index persists: saved+loaded index answers exactly like the fresh one") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001).cache()
+    val idx = Similarity.buildIvf(emb, "vec_id", "embedding", nCentroids = 8)
+    val dir = graft.core.Staging.tmpDir("ivf_idx")
+    Similarity.saveIvf(idx, dir)
+    val loaded = Similarity.loadIvf(spark, dir)
+    val fresh = Similarity.ivfTopKIndexed(idx, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), k = 5, nProbe = 8)
+      .collect().map(_.toString).toSet
+    val reread = Similarity.ivfTopKIndexed(loaded, "vec_id", "embedding",
+      Seq(0L, 1L, 2L), k = 5, nProbe = 8)
+      .collect().map(_.toString).toSet
+    assert(fresh == reread && fresh.nonEmpty)
+    // the persisted corpus copy is cell-partitioned (probe = partition prune)
+    val dirs = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("cell=")))
+  }
+
   test("quantizeInt8: values in [-127,127], scale inverts within half a step") {
     val emb = graft.core.Tables.embeddings(spark, sf0001).limit(100)
     val qz = Similarity.quantizeInt8(emb, "embedding")

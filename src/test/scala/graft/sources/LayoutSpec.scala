@@ -98,4 +98,25 @@ class LayoutSpec extends SparkSpec {
       .select(input_file_name()).distinct().count()
     assert(boxFiles < 16, s"box query touched all files")
   }
+
+  test("3-dimensional z-order narrows spans on all three columns") {
+    val out = Staging.tmpDir("layout_z3")
+    val orders = Tables.orders(spark, sf0001)
+    Layout.zOrderClusteredParquet(orders, out,
+      Seq("o_custkey", "o_totalprice", "o_orderkey"), files = 16, bits = 12)
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count())
+
+    def avgSpan(c: String): Double = {
+      val g = orders.agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      val (lo, hi) = (g.getDouble(0), g.getDouble(1))
+      val spans = back.groupBy(input_file_name())
+        .agg(((max(col(c)) - min(col(c))).cast("double") / (hi - lo)).as("s"))
+        .collect().map(_.getDouble(1))
+      spans.sum / spans.length
+    }
+    val (a, b, c) = (avgSpan("o_custkey"), avgSpan("o_totalprice"), avgSpan("o_orderkey"))
+    assert(a < 0.8 && b < 0.8 && c < 0.8,
+      s"3-D z-order left a dimension unlocalized: $a / $b / $c")
+  }
 }
