@@ -557,6 +557,21 @@ object Catalog {
         .orderBy($"user_id", $"valid_from")
     }),
 
+    // O3b — top-k per group: rank window + filter (k>1 keeps the
+    // window; the argmax rule only claims k=1). Unique-key tiebreak
+    // makes every rank deterministic.
+    "o3_group_topk" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+      Tables.customer(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"c_mktsegment", $"rn", $"c_custkey", $"c_acctbal")
+        .orderBy($"c_mktsegment", $"rn")
+    }),
+
     // J5 — null-safe equi-join (<=>): null keys match each other (the
     // CDC/SCD key-matching semantics a plain equi-join silently drops);
     // still a hash-joinable equi-key in Spark, so no plan degradation
@@ -759,6 +774,14 @@ object Catalog {
          |SELECT a.seg AS a_seg, COUNT(*) AS n_pairs
          |FROM cn a JOIN cn b ON a.seg IS NOT DISTINCT FROM b.seg
          |GROUP BY a.seg ORDER BY a_seg NULLS FIRST""".stripMargin,
+
+    "o3_group_topk" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
 
     "x4_temp_view_sql" ->
       """SELECT o_orderstatus, COUNT(*) AS cnt FROM orders

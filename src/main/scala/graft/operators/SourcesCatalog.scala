@@ -113,6 +113,20 @@ object SourcesCatalog {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Compression round-trips: zstd parquet (the 100 TB storage/scan
+    // codec of choice — better ratio than snappy at similar decode
+    // speed) and gzip CSV (the interchange wire format compressed)
+    "s14_compression" -> ((spark, dir) => {
+      val pq = tmp("zstd")
+      Tables.customer(spark, dir).write.mode("overwrite")
+        .option("compression", "zstd").parquet(pq)
+      val csvDir = tmp("gz")
+      Sources.parquet(spark, pq).write.mode("overwrite")
+        .option("header", "true").option("compression", "gzip").csv(csvDir)
+      Sources.csv(spark, csvDir, Some(customerSchema), mode = "FAILFAST")
+        .orderBy(col("c_custkey"))
+    }),
+
     // S3: DROPMALFORMED silently drops short/unparseable rows
     "s3_malformed_policy" -> ((spark, dir) => {
       val d = tmp("bad")
@@ -201,6 +215,10 @@ object SourcesCatalog {
       """SELECT * FROM orders
         |WHERE o_custkey <= 300 AND o_totalprice <= 150000.0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "s14_compression" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "s3_malformed_policy" ->
       """SELECT * FROM (VALUES (1, 1.5, 'alpha'), (5, 4.5, 'epsilon')) t(k, v, name)
