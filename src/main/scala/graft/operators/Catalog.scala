@@ -572,6 +572,19 @@ object Catalog {
         .orderBy($"c_mktsegment", $"rn")
     }),
 
+    // O4b — top-k per group WITHOUT a window: the TopKStructs
+    // TypedImperativeAggregate caps partial buffers at k rows per group
+    // per partition (see GroupTopK); must equal the rank-window spelling
+    // the oracle uses
+    "o4_group_topk_agg" -> ((spark, dir) => {
+      import spark.implicits._
+      GroupTopK.topKPerGroup(
+        Tables.customer(spark, dir).select($"c_mktsegment", $"c_acctbal", $"c_custkey"),
+        keys = Seq("c_mktsegment"), sortCols = Seq("c_acctbal", "c_custkey"),
+        k = 3, descending = true)
+        .orderBy($"c_mktsegment", $"rn")
+    }),
+
     // J5 — null-safe equi-join (<=>): null keys match each other (the
     // CDC/SCD key-matching semantics a plain equi-join silently drops);
     // still a hash-joinable equi-key in Spark, so no plan degradation
@@ -780,6 +793,14 @@ object Catalog {
         |  SELECT c_mktsegment, c_custkey, c_acctbal,
         |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
         |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "o4_group_topk_agg" ->
+      """SELECT c_mktsegment, CAST(rn AS INTEGER) AS rn, c_acctbal, c_custkey FROM (
+        |  SELECT c_mktsegment, c_acctbal, c_custkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
         |  FROM customer) t
         |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
 
