@@ -53,6 +53,23 @@ object Sources {
   def jdbc(spark: SparkSession, options: Map[String, String]): DataFrame =
     spark.read.format("jdbc").options(options).load()
 
+  /** Partitioned JDBC scan: `numPartitions` concurrent connections,
+    * each reading one stride of `[lowerBound, upperBound)` on the
+    * numeric `partitionColumn`. The single-connection form serializes a
+    * 100 TB-adjacent warehouse extract through one socket; this is the
+    * standard parallel-ingest shape (bounds from a cheap MIN/MAX probe;
+    * one task per stride).
+    */
+  def jdbcPartitioned(spark: SparkSession, options: Map[String, String],
+                      partitionColumn: String, lowerBound: Long,
+                      upperBound: Long, numPartitions: Int): DataFrame =
+    spark.read.format("jdbc").options(options)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .load()
+
   /** XML scan (native in Spark 4). Explicit schema for the same
     * no-extra-scan reason as CSV/JSONL; `rowTag` selects the record
     * element.

@@ -96,6 +96,20 @@ object EventStream {
     spark.table(name)
   }
 
+  /** foreachBatch sink: the escape hatch for destinations Structured
+    * Streaming lacks natively (JDBC upserts, multi-table fan-out). Each
+    * micro-batch arrives as a plain DataFrame plus its replay-stable
+    * batch id — idempotent writers key on it for exactly-once delivery
+    * on restart (checkpoint replays the same id with the same data).
+    */
+  def runForeachBatch(streamed: DataFrame,
+                      f: (DataFrame, Long) => Unit): Unit = {
+    val q = streamed.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch(f).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int)
   final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,

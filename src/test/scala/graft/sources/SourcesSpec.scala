@@ -41,6 +41,20 @@ class SourcesSpec extends SparkSpec {
     assert(filtered.count() > 0)
   }
 
+  test("partitioned JDBC scan: parallel strides, same data as the single-connection read") {
+    import graft.core.Tables
+    val db = java.nio.file.Files.createTempDirectory("graft_jdbc_par").toString + "/db"
+    val opts = Map("url" -> s"jdbc:derby:$db;create=true",
+      "dbtable" -> "customer_par", "driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    Sinks.jdbc(Tables.customer(spark, sf0001).select($"c_custkey", $"c_acctbal"), opts)
+    val par = Sources.jdbcPartitioned(spark, opts, "c_custkey",
+      lowerBound = 0L, upperBound = 2000L, numPartitions = 4)
+    assert(par.rdd.getNumPartitions == 4, "expected one task per stride")
+    val single = Sources.jdbc(spark, opts)
+    assert(par.collect().map(_.toString).sorted.toSeq ==
+      single.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("CSV modes: PERMISSIVE keeps malformed rows as nulls, DROPMALFORMED drops") {
     import org.apache.spark.sql.types._
     val d = java.nio.file.Files.createTempDirectory("graft_csvmode").toString

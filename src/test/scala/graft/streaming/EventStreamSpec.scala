@@ -57,6 +57,20 @@ class EventStreamSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("foreachBatch sink: custom writer sees every row exactly once with batch ids") {
+    val d = streamSrcDir("graft_stream_feb")
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    EventStream.runForeachBatch(EventStream.read(spark, d), (df, id) => {
+      seen.addAndGet(df.count())
+      batches.add(id)
+      ()
+    })
+    val total = graft.core.Tables.events(spark, sf0001).count()
+    assert(seen.get() == total, s"foreachBatch saw ${seen.get()} of $total rows")
+    assert(!batches.isEmpty)
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     val d = streamSrcDir("graft_stream_ss")
     val joined = EventStream.purchaseClickJoin(EventStream.read(spark, d))
