@@ -50,7 +50,11 @@ object CorpusPrepApp {
     Sinks.jsonl(Tables.documents(spark, sf), staging)
     val raw = Sources.jsonl(spark, staging).cache()
 
-    val result = Runner.run(raw, Seq(
+    // observed counts: every stage's row count is collected as a side
+    // effect of the ONE terminal write below (no per-stage re-execution
+    // — the count() checkpoint form re-runs the upstream per stage,
+    // which is exactly what 100 TB forbids)
+    val run = Runner.runObserved(raw, Seq(
       Runner.Stage("lang_filter", df =>
         df.filter(TextAnalysis.langId(col("text")).isin("en", "und"))),
       Runner.Stage("quality_floor", df =>
@@ -68,15 +72,16 @@ object CorpusPrepApp {
           .agg(min(col("doc_id")).as("doc_id"))
         df.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
       }),
-      Runner.Stage("near_dedup", dropNearDups(_, threshold = 0.8))),
-      countCheckpoints = true)
-    AppUtil.printReports(result.reports)
+      Runner.Stage("near_dedup", dropNearDups(_, threshold = 0.8))))
 
     // the curated corpus is the app's deliverable — NOT under the
     // auto-cleaned staging root; it must survive JVM exit
     val outDir = java.nio.file.Files.createTempDirectory("graft_corpus_out").toString
-    Sinks.jsonl(result.output.select("doc_id", "text", "lang", "source", "n_chars"), outDir)
-    println(s"[corpus] curated ${result.output.count()} / ${raw.count()} docs -> $outDir")
+    val t0 = System.nanoTime()
+    Sinks.jsonl(run.output.select("doc_id", "text", "lang", "source", "n_chars"), outDir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    run.counts.foreach { case (n, c) => println(f"[corpus] $n%-16s rows=$c") }
+    println(f"[corpus] curated ${run.counts.last._2} / ${raw.count()} docs in $secs%.1f s -> $outDir")
     spark.stop()
   }
 }

@@ -33,4 +33,29 @@ object Runner {
     }
     RunResult(df, reports)
   }
+
+  /** One-action row-count checkpoints: every stage output carries an
+    * `observe` metric (CollectMetrics), all of which are aggregated as
+    * a side effect of the SINGLE terminal action — per-stage counts at
+    * 100 TB without one full re-execution per stage. Call [[ObservedRun
+    * .counts]] only after running one action on `output`.
+    */
+  final case class ObservedRun(output: DataFrame,
+                               observations: Seq[(String, org.apache.spark.sql.Observation)]) {
+    def counts: Seq[(String, Long)] =
+      observations.map { case (n, o) => n -> o.get("rows").asInstanceOf[Long] }
+  }
+
+  def runObserved(input: DataFrame, stages: Seq[Stage]): ObservedRun = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    var df = input
+    val obs = stages.map { s =>
+      df = s.f(df)
+      val o = Observation()
+      df = df.observe(o, count(lit(1)).as("rows"))
+      s.name -> o
+    }
+    ObservedRun(df, obs)
+  }
 }

@@ -20,4 +20,14 @@ class RunnerSpec extends SparkSpec {
     val lazyRun = Runner.run(input, Seq(Runner.Stage("id", identity)))
     assert(lazyRun.reports.head.rows.isEmpty)
   }
+
+  test("observed run yields per-stage counts from ONE terminal action") {
+    val input = (1 to 100).toDF("n")
+    val run = Runner.runObserved(input, Seq(
+      Runner.Stage("filter_even", _.filter($"n" % 2 === 0)),
+      Runner.Stage("gt_50", _.filter($"n" > 50))))
+    val terminal = run.output.count() // the single action
+    assert(terminal == 25)
+    assert(run.counts == Seq("filter_even" -> 50L, "gt_50" -> 25L))
+  }
 }
