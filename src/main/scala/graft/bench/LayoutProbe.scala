@@ -13,24 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object LayoutProbe {
 
-  private def multiply(df: DataFrame, copies: Int): DataFrame =
-    (1 until copies).foldLeft(df)((acc, i) =>
-      acc.union(df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 1000000000L))))
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_COPIES", "16").toInt
     val spark = graft.core.Sessions.local()
-    def time(name: String)(f: => Long): Unit = {
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); val n = f
-        ((System.nanoTime() - t0) / 1e9, n)
-      }
-      println(f"[layout] $name%-34s ${runs.map(_._1).min}%8.3f s  rows=${runs.head._2}")
-    }
+    def time(name: String)(f: => Long): Unit =
+      ProbeUtil.time("layout", name, repeats = 3)(f)
 
     val base = graft.core.Staging.tmpDir("layout_probe")
-    val orders = multiply(Tables.orders(spark, sfDir), copies)
+    val orders = ProbeUtil.multiply(Tables.orders(spark, sfDir),
+        "o_orderkey", copies, 1000000000L)
       .withColumn("o_year", year(col("o_orderdate")))
     println(s"--- ${orders.count()} rows, layouts under $base")
 

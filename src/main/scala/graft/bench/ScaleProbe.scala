@@ -15,8 +15,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
 
   private def multiply(df: DataFrame, idCol: String, copies: Int, offset: Long): DataFrame =
-    (1 until copies).foldLeft(df)((acc, i) =>
-      acc.union(df.withColumn(idCol, col(idCol) + lit(i * offset))))
+    ProbeUtil.multiply(df, idCol, copies, offset)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -554,7 +554,9 @@ object Catalog {
       Warehouse.scd2(ev, keys = Seq("user_id"), tsCol = "ts_us",
         orderCols = Seq($"ts_us", $"event_id"), stateCol = "event_type")
         .select($"user_id", $"event_type", $"valid_from", $"valid_to", $"is_current")
-        .orderBy($"user_id", $"valid_from")
+        // event_type tiebreak: two changes at one microsecond would tie
+        // (user_id, valid_from) — the oracle rule wants total order
+        .orderBy($"user_id", $"valid_from", $"event_type")
     }),
 
     // O3b — top-k per group: rank window + filter (k>1 keeps the
@@ -954,7 +956,7 @@ object Catalog {
         |SELECT user_id, event_type, ts_us AS valid_from,
         |  LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
         |  LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL AS is_current
-        |FROM c2 ORDER BY user_id, valid_from""".stripMargin,
+        |FROM c2 ORDER BY user_id, valid_from, event_type""".stripMargin,
 
     "w2_running" ->
       """SELECT o_custkey, o_orderkey,

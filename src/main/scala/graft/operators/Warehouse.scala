@@ -19,11 +19,34 @@ object Warehouse {
     * this up from runtime stats), so the base table is never shuffled,
     * and the union is purely logical (no data movement).
     *
+    * PRECONDITION: `updates` has at most one row per key (SQL MERGE
+    * errors on multiple matches; this form would keep all of them). A
+    * raw CDC batch with several changes per key must be reduced first —
+    * [[upsertLatest]] does exactly that.
+    *
     * Schemas must align (`unionByName`); project both sides first.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(updates.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(updates)
+
+  /** MERGE from a raw CDC batch: several changes per key are reduced to
+    * the winner with the greatest `versionCol` (deterministic — version
+    * ties resolve by the remaining columns' struct order) before the
+    * upsert. The reduction is a map-side-combined argmax (a11 shape),
+    * so the batch shrinks before it ever meets the base table.
+    */
+  def upsertLatest(base: DataFrame, updates: DataFrame, keys: Seq[String],
+                   versionCol: String): DataFrame = {
+    val others = updates.columns.toSeq.filterNot(keys.contains)
+    val ordered = Seq(versionCol) ++ others.filterNot(_ == versionCol)
+    val winners = updates
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("__w"))
+      .select(keys.map(col) ++ ordered.map(c => col(s"__w.$c").as(c)): _*)
+      .select(updates.columns.map(col): _*)
+    upsert(base, winners, keys)
+  }
 
   /** SCD2 interval derivation: collapse a keyed change stream into
     * `[valid_from, valid_to)` dimension rows. Consecutive rows with the

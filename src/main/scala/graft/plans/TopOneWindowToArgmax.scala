@@ -61,7 +61,9 @@ object TopOneWindowToArgmax extends Rule[LogicalPlan] {
         keepsOnlyRankOne(cond).contains(a.exprId)
       case _ => false
     }
-    if (!rnOk || w.orderSpec.isEmpty) return None
+    // partitionSpec must be non-empty: a GLOBAL Aggregate(Nil, …) emits
+    // one all-null row on empty input where the Window+Filter emits none
+    if (!rnOk || w.orderSpec.isEmpty || w.partitionSpec.isEmpty) return None
 
     val useMin = w.orderSpec.forall(s =>
       s.direction == Ascending && s.nullOrdering == NullsFirst)

@@ -67,9 +67,13 @@ object Profiler {
     * (columns × 5) result is collected and pivoted on the driver.
     */
   def describeTransposed(df: DataFrame, cols: String*): String = {
-    val d = (if (cols.nonEmpty) df.describe(cols: _*) else df.describe()).collect()
+    val described = if (cols.nonEmpty) df.describe(cols: _*) else df.describe()
+    val d = described.collect()
     val stats = d.map(_.getString(0))                  // count/mean/stddev/min/max
-    val names = (if (cols.nonEmpty) cols else df.columns.toSeq).toIndexedSeq
+    // names come from the describe OUTPUT, not df.columns: describe()
+    // silently skips non-numeric/string columns (timestamps, arrays),
+    // so indexing by df.columns would misalign and overrun
+    val names = described.columns.drop(1).toIndexedSeq
     val header = "column" +: stats.toIndexedSeq
     val rows = names.zipWithIndex.map { case (c, i) =>
       c +: stats.indices.map(s => Option(d(s).getString(i + 1)).getOrElse("null")).toIndexedSeq

@@ -73,9 +73,17 @@ object Similarity {
     * stability), rn 1..k.
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     queryIds: Seq[Long], k: Int): DataFrame = {
-    // norms are precomputed once per side (not per pair): same values,
-    // one third of the fold work in the pair loop
+                     queryIds: Seq[Long], k: Int): DataFrame =
+    scoreAllPairsTopK(emb, idCol, vecCol, queryIds, k)
+
+  /** The shared brute-force scoring contract for the float and int8
+    * paths: broadcast the query side, precompute norms once per side
+    * (not per pair), score `round(cos, 6)` for rank stability, reduce
+    * map-side to k per query. One implementation so the rounding /
+    * tiebreak contract the oracles depend on cannot diverge per path.
+    */
+  private def scoreAllPairsTopK(emb: DataFrame, idCol: String, vecCol: String,
+                                queryIds: Seq[Long], k: Int): DataFrame = {
     val q = emb.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         l2norm(col(vecCol)).as("q_nrm"))
@@ -230,21 +238,13 @@ object Similarity {
 
   /** Scoring-only int8 ANN over an ALREADY-quantized corpus (the
     * production shape: quantize once at ingest — see
-    * [[quantizeInt8]] — score many times).
+    * [[quantizeInt8]] — score many times). Same scorer as the float
+    * path, pointed at the tinyint column.
     */
   def int8TopKQuantized(qz: DataFrame, idCol: String,
                         queryIds: Seq[Long], k: Int,
-                        qVecCol: String = "qvec"): DataFrame = {
-    val q = qz.filter(col(idCol).isInCollection(queryIds))
-      .select(col(idCol).as("query_id"), col(qVecCol).as("q_vec"))
-      .withColumn("q_nrm", l2norm(col("q_vec")))
-    val c = qz.select(col(idCol).as("neighbor_id"), col(qVecCol).as("c_vec"))
-      .withColumn("c_nrm", l2norm(col("c_vec")))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim",
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
-    topK(scored, k)
-  }
+                        qVecCol: String = "qvec"): DataFrame =
+    scoreAllPairsTopK(qz, idCol, qVecCol, queryIds, k)
 
   /** Near-duplicate pairs by embedding cosine within LSH buckets. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,

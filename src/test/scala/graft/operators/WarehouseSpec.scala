@@ -16,6 +16,15 @@ class WarehouseSpec extends SparkSpec {
       (9L, "new", 1.0)))
   }
 
+  test("upsertLatest reduces multi-change CDC batches to one winner per key") {
+    val base = Seq((1L, 0L, "a"), (2L, 0L, "b")).toDF("k", "ver", "s")
+    val cdc = Seq((2L, 1L, "B1"), (2L, 3L, "B3"), (2L, 2L, "B2"), (9L, 1L, "new"))
+      .toDF("k", "ver", "s")
+    val out = Warehouse.upsertLatest(base, cdc, Seq("k"), "ver")
+      .orderBy($"k").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 0L, "a"), (2L, 3L, "B3"), (9L, 1L, "new")))
+  }
+
   test("upsert is idempotent: applying the same batch twice changes nothing") {
     val base = Seq((1L, "a"), (2L, "b")).toDF("k", "s")
     val updates = Seq((2L, "B")).toDF("k", "s")

@@ -78,6 +78,15 @@ class ArgmaxRewriteSpec extends AnyFunSuite {
 
     val rnk = customers.withColumn("r", rank().over(w)).filter($"r" === 1)
     assert(rnk.queryExecution.optimizedPlan.toString.contains("Window"))
+
+    // global (unpartitioned) window: a global aggregate would fabricate
+    // one null row on empty input — must NOT rewrite
+    val gw = Window.orderBy($"c_custkey")
+    val globalQ = customers.filter($"c_custkey" < 0) // empty
+      .withColumn("rn", row_number().over(gw)).filter($"rn" === 1)
+    assert(globalQ.queryExecution.optimizedPlan.toString.contains("Window") ||
+      globalQ.queryExecution.optimizedPlan.toString.contains("Empty"))
+    assert(globalQ.count() == 0, "empty input must stay empty")
   }
 
   test("full-width dedup (the reference idiom) rewrites and keeps exact content") {

@@ -16,6 +16,17 @@ class ProfilerSpec extends SparkSpec {
     assert(aRow.split("\\s+").toSeq.take(3) == Seq("a", "3", "2.0"))
   }
 
+  test("describeTransposed: skips non-describable columns without misaligning") {
+    val events = graft.core.Tables.events(spark, sf0001) // has a timestamp col
+    val report = Profiler.describeTransposed(events)
+    val lines = report.linesIterator.toSeq
+    assert(!lines.exists(_.startsWith("ts ")), "timestamp col must be skipped")
+    assert(lines.exists(_.startsWith("value")), "numeric col must be present")
+    val n = events.count().toString
+    assert(lines.find(_.startsWith("event_id")).get.split("\\s+")(1) == n,
+      "count column must align with its column")
+  }
+
   test("describeTransposed: column subset and null stats render") {
     val df = Seq((Some(1.0), "x"), (None, "y")).toDF("v", "s")
     val report = Profiler.describeTransposed(df, "v")
