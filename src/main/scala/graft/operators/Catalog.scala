@@ -368,6 +368,25 @@ object Catalog {
         .orderBy($"user_id", $"ts_us", $"event_id")
     }),
 
+    // AJ2 — forward as-of with tolerance: each purchase enriched with
+    // the user's NEXT click within 10 minutes (nulls beyond); oracle is
+    // the explicit argmin spelling of the same pick
+    "aj2_asof_fwd_tol" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type",
+          unix_micros($"ts").as("ts_us"), $"value")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_us", $"event_id", $"value")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts_us", $"event_id".as("click_id"),
+          $"value".as("click_value"))
+      AsOfJoin.asof(purchases, clicks, keys = Seq("user_id"), tsCol = "ts_us",
+        rightCols = Seq("click_id", "click_value"),
+        direction = "forward", tolerance = Some(600000000L))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    }),
+
     // G1 — cube: all grouping-set rollups in one pass
     "g1_cube" -> ((spark, dir) => {
       import spark.implicits._
@@ -850,6 +869,24 @@ object Catalog {
         |               ORDER BY c.c_ts DESC, c.click_id DESC, c.click_value DESC) AS rn
         |      FROM p LEFT JOIN c
         |        ON p.user_id = c.user_id AND c.c_ts <= p.ts_us)
+        |SELECT user_id, ts_us, event_id, value,
+        |       click_id AS r_click_id, click_value AS r_click_value
+        |FROM j WHERE rn = 1
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "aj2_asof_fwd_tol" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value FROM events),
+        |p AS (SELECT user_id, ts_us, event_id, value FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts_us AS c_ts, event_id AS click_id, value AS click_value
+        |      FROM ev WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.ts_us, p.event_id, p.value,
+        |             c.click_id, c.click_value,
+        |             ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |               ORDER BY c.c_ts ASC, c.click_id DESC, c.click_value DESC) AS rn
+        |      FROM p LEFT JOIN c
+        |        ON p.user_id = c.user_id
+        |       AND c.c_ts >= p.ts_us AND c.c_ts <= p.ts_us + 600000000)
         |SELECT user_id, ts_us, event_id, value,
         |       click_id AS r_click_id, click_value AS r_click_value
         |FROM j WHERE rn = 1
