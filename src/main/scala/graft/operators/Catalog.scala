@@ -368,6 +368,57 @@ object Catalog {
         .orderBy($"user_id", $"ts_us", $"event_id")
     }),
 
+    // A14 — exact covariance/correlation: the built-in corr/covar use
+    // order-dependent streaming merges (never cross-engine exact), so
+    // both are derived from decimal-exact component sums and assembled
+    // with the same IEEE ops on both engines (a7's discipline)
+    "a14_covariance" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val x = dec($"o_totalprice")
+      val y = $"o_custkey".cast(DecimalType(18, 2))
+      Tables.orders(spark, dir)
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum((x * y).cast(DecimalType(30, 4))).cast("double").as("sxy"),
+          sum((x * x).cast(DecimalType(30, 4))).cast("double").as("sxx"),
+          sum((y * y).cast(DecimalType(30, 4))).cast("double").as("syy"))
+        .select(
+          $"n".cast("long").as("n"),
+          (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1.0)).as("covar"),
+          (($"sxy" - $"sx" * $"sy" / $"n") /
+            (sqrt($"sxx" - $"sx" * $"sx" / $"n") *
+              sqrt($"syy" - $"sy" * $"sy" / $"n"))).as("corr"))
+    }),
+
+    // H1 — fixed-width histogram: one codegen'd bucket projection +
+    // groupBy (no per-bucket passes). The bucket formula is spelled the
+    // same single-division way on both engines — width_bucket built-ins
+    // differ in internal rounding order across engines, so the explicit
+    // form is the cross-engine-exact one.
+    "h1_histogram" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .select((floor($"o_totalprice" / 50000.0).cast("long") + 1L).as("bucket"))
+        .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy($"bucket")
+    }),
+
+    // TS1 — hourly resample with LOCF gap-fill: each user's irregular
+    // event stream becomes a fixed hourly series carrying the latest
+    // (event_id, value) forward; oracle derives the same grid with
+    // generate_series + an explicit argmax pick
+    "ts1_resample_locf" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+      Resample.resampleLocf(ev, keys = Seq("user_id"), tsCol = "ts_us",
+        payload = Seq("event_id", "value"), stepUs = 3600000000L)
+        .orderBy($"user_id", $"ts_us")
+    }),
+
     // AJ2 — forward as-of with tolerance: each purchase enriched with
     // the user's NEXT click within 10 minutes (nulls beyond); oracle is
     // the explicit argmin spelling of the same pick
@@ -873,6 +924,43 @@ object Catalog {
         |       click_id AS r_click_id, click_value AS r_click_value
         |FROM j WHERE rn = 1
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "a14_covariance" ->
+      """WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_custkey AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(CAST(o_custkey AS DECIMAL(18,2)) * CAST(o_custkey AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS DOUBLE) AS syy
+        |  FROM orders)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  (sxy - sx * sy / n) / (n - 1.0) AS covar,
+        |  (sxy - sx * sy / n) /
+        |    (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr
+        |FROM s""".stripMargin,
+
+    "h1_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) + 1 AS bucket,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "ts1_resample_locf" ->
+      """WITH ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    event_id, value FROM events),
+        |b AS (SELECT user_id, MIN(ts_us) AS lo, MAX(ts_us) AS hi
+        |      FROM ev GROUP BY user_id),
+        |grid AS (SELECT b.user_id, g.t AS ts_us FROM b CROSS JOIN LATERAL
+        |  (SELECT unnest(generate_series((lo // 3600000000) * 3600000000,
+        |                                 ((hi + 3599999999) // 3600000000) * 3600000000,
+        |                                 3600000000)) AS t) g),
+        |j AS (SELECT grid.user_id, grid.ts_us, ev.event_id, ev.value,
+        |        ROW_NUMBER() OVER (PARTITION BY grid.user_id, grid.ts_us
+        |          ORDER BY ev.ts_us DESC, ev.event_id DESC) AS rn
+        |      FROM grid LEFT JOIN ev
+        |        ON grid.user_id = ev.user_id AND ev.ts_us <= grid.ts_us)
+        |SELECT user_id, ts_us, event_id AS r_event_id, value AS r_value
+        |FROM j WHERE rn = 1
+        |ORDER BY user_id, ts_us""".stripMargin,
 
     "aj2_asof_fwd_tol" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
