@@ -113,6 +113,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => UnionFilterToIsin)
     e.injectOptimizerRule(_ => TopOneWindowToArgmax)
+    e.injectOptimizerRule(_ => TopKWindowToAggregate)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
