@@ -629,9 +629,11 @@ object Catalog {
         .orderBy($"user_id", $"valid_from", $"event_type")
     }),
 
-    // O3b — top-k per group: rank window + filter (k>1 keeps the
-    // window; the argmax rule only claims k=1). Unique-key tiebreak
-    // makes every rank deterministic.
+    // O3b — top-k per group: rank window + filter. The mixed-direction
+    // order (desc bal, asc key) keeps this OUT of both rewrite rules
+    // (argmax claims k=1, TopKWindowToAggregate claims uniform-direction
+    // k<=128), so the gate exercises the plain window path. Unique-key
+    // tiebreak makes every rank deterministic.
     "o3_group_topk" -> ((spark, dir) => {
       import spark.implicits._
       import org.apache.spark.sql.expressions.Window

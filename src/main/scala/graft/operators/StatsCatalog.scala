@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistics / time-series / fuzzy-matching operators (round-3 widening
+  * of SURVEY.md §2.5–§2.7 "beyond reference" coverage), each with a
+  * DuckDB oracle twin. Float discipline per [[Exact]]: decimal-routed
+  * window sums, identical IEEE assembly, index-ordered folds, rounded
+  * interpolated percentiles.
+  */
+object StatsCatalog {
+  import Exact._
+
+  /** Shared events projection: epoch-micros + the unique event_id
+    * tiebreak that makes every per-key order total (null values carry
+    * no fold/frame position — excluded on both engines).
+    */
+  private def ev(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+      .filter($"user_id".isNotNull && $"value".isNotNull)
+  }
+  private val evSql =
+    """ev AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |  event_id, CAST(value AS DOUBLE) AS value
+      | FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A13 — exact interpolated percentiles per group. `percentile` keeps
+    // a per-group counts map (bounded by the column's distinct values —
+    // fine for metric columns; unbounded-cardinality columns belong to
+    // the a10 sketch path). Rounded at 6dp: Spark interpolates
+    // lower+(upper-lower)*frac, DuckDB lower*(1-frac)+upper*frac — same
+    // value, different last-ulp arithmetic.
+    "a13_percentile" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          round(percentile($"l_quantity", lit(0.25)), 6).as("p25"),
+          round(percentile($"l_quantity", lit(0.5)), 6).as("p50"),
+          round(percentile($"l_quantity", lit(0.75)), 6).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // A15 — order-insensitive collect: collect_set is shuffle-order-
+    // nondeterministic, so it is only oracle-able (or production-safe)
+    // canonicalized — sort_array + join to one string
+    "a15_collect_agg" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir)
+        .groupBy($"c_nationkey")
+        .agg(
+          concat_ws(",", sort_array(collect_set($"c_mktsegment"))).as("segments"),
+          count(lit(1)).as("n"))
+        .orderBy($"c_nationkey")
+    }),
+
+    // W4 — rolling row-frame aggregates (ROWS BETWEEN 3 PRECEDING AND
+    // CURRENT ROW): decimal-exact frame sums; avg assembled as the same
+    // two-double division on both engines
+    "w4_rolling" -> ((spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+        .rowsBetween(-3, Window.currentRow)
+      ev(spark, dir).select(
+        $"user_id", $"ts_us", $"event_id",
+        sum(dec($"value")).over(w).cast("double").as("roll_sum"),
+        (sum(dec($"value")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")).as("roll_avg"))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    }),
+
+    // TS2 — recursive EWMA per key (secondary-sort fold, see Ewma):
+    // bit-exact vs DuckDB list_reduce because both fold the same values
+    // in the same total order with the same IEEE ops (alpha = 0.25 so
+    // alpha and 1-alpha are both exactly representable)
+    "ts2_ewma" -> ((spark, dir) => {
+      import spark.implicits._
+      Ewma.ewmaLast(ev(spark, dir), "user_id", "value",
+        orderCols = Seq("ts_us", "event_id"), alpha = 0.25)
+        .orderBy($"user_id")
+    }),
+
+    // FZ1 — blocked edit-distance pairs (entity resolution): nationkey
+    // as the block key bounds the quadratic Levenshtein stage
+    "fz1_fuzzy_pairs" -> ((spark, dir) => {
+      import spark.implicits._
+      Fuzzy.blockedEditDistancePairs(
+        Tables.customer(spark, dir).select($"c_custkey", $"c_name", $"c_nationkey"),
+        idCol = "c_custkey", textCol = "c_name",
+        blockCols = Seq("c_nationkey"), maxDist = 2)
+        .orderBy($"a_id", $"b_id")
+    }),
+
+    // G4 — dynamic pivot: values discovered via the documented bounded
+    // driver collect (Pivots.dynamicPivot); output columns are the
+    // discovered values themselves, so the oracle (which must name its
+    // columns statically) spells out the fixture's status set {F,O,P} —
+    // same convention as the IN-list oracles
+    "g4_dynamic_pivot" -> ((spark, dir) => {
+      import spark.implicits._
+      Pivots.dynamicPivot(Tables.orders(spark, dir),
+        groupCols = Seq("o_orderpriority"), pivotCol = "o_orderstatus",
+        agg = dsum($"o_totalprice"))
+        .orderBy($"o_orderpriority")
+    }))
+
+  def oracle: Map[String, String] = Map(
+
+    "a13_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a15_collect_agg" ->
+      """SELECT c_nationkey,
+        |  array_to_string(list_sort(list_distinct(array_agg(c_mktsegment))), ',') AS segments,
+        |  COUNT(*) AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "w4_rolling" ->
+      s"""WITH $evSql
+         |SELECT user_id, ts_us, event_id,
+         |  CAST(SUM(${sqlDec("value")}) OVER w AS DOUBLE) AS roll_sum,
+         |  CAST(SUM(${sqlDec("value")}) OVER w AS DOUBLE)
+         |    / CAST(COUNT(*) OVER w AS DOUBLE) AS roll_avg
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "ts2_ewma" ->
+      s"""WITH $evSql
+         |SELECT user_id, COUNT(*) AS n_obs,
+         |  list_reduce(array_agg(value ORDER BY ts_us, event_id),
+         |    (acc, x) -> acc * CAST(0.75 AS DOUBLE) + x * CAST(0.25 AS DOUBLE)) AS ewma
+         |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "fz1_fuzzy_pairs" ->
+      """SELECT a.c_nationkey AS c_nationkey, a.c_custkey AS a_id,
+        |  b.c_custkey AS b_id, levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "g4_dynamic_pivot" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(SUM(${sqlDec("o_totalprice")}) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS F,
+         |  CAST(SUM(${sqlDec("o_totalprice")}) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS O,
+         |  CAST(SUM(${sqlDec("o_totalprice")}) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS P
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}
