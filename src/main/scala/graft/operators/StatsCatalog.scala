@@ -99,6 +99,35 @@ object StatsCatalog {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // SQ1 — funnel stage per user (signup→click→purchase as an in-order
+    // subsequence, anything in between): one-pass state machine
+    // (Sequences), never materializing per-user paths. The oracle
+    // spells the same subsequence test as LIKE '%s%c%p%' over an
+    // ordered path string — sound because no fixture event type is a
+    // substring of another
+    "sq1_funnel" -> ((spark, dir) => {
+      import spark.implicits._
+      val typed = Tables.events(spark, dir)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
+      Sequences.funnelStages(typed, "user_id", "event_type",
+        orderCols = Seq("ts_us", "event_id"),
+        steps = Seq("signup", "click", "purchase"))
+        .orderBy($"user_id")
+    }),
+
+    // RS1 — robust scaling by discrete per-group quantiles (rank
+    // ceil(q·n) — an actual data value, engine-exact; vs a13's
+    // interpolated percentiles which need rounding)
+    "rs1_robust_scale" -> ((spark, dir) => {
+      import spark.implicits._
+      RobustScale.robustScale(
+        Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment", $"c_acctbal"),
+        keyCols = Seq("c_mktsegment"), valueCol = "c_acctbal",
+        tiebreakCols = Seq("c_custkey"))
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal", $"scaled")
+        .orderBy($"c_custkey")
+    }),
+
     // G4 — dynamic pivot: values discovered via the documented bounded
     // driver collect (Pivots.dynamicPivot); output columns are the
     // discovered values themselves, so the oracle (which must name its
@@ -153,6 +182,35 @@ object StatsCatalog {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "sq1_funnel" ->
+      """WITH t AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    event_id, event_type FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |p AS (SELECT user_id,
+        |    array_to_string(array_agg(event_type ORDER BY ts_us, event_id), '>') AS path
+        |  FROM t GROUP BY user_id)
+        |SELECT user_id,
+        |  CASE WHEN path LIKE '%signup%click%purchase%' THEN 3
+        |       WHEN path LIKE '%signup%click%' THEN 2
+        |       WHEN path LIKE '%signup%' THEN 1 ELSE 0 END AS stage
+        |FROM p ORDER BY user_id""".stripMargin,
+
+    "rs1_robust_scale" ->
+      """WITH r AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal, c_custkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer),
+        |q AS (SELECT c_mktsegment,
+        |    MAX(CASE WHEN rn = CAST(ceil(CAST(0.25 AS DOUBLE) * n) AS BIGINT) THEN c_acctbal END) AS p25,
+        |    MAX(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT) THEN c_acctbal END) AS med,
+        |    MAX(CASE WHEN rn = CAST(ceil(CAST(0.75 AS DOUBLE) * n) AS BIGINT) THEN c_acctbal END) AS p75
+        |  FROM r GROUP BY c_mktsegment)
+        |SELECT r.c_custkey, r.c_mktsegment, r.c_acctbal,
+        |  CASE WHEN (q.p75 - q.p25) <> 0 THEN (r.c_acctbal - q.med) / (q.p75 - q.p25) END AS scaled
+        |FROM r JOIN q ON r.c_mktsegment = q.c_mktsegment
+        |ORDER BY r.c_custkey""".stripMargin,
 
     "g4_dynamic_pivot" ->
       s"""SELECT o_orderpriority,

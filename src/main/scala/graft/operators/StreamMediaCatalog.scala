@@ -39,6 +39,19 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // M2 — frame sampling over decoded media: stride-2 sample of the
+    // feature vector (the video-frame-sampler contract), exploded to
+    // one row per frame — proves the explode/posexplode plumbing over
+    // mapPartitions-produced arrays
+    "m2_frame_sample" -> ((spark, dir) => {
+      val media = BinaryOps.asMediaTable(Tables.documents(spark, dir))
+      val frames = BinaryOps.frameSample(BinaryOps.extractFeatures(media), stride = 2)
+      frames.select(col("doc_id"),
+        posexplode(col("sampled")).as(Seq("frame_idx", "v")))
+        .withColumn("frame_idx", col("frame_idx").cast("bigint"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // stream-stream interval join (watermarked both sides, time-bounded
     // predicate ⇒ bounded state); inner-join matches emit per
     // micro-batch, so the static-dir run must equal the batch join the
@@ -72,6 +85,17 @@ object StreamMediaCatalog {
          |  $fs
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // same byte-is-codepoint equivalence as m1 (ASCII fixture guard in
+    // CatalogSmokeSpec); sampled indices are 0,2,4,6 of the 8-wide
+    // feature vector
+    "m2_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx,
+        |  CASE WHEN len(text) > 2*i
+        |       THEN CAST(ord(substr(text, 2*i + 1, 1)) AS DOUBLE) / 255.0
+        |       ELSE 0.0 END AS v
+        |FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) s
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "e6_stream_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type,
