@@ -48,6 +48,9 @@ object Bench {
       "ann_int8" -> (() => Pipelines.annInt8TopK(spark, int8Dir)),
       "ann_lsh" -> (() => Pipelines.lshTopK(spark, sfDir)),
       "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)),
+      "ewma_fold" -> (() => Pipelines.ewmaFold(spark, sfDir)),
+      "funnel_stages" -> (() => Pipelines.funnelStages(spark, sfDir)),
+      "fuzzy_pairs" -> (() => Pipelines.fuzzyPairs(spark, sfDir)),
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)))
 
     // untimed warm-up pass: the first execution of each pipeline pays

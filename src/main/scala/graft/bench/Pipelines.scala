@@ -156,6 +156,38 @@ object Pipelines {
   def q1(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Relational.q1Agg(spark, sfDir)
 
+  /** Shared events projection for the secondary-sort pipelines. */
+  private def evOrdered(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        $"value", $"event_type")
+      .filter($"user_id".isNotNull)
+  }
+
+  /** Secondary-sort fold throughput: recursive EWMA per user (one keyed
+    * shuffle + spillable sort + streaming O(1)-state fold).
+    */
+  def ewmaFold(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Ewma.ewmaLast(
+      evOrdered(spark, sfDir).filter(col("value").isNotNull),
+      "user_id", "value", Seq("ts_us", "event_id"), alpha = 0.25)
+
+  /** Funnel state machine over the same shuffle/sort shape. */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Sequences.funnelStages(
+      evOrdered(spark, sfDir), "user_id", "event_type",
+      Seq("ts_us", "event_id"), Seq("signup", "click", "purchase"))
+
+  /** Blocked edit-distance matching: quadratic Levenshtein stage
+    * confined to nation blocks (codegen'd built-in, equi-join shuffle).
+    */
+  def fuzzyPairs(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Fuzzy.blockedEditDistancePairs(
+      Tables.customer(spark, sfDir).select(
+        col("c_custkey"), col("c_name"), col("c_nationkey")),
+      "c_custkey", "c_name", Seq("c_nationkey"), maxDist = 2)
+
   private val streamRunN = new java.util.concurrent.atomic.AtomicInteger(0)
   private val streamSrcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 

@@ -99,6 +99,40 @@ object StatsCatalog {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // O5 — per-group head (first k rows in key order): spelled as the
+    // rank-window idiom, but the UNIFORM-direction order makes it
+    // eligible for the TopKWindowToAggregate rewrite, so this gate runs
+    // the k-bounded aggregate path under the oracle (the way d4 runs
+    // under the argmax rule); o3 keeps the un-rewritten window path
+    "o5_group_head" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal", $"c_custkey")
+      Tables.customer(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"c_mktsegment", $"rn", $"c_custkey", $"c_acctbal")
+        .orderBy($"c_mktsegment", $"rn")
+    }),
+
+    // EP1 — per-group Shannon entropy (nats) of a categorical column
+    // (data-profiling signal: key skew / label balance). Per-term
+    // -p·ln(p) is quantized to int64 before the sum (t9's discipline —
+    // double sums are merge-order-dependent, quantized sums are exact)
+    "ep1_entropy" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val n = Window.partitionBy($"o_orderpriority")
+      Tables.orders(spark, dir)
+        .groupBy($"o_orderpriority", $"o_orderstatus").agg(count(lit(1)).as("c"))
+        .withColumn("p", $"c".cast("double") / sum($"c").over(n).cast("double"))
+        .withColumn("tq", floor(-($"p" * log($"p")) * lit(1000000.0)).cast("long"))
+        .groupBy($"o_orderpriority")
+        .agg((sum($"tq").cast("double") / lit(1000000.0)).as("entropy_nats"),
+          count(lit(1)).as("n_values"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // SQ1 — funnel stage per user (signup→click→purchase as an in-order
     // subsequence, anything in between): one-pass state machine
     // (Sequences), never materializing per-user paths. The oracle
@@ -182,6 +216,27 @@ object StatsCatalog {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "o5_group_head" ->
+      """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "ep1_entropy" ->
+      """WITH cnt AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+        |  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+        |pr AS (SELECT o_orderpriority,
+        |    CAST(c AS DOUBLE) / CAST(SUM(c) OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS p
+        |  FROM cnt),
+        |tq AS (SELECT o_orderpriority,
+        |    CAST(FLOOR(-(p * ln(p)) * 1000000.0) AS BIGINT) AS tq FROM pr)
+        |SELECT o_orderpriority,
+        |  CAST(SUM(tq) AS DOUBLE) / 1000000.0 AS entropy_nats,
+        |  COUNT(*) AS n_values
+        |FROM tq GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "sq1_funnel" ->
       """WITH t AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

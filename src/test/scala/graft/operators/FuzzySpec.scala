@@ -32,4 +32,13 @@ class FuzzySpec extends SparkSpec {
       Fuzzy.blockedEditDistancePairs(names, "id", "name", Nil, 2)
     }
   }
+
+  test("sub-block salting does not change the pair set") {
+    def pairs(s: Int) =
+      Fuzzy.blockedEditDistancePairs(names, "id", "name", Seq("block"), 2,
+        subBlocks = Some(s))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pairs(1) == pairs(7))
+    assert(pairs(7) == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
+  }
 }
