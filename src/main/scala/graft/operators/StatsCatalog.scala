@@ -99,6 +99,60 @@ object StatsCatalog {
         .orderBy($"a_id", $"b_id")
     }),
 
+    // A16 — exact skewness / excess kurtosis per group. Power sums run
+    // over the INTEGER-scaled value y = 100·x at decimal scale 0:
+    // standardized moments are scale-invariant, and scale-0 sums make
+    // the final decimal→double cast a SINGLE rounding on both engines —
+    // a fractional-scale decimal whose scaled integer exceeds 2^53
+    // double-rounds in DuckDB (int128→double, then ÷10^s) and came out
+    // ~24 ulps off Spark's correctly-rounded BigDecimal cast (measured).
+    // ^1.5 is spelled v*sqrt(v): sqrt is correctly rounded everywhere,
+    // pow is not (a14's discipline, extended).
+    "a16_moments" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val y = ($"l_quantity".cast(DecimalType(8, 2)) * lit(100)).cast(DecimalType(10, 0))
+      val y2 = (y * y).cast(DecimalType(14, 0))
+      val y3 = (y2 * y).cast(DecimalType(18, 0))
+      val y4 = (y3 * y).cast(DecimalType(20, 0))
+      val agged = Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("nD"),
+          sum(y).cast("double").as("sx"),
+          sum(y2).cast("double").as("sx2"),
+          sum(y3).cast("double").as("sx3"),
+          sum(y4).cast("double").as("sx4"))
+      val m1 = $"sx" / $"nD"
+      val s2 = $"sx2" / $"nD"
+      val s3 = $"sx3" / $"nD"
+      val s4 = $"sx4" / $"nD"
+      val v = s2 - m1 * m1
+      agged.select(
+        $"l_returnflag",
+        $"nD".cast("long").as("n"),
+        ((s3 - lit(3.0) * m1 * s2 + lit(2.0) * m1 * m1 * m1) /
+          (v * sqrt(v))).as("skewness"),
+        ((s4 - lit(4.0) * m1 * s3 + lit(6.0) * m1 * m1 * s2
+          - lit(3.0) * m1 * m1 * m1 * m1) / (v * v) - lit(3.0)).as("kurtosis"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // R5 — leakage-safe train/holdout split at GROUP granularity: the
+    // md5 hash-gate keys on user_id, so every event of a user lands in
+    // the same split (row-level seeded sampling would leak users across
+    // the boundary); deterministic under repartitioning and engine swap
+    "r5_group_split" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.events(spark, dir)
+        .filter($"user_id".isNotNull)
+        .withColumn("split",
+          when(Sampling.hashGate($"user_id", 0.8), "train").otherwise("test"))
+        .groupBy($"split")
+        .agg(countDistinct($"user_id").as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy($"split")
+    }),
+
     // O5 — per-group head (first k rows in key order): spelled as the
     // rank-window idiom, but the UNIFORM-direction order makes it
     // eligible for the TopKWindowToAggregate rewrite, so this gate runs
@@ -216,6 +270,40 @@ object StatsCatalog {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    "a16_moments" ->
+      """WITH q AS (SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(8,2)) * 100 AS DECIMAL(10,0)) AS y
+        |  FROM lineitem),
+        |p AS (SELECT l_returnflag, y,
+        |    CAST(y * y AS DECIMAL(14,0)) AS y2 FROM q),
+        |p3 AS (SELECT l_returnflag, y, y2,
+        |    CAST(y2 * y AS DECIMAL(18,0)) AS y3 FROM p),
+        |p4 AS (SELECT l_returnflag, y, y2, y3,
+        |    CAST(y3 * y AS DECIMAL(20,0)) AS y4 FROM p3),
+        |s AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(y) AS DOUBLE) AS sx,
+        |  CAST(SUM(y2) AS DOUBLE) AS sx2,
+        |  CAST(SUM(y3) AS DOUBLE) AS sx3,
+        |  CAST(SUM(y4) AS DOUBLE) AS sx4
+        | FROM p4 GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  (sx3 / n - 3.0 * (sx / n) * (sx2 / n) + 2.0 * (sx / n) * (sx / n) * (sx / n))
+        |    / ((sx2 / n - (sx / n) * (sx / n)) * sqrt(sx2 / n - (sx / n) * (sx / n))) AS skewness,
+        |  (sx4 / n - 4.0 * (sx / n) * (sx3 / n) + 6.0 * (sx / n) * (sx / n) * (sx2 / n)
+        |    - 3.0 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+        |    / ((sx2 / n - (sx / n) * (sx / n)) * (sx2 / n - (sx / n) * (sx / n))) - 3.0 AS kurtosis
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "r5_group_split" -> {
+      val tok = Sampling.thresholdToken(0.8)
+      s"""WITH t AS (SELECT user_id,
+         |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 8) < '$tok'
+         |       THEN 'train' ELSE 'test' END AS split
+         |  FROM events WHERE user_id IS NOT NULL)
+         |SELECT split, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+         |FROM t GROUP BY split ORDER BY split""".stripMargin
+    },
 
     "o5_group_head" ->
       """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (

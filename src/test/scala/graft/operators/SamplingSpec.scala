@@ -27,6 +27,18 @@ class SamplingSpec extends graft.SparkSpec {
     assert(inner.join(outer, Seq("o_orderkey"), "left_anti").count() == 0)
   }
 
+  test("group-keyed gate keeps every group intact across the split (no leakage)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf001).filter(col("user_id").isNotNull)
+      .withColumn("split",
+        when(Sampling.hashGate(col("user_id"), 0.8), "train").otherwise("test"))
+    // a user with events in both splits would leak train into holdout
+    val straddlers = ev.groupBy(col("user_id"))
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(straddlers == 0)
+    assert(ev.select("split").distinct().count() == 2)
+  }
+
   test("stratified hash sample keeps per-stratum fractions") {
     val o = Tables.orders(spark, sf001)
     val s = Sampling.stratifiedHashSample(o, "o_orderkey", "o_orderstatus",
