@@ -75,6 +75,45 @@ object ScaleProbe {
       }
       emb.unpersist()
       spark.catalog.clearCache()
+
+      // secondary-sort folds: multiplying events on event_id keeps the
+      // key set fixed, so per-key runs grow m× — the curve shows the
+      // fold is linear in run length (O(1) state, spillable sort)
+      val ev = multiply(
+        Tables.events(spark, sfDir).select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("value"), col("event_type"))
+          .filter(col("user_id").isNotNull),
+        "event_id", m, 10000000L).repartition(64).cache()
+      ev.count()
+      time(s"ewma_fold x$m") {
+        graft.operators.Ewma.ewmaLast(ev.filter(col("value").isNotNull),
+          "user_id", "value", Seq("ts_us", "event_id"), 0.25).count()
+      }
+      time(s"funnel x$m") {
+        graft.operators.Sequences.funnelStages(ev, "user_id", "event_type",
+          Seq("ts_us", "event_id"), Seq("signup", "click", "purchase")).count()
+      }
+      ev.unpersist()
+
+      // fuzzy blocking: multiplying customers grows each nation block
+      // m×, so the intra-block pair count grows m² — the curve makes
+      // the quadratic-in-block-size cost (and why block choice is the
+      // dial) measurable. m=16 would be 1.2B Levenshtein calls; the
+      // block key, not the engine, is what must cap that.
+      if (m <= 4) {
+        val cust = multiply(
+          Tables.customer(spark, sfDir).select(col("c_custkey"),
+            col("c_name"), col("c_nationkey")),
+          "c_custkey", m, 10000000L).repartition(64).cache()
+        cust.count()
+        time(s"fuzzy_pairs x$m") {
+          graft.operators.Fuzzy.blockedEditDistancePairs(cust,
+            "c_custkey", "c_name", Seq("c_nationkey"), 2).count()
+        }
+        cust.unpersist()
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -216,6 +216,33 @@ object StatsCatalog {
         .orderBy($"c_custkey")
     }),
 
+    // CJ1 — explicit cross join (the one join shape the taxonomy still
+    // lacked): dimension × dimension only — a cross join is broadcastable
+    // by definition or it should not exist; Spark requires the explicit
+    // crossJoin call, which is the right API friction at 100 TB
+    "cj1_cross" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.region(spark, dir).select($"r_regionkey")
+        .crossJoin(Tables.nation(spark, dir).select($"n_nationkey", $"n_regionkey"))
+        .select($"r_regionkey", $"n_nationkey",
+          ($"r_regionkey" === $"n_regionkey").as("is_home"))
+        .orderBy($"r_regionkey", $"n_nationkey")
+    }),
+
+    // W5 — ratio-to-report (share of group total): decimal-exact window
+    // sum, one double division — the percent-of-total idiom every
+    // reporting layer needs
+    "w5_share" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_orderpriority")
+      Tables.orders(spark, dir).select(
+        $"o_orderkey", $"o_orderpriority",
+        (dec($"o_totalprice").cast("double") /
+          sum(dec($"o_totalprice")).over(w).cast("double")).as("share"))
+        .orderBy($"o_orderkey")
+    }),
+
     // G4 — dynamic pivot: values discovered via the documented bounded
     // driver collect (Pivots.dynamicPivot); output columns are the
     // discovered values themselves, so the oracle (which must name its
@@ -354,6 +381,19 @@ object StatsCatalog {
         |  CASE WHEN (q.p75 - q.p25) <> 0 THEN (r.c_acctbal - q.med) / (q.p75 - q.p25) END AS scaled
         |FROM r JOIN q ON r.c_mktsegment = q.c_mktsegment
         |ORDER BY r.c_custkey""".stripMargin,
+
+    "cj1_cross" ->
+      """SELECT r.r_regionkey, n.n_nationkey,
+        |  r.r_regionkey = n.n_regionkey AS is_home
+        |FROM region r CROSS JOIN nation n
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "w5_share" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+         |  CAST(${sqlDec("o_totalprice")} AS DOUBLE) /
+         |    CAST(SUM(${sqlDec("o_totalprice")})
+         |         OVER (PARTITION BY o_orderpriority) AS DOUBLE) AS share
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "g4_dynamic_pivot" ->
       s"""SELECT o_orderpriority,
