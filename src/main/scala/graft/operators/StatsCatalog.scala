@@ -216,6 +216,17 @@ object StatsCatalog {
         .orderBy($"c_custkey")
     }),
 
+    // G5 — rollup: the hierarchical subset of cube (prefix groupings
+    // only — (a,b), (a), ()): same exact-sum + nulls-first discipline
+    // as g1_cube
+    "g5_rollup" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir)
+        .rollup($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), dsum($"o_totalprice").as("sum_price"))
+        .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
+    }),
+
     // CJ1 — explicit cross join (the one join shape the taxonomy still
     // lacked): dimension × dimension only — a cross join is broadcastable
     // by definition or it should not exist; Spark requires the explicit
@@ -381,6 +392,12 @@ object StatsCatalog {
         |  CASE WHEN (q.p75 - q.p25) <> 0 THEN (r.c_acctbal - q.med) / (q.p75 - q.p25) END AS scaled
         |FROM r JOIN q ON r.c_mktsegment = q.c_mktsegment
         |ORDER BY r.c_custkey""".stripMargin,
+
+    "g5_rollup" ->
+      s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+         |  ${sqlDsum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "cj1_cross" ->
       """SELECT r.r_regionkey, n.n_nationkey,

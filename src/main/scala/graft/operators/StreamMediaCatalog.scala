@@ -39,6 +39,23 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E7 — stateful streaming EWMA: keyed mapGroupsWithState carrying
+    // (acc, n); single-batch file source ⇒ one Update row per user that
+    // must equal the batch secondary-sort fold bit-for-bit (same oracle
+    // as ts2_ewma)
+    "e7_stream_ewma" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_ewma"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val updates = EventStream.ewmaUpdates(
+        EventStream.read(spark, d.toString), alpha = 0.25)
+      EventStream.runToMemory(spark, updates.toDF(),
+        s"stream_ewma_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+        .orderBy(col("user_id"))
+    }),
+
     // M2 — frame sampling over decoded media: stride-2 sample of the
     // feature vector (the video-frame-sampler contract), exploded to
     // one row per frame — proves the explode/posexplode plumbing over
@@ -85,6 +102,9 @@ object StreamMediaCatalog {
          |  $fs
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    // streaming must agree with the batch fold — same oracle as ts2
+    "e7_stream_ewma" -> StatsCatalog.oracle("ts2_ewma"),
 
     // same byte-is-codepoint equivalence as m1 (ASCII fixture guard in
     // CatalogSmokeSpec); sampled indices are 0,2,4,6 of the 8-wide

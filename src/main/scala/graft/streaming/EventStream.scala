@@ -112,6 +112,42 @@ object EventStream {
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   final case class SessionState(start: Long, end: Long, n: Int)
+  final case class EwmaState(acc: Double, n: Long)
+  final case class KeyedEwma(user_id: Long, n_obs: Long, ewma: Double)
+
+  /** Streaming face of the batch EWMA fold (operators.Ewma): per-user
+    * recursive smoothing carried as (acc, n) in keyed state — O(1)
+    * state per user, evicted never (the running statistic IS the
+    * product). Each micro-batch's group slice is sorted by
+    * (epoch-micros, event_id) before folding, so with time-ordered
+    * arrival per key (the append-log norm) the stream equals the batch
+    * fold exactly — the e7 gate proves it end-to-end against the same
+    * DuckDB oracle as ts2. Out-of-order data ACROSS batches would need
+    * the batch operator; within a batch it is handled by the sort.
+    * Emits one updated (user_id, n_obs, ewma) row per key per batch
+    * (Update output mode).
+    */
+  def ewmaUpdates(events: DataFrame, alpha: Double): org.apache.spark.sql.Dataset[KeyedEwma] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val beta = 1.0 - alpha
+    events.filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[EwmaState, KeyedEwma](GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[EwmaState]) =>
+          val rows = it.toArray.sortBy(r => (r._2, r._3))
+          var (acc, n) = state.getOption.map(s => (s.acc, s.n)).getOrElse((0.0, 0L))
+          rows.foreach { r =>
+            acc = if (n == 0L) r._4 else acc * beta + r._4 * alpha
+            n += 1
+          }
+          state.update(EwmaState(acc, n))
+          KeyedEwma(uid, n, acc)
+      }
+  }
   final case class UserSession(user_id: Long, start_ms: Long, end_ms: Long,
                                n_events: Int, seconds: Double)
 

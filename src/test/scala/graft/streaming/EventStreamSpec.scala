@@ -28,6 +28,55 @@ class EventStreamSpec extends SparkSpec {
     assert(s == b && s.nonEmpty)
   }
 
+  test("streaming EWMA equals the batch secondary-sort fold (sf0.001)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val d = streamSrcDir("graft_stream_ewma")
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.ewmaUpdates(EventStream.read(spark, d), 0.25).toDF(),
+      "spec_ewma", OutputMode.Update())
+    val batch = graft.operators.Ewma.ewmaLast(
+      graft.core.Tables.events(spark, sf0001)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+        .filter($"user_id".isNotNull && $"value".isNotNull),
+      "user_id", "value", Seq("ts_us", "event_id"), 0.25)
+    val s = streamed.as[(Long, Long, Double)].collect().toSet
+    val b = batch.as[(Long, Long, Double)].collect().toSet
+    assert(s == b && s.nonEmpty, "stream fold must be bit-identical to batch")
+  }
+
+  test("streaming EWMA state carries across micro-batches (maxFilesPerTrigger=1)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    // two files arriving time-ordered per key: batch 1 then batch 2
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_ewma2")
+    val mk = (id: Long, us: Long, v: Double) => (id, us * 1000L, 1L, "click", v, "{}")
+    // the file source expects FILES at the top level (like the fixture
+    // symlinks) — stage each batch dir's part file under $d
+    def stage(rows: Seq[(Long, Long, Long, String, Double, String)], name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ewma_stage")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$d/$name"))
+    }
+    stage(Seq(mk(1, 1000, 1.0), mk(2, 1000, 2.0)), "b1.parquet")
+    stage(Seq(mk(3, 2000, 3.0), mk(4, 3000, 5.0)), "b2.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(d.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = EventStream.runToMemory(spark,
+      EventStream.ewmaUpdates(src, 0.25).toDF(), "spec_ewma_mb", OutputMode.Update())
+    // user 1: batch1 folds 1.0, 2.0 -> 1.25; batch2 continues from state:
+    // 1.25*.75+3*.25 = 1.6875 -> 1.6875*.75+5*.25 = 2.515625
+    val finals = out.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+    assert(finals(1L) == ((1L, 4L, 2.515625)),
+      s"state must continue across batches: ${finals(1L)}")
+    // two updates for the key = two micro-batches actually fired
+    assert(out.filter($"user_id" === 1L).count() == 2)
+  }
+
   test("append mode with watermark emits only closed windows") {
     val d = streamSrcDir("graft_stream_append")
     val q = EventStream.runToMemory(spark,
