@@ -216,6 +216,27 @@ object StatsCatalog {
         .orderBy($"c_custkey")
     }),
 
+    // SD1 — snapshot diff (CDC changeset between two full snapshots):
+    // old = customer; new = customer with %10 keys deleted, %7 balances
+    // bumped (updates), and %100 keys re-inserted under offset ids —
+    // a deterministic fixture-derived pair both engines can build
+    "sd1_snapshot_diff" -> ((spark, dir) => {
+      import spark.implicits._
+      val old = Tables.customer(spark, dir).select($"c_custkey", $"c_acctbal")
+      val neu = Tables.customer(spark, dir)
+        .filter($"c_custkey" % 10 =!= 0)
+        .select($"c_custkey",
+          when($"c_custkey" % 7 === 0, $"c_acctbal" + lit(10.0))
+            .otherwise($"c_acctbal").as("c_acctbal"))
+        .unionAll(Tables.customer(spark, dir)
+          .filter($"c_custkey" % 100 === 0)
+          .select(($"c_custkey" + lit(1000000L)).as("c_custkey"),
+            lit(0.0).as("c_acctbal")))
+      Warehouse.snapshotDiff(old, neu, keys = Seq("c_custkey"),
+        compareCols = Seq("c_acctbal"))
+        .orderBy($"c_custkey")
+    }),
+
     // G5 — rollup: the hierarchical subset of cube (prefix groupings
     // only — (a,b), (a), ()): same exact-sum + nulls-first discipline
     // as g1_cube
@@ -392,6 +413,25 @@ object StatsCatalog {
         |  CASE WHEN (q.p75 - q.p25) <> 0 THEN (r.c_acctbal - q.med) / (q.p75 - q.p25) END AS scaled
         |FROM r JOIN q ON r.c_mktsegment = q.c_mktsegment
         |ORDER BY r.c_custkey""".stripMargin,
+
+    "sd1_snapshot_diff" ->
+      """WITH oldt AS (SELECT c_custkey, c_acctbal FROM customer),
+        |newt AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10.0 ELSE c_acctbal END AS c_acctbal
+        |  FROM customer WHERE c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS c_custkey, 0.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 100 = 0),
+        |d AS (SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  CASE WHEN o.c_custkey IS NULL THEN 'insert'
+        |       WHEN n.c_custkey IS NULL THEN 'delete'
+        |       WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal THEN 'update'
+        |       ELSE 'unchanged' END AS change_type,
+        |  o.c_acctbal AS old_c_acctbal, n.c_acctbal AS new_c_acctbal
+        |FROM oldt o FULL JOIN newt n ON o.c_custkey = n.c_custkey)
+        |SELECT * FROM d WHERE change_type <> 'unchanged'
+        |ORDER BY c_custkey""".stripMargin,
 
     "g5_rollup" ->
       s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,

@@ -70,4 +70,36 @@ object Warehouse {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Snapshot diff: derive the CDC changeset BETWEEN two full snapshots
+    * (the inverse of [[upsert]], for sources that can only hand you
+    * "the table as of today"). One full-outer equi-join on the key
+    * classifies every row as insert / delete / update (null-safe value
+    * compare, so a null→value transition counts as a change); unchanged
+    * rows are dropped — the changeset is what ships downstream.
+    *
+    * Scale: a fact-fact shuffle join on the key — the one unavoidable
+    * shuffle; land both snapshots bucketed on the key (Sinks.bucketed)
+    * and it degrades to a zero-exchange sort-merge.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val o = oldDf.select((keys ++ compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"old_$c").toMap)
+      .withColumn("__in_old", lit(true))
+    val n = newDf.select((keys ++ compareCols).map(col): _*)
+      .withColumnsRenamed(compareCols.map(c => c -> s"new_$c").toMap)
+      .withColumn("__in_new", lit(true))
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .when(compareCols.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+            .reduce(_ || _), "update")
+          .otherwise("unchanged"))
+      .filter(col("change_type") =!= "unchanged")
+      .select(keys.map(col) ++ (col("change_type") +:
+        compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c")))): _*)
+  }
 }

@@ -52,6 +52,20 @@ class WarehouseSpec extends SparkSpec {
       (2L, "z", 5L, -1L, true)))
   }
 
+  test("snapshot diff classifies insert/delete/update and drops unchanged") {
+    val old = Seq((1L, java.lang.Double.valueOf(10.0)), (2L, java.lang.Double.valueOf(20.0)),
+      (3L, java.lang.Double.valueOf(30.0)), (4L, null.asInstanceOf[java.lang.Double]))
+      .toDF("k", "v")
+    val neu = Seq((1L, java.lang.Double.valueOf(10.0)), (2L, java.lang.Double.valueOf(25.0)),
+      (4L, java.lang.Double.valueOf(40.0)), (5L, java.lang.Double.valueOf(50.0)))
+      .toDF("k", "v")
+    val out = Warehouse.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .orderBy($"k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // 1 unchanged (dropped), 2 update, 3 delete, 4 null→value update, 5 insert
+    assert(out == Seq((2L, "update"), (3L, "delete"), (4L, "update"), (5L, "insert")))
+  }
+
   test("scd2 plans one exchange (shared partitioning for both windows)") {
     val ev = graft.core.Tables.events(spark, sf0001)
       .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
