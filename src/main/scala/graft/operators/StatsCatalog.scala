@@ -216,6 +216,22 @@ object StatsCatalog {
         .orderBy($"c_custkey")
     }),
 
+    // C10 — calendar breakdown (the date-part family the reference
+    // skipped by keeping dates as strings): year/quarter/month/day plus
+    // ISO weekday — Spark's dayofweek is 1=Sunday, so both engines
+    // spell Monday=1..Sunday=7 explicitly (DuckDB via isodow)
+    "c10_calendar" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.orders(spark, dir).select(
+        $"o_orderkey",
+        year($"o_orderdate").as("y"),
+        quarter($"o_orderdate").as("q"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        ((dayofweek($"o_orderdate") + lit(5)) % lit(7) + lit(1)).as("iso_dow"))
+        .orderBy($"o_orderkey")
+    }),
+
     // SD1 — snapshot diff (CDC changeset between two full snapshots):
     // old = customer; new = customer with %10 keys deleted, %7 balances
     // bumped (updates), and %100 keys re-inserted under offset ids —
@@ -413,6 +429,15 @@ object StatsCatalog {
         |  CASE WHEN (q.p75 - q.p25) <> 0 THEN (r.c_acctbal - q.med) / (q.p75 - q.p25) END AS scaled
         |FROM r JOIN q ON r.c_mktsegment = q.c_mktsegment
         |ORDER BY r.c_custkey""".stripMargin,
+
+    "c10_calendar" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS q,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS d,
+        |  CAST(EXTRACT(isodow FROM o_orderdate) AS INTEGER) AS iso_dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "sd1_snapshot_diff" ->
       """WITH oldt AS (SELECT c_custkey, c_acctbal FROM customer),

@@ -22,6 +22,29 @@ class PlanSpec extends SparkSpec {
       !plan.contains("l_extendedprice,l_discount"), "projection not pruned")
   }
 
+  test("w5_share: one window exchange, no extra sort beyond the window's own") {
+    val plan = planOf(graft.operators.StatsCatalog.queries("w5_share")(spark, sf0001))
+    // partition-total window: one hash exchange for the window, one
+    // range exchange for the final orderBy — no join, no second window
+    assert("Window".r.findAllIn(plan).size >= 1)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("sd1_snapshot_diff: full-outer key join is the ONLY shuffle pair") {
+    val plan = planOf(graft.operators.StatsCatalog.queries("sd1_snapshot_diff")(spark, sf0001))
+    assert(plan.contains("FullOuter"), s"expected full-outer join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"diff must stay an equi-join:\n$plan")
+  }
+
+  test("c10_calendar: date-part projection is a pure map over the scan (no shuffle before sort)") {
+    val q = graft.operators.StatsCatalog.queries("c10_calendar")(spark, sf0001)
+    val plan = planOf(q)
+    // only the final orderBy exchanges; the extraction itself is narrow
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected only the orderBy exchange, got $exchanges:\n$plan")
+  }
+
   test("j1: dimension joins broadcast (no shuffle of the fact side)") {
     val plan = planOf(graft.operators.Catalog.queries("j1_join_broadcast")(spark, sf0001))
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
