@@ -48,6 +48,7 @@ object Bench {
       "ann_int8" -> (() => Pipelines.annInt8TopK(spark, int8Dir)),
       "ann_lsh" -> (() => Pipelines.lshTopK(spark, sfDir)),
       "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)),
+      "asof_join" -> (() => Pipelines.asofEnrich(spark, sfDir)),
       "ewma_fold" -> (() => Pipelines.ewmaFold(spark, sfDir)),
       "funnel_stages" -> (() => Pipelines.funnelStages(spark, sfDir)),
       "fuzzy_pairs" -> (() => Pipelines.fuzzyPairs(spark, sfDir)),

@@ -179,6 +179,23 @@ object Pipelines {
       evOrdered(spark, sfDir), "user_id", "event_type",
       Seq("ts_us", "event_id"), Seq("signup", "click", "purchase"))
 
+  /** As-of enrichment throughput: every purchase joined to the user's
+    * most recent prior click (tag-union + keyed window carry — one
+    * shuffle, no range explosion).
+    */
+  def asofEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = evOrdered(spark, sfDir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts_us", $"event_id", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts_us", $"event_id".as("click_id"),
+        $"value".as("click_value"))
+    graft.operators.AsOfJoin.asof(purchases, clicks,
+      keys = Seq("user_id"), tsCol = "ts_us",
+      rightCols = Seq("click_id", "click_value"))
+  }
+
   /** Blocked edit-distance matching: quadratic Levenshtein stage
     * confined to nation blocks (codegen'd built-in, equi-join shuffle).
     */
