@@ -31,4 +31,34 @@ class CatalogSmokeSpec extends SparkSpec {
         s"$offenders non-ASCII documents — byte-vs-char oracle equivalences (m1, x8) no longer hold")
     }
   }
+
+  // sq1_funnel's oracle rewrites the subsequence test as
+  // LIKE '%signup%click%purchase%' over a joined path string — sound
+  // ONLY while no event type is a substring of another (e.g. a future
+  // 'clicked' type would silently false-positive 'click')
+  Seq(sf0001, sf001).foreach { dir =>
+    test(s"fixture guard: event types are substring-disjoint ($dir)") {
+      val types = graft.core.Tables.events(spark, dir)
+        .select("event_type").distinct()
+        .collect().map(_.getString(0)).filter(_ != null)
+      val clashes = for {
+        a <- types; b <- types if a != b && b.contains(a)
+      } yield s"'$a' ⊂ '$b'"
+      assert(clashes.isEmpty,
+        s"substring-overlapping event types break sq1's LIKE oracle: ${clashes.mkString(", ")}")
+    }
+  }
+
+  // fz1/a15 compare customer names/segments character-wise across
+  // engines — same ASCII requirement as documents.text
+  Seq(sf0001, sf001).foreach { dir =>
+    test(s"fixture guard: customer.c_name is pure ASCII ($dir)") {
+      import org.apache.spark.sql.functions._
+      val offenders = graft.core.Tables.customer(spark, dir)
+        .filter(not(col("c_name").rlike("^[\\x00-\\x7F]*$")))
+        .count()
+      assert(offenders == 0L,
+        s"$offenders non-ASCII customer names — levenshtein char semantics may diverge (fz1)")
+    }
+  }
 }
