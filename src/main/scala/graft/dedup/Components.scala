@@ -67,14 +67,16 @@ object Components {
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("nbr_comp"))
-      // apply: labels only decrease
+      // apply: labels only decrease. prev rides along so convergence is
+      // a filter-count over the checkpointed frame — NOT a third
+      // shuffle join per superstep against the old labels
       val next = labels.join(gathered, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
         .localCheckpoint() // truncate per-superstep lineage
-      changed = next.join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") < col("prev")).count()
-      labels = next
+      changed = next.filter(col("comp") < col("prev")).count()
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     require(changed == 0,
