@@ -277,6 +277,21 @@ object StatsCatalog {
         .orderBy($"r_regionkey", $"n_nationkey")
     }),
 
+    // W6 — first_value/last_value: navigation over explicit frames
+    // (last_value needs the full-partition frame — the default frame
+    // ends at CURRENT ROW and silently returns the current value)
+    "w6_first_last" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ev(spark, dir).select(
+        $"user_id", $"ts_us", $"event_id",
+        first($"value").over(w).as("first_v"),
+        last($"value").over(wAll).as("last_v"))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    }),
+
     // W5 — ratio-to-report (share of group total): decimal-exact window
     // sum, one double division — the percent-of-total idiom every
     // reporting layer needs
@@ -469,6 +484,16 @@ object StatsCatalog {
         |  r.r_regionkey = n.n_regionkey AS is_home
         |FROM region r CROSS JOIN nation n
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "w6_first_last" ->
+      s"""WITH $evSql
+         |SELECT user_id, ts_us, event_id,
+         |  first_value(value) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS first_v,
+         |  last_value(value) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v
+         |FROM ev ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "w5_share" ->
       s"""SELECT o_orderkey, o_orderpriority,
