@@ -92,6 +92,69 @@ object Components {
   def representatives(components: DataFrame, idCol: String): DataFrame =
     components.filter(col(idCol) === col("comp")).select(idCol)
 
+  /** The alternating large-star/small-star variant (Kiveris et al.,
+    * SoCC'14): converges in O(log n) supersteps regardless of graph
+    * DIAMETER, where min-label propagation needs diameter supersteps.
+    * Near-dup graphs are usually shallow, so [[connectedComponents]] is
+    * the default; this is the escape hatch when chains get long (e.g.
+    * temporally-drifting near-duplicates forming paths).
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: every node and its smaller neighbors re-attach to
+    *    the minimum among them.
+    *
+    * Both are one groupBy-min plus one join per round — the same
+    * shuffle building blocks as a superstep of min-label, just O(log n)
+    * of them. At the fixpoint every component is a star rooted at its
+    * minimum id.
+    */
+  def connectedComponentsLogStar(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                                 aCol: String = "a_id", bCol: String = "b_id",
+                                 maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.sql.functions.{least, greatest}
+    def canon(df: DataFrame, a: String, b: String): DataFrame =
+      df.filter(col(a) =!= col(b))
+        .select(least(col(a), col(b)).as("lo"), greatest(col(a), col(b)).as("hi"))
+        .distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("lo").as("u"), col("hi").as("v"))
+        .union(e.select(col("hi").as("u"), col("lo").as("v")))
+
+    var edges = canon(pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")), "a", "b").localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // large-star: (v, m) for every strictly-larger neighbor v of u,
+      // m = min(closed neighborhood of u)
+      val s = sym(edges)
+      val mins = s.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = canon(
+        s.filter(col("v") > col("u")).join(mins, "u")
+          .select(col("v").as("a"), col("m").as("b")), "a", "b")
+      // small-star: u and its smaller neighbors re-attach to their min
+      val smaller = sym(afterLarge).filter(col("v") < col("u"))
+      val minsS = smaller.groupBy("u").agg(min(col("v")).as("m"))
+      val afterSmall = canon(
+        smaller.join(minsS, "u").select(col("v").as("a"), col("m").as("b"))
+          .union(minsS.select(col("u").as("a"), col("m").as("b"))), "a", "b")
+      val next = afterSmall.localCheckpoint()
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+      iter += 1
+    }
+    require(changed == 0,
+      s"log-star components did not converge in $maxIter rounds")
+    // fixpoint edges are stars rooted at component minima
+    val rooted = edges.select(col("hi").as("id"), col("lo").as("comp"))
+      .groupBy("id").agg(min(col("comp")).as("comp"))
+    nodes.select(col(idCol).cast("long").as("id")).distinct()
+      .join(rooted, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   // ------------------------------------------------------- DuckDB spelling
 
   object Sql {

@@ -56,6 +56,22 @@ object StreamMediaCatalog {
         .orderBy(col("user_id"))
     }),
 
+    // E8 — stateful streaming funnel: same machinery as e7, integer
+    // stage state; single-batch source must equal the batch state
+    // machine (same oracle as sq1)
+    "e8_stream_funnel" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_funnel"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val updates = EventStream.funnelUpdates(
+        EventStream.read(spark, d.toString), Seq("signup", "click", "purchase"))
+      EventStream.runToMemory(spark, updates.toDF(),
+        s"stream_funnel_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+        .orderBy(col("user_id"))
+    }),
+
     // M2 — frame sampling over decoded media: stride-2 sample of the
     // feature vector (the video-frame-sampler contract), exploded to
     // one row per frame — proves the explode/posexplode plumbing over
@@ -105,6 +121,9 @@ object StreamMediaCatalog {
 
     // streaming must agree with the batch fold — same oracle as ts2
     "e7_stream_ewma" -> StatsCatalog.oracle("ts2_ewma"),
+
+    // streaming funnel must agree with the batch state machine
+    "e8_stream_funnel" -> StatsCatalog.oracle("sq1_funnel"),
 
     // same byte-is-codepoint equivalence as m1 (ASCII fixture guard in
     // CatalogSmokeSpec); sampled indices are 0,2,4,6 of the 8-wide

@@ -115,6 +115,36 @@ object EventStream {
   final case class EwmaState(acc: Double, n: Long)
   final case class KeyedEwma(user_id: Long, n_obs: Long, ewma: Double)
 
+  final case class FunnelState(stage: Int)
+  final case class KeyedStage(user_id: Long, stage: Int)
+
+  /** Streaming face of the batch funnel state machine
+    * (operators.Sequences): the furthest-stage-reached integer lives in
+    * keyed state, each micro-batch's slice is sorted by (micros,
+    * event_id) and folded through the same greedy subsequence match.
+    * Same ordering caveat as [[ewmaUpdates]]; emits one updated
+    * (user_id, stage) row per key per batch (Update mode).
+    */
+  def funnelUpdates(events: DataFrame, steps: Seq[String]): org.apache.spark.sql.Dataset[KeyedStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepsArr = steps.toIndexedSeq
+    events.filter(col("user_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, KeyedStage](GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[FunnelState]) =>
+          var stage = state.getOption.map(_.stage).getOrElse(0)
+          it.toArray.sortBy(r => (r._2, r._3)).foreach { r =>
+            if (stage < stepsArr.length && r._4 == stepsArr(stage)) stage += 1
+          }
+          state.update(FunnelState(stage))
+          KeyedStage(uid, stage)
+      }
+  }
+
   /** Streaming face of the batch EWMA fold (operators.Ewma): per-user
     * recursive smoothing carried as (acc, n) in keyed state — O(1)
     * state per user, evicted never (the running statistic IS the

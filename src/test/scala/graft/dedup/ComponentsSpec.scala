@@ -40,6 +40,42 @@ class ComponentsSpec extends SparkSpec {
     assert(cc(edges, nodes) == expected)
   }
 
+  private def ccLog(pairs: Seq[(Long, Long)], nodes: Seq[Long], maxIter: Int = 20): Map[Long, Long] = {
+    val p = pairs.toDF("a_id", "b_id")
+    val n = nodes.toDF("id")
+    Components.connectedComponentsLogStar(p, n, "id", maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("log-star variant agrees with min-label on chains, clusters, singletons") {
+    val pairs = Seq((4L, 5L), (3L, 4L), (2L, 3L), (1L, 2L), (10L, 11L))
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 99L)
+    assert(ccLog(pairs, nodes) == cc(pairs, nodes))
+  }
+
+  test("log-star variant matches brute force on the random-ish graph") {
+    val nodes = (0L until 30L)
+    val edges = nodes.flatMap(i => if ((i * 7 + 3) % 5 == 0) Seq((i, (i * 13 + 7) % 30)) else Nil)
+      .filter { case (a, b) => a != b }
+    assert(ccLog(edges, nodes) == cc(edges, nodes))
+  }
+
+  test("log-star converges on a 120-node chain within O(log n) rounds where min-label cannot") {
+    // a path 0-1-2-…-119 has diameter 119: min-label needs ~119
+    // supersteps; log-star must land well inside 12 rounds
+    val nodes = (0L until 120L)
+    val chain = (0L until 119L).map(i => (i, i + 1))
+    val got = ccLog(chain, nodes, maxIter = 12)
+    assert(got == nodes.map(_ -> 0L).toMap)
+    // and min-label with the same tiny budget fails loudly (the property
+    // that motivates the variant)
+    intercept[IllegalArgumentException] {
+      val p = chain.toDF("a_id", "b_id")
+      Components.connectedComponents(p, nodes.toDF("id"), "id", maxIter = 12)
+        .collect()
+    }
+  }
+
   test("representatives keeps exactly the component minima") {
     val p = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
     val n = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
