@@ -264,6 +264,34 @@ object StatsCatalog {
         .orderBy($"o_orderpriority".asc_nulls_first, $"o_orderstatus".asc_nulls_first)
     }),
 
+    // I3 — set union (UNION DISTINCT): the dedup-across-sources shape;
+    // u1 keeps bag semantics, this one collapses
+    "i3_union_set" -> ((spark, dir) => {
+      import spark.implicits._
+      val hi = Tables.orders(spark, dir).filter($"o_totalprice" > 300000.0)
+        .select($"o_custkey")
+      val urgent = Tables.orders(spark, dir).filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey")
+      hi.union(urgent).distinct().orderBy($"o_custkey")
+    }),
+
+    // C12b — string-function suite in one projection (upper/lower/trim/
+    // lpad/substring/replace/concat/length — the cleansing vocabulary
+    // beyond regex): every function ASCII-safe by the fixture guards
+    "c12_string_suite" -> ((spark, dir) => {
+      import spark.implicits._
+      Tables.customer(spark, dir).select(
+        $"c_custkey",
+        upper($"c_mktsegment").as("seg_up"),
+        lower($"c_name").as("name_lo"),
+        trim(concat(lit("  "), $"c_mktsegment", lit(" "))).as("seg_trim"),
+        lpad($"c_custkey".cast("string"), 10, "0").as("key_pad"),
+        substring($"c_name", 1, 8).as("name_head"),
+        regexp_replace($"c_name", "Customer", "Cust").as("name_short"),
+        length($"c_name").cast("int").as("name_len"))
+        .orderBy($"c_custkey")
+    }),
+
     // CJ1 — explicit cross join (the one join shape the taxonomy still
     // lacked): dimension × dimension only — a cross join is broadcastable
     // by definition or it should not exist; Spark requires the explicit
@@ -478,6 +506,23 @@ object StatsCatalog {
          |  ${sqlDsum("o_totalprice")} AS sum_price
          |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
          |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "i3_union_set" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "c12_string_suite" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_up,
+        |  lower(c_name) AS name_lo,
+        |  trim(concat('  ', c_mktsegment, ' ')) AS seg_trim,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+        |  substr(c_name, 1, 8) AS name_head,
+        |  replace(c_name, 'Customer', 'Cust') AS name_short,
+        |  CAST(length(c_name) AS INTEGER) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "cj1_cross" ->
       """SELECT r.r_regionkey, n.n_nationkey,
