@@ -153,6 +153,41 @@ object StatsCatalog {
         .orderBy($"split")
     }),
 
+    // A17 — weighted average (the aggregation min-max/mean profiling
+    // misses): decimal-exact numerator and denominator, one double
+    // division
+    "a17_weighted_avg" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          (sum((dec($"l_quantity") * dec($"l_extendedprice")).cast(DecimalType(30, 4)))
+            .cast("double") /
+            sum(dec($"l_extendedprice")).cast("double")).as("wavg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    }),
+
+    // H2 — equi-depth histogram via ntile: unlike h1's fixed-width
+    // buckets, depth buckets track the distribution; the unique-key
+    // tiebreak makes every bucket assignment total-order deterministic.
+    // The global (unpartitioned) window is a single-task sort — correct
+    // for the profiling use (a bounded sample/summary input); the 100 TB
+    // spelling derives cutpoints from percentile_approx (a10's sketch
+    // path) and bucket-joins them, trading exact depths for parallelism
+    "h2_equidepth" -> ((spark, dir) => {
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+      Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice", ntile(10).over(w).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("cnt"),
+          min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+        .orderBy($"bucket")
+    }),
+
     // O5 — per-group head (first k rows in key order): spelled as the
     // rank-window idiom, but the UNIFORM-direction order makes it
     // eligible for the TopKWindowToAggregate rewrite, so this gate runs
@@ -422,6 +457,21 @@ object StatsCatalog {
          |SELECT split, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
          |FROM t GROUP BY split ORDER BY split""".stripMargin
     },
+
+    "a17_weighted_avg" ->
+      s"""SELECT l_returnflag,
+         |  CAST(SUM(CAST(${sqlDec("l_quantity")} * ${sqlDec("l_extendedprice")} AS DECIMAL(30,4))) AS DOUBLE)
+         |    / CAST(SUM(${sqlDec("l_extendedprice")}) AS DOUBLE) AS wavg_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "h2_equidepth" ->
+      """WITH t AS (SELECT o_orderkey, o_totalprice,
+        |    NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS cnt,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        |FROM t GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "o5_group_head" ->
       """SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (
