@@ -21,25 +21,29 @@ object Histograms {
   /** Equi-depth bucket assignment + per-bucket stats. Buckets are
     * `[cut(i-1), cut(i))` over `accuracy`-grade approximate quantile
     * cutpoints; bucket ids are 1..buckets. Returns one row per
-    * non-empty bucket: bucket, cnt, lo, hi.
+    * non-empty bucket: bucket, cnt, lo, hi. NULL values are excluded
+    * up front: `percentile_approx` already ignores them when fitting
+    * the cutpoints, and without the filter `col >= cut` evaluates null
+    * so every null row would silently land in (and inflate) bucket 1.
     */
   def equiDepthApprox(df: DataFrame, valueCol: String, buckets: Int,
                       accuracy: Int = 10000): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     val probs = (1 until buckets).map(_.toDouble / buckets)
+    val nonNull = df.filter(col(valueCol).isNotNull)
     // the cutpoint collect is bounded (buckets-1 doubles) and explicit —
     // same contract as Pivots.dynamicPivot. Unrolling the cutpoints
     // into a literal when-chain keeps the bucket projection inside
     // whole-stage codegen; an array-HOF fold over a broadcast array
     // would run interpreted per row.
-    val cutsArr: Seq[Double] = df
+    val cutsArr: Seq[Double] = nonNull
       .agg(percentile_approx(col(valueCol), array(probs.map(lit): _*),
         lit(accuracy)).as("cuts"))
       .first().getSeq[Double](0)
     val bucketId: Column = cutsArr.foldLeft(lit(1): Column) { (acc, c) =>
       acc + when(col(valueCol) >= lit(c), 1).otherwise(0)
     }
-    df.withColumn("bucket", bucketId)
+    nonNull.withColumn("bucket", bucketId)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"),
         min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))

@@ -21,8 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Ticks are multiples of `stepUs`, from the key's first observation
   * aligned DOWN to its last aligned UP (so every observation falls at
-  * or before some tick and is carried at least once). Integer `div`
-  * alignment — exact on epoch-micros longs in any engine.
+  * or before some tick and is carried at least once). Alignment is
+  * FLOOR division on epoch-micros longs — Spark's `div` truncates
+  * toward zero, which for negative (pre-1970) timestamps would align
+  * the first tick UP instead of down and diverge from both this
+  * contract and the DuckDB oracle's `//`; the explicit remainder
+  * correction below restores floor/ceil semantics on all inputs.
   */
 object Resample {
 
@@ -38,12 +42,19 @@ object Resample {
     val bounds = events.groupBy(keys.map(col): _*)
       .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
     // `div` = exact integer division (Column./ on longs is double math —
-    // lossy above 2^53 and floor-inconsistent across engines)
+    // lossy above 2^53) but truncates toward zero; the CASE terms turn
+    // it into floor (lo) / ceil (hi) division so negative epoch-micros
+    // align down/up exactly like the oracle's `//`. stepUs > 0, so the
+    // remainder's sign is the dividend's: < 0 only when the dividend is
+    // negative and non-multiple (floor needs −1), > 0 only when positive
+    // and non-multiple (ceil needs +1).
     val grid = bounds.select(
       keys.map(col) :+
         explode(sequence(
-          expr(s"(__lo div ${stepUs}L) * ${stepUs}L"),
-          expr(s"((__hi + ${stepUs - 1}L) div ${stepUs}L) * ${stepUs}L"),
+          expr(s"((__lo div ${stepUs}L) - (CASE WHEN __lo % ${stepUs}L < 0" +
+            s" THEN 1 ELSE 0 END)) * ${stepUs}L"),
+          expr(s"((__hi div ${stepUs}L) + (CASE WHEN __hi % ${stepUs}L > 0" +
+            s" THEN 1 ELSE 0 END)) * ${stepUs}L"),
           lit(stepUs))).as(tsCol): _*)
     AsOfJoin.asof(grid, events, keys, tsCol, payload)
   }

@@ -86,9 +86,20 @@ object UnionFilterToIsin extends Rule[LogicalPlan]
       anchor match {
         case Some((m1, rest)) =>
           val lits = m1.lit +: rest.map(_.lit)
-          // pairwise-distinct literals: a row can satisfy at most one
-          // branch, so bag-union semantics are preserved exactly
-          if (lits.distinct.length == lits.length) {
+          // pairwise-distinct literals UNDER SQL COMPARISON: distinct
+          // Literal objects can still compare equal per the column's
+          // semantics (-0.0 vs 0.0 doubles), and then the two branches
+          // are NOT exclusive — the union emits the row twice while
+          // isin would emit it once. Evaluate EqualTo per pair and
+          // require a definite FALSE (null/eval-failure ⇒ bail).
+          val pairwiseDistinct = lits.combinations(2).forall {
+            case Seq(a, b) =>
+              a.dataType.sameType(b.dataType) &&
+                (try { EqualTo(a, b).eval(null) == java.lang.Boolean.FALSE }
+                 catch { case _: Exception => false })
+            case _ => false
+          }
+          if (pairwiseDistinct) {
             // keep branch 1, widening its equality to isin(l1..ln);
             // transformUp touches the (Project*/Filter) spine only —
             // analyze() guaranteed that is the whole branch
