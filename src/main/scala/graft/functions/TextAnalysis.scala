@@ -208,9 +208,15 @@ object TextAnalysis {
     * Exactness discipline: ln is transcendental (libm results can
     * differ in the last ulp across engines) and the per-doc sum is
     * order-dependent in doubles, so each token's log-prob is quantized
-    * once — floor(ln(p) · 1e6) as int64 — and summed exactly; the mean
-    * is two IEEE double divisions on identical operands. Quantization
-    * bias ≤ 1e-6 per token on a signal with O(1) useful resolution.
+    * once — floor(ln(p) · 1e6 + 1e-4) as int64 — and summed exactly;
+    * the mean is two IEEE double divisions on identical operands. The
+    * +1e-4 nudge (in quantized units) moves the floor boundary off the
+    * integers: engines' ln disagree by ≲4e-9 quantized units, so with
+    * the nudge a cross-engine flip needs the true value within 4e-9 of
+    * n−1e-4 — unreachable in practice — where an un-nudged floor flips
+    * whenever ln lands ulp-close to an integer (e.g. nice p values).
+    * Quantization bias ≤ 1e-6 per token on a signal with O(1) useful
+    * resolution.
     */
   def unigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
                      textCol: String): org.apache.spark.sql.DataFrame = {
@@ -223,7 +229,8 @@ object TextAnalysis {
     toks.join(cnt, Seq("tok"))
       .crossJoin(broadcast(total))
       .withColumn("lp_q",
-        floor(log(col("cnt").cast("double") / col("n_total").cast("double")) * lit(scale)))
+        floor(log(col("cnt").cast("double") / col("n_total").cast("double")) * lit(scale)
+          + lit(1e-4)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("lp_q")).cast("double") / lit(scale) / count(lit(1)).cast("double"))

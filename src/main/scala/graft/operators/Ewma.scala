@@ -46,10 +46,13 @@ object Ewma {
       StructField("n_obs", LongType, nullable = false),
       StructField("ewma", DoubleType, nullable = false)))
     // null keys or values have no defined fold position — exclude them
-    // (the oracle's array_agg/GROUP BY does the same)
+    // (the oracle's array_agg/GROUP BY does the same). The value column
+    // is cast to double HERE so int/decimal/float inputs fold correctly
+    // instead of throwing ClassCastException at getDouble.
     val prepared = df
       .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
-      .select((keyCol +: orderCols :+ valueCol).map(col): _*)
+      .select(((keyCol +: orderCols).map(col) :+
+        col(valueCol).cast(DoubleType).as(valueCol)): _*)
       .repartition(col(keyCol))
       .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
     val valueIdx = 1 + orderCols.length

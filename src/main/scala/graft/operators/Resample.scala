@@ -39,6 +39,7 @@ object Resample {
     */
   def resampleLocf(events: DataFrame, keys: Seq[String], tsCol: String,
                    payload: Seq[String], stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"tick width must be positive, got $stepUs")
     val bounds = events.groupBy(keys.map(col): _*)
       .agg(min(col(tsCol)).as("__lo"), max(col(tsCol)).as("__hi"))
     // `div` = exact integer division (Column./ on longs is double math —

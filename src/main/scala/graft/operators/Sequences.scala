@@ -37,9 +37,12 @@ object Sequences {
     val keyField = df.schema(keyCol)
     val outSchema = StructType(Seq(
       keyField, StructField("stage", IntegerType, nullable = false)))
+    // the type column is cast to string HERE so non-string event types
+    // compare against `steps` instead of throwing at getString
     val prepared = df
       .filter(col(keyCol).isNotNull && col(typeCol).isNotNull)
-      .select((keyCol +: orderCols :+ typeCol).map(col): _*)
+      .select(((keyCol +: orderCols).map(col) :+
+        col(typeCol).cast(StringType).as(typeCol)): _*)
       .repartition(col(keyCol))
       .sortWithinPartitions((keyCol +: orderCols).map(col): _*)
     val typeIdx = 1 + orderCols.length

@@ -94,7 +94,7 @@ object UnionFilterToIsin extends Rule[LogicalPlan]
           // require a definite FALSE (null/eval-failure ⇒ bail).
           val pairwiseDistinct = lits.combinations(2).forall {
             case Seq(a, b) =>
-              a.dataType.sameType(b.dataType) &&
+              a.dataType == b.dataType &&
                 (try { EqualTo(a, b).eval(null) == java.lang.Boolean.FALSE }
                  catch { case _: Exception => false })
             case _ => false

@@ -57,12 +57,24 @@ object Similarity {
     * k largest by (score, then id) — map-side combinable.
     */
   class TopKAgg(k: Int) extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    // amortized compaction: appends are O(1) and the buffer is trimmed
+    // back to k only when it reaches `cap`, so the per-row cost is
+    // O(log k) amortized instead of a full O(k log k) sort per input
+    // row — at k=1000 the difference between usable and not. Top-k is
+    // a selection, so compaction timing cannot change the result.
+    private val cap = math.max(4 * k, 64)
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
       s.sortBy { case (sc, id) => (-sc, id) }.take(k)
     def zero: Seq[(Double, Long)] = Seq.empty
-    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = trim(b :+ a)
-    def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b1 ++ b2)
-    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] = {
+      val grown = b :+ a
+      if (grown.length >= cap) trim(grown) else grown
+    }
+    def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      val grown = b1 ++ b2
+      if (grown.length >= cap) trim(grown) else grown
+    }
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(r)
     def bufferEncoder: Encoder[Seq[(Double, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
     def outputEncoder: Encoder[Seq[(Double, Long)]] = bufferEncoder

@@ -26,6 +26,21 @@ class HistogramsSpec extends SparkSpec {
     }
   }
 
+  test("NULL values are excluded: bucket counts sum to the non-null count, bucket 1 not inflated") {
+    import spark.implicits._
+    // without the isNotNull filter, `col >= cut` evaluates null for null
+    // rows, every when-branch misses, and all 60 nulls land in bucket 1
+    val vals: Seq[java.lang.Double] =
+      (1 to 100).map(i => java.lang.Double.valueOf(i.toDouble)) ++
+        Seq.fill(60)(null.asInstanceOf[java.lang.Double])
+    val df = vals.toDF("v")
+    val out = Histograms.equiDepthApprox(df, "v", 4).collect()
+    assert(out.map(_.getLong(1)).sum == 100L,
+      "bucket counts must sum to the NON-NULL count (nulls excluded)")
+    val b1 = out.find(_.getInt(0) == 1).get.getLong(1)
+    assert(b1 <= 35L, s"bucket 1 inflated by nulls: depth $b1, ideal 25")
+  }
+
   test("no global sort or window in the plan — bucket id is a literal when-chain") {
     val orders = graft.core.Tables.orders(spark, sf001)
     val plan = Histograms.equiDepthApprox(orders, "o_totalprice", 10)

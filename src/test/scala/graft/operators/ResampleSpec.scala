@@ -28,4 +28,34 @@ class ResampleSpec extends SparkSpec {
       (2L, 0L, -1L),
       (2L, 3600L, 20L)))
   }
+
+  test("pre-1970 (negative epoch) observations: first tick aligns DOWN, last UP") {
+    val step = 3600L
+    // `div` truncates toward zero; without the remainder correction the
+    // first tick for lo=-7000 would be -3600 (aligned UP — wrong) instead
+    // of -7200, and the last tick for hi=-100 would be -3600 instead of 0
+    val ev = Seq(
+      (1L, -7000L, 10L, 1.0),
+      (1L, -100L, 11L, 2.0))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val out = Resample.resampleLocf(ev, Seq("user_id"), "ts_us",
+      Seq("event_id", "value"), step)
+      .orderBy($"user_id", $"ts_us")
+      .collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq(
+      (-7200L, -1L), // largest multiple <= -7000: floor, not trunc
+      (-3600L, 10L),
+      (0L, 11L)))    // smallest multiple >= -100: ceil, not trunc
+  }
+
+  test("non-positive step is rejected up front, not as an opaque runtime error") {
+    val ev = Seq((1L, 0L, 1L)).toDF("user_id", "ts_us", "event_id")
+    intercept[IllegalArgumentException] {
+      Resample.resampleLocf(ev, Seq("user_id"), "ts_us", Seq("event_id"), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Resample.resampleLocf(ev, Seq("user_id"), "ts_us", Seq("event_id"), -3600L)
+    }
+  }
 }

@@ -113,6 +113,27 @@ class GraftExtensionsSpec extends AnyFunSuite
         o.filter($"o_orderpriority" === "2-HIGH").count())
   }
 
+  test("no rewrite when literals are distinct objects but SQL-equal (-0.0 vs 0.0 doubles)") {
+    import spark.implicits._
+    // -0.0 == 0.0 under SQL comparison: each branch matches BOTH zero
+    // rows, so the union emits 4 rows; an isin rewrite would emit 2.
+    // Literal(-0.0) != Literal(0.0) as objects — only EqualTo-eval
+    // exclusivity catches this.
+    // parquet roundtrip: filters over a LocalRelation are folded away
+    // before this (post-optimizer) rule ever sees them
+    val dir = java.nio.file.Files.createTempDirectory("zeros").toString
+    Seq(0.0, -0.0, 1.0).toDF("v").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val unioned = df.filter($"v" === -0.0).union(df.filter($"v" === 0.0))
+    assert(unioned.queryExecution.optimizedPlan.toString.contains("Union"),
+      s"SQL-equal literals must NOT rewrite:\n${unioned.queryExecution.optimizedPlan}")
+    assert(unioned.count() == 4)
+    // sanity: genuinely distinct doubles on the same child still rewrite
+    val ok = df.filter($"v" === 0.0).union(df.filter($"v" === 1.0))
+    assert(!ok.queryExecution.optimizedPlan.toString.contains("Union"))
+    assert(ok.count() == 3)
+  }
+
   test("no rewrite when literals are equal (bag union duplicates rows) or children differ") {
     import spark.implicits._
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
