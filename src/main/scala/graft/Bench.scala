@@ -52,7 +52,8 @@ object Bench {
       "ewma_fold" -> (() => Pipelines.ewmaFold(spark, sfDir)),
       "funnel_stages" -> (() => Pipelines.funnelStages(spark, sfDir)),
       "fuzzy_pairs" -> (() => Pipelines.fuzzyPairs(spark, sfDir)),
-      "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)))
+      "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
+      "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)))
 
     // untimed warm-up pass: the first execution of each pipeline pays
     // whole-stage-codegen janino compilation and FS cache misses — on a

@@ -24,6 +24,21 @@ object AppUtil {
     rs.foreach(r => println(f"[stage] ${r.stage}%-24s ${r.seconds}%7.2f s  rows=${r.rows.map(_.toString).getOrElse("-")}"))
 }
 
+/** Run one catalog query by name and print it — the single-operator
+  * debugging loop (`runMain graft.apps.QueryApp <name> <sfDir> [cpus]`).
+  */
+object QueryApp {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sf = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = Sessions.local(if (args.length > 2) args(2).toInt else 4)
+    val df = graft.SparkEntry.queries(name)(spark, sf)
+    df.show(200, truncate = false)
+    println(s"[query] $name rows=${df.count()}")
+    spark.stop()
+  }
+}
+
 /** Entry point A — profile → clean → JDBC load → readback verify
   * (LAB-2022-Standalone-SparkETL-CSV-to-MSSQL-Copy3.ipynb lifecycle,
   * SURVEY §3.1), on the loan-like CSV staging of the fixtures.

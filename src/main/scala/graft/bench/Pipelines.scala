@@ -156,6 +156,18 @@ object Pipelines {
   def q1(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Relational.q1Agg(spark, sfDir)
 
+  /** §3.3 first-model pipeline end-to-end — prep (join, normalize,
+    * rebalance, split) → feature fit → MLPC fit → score → confusion
+    * cells — with the DISTRIBUTED fit (the 100 TB shape; the verify
+    * query's single-partition fit is the exactness gate, not the scale
+    * path). BASELINE.md rows: 169.37 s data-prep + 504.73 s first
+    * model at 1.4 M rows.
+    */
+  def mlPrepFit(spark: SparkSession, sfDir: String): DataFrame =
+    graft.ml.ConfusionMatrix.cells(
+      graft.operators.QualityMlCatalog.mlScoredTest(spark, sfDir, exactGate = false),
+      "status", "prediction_label")
+
   /** Shared events projection for the secondary-sort pipelines. */
   private def evOrdered(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -26,6 +26,24 @@ object CombinationSearch {
       .transform(model.transform(test))
   }
 
+  /** M8's combination enumeration without the per-combo classifier
+    * cost: the fitted feature width per categorical combination.
+    * Width is the quantity the search actually varies (and what sets
+    * each model's layer-0 size), and unlike the trained metrics it is
+    * deterministic — so it can be oracle-gated; the classifier side of
+    * the loop is covered by MlSpec.
+    */
+  def comboWidths(df: DataFrame, base: FeaturePipeline.Config,
+                  candidateCats: Seq[String], maxK: Int): Seq[(String, Int)] = {
+    val combos = (1 to maxK).flatMap(k => candidateCats.combinations(k))
+    combos.map { cats =>
+      val cfg = base.copy(categoricalCols = cats)
+      val features = new org.apache.spark.ml.Pipeline()
+        .setStages(FeaturePipeline.featureStages(cfg).toArray).fit(df)
+      (cats.mkString("+"), FeaturePipeline.featureWidth(features.transform(df)))
+    }
+  }
+
   def search(train: DataFrame, test: DataFrame, base: FeaturePipeline.Config,
              candidateCats: Seq[String], maxK: Int,
              positive: String): Seq[Result] = {

@@ -19,21 +19,28 @@ object ConfusionMatrix {
   private def ratio(num: Long, den: Long): Double =
     if (den == 0L) 0.0 else num.toDouble / den.toDouble
 
-  /** `positive` is the label value treated as the positive class. */
-  def compute(scored: DataFrame, labelCol: String, predCol: String,
-              positive: String): Metrics = {
-    val cells = scored.groupBy(col(labelCol).as("l"), col(predCol).as("p"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
-      .map(r => (r.getString(0) == positive, r.getString(1) == positive) -> r.getLong(2))
-      .toMap.withDefaultValue(0L)
+  /** Metric math over already-aggregated (label=positive?, pred=positive?)
+    * cell counts — shared by [[compute]] and callers that memoize the
+    * 4 collected cells to avoid refitting the model per metric query.
+    */
+  def fromCells(cells: Map[(Boolean, Boolean), Long]): Metrics = {
+    val c = cells.withDefaultValue(0L)
     val (tp, fn, fp, tn) =
-      (cells((true, true)), cells((true, false)), cells((false, true)), cells((false, false)))
+      (c((true, true)), c((true, false)), c((false, true)), c((false, false)))
     Metrics(tp, fp, tn, fn,
       ppv = ratio(tp, tp + fp), npv = ratio(tn, tn + fn),
       sensitivity = ratio(tp, tp + fn), specificity = ratio(tn, tn + fp),
       accuracy = ratio(tp + tn, tp + tn + fp + fn))
   }
+
+  /** `positive` is the label value treated as the positive class. */
+  def compute(scored: DataFrame, labelCol: String, predCol: String,
+              positive: String): Metrics =
+    fromCells(scored.groupBy(col(labelCol).as("l"), col(predCol).as("p"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0) == positive, r.getString(1) == positive) -> r.getLong(2))
+      .toMap)
 
   /** The 2×2 cells as a DataFrame (for oracle-style inspection). */
   def cells(scored: DataFrame, labelCol: String, predCol: String): DataFrame =

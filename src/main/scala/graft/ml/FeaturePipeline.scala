@@ -4,7 +4,7 @@ import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
 import org.apache.spark.ml.attribute.AttributeGroup
 import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
 import org.apache.spark.ml.feature._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** ML feature/classifier pipeline (SURVEY.md §2.13 M1–M8): label +
@@ -93,5 +93,35 @@ object FeaturePipeline {
     val maj = df.filter(col(labelCol) === majority)
       .sample(withReplacement = true, fraction, seed)
     df.filter(col(labelCol) =!= majority).union(maj)
+  }
+
+  /** Deterministic bucket 0..99 from a stable key. Spark's seeded
+    * sample/randomSplit draw per-PARTITION random streams, so their
+    * output changes with the physical partition layout (file split
+    * sizing varies with core count). Hashing a stable key instead
+    * makes splits a pure function of the DATA — reproducible on 4
+    * cores or 4,000, and the standard reproducible-split idiom for a
+    * 100 TB training pipeline (a re-run after a cluster resize must
+    * not reshuffle train/test membership).
+    */
+  def hashBucket(key: Column, salt: Int, buckets: Int = 100): Column =
+    pmod(hash(key, lit(salt)), lit(buckets))
+
+  /** [[rebalance]] with partition-invariant membership: keep
+    * `keepPct`% of the majority class, selected by key hash.
+    */
+  def rebalanceHash(df: DataFrame, labelCol: String, majority: String,
+                    keepPct: Int, key: Column, salt: Int = 7): DataFrame =
+    df.filter(col(labelCol) =!= majority)
+      .union(df.filter(col(labelCol) === majority)
+        .filter(hashBucket(key, salt) < keepPct))
+
+  /** R2 with partition-invariant membership: (train, test) split on
+    * key hash, `trainPct`% to train.
+    */
+  def hashSplit(df: DataFrame, key: Column, trainPct: Int,
+                salt: Int = 13): (DataFrame, DataFrame) = {
+    val b = hashBucket(key, salt)
+    (df.filter(b < trainPct), df.filter(b >= trainPct))
   }
 }

@@ -135,6 +135,25 @@ object Catalog {
       NullRepair.dropNulls(customerNulls(spark, dir))
         .select(col("c_custkey")).orderBy(col("c_custkey"))),
 
+    // N3 — drop-all over a subset: dropped only when EVERY subset
+    // column is null (c_custkey is never null, so the subset is what
+    // makes the policy observable)
+    "n3_dropall_subset" -> ((spark, dir) =>
+      NullRepair.dropNulls(customerNulls(spark, dir), "all", Seq("bal", "seg"))
+        .select(col("c_custkey")).orderBy(col("c_custkey"))),
+
+    // N5 — drop-any over a single-column subset
+    "n5_drop_subset" -> ((spark, dir) =>
+      NullRepair.dropNulls(customerNulls(spark, dir), "any", Seq("bal"))
+        .select(col("c_custkey")).orderBy(col("c_custkey"))),
+
+    // C10 — prediction relabel (match value → hit label)
+    "c10_relabel" -> ((spark, dir) =>
+      Tables.orders(spark, dir).select(col("o_orderkey"),
+        Cleansers.relabel((col("o_orderkey") % 2).cast("double"), 0.0,
+          "Good Loan", "Bad Loan").as("label"))
+        .orderBy(col("o_orderkey"))),
+
     // N6/N7 — per-column constant fill
     "n6_fillna" -> ((spark, dir) =>
       NullRepair.fill(customerNulls(spark, dir), Map("bal" -> 0.0, "seg" -> "UNKNOWN"))
@@ -144,6 +163,15 @@ object Catalog {
     "n8_impute_mean" -> ((spark, dir) =>
       NullRepair.imputeMean(customerNulls(spark, dir), Seq("bal"))
         .select(col("c_custkey"), col("bal")).orderBy(col("c_custkey"))),
+
+    // N9 — median imputation, discrete-median exactness gate: fit the
+    // statistic on a filtered subset (the reference's idiom — fit on
+    // rows where another column is present), repair the full frame
+    "n9_impute_median" -> ((spark, dir) => {
+      val cn = customerNulls(spark, dir)
+      NullRepair.imputeMedianExact(cn, "bal", Some(cn.filter(col("seg").isNotNull)))
+        .select(col("c_custkey"), col("bal")).orderBy(col("c_custkey"))
+    }),
 
     // N10 — group census with percent-of-total (denominator broadcast
     // in-plan, no driver-side count)
@@ -752,6 +780,22 @@ object Catalog {
          |WHERE c_custkey IS NOT NULL AND bal IS NOT NULL AND seg IS NOT NULL
          |ORDER BY c_custkey""".stripMargin,
 
+    "n3_dropall_subset" ->
+      s"""WITH $customerNullsSql
+         |SELECT c_custkey FROM cn
+         |WHERE NOT (bal IS NULL AND seg IS NULL)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "n5_drop_subset" ->
+      s"""WITH $customerNullsSql
+         |SELECT c_custkey FROM cn WHERE bal IS NOT NULL
+         |ORDER BY c_custkey""".stripMargin,
+
+    "c10_relabel" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'Good Loan' ELSE 'Bad Loan' END AS label
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "n6_fillna" ->
       s"""WITH $customerNullsSql
          |SELECT c_custkey, COALESCE(bal, 0.0) AS bal, COALESCE(seg, 'UNKNOWN') AS seg
@@ -762,6 +806,16 @@ object Catalog {
          |SELECT c_custkey,
          |  COALESCE(bal,
          |    (SELECT CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(bal) AS DOUBLE) FROM cn)
+         |  ) AS bal
+         |FROM cn ORDER BY c_custkey""".stripMargin,
+
+    // quantile_disc picks the element at rank ceil(n/2) — an actual
+    // data value, so the compare is exact with no float arithmetic
+    "n9_impute_median" ->
+      s"""WITH $customerNullsSql
+         |SELECT c_custkey,
+         |  COALESCE(bal,
+         |    (SELECT quantile_disc(bal, 0.5) FROM cn WHERE seg IS NOT NULL)
          |  ) AS bal
          |FROM cn ORDER BY c_custkey""".stripMargin,
 

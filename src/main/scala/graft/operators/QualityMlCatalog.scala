@@ -35,14 +35,18 @@ object QualityMlCatalog {
     pattern = "^[0-9]+(\\.[0-9]+)?%$",
     repair = Cleansers.percentToDouble(col("rate_str")))
 
-  /** Shared loan-like classification frame (entry point C analogue). */
+  /** Shared loan-like classification frame (entry point C analogue).
+    * Keeps `o_orderkey` as the stable row key the deterministic
+    * rebalance/split hash on (dropped before training — it never
+    * enters the feature vector).
+    */
   def loanLike(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, sfDir)
       .join(broadcast(Tables.customer(spark, sfDir)), $"o_custkey" === $"c_custkey")
       .filter($"o_orderstatus".isin("F", "O"))
-      .select($"o_orderstatus".as("status"), $"o_orderpriority", $"c_mktsegment",
-        $"o_totalprice", $"c_acctbal",
+      .select($"o_orderkey", $"o_orderstatus".as("status"), $"o_orderpriority",
+        $"c_mktsegment", $"o_totalprice", $"c_acctbal",
         // order age is the one signal that actually predicts status
         year($"o_orderdate").cast("double").as("order_year"))
   }
@@ -61,27 +65,89 @@ object QualityMlCatalog {
         .select(col("p_partkey"), col("rate_str").as("rate"))
         .orderBy(col("p_partkey"))),
 
-    // ML: rebalance → seeded split → feature pipeline → MLPC →
-    // distributed confusion cells (rows-only gate)
+    // ML: rebalance → split → feature pipeline → MLPC → distributed
+    // confusion cells, golden-gated. Deterministic by construction:
+    // membership (rebalance + train/test) is hash-of-key, invariant to
+    // partition layout and core count; the exactness-gate fit runs on
+    // ONE partition so every float reduction has a fixed order (the
+    // distributed fit is the scale path, benched as ml_prep_fit).
+    // Golden oracle values were captured from three independent JVM
+    // runs at 4/16/32 cores (identical all three).
     "ml1_confusion" -> ((spark, dir) => {
-      // min-max normalize the continuous block (C9), like the reference
-      // does before MLPC training
+      import spark.implicits._
+      goldenCells(spark, dir).toSeq.toDF("status", "prediction_label", "cnt")
+        .orderBy("status", "prediction_label")
+    }),
+
+    // M8's combination loop, gated on the deterministic part: the
+    // assembled feature width per categorical combination (what sets
+    // each candidate model's layer-0 size; the trained metrics are
+    // RNG-adjacent and covered by MlSpec instead)
+    "ml3_combo_widths" -> ((spark, dir) => {
+      import spark.implicits._
       val df = Cleansers.minMaxNormalize(loanLike(spark, dir),
         Seq("o_totalprice", "c_acctbal", "order_year"))
-      val balanced = FeaturePipeline.rebalance(df, "status", "F", 0.5, 42L)
-      val Array(train, test) = balanced.randomSplit(Array(0.8, 0.2), 42L)
-      val cfg = FeaturePipeline.Config(
-        labelCol = "status",
-        categoricalCols = Seq("o_orderpriority", "c_mktsegment"),
-        continuousCols = Seq("o_totalprice_norm", "c_acctbal_norm", "order_year_norm"),
-        buckets = Map("c_acctbal" -> Array(Double.NegativeInfinity, 0.0, 2500.0,
-          5000.0, 7500.0, Double.PositiveInfinity)),
-        hiddenLayers = Seq(5), numClasses = 3, maxIter = 25)
-      val model = FeaturePipeline.fit(train.cache(), cfg)
-      val scored = CombinationSearch.scoreWithLabels(model, test)
-      ConfusionMatrix.cells(scored, "status", "prediction_label")
+      CombinationSearch.comboWidths(df, mlConfig,
+        Seq("o_orderpriority", "c_mktsegment"), maxK = 2)
+        .toDF("features", "width").orderBy("features")
+    }),
+
+    // the reference's deterministic-metrics block (MLPCModel-3.py:
+    // 382-401): tp/fp/tn/fn + the five ratio metrics with its
+    // ZeroDivisionError→0.0 handling, positive class = 'F'
+    "ml2_metrics" -> ((spark, dir) => {
+      import spark.implicits._
+      val m = ConfusionMatrix.fromCells(
+        goldenCells(spark, dir).map { case (l, p, n) =>
+          (l == "F", p == "F") -> n
+        }.toMap)
+      Seq(m).toDF()
     })
   )
+
+  /** One model fit + score per sf dir, memoized as the 4 collected
+    * confusion cells (driver-side: 4 rows) — `ml1_confusion` and
+    * `ml2_metrics` gate different views of the same run without
+    * refitting, and Verify's clearCache between queries can't evict a
+    * driver memo.
+    */
+  private val cellsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(String, String, Long)]]()
+  private def goldenCells(spark: SparkSession, dir: String): Array[(String, String, Long)] =
+    cellsMemo.computeIfAbsent(dir, _ =>
+      ConfusionMatrix.cells(mlScoredTest(spark, dir, exactGate = true),
+        "status", "prediction_label")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+
+  /** The §3.3 pipeline through scoring: shared by the golden-gated
+    * verify query (`exactGate = true`: single-partition fit for
+    * bit-reproducible gradient sums) and the ml_prep_fit bench
+    * (`exactGate = false`: distributed fit, the 100 TB shape).
+    */
+  def mlScoredTest(spark: SparkSession, dir: String,
+                   exactGate: Boolean): DataFrame = {
+    // min-max normalize the continuous block (C9), like the reference
+    // does before MLPC training
+    val df = Cleansers.minMaxNormalize(loanLike(spark, dir),
+      Seq("o_totalprice", "c_acctbal", "order_year"))
+    val balanced = FeaturePipeline.rebalanceHash(df, "status", "F", 50,
+      col("o_orderkey"))
+    val (train, test) = FeaturePipeline.hashSplit(balanced, col("o_orderkey"), 80)
+    val fitInput = if (exactGate) train.coalesce(1) else train
+    val model = FeaturePipeline.fit(fitInput.cache(), mlConfig)
+    CombinationSearch.scoreWithLabels(model, test)
+  }
+
+  /** Shared §3.3 model configuration (verify gate, bench, and the
+    * combination-width gate all see the same shape).
+    */
+  val mlConfig: FeaturePipeline.Config = FeaturePipeline.Config(
+    labelCol = "status",
+    categoricalCols = Seq("o_orderpriority", "c_mktsegment"),
+    continuousCols = Seq("o_totalprice_norm", "c_acctbal_norm", "order_year_norm"),
+    buckets = Map("c_acctbal" -> Array(Double.NegativeInfinity, 0.0, 2500.0,
+      5000.0, 7500.0, Double.PositiveInfinity)),
+    hiddenLayers = Seq(5), numClasses = 3, maxIter = 100)
 
   def oracle: Map[String, String] = Map(
     "v4_validator_census" ->
@@ -92,7 +158,37 @@ object QualityMlCatalog {
 
     "v5_validator_repair" ->
       """SELECT p_partkey, p_retailprice AS rate FROM part
-        |WHERE p_partkey % 100 <> 0 ORDER BY p_partkey""".stripMargin
-    // ml1_confusion: rows-only (no cross-engine oracle for MLPC weights)
+        |WHERE p_partkey % 100 <> 0 ORDER BY p_partkey""".stripMargin,
+
+    // golden cells at sf0.01 (seed-42 fixtures, TESTDATA.md): captured
+    // from three independent JVM runs at 4/16/32 cores — the pipeline
+    // is partition-invariant (hash membership + 1-partition fit), so
+    // any numeric drift in the feature/MLPC path fails this gate
+    "ml1_confusion" ->
+      """SELECT * FROM (VALUES
+        |  ('F', 'F', CAST(6 AS BIGINT)), ('F', 'O', CAST(479 AS BIGINT)),
+        |  ('O', 'F', CAST(18 AS BIGINT)), ('O', 'O', CAST(974 AS BIGINT)))
+        |  t(status, prediction_label, cnt)
+        |ORDER BY status, prediction_label""".stripMargin,
+
+    // widths: each 5-ary categorical one-hots to 5 slots (arity + keep
+    // slot − dropLast), plus 3 normalized continuous + 1 bucketized
+    "ml3_combo_widths" ->
+      """SELECT * FROM (VALUES
+        |  ('c_mktsegment', 9), ('o_orderpriority', 9),
+        |  ('o_orderpriority+c_mktsegment', 14)) t(features, width)
+        |ORDER BY features""".stripMargin,
+
+    // same golden run, reference metric block: tp=6 fp=18 tn=974 fn=479
+    // (positive='F'); ratios are IEEE divisions of the same integers on
+    // both engines, so the doubles are bit-identical
+    "ml2_metrics" ->
+      """SELECT CAST(6 AS BIGINT) AS tp, CAST(18 AS BIGINT) AS fp,
+        |  CAST(974 AS BIGINT) AS tn, CAST(479 AS BIGINT) AS fn,
+        |  CAST(6 AS DOUBLE) / CAST(6 + 18 AS DOUBLE) AS ppv,
+        |  CAST(974 AS DOUBLE) / CAST(974 + 479 AS DOUBLE) AS npv,
+        |  CAST(6 AS DOUBLE) / CAST(6 + 479 AS DOUBLE) AS sensitivity,
+        |  CAST(974 AS DOUBLE) / CAST(974 + 18 AS DOUBLE) AS specificity,
+        |  CAST(6 + 974 AS DOUBLE) / CAST(6 + 974 + 18 + 479 AS DOUBLE) AS accuracy""".stripMargin
   )
 }

@@ -161,6 +161,16 @@ object SourcesCatalog {
     "s4_log_parse" -> ((spark, dir) =>
       LogParser.cleanParse(logLines(spark, dir)).orderBy(col("path"))),
 
+    // S6: parallelized local collection — the one reference idiom that
+    // genuinely starts from sc.parallelize; hopped to relational
+    // immediately (SURVEY §1)
+    "s6_parallelized" -> ((spark, dir) => {
+      import spark.implicits._
+      spark.sparkContext
+        .parallelize(Seq((1, "alpha"), (2, "beta"), (3, "gamma")), 2)
+        .toDF("k", "v").orderBy($"k")
+    }),
+
     // S5: literal rows (the reference's employees toy table)
     "s5_literal" -> ((spark, dir) => {
       import spark.implicits._
@@ -168,6 +178,38 @@ object SourcesCatalog {
         ("Robert", "Sales", 4100L), ("Maria", "Finance", 3000L))
         .toDF("employee_name", "department", "salary")
         .orderBy($"employee_name")
+    }),
+
+    // S1b: CSV schema INFERENCE gate (SURVEY §7 risk 1) — write typed
+    // data to text, read it back with inferSchema only, and compare
+    // values against the typed fixture. If inference mis-types a
+    // column (e.g. doubles surviving as strings) the parquet dump's
+    // column type — and therefore its values — diverge from the
+    // oracle's typed projection and the compare fails.
+    "s1b_csv_infer" -> ((spark, dir) => {
+      val out = tmp("csvinfer")
+      Sinks.csv(Tables.customer(spark, dir), out)
+      Sources.csv(spark, out, None, mode = "FAILFAST", inferSchema = true)
+        .orderBy(col("c_custkey"))
+    }),
+
+    // S15: warehouse stage+load (S10) with a readback-equality gate —
+    // the staged headerless CSV, parsed back with the warehouse-side
+    // schema, must equal the source relation exactly; the loader must
+    // also have been handed the staged dir + target table.
+    "s15_warehouse_load" -> ((spark, dir) => {
+      val stage = tmp("whstage")
+      val loader = new Sinks.RecordingLoader
+      new Sinks.WarehouseSink(loader).save(
+        Tables.nation(spark, dir), stage, "analytics.nation")
+      require(loader.commands.exists(c =>
+        c.contains("analytics.nation") && c.contains(stage)),
+        s"warehouse loader not invoked for analytics.nation: ${loader.commands}")
+      val nationSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      Sources.csv(spark, stage, Some(nationSchema), header = false, mode = "FAILFAST")
+        .orderBy(col("n_nationkey"))
     }),
 
     // S8 → S7: JDBC write then readback through embedded Derby
@@ -243,6 +285,10 @@ object SourcesCatalog {
         |FROM documents WHERE doc_id % 50 <> 0
         |ORDER BY path""".stripMargin,
 
+    "s6_parallelized" ->
+      """SELECT * FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) t(k, v)
+        |ORDER BY k""".stripMargin,
+
     "s5_literal" ->
       """SELECT * FROM (VALUES
         |  ('James', 'Sales', 3000), ('Michael', 'Sales', 4600),
@@ -251,6 +297,17 @@ object SourcesCatalog {
         |ORDER BY employee_name""".stripMargin,
 
     "s7_jdbc_roundtrip" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+
+    // the oracle's explicit casts state the types inference must reach:
+    // small ints → INTEGER, decimals → DOUBLE, text → VARCHAR
+    "s1b_csv_infer" ->
+      """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name,
+        |       CAST(c_nationkey AS INTEGER) AS c_nationkey,
+        |       CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "s15_warehouse_load" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"""
   )
 }

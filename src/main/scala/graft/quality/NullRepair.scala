@@ -66,6 +66,37 @@ object NullRepair {
     imputer.fit(fitOn.getOrElse(df)).transform(df)
   }
 
+  /** N9 (exact) — discrete-median imputation with PERCENTILE_DISC /
+    * DuckDB `quantile_disc(0.5)` semantics: the statistic is the
+    * element at rank ceil(n/2) of the sorted non-null fit values — an
+    * actual data value, never interpolated, so the result is
+    * cross-engine exact (no float arithmetic to disagree on).
+    *
+    * The rank is found with a global row_number window: a deliberate
+    * single-partition sort of the *fit column only* (one double per
+    * row after pruning). An exact rank statistic is inherently a
+    * global-order question; the 100 TB path is [[imputeMedian]]
+    * (Imputer → approxQuantile, mergeable GK sketches), and this
+    * variant is the exactness gate that keeps the approx path honest.
+    * The statistic then broadcasts back like [[imputeMean]] — no
+    * driver-side collect anywhere.
+    */
+  def imputeMedianExact(df: DataFrame, c: String,
+                        fitOn: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = fitOn.getOrElse(df).select(col(c)).filter(col(c).isNotNull)
+    val n = vals.agg(count(lit(1)).as("__n"))
+    val med = vals
+      .withColumn("__rn", row_number().over(Window.orderBy(col(c))))
+      .crossJoin(broadcast(n))
+      // ceil(n/2) in exact long arithmetic: (n+1) div 2
+      .filter(col("__rn") === expr("(__n + 1) div 2"))
+      .select(col(c).as("__med"))
+    df.crossJoin(broadcast(med))
+      .withColumn(c, coalesce(col(c), col("__med")))
+      .drop("__med")
+  }
+
   /** N10 — group census with percent-of-total for null analysis.
     * The denominator joins in as a broadcast 1-row aggregate (same
     * discipline as imputeMean) — never a driver-side count(), which

@@ -30,6 +30,30 @@ class MlSpec extends SparkSpec {
     assert(m.tp > 0 && m.tn > 0)
   }
 
+  test("hash rebalance/split membership is invariant to partition layout") {
+    val df = toy(1000).withColumn("k", monotonically_increasing_id())
+    val layouts = Seq(df, df.repartition(7), df.coalesce(1))
+    // identical member sets regardless of physical layout — the property
+    // that makes the ml1_confusion golden gate stable across core counts
+    // (seeded sample/randomSplit do NOT have it: per-partition RNG)
+    val trainSets = layouts.map(d =>
+      FeaturePipeline.hashSplit(d, col("k"), 80)._1
+        .select("k").as[Long].collect().sorted.toSeq)
+    assert(trainSets.distinct.size == 1)
+    val balancedSets = layouts.map(d =>
+      FeaturePipeline.rebalanceHash(d, "label", "neg", 50, col("k"))
+        .select("k").as[Long].collect().sorted.toSeq)
+    assert(balancedSets.distinct.size == 1)
+    // split is a partition: train ∪ test = all, train ∩ test = ∅
+    val (tr, te) = FeaturePipeline.hashSplit(df, col("k"), 80)
+    assert(tr.count() + te.count() == df.count())
+    assert(tr.join(te, "k").count() == 0)
+    // only the majority class is downsampled
+    val bal = FeaturePipeline.rebalanceHash(df, "label", "neg", 50, col("k"))
+    assert(bal.filter($"label" === "pos").count() == df.filter($"label" === "pos").count())
+    assert(bal.filter($"label" === "neg").count() < df.filter($"label" === "neg").count())
+  }
+
   test("M4: feature width = onehot(keep) + continuous") {
     val df = toy(100)
     val features = new org.apache.spark.ml.Pipeline()

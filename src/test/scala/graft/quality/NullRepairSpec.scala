@@ -65,6 +65,37 @@ class NullRepairSpec extends SparkSpec {
     assert(filled.nonEmpty && filled.forall(_ == 448.0))
   }
 
+  test("N9 exact: discrete median picks the element at rank ceil(n/2)") {
+    // even fit count: {312, 345, 355, 355, 387} ∪ … — build explicit
+    // fixtures so the rank arithmetic is visible
+    val even = Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0), None)
+      .toDF("v")
+    // n=4 → rank ceil(4/2)=2 → 20.0 (quantile_disc lower-middle, NOT
+    // the interpolated 25.0)
+    val filledEven = NullRepair.imputeMedianExact(even, "v")
+      .filter($"v" === 20.0).count()
+    assert(filledEven == 2L, "null must be filled with 20.0 (rank-2 element)")
+
+    val odd = Seq(Some(1.0), Some(5.0), Some(9.0), None).toDF("v")
+    // n=3 → rank 2 → 5.0
+    assert(NullRepair.imputeMedianExact(odd, "v")
+      .filter($"v".isNull).count() == 0L)
+    assert(NullRepair.imputeMedianExact(odd, "v")
+      .filter($"v" === 5.0).count() == 2L)
+  }
+
+  test("N9 exact: statistic comes from fitOn subset, repair hits full frame") {
+    val df = Seq(("keep", Some(100.0)), ("keep", Some(300.0)),
+      ("keep", Some(200.0)), ("skip", Some(999.0)), ("skip", None))
+      .toDF("grp", "v")
+    val repaired = NullRepair.imputeMedianExact(df, "v",
+      fitOn = Some(df.filter($"grp" === "keep")))
+    // median of {100, 200, 300} = 200 — 999 from the skipped subset
+    // must not shift it; the null row lives outside the fit subset and
+    // is still repaired
+    assert(repaired.filter($"grp" === "skip" && $"v" === 200.0).count() == 1L)
+  }
+
   test("N10: group census percents sum to 1") {
     val census = NullRepair.groupCensus(storeRevenue.na.drop("all"), Seq("Store"))
     val pcts = census.select(sum($"percent")).as[Double].head()
