@@ -54,6 +54,15 @@ object Bench {
       "fuzzy_pairs" -> (() => Pipelines.fuzzyPairs(spark, sfDir)),
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
       "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)))
+      // debug filters (not used by the driver): ONLY=a,b runs a subset,
+      // SKIP=a,b excludes — for isolating cross-query interference
+      .filter { case (name, _) =>
+        val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+          .map(_.split(",").toSet)
+        val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+          .map(_.split(",").toSet).getOrElse(Set.empty)
+        only.forall(_.contains(name)) && !skip.contains(name)
+      }
 
     // untimed warm-up pass: the first execution of each pipeline pays
     // whole-stage-codegen janino compilation and FS cache misses — on a

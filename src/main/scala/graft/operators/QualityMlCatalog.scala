@@ -133,8 +133,14 @@ object QualityMlCatalog {
     val balanced = FeaturePipeline.rebalanceHash(df, "status", "F", 50,
       col("o_orderkey"))
     val (train, test) = FeaturePipeline.hashSplit(balanced, col("o_orderkey"), 80)
-    val fitInput = if (exactGate) train.coalesce(1) else train
-    val model = FeaturePipeline.fit(fitInput.cache(), mlConfig)
+    val fitInput = (if (exactGate) train.coalesce(1) else train).cache()
+    // fit() is eager (Pipeline.fit materializes every stage), so the
+    // cache can be dropped immediately — leaving it resident poisons
+    // every later query in the same session (measured: the bench's
+    // fuzzy_pairs entry degraded 0.97 s → 3.5 s once this fit ran first)
+    val model =
+      try FeaturePipeline.fit(fitInput, mlConfig)
+      finally fitInput.unpersist(blocking = false)
     CombinationSearch.scoreWithLabels(model, test)
   }
 
