@@ -1,0 +1,61 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — remove (or score) training documents
+  * that share verbatim n-grams with an evaluation/benchmark set, the
+  * standard guard against test-set leakage in LLM training corpora
+  * (GPT-3's 13-gram rule and its descendants).
+  *
+  * Scale design: the two sides are wildly asymmetric — the corpus is
+  * the 100 TB side, the benchmark set is a few thousand documents. So
+  * the eval n-gram set is collapsed to DISTINCT shingles and
+  * BROADCAST; corpus shingles stream map-side through the broadcast
+  * hash join and collapse into one per-doc partial-aggregated count.
+  * Exactly one shuffle (the per-doc agg, keyed on doc id), nothing
+  * quadratic, nothing driver-side. Shingling reuses
+  * [[TextDedup.shingleSets]] (typed flatMap — compiled, not an
+  * interpreted HOF lambda).
+  *
+  * Documents shorter than n tokens produce no n-grams: they cannot be
+  * flagged (no row in the profile) and are always kept by
+  * [[decontaminate]] — the same convention the n-gram rule itself
+  * implies.
+  */
+object Decontam {
+
+  /** Per-corpus-document contamination profile:
+    * (idCol, ngrams, hits, contamination) where `ngrams` counts the
+    * document's distinct n-grams, `hits` how many of those appear
+    * anywhere in `eval`, and contamination = hits/ngrams (IEEE double:
+    * one division of two exact int64s — engine-portable).
+    */
+  def contaminationProfile(corpus: DataFrame, eval: DataFrame,
+                           idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusShingles = TextDedup.shingleSets(corpus, idCol, textCol, n)
+    val evalShingles = TextDedup.shingleSets(eval, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1L))
+    corpusShingles
+      .join(broadcast(evalShingles), Seq("shingle"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .withColumn("contamination", col("hits") / col("ngrams"))
+  }
+
+  /** The corpus minus every document whose contamination exceeds
+    * `maxHits` shared n-grams (default 0: any verbatim n-gram overlap
+    * evicts). Anti-join on the flagged-id set — the corpus side never
+    * carries shingles past the profile agg.
+    */
+  def decontaminate(corpus: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String, n: Int,
+                    maxHits: Long = 0L): DataFrame = {
+    val flagged = contaminationProfile(corpus, eval, idCol, textCol, n)
+      .filter(col("hits") > maxHits)
+      .select(col(idCol))
+    corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.dedup.{Decontam, TextDedup}
+import graft.quality.Redact
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for the LLM training-data pipeline
+  * (north-star surface beyond the reference): token-window chunking,
+  * benchmark decontamination, PII redaction, epoch-weighted corpus
+  * mixing and the shuffled-shard export order — each DuckDB
+  * oracle-gated on the documents table.
+  *
+  * The sf fixtures contain no benchmark leaks or PII, so those queries
+  * plant both deterministically ON BOTH SIDES (same convention as
+  * TrainingCatalog's dup augmentation): the eval set is a
+  * first-token-dropped variant of every 41st document, and the PII
+  * query appends synthetic email/phone/IP/account spans derived from
+  * doc_id.
+  */
+object CurationCatalog {
+
+  private val EvalOffset = 2000000L
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+
+  /** Planted benchmark set: every 41st doc minus its first token —
+    * overlapping 5-grams with the corpus original, but not byte-equal.
+    */
+  private def evalDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).filter(col("doc_id") % 41 === 0)
+      .select((col("doc_id") + EvalOffset).as("doc_id"),
+        expr("substring(text, locate(' ', text) + 1)").as("text"))
+
+  private val evalDocsSql =
+    s"""eval AS (SELECT doc_id + $EvalOffset AS doc_id,
+       |   substring(text, strpos(text, ' ') + 1) AS text
+       | FROM documents WHERE doc_id % 41 = 0)""".stripMargin
+
+  private val DecontamN = 5
+
+  /** Synthetic PII suffix, same construction both engines. */
+  private def piiText = concat(col("text"),
+    lit(" reach me: user"), col("doc_id").cast("string"),
+    lit("@mail.example.org or +1 555-867-5309, ip 192.168."),
+    (col("doc_id") % 254).cast("string"),
+    lit(".17, acct 98765432"), col("doc_id").cast("string"))
+
+  private val piiTextSql =
+    """text || ' reach me: user' || CAST(doc_id AS VARCHAR)
+      | || '@mail.example.org or +1 555-867-5309, ip 192.168.'
+      | || CAST(doc_id % 254 AS VARCHAR)
+      | || '.17, acct 98765432' || CAST(doc_id AS VARCHAR)"""
+      .stripMargin.replace("\n", "")
+
+  private val MixWeights =
+    Map("src0" -> 2.3, "src1" -> 0.5, "src2" -> 0.0)
+  private val MixDefault = 1.0
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // token-window chunking: 32-token chunks, stride 24 (8-token overlap)
+    "ck1_chunk_tokens" -> ((spark, dir) =>
+      Chunker.chunkByTokens(docs(spark, dir), "doc_id", "text",
+        size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // per-doc contamination profile vs the planted eval set
+    "dc1_decontam_profile" -> ((spark, dir) =>
+      Decontam.contaminationProfile(docs(spark, dir), evalDocs(spark, dir),
+        "doc_id", "text", n = DecontamN)
+        .orderBy(col("doc_id"))),
+
+    // the surviving corpus after zero-tolerance n-gram decontamination
+    "dc2_decontaminate" -> ((spark, dir) =>
+      Decontam.decontaminate(docs(spark, dir), evalDocs(spark, dir),
+        "doc_id", "text", n = DecontamN)
+        .orderBy(col("doc_id"))),
+
+    // PII scrub over the synthetic-PII corpus
+    "pii1_redact" -> ((spark, dir) =>
+      docs(spark, dir)
+        .select(col("doc_id"), Redact.redactPii(piiText).as("redacted"))
+        .orderBy(col("doc_id"))),
+
+    // epoch-weighted mix: src0 repeated 2.3x, src1 halved, src2 dropped
+    "mx1_epoch_mix" -> ((spark, dir) =>
+      Sampling.epochMix(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source")),
+        "doc_id", "source", MixWeights, MixDefault)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))),
+
+    // deterministic shuffled export order (the Sinks.shuffledShards
+    // order, gated as a query; the sink itself is range-sharded — the
+    // global window here is the verify face only, see SinksSpec)
+    "sh1_shuffle_order" -> ((spark, dir) => {
+      val h = md5(col("doc_id").cast("string"))
+      docs(spark, dir).select(col("doc_id"),
+        row_number().over(Window.orderBy(h, col("doc_id")))
+          .cast("long").as("ord"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ck1_chunk_tokens" ->
+      s"""SELECT doc_id, chunk_id, chunk_text, chunk_tokens
+         |FROM ${Chunker.chunkSql("documents", "doc_id", "text", 32, 24)} c
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "dc1_decontam_profile" ->
+      s"""WITH $evalDocsSql,
+         |cs AS ${TextDedup.Sql.shingleSets("documents", "doc_id", "text", DecontamN)},
+         |es AS (SELECT DISTINCT shingle
+         |       FROM ${TextDedup.Sql.shingleSets("eval", "doc_id", "text", DecontamN)} e)
+         |SELECT cs.doc_id, COUNT(*) AS ngrams, COUNT(es.shingle) AS hits,
+         |       COUNT(es.shingle) / COUNT(*) AS contamination
+         |FROM cs LEFT JOIN es USING (shingle)
+         |GROUP BY cs.doc_id ORDER BY cs.doc_id""".stripMargin,
+
+    "dc2_decontaminate" ->
+      s"""WITH $evalDocsSql,
+         |cs AS ${TextDedup.Sql.shingleSets("documents", "doc_id", "text", DecontamN)},
+         |es AS (SELECT DISTINCT shingle
+         |       FROM ${TextDedup.Sql.shingleSets("eval", "doc_id", "text", DecontamN)} e),
+         |flagged AS (SELECT DISTINCT cs.doc_id FROM cs JOIN es USING (shingle))
+         |SELECT doc_id, text FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+         |ORDER BY doc_id""".stripMargin,
+
+    "pii1_redact" ->
+      s"""SELECT doc_id, ${Redact.redactSql(s"($piiTextSql)")} AS redacted
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mx1_epoch_mix" -> {
+      def fullOf(w: Double) = math.floor(w).toInt
+      def thrOf(w: Double) = Sampling.thresholdToken(w - math.floor(w))
+      val fullCase = MixWeights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN '$s' THEN ${fullOf(w)}" }
+        .mkString("CASE d.source ", " ", s" ELSE ${fullOf(MixDefault)} END")
+      val thrCase = MixWeights.toSeq.sortBy(_._1)
+        .map { case (s, w) => s"WHEN '$s' THEN '${thrOf(w)}'" }
+        .mkString("CASE d.source ", " ", s" ELSE '${thrOf(MixDefault)}' END")
+      s"""SELECT d.doc_id, d.source, CAST(u.e AS BIGINT) AS epoch
+         |FROM documents d
+         |CROSS JOIN LATERAL unnest(range(0, ($fullCase) + 1)) AS u(e)
+         |WHERE u.e < ($fullCase)
+         |   OR substr(md5(CAST(d.doc_id AS VARCHAR) || '#' || CAST(u.e AS VARCHAR)), 1, 8)
+         |      < ($thrCase)
+         |ORDER BY d.doc_id, epoch""".stripMargin
+    },
+
+    "sh1_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -55,4 +55,46 @@ object Sampling {
     }
     df.filter(substring(md5(col(keyCol).cast("string")), 1, 8) < threshold)
   }
+
+  /** Epoch-weighted corpus mixing — the data-mixing step of LLM
+    * training recipes where per-source weights EXCEED 1 (repeat a rare
+    * high-quality source 2.3×) as well as downsample (0.5×). A row in
+    * stratum with weight w appears once per full epoch 0..floor(w)-1
+    * unconditionally, plus in epoch floor(w) iff the fractional hash
+    * gate keeps it; the gate key is salted with the epoch number so the
+    * fractional pass is an independent subsample, not a rescan of the
+    * same rows. Output = input columns + `epoch` (long); (key, epoch)
+    * is unique, making the repeat structure explicit for the shard
+    * writer downstream.
+    *
+    * Scale shape: per-stratum constants fold into two when-chains, the
+    * fan-out is a generate (explode of a ≤ ceil(max w)-element
+    * sequence) in the same codegen'd stage — no shuffle, no
+    * per-stratum passes, deterministic under repartitioning (pure
+    * function of the row).
+    */
+  def epochMix(df: DataFrame, keyCol: String, strataCol: String,
+               weights: Map[String, Double],
+               default: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(default)).forall(_ >= 0.0),
+      "mix weights must be non-negative")
+    def full(w: Double) = math.floor(w).toInt
+    def frac(w: Double) = w - math.floor(w)
+    val sorted = weights.toSeq.sortBy(_._1)
+    val fullChain = sorted.foldLeft(lit(full(default))) {
+      case (acc, (s, w)) => when(col(strataCol) === s, lit(full(w))).otherwise(acc)
+    }
+    val thrChain = sorted.foldLeft(lit(thresholdToken(frac(default)))) {
+      case (acc, (s, w)) =>
+        when(col(strataCol) === s, lit(thresholdToken(frac(w)))).otherwise(acc)
+    }
+    val saltedKey = concat(col(keyCol).cast("string"), lit("#"),
+      col("epoch").cast("string"))
+    df.withColumn("__full", fullChain).withColumn("__thr", thrChain)
+      .withColumn("epoch", explode(sequence(lit(0), col("__full"))))
+      .filter(col("epoch") < col("__full") ||
+        substring(md5(saltedKey), 1, 8) < col("__thr"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .drop("__full", "__thr")
+  }
 }

@@ -132,6 +132,29 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Shuffled training shards — the export step LLM training loaders
+    * expect: the corpus in a deterministic pseudorandom global order
+    * (order by md5 of a stable key: reproducible across engines, runs
+    * and repartitionings, unlike rand(seed)), split into `numShards`
+    * roughly equal files. `repartitionByRange` on the hash gives each
+    * shard a contiguous hash range — together with
+    * `sortWithinPartitions` the concatenation of shards in filename
+    * order IS the global shuffled order, without any global sort on a
+    * single reducer. At 100 TB this is one range-shuffle (sampled range
+    * bounds, AQE-skew-safe) writing straight to the sink.
+    */
+  def shuffledShards(df: DataFrame, path: String, keyCol: String,
+                     numShards: Int,
+                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    import org.apache.spark.sql.functions.{col, md5}
+    df.withColumn("__shuffle_key", md5(col(keyCol).cast("string")))
+      .repartitionByRange(numShards, col("__shuffle_key"))
+      .sortWithinPartitions("__shuffle_key", keyCol)
+      .drop("__shuffle_key")
+      .write.mode(mode).parquet(path)
+  }
+
   /** S10 — warehouse load: the reference stages CSV to object storage
     * then shells out to `bq load` (loanStat-DataproctoBQ.py:372-382).
     * We keep the stage-then-load contract behind an interface so a real

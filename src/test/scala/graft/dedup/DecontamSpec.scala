@@ -1,0 +1,46 @@
+package graft.dedup
+
+
+
+class DecontamSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  // doc 1 shares the 3-gram "big brown fox" with the eval set; doc 2
+  // shares nothing; doc 3 is shorter than n and can never be flagged
+  private def corpus = Seq(
+    (1L, "the big brown fox jumps high"),
+    (2L, "a completely different sentence lives here"),
+    (3L, "too short")).toDF("doc_id", "text")
+  private def eval = Seq(
+    (100L, "one big brown fox appears in eval")).toDF("doc_id", "text")
+
+  test("profile counts per-doc n-grams and eval overlaps") {
+    val p = Decontam.contaminationProfile(corpus, eval, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: 4 distinct 3-grams, one of them ("big brown fox") in eval
+    assert(p == Seq((1L, 4L, 1L, 0.25), (2L, 4L, 0L, 0.0)))
+    // doc 3 has no 3-grams → absent from the profile by contract
+  }
+
+  test("decontaminate evicts any-hit docs, keeps clean and short docs") {
+    val kept = Decontam.decontaminate(corpus, eval, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // threshold loosened: one shared 3-gram tolerated → doc 1 survives
+    val lax = Decontam.decontaminate(corpus, eval, "doc_id", "text",
+      n = 3, maxHits = 1L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lax == Set(1L, 2L, 3L))
+  }
+
+  test("eval side joins as a broadcast (the 100 TB asymmetry)") {
+    // string audit: AdaptiveSparkPlanExec hides the physical tree from
+    // TreeNode.collect, but prints it
+    val plan = Decontam.contaminationProfile(corpus, eval, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast hash join, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}

@@ -65,4 +65,33 @@ class SamplingSpec extends graft.SparkSpec {
     val o = Tables.orders(spark, sf001)
     assert(Sampling.hashSample(o, "o_orderkey", 1.0).count() == o.count())
   }
+
+  test("epochMix: repeats, fractional epochs, drops and uniqueness") {
+    val d = Tables.documents(spark, sf001).select(col("doc_id"), col("source"))
+    val m = Sampling.epochMix(d, "doc_id", "source",
+      Map("src0" -> 2.3, "src1" -> 0.5, "src2" -> 0.0), default = 1.0)
+    val perSource = m.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = d.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weight 2.3: every row twice plus ~30% a third time
+    assert(perSource("src0") >= 2 * base("src0"))
+    assert(perSource("src0") <= 3 * base("src0"))
+    // weight 0.5: roughly half (25 docs/source → loose bound)
+    assert(perSource("src1") > 0 && perSource("src1") < base("src1"))
+    // weight 0: gone entirely
+    assert(!perSource.contains("src2"))
+    // default 1.0: exactly once, epoch 0
+    assert(perSource("src3") == base("src3"))
+    // (key, epoch) unique — the output is an explicit multiset
+    assert(m.select("doc_id", "epoch").distinct().count() == m.count())
+    // full epochs are unconditional: every src0 doc has epochs 0 and 1
+    val fullCnt = m.filter(col("source") === "src0" && col("epoch") < 2)
+      .count()
+    assert(fullCnt == 2 * base("src0"))
+    // deterministic under repartitioning (pure function of the row)
+    assert(Sampling.epochMix(d.repartition(7), "doc_id", "source",
+      Map("src0" -> 2.3, "src1" -> 0.5, "src2" -> 0.0), 1.0).count()
+      == m.count())
+  }
 }

@@ -66,4 +66,27 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.csv(spark, d, Some(schema), mode = "DROPMALFORMED").collect().length == 2)
     assert(Sources.csv(spark, d, Some(schema), mode = "PERMISSIVE").collect().length == 3)
   }
+
+  test("shuffledShards: shard files in name order ARE the global md5 order") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select($"doc_id", $"text")
+    val dir = graft.core.Staging.tmpDir("shuffled_shards")
+    Sinks.shuffledShards(docs, dir, "doc_id", numShards = 4)
+
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    assert(files.length == 4, s"expected 4 shard files, got ${files.length}")
+
+    // concatenation of per-file contents (each read alone, in file
+    // order) must equal the corpus ordered by md5(key) globally
+    val sharded = files.flatMap { f =>
+      spark.read.parquet(f).select("doc_id").as[Long].collect()
+    }.toSeq
+    val expected = docs
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sharded == expected)
+    // and it is NOT the natural order (the shuffle does something)
+    assert(sharded != sharded.sorted)
+  }
 }
