@@ -53,7 +53,8 @@ object Bench {
       "funnel_stages" -> (() => Pipelines.funnelStages(spark, sfDir)),
       "fuzzy_pairs" -> (() => Pipelines.fuzzyPairs(spark, sfDir)),
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
-      "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)))
+      "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)),
+      "ml_combo_fit" -> (() => Pipelines.mlComboFit(spark, sfDir)))
       // debug filters (not used by the driver): ONLY=a,b runs a subset,
       // SKIP=a,b excludes — for isolating cross-query interference
       .filter { case (name, _) =>

@@ -168,6 +168,35 @@ object Pipelines {
       graft.operators.QualityMlCatalog.mlScoredTest(spark, sfDir, exactGate = false),
       "status", "prediction_label")
 
+  /** M8 combination-search marginal cost — BASELINE.md's ≈100 s/model
+    * row (combos 1–5 at 1.4 M rows, MLPCModel-3.ipynb:2524): prep once,
+    * then one distributed fit+score+metrics per categorical combination
+    * (maxK=1 ⇒ 2 models — enough to time the marginal; the reference's
+    * full loop is the same iteration ×31). Reported seconds / 2 is the
+    * per-model marginal to hold against the scaled baseline.
+    */
+  def mlComboFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cfg = graft.operators.QualityMlCatalog.mlConfig
+    val df = Cleansers.minMaxNormalize(
+      graft.operators.QualityMlCatalog.loanLike(spark, sfDir),
+      Seq("o_totalprice", "c_acctbal", "order_year"))
+    val balanced = graft.ml.FeaturePipeline.rebalanceHash(
+      df, "status", "F", 50, col("o_orderkey"))
+    val (train, test) = graft.ml.FeaturePipeline.hashSplit(
+      balanced, col("o_orderkey"), 80)
+    val trainC = train.cache(); val testC = test.cache()
+    // fit() is eager; drop the caches before returning so the resident
+    // blocks can't poison later pipelines in the same session
+    val results =
+      try graft.ml.CombinationSearch.search(trainC, testC, cfg,
+        Seq("o_orderpriority", "c_mktsegment"), maxK = 1, positive = "F")
+      finally { trainC.unpersist(blocking = false); testC.unpersist(blocking = false) }
+    results.map(r => (r.features.mkString("+"),
+      r.metrics.accuracy, r.metrics.tp + r.metrics.fp + r.metrics.tn + r.metrics.fn))
+      .toDF("features", "accuracy", "scored_rows")
+  }
+
   /** Shared events projection for the secondary-sort pipelines. */
   private def evOrdered(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

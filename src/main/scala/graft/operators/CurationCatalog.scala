@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.core.Tables
 import graft.dedup.{Decontam, TextDedup}
-import graft.quality.Redact
+import graft.quality.{Boilerplate, Redact}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -60,6 +60,41 @@ object CurationCatalog {
     Map("src0" -> 2.3, "src1" -> 0.5, "src2" -> 0.0)
   private val MixDefault = 1.0
 
+  // ---- line-level boilerplate removal fixtures -----------------------
+  // The fixture corpus has no newlines, so "lines" are the Chunker's
+  // stride==size token segments, PLUS planted boilerplate lines
+  // (identical across ~1/7 and ~1/11 of docs — the nav-menu/footer
+  // shape) built the same way on both engines.
+  private val LineTokens = 16
+  private val PackLen = 512
+  private val BoilerA = "subscribe to our newsletter for updates today"
+  private val BoilerB = "all rights reserved copyright twenty twenty two"
+  private val BoilerFreq = 40L
+
+  private def lineRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = Chunker.chunkByTokens(docs(spark, sfDir), "doc_id", "text",
+      size = LineTokens, stride = LineTokens)
+      .select(col("doc_id"), col("chunk_id").as("line_no"),
+        col("chunk_text").as("line"))
+    val base = docs(spark, sfDir)
+    val plantedA = base.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), lit(1000000L).as("line_no"), lit(BoilerA).as("line"))
+    val plantedB = base.filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), lit(1000001L).as("line_no"), lit(BoilerB).as("line"))
+    segs.unionByName(plantedA).unionByName(plantedB)
+  }
+
+  private val lineRowsSql =
+    s"""lines AS (
+       | SELECT doc_id, chunk_id AS line_no, chunk_text AS line
+       | FROM ${Chunker.chunkSql("documents", "doc_id", "text", LineTokens, LineTokens)} c
+       | UNION ALL
+       | SELECT doc_id, 1000000 AS line_no, '$BoilerA' AS line
+       | FROM documents WHERE doc_id % 7 = 0
+       | UNION ALL
+       | SELECT doc_id, 1000001 AS line_no, '$BoilerB' AS line
+       | FROM documents WHERE doc_id % 11 = 0)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // token-window chunking: 32-token chunks, stride 24 (8-token overlap)
@@ -103,7 +138,32 @@ object CurationCatalog {
         row_number().over(Window.orderBy(h, col("doc_id")))
           .cast("long").as("ord"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // corpus-wide boilerplate line census (lines in >= 40 distinct docs)
+    "bl1_line_census" -> ((spark, dir) =>
+      Boilerplate.frequentLines(lineRows(spark, dir), "doc_id", "line",
+        minDocFreq = BoilerFreq)
+        .orderBy(col("doc_freq").desc, col("line"))),
+
+    // documents reassembled with boilerplate lines stripped
+    "bl2_boilerplate_strip" -> ((spark, dir) =>
+      Boilerplate.stripFrequentLines(lineRows(spark, dir), "doc_id",
+        "line_no", "line", minDocFreq = BoilerFreq)
+        .orderBy(col("doc_id"))),
+
+    // concat-and-chunk sequence packing: doc↔pack span map at seqLen=512
+    "pk1_pack_spans" -> ((spark, dir) =>
+      Packing.packSpans(docs(spark, dir), "doc_id", "text",
+        seqLen = PackLen, buckets = 256)
+        .orderBy(col("pack_id"), col("doc_id"))),
+
+    // per-pack fill census (every pack full except the last)
+    "pk2_pack_fill" -> ((spark, dir) =>
+      Packing.packFill(
+        Packing.packSpans(docs(spark, dir), "doc_id", "text",
+          seqLen = PackLen, buckets = 256))
+        .orderBy(col("pack_id")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -157,6 +217,34 @@ object CurationCatalog {
     "sh1_shuffle_order" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "bl1_line_census" ->
+      s"""WITH $lineRowsSql,
+         |pairs AS (SELECT DISTINCT doc_id, line FROM lines)
+         |SELECT line, CAST(COUNT(*) AS BIGINT) AS doc_freq
+         |FROM pairs GROUP BY line HAVING COUNT(*) >= $BoilerFreq
+         |ORDER BY doc_freq DESC, line""".stripMargin,
+
+    "pk1_pack_spans" ->
+      s"""SELECT pack_id, doc_id, doc_off, pack_off, n_toks
+         |FROM ${Packing.packSpansSql("documents", "doc_id", "text", PackLen)} p
+         |ORDER BY pack_id, doc_id""".stripMargin,
+
+    "pk2_pack_fill" ->
+      s"""SELECT pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS fill
+         |FROM ${Packing.packSpansSql("documents", "doc_id", "text", PackLen)} p
+         |GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+
+    "bl2_boilerplate_strip" ->
+      s"""WITH $lineRowsSql,
+         |freq AS (SELECT line FROM (
+         |   SELECT line, COUNT(DISTINCT doc_id) AS c FROM lines GROUP BY line) f
+         | WHERE c >= $BoilerFreq)
+         |SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no, line) AS text
+         |FROM lines
+         |WHERE line NOT IN (SELECT line FROM freq)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

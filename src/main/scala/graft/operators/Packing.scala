@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Concat-and-chunk sequence packing — the GPT-style training-data
+  * export step: documents are laid end-to-end in a deterministic
+  * pseudorandom order (md5 of the id — the Sinks.shuffledShards order)
+  * and the concatenated token stream is cut into fixed `seqLen`
+  * windows ("packs"). Output is the doc↔pack span map: one row per
+  * (document, pack) intersection, from which a writer can assemble
+  * each pack's token ids and attention-mask boundaries.
+  *
+  * Scale design — the global prefix sum is the whole problem here: a
+  * naive `sum(n) OVER (ORDER BY h)` is a single-partition window (all
+  * 100 TB through one task). Instead the md5 order is split into
+  * `buckets` contiguous ranges keyed by the md5 PREFIX (so bucket
+  * order == global order), and the offset is assembled in two narrow
+  * phases: (1) a per-bucket cumulative sum — a keyed window, all
+  * buckets in parallel; (2) bucket base offsets from the per-bucket
+  * totals — a window over ≤`buckets` aggregated rows (constant-size by
+  * construction; the only SinglePartition stage touches ≤2^16 rows),
+  * broadcast-joined back. Pack assignment is then pure per-row
+  * arithmetic + a bounded `sequence` fan-out (a doc spans
+  * ceil(n/seqLen)+1 packs at most), map-side, no further shuffle.
+  */
+object Packing {
+
+  /** (pack_id, doc_id, doc_off, pack_off, n_toks): `n_toks` tokens
+    * starting at token `doc_off` of the document land in pack
+    * `pack_id` at position `pack_off`. Every pack except the last has
+    * exactly `seqLen` tokens (documents straddle pack boundaries —
+    * concat-and-chunk, no padding).
+    *
+    * Tokens = whitespace split (the corpus-wide convention shared with
+    * Chunker/TextDedup and the DuckDB oracles).
+    */
+  def packSpans(df: DataFrame, idCol: String, textCol: String,
+                seqLen: Int, buckets: Int = 256): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(buckets > 0 && buckets <= 65536,
+      s"buckets must be in [1, 65536], got $buckets")
+    // bucket key = leading md5 nibbles: string prefix ⇒ ordering by
+    // (bucket, h) == ordering by h, which makes the two-phase prefix
+    // sum exact. Nibbles, so `buckets` must be a power of 16 ≤ 16^4;
+    // round down to one (16^0=1 disables bucketing — test-size inputs).
+    val nibbles = (math.log(buckets.toDouble) / math.log(16.0)).toInt
+    val h = md5(col(idCol).cast("string"))
+    val base = df.select(
+      col(idCol),
+      h.as("__h"),
+      size(split(col(textCol), " ", -1)).cast("long").as("__n"))
+      .withColumn("__b", substring(col("__h"), 1, nibbles))
+
+    // phase 1: cumulative token count within each md5-prefix bucket
+    val inBucket = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    val cumd = base.withColumn("__cum", sum(col("__n")).over(inBucket))
+
+    // phase 2: per-bucket totals → exclusive base offsets (≤ buckets
+    // rows; the SinglePartition window is over this aggregate only)
+    val bucketBase = base.groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__bt"))
+      .withColumn("__base",
+        coalesce(
+          sum(col("__bt")).over(
+            Window.orderBy(col("__b"))
+              .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__b"), col("__base"))
+
+    val offs = cumd.join(broadcast(bucketBase), Seq("__b"))
+      .select(col(idCol), col("__n"),
+        (col("__base") + col("__cum") - col("__n")).as("__start"))
+
+    // pack fan-out: doc [start, start+n) intersects packs
+    // floor(start/L) .. floor((start+n-1)/L)
+    val end = col("__start") + col("__n")
+    offs
+      .select(col(idCol), col("__n"), col("__start"),
+        explode(sequence(
+          floor(col("__start") / seqLen),
+          floor((end - 1) / seqLen))).as("pack_id"))
+      .select(
+        col("pack_id"),
+        col(idCol),
+        (greatest(col("__start"), col("pack_id") * seqLen) - col("__start"))
+          .as("doc_off"),
+        (greatest(col("__start"), col("pack_id") * seqLen)
+          - col("pack_id") * seqLen).as("pack_off"),
+        (least(col("__start") + col("__n"), (col("pack_id") + 1) * seqLen)
+          - greatest(col("__start"), col("pack_id") * seqLen)).as("n_toks"))
+  }
+
+  /** Per-pack fill census over the span map: distinct documents and
+    * token fill per pack (== seqLen everywhere but the final pack).
+    */
+  def packFill(spans: DataFrame): DataFrame =
+    spans.groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("fill"))
+
+  /** DuckDB spelling of the same span map over `src(id, text)` — the
+    * oracle uses the plain global-window prefix sum (same semantics;
+    * fine at verify scale).
+    */
+  def packSpansSql(src: String, id: String, text: String,
+                   seqLen: Int): String =
+    s"""(WITH t AS (
+       |   SELECT $id, md5(CAST($id AS VARCHAR)) AS h,
+       |          CAST(len(string_split($text, ' ')) AS BIGINT) AS n
+       |   FROM $src),
+       | o AS (
+       |   SELECT $id, n,
+       |          CAST(sum(n) OVER (ORDER BY h, $id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+       |            AS BIGINT) AS s
+       |   FROM t)
+       | SELECT CAST(u.p AS BIGINT) AS pack_id, $id,
+       |        GREATEST(s, u.p * $seqLen) - s AS doc_off,
+       |        GREATEST(s, u.p * $seqLen) - u.p * $seqLen AS pack_off,
+       |        LEAST(s + n, (u.p + 1) * $seqLen)
+       |          - GREATEST(s, u.p * $seqLen) AS n_toks
+       | FROM o CROSS JOIN LATERAL
+       |   unnest(range(s // $seqLen, (s + n - 1) // $seqLen + 1)) AS u(p))""".stripMargin
+}

@@ -1,0 +1,58 @@
+package graft.quality
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-level boilerplate removal — the RefinedWeb/CCNet curation step
+  * that strips lines repeated verbatim across many documents (nav
+  * menus, cookie banners, copyright footers) while leaving the
+  * document's unique prose intact. Operates on an exploded
+  * (doc, line_no, line) relation so callers choose the line
+  * segmentation (real newlines in production; the Chunker's
+  * stride==size token segments for the newline-free fixtures).
+  *
+  * Scale design: the census is one hash-partitioned groupBy over
+  * distinct (doc, line) pairs — both stages partial-aggregate
+  * map-side, so the shuffle carries (line, partial count), not rows.
+  * The frequent-line set is tiny by construction (boilerplate is the
+  * point: few distinct lines, many repeats), so the strip is a
+  * BROADCAST anti-join — the corpus never reshuffles to be filtered.
+  * Reassembly is the operator's one unavoidable doc-keyed shuffle;
+  * line order is restored by array_sort on (line_no, line) structs
+  * (index-ordered fold discipline — collect_list order is not
+  * deterministic across partition layouts, the sort makes it so).
+  */
+object Boilerplate {
+
+  /** (line, doc_freq): lines appearing in at least `minDocFreq`
+    * DISTINCT documents, the corpus's boilerplate census.
+    */
+  def frequentLines(lines: DataFrame, docCol: String, lineCol: String,
+                    minDocFreq: Long): DataFrame = {
+    require(minDocFreq > 0, s"minDocFreq must be positive, got $minDocFreq")
+    lines.select(col(docCol), col(lineCol)).distinct()
+      .groupBy(col(lineCol))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDocFreq)
+  }
+
+  /** Documents reassembled ('\n'-joined, line order preserved) from
+    * only the lines NOT in the frequent-line set. Documents whose
+    * every line was boilerplate disappear from the output entirely
+    * (the standard contract: nothing left worth training on).
+    */
+  def stripFrequentLines(lines: DataFrame, docCol: String,
+                         lineNoCol: String, lineCol: String,
+                         minDocFreq: Long): DataFrame = {
+    val frequent = frequentLines(lines, docCol, lineCol, minDocFreq)
+      .select(col(lineCol))
+    lines
+      .join(broadcast(frequent), Seq(lineCol), "left_anti")
+      .groupBy(col(docCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col(lineNoCol), col(lineCol)))),
+          s => s(lineCol)),
+        "\n").as("text"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+
+class PackingSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // brute-force reference: md5 order → cumsum → span enumeration
+  private def expectedSpans(docs: Seq[(Long, String)], seqLen: Int) = {
+    val ordered = docs.map { case (id, t) =>
+      (id, t.split(" ", -1).length.toLong)
+    }.sortBy { case (id, _) => (md5hex(id.toString), id) }
+    var off = 0L
+    ordered.flatMap { case (id, n) =>
+      val start = off; off += n
+      (start / seqLen to (start + n - 1) / seqLen).map { p =>
+        val a = math.max(start, p * seqLen)
+        val b = math.min(start + n, (p + 1) * seqLen)
+        (p, id, a - start, a - p * seqLen, b - a)
+      }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  private val fixture = (0L until 40L).map(i =>
+    (i, Seq.fill(3 + (i % 11).toInt)("tok").mkString(" ")))
+
+  private def spans(buckets: Int, seqLen: Int = 7) =
+    Packing.packSpans(fixture.toDF("doc_id", "text"), "doc_id", "text",
+      seqLen, buckets)
+      .orderBy("pack_id", "doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+
+  test("span map matches the brute-force concat-and-chunk reference") {
+    assert(spans(buckets = 16) == expectedSpans(fixture, 7))
+  }
+
+  test("bucketed two-phase prefix sum == unbucketed (any bucket count)") {
+    val one = spans(buckets = 1)
+    assert(spans(buckets = 16) == one)
+    assert(spans(buckets = 256) == one)
+    assert(spans(buckets = 4096) == one)
+  }
+
+  test("result is invariant to input partition layout") {
+    val a = Packing.packSpans(fixture.toDF("doc_id", "text"),
+      "doc_id", "text", 7, 16)
+      .orderBy("pack_id", "doc_id").collect().toSeq
+    val b = Packing.packSpans(fixture.toDF("doc_id", "text").repartition(13),
+      "doc_id", "text", 7, 16)
+      .orderBy("pack_id", "doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("every pack is exactly seqLen tokens except the last; docs fully covered") {
+    val df = Packing.packSpans(
+      graft.core.Tables.documents(spark, sf001).select($"doc_id", $"text"),
+      "doc_id", "text", seqLen = 512)
+    val fill = Packing.packFill(df)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val lastPack = fill.map(_._1).max
+    assert(fill.collect { case (p, _, f) if p != lastPack => f }
+      .forall(_ == 512L), "non-final packs must be full")
+    assert(fill.last._3 <= 512L)
+    // token conservation: spans per doc sum to the doc's token count
+    val perDoc = df.groupBy("doc_id").sum("n_toks")
+      .as[(Long, Long)].collect().toMap
+    val toks = graft.core.Tables.documents(spark, sf001)
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ", -1)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc == toks)
+  }
+
+  test("no full-width global window: the big-side window is bucket-partitioned") {
+    val df = Packing.packSpans(
+      graft.core.Tables.documents(spark, sf001).select($"doc_id", $"text"),
+      "doc_id", "text", seqLen = 512, buckets = 256)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    assert(windows.size == 2, s"expected 2 windows, got:\n$windows")
+    val (global, keyed) = windows.partition(_.partitionSpec.isEmpty)
+    // the corpus-wide cumsum is keyed by the md5-prefix bucket …
+    assert(keyed.size == 1, "big-side window must be bucket-partitioned")
+    // … and the only unpartitioned window sits above the ≤buckets-row
+    // per-bucket aggregate, never over the corpus
+    assert(global.size == 1 &&
+      global.head.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "global window must consume the bucket aggregate only")
+  }
+}
