@@ -197,6 +197,21 @@ object Pipelines {
       .toDF("features", "accuracy", "scored_rows")
   }
 
+  /** End-to-end training-data export — the curation ops composed the
+    * way a real pipeline runs them: quality filter → exact dedup →
+    * concat-and-chunk packing → per-pack fill census. One narrow scan
+    * feeds a dedup agg, a bucketed prefix sum, and a pack census — no
+    * global sort anywhere.
+    */
+  def corpusExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val kept = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.2)
+    val deduped = Dedup.dropExactDuplicates(kept)
+    graft.operators.Packing.packFill(
+      graft.operators.Packing.packSpans(deduped, "doc_id", "text",
+        seqLen = 512, buckets = 256))
+  }
+
   /** Shared events projection for the secondary-sort pipelines. */
   private def evOrdered(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

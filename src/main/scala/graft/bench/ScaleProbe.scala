@@ -64,6 +64,22 @@ object ScaleProbe {
       time(s"repetition x$m") {
         graft.functions.TextAnalysis.repetitionProfile(docs, "doc_id", "text").count()
       }
+      // multiply copies texts verbatim, so every line's doc-frequency
+      // rises m× — the census/anti-join/reassembly cost is what's timed
+      time(s"boilerplate x$m") {
+        val segs = graft.operators.Chunker
+          .chunkByTokens(docs, "doc_id", "text", 16, 16)
+          .select(col("doc_id"), col("chunk_id").as("line_no"),
+            col("chunk_text").as("line"))
+        graft.quality.Boilerplate
+          .stripFrequentLines(segs, "doc_id", "line_no", "line", 4L * m)
+          .count()
+      }
+      time(s"pack_spans x$m") {
+        graft.operators.Packing
+          .packSpans(docs, "doc_id", "text", seqLen = 512, buckets = 256)
+          .count()
+      }
       docs.unpersist()
       spark.catalog.clearCache()
 
