@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IQR (Tukey-fence) outlier detection — the EDA census step between
+  * profiling and repair: flag rows whose value falls outside
+  * [q1 − k·IQR, q3 + k·IQR].
+  *
+  * Quartiles are DISCRETE (ANSI PERCENTILE_DISC / DuckDB
+  * quantile_disc: the element at rank ceil(q·n) of the sorted non-null
+  * values — an actual data value, never interpolated), so bounds and
+  * verdicts are cross-engine exact: the only float arithmetic is the
+  * fence assembly, spelled identically on both engines.
+  *
+  * Scale note (same contract as NullRepair.imputeMedianExact): the
+  * rank pick is a deliberate single-partition sort of the pruned value
+  * column only — exact rank statistics are inherently global-order
+  * questions, and this is the exactness gate. The 100 TB path swaps
+  * the quartile source for percentile_approx (mergeable sketches) with
+  * identical downstream fencing; both quartiles come out of ONE window
+  * pass, and the 1-row bounds broadcast back — no driver collect.
+  */
+object Outliers {
+
+  /** One row: (q1, q3, lo, hi) for `c` with multiplier `k`. */
+  def iqrBounds(df: DataFrame, c: String, k: Double): DataFrame = {
+    val vals = df.select(col(c)).filter(col(c).isNotNull)
+    val n = vals.agg(count(lit(1)).as("__n"))
+    val picks = vals
+      .withColumn("__rn", row_number().over(Window.orderBy(col(c))))
+      .crossJoin(broadcast(n))
+      // ceil(q·n) in exact integer arithmetic: ceil(a·n/4) = (a·n+3) div 4
+      .filter(col("__rn") === expr("(__n + 3) div 4") ||
+        col("__rn") === expr("(3 * __n + 3) div 4"))
+      .agg(
+        min(when(col("__rn") === expr("(__n + 3) div 4"), col(c))).as("q1"),
+        min(when(col("__rn") === expr("(3 * __n + 3) div 4"), col(c))).as("q3"))
+    picks.select(col("q1"), col("q3"),
+      (col("q1") - lit(k) * (col("q3") - col("q1"))).as("lo"),
+      (col("q3") + lit(k) * (col("q3") - col("q1"))).as("hi"))
+  }
+
+  private def fenced(df: DataFrame, c: String, k: Double): DataFrame =
+    df.crossJoin(broadcast(iqrBounds(df, c, k).select(col("lo"), col("hi"))))
+
+  /** Rows OUTSIDE the fences (the outlier report). Null values are not
+    * outliers (they are N-series territory, not R-series).
+    */
+  def iqrOutliers(df: DataFrame, c: String, k: Double = 1.5): DataFrame =
+    fenced(df, c, k)
+      .filter(col(c).isNotNull && (col(c) < col("lo") || col(c) > col("hi")))
+      .drop("lo", "hi")
+
+  /** Rows INSIDE the fences (nulls kept — repair is a separate pass). */
+  def iqrFilter(df: DataFrame, c: String, k: Double = 1.5): DataFrame =
+    fenced(df, c, k)
+      .filter(col(c).isNull || (col(c) >= col("lo") && col(c) <= col("hi")))
+      .drop("lo", "hi")
+
+  /** DuckDB spelling of the bounds over `src`, as scalar subqueries. */
+  def boundsSql(src: String, c: String, k: Double): (String, String) = {
+    val q1 = s"(SELECT quantile_disc($c, 0.25) FROM $src WHERE $c IS NOT NULL)"
+    val q3 = s"(SELECT quantile_disc($c, 0.75) FROM $src WHERE $c IS NOT NULL)"
+    (s"($q1 - $k * ($q3 - $q1))", s"($q3 + $k * ($q3 - $q1))")
+  }
+}

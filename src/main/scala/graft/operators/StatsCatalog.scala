@@ -380,9 +380,42 @@ object StatsCatalog {
         groupCols = Seq("o_orderpriority"), pivotCol = "o_orderstatus",
         agg = dsum($"o_totalprice"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // A18 — all-pairs correlation matrix from ONE aggregation pass
+    // (a14's decimal-component discipline generalized to k columns)
+    "a18_corr_matrix" -> ((spark, dir) => {
+      import spark.implicits._
+      CorrMatrix.corrMatrix(Tables.orders(spark, dir),
+        Seq("o_totalprice", "o_custkey", "o_orderkey"))
+        .orderBy($"col_x", $"col_y")
+    }),
+
+    // OL1 — IQR (Tukey-fence) outlier report with discrete quartiles;
+    // bounds broadcast back, verdicts in identical double arithmetic
+    "ol1_iqr_outliers" -> ((spark, dir) => {
+      import spark.implicits._
+      Outliers.iqrOutliers(
+        Tables.events(spark, dir)
+          .select($"event_id", $"user_id", $"value"),
+        "value", k = 1.5)
+        .orderBy($"event_id")
     }))
 
   def oracle: Map[String, String] = Map(
+
+    "a18_corr_matrix" ->
+      s"""SELECT col_x, col_y, corr
+         |FROM ${CorrMatrix.corrSql("orders",
+               Seq("o_totalprice", "o_custkey", "o_orderkey"))} m
+         |ORDER BY col_x, col_y""".stripMargin,
+
+    "ol1_iqr_outliers" -> {
+      val (lo, hi) = Outliers.boundsSql("events", "value", 1.5)
+      s"""SELECT event_id, user_id, value FROM events
+         |WHERE value IS NOT NULL AND (value < $lo OR value > $hi)
+         |ORDER BY event_id""".stripMargin
+    },
 
     "a13_percentile" ->
       """SELECT l_returnflag,

@@ -1,0 +1,41 @@
+package graft.operators
+
+class OutliersSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def df(vals: Seq[java.lang.Double]) =
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+
+  test("discrete quartiles follow the ANSI ceil(q*n) rank (DuckDB quantile_disc)") {
+    // n=7: q1 rank ceil(1.75)=2, q3 rank ceil(5.25)=6
+    val b = Outliers.iqrBounds(df((1 to 7).map(d => Double.box(d.toDouble))), "v", 1.5)
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(b == ((2.0, 6.0, 2.0 - 1.5 * 4.0, 6.0 + 1.5 * 4.0)))
+  }
+
+  test("tukey fences flag the planted extreme and only it") {
+    val vals = ((1 to 7).map(d => Double.box(d.toDouble)) :+ Double.box(100.0))
+    // n=8: q1 = 2, q3 = 6, iqr = 4 → fences [-4, 12]
+    val out = Outliers.iqrOutliers(df(vals), "v", 1.5)
+      .select("v").as[Double].collect().toSeq
+    assert(out == Seq(100.0))
+  }
+
+  test("filter keeps nulls and inner rows; outliers+filter partition the frame") {
+    val vals = Seq[java.lang.Double](1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0, null)
+    val d = df(vals)
+    val keep = Outliers.iqrFilter(d, "v", 1.5).select("id").as[Long].collect().toSet
+    val out = Outliers.iqrOutliers(d, "v", 1.5).select("id").as[Long].collect().toSet
+    assert(keep.intersect(out).isEmpty)
+    assert(keep.union(out) == (0L until 9L).toSet)
+    assert(keep.contains(8L), "null row stays (repair is a separate pass)")
+  }
+
+  test("bounds broadcast back — no sort-merge join in the plan") {
+    val plan = Outliers.iqrOutliers(
+      graft.core.Tables.events(spark, sf001).select($"event_id", $"value"),
+      "value", 1.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
