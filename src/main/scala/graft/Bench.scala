@@ -47,6 +47,7 @@ object Bench {
       "ann_topk" -> (() => Pipelines.annTopK(spark, sfDir)),
       "ann_int8" -> (() => Pipelines.annInt8TopK(spark, int8Dir)),
       "ann_lsh" -> (() => Pipelines.lshTopK(spark, sfDir)),
+      "ann_rp" -> (() => Pipelines.annRpTopK(spark, sfDir)),
       "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)),
       "asof_join" -> (() => Pipelines.asofEnrich(spark, sfDir)),
       "ewma_fold" -> (() => Pipelines.ewmaFold(spark, sfDir)),

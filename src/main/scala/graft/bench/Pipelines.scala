@@ -136,6 +136,11 @@ object Pipelines {
     Similarity.int8TopKQuantized(spark.read.parquet(int8Dir),
       "vec_id", AnnQueryIds, AnnK)
 
+  def annRpTopK(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.rpRerankTopK(Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding", AnnQueryIds, AnnK,
+      inDim = 64, outDim = 32, candidateK = 50)
+
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),

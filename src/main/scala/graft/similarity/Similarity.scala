@@ -258,6 +258,86 @@ object Similarity {
                         qVecCol: String = "qvec"): DataFrame =
     scoreAllPairsTopK(qz, idCol, qVecCol, queryIds, k)
 
+  /** Johnson–Lindenstrauss sign matrix, outDim rows × inDim columns of
+    * ±1/√outDim. Entries derive from md5 parity of "rp:row:col" — a
+    * pure function of the indices, so the projection is reproducible
+    * across sessions, engines, and retries with no RNG state to ship
+    * (same determinism discipline as the md5 hash gates). Sign (±1)
+    * projections satisfy the JL lemma like Gaussian ones (Achlioptas
+    * 2003) and keep every multiply a flip.
+    */
+  def projectionSigns(inDim: Int, outDim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim) { r =>
+      Array.tabulate(inDim) { j =>
+        val h = md.digest(s"rp:$r:$j".getBytes("UTF-8"))
+        if ((h(0) & 1) == 0) scale else -scale
+      }
+    }
+  }
+
+  /** Project `vecCol` (inDim floats) to outDim doubles: one codegen'd
+    * [[graft.functions.DotProduct]] per output dimension against a
+    * literal sign row — no HOF lambdas, no shuffle, the matrix rides
+    * into the task as plan literals (outDim·inDim doubles, trivially
+    * broadcast-sized).
+    */
+  def randomProject(emb: DataFrame, vecCol: String, inDim: Int, outDim: Int,
+                    outCol: String): DataFrame = {
+    require(outDim > 0 && outDim <= inDim,
+      s"outDim must be in [1, inDim=$inDim], got $outDim")
+    val signs = projectionSigns(inDim, outDim)
+    emb.withColumn(outCol, array(signs.map(row => dot(col(vecCol), lit(row))): _*))
+  }
+
+  /** ANN top-k in the random-projected space: identical contract to
+    * [[bruteForceTopK]] but every distance costs outDim/inDim as much
+    * (and the corpus scan moves outDim/inDim the bytes — compression
+    * that COMPOSES with int8: project once at ingest, quantize the
+    * projection). Recall vs the float baseline is gated in
+    * `v9_rp_recall` / SimilaritySpec.
+    */
+  def rpTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryIds: Seq[Long], k: Int, inDim: Int, outDim: Int): DataFrame = {
+    val proj = randomProject(emb, vecCol, inDim, outDim, "__rp")
+      .select(col(idCol), col("__rp"))
+    scoreAllPairsTopK(proj, idCol, "__rp", queryIds, k)
+  }
+
+  /** Two-stage RP ANN — the production shape for compressed-domain
+    * search: stage 1 takes the projected top-`candidateK` per query
+    * (outDim/inDim of the scan bandwidth and FLOP cost), stage 2
+    * re-ranks ONLY those candidates with exact full-dimension cosine.
+    * End-to-end recall@k equals the containment of the true top-k in
+    * the projected top-candidateK (re-ranking recovers exactly the
+    * true members present), so candidateK is the recall dial the way
+    * nProbe is for IVF — measured on the (worst-ish case, weakly
+    * structured) synthetic fixtures at k=5, outDim=32, candidateK=50:
+    * 0.70 at sf0.001, 0.72 at sf0.01; gated ≥ 0.5 in `v9_rp_recall`.
+    *
+    * Scale shape: the candidate list (queries × candidateK ids) is
+    * broadcast-joined back against the corpus, so the full-dim
+    * re-rank scans the big side in place — no corpus shuffle in
+    * either stage.
+    */
+  def rpRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryIds: Seq[Long], k: Int, inDim: Int, outDim: Int,
+                   candidateK: Int): DataFrame = {
+    require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
+    val cands = rpTopK(emb, idCol, vecCol, queryIds, candidateK, inDim, outDim)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = emb.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        l2norm(col(vecCol)).as("q_nrm"))
+    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      l2norm(col(vecCol)).as("c_nrm"))
+    val scored = c.join(broadcast(cands.join(q, "query_id")), "neighbor_id")
+      .withColumn("cos_sim",
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
+    topK(scored, k)
+  }
+
   /** Near-duplicate pairs by embedding cosine within LSH buckets. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dims: Seq[Int]): DataFrame = {
