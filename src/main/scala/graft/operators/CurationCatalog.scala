@@ -43,13 +43,13 @@ object CurationCatalog {
   private val DecontamN = 5
 
   /** Synthetic PII suffix, same construction both engines. */
-  private def piiText = concat(col("text"),
+  private[operators] def piiText = concat(col("text"),
     lit(" reach me: user"), col("doc_id").cast("string"),
     lit("@mail.example.org or +1 555-867-5309, ip 192.168."),
     (col("doc_id") % 254).cast("string"),
     lit(".17, acct 98765432"), col("doc_id").cast("string"))
 
-  private val piiTextSql =
+  private[operators] val piiTextSql =
     """text || ' reach me: user' || CAST(doc_id AS VARCHAR)
       | || '@mail.example.org or +1 555-867-5309, ip 192.168.'
       | || CAST(doc_id % 254 AS VARCHAR)

@@ -400,7 +400,31 @@ object StatsCatalog {
           .select($"event_id", $"user_id", $"value"),
         "value", k = 1.5)
         .orderBy($"event_id")
+    }),
+
+    // DD1/DD2 — PSI distribution drift between order-year snapshots
+    // (h1 bucketing + t9 quantized ln + ts2 index-ordered fold)
+    "dd1_psi_profile" -> ((spark, dir) => {
+      import spark.implicits._
+      val (b, c) = psiSnapshots(spark, dir)
+      Drift.psiProfile(b, c, "o_totalprice", nBuckets = 10)
+        .orderBy($"bucket")
+    }),
+
+    "dd2_psi" -> ((spark, dir) => {
+      val (b, c) = psiSnapshots(spark, dir)
+      Drift.psi(b, c, "o_totalprice", nBuckets = 10)
     }))
+
+  private def psiSnapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val o = Tables.orders(spark, dir)
+    (o.filter(year(col("o_orderdate")) <= 1994),
+      o.filter(year(col("o_orderdate")) >= 1995))
+  }
+
+  private val psiSnapshotsSql =
+    """base AS (SELECT o_totalprice AS x FROM orders WHERE year(o_orderdate) <= 1994),
+      |cur AS (SELECT o_totalprice AS x FROM orders WHERE year(o_orderdate) >= 1995)""".stripMargin
 
   def oracle: Map[String, String] = Map(
 
@@ -416,6 +440,20 @@ object StatsCatalog {
          |WHERE value IS NOT NULL AND (value < $lo OR value > $hi)
          |ORDER BY event_id""".stripMargin
     },
+
+    "dd1_psi_profile" ->
+      s"""WITH $psiSnapshotsSql
+         |SELECT bucket, base_n, cur_n, p, q, term
+         |FROM ${Drift.profileSql(10)} t
+         |ORDER BY bucket""".stripMargin,
+
+    "dd2_psi" ->
+      s"""WITH $psiSnapshotsSql
+         |SELECT list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      array_agg(term ORDER BY bucket)),
+         |    (a, b) -> a + b) AS psi
+         |FROM ${Drift.profileSql(10)} t""".stripMargin,
 
     "a13_percentile" ->
       """SELECT l_returnflag,

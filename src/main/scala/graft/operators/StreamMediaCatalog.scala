@@ -99,12 +99,59 @@ object StreamMediaCatalog {
         s"stream_ss_${streamNo.incrementAndGet()}",
         org.apache.spark.sql.streaming.OutputMode.Append())
         .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    // E9 — streaming curation: the batch quality-filter + PII-redact
+    // expressions running stateless in micro-batch (Append, no state
+    // store); PII planted in-stream per the pii1 convention, parity
+    // with the batch spelling is the gate
+    "e9_stream_curation" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_doc"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val curated = graft.streaming.DocStream.curate(
+        graft.streaming.DocStream.read(spark, d.toString)
+          .withColumn("text", CurationCatalog.piiText),
+        minQuality = 0.4)
+      EventStream.runToMemory(spark, curated,
+        s"stream_doc_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
+    // E10 — streaming chunk fan-out: the Chunker generate in
+    // micro-batch; must equal the batch ck1 exactly
+    "e10_stream_chunks" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_ck"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val chunks = graft.streaming.DocStream.chunk(
+        graft.streaming.DocStream.read(spark, d.toString), size = 32, stride = 24)
+      EventStream.runToMemory(spark, chunks,
+        s"stream_ck_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"), col("chunk_id"))
     })
   )
 
   def oracle: Map[String, String] = Map(
     // identical to the batch rollup — streaming must agree with batch
     "e3_stream_windows" -> Catalog.oracle("e1_event_windows"),
+
+    // streaming == batch for the stateless curation projections
+    "e9_stream_curation" -> {
+      val planted = s"(${CurationCatalog.piiTextSql})"
+      s"""SELECT doc_id,
+         |  ${graft.quality.Redact.redactSql(planted)} AS text
+         |FROM documents
+         |WHERE ${graft.functions.TextAnalysis.Sql.qualityScore(planted)} >= 0.4
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // streaming chunk fan-out == the batch ck1 chunking exactly
+    "e10_stream_chunks" -> CurationCatalog.oracle("ck1_chunk_tokens"),
 
     // independent derivation: utf-8 payload bytes of ASCII text are the
     // codepoints, so f_i = ord(text[i]) / 255

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+class DocStreamSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def stageTwoBatches(): String = {
+    val dir = graft.core.Staging.tmpDir("docstream_spec")
+    Seq((1L, "the quick brown fox and the lazy dog went to the market today", "en", "src0", 10L),
+      (2L, "x@y.example.com !!!", "en", "src0", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/b1")
+    Seq((3L, "a fine day for training data with many of the usual tokens in it", "en", "src1", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/b2")
+    // flatten both batches into one source dir as separate files
+    val out = graft.core.Staging.tmpDir("docstream_src")
+    val fs = java.nio.file.Paths.get(out)
+    for (b <- Seq("b1", "b2")) {
+      val src = java.nio.file.Paths.get(dir, b)
+      java.nio.file.Files.list(src).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.copy(p, fs.resolve(s"${b}_${p.getFileName}")))
+    }
+    out
+  }
+
+  test("stateless curation over a multi-file source equals the batch pipeline") {
+    val src = stageTwoBatches()
+    val streamed = EventStream.runToMemory(spark,
+      DocStream.curate(DocStream.read(spark, src), minQuality = 0.4),
+      "docstream_parity",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect().toSeq
+    val batch = DocStream.curate(spark.read.parquet(src), minQuality = 0.4)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed == batch)
+    // the quality gate actually dropped the junk doc
+    assert(batch.map(_.getLong(0)) == Seq(1L, 3L))
+  }
+
+  test("chunk fan-out streams: one row per window, parity with batch chunker") {
+    val src = stageTwoBatches()
+    val streamed = EventStream.runToMemory(spark,
+      DocStream.chunk(DocStream.read(spark, src), size = 4, stride = 4),
+      "docstream_chunks",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    val batch = graft.operators.Chunker.chunkByTokens(
+      spark.read.parquet(src), "doc_id", "text", 4, 4)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size > 3, "fan-out produced multiple chunks per doc")
+  }
+}
