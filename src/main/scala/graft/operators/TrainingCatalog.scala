@@ -223,6 +223,19 @@ object TrainingCatalog {
       TextAnalysis.tfidf(docs(spark, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("term"))),
 
+    // T10 — top-3 TF-IDF terms per document: the text stack composed
+    // with the bounded TopKStructs aggregate (o4b) — k rows per doc
+    // per partition cross the shuffle, never the full term list.
+    // Uniform-descending struct order ⇒ ties (equal 6dp tfidf) break
+    // by term DESC, spelled the same in the oracle's window.
+    "t10_top_terms" -> ((spark, dir) =>
+      GroupTopK.topKPerGroup(
+        TextAnalysis.tfidf(docs(spark, dir), "doc_id", "text")
+          .select(col("doc_id"), col("tfidf"), col("term")),
+        keys = Seq("doc_id"), sortCols = Seq("tfidf", "term"),
+        k = 3, descending = true)
+        .orderBy(col("doc_id"), col("rn"))),
+
     // winnowing fingerprints (k=8 chars, window 4) — shared substrings
     // of length ≥ 11 guarantee shared fingerprints
     "x8_winnow_fp" -> ((spark, dir) =>
@@ -552,6 +565,21 @@ object TrainingCatalog {
         |SELECT t.doc_id, t.term, t.tf, d.df,
         |  round(t.tf * (ln((n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
-        |ORDER BY t.doc_id, t.term""".stripMargin
+        |ORDER BY t.doc_id, t.term""".stripMargin,
+
+    "t10_top_terms" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |tf AS (SELECT doc_id, tk AS term, COUNT(*) AS tf FROM uni GROUP BY doc_id, tk),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |ti AS (SELECT t.doc_id, t.term,
+        |         round(t.tf * (ln((n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+        |       FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd),
+        |r AS (SELECT doc_id, term, tfidf, CAST(row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, term DESC) AS INT) AS rn
+        |      FROM ti)
+        |SELECT doc_id, rn, tfidf, term FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin
   )
 }
