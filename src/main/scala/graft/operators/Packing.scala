@@ -47,11 +47,16 @@ object Packing {
     // round down to one (16^0=1 disables bucketing — test-size inputs).
     val nibbles = (math.log(buckets.toDouble) / math.log(16.0)).toInt
     val h = md5(col(idCol).cast("string"))
+    // the explicit isNotNull matches the null filter the inner join
+    // infers on the probe side — without it the two subtrees hanging
+    // off this exchange canonicalize differently and ReuseExchange
+    // cannot collapse them to one scan
     val base = df.select(
       col(idCol),
       h.as("__h"),
       size(split(col(textCol), " ", -1)).cast("long").as("__n"))
       .withColumn("__b", substring(col("__h"), 1, nibbles))
+      .filter(col("__b").isNotNull)
 
     // phase 1: cumulative token count within each md5-prefix bucket
     val inBucket = Window.partitionBy(col("__b"))
@@ -59,9 +64,14 @@ object Packing {
     val cumd = base.withColumn("__cum", sum(col("__n")).over(inBucket))
 
     // phase 2: per-bucket totals → exclusive base offsets (≤ buckets
-    // rows; the SinglePartition window is over this aggregate only)
-    val bucketBase = base.groupBy(col("__b"))
-      .agg(sum(col("__n")).as("__bt"))
+    // rows; the SinglePartition window is over this aggregate only).
+    // Totals come from the windowed side's running sum (max(cum) ==
+    // bucket total since cum is monotone within a bucket) so the agg
+    // hangs off the SAME exchange as phase 1 — ReuseExchange makes
+    // this a single corpus scan, where aggregating `base` again would
+    // read the input twice.
+    val bucketBase = cumd.groupBy(col("__b"))
+      .agg(max(col("__cum")).as("__bt"))
       .withColumn("__base",
         coalesce(
           sum(col("__bt")).over(
