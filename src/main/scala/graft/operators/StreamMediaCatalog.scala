@@ -120,6 +120,28 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E11 — continuous-ingestion dedup vs a historical fingerprint
+    // store (planted overlap: every 3rd doc is already "in history");
+    // stream-static left-outer+filter, stateless per micro-batch
+    "e11_stream_dedup_store" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_dd"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val store = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(graft.functions.TextAnalysis
+          .normalizedFingerprint(col("text")).as("fp"))
+      val deduped = graft.streaming.DocStream.dedupAgainstStore(
+        graft.streaming.DocStream.read(spark, d.toString)
+          .select(col("doc_id"), col("text")),
+        store)
+      EventStream.runToMemory(spark, deduped,
+        s"stream_dd_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     // E10 — streaming chunk fan-out: the Chunker generate in
     // micro-batch; must equal the batch ck1 exactly
     "e10_stream_chunks" -> ((spark, dir) => {
@@ -152,6 +174,16 @@ object StreamMediaCatalog {
 
     // streaming chunk fan-out == the batch ck1 chunking exactly
     "e10_stream_chunks" -> CurationCatalog.oracle("ck1_chunk_tokens"),
+
+    // streaming store-dedup == the batch anti-join spelling
+    "e11_stream_dedup_store" -> {
+      val fp = graft.functions.TextAnalysis.Sql.normalizedFingerprint("text")
+      s"""WITH store AS (SELECT DISTINCT $fp AS fp
+         |  FROM documents WHERE doc_id % 3 = 0)
+         |SELECT doc_id, text FROM documents
+         |WHERE $fp NOT IN (SELECT fp FROM store)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // independent derivation: utf-8 payload bytes of ASCII text are the
     // codepoints, so f_i = ord(text[i]) / 255

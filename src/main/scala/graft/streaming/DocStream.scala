@@ -44,4 +44,28 @@ object DocStream {
     */
   def chunk(docs: DataFrame, size: Int, stride: Int): DataFrame =
     graft.operators.Chunker.chunkByTokens(docs, "doc_id", "text", size, stride)
+
+  /** Continuous-ingestion dedup against a HISTORICAL store: drop
+    * stream documents whose normalized fingerprint already exists in
+    * the static fingerprint table (`store(fp)`). Spelled as
+    * stream-static left-outer + null filter — the supported stateless
+    * form of the anti-join (stream-static left_anti is not in
+    * Structured Streaming's join matrix); per micro-batch the static
+    * side broadcasts, so this is the same shape as the batch
+    * Boilerplate/Decontam filters: the stream is filtered where it
+    * lies, no state store, no watermark.
+    *
+    * In-batch duplicates are NOT collapsed here (that is
+    * [[EventStream.dedupWithinWatermark]]'s job with a key on the
+    * fingerprint); this operator's contract is purely
+    * "never re-admit what the store already has".
+    */
+  def dedupAgainstStore(docs: DataFrame, store: DataFrame): DataFrame =
+    docs
+      .withColumn("__fp", TextAnalysis.normalizedFingerprint(col("text")))
+      .join(store.select(col("fp").as("__fp")).distinct()
+          .withColumn("__seen", lit(1)),
+        Seq("__fp"), "left_outer")
+      .filter(col("__seen").isNull)
+      .drop("__fp", "__seen")
 }

@@ -39,6 +39,24 @@ class DocStreamSpec extends graft.SparkSpec {
     assert(batch.map(_.getLong(0)) == Seq(1L, 3L))
   }
 
+  test("store-dedup drops known fingerprints across batches, admits new ones") {
+    val src = stageTwoBatches()
+    // history contains doc 1's normalized text (case/whitespace varied —
+    // the normalized fingerprint must still match)
+    val store = Seq("The  Quick  Brown fox and the lazy dog went to the market TODAY")
+      .toDF("text")
+      .select(graft.functions.TextAnalysis
+        .normalizedFingerprint($"text").as("fp"))
+    val out = EventStream.runToMemory(spark,
+      DocStream.dedupAgainstStore(
+        DocStream.read(spark, src).select($"doc_id", $"text"), store),
+      "docstream_store_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect().toSeq
+    assert(out.map(_.getLong(0)) == Seq(2L, 3L),
+      "doc 1 is in history (normalization-invariant); 2 and 3 are new")
+  }
+
   test("chunk fan-out streams: one row per window, parity with batch chunker") {
     val src = stageTwoBatches()
     val streamed = EventStream.runToMemory(spark,
