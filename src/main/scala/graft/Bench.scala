@@ -54,6 +54,7 @@ object Bench {
       "funnel_stages" -> (() => Pipelines.funnelStages(spark, sfDir)),
       "fuzzy_pairs" -> (() => Pipelines.fuzzyPairs(spark, sfDir)),
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
+      "boilerplate_strip" -> (() => Pipelines.boilerplateStrip(spark, sfDir)),
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),
       "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)),
       "ml_combo_fit" -> (() => Pipelines.mlComboFit(spark, sfDir)))

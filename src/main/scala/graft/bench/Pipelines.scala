@@ -202,6 +202,19 @@ object Pipelines {
       .toDF("features", "accuracy", "scored_rows")
   }
 
+  /** Corpus-frequency boilerplate strip over 16-token line segments —
+    * census agg + broadcast anti-join + doc-keyed reassembly.
+    */
+  def boilerplateStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val segs = graft.operators.Chunker.chunkByTokens(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      "doc_id", "text", 16, 16)
+      .select(col("doc_id"), col("chunk_id").as("line_no"),
+        col("chunk_text").as("line"))
+    graft.quality.Boilerplate.stripFrequentLines(
+      segs, "doc_id", "line_no", "line", minDocFreq = 40L)
+  }
+
   /** End-to-end training-data export — the curation ops composed the
     * way a real pipeline runs them: quality filter → exact dedup →
     * concat-and-chunk packing → per-pack fill census. One narrow scan

@@ -50,6 +50,20 @@ object TrainingCatalog {
        | FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   private val lshDims = Seq(0, 8, 16, 24, 32, 40, 48, 56)
+
+  /** Shared x9/x10 pipeline: LSH candidate pairs → connected
+    * components over the variant-augmented corpus.
+    */
+  private def dedupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docsWithVariants(spark, sfDir)
+    val pairs = TextDedup.candidatePairs(
+      TextDedup.bandKeys(
+        TextDedup.minhashSignatures(
+          TextDedup.shingleSets(d, "doc_id", "text"), "doc_id"),
+        "doc_id"),
+      "doc_id")
+    Components.connectedComponents(pairs, d, "doc_id")
+  }
   private val annQueryIds: Seq[Long] = (0L until 10L)
 
   /** Embeddings + near-variants of every 20th vector: odd dims scaled
@@ -170,17 +184,18 @@ object TrainingCatalog {
     // transitive closure of the LSH candidates: dedup GROUPS, not just
     // pairs — every doc (incl. singletons) labeled with its component
     // representative (min reachable doc_id)
-    "x9_dedup_groups" -> ((spark, dir) => {
-      val d = docsWithVariants(spark, dir)
-      val pairs = TextDedup.candidatePairs(
-        TextDedup.bandKeys(
-          TextDedup.minhashSignatures(
-            TextDedup.shingleSets(d, "doc_id", "text"), "doc_id"),
-          "doc_id"),
-        "doc_id")
-      Components.connectedComponents(pairs, d, "doc_id")
-        .orderBy(col("doc_id"))
-    }),
+    "x9_dedup_groups" -> ((spark, dir) =>
+      dedupComponents(spark, dir).orderBy(col("doc_id"))),
+
+    // X10 — the keep-list: one canonical representative (min id) +
+    // size per near-dup group; the group agg is a partial-combining
+    // (comp)-keyed shuffle over the (id, comp) pairs only
+    "x10_canonical_docs" -> ((spark, dir) =>
+      dedupComponents(spark, dir)
+        .groupBy(col("comp"))
+        .agg(count(lit(1)).as("group_size"),
+          min(col("doc_id")).as("canonical_id"))
+        .orderBy(col("comp"))),
 
     // simhash bit strings
     "x6_simhash" -> ((spark, dir) =>
@@ -431,6 +446,13 @@ object TrainingCatalog {
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
          |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")}
          |SELECT id AS doc_id, comp FROM comps ORDER BY doc_id""".stripMargin,
+
+    "x10_canonical_docs" ->
+      s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
+         |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")}
+         |SELECT comp, CAST(COUNT(*) AS BIGINT) AS group_size,
+         |  MIN(id) AS canonical_id
+         |FROM comps GROUP BY comp ORDER BY comp""".stripMargin,
 
     "x6_simhash" ->
       s"""SELECT doc_id, simhash FROM ${D.simhashSql("documents", "doc_id", "text")} s
