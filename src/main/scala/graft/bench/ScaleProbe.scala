@@ -30,7 +30,9 @@ object ScaleProbe {
       println(f"[scale] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    for (m <- Seq(1, 4, 16)) {
+    val mults = sys.env.get("SPARK_GRAFT_SCALE_MULTS")
+      .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+    for (m <- mults) {
       println(s"--- multiplier $m")
       val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m, 1000000000L)
         .repartition(64).cache()
