@@ -414,6 +414,38 @@ object StatsCatalog {
     "dd2_psi" -> ((spark, dir) => {
       val (b, c) = psiSnapshots(spark, dir)
       Drift.psi(b, c, "o_totalprice", nBuckets = 10)
+    }),
+
+    // W7 — trailing 1-hour RANGE-frame window (frame bounded by the
+    // ORDER value, not row count — w4's rows-frame sibling): per-user
+    // sum+count of the last hour of events at every event. Decimal-
+    // routed frame sum; range bounds are inclusive on both engines.
+    "w7_range_frame" -> ((spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+        .rangeBetween(-3600000000L, 0L)
+      ev(spark, dir)
+        .withColumn("trail_sum", sum(dec($"value")).over(w).cast("double"))
+        .withColumn("n_frame", count(lit(1)).over(w))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    }),
+
+    // N11 — per-key forward fill (LOCF over existing rows — TS1's
+    // sibling without the resample grid): nulls planted on both
+    // engines (every 5th event), carried value = last non-null in
+    // (ts_us, event_id) order; pure value copy, no float arithmetic
+    "n11_ffill" -> ((spark, dir) => {
+      import spark.implicits._
+      val planted = Tables.events(spark, dir)
+        .filter($"user_id".isNotNull)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          when($"event_id" % 5 === 0, lit(null)).otherwise($"value")
+            .as("value"))
+      planted.withColumn("value_ffill",
+        last($"value", ignoreNulls = true).over(
+          Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy($"user_id", $"ts_us", $"event_id")
     }))
 
   private def psiSnapshots(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -440,6 +472,27 @@ object StatsCatalog {
          |WHERE value IS NOT NULL AND (value < $lo OR value > $hi)
          |ORDER BY event_id""".stripMargin
     },
+
+    "w7_range_frame" ->
+      s"""WITH $evSql
+         |SELECT user_id, ts_us, event_id, value,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum,
+         |  COUNT(*) OVER w AS n_frame
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "n11_ffill" ->
+      """WITH pl AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    event_id,
+        |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+        |  FROM events WHERE user_id IS NOT NULL)
+        |SELECT user_id, ts_us, event_id, value,
+        |  last_value(value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM pl ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "dd1_psi_profile" ->
       s"""WITH $psiSnapshotsSql
