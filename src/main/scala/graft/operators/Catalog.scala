@@ -475,6 +475,25 @@ object Catalog {
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     }),
 
+    // G6 — explicit GROUPING SETS (the general form cube/rollup
+    // specialize): two single-column rollups + grand total in one
+    // pass, grouping() flags disambiguating real NULL keys from
+    // superaggregate rows; SQL-text face (the DataFrame API exposes
+    // only cube/rollup), same exact-sum discipline
+    "g6_grouping_sets" -> ((spark, dir) => {
+      Tables.orders(spark, dir).createOrReplaceTempView("g6_orders")
+      spark.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+          |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+          |  COUNT(*) AS cnt,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          |FROM g6_orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY g_pri, g_st, o_orderpriority ASC NULLS FIRST,
+          |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+    }),
+
     // G2 — pivot: priorities to columns, exact sums
     "g2_pivot" -> ((spark, dir) => {
       import spark.implicits._
@@ -1041,6 +1060,17 @@ object Catalog {
          |  ${sqlDsum("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "g6_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_pri,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_st,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_pri, g_st, o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "g2_pivot" ->
       s"""SELECT o_orderstatus,
