@@ -17,6 +17,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -92,17 +93,25 @@ object Bench {
       // a failed run must not contribute its (fast) duration to the
       // total; min over successful runs only
       val ok = runs.filter(_._2 >= 0)
-      if (ok.isEmpty) (name, runs.map(_._1).max, -1L)
-      else (name, ok.map(_._1).min, ok.head._2)
+      if (ok.isEmpty) (name, runs.map(_._1).max, -1L, runs.map(_._1))
+      else (name, ok.map(_._1).min, ok.head._2, ok.map(_._1))
     }
     // a failed pipeline must not masquerade as a fast run
-    val qs = results.map { case (k, v, n) =>
+    val qs = results.map { case (k, v, n, _) =>
       "\"" + k + "\":" + (if (n < 0) -1.0 else v)
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, n) if n < 0 => "\"" + k + "\"" }
+    // variance guard: min alone hid a 3.1x host-contention spike in a
+    // recorded round — publish the per-entry spread so a noisy entry
+    // (med >> min) is distinguishable from a real regression (min moved)
+    val spread = results.map { case (k, _, _, ts) =>
+      val s = ts.sorted
+      "\"" + k + "\":{\"min\":" + s.head + ",\"med\":" + s(s.length / 2) +
+        ",\"max\":" + s.last + "}"
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, n, _) if n < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -300,9 +300,14 @@ object Pipelines {
     * batch-equivalent plan. A fresh sink name per run keeps memory-sink
     * registrations from colliding across warmup/repeat runs.
     */
-  def streamRollup(spark: SparkSession, sfDir: String): DataFrame =
-    graft.streaming.EventStream.runToMemory(spark,
+  def streamRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    // state partitions sized for state volume (hundreds of window×type
+    // keys), NOT core count: 32 state stores per micro-batch is pure
+    // per-instance open/commit overhead — see EventStream.stateSizedSession
+    val ss = graft.streaming.EventStream.stateSizedSession(spark, 8)
+    graft.streaming.EventStream.runToMemory(ss,
       graft.streaming.EventStream.tumblingCounts(
-        graft.streaming.EventStream.read(spark, streamSrc(sfDir))),
+        graft.streaming.EventStream.read(ss, streamSrc(sfDir))),
       s"bench_stream_${streamRunN.incrementAndGet()}")
+  }
 }

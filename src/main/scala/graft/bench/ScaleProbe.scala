@@ -21,6 +21,7 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -113,6 +114,27 @@ object ScaleProbe {
           Seq("ts_us", "event_id"), Seq("signup", "click", "purchase")).count()
       }
       ev.unpersist()
+
+      // streaming rollup: the one benched subsystem that regressed
+      // unnoticed in round 4 (host noise, but the miss was real) now
+      // gets its own curve. Staged as m files + maxFilesPerTrigger=1 →
+      // exactly m micro-batches, so the row separates per-batch
+      // fixed cost (state-store open/commit per instance per batch)
+      // from per-row throughput. State partitions sized for state
+      // volume, not cores — EventStream.stateSizedSession.
+      val evStream = multiply(Tables.events(spark, sfDir), "event_id", m,
+        10000000L)
+      val streamDir = graft.core.Staging.tmpDir(s"scale_stream_x$m")
+      evStream.repartition(m).write.mode("overwrite").parquet(streamDir)
+      val stagedSchema = spark.read.parquet(streamDir).schema
+      time(s"stream_rollup x$m (batches=$m)") {
+        val ss = graft.streaming.EventStream.stateSizedSession(spark, 8)
+        val src = ss.readStream.schema(stagedSchema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir)
+        graft.streaming.EventStream.runToMemory(ss,
+          graft.streaming.EventStream.tumblingCounts(src),
+          s"scale_stream_sink_x$m").count()
+      }
 
       // fuzzy blocking: multiplying customers grows each nation block
       // m×, so the intra-block pair count grows m² — the curve makes

@@ -30,7 +30,7 @@ object Tables {
     * granularity coarser than ns.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosConf(spark)
     val raw = load(spark, sfDir, "events")
     // `div` = exact integer division on longs (a double round-trip would
     // lose precision above 2^53 ns).
@@ -40,6 +40,19 @@ object Tables {
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+
+  /** The nanos conf must be a session-BUILD setting (`Sessions.local` and
+    * the three mains set it), not mutated here: a reader that rewrites
+    * session conf behind the caller's back also silently re-types every
+    * other NANOS parquet scan in the session, and derived sessions
+    * (`SparkSession.newSession`) inherit builder configs but not runtime
+    * mutations — streaming's state-sized sessions rely on that.
+    */
+  private[graft] def requireNanosConf(spark: SparkSession): Unit =
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet stores TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (graft.core.Sessions.local does)")
 }
 
 /** SparkSession factory with the engine's scale-aware defaults:
@@ -59,6 +72,9 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_warehouse")
       .config("spark.sql.shuffle.partitions", cores.toString)
+      // events.ts is parquet TIMESTAMP(NANOS); set at build so derived
+      // sessions (newSession) inherit it — see Tables.requireNanosConf
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // scan-split sizing: the 128m default maxPartitionBytes already

@@ -61,7 +61,7 @@ class EventStreamSpec extends SparkSpec {
     }
     stage(Seq(mk(1, 1000, 1.0), mk(2, 1000, 2.0)), "b1.parquet")
     stage(Seq(mk(3, 2000, 3.0), mk(4, 3000, 5.0)), "b2.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong comes from the Sessions.local builder config
     val src = spark.readStream.schema(EventStream.rawSchema)
       .option("maxFilesPerTrigger", 1).parquet(d.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
