@@ -55,8 +55,16 @@ object Fuzzy {
       .repartition(s, joinCols.map(col): _*)
     left.join(right, joinCols)
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dist", levenshtein(col("a_text"), col("b_text")).cast("bigint"))
-      .filter(col("dist") <= maxDist)
+      // length band: |len(a)−len(b)| lower-bounds edit distance, so this
+      // drops pairs EXACTLY when they cannot match — a cheap codegen'd
+      // compare that skips the O(len²) DP for most of the pair explosion
+      .filter(abs(length(col("a_text")) - length(col("b_text"))) <= maxDist)
+      // threshold form early-exits the DP once a row of the matrix
+      // exceeds maxDist (returns −1), bounding per-pair cost at
+      // O(len·maxDist) instead of O(len²)
+      .withColumn("dist",
+        levenshtein(col("a_text"), col("b_text"), maxDist).cast("bigint"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select((blockCols :+ "a_id" :+ "b_id" :+ "dist").map(col): _*)
   }
 }
