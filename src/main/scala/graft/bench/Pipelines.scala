@@ -195,7 +195,10 @@ object Pipelines {
     // blocks can't poison later pipelines in the same session
     val results =
       try graft.ml.CombinationSearch.search(trainC, testC, cfg,
-        Seq("o_orderpriority", "c_mktsegment"), maxK = 1, positive = "F")
+        Seq("o_orderpriority", "c_mktsegment"), maxK = 1, positive = "F",
+        // combos fit concurrently (CrossValidator idiom): each model's
+        // optimizer is between jobs most of the time at this data size
+        parallelism = 2)
       finally { trainC.unpersist(blocking = false); testC.unpersist(blocking = false) }
     results.map(r => (r.features.mkString("+"),
       r.metrics.accuracy, r.metrics.tp + r.metrics.fp + r.metrics.tn + r.metrics.fn))

@@ -31,10 +31,13 @@ object FeaturePipeline {
       seed: Long = 42L,
       maxIter: Int = 40)
 
-  /** Feature stages only (no classifier): indexers → encoders →
-    * bucketizers → assembler producing `features`.
+  /** Pre-assembly stages: label/categorical indexers → encoders →
+    * bucketizers. Each fit depends only on (train, its column), NOT on
+    * which combination of columns later feeds the assembler — which is
+    * what lets the combination search fit them ONCE for the union of
+    * candidate columns instead of once per combo.
     */
-  def featureStages(cfg: Config): Seq[PipelineStage] = {
+  def prepStages(cfg: Config): Seq[PipelineStage] = {
     require(cfg.buckets.keySet.intersect(cfg.quantileBuckets.keySet).isEmpty,
       "a column may use explicit OR quantile buckets, not both: " +
         cfg.buckets.keySet.intersect(cfg.quantileBuckets.keySet).mkString(","))
@@ -53,20 +56,46 @@ object FeaturePipeline {
       new QuantileDiscretizer().setInputCol(c).setOutputCol(s"${c}_qbkt")
         .setNumBuckets(n)
     }
+    (labelIndexer +: catIndexers) ++ encoders ++ bucketizers ++ discretizers
+  }
+
+  /** Assembler producing `features` from the prep stages' outputs. */
+  def assembler(cfg: Config): VectorAssembler = {
     val inputCols =
       cfg.categoricalCols.map(c => s"${c}_vec") ++
         cfg.continuousCols.filterNot(c =>
           cfg.buckets.contains(c) || cfg.quantileBuckets.contains(c)) ++
         cfg.buckets.keys.map(c => s"${c}_bkt") ++
         cfg.quantileBuckets.keys.map(c => s"${c}_qbkt")
-    val assembler = new VectorAssembler()
-      .setInputCols(inputCols.toArray).setOutputCol("features")
-    (labelIndexer +: catIndexers) ++ encoders ++ bucketizers ++ discretizers :+ assembler
+    new VectorAssembler().setInputCols(inputCols.toArray).setOutputCol("features")
   }
+
+  /** Feature stages only (no classifier): indexers → encoders →
+    * bucketizers → assembler producing `features`.
+    */
+  def featureStages(cfg: Config): Seq[PipelineStage] =
+    prepStages(cfg) :+ assembler(cfg)
 
   /** M4 — assembled feature width from attribute metadata. */
   def featureWidth(assembled: DataFrame): Int =
     AttributeGroup.fromStructField(assembled.schema("features")).size
+
+  /** Right-size a training frame's partitioning to DATA VOLUME before
+    * an iterative fit. An LBFGS-style optimizer launches one job per
+    * gradient evaluation (~100–200 for MLPC at maxIter 100), so a
+    * session-width partitioning of a small frame pays per-task overhead
+    * on every iteration for partitions holding a few thousand rows
+    * (measured: a 60 k-row train set fits ~35% faster at its natural
+    * 1 partition than at 32). A rebalanced/split training set is
+    * routinely orders of magnitude smaller than the corpus that
+    * produced it — at 100 TB the same rule keeps the fit wide, because
+    * the row count, not the session default, sets the width.
+    */
+  def sizedForFit(train: DataFrame, rowsPerPartition: Long = 65536): DataFrame = {
+    val target = math.max(1L,
+      (train.count() + rowsPerPartition - 1) / rowsPerPartition).toInt
+    if (target < train.rdd.getNumPartitions) train.coalesce(target) else train
+  }
 
   /** M5/M6 — fit features, read width, fit MLPC, return the composed
     * model. Two fits are unavoidable because MLPC needs `layers` up

@@ -133,7 +133,13 @@ object QualityMlCatalog {
     val balanced = FeaturePipeline.rebalanceHash(df, "status", "F", 50,
       col("o_orderkey"))
     val (train, test) = FeaturePipeline.hashSplit(balanced, col("o_orderkey"), 80)
-    val fitInput = (if (exactGate) train.coalesce(1) else train).cache()
+    // exactGate: single partition for bit-reproducible gradient sums;
+    // distributed path: partitions follow row count, not session width
+    // (FeaturePipeline.sizedForFit — an iterative fit pays per-task
+    // overhead on every one of its ~100 jobs)
+    val fitInput =
+      (if (exactGate) train.coalesce(1)
+       else FeaturePipeline.sizedForFit(train)).cache()
     // fit() is eager (Pipeline.fit materializes every stage), so the
     // cache can be dropped immediately — leaving it resident poisons
     // every later query in the same session (measured: the bench's
