@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * Scale note (same contract as NullRepair.imputeMedianExact): the
   * rank pick is a deliberate single-partition sort of the pruned value
   * column only — exact rank statistics are inherently global-order
-  * questions, and this is the exactness gate. The 100 TB path swaps
-  * the quartile source for percentile_approx (mergeable sketches) with
-  * identical downstream fencing; both quartiles come out of ONE window
-  * pass, and the 1-row bounds broadcast back — no driver collect.
+  * questions, and this is the exactness gate. The 100 TB path is
+  * [[iqrBoundsApprox]]/[[iqrOutliersApprox]]: percentile_approx
+  * (mergeable sketches) with identical downstream fencing; both
+  * quartiles come out of ONE pass, and the 1-row bounds broadcast
+  * back — no driver collect on either path.
   */
 object Outliers {
 
@@ -42,8 +43,36 @@ object Outliers {
       (col("q3") + lit(k) * (col("q3") - col("q1"))).as("hi"))
   }
 
+  /** The 100 TB quartile path: `percentile_approx` (mergeable
+    * Greenwald–Khanna sketches, one partial-aggregated pass, no global
+    * sort) with fencing assembled IDENTICALLY to [[iqrBounds]]. The
+    * sketch returns an actual data value (approximate-RANK discrete
+    * quantile), so on a clean distribution the fences coincide with
+    * the exact path's — OutliersSpec asserts equality on one — and at
+    * any accuracy the error is bounded by rank, not value.
+    */
+  def iqrBoundsApprox(df: DataFrame, c: String, k: Double,
+                      accuracy: Int = 10000): DataFrame = {
+    val picks = df.filter(col(c).isNotNull)
+      .agg(percentile_approx(col(c), lit(0.25), lit(accuracy)).as("q1"),
+        percentile_approx(col(c), lit(0.75), lit(accuracy)).as("q3"))
+    picks.select(col("q1"), col("q3"),
+      (col("q1") - lit(k) * (col("q3") - col("q1"))).as("lo"),
+      (col("q3") + lit(k) * (col("q3") - col("q1"))).as("hi"))
+  }
+
   private def fenced(df: DataFrame, c: String, k: Double): DataFrame =
     df.crossJoin(broadcast(iqrBounds(df, c, k).select(col("lo"), col("hi"))))
+
+  /** [[iqrOutliers]] on the approx quartile path — the form a 100 TB
+    * run uses (exact twin = the verify gate).
+    */
+  def iqrOutliersApprox(df: DataFrame, c: String, k: Double = 1.5,
+                        accuracy: Int = 10000): DataFrame =
+    df.crossJoin(broadcast(
+        iqrBoundsApprox(df, c, k, accuracy).select(col("lo"), col("hi"))))
+      .filter(col(c).isNotNull && (col(c) < col("lo") || col(c) > col("hi")))
+      .drop("lo", "hi")
 
   /** Rows OUTSIDE the fences (the outlier report). Null values are not
     * outliers (they are N-series territory, not R-series).

@@ -32,6 +32,33 @@ class OutliersSpec extends graft.SparkSpec {
     assert(keep.contains(8L), "null row stays (repair is a separate pass)")
   }
 
+  test("approx path: fences equal the exact path's on a clean fixture") {
+    // distinct values, modest n: the sketch's rank error is zero, so
+    // the approximate quartiles pick the same DATA VALUES as the exact
+    // rank statistic and the fences coincide bit-for-bit
+    val d = df((1 to 101).map(d => Double.box(d.toDouble)))
+    val exact = Outliers.iqrBounds(d, "v", 1.5)
+      .as[(Double, Double, Double, Double)].collect().head
+    val approx = Outliers.iqrBoundsApprox(d, "v", 1.5)
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(approx == exact, s"approx $approx vs exact $exact")
+  }
+
+  test("approx path flags the same planted extreme") {
+    val vals = ((1 to 7).map(d => Double.box(d.toDouble)) :+ Double.box(100.0))
+    val out = Outliers.iqrOutliersApprox(df(vals), "v", 1.5)
+      .select("v").as[Double].collect().toSeq
+    assert(out == Seq(100.0))
+  }
+
+  test("approx path has no window and no global sort in the plan") {
+    val plan = Outliers.iqrOutliersApprox(
+      graft.core.Tables.events(spark, sf001).select($"event_id", $"value"),
+      "value", 1.5).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("bounds broadcast back — no sort-merge join in the plan") {
     val plan = Outliers.iqrOutliers(
       graft.core.Tables.events(spark, sf001).select($"event_id", $"value"),
