@@ -276,12 +276,15 @@ object TrainingCatalog {
         "vec_id", "embedding", annQueryIds, k = 5, dims = lshDims)
         .orderBy(col("query_id"), col("rn"))),
 
-    // IVF ANN (KMeans coarse quantizer, probe-2) — rows-only gate:
-    // KMeans centers are not cross-engine reproducible; recall is
-    // asserted vs brute force in SimilaritySpec
+    // IVF ANN over the hash-init deterministic quantizer (probe-2) —
+    // fully oracle-exact: centroids are the 16 vectors with smallest
+    // md5(vec_id), so DuckDB derives the identical index end-to-end.
+    // The KMeans-quantizer path stays covered by v6's recall gate.
     "v4_ivf_topk" -> ((spark, dir) =>
-      Similarity.ivfTopK(Tables.embeddings(spark, dir),
-        "vec_id", "embedding", annQueryIds, k = 5, nCentroids = 16, nProbe = 2)
+      Similarity.ivfTopKIndexed(
+        Similarity.buildIvfHashInit(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", nCentroids = 16),
+        "vec_id", "embedding", annQueryIds, k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rn"))),
 
     // embedding near-duplicate pairs within LSH buckets (over the
@@ -534,6 +537,42 @@ object TrainingCatalog {
          |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE round(${S.cosine("a.embedding", "b.embedding")}, 6) >= 0.9
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // the deterministic hash-init IVF index, derived end-to-end in SQL:
+    // same centroid pick (smallest md5 of the id string), same rounded
+    // + cell-tiebroken assignment and probe metric, same v1 top-k rank
+    "v4_ivf_topk" ->
+      s"""WITH cenbase AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cent AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM cenbase),
+         |acell AS (
+         |  SELECT vec_id, embedding, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY round(${S.dot("centroid", "centroid")}
+         |        - 2 * ${S.dot("embedding", "centroid")}, 6), cell) AS arn
+         |  FROM embeddings CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, embedding, cell FROM acell WHERE arn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM assigned
+         |      WHERE vec_id IN (${annQueryIds.mkString(",")})),
+         |probes AS (
+         |  SELECT query_id, q_vec, cell, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY round(${S.dot("centroid", "centroid")}
+         |        - 2 * ${S.dot("q_vec", "centroid")}, 6), cell) AS pr
+         |  FROM q CROSS JOIN cent),
+         |probeset AS (SELECT query_id, q_vec, cell FROM probes WHERE pr <= 2),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, round(${S.cosine("q_vec", "c_vec")}, 6) AS cos_sim
+         |  FROM (SELECT vec_id AS neighbor_id, embedding AS c_vec, cell FROM assigned) c
+         |  JOIN probeset USING (cell) WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
     "v6_ivf_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50

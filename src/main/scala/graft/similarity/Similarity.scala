@@ -177,6 +177,41 @@ object Similarity {
     IvfIndex(assigned, centroids)
   }
 
+  /** Deterministic coarse quantizer: the centroids are the embeddings
+    * of the `nCentroids` vectors with the smallest
+    * `md5(cast(id as string))` (random-sample init, made DATA-KEYED:
+    * any engine — or any rebuild after a repartition — derives the
+    * identical quantizer, which is what lets the full IVF top-k be
+    * oracle-gated, unlike KMeans centers). Assignment is
+    * argmin_cell round(c·c − 2·v·c, 6) with cell-id tiebreak, computed
+    * as one map-side-combinable min-struct aggregation over the
+    * broadcast centroid table — no window, one shuffle keyed by id.
+    * Trades cluster quality for reproducibility versus [[buildIvf]];
+    * cell balance comes from the sample being hash-uniform.
+    */
+  def buildIvfHashInit(emb: DataFrame, idCol: String, vecCol: String,
+                       nCentroids: Int): IvfIndex = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__h"), col(idCol))
+    val cents = emb.select(col(idCol), col(vecCol))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(nCentroids)
+      // 16-row frame: the unpartitioned window is the cheap, right call
+      .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+      .select(col("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+    val assigned = emb.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cents))
+      .withColumn("__d", round(dot(col("centroid"), col("centroid"))
+        - lit(2.0) * dot(col(vecCol), col("centroid")), 6))
+      // (__d, cell) is unique per id, so the trailing vec field never
+      // decides the min — it just rides along to avoid a second join
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d"), col("cell"), col(vecCol).as("v"))).as("m"))
+      .select(col(idCol), col("m.v").as(vecCol), col("m.cell").as("cell"))
+    IvfIndex(assigned, cents)
+  }
+
   /** Persist / reload the index (cell-partitioned corpus copy: probing
     * a cell then reads only that cell's files — partition pruning does
     * the candidate selection).
@@ -199,9 +234,11 @@ object Similarity {
     // queries × nCentroids rows)
     val q = assigned.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // rounded + cell-tiebroken (house float-rank rule) so probe choice
+    // is reproducible cross-engine for the oracle-gated hash-init index
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", dot(col("centroid"), col("centroid"))
-        - lit(2.0) * dot(transform(col("q_vec"), x => x.cast("double")), col("centroid")))
+      .withColumn("d2", round(dot(col("centroid"), col("centroid"))
+        - lit(2.0) * dot(col("q_vec"), col("centroid")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
     val probeSet = probes
