@@ -28,7 +28,13 @@ object CorrMatrix {
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least 2 columns, got $cols")
     require(cols.distinct == cols, s"duplicate columns in $cols")
-    val complete = df.na.drop(cols).select(cols.map(col): _*)
+    // explicit IS NOT NULL conjunctions, NOT na.drop: na.drop also
+    // discards NaN rows, which the oracle's listwise `IS NOT NULL`
+    // filter would keep — the two engines must aggregate the same rows
+    // even on NaN-bearing columns
+    val complete = df
+      .filter(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(cols.map(col): _*)
     val dec: Map[String, Column] =
       cols.map(c => c -> col(c).cast(SumScale)).toMap
     val sums: Seq[Column] =

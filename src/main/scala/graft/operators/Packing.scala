@@ -45,7 +45,9 @@ object Packing {
     // (bucket, h) == ordering by h, which makes the two-phase prefix
     // sum exact. Nibbles, so `buckets` must be a power of 16 ≤ 16^4;
     // round down to one (16^0=1 disables bucketing — test-size inputs).
-    val nibbles = (math.log(buckets.toDouble) / math.log(16.0)).toInt
+    // Integer arithmetic: a float log could truncate 16^k to k-1
+    // nibbles on a platform where log(16^k)/log(16) lands below k.
+    val nibbles = Iterator.iterate(1L)(_ * 16).takeWhile(_ * 16 <= buckets).length
     val h = md5(col(idCol).cast("string"))
     // the explicit isNotNull matches the null filter the inner join
     // infers on the probe side — without it the two subtrees hanging
@@ -85,13 +87,14 @@ object Packing {
         (col("__base") + col("__cum") - col("__n")).as("__start"))
 
     // pack fan-out: doc [start, start+n) intersects packs
-    // floor(start/L) .. floor((start+n-1)/L)
-    val end = col("__start") + col("__n")
+    // start div L .. (start+n-1) div L — integer `div`, matching the
+    // oracle's `//` at ANY offset (float floor(a/b) is only exact while
+    // global token offsets stay under 2^53)
     offs
       .select(col(idCol), col("__n"), col("__start"),
         explode(sequence(
-          floor(col("__start") / seqLen),
-          floor((end - 1) / seqLen))).as("pack_id"))
+          expr(s"__start div $seqLen"),
+          expr(s"(__start + __n - 1) div $seqLen"))).as("pack_id"))
       .select(
         col("pack_id"),
         col(idCol),

@@ -40,14 +40,30 @@ object Boilerplate {
     * only the lines NOT in the frequent-line set. Documents whose
     * every line was boilerplate disappear from the output entirely
     * (the standard contract: nothing left worth training on).
+    *
+    * @param maxBroadcastLines guard on the "frequent set is tiny"
+    *   assumption: `minDocFreq` is a caller dial, and a low threshold
+    *   over a large corpus could push a supposed-boilerplate census
+    *   past driver/broadcast memory. The census is fetched driver-side
+    *   up to the cap in ONE action (that is what a broadcast would do
+    *   anyway) and rejoined as a local relation; on overflow the strip
+    *   falls back to a shuffle anti-join — same semantics, the census
+    *   recomputes once in that rare path instead of OOMing the driver.
     */
   def stripFrequentLines(lines: DataFrame, docCol: String,
                          lineNoCol: String, lineCol: String,
-                         minDocFreq: Long): DataFrame = {
+                         minDocFreq: Long,
+                         maxBroadcastLines: Int = 1000000): DataFrame = {
     val frequent = frequentLines(lines, docCol, lineCol, minDocFreq)
       .select(col(lineCol))
-    lines
-      .join(broadcast(frequent), Seq(lineCol), "left_anti")
+    val capped = frequent.limit(maxBroadcastLines + 1).collect()
+    val joined =
+      if (capped.length <= maxBroadcastLines) {
+        val local = lines.sparkSession.createDataFrame(
+          java.util.Arrays.asList(capped: _*), frequent.schema)
+        lines.join(broadcast(local), Seq(lineCol), "left_anti")
+      } else lines.join(frequent, Seq(lineCol), "left_anti")
+    joined
       .groupBy(col(docCol))
       .agg(array_join(
         transform(
