@@ -60,6 +60,13 @@ object CurationCatalog {
     Map("src0" -> 2.3, "src1" -> 0.5, "src2" -> 0.0)
   private val MixDefault = 1.0
 
+  // token-budget cap per source (~half of each source's ~1.5k tokens
+  // at sf0.01, so the trim decision is exercised in both directions)
+  private val TokenBudget = 800L
+  // group-mean quality gate: the sf corpus's per-source means span
+  // ~[0.458, 0.516], so 0.485 keeps some sources and drops others
+  private val GroupMeanMicros = 485000L
+
   // ---- line-level boilerplate removal fixtures -----------------------
   // The fixture corpus has no newlines, so "lines" are the Chunker's
   // stride==size token segments, PLUS planted boilerplate lines
@@ -163,7 +170,32 @@ object CurationCatalog {
       Packing.packFill(
         Packing.packSpans(docs(spark, dir), "doc_id", "text",
           seqLen = PackLen, buckets = 256))
-        .orderBy(col("pack_id")))
+        .orderBy(col("pack_id"))),
+
+    // per-source token-budget cap: best-quality-first until each
+    // source's budget is spent (rounded float rank + doc_id tiebreak)
+    "tb1_token_budget" -> ((spark, dir) => {
+      val q = round(graft.functions.TextAnalysis.qualityScore(col("text")), 6)
+      GroupStats.tokenBudgetTrim(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            graft.functions.TextAnalysis.tokenCount(col("text"))
+              .cast("long").as("n_toks"), col("text")),
+        "source", "n_toks", budget = TokenBudget,
+        order = Seq(q.desc, col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style domain gate: only documents from sources whose MEAN
+    // quality clears the threshold (quantized-integer mean compare)
+    "gm1_group_mean_filter" -> ((spark, dir) =>
+      GroupStats.filterByGroupMean(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")),
+        "source", graft.functions.TextAnalysis.qualityScore(col("text")),
+        minMeanMicros = GroupMeanMicros)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")))
   )
 
   def oracle: Map[String, String] = Map(
@@ -245,6 +277,33 @@ object CurationCatalog {
          |SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no, line) AS text
          |FROM lines
          |WHERE line NOT IN (SELECT line FROM freq)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "tb1_token_budget" -> {
+      val q = graft.functions.TextAnalysis.Sql.qualityScore("text")
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |    round($q, 6) AS ql
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_toks,
+         |    SUM(n_toks) OVER (PARTITION BY source ORDER BY ql DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM d)
+         |SELECT doc_id, source, n_toks FROM c
+         |WHERE cum - n_toks < $TokenBudget ORDER BY doc_id""".stripMargin
+    },
+
+    "gm1_group_mean_filter" -> {
+      val q = graft.functions.TextAnalysis.Sql.qualityScore("text")
+      s"""SELECT doc_id, source FROM documents
+         |WHERE source IN (
+         |  SELECT source FROM (
+         |    SELECT source,
+         |      SUM(CAST(FLOOR(($q) * 1000000.0) AS BIGINT)) AS sq,
+         |      COUNT(*) AS n
+         |    FROM documents GROUP BY source) g
+         |  WHERE sq >= $GroupMeanMicros * n)
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

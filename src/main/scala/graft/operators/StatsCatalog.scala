@@ -391,6 +391,28 @@ object StatsCatalog {
         .orderBy($"col_x", $"col_y")
     }),
 
+    // A19 — exact discrete quartiles PER GROUP: the keyed (scalable)
+    // complement of the global single-partition rank gates — one
+    // group-keyed shuffle, groups in parallel, integer ranks
+    "a19_group_quartiles" -> ((spark, dir) => {
+      import spark.implicits._
+      GroupStats.groupQuartiles(
+        Tables.documents(spark, dir), Seq("source"), "n_chars")
+        .orderBy($"source")
+    }),
+
+    // A20 — per-column cardinality census: mergeable-HLL estimate
+    // gated by the exact distinct count (v6-style audit contract)
+    "a20_cardinality_profile" -> ((spark, dir) => {
+      import spark.implicits._
+      GroupStats.cardinalityProfile(
+        Tables.documents(spark, dir), Seq("lang", "source", "doc_id"))
+        // the HLL estimate itself is sketch-implementation-specific;
+        // the gate compares the exact side and the tolerance verdict
+        .select($"col_name", $"exact_nd", $"within_tol")
+        .orderBy($"col_name")
+    }),
+
     // OL1 — IQR (Tukey-fence) outlier report with discrete quartiles;
     // bounds broadcast back, verdicts in identical double arithmetic
     "ol1_iqr_outliers" -> ((spark, dir) => {
@@ -465,6 +487,28 @@ object StatsCatalog {
          |FROM ${CorrMatrix.corrSql("orders",
                Seq("o_totalprice", "o_custkey", "o_orderkey"))} m
          |ORDER BY col_x, col_y""".stripMargin,
+
+    "a19_group_quartiles" ->
+      s"""SELECT source, count(*) AS n,
+         |  quantile_disc(n_chars, 0.25) AS q1,
+         |  quantile_disc(n_chars, 0.5) AS median,
+         |  quantile_disc(n_chars, 0.75) AS q3
+         |FROM documents WHERE n_chars IS NOT NULL
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // exact side + pinned flag: the oracle independently derives the
+    // exact cardinalities; the engine's HLL estimate must sit within
+    // tolerance of ITS exact count (approx_nd itself is sketch-
+    // implementation-specific, so it is not compared — same contract
+    // as v6_ivf_recall)
+    "a20_cardinality_profile" ->
+      s"""SELECT col_name, exact_nd, within_tol FROM (
+         |  SELECT 'doc_id' AS col_name, count(DISTINCT doc_id) AS exact_nd, 1 AS within_tol FROM documents
+         |  UNION ALL
+         |  SELECT 'lang', count(DISTINCT lang), 1 FROM documents
+         |  UNION ALL
+         |  SELECT 'source', count(DISTINCT source), 1 FROM documents)
+         |ORDER BY col_name""".stripMargin,
 
     "ol1_iqr_outliers" -> {
       val (lo, hi) = Outliers.boundsSql("events", "value", 1.5)
