@@ -60,6 +60,26 @@ object CurationCatalog {
     Map("src0" -> 2.3, "src1" -> 0.5, "src2" -> 0.0)
   private val MixDefault = 1.0
 
+  // ---- duplicated-span masking fixtures ------------------------------
+  // The corpus has no naturally repeated long spans, so every 13th doc
+  // gets a shared 10-token slogan appended (≥ SpanN tokens → its grams
+  // clear the census), same construction both engines.
+  private val SpanSlogan =
+    "limited time offer click here to claim your reward now"
+  private val SpanN = 5
+  private val SpanFreq = 30L
+
+  private def sloganDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      when(col("doc_id") % 13 === 0, concat(col("text"), lit(" " + SpanSlogan)))
+        .otherwise(col("text")).as("text"))
+
+  private val sloganDocsSql =
+    s"""sdocs AS (SELECT doc_id,
+       | CASE WHEN doc_id % 13 = 0 THEN text || ' $SpanSlogan'
+       |      ELSE text END AS text
+       | FROM documents)""".stripMargin
+
   // token-budget cap per source (~half of each source's ~1.5k tokens
   // at sf0.01, so the trim decision is exercised in both directions)
   private val TokenBudget = 800L
@@ -195,6 +215,19 @@ object CurationCatalog {
         "source", graft.functions.TextAnalysis.qualityScore(col("text")),
         minMeanMicros = GroupMeanMicros)
         .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // substring-level dedup: merged mask spans of cross-document
+    // repeated 5-grams (the planted slogan + any natural repeats)
+    "ds1_dup_spans" -> ((spark, dir) =>
+      graft.dedup.SpanMask.maskDuplicatedSpans(
+        sloganDocs(spark, dir), "doc_id", "text", SpanN, SpanFreq)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // the corpus with masked spans stripped (untouched docs verbatim)
+    "ds2_strip_spans" -> ((spark, dir) =>
+      graft.dedup.SpanMask.stripDuplicatedSpans(
+        sloganDocs(spark, dir), "doc_id", "text", SpanN, SpanFreq)
         .orderBy(col("doc_id")))
   )
 
@@ -304,6 +337,56 @@ object CurationCatalog {
          |    FROM documents GROUP BY source) g
          |  WHERE sq >= $GroupMeanMicros * n)
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "ds1_dup_spans" ->
+      s"""WITH $sloganDocsSql,
+         |${spanCteSql}
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start AS n_tokens
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "ds2_strip_spans" ->
+      s"""WITH $sloganDocsSql,
+         |${spanCteSql},
+         |mask AS (SELECT DISTINCT doc_id,
+         |    unnest(generate_series(span_start, span_end - 1)) AS pos
+         |  FROM spans),
+         |tp AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM sdocs) s
+         |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+         |  FROM tp LEFT JOIN mask ON tp.doc_id = mask.doc_id AND tp.pos = mask.pos
+         |  WHERE mask.pos IS NULL)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared CTE chain: positioned grams → distinct-doc census →
+    * frequent-gram hits → gaps-and-islands merged spans, mirroring
+    * [[graft.dedup.SpanMask]] stage for stage.
+    */
+  private def spanCteSql: String = {
+    val gram = (0 until SpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    s"""grams AS (SELECT doc_id, i - 1 AS pos, $gram AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM sdocs) s
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(t) - ${SpanN - 1})) AS u(i)
+       |  WHERE len(t) >= $SpanN),
+       |freq AS (SELECT gram FROM (
+       |    SELECT gram, COUNT(DISTINCT doc_id) AS c FROM grams GROUP BY gram) f
+       |  WHERE c >= $SpanFreq),
+       |hits AS (SELECT doc_id, pos, pos + $SpanN AS e FROM grams
+       |  WHERE gram IN (SELECT gram FROM freq)),
+       |isl AS (SELECT doc_id, pos, e,
+       |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxend
+       |  FROM hits),
+       |grp AS (SELECT doc_id, pos, e,
+       |    SUM(CASE WHEN maxend IS NULL OR pos > maxend THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM isl),
+       |spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end
+       |  FROM grp GROUP BY doc_id, g)""".stripMargin
+  }
 }
