@@ -56,6 +56,7 @@ object Bench {
       "fuzzy_pairs" -> (() => Pipelines.fuzzyPairs(spark, sfDir)),
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
       "boilerplate_strip" -> (() => Pipelines.boilerplateStrip(spark, sfDir)),
+      "dup_span_strip" -> (() => Pipelines.dupSpanStrip(spark, sfDir)),
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),
       "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)),
       "ml_combo_fit" -> (() => Pipelines.mlComboFit(spark, sfDir)))

@@ -205,6 +205,22 @@ object Pipelines {
       .toDF("features", "accuracy", "scored_rows")
   }
 
+  /** Substring-level dedup end-to-end: positioned 5-grams → distinct-doc
+    * census → hit filter → span merge → strip reassembly. The slogan
+    * plant mirrors the ds1/ds2 verify fixtures so every stage does real
+    * work (an empty frequent set would skip the mask join's probe side).
+    */
+  def dupSpanStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"),
+            lit(" limited time offer click here to claim your reward now")))
+          .otherwise(col("text")).as("text"))
+    graft.dedup.SpanMask.stripDuplicatedSpans(planted, "doc_id", "text",
+      n = 5, minDocFreq = 40L)
+  }
+
   /** Corpus-frequency boilerplate strip over 16-token line segments —
     * census agg + broadcast anti-join + doc-keyed reassembly.
     */

@@ -78,6 +78,13 @@ object ScaleProbe {
           .stripFrequentLines(segs, "doc_id", "line_no", "line", 4L * m)
           .count()
       }
+      // multiply copies texts verbatim, so every gram's doc-frequency
+      // rises m× — threshold scales with m to keep the census shape
+      // comparable (the boilerplate row's convention)
+      time(s"dup_span_strip x$m") {
+        graft.dedup.SpanMask.stripDuplicatedSpans(docs, "doc_id", "text",
+          n = 5, minDocFreq = 4L * m).count()
+      }
       time(s"pack_spans x$m") {
         graft.operators.Packing
           .packSpans(docs, "doc_id", "text", seqLen = 512, buckets = 256)
