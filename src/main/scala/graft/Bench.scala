@@ -29,7 +29,7 @@ object Bench {
     Pipelines.q1(spark, sfDir).count()
 
     val sinkDir = graft.core.Staging.tmpDir("bench_sink")
-    val headline: Seq[(String, () => DataFrame)] = Seq(
+    val headline: Seq[(String, () => DataFrame)] = (Seq(
       "etl_upstream" -> (() => Pipelines.etlUpstream(spark, csvDir)),
       "etl_with_sink" -> (() => {
         // BASELINE's ETL number includes the load; parquet stands in for
@@ -59,7 +59,24 @@ object Bench {
       "dup_span_strip" -> (() => Pipelines.dupSpanStrip(spark, sfDir)),
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),
       "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)),
-      "ml_combo_fit" -> (() => Pipelines.mlComboFit(spark, sfDir)))
+      "ml_combo_fit" -> (() => Pipelines.mlComboFit(spark, sfDir))) ++
+      // opt-in (SPARK_GRAFT_BENCH_JDBC=1): the TRUE JDBC load — a
+      // single-connection embedded-Derby insert stream, so it measures
+      // the database, not the engine. Off by default to keep the total
+      // comparable round-over-round; run on demand so BASELINE.md's
+      // ETL+MSSQL-load row has a directly measured counterpart
+      // (DESIGN.md records the number).
+      (if (sys.env.get("SPARK_GRAFT_BENCH_JDBC").contains("1")) {
+        val jdbcN = new java.util.concurrent.atomic.AtomicInteger(0)
+        val db = graft.core.Staging.tmpDir("bench_jdbc") + "/loans"
+        Seq("etl_jdbc_sink" -> (() => {
+          val out = Pipelines.etlUpstream(spark, csvDir)
+          graft.sources.Sinks.jdbc(out,
+            Map("url" -> s"jdbc:derby:$db;create=true",
+              "dbtable" -> s"loans_${jdbcN.incrementAndGet()}"))
+          out
+        }))
+      } else Seq.empty))
       // debug filters (not used by the driver): ONLY=a,b runs a subset,
       // SKIP=a,b excludes — for isolating cross-query interference
       .filter { case (name, _) =>
