@@ -228,7 +228,18 @@ object CurationCatalog {
     "ds2_strip_spans" -> ((spark, dir) =>
       graft.dedup.SpanMask.stripDuplicatedSpans(
         sloganDocs(spark, dir), "doc_id", "text", SpanN, SpanFreq)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // curation-funnel retention census: survivors of each cascading
+    // filter stage, one conditional-aggregate pass over the scan
+    "cf1_retention_funnel" -> ((spark, dir) => {
+      import graft.functions.TextAnalysis
+      graft.quality.Retention.funnel(docs(spark, dir), Seq(
+        "min_tokens" -> (TextAnalysis.tokenCount(col("text")) >= 20),
+        "quality" -> (TextAnalysis.qualityScore(col("text")) >= 0.45),
+        "english" -> (TextAnalysis.langId(col("text")) === "en")))
+        .orderBy(col("stage_id"))
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -345,6 +356,30 @@ object CurationCatalog {
          |SELECT doc_id, span_start, span_end,
          |  span_end - span_start AS n_tokens
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "cf1_retention_funnel" -> {
+      import graft.functions.TextAnalysis.Sql
+      s"""WITH f AS (SELECT
+         |    (${Sql.tokenCount("text")} >= 20) AS p1,
+         |    (${Sql.qualityScore("text")} >= 0.45) AS p2,
+         |    (${Sql.langId("text")} = 'en') AS p3
+         |  FROM documents),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+         |    CAST(count_if(p1) AS BIGINT) AS s1,
+         |    CAST(count_if(p1 AND p2) AS BIGINT) AS s2,
+         |    CAST(count_if(p1 AND p2 AND p3) AS BIGINT) AS s3
+         |  FROM f)
+         |SELECT * FROM (
+         |  SELECT 0 AS stage_id, 'total' AS stage, s0 AS survivors,
+         |    CAST(s0 AS DOUBLE) / CAST(s0 AS DOUBLE) AS retained_frac FROM a
+         |  UNION ALL SELECT 1, 'min_tokens', s1,
+         |    CAST(s1 AS DOUBLE) / CAST(s0 AS DOUBLE) FROM a
+         |  UNION ALL SELECT 2, 'quality', s2,
+         |    CAST(s2 AS DOUBLE) / CAST(s0 AS DOUBLE) FROM a
+         |  UNION ALL SELECT 3, 'english', s3,
+         |    CAST(s3 AS DOUBLE) / CAST(s0 AS DOUBLE) FROM a)
+         |ORDER BY stage_id""".stripMargin
+    },
 
     "ds2_strip_spans" ->
       s"""WITH $sloganDocsSql,
