@@ -61,6 +61,23 @@ object ScaleProbe {
           TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
           "doc_id").count()
       }
+      // planted duplicate cluster growing with m: 250·m exact copies of
+      // one doc land in one LSH bucket per band. The star cap makes the
+      // candidate count (rows=) and runtime grow LINEARLY in the cluster
+      // size — uncapped, the same probe is m²: 4 000 copies → 8 M pairs
+      // from a single bucket, and a crawl-scale 96 k-copy key → 4.6 B.
+      time(s"lsh_star_cap x$m (cluster=${250 * m})") {
+        val one = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text")).filter(col("doc_id") === 0)
+        val cluster = one.crossJoin(
+            spark.range(1, 250L * m + 1).select(col("id").as("i")))
+          .select((lit(5000000L) + col("i")).as("doc_id"), col("text"))
+        val corpus = docs.union(cluster)
+        val sh = TextDedup.shingleSets(corpus, "doc_id", "text", distinct = false)
+        TextDedup.candidatePairs(
+          TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
+          "doc_id").count()
+      }
       time(s"tfidf x$m") {
         graft.functions.TextAnalysis.tfidf(docs, "doc_id", "text").count()
       }

@@ -109,19 +109,57 @@ object TextDedup {
       .select(col(idCol), col("bk.band_id"), col("bk.band_key"))
   }
 
-  /** Candidate pairs (a_id < b_id) sharing at least one band.
-    * The band table is cached before the self-join: it is tiny
-    * (docs × bands rows) while its lineage — scan → shingle → minhash —
-    * is the expensive part, and a self-join would otherwise execute
-    * that lineage twice.
+  /** Pairwise join only inside buckets of at most this many members;
+    * larger buckets switch to star pairing (see [[candidatePairs]]).
+    * 32 members = 496 pairs, the break-even neighborhood where full
+    * pairwise is still cheaper than the extra bucket-stats pass it
+    * avoids; far below it, a duplicate-heavy crawl bucket (the
+    * reference corpus has a ~96 k-copy key) would emit m²/2 ≈ 4.6 B
+    * pairs from one bucket.
     */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+  val DefaultBucketCap = 32
+
+  /** Candidate pairs (a_id < b_id) sharing at least one band.
+    *
+    * Scale guard: a bucket of m near-identical docs would emit m(m-1)/2
+    * pairs under a plain self-join — quadratic in the duplicate-cluster
+    * size, the one cost AQE cannot rebalance away (it splits partitions,
+    * it cannot reduce the pair count). Buckets larger than `bucketCap`
+    * therefore emit STAR pairs only: every member against the bucket's
+    * min-id representative (m-1 pairs). Downstream connected components
+    * recover the full group transitively — (a,b) both pairing with rep r
+    * lands a, b, r in one component exactly as the quadratic pair set
+    * would — so dedup-group semantics are unchanged while the worst-case
+    * pair count drops from O(m²) to O(m). Jaccard re-rank consumers see
+    * rep–member pairs for giant clusters, which is the measurement that
+    * matters (members of a capped bucket agree on the full signature
+    * band, so rep–member similarity represents the cluster).
+    *
+    * The band table is cached before the joins: it is tiny (docs ×
+    * bands rows) while its lineage — scan → shingle → minhash — is the
+    * expensive part, and the two consumers would otherwise execute that
+    * lineage twice. Bucket stats are one partial-combining aggregation
+    * on the same (band_id, band_key) key the join shuffles on.
+    */
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(bucketCap >= 2, s"bucketCap=$bucketCap must be >= 2")
     val cached = bands.cache()
-    val a = cached.select(col(idCol).as("a_id"), col("band_id"), col("band_key"))
-    val b = cached.select(col(idCol).as("b_id"), col("band_id"), col("band_key"))
-    a.join(b, Seq("band_id", "band_key"))
+    val stats = cached.groupBy(col("band_id"), col("band_key"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("bsz"))
+    val smallKeys = stats.filter(col("bsz") <= bucketCap)
+      .select("band_id", "band_key")
+    val sm = cached.join(smallKeys, Seq("band_id", "band_key"))
+    val a = sm.select(col(idCol).as("a_id"), col("band_id"), col("band_key"))
+    val b = sm.select(col(idCol).as("b_id"), col("band_id"), col("band_key"))
+    val smallPairs = a.join(b, Seq("band_id", "band_key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
+    val starPairs = cached
+      .join(stats.filter(col("bsz") > bucketCap), Seq("band_id", "band_key"))
+      .filter(col(idCol) =!= col("rep_id"))
+      .select(col("rep_id").as("a_id"), col(idCol).as("b_id"))
+    smallPairs.union(starPairs).distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B|, computed
@@ -223,6 +261,27 @@ object TextDedup {
           .map(r => s"CAST(sig_${b * rowsPerBand + r} AS VARCHAR)")
         b -> s"md5(${cols.mkString(" || '|' || ")})"
       }
+
+    /** Star-capped candidate-pair CTEs over a `bands(doc_id, band_id,
+      * band_key)` relation — byte-for-byte the [[candidatePairs]]
+      * semantics: full pairwise inside buckets of ≤ `bucketCap`
+      * members, rep–member star pairs above.
+      */
+    def pairsCtes(id: String, bucketCap: Int = DefaultBucketCap): String =
+      s"""bstats AS (SELECT band_id, band_key, MIN($id) AS rep_id, COUNT(*) AS bsz
+         |  FROM bands GROUP BY band_id, band_key),
+         |pairs AS (SELECT DISTINCT a_id, b_id FROM (
+         |  SELECT a.$id AS a_id, b.$id AS b_id
+         |  FROM bands a
+         |  JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+         |    AND a.$id < b.$id
+         |  JOIN bstats s ON s.band_id = a.band_id AND s.band_key = a.band_key
+         |  WHERE s.bsz <= $bucketCap
+         |  UNION ALL
+         |  SELECT s.rep_id AS a_id, m.$id AS b_id
+         |  FROM bands m
+         |  JOIN bstats s ON s.band_id = m.band_id AND s.band_key = m.band_key
+         |  WHERE s.bsz > $bucketCap AND m.$id <> s.rep_id) u)""".stripMargin
 
     def simhashSql(src: String, id: String, text: String, bits: Int = 16): String = {
       val votes = (0 until bits)

@@ -51,6 +51,29 @@ object TrainingCatalog {
 
   private val lshDims = Seq(0, 8, 16, 24, 32, 40, 48, 56)
 
+  /** Variant-augmented docs + a planted duplicate CLUSTER: 40 exact
+    * copies of doc 0 (ids 2e6+1 .. 2e6+40). All 41+ members share every
+    * LSH band, so the cluster's bucket exceeds the candidate-pair cap
+    * and must take the star path, while the pairwise variant buckets
+    * stay under it — one corpus exercising both join regimes.
+    */
+  private val ClusterOffset = 2000000L
+  private val ClusterCopies = 40
+  private def docsWithCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docsWithVariants(spark, sfDir)
+    val cluster = docs(spark, sfDir).filter(col("doc_id") === 0)
+      .select(explode(sequence(lit(1L), lit(ClusterCopies.toLong))).as("i"),
+        col("text"))
+      .select((lit(ClusterOffset) + col("i")).as("doc_id"), col("text"))
+    d.union(cluster)
+  }
+  private val docsWithClusterSql =
+    s"""augc AS (SELECT doc_id, text FROM augv
+       | UNION ALL
+       | SELECT $ClusterOffset + i, text
+       | FROM (SELECT text FROM documents WHERE doc_id = 0) d0
+       | CROSS JOIN unnest(generate_series(1, $ClusterCopies)) AS u(i))""".stripMargin
+
   /** Shared x9/x10 pipeline: LSH candidate pairs → connected
     * components over the variant-augmented corpus.
     */
@@ -154,6 +177,20 @@ object TrainingCatalog {
         TextDedup.bandKeys(
           TextDedup.minhashSignatures(
             TextDedup.shingleSets(docsWithVariants(spark, dir), "doc_id", "text"),
+            "doc_id"),
+          "doc_id"),
+        "doc_id")
+        .orderBy(col("a_id"), col("b_id"))),
+
+    // X11 — star-capped candidates over a planted 41-copy cluster:
+    // the cluster bucket (> cap members) must emit rep-member star
+    // pairs (O(m), not O(m²)) while small variant buckets keep full
+    // pairwise; the oracle derives the identical capped pair set
+    "x11_lsh_star_cap" -> ((spark, dir) =>
+      TextDedup.candidatePairs(
+        TextDedup.bandKeys(
+          TextDedup.minhashSignatures(
+            TextDedup.shingleSets(docsWithCluster(spark, dir), "doc_id", "text"),
             "doc_id"),
           "doc_id"),
         "doc_id")
@@ -371,10 +408,7 @@ object TrainingCatalog {
   private val bandsCte = "bands AS (" + D.bandKeyExprs().map { case (b, e) =>
     s"SELECT doc_id, $b AS band_id, $e AS band_key FROM sig"
   }.mkString(" UNION ALL ") + ")"
-  private val pairsCte =
-    """pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-      | FROM bands a JOIN bands b
-      |   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id)""".stripMargin
+  private val pairsCte = D.pairsCtes("doc_id")
 
   def oracle: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -413,6 +447,10 @@ object TrainingCatalog {
 
     "x4_lsh_candidates" ->
       s"""WITH $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte
+         |SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id""".stripMargin,
+
+    "x11_lsh_star_cap" ->
+      s"""WITH $docsWithVariantsSql, $docsWithClusterSql, ${shCte("augc")}, $sigCte, $bandsCte, $pairsCte
          |SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id""".stripMargin,
 
     "x5_jaccard" ->
@@ -528,14 +566,28 @@ object TrainingCatalog {
          |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 
+    // star-capped spelling, mirroring Similarity.nearDupPairs: full
+    // pairwise inside buckets of <= cap members, rep-member star above
     "v3_embed_neardup" ->
       s"""WITH $embWithVariantsSql,
          |wb AS (SELECT vec_id, embedding,
-         |    ${S.signBucket("embedding", lshDims)} AS bucket FROM emba)
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  round(${S.cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
-         |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE round(${S.cosine("a.embedding", "b.embedding")}, 6) >= 0.9
+         |    ${S.signBucket("embedding", lshDims)} AS bucket FROM emba),
+         |bs AS (SELECT bucket, MIN(vec_id) AS rep_id, COUNT(*) AS bsz
+         |  FROM wb GROUP BY bucket),
+         |up AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(${S.cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |  FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN bs s ON s.bucket = a.bucket
+         |  WHERE s.bsz <= ${TextDedup.DefaultBucketCap}
+         |  UNION ALL
+         |  SELECT r.vec_id AS a_id, m.vec_id AS b_id,
+         |    round(${S.cosine("r.embedding", "m.embedding")}, 6) AS cos_sim
+         |  FROM wb m
+         |  JOIN bs s ON s.bucket = m.bucket
+         |    AND s.bsz > ${TextDedup.DefaultBucketCap} AND m.vec_id <> s.rep_id
+         |  JOIN wb r ON r.bucket = m.bucket AND r.vec_id = s.rep_id)
+         |SELECT a_id, b_id, cos_sim FROM up WHERE cos_sim >= 0.9
          |ORDER BY a_id, b_id""".stripMargin,
 
     // the deterministic hash-init IVF index, derived end-to-end in SQL:

@@ -375,16 +375,50 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Near-duplicate pairs by embedding cosine within LSH buckets. */
+  /** Near-duplicate pairs by embedding cosine within LSH buckets.
+    *
+    * Scale guard (same contract as `TextDedup.candidatePairs`): a
+    * bucket of m near-identical vectors would emit m(m-1)/2 scored
+    * pairs under the plain self-join — quadratic in the duplicate
+    * cluster, which AQE rebalances but cannot shrink. Buckets larger
+    * than `bucketCap` therefore emit STAR pairs only: each member
+    * scored against the bucket's min-id representative (m-1 pairs);
+    * a downstream connected-components pass recovers the full group
+    * transitively. Bucket stats are one partial-combining aggregation
+    * on the bucket key the join already shuffles on, and the bucketed
+    * table is cached so its lineage runs once across the consumers.
+    */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, dims: Seq[Int]): DataFrame = {
+                   threshold: Double, dims: Seq[Int],
+                   bucketCap: Int = graft.dedup.TextDedup.DefaultBucketCap): DataFrame = {
+    require(bucketCap >= 2, s"bucketCap=$bucketCap must be >= 2")
     val withBucket = emb.withColumn("bucket", signBucket(col(vecCol), dims))
-    val a = withBucket.select(col(idCol).as("a_id"), col(vecCol).as("a_vec"),
-      col("bucket"), l2norm(col(vecCol)).as("a_nrm"))
-    val b = withBucket.select(col(idCol).as("b_id"), col(vecCol).as("b_vec"),
-      col("bucket"), l2norm(col(vecCol)).as("b_nrm"))
-    a.join(b, Seq("bucket"))
+      .withColumn("__nrm", l2norm(col(vecCol)))
+      .cache()
+    val stats = withBucket.groupBy(col("bucket"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("bsz"))
+    val sm = withBucket
+      .join(stats.filter(col("bsz") <= bucketCap).select("bucket"), Seq("bucket"))
+    val a = sm.select(col("bucket"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), col("__nrm").as("a_nrm"))
+    val b = sm.select(col("bucket"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), col("__nrm").as("b_nrm"))
+    val smallPairs = a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
+    val bigMembers = withBucket
+      .join(stats.filter(col("bsz") > bucketCap).select("bucket", "rep_id"),
+        Seq("bucket"))
+    val reps = bigMembers.filter(col(idCol) === col("rep_id"))
+      .select(col("bucket"), col(idCol).as("a_id"),
+        col(vecCol).as("a_vec"), col("__nrm").as("a_nrm"))
+    val starPairs = bigMembers.filter(col(idCol) =!= col("rep_id"))
+      .select(col("bucket"), col(idCol).as("b_id"),
+        col(vecCol).as("b_vec"), col("__nrm").as("b_nrm"))
+      .join(reps, Seq("bucket"))
+      // union below is positional — restate the small-pair column order
+      .select(col("bucket"), col("a_id"), col("a_vec"), col("a_nrm"),
+        col("b_id"), col("b_vec"), col("b_nrm"))
+    smallPairs.union(starPairs)
       .withColumn("cos_sim",
         round(dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6))
       .filter(col("cos_sim") >= threshold)

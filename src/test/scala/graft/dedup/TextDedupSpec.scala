@@ -45,6 +45,44 @@ class TextDedupSpec extends SparkSpec {
     jacc.get((1L, 3L)).foreach(j => assert(j > 0.8 && j < 1.0))
   }
 
+  test("star cap: a planted 1000-copy cluster emits O(m) candidates, not O(m²)") {
+    val text = "the quick brown fox jumps over the lazy dog tonight"
+    val cluster = spark.range(1, 1001)
+      .select($"id".as("doc_id"), lit(text).as("text"))
+      .union(Seq((5000L, "completely different words about spark and scala engines"))
+        .toDF("doc_id", "text"))
+    val pairs = TextDedup.candidatePairs(
+      TextDedup.bandKeys(
+        TextDedup.minhashSignatures(
+          TextDedup.shingleSets(cluster, "doc_id", "text"), "doc_id"),
+        "doc_id"),
+      "doc_id").as[(Long, Long)].collect()
+    // 1000 identical docs = one bucket per band, all > cap → star pairs
+    // against rep (min id 1): exactly m-1 rows, every a_id the rep
+    assert(pairs.length == 999)
+    assert(pairs.forall(_._1 == 1L))
+    assert(pairs.map(_._2).toSet == (2L to 1000L).toSet)
+  }
+
+  test("star cap: capped candidates yield the same connected components as uncapped") {
+    val text = "the quick brown fox jumps over the lazy dog tonight"
+    // 200-copy cluster (over the cap) + the small mixed corpus (under it)
+    val mixed = spark.range(1000, 1200)
+      .select($"id".as("doc_id"), lit(text).as("text"))
+      .union(corpus)
+    def comps(cap: Int): Map[Long, Long] = {
+      val pairs = TextDedup.candidatePairs(
+        TextDedup.bandKeys(
+          TextDedup.minhashSignatures(
+            TextDedup.shingleSets(mixed, "doc_id", "text"), "doc_id"),
+          "doc_id"),
+        "doc_id", bucketCap = cap)
+      Components.connectedComponents(pairs, mixed, "doc_id")
+        .as[(Long, Long)].collect().toMap
+    }
+    assert(comps(32) == comps(1000000))
+  }
+
   test("simhash: identical docs equal; bit width respected") {
     val sh = TextDedup.simhash(corpus, "doc_id", "text").as[(Long, String)].collect().toMap
     assert(sh(1L) == sh(2L))

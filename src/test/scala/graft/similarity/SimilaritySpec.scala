@@ -104,6 +104,25 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 4L))) // (0,1)/(1,4) sit at cos ≈ 0.9939, below 0.999
   }
 
+  test("nearDupPairs star cap: a 40-member bucket emits rep-member pairs only") {
+    // 40 identical vectors (ids 1..40) land in one sign bucket — over
+    // the default cap of 32 → star pairs against rep id 1. A 3-member
+    // bucket (negative first dim) stays under the cap → full pairwise.
+    val cluster = spark.range(1, 41)
+      .select($"id".as("vec_id"),
+        array(lit(1.0f), lit(0.5f), lit(0.25f)).as("embedding"))
+    val small = Seq(
+      (101L, Array(-1.0f, 0.5f, 0.2f)),
+      (102L, Array(-1.0f, 0.6f, 0.2f)),
+      (103L, Array(-1.0f, 0.5f, 0.3f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(cluster.union(small),
+      "vec_id", "embedding", threshold = 0.9, dims = Seq(0, 1, 2))
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val clusterPairs = pairs.filter(_._2 <= 40L)
+    assert(clusterPairs == (2L to 40L).map(j => (1L, j)).toSet) // O(m), rep-anchored
+    assert(pairs.filter(_._1 > 40L) == Set((101L, 102L), (101L, 103L), (102L, 103L)))
+  }
+
   test("IVF index persists: saved+loaded index answers exactly like the fresh one") {
     val emb = graft.core.Tables.embeddings(spark, sf0001).cache()
     val idx = Similarity.buildIvf(emb, "vec_id", "embedding", nCentroids = 8)
