@@ -60,13 +60,14 @@ object Bench {
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),
       "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)),
       "ml_combo_fit" -> (() => Pipelines.mlComboFit(spark, sfDir))) ++
-      // opt-in (SPARK_GRAFT_BENCH_JDBC=1): the TRUE JDBC load — a
-      // single-connection embedded-Derby insert stream, so it measures
-      // the database, not the engine. Off by default to keep the total
-      // comparable round-over-round; run on demand so BASELINE.md's
-      // ETL+MSSQL-load row has a directly measured counterpart
-      // (DESIGN.md records the number).
-      (if (sys.env.get("SPARK_GRAFT_BENCH_JDBC").contains("1")) {
+      // the TRUE JDBC load — a single-connection embedded-Derby insert
+      // stream, so it mostly measures the database, not the engine;
+      // standing entry (opt-out via SKIP) so BASELINE.md's ETL+MSSQL
+      // row has a driver-recorded counterpart every round. The lambda
+      // does ETL + load eagerly and returns a 1-row literal: returning
+      // the un-materialized ETL frame would make the harness's timed
+      // count() run the full ETL a second time.
+      {
         val jdbcN = new java.util.concurrent.atomic.AtomicInteger(0)
         val db = graft.core.Staging.tmpDir("bench_jdbc") + "/loans"
         Seq("etl_jdbc_sink" -> (() => {
@@ -74,9 +75,9 @@ object Bench {
           graft.sources.Sinks.jdbc(out,
             Map("url" -> s"jdbc:derby:$db;create=true",
               "dbtable" -> s"loans_${jdbcN.incrementAndGet()}"))
-          out
+          spark.range(1).toDF("ok")
         }))
-      } else Seq.empty))
+      })
       // debug filters (not used by the driver): ONLY=a,b runs a subset,
       // SKIP=a,b excludes — for isolating cross-query interference
       .filter { case (name, _) =>
@@ -97,17 +98,28 @@ object Bench {
     }
 
     // best-of-3: single-shot numbers on a shared host carry multi-second
-    // GC/scheduler noise; min over repeats is the standard stabilizer
-    val results = headline.map { case (name, mk) =>
-      val runs = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val n = try mk().count() catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1L
-        }
-        ((System.nanoTime() - t0) / 1e9, n)
+    // GC/scheduler noise; min over repeats is the standard stabilizer.
+    // Repeats run ROUND-ROBIN across entries (pass 1 of everything, then
+    // pass 2, ...) rather than consecutively per entry: a few-minute
+    // host-contention window then inflates at most one repeat of each
+    // entry instead of all three repeats of whichever entry it landed
+    // on — which is what manufactured round 5's phantom "join_agg 7.5x"
+    // (re-measured 0.47 s) and would defeat bench_delta's
+    // min-moved-means-real heuristic.
+    val runsByName = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(Double, Long)]]
+    for (_ <- 1 to 3; (name, mk) <- headline) {
+      val t0 = System.nanoTime()
+      val n = try mk().count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
       }
+      val run = ((System.nanoTime() - t0) / 1e9, n)
+      runsByName.update(name, runsByName.getOrElse(name, Vector.empty) :+ run)
+    }
+    val results = headline.map { case (name, _) =>
+      val runs = runsByName(name)
       // a failed run must not contribute its (fast) duration to the
       // total; min over successful runs only
       val ok = runs.filter(_._2 >= 0)

@@ -30,15 +30,31 @@ object Decontam {
     * document's distinct n-grams, `hits` how many of those appear
     * anywhere in `eval`, and contamination = hits/ngrams (IEEE double:
     * one division of two exact int64s — engine-portable).
+    *
+    * @param maxBroadcastShingles guard on the "eval side is tiny"
+    *   assumption (the same guard `Boilerplate.stripFrequentLines`
+    *   carries): eval suites are a few thousand docs today, but an
+    *   unguarded broadcast of a caller-supplied frame is how drivers
+    *   OOM. The distinct eval shingles are fetched driver-side up to
+    *   the cap in ONE action (what a broadcast would do anyway) and
+    *   rejoined as a local relation; on overflow the profile falls
+    *   back to a shuffle join — same semantics, the eval shingling
+    *   recomputes once in that rare path instead of OOMing the driver.
     */
   def contaminationProfile(corpus: DataFrame, eval: DataFrame,
-                           idCol: String, textCol: String, n: Int): DataFrame = {
+                           idCol: String, textCol: String, n: Int,
+                           maxBroadcastShingles: Int = 2000000): DataFrame = {
     val corpusShingles = TextDedup.shingleSets(corpus, idCol, textCol, n)
     val evalShingles = TextDedup.shingleSets(eval, idCol, textCol, n)
       .select(col("shingle")).distinct()
-      .withColumn("__hit", lit(1L))
+    val capped = evalShingles.limit(maxBroadcastShingles + 1).collect()
+    val evalSide =
+      if (capped.length <= maxBroadcastShingles)
+        broadcast(corpus.sparkSession.createDataFrame(
+          java.util.Arrays.asList(capped: _*), evalShingles.schema))
+      else evalShingles
     corpusShingles
-      .join(broadcast(evalShingles), Seq("shingle"), "left_outer")
+      .join(evalSide.withColumn("__hit", lit(1L)), Seq("shingle"), "left_outer")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("ngrams"),
         sum(coalesce(col("__hit"), lit(0L))).as("hits"))
@@ -52,8 +68,10 @@ object Decontam {
     */
   def decontaminate(corpus: DataFrame, eval: DataFrame,
                     idCol: String, textCol: String, n: Int,
-                    maxHits: Long = 0L): DataFrame = {
-    val flagged = contaminationProfile(corpus, eval, idCol, textCol, n)
+                    maxHits: Long = 0L,
+                    maxBroadcastShingles: Int = 2000000): DataFrame = {
+    val flagged = contaminationProfile(corpus, eval, idCol, textCol, n,
+      maxBroadcastShingles)
       .filter(col("hits") > maxHits)
       .select(col(idCol))
     corpus.join(broadcast(flagged), Seq(idCol), "left_anti")

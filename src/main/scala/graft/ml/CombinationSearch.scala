@@ -82,8 +82,11 @@ object CombinationSearch {
     val labels = prep.stages(0).asInstanceOf[StringIndexerModel].labelsArray(0)
     // right-size ONCE for the whole search: ~100 jobs per fitted model
     // read these frames, so partition count follows row count, not the
-    // session's shuffle width (FeaturePipeline.sizedForFit)
-    val trainPrep = FeaturePipeline.sizedForFit(prep.transform(train)).cache()
+    // session's shuffle width (FeaturePipeline.sizedForFit). Cache
+    // BEFORE sizing so the sizing count populates the cache rather
+    // than materializing the prep transform an extra time.
+    val trainPrepBase = prep.transform(train).cache()
+    val trainPrep = FeaturePipeline.sizedForFit(trainPrepBase)
     val testPrep = prep.transform(test).cache()
     def one(cats: Seq[String]): Result = {
       val t0 = System.nanoTime()
@@ -115,7 +118,7 @@ object CombinationSearch {
         } finally pool.shutdown()
       }
     } finally {
-      trainPrep.unpersist(blocking = false)
+      trainPrepBase.unpersist(blocking = false)
       testPrep.unpersist(blocking = false)
     }
   }

@@ -90,6 +90,11 @@ object FeaturePipeline {
     * routinely orders of magnitude smaller than the corpus that
     * produced it — at 100 TB the same rule keeps the fit wide, because
     * the row count, not the session default, sets the width.
+    *
+    * Callers that cache should cache BEFORE calling (and unpersist that
+    * same frame): the sizing `count()` then populates the cache instead
+    * of running the lineage one extra time, and the returned coalesce
+    * is a narrow read over the cached blocks.
     */
   def sizedForFit(train: DataFrame, rowsPerPartition: Long = 65536): DataFrame = {
     val target = math.max(1L,

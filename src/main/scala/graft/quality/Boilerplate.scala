@@ -62,7 +62,11 @@ object Boilerplate {
         val local = lines.sparkSession.createDataFrame(
           java.util.Arrays.asList(capped: _*), frequent.schema)
         lines.join(broadcast(local), Seq(lineCol), "left_anti")
-      } else lines.join(frequent, Seq(lineCol), "left_anti")
+      } else
+        // overflow path: the anti-join would otherwise recompute the
+        // census on every execution of the returned plan — persist it
+        // so re-executions (and multi-action consumers) pay it once
+        lines.join(frequent.persist(), Seq(lineCol), "left_anti")
     joined
       .groupBy(col(docCol))
       .agg(array_join(

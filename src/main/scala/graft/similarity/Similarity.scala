@@ -392,26 +392,28 @@ object Similarity {
                    threshold: Double, dims: Seq[Int],
                    bucketCap: Int = graft.dedup.TextDedup.DefaultBucketCap): DataFrame = {
     require(bucketCap >= 2, s"bucketCap=$bucketCap must be >= 2")
-    val withBucket = emb.withColumn("bucket", signBucket(col(vecCol), dims))
+    // bucket stats via one window pass (see TextDedup.candidatePairs:
+    // the window's hash-partitioning on the bucket key is the
+    // self-join's key and survives the cache, so no extra shuffles;
+    // the sorted pass is the standing price of the O(m) guarantee)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val annotated = emb.withColumn("bucket", signBucket(col(vecCol), dims))
       .withColumn("__nrm", l2norm(col(vecCol)))
+      .withColumn("__rep", min(col(idCol)).over(w))
+      .withColumn("__bsz", count(lit(1)).over(w))
       .cache()
-    val stats = withBucket.groupBy(col("bucket"))
-      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("bsz"))
-    val sm = withBucket
-      .join(stats.filter(col("bsz") <= bucketCap).select("bucket"), Seq("bucket"))
+    val sm = annotated.filter(col("__bsz") <= bucketCap)
     val a = sm.select(col("bucket"), col(idCol).as("a_id"),
       col(vecCol).as("a_vec"), col("__nrm").as("a_nrm"))
     val b = sm.select(col("bucket"), col(idCol).as("b_id"),
       col(vecCol).as("b_vec"), col("__nrm").as("b_nrm"))
     val smallPairs = a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-    val bigMembers = withBucket
-      .join(stats.filter(col("bsz") > bucketCap).select("bucket", "rep_id"),
-        Seq("bucket"))
-    val reps = bigMembers.filter(col(idCol) === col("rep_id"))
+    val bigMembers = annotated.filter(col("__bsz") > bucketCap)
+    val reps = bigMembers.filter(col(idCol) === col("__rep"))
       .select(col("bucket"), col(idCol).as("a_id"),
         col(vecCol).as("a_vec"), col("__nrm").as("a_nrm"))
-    val starPairs = bigMembers.filter(col(idCol) =!= col("rep_id"))
+    val starPairs = bigMembers.filter(col(idCol) =!= col("__rep"))
       .select(col("bucket"), col(idCol).as("b_id"),
         col(vecCol).as("b_vec"), col("__nrm").as("b_nrm"))
       .join(reps, Seq("bucket"))

@@ -105,6 +105,48 @@ class PlanSpec extends SparkSpec {
       s"explode must be above the aggregate in the plan:\n$plan")
   }
 
+  test("candidatePairs: the window's partitioning feeds the self-join (no re-shuffle of the band table)") {
+    import org.apache.spark.sql.functions._
+    // plant an over-cap duplicate cluster so the audit exercises both
+    // branches of the guarded plan (small-bucket pairwise + star cap)
+    val base = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val docs = base.union(
+      base.filter(col("doc_id") === 0)
+        .select(explode(sequence(lit(1L), lit(40L))).as("i"), col("text"))
+        .select((lit(2000000L) + col("i")).as("doc_id"), col("text")))
+    val df = graft.dedup.TextDedup.candidatePairs(
+      graft.dedup.TextDedup.bandKeys(
+        graft.dedup.TextDedup.minhashSignatures(
+          graft.dedup.TextDedup.shingleSets(docs, "doc_id", "text"), "doc_id"),
+        "doc_id"),
+      "doc_id")
+    // force the at-scale join strategy (no broadcast) so the audit
+    // checks the SMJ path's partitioning reuse, then audit the FINAL
+    // adaptive plan (CLAUDE.md trap). Top-level shuffle stages must be
+    // ONLY the final distinct: the self-join has to reuse the stats
+    // window's (band_id, band_key) hash partitioning out of the cache,
+    // not re-shuffle the band table per join side. (The cache's own
+    // window shuffle lives inside the InMemoryRelation, which collect
+    // does not descend into.)
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      df.collect()
+      val adaptive = df.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
+      val shuffles = adaptive.executedPlan
+        .collect { case s: ShuffleQueryStageExec => s }
+      assert(shuffles.size <= 1,
+        s"band table re-shuffled for the self-join (${shuffles.size} top-level shuffles):\n" +
+          adaptive.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("etl upstream: casts/cleansers stay native (no UDF in plan)") {
     val csv = Pipelines.stageLoanCsv(spark, sf0001)
     val plan = planOf(Pipelines.etlUpstream(spark, csv))

@@ -34,6 +34,23 @@ class DecontamSpec extends graft.SparkSpec {
     assert(lax == Set(1L, 2L, 3L))
   }
 
+  test("broadcast cap: overflow falls back to a shuffle join with identical results") {
+    def profile(cap: Int) =
+      Decontam.contaminationProfile(corpus, eval, "doc_id", "text", n = 3,
+        maxBroadcastShingles = cap)
+        .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // eval has 5 distinct 3-grams; cap=2 overflows → fallback path.
+    // (The fallback drops the broadcast HINT — the planner may still
+    // pick a broadcast within its own sized threshold, which is the
+    // point: bounded by config, not by caller assumption.)
+    assert(profile(2) == profile(2000000))
+    // decontaminate passes the cap through and keeps its contract
+    val kept = Decontam.decontaminate(corpus, eval, "doc_id", "text", n = 3,
+      maxBroadcastShingles = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("eval side joins as a broadcast (the 100 TB asymmetry)") {
     // string audit: AdaptiveSparkPlanExec hides the physical tree from
     // TreeNode.collect, but prints it

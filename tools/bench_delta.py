@@ -13,19 +13,65 @@ separate host noise from real movement:
   distrust the number before reading anything into it (round 4's
   "3.1x stream_rollup regression" was exactly this shape).
 - IMPROVED:   cur.min < prev.min / THRESHOLD.
+- FAILED:     cur <= 0 — the entry's pipeline errored this round.
+- REMOVED:    entry present last round, absent now.
 
-Exit 1 iff any entry REGRESSED (noise alone never fails the ritual).
+Exit 1 iff any entry REGRESSED, FAILED, or was REMOVED (noise alone
+never fails the ritual).
+
+Driver artifacts sometimes arrive with "parsed": null and the bench
+JSON line truncated into the "tail" string (the head of the line is
+cut, so the "queries" key may be gone entirely). The loader falls back
+to extracting the balanced "spread" object out of the tail — its mins
+ARE the best-of-N values queries records — and, failing that, scalar
+name:number pairs.
 """
 import json
+import re
 import sys
 
 THRESHOLD = 1.5
+
+
+def _balanced_object(text, start):
+    """Return the JSON object starting at text[start] == '{' (balanced
+    braces; bench names/numbers contain no braces or quoted braces)."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return json.loads(text[start:i + 1])
+    raise ValueError("unbalanced object in bench tail")
+
+
+def _from_tail(tail):
+    """Recover (queries, spread) from a truncated bench JSON line."""
+    m = re.search(r'"spread"\s*:\s*\{', tail)
+    if m:
+        spread = _balanced_object(tail, m.end() - 1)
+        queries = {k: v.get("min") for k, v in spread.items()
+                   if isinstance(v, dict) and "min" in v}
+        if queries:
+            return queries, spread
+    # pre-spread shape: scrape scalar "name":number pairs
+    queries = {k: float(v) for k, v in
+               re.findall(r'"([a-z0-9_]+)"\s*:\s*(-?[0-9.]+)', tail)
+               if k not in ("metric", "value", "sf", "n", "rc", "cpus")}
+    return queries, {}
 
 
 def load(path):
     with open(path) as f:
         doc = json.load(f)
     parsed = doc.get("parsed", doc)
+    if parsed is None:
+        tail = doc.get("tail", "")
+        if not tail:
+            sys.exit(f"{path}: parsed is null and no tail to recover from")
+        return _from_tail(tail)
     return parsed.get("queries", {}), parsed.get("spread", {})
 
 
@@ -34,28 +80,35 @@ def main():
         sys.exit(__doc__)
     prev_q, _ = load(sys.argv[1])
     cur_q, cur_s = load(sys.argv[2])
-    regressed = []
+    failing = []
     for name, cur in sorted(cur_q.items()):
         prev = prev_q.get(name)
         spread = cur_s.get(name, {})
         noisy = spread and spread.get("med", cur) > spread.get("min", cur) * 2
-        tag = "NEW"
-        if prev is not None and prev > 0 and cur > 0:
+        if cur is None or cur <= 0:
+            tag = "FAILED"
+            failing.append(name)
+            detail = f"{'':8} -> {cur!r}"
+        elif prev is not None and prev > 0:
             ratio = cur / prev
             if ratio > THRESHOLD:
                 tag = "REGRESSED"
-                regressed.append(name)
+                failing.append(name)
             elif ratio < 1 / THRESHOLD:
                 tag = "improved"
             else:
                 tag = "ok"
             detail = f"{prev:8.2f}s -> {cur:8.2f}s  ({ratio:5.2f}x)"
         else:
+            tag = "NEW"
             detail = f"{'':8} -> {cur:8.2f}s"
         noise = "  [NOISY: med >> min, distrust]" if noisy else ""
         print(f"{tag:>9}  {name:<22} {detail}{noise}")
-    if regressed:
-        print(f"\nREGRESSED: {', '.join(regressed)}")
+    for name in sorted(set(prev_q) - set(cur_q)):
+        print(f"{'REMOVED':>9}  {name:<22} {prev_q[name]:8.2f}s -> (absent)")
+        failing.append(name)
+    if failing:
+        print(f"\nFAILING: {', '.join(failing)}")
         sys.exit(1)
     print("\nno regressions")
 
