@@ -569,11 +569,28 @@ object Catalog {
           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
     }),
 
-    // R1 — seeded bernoulli sample (rows-only gate: RNG is engine-specific)
+    // R1 — seeded bernoulli sample. Exact membership is engine-specific
+    // RNG, so (like a10's sketches) the gate is the operator's testable
+    // CONTRACT as flags DuckDB asserts: (a) same seed ⇒ identical
+    // sample across two independent plan instantiations (count AND
+    // membership, via an order-free keyset sum); (b) the kept count
+    // sits within 5 standard deviations of Binomial(N, 0.3) — computed
+    // from N, so the gate holds at any SF. Raw sampled rows stay
+    // spec-covered (SamplingSpec).
     "r1_sample" -> ((spark, dir) => {
       import spark.implicits._
-      Tables.orders(spark, dir).sample(withReplacement = false, 0.3, 42)
-        .select($"o_orderkey", $"o_orderstatus")
+      def samp() = Tables.orders(spark, dir)
+        .sample(withReplacement = false, 0.3, 42)
+        .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("keysum"))
+      val total = Tables.orders(spark, dir).agg(count(lit(1)).as("total"))
+      samp().crossJoin(samp().select($"n".as("n2"), $"keysum".as("keysum2")))
+        .crossJoin(total)
+        .select(
+          ($"n" === $"n2" && $"keysum" === $"keysum2")
+            .cast("int").as("seed_deterministic"),
+          (abs($"n" - $"total" * 0.3) <=
+            lit(5.0) * sqrt($"total" * lit(0.3 * 0.7)))
+            .cast("int").as("count_within_5sd"))
     }),
 
     // R3 — deterministic hash-gate sample (oracle-exact: the keep/drop
@@ -1181,7 +1198,11 @@ object Catalog {
     "k1_salted_agg" ->
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_l_extendedprice
-         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-    // r1_sample: deliberately no oracle — sampling RNG is engine-specific
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact sample membership is engine-specific RNG; the flags state
+    // the seeded-sample contract DuckDB asserts (a10-style flag gate)
+    "r1_sample" ->
+      "SELECT 1 AS seed_deterministic, 1 AS count_within_5sd"
   )
 }

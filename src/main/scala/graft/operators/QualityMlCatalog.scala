@@ -92,6 +92,26 @@ object QualityMlCatalog {
         .toDF("features", "width").orderBy("features")
     }),
 
+    // M3 (data-driven variant) — QuantileDiscretizer with
+    // relativeError=0 (exact quantile splits). Split values are
+    // engine-internal, so the gate asserts the discretizer's CONTRACT
+    // as flags (a10 style): exactly numBuckets bins materialize, and
+    // on a near-unique column they are near-equal-sized (within 2% of
+    // each other + slack 2 for ties/rounding — holds at any SF)
+    "ml4_quantile_bins" -> ((spark, dir) => {
+      import spark.implicits._
+      val df = Tables.orders(spark, dir).select($"o_totalprice")
+      val disc = new org.apache.spark.ml.feature.QuantileDiscretizer()
+        .setInputCol("o_totalprice").setOutputCol("bin")
+        .setNumBuckets(4).setRelativeError(0.0)
+      disc.fit(df).transform(df)
+        .groupBy($"bin").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).cast("int").as("n_bins"),
+          ((max($"n") - min($"n")) <=
+            greatest(lit(2L), (sum($"n") * 0.02).cast("long")))
+            .cast("int").as("balanced"))
+    }),
+
     // the reference's deterministic-metrics block (MLPCModel-3.py:
     // 382-401): tp/fp/tn/fn + the five ratio metrics with its
     // ZeroDivisionError→0.0 handling, positive class = 'F'
@@ -190,6 +210,11 @@ object QualityMlCatalog {
         |  ('c_mktsegment', 9), ('o_orderpriority', 9),
         |  ('o_orderpriority+c_mktsegment', 14)) t(features, width)
         |ORDER BY features""".stripMargin,
+
+    // exact split values are engine-internal; the flags state the
+    // discretizer's contract DuckDB asserts (a10-style flag gate)
+    "ml4_quantile_bins" ->
+      "SELECT 4 AS n_bins, 1 AS balanced",
 
     // same golden run, reference metric block: tp=6 fp=18 tn=974 fn=479
     // (positive='F'); ratios are IEEE divisions of the same integers on

@@ -143,6 +143,29 @@ object SourcesCatalog {
       Sources.csv(spark, d, Some(schema)).orderBy(col("k"))
     }),
 
+    // S3b: PERMISSIVE + columnNameOfCorruptRecord — the diagnostic for
+    // DROPMALFORMED's silent drops: every malformed row survives with
+    // its raw text captured (type error keeps the parseable fields,
+    // short row nulls the missing tail, extra-token row parses the
+    // prefix); clean rows capture null
+    "s3b_corrupt_capture" -> ((spark, dir) => {
+      val d = tmp("badcap")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(d, "data.csv"),
+        """k,v,name
+          |1,1.5,alpha
+          |2,oops,beta
+          |3,2.5
+          |4,3.5,delta,extra
+          |5,4.5,epsilon
+          |""".stripMargin)
+      val schema = StructType(Seq(StructField("k", IntegerType),
+        StructField("v", DoubleType), StructField("name", StringType),
+        StructField("raw_rec", StringType)))
+      Sources.csv(spark, d, Some(schema), mode = "PERMISSIVE",
+        corruptColumn = Some("raw_rec"))
+        .orderBy(col("k"))
+    }),
+
     // JSONL round-trip: the standard training-corpus format (quotes,
     // unicode, nulls all survive the escape/unescape exactly)
     "s2_jsonl_roundtrip" -> ((spark, dir) => {
@@ -264,6 +287,20 @@ object SourcesCatalog {
 
     "s3_malformed_policy" ->
       """SELECT * FROM (VALUES (1, 1.5, 'alpha'), (5, 4.5, 'epsilon')) t(k, v, name)
+        |ORDER BY k""".stripMargin,
+
+    // the planted fixture's expected PERMISSIVE capture, stated
+    // independently: type error keeps parseable fields, short row
+    // nulls the tail, extra-token row parses the prefix — all three
+    // carry their raw text; clean rows carry null
+    "s3b_corrupt_capture" ->
+      """SELECT * FROM (VALUES
+        |  (1, 1.5, 'alpha', CAST(NULL AS VARCHAR)),
+        |  (2, CAST(NULL AS DOUBLE), 'beta', '2,oops,beta'),
+        |  (3, 2.5, CAST(NULL AS VARCHAR), '3,2.5'),
+        |  (4, 3.5, 'delta', '4,3.5,delta,extra'),
+        |  (5, 4.5, 'epsilon', CAST(NULL AS VARCHAR)))
+        |  t(k, v, name, raw_rec)
         |ORDER BY k""".stripMargin,
 
     "s2_jsonl_roundtrip" ->

@@ -18,15 +18,35 @@ object Sources {
     * reads no columns (e.g. a bare `count()`) can see un-dropped rows
     * because malformed detection only runs for parsed columns. Counts
     * intended to observe the drop must project at least one column.
+    *
+    * `corruptColumn` (PERMISSIVE only) names a StringType column —
+    * which must ALSO appear in the explicit `schema` — that captures
+    * each malformed row's raw text (null for clean rows). This is the
+    * diagnostic a user reaches for when DROPMALFORMED silently eats
+    * rows (the reference's 27-row discrepancy,
+    * BDE4-Workshop1-1530.ipynb cells 4/6): re-read PERMISSIVE with
+    * capture, census the non-null captures, see exactly what was
+    * dropped and why. Caveat: a query must select at least one parsed
+    * column alongside the corrupt column (Spark rejects
+    * corrupt-column-only scans).
     */
   def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
           header: Boolean = true, mode: String = "DROPMALFORMED",
-          inferSchema: Boolean = false): DataFrame = {
+          inferSchema: Boolean = false,
+          corruptColumn: Option[String] = None): DataFrame = {
+    require(corruptColumn.isEmpty || mode == "PERMISSIVE",
+      s"corruptColumn requires PERMISSIVE mode, got $mode")
+    corruptColumn.foreach { c =>
+      require(schema.exists(_.fieldNames.contains(c)),
+        s"corruptColumn $c must be declared (StringType) in the explicit schema")
+    }
     val r = spark.read.format("csv")
       .option("header", header).option("mode", mode)
+    val withCorrupt = corruptColumn.fold(r)(c =>
+      r.option("columnNameOfCorruptRecord", c))
     val withSchema = schema match {
-      case Some(s) => r.schema(s)
-      case None    => r.option("inferSchema", inferSchema)
+      case Some(s) => withCorrupt.schema(s)
+      case None    => withCorrupt.option("inferSchema", inferSchema)
     }
     withSchema.load(path)
   }

@@ -52,6 +52,18 @@ class SamplingSpec extends graft.SparkSpec {
     assert(kept("P") == tot("P")) // fraction 1.0 keeps every row
   }
 
+  test("R1: seeded bernoulli sample is same-seed deterministic, ~fraction") {
+    val o = Tables.orders(spark, sf001).select(col("o_orderkey"))
+    def run() = o.sample(withReplacement = false, 0.3, 42)
+      .collect().map(_.getLong(0)).toSet
+    val a = run()
+    assert(a == run(), "same seed must select identical membership")
+    val total = o.count()
+    // 5 sd of Binomial(N, .3) — the same bound the r1_sample gate asserts
+    assert(math.abs(a.size - total * 0.3) <= 5 * math.sqrt(total * 0.3 * 0.7),
+      s"kept ${a.size} of $total")
+  }
+
   test("thresholdHex endpoints and width") {
     assert(Sampling.thresholdHex(0.0) == "00000000")
     assert(Sampling.thresholdHex(1.0) == "ffffffff")
