@@ -97,18 +97,24 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed (reported below)") }
     }
 
-    // best-of-3: single-shot numbers on a shared host carry multi-second
+    // best-of-N: single-shot numbers on a shared host carry multi-second
     // GC/scheduler noise; min over repeats is the standard stabilizer.
-    // Repeats run ROUND-ROBIN across entries (pass 1 of everything, then
-    // pass 2, ...) rather than consecutively per entry: a few-minute
-    // host-contention window then inflates at most one repeat of each
-    // entry instead of all three repeats of whichever entry it landed
-    // on — which is what manufactured round 5's phantom "join_agg 7.5x"
-    // (re-measured 0.47 s) and would defeat bench_delta's
-    // min-moved-means-real heuristic.
+    // Structure: 3 CONSECUTIVE timed runs per entry (immediate reruns
+    // keep codegen/JIT/page-cache warmth — the min stays comparable to
+    // prior rounds' warmed best-of-3) PLUS one DEFERRED pass over all
+    // entries at session end. The deferred run is the contention
+    // cross-check: round 5's phantom "join_agg 7.5x" (re-measured
+    // 0.47 s) happened because a few-minute contention window inflated
+    // all three consecutive repeats at once, defeating bench_delta's
+    // min-moved-means-real heuristic — now a window in the consecutive
+    // phase leaves the deferred sample clean and vice versa. (A fully
+    // interleaved schedule was measured and rejected: with ~24 entries
+    // between repeats every entry loses rerun warmth and reads
+    // 1.2–1.5x its isolated min — see DESIGN.md.)
     val runsByName = scala.collection.mutable.LinkedHashMap
       .empty[String, Vector[(Double, Long)]]
-    for (_ <- 1 to 3; (name, mk) <- headline) {
+    val schedule = headline.flatMap(e => Seq.fill(3)(e)) ++ headline
+    for ((name, mk) <- schedule) {
       val t0 = System.nanoTime()
       val n = try mk().count() catch {
         case e: Throwable =>

@@ -82,6 +82,8 @@ object Components {
     require(changed == 0,
       s"connectedComponents did not converge in $maxIter supersteps " +
         "(diameter too large — switch to large-star/small-star)")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] min-label converged in $iter supersteps")
     edges.unpersist()
     labels.withColumnRenamed("id", idCol)
   }
