@@ -192,6 +192,60 @@ object TextDedup {
           (col("a_sz") + col("b_sz") - col("n_inter")).cast("double")).as("jacc"))
   }
 
+  /** Corpus-level overlap estimation: one MinHash signature PER CORPUS
+    * (min universal hash over the union of the corpus's shingles —
+    * [[minhashSignatures]] grouped by the corpus tag instead of the doc
+    * id), then estimated Jaccard between every corpus pair = the
+    * fraction of agreeing signature slots. This is the dataset-audit
+    * primitive (how much does crawl snapshot N overlap snapshot N-1?
+    * train corpus vs eval suite?) that avoids the exact answer's
+    * shingle-keyed self-join: each corpus reduces to `numHashes` longs
+    * via one partial-combining aggregation, and the pairwise compare
+    * is over #corpora rows — constant-size driver math at any corpus
+    * size. `corpusCol` must be numeric ([[shingleSets]] casts the key
+    * to long). For the exact answer at validation scale see
+    * [[corpusJaccard]].
+    */
+  def corpusOverlap(shingles: DataFrame, corpusCol: String,
+                    numHashes: Int = NumHashes): DataFrame = {
+    val sigs = minhashSignatures(shingles, corpusCol, numHashes)
+    val sigNames = (0 until numHashes).map(j => s"sig_$j")
+    val a = sigs.select(col(corpusCol).as("corpus_a") +:
+      sigNames.map(n => col(n).as(s"a_$n")): _*)
+    val b = sigs.select(col(corpusCol).as("corpus_b") +:
+      sigNames.map(n => col(n).as(s"b_$n")): _*)
+    val agree = sigNames.map(n => (col(s"a_$n") === col(s"b_$n")).cast("int"))
+      .reduce(_ + _)
+    // #corpora² pairs — corpora are snapshots/splits, a handful; the
+    // cross join is driver-trivial while the heavy lifting (signature
+    // aggregation) already partially combined map-side
+    a.crossJoin(b).filter(col("corpus_a") < col("corpus_b"))
+      .select(col("corpus_a"), col("corpus_b"),
+        (agree.cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /** Exact corpus-pair Jaccard over distinct shingle sets: the
+    * validation twin of [[corpusOverlap]]. The shingle-keyed self-join
+    * shuffles the full vocabulary — fine at audit scale, the thing the
+    * signature estimate exists to avoid at 100 TB.
+    */
+  def corpusJaccard(shingles: DataFrame, corpusCol: String): DataFrame = {
+    val sz = shingles.groupBy(col(corpusCol)).agg(count(lit(1)).as("sz"))
+    val inter = shingles.select(col(corpusCol).as("corpus_a"), col("shingle"))
+      .join(shingles.select(col(corpusCol).as("corpus_b"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("corpus_a") < col("corpus_b"))
+      .groupBy(col("corpus_a"), col("corpus_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sz.select(col(corpusCol).as("corpus_a"), col("sz").as("a_sz")), Seq("corpus_a"))
+      .join(sz.select(col(corpusCol).as("corpus_b"), col("sz").as("b_sz")), Seq("corpus_b"))
+      .select(col("corpus_a"), col("corpus_b"), col("n_inter"),
+        (col("a_sz") + col("b_sz") - col("n_inter")).as("n_union"),
+        (col("n_inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("n_inter")).cast("double")).as("jacc"))
+  }
+
   /** SimHash over whitespace tokens (all occurrences, so term frequency
     * weights naturally): `bits`-wide bit-vote on a 16-bit md5-derived
     * token hash, emitted as a bit string (msb first).

@@ -237,6 +237,42 @@ object TextAnalysis {
           .as("mean_logprob"))
   }
 
+  /** Bigram-LM quality signal: mean log P(w_i | w_{i-1}) per document
+    * under the MLE bigram model trained on the corpus itself —
+    * P(w2|w1) = c(w1 w2) / c(w1 ·), where c(w1 ·) counts w1 as a
+    * CONTEXT (i.e. over the bigram table, so doc-final tokens don't
+    * inflate the denominator). Trained-on-itself means every observed
+    * bigram has nonzero probability — no smoothing constant to pick.
+    * A sharper fluency signal than [[unigramLogProb]]: word-salad text
+    * with common words scores well under a unigram LM but poorly here.
+    *
+    * Dataflow: bigrams are one per-row projection ([[TextDedup
+    * .shingleSets]] k=2, multiset), counts are two partial-combining
+    * aggregations, and the per-doc score is one more; the bigram- and
+    * context-count joins shuffle on vocabulary keys whose cardinality
+    * grows with the corpus, so partitions stay balanced at 100 TB.
+    * Exactness discipline identical to [[unigramLogProb]] (nudged
+    * quantized int64 log fold).
+    */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.TextDedup
+    val scale = 1e6
+    val bg = TextDedup.shingleSets(df, idCol, textCol, k = 2, distinct = false)
+      .select(col(idCol), col("shingle").as("bigram"),
+        substring_index(col("shingle"), " ", 1).as("ctx"))
+    val bgCnt = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+    val ctxCnt = bg.groupBy(col("ctx")).agg(count(lit(1)).as("c_ctx"))
+    bg.join(bgCnt, Seq("bigram")).join(ctxCnt, Seq("ctx"))
+      .withColumn("lp_q",
+        floor(log(col("c_bg").cast("double") / col("c_ctx").cast("double")) * lit(scale)
+          + lit(1e-4)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp_q")).cast("double") / lit(scale) / count(lit(1)).cast("double"))
+          .as("mean_logprob"))
+  }
+
   // ------------------------------------------------------- DuckDB spellings
 
   /** SQL fragments mirroring the expressions above, used to build

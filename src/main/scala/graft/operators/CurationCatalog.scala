@@ -122,7 +122,60 @@ object CurationCatalog {
        | SELECT doc_id, 1000001 AS line_no, '$BoilerB' AS line
        | FROM documents WHERE doc_id % 11 = 0)""".stripMargin
 
+  // ---- web-curation fixtures ------------------------------------------
+  // Synthetic URLs with deterministic presentation noise — mixed-case
+  // scheme/host, a www. prefix, a default :443 or explicit :8080 port,
+  // tracking params in three query layouts, a fragment — so every
+  // normalize() rule is exercised. The oracle derives the EXPECTED
+  // canonical form directly from (doc_id, source) arithmetic and never
+  // parses a URL (the s4_log_parse convention: the strongest oracle
+  // never goes through the code path under test).
+  private val DomainCap = 10
+
+  private def urlDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"), col("source"), col("n_chars"),
+      concat(
+        when(col("doc_id") % 5 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".ORG"),
+        when(col("doc_id") % 11 === 0, lit(":8080"))
+          .when(col("doc_id") % 7 === 0, lit(":443"))
+          .otherwise(lit("")),
+        lit("/p/"), id, lit("?"),
+        when(col("doc_id") % 9 === 0, concat(lit("a=1&utm_campaign=x&id="), id))
+          .when(col("doc_id") % 2 === 0, concat(lit("utm_source=feed&id="), id))
+          .otherwise(concat(lit("id="), id)),
+        when(col("doc_id") % 4 === 0, lit("#frag")).otherwise(lit("")))
+        .as("url"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // canonical URL + host/domain extraction (all parse_url + regex,
+    // no UDF); :443 drops as the https default, :8080 survives,
+    // tracking params strip in all three layouts, fragment drops
+    "cu1_url_normalize" -> ((spark, dir) =>
+      urlDocs(spark, dir).select(
+        col("doc_id"),
+        graft.quality.Urls.host(col("url")).as("host"),
+        graft.quality.Urls.domain(col("url")).as("domain"),
+        graft.quality.Urls.normalize(col("url")).as("norm_url"))
+        .orderBy(col("doc_id"))),
+
+    // per-domain volume cap: top-10 docs per registrable domain by
+    // (n_chars desc, doc_id) — one domain-keyed window, rank before
+    // payload joins
+    "cu2_domain_cap" -> ((spark, dir) => {
+      val d = urlDocs(spark, dir)
+        .withColumn("domain", graft.quality.Urls.domain(col("url")))
+      graft.quality.Urls.domainCap(d, "domain", "n_chars", "doc_id", DomainCap)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("domain"))
+    }),
 
     // token-window chunking: 32-token chunks, stride 24 (8-token overlap)
     "ck1_chunk_tokens" -> ((spark, dir) =>
@@ -243,6 +296,32 @@ object CurationCatalog {
   )
 
   def oracle: Map[String, String] = Map(
+    // expected canonical form rebuilt from (doc_id, source) arithmetic —
+    // no URL parsing on the oracle side
+    "cu1_url_normalize" ->
+      """WITH exp AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+        |    || source || '.org' AS host,
+        |  source || '.org' AS domain,
+        |  (CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END) AS port,
+        |  (CASE WHEN doc_id % 9 = 0 THEN 'a=1&id=' ELSE 'id=' END)
+        |    || CAST(doc_id AS VARCHAR) AS q
+        |FROM documents)
+        |SELECT doc_id, host, domain,
+        |  'https://' || host || port || '/p/' || CAST(doc_id AS VARCHAR)
+        |    || '?' || q AS norm_url
+        |FROM exp ORDER BY doc_id""".stripMargin,
+
+    "cu2_domain_cap" ->
+      s"""WITH u AS (SELECT doc_id, n_chars, source || '.org' AS domain
+         |  FROM documents),
+         |r AS (SELECT *, ROW_NUMBER() OVER
+         |    (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM u)
+         |SELECT domain, COUNT(*) AS kept, SUM(n_chars) AS kept_chars
+         |FROM r WHERE rn <= $DomainCap
+         |GROUP BY domain ORDER BY domain""".stripMargin,
+
     "ck1_chunk_tokens" ->
       s"""SELECT doc_id, chunk_id, chunk_text, chunk_tokens
          |FROM ${Chunker.chunkSql("documents", "doc_id", "text", 32, 24)} c

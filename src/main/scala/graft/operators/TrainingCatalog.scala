@@ -211,6 +211,26 @@ object TrainingCatalog {
       TextAnalysis.unigramLogProb(docs(spark, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // bigram LM fluency signal: mean log P(w_i | w_{i-1}) per doc
+    // under the corpus-trained MLE bigram model
+    "t11_bigram_lm" -> ((spark, dir) =>
+      TextAnalysis.bigramLogProb(docs(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // X12 — corpus-overlap estimation: one MinHash signature per
+    // corpus half (docs split by doc_id parity), estimated Jaccard =
+    // agreeing-slot fraction, exact Jaccard as the audit twin — both
+    // deterministic md5/integer math, so DuckDB reproduces each value
+    "x12_corpus_overlap" -> ((spark, dir) => {
+      val tagged = docs(spark, dir)
+        .select((col("doc_id") % 2).as("corpus"), col("text"))
+      val sh = TextDedup.shingleSets(tagged, "corpus", "text")
+      TextDedup.corpusOverlap(sh, "corpus")
+        .join(TextDedup.corpusJaccard(sh, "corpus"),
+          Seq("corpus_a", "corpus_b"))
+        .orderBy(col("corpus_a"), col("corpus_b"))
+    }),
+
     // per-label centroid embeddings (label prototypes): one wide
     // fixed-point aggregation, unpivoted to (label, dim, centroid, n)
     "v7_group_centroids" -> ((spark, dir) =>
@@ -467,6 +487,47 @@ object TrainingCatalog {
          |JOIN sz za ON za.doc_id = i.a_id
          |JOIN sz zb ON zb.doc_id = i.b_id
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "t11_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, t[i] AS ctx, t[i] || ' ' || t[i+1] AS bigram
+        |  FROM tok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT bigram, COUNT(*) AS c_bg FROM bg GROUP BY bigram),
+        |cc AS (SELECT ctx, COUNT(*) AS c_ctx FROM bg GROUP BY ctx),
+        |lp AS (SELECT g.doc_id,
+        |    CAST(FLOOR(ln(CAST(c_bg AS DOUBLE) / CAST(c_ctx AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp_q
+        |  FROM bg g JOIN bc USING (bigram) JOIN cc USING (ctx))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the corpus tag rides through the same md5 universal-hash twin the
+    // per-doc signatures use; est = agreeing slots / numHashes, exact =
+    // set jaccard over distinct (corpus, shingle)
+    "x12_corpus_overlap" -> {
+      val shingle = D.shingleSets("half", "corpus", "text")
+      s"""WITH half AS (SELECT doc_id % 2 AS corpus, text FROM documents),
+         |sh AS $shingle,
+         |sig AS (SELECT corpus, ${D.minhashAggs()} FROM sh GROUP BY corpus),
+         |est AS (SELECT a.corpus AS corpus_a, b.corpus AS corpus_b,
+         |    CAST(${(0 until TextDedup.NumHashes)
+              .map(j => s"CASE WHEN a.sig_$j = b.sig_$j THEN 1 ELSE 0 END")
+              .mkString(" + ")} AS DOUBLE) / ${TextDedup.NumHashes} AS est_jaccard
+         |  FROM sig a JOIN sig b ON a.corpus < b.corpus),
+         |sz AS (SELECT corpus, COUNT(*) AS sz FROM sh GROUP BY corpus),
+         |inter AS (SELECT a.corpus AS corpus_a, b.corpus AS corpus_b, COUNT(*) AS n_inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.corpus < b.corpus
+         |  GROUP BY 1, 2)
+         |SELECT i.corpus_a, i.corpus_b, e.est_jaccard, i.n_inter,
+         |  za.sz + zb.sz - i.n_inter AS n_union,
+         |  CAST(i.n_inter AS DOUBLE) / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jacc
+         |FROM inter i
+         |JOIN est e ON e.corpus_a = i.corpus_a AND e.corpus_b = i.corpus_b
+         |JOIN sz za ON za.corpus = i.corpus_a
+         |JOIN sz zb ON zb.corpus = i.corpus_b
+         |ORDER BY i.corpus_a, i.corpus_b""".stripMargin
+    },
 
     "t9_unigram_lm" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -1,0 +1,93 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL normalization, domain extraction, and per-domain caps — the
+  * web-corpus curation layer (CCNet/RefinedWeb-style pipelines key
+  * nearly every corpus decision on the registrable domain: caps,
+  * blocklists, per-domain quality priors).
+  *
+  * Everything is built from codegen'd expressions (`parse_url` +
+  * regexp chains) — no UDF and no higher-order-function lambdas, which
+  * run interpreted (the known hot-loop trap): URL cleanup executes
+  * once per document at corpus scale, exactly where interpreted
+  * expressions hurt.
+  */
+object Urls {
+
+  /** Tracking query parameters stripped by [[normalize]] (regex
+    * alternation; extend per deployment).
+    */
+  val TrackingParams = "utm_[^=&]*|gclid|fbclid|msclkid"
+
+  def host(url: Column): Column = lower(parse_url(url, lit("HOST")))
+
+  /** Registrable-domain approximation: the last two host labels.
+    * A faithful implementation consults the public-suffix list (so
+    * `foo.co.uk` keeps three labels); that table is a broadcast join
+    * against the suffix list in production — out of scope here, the
+    * two-label rule is the standard approximation and is exact for
+    * generic TLDs.
+    */
+  def domain(url: Column): Column =
+    regexp_extract(host(url), "([^.]+\\.[^.]+)$", 1)
+
+  /** Non-default explicit port (":8080") or empty; parse_url HOST
+    * drops the port, AUTHORITY keeps it.
+    */
+  private def portPart(url: Column, proto: Column): Column = {
+    val port = regexp_extract(parse_url(url, lit("AUTHORITY")), ":([0-9]+)$", 1)
+    when(port === "", lit(""))
+      .when(proto === "https" && port === "443", lit(""))
+      .when(proto === "http" && port === "80", lit(""))
+      .otherwise(concat(lit(":"), port))
+  }
+
+  /** Query string minus tracking params: each tracked key=value is
+    * removed together with its PRECEDING separator (or from the string
+    * head), then a stranded leading '&' is trimmed — two anchored
+    * regexp_replace passes, order-preserving for surviving params.
+    */
+  def stripTracking(query: Column): Column =
+    regexp_replace(
+      regexp_replace(query, s"(?:^|&)(?:$TrackingParams)(?:=[^&]*)?", ""),
+      "^&", "")
+
+  /** Canonical URL: lowercased scheme and host, default port dropped
+    * (explicit non-default ports kept), fragment dropped, tracking
+    * params stripped (query dropped entirely if nothing survives),
+    * path kept verbatim. Two normalized URLs compare equal iff the
+    * originals differ only in those presentation details — the key for
+    * URL-level exact dedup upstream of text dedup.
+    */
+  def normalize(url: Column): Column = {
+    val proto = lower(parse_url(url, lit("PROTOCOL")))
+    val q = stripTracking(coalesce(parse_url(url, lit("QUERY")), lit("")))
+    concat(
+      proto, lit("://"), host(url), portPart(url, proto),
+      coalesce(parse_url(url, lit("PATH")), lit("")),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
+  /** Per-domain cap: keep at most `cap` rows per domain, preferring
+    * high `scoreCol` with `idCol` as the deterministic tiebreak — the
+    * standard anti-SEO-farm volume control. One hash-partitioned
+    * window on the domain key; domain cardinality grows with the
+    * corpus so partitions stay balanced, and a pathological megadomain
+    * is exactly what the cap truncates (rank early, before any payload
+    * joins). For cap=1 prefer the argmax-struct aggregation (a11
+    * shape) — it partial-combines map-side where a window ships every
+    * row.
+    */
+  def domainCap(df: DataFrame, domainCol: String, scoreCol: String,
+                idCol: String, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cap)
+      .drop("__rn")
+  }
+}

@@ -89,4 +89,26 @@ class TextDedupSpec extends SparkSpec {
     assert(sh.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
     assert(sh(1L) != sh(4L))
   }
+
+  test("corpusOverlap: identical corpora estimate 1.0; disjoint estimate 0.0; exact twin agrees") {
+    // corpus 0 and 1 share every shingle; corpus 2 shares none
+    val tagged = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words about spark and scala engines today"))
+      .toDF("corpus", "text")
+    val sh = TextDedup.shingleSets(tagged, "corpus", "text")
+    val est = TextDedup.corpusOverlap(sh, "corpus")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => (a, b) -> e }.toMap
+    assert(est((0L, 1L)) == 1.0)
+    assert(est((0L, 2L)) == 0.0 && est((1L, 2L)) == 0.0)
+    val exact = TextDedup.corpusJaccard(sh, "corpus")
+      .select($"corpus_a", $"corpus_b", $"jacc")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(exact((0L, 1L)) == 1.0)
+    // fully disjoint pairs emit no intersection row at all
+    assert(!exact.contains((0L, 2L)))
+  }
 }

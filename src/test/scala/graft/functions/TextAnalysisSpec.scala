@@ -88,6 +88,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(exp1 > exp2)
   }
 
+  test("bigramLogProb golden values (corpus-trained MLE, context-count denominator)") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // corpus bigrams: doc1 (a b)(b a)(a b), doc2 (a b)(b c)
+    // c(a b)=3, c(b a)=1, c(b c)=1; contexts c(a·)=3, c(b·)=2
+    // → P(b|a)=1 (lp 0), P(a|b)=P(c|b)=1/2
+    def q(p: Double): Long = math.floor(math.log(p) * 1e6 + 1e-4).toLong
+    val exp1 = (q(1.0) * 2 + q(0.5)).toDouble / 1e6 / 3.0
+    val exp2 = (q(1.0) + q(0.5)).toDouble / 1e6 / 2.0
+    val r = TextAnalysis.bigramLogProb(d, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 3L, exp1), (2L, 2L, exp2)))
+    // the doc with the more predictable continuation scores higher
+    assert(exp1 > exp2)
+  }
+
   test("normalized fingerprint is case/whitespace invariant; raw is not") {
     val a = one(TextAnalysis.normalizedFingerprint(col("t")), "Hello  World")
     val b = one(TextAnalysis.normalizedFingerprint(col("t")), "hello world ")
