@@ -3,6 +3,7 @@ package graft.operators
 import graft.core.Tables
 import graft.dedup.{Components, TextDedup}
 import graft.functions.TextAnalysis
+import graft.selection.Dsir
 import graft.similarity.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -50,6 +51,27 @@ object TrainingCatalog {
        | FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   private val lshDims = Seq(0, 8, 16, 24, 32, 40, 48, 56)
+
+  /** Shared CTE chain ending in `w(doc_id, n_feats, logw_q, logw)` —
+    * the [[Dsir.importanceWeights]] twin (raw = all documents, target
+    * = the English slice). SUM(BIGINT) is HUGEINT in DuckDB, so logw_q
+    * casts back to BIGINT to match the engine's long.
+    */
+  private val dsirWeightsSql =
+    s"""tgtd AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+       |fr AS ${Dsir.Sql.hashedFeatures("documents", "doc_id", "text")},
+       |ft AS ${Dsir.Sql.hashedFeatures("tgtd", "doc_id", "text")},
+       |cr AS (SELECT bucket, COUNT(*) AS c_raw FROM fr GROUP BY bucket),
+       |ct AS (SELECT bucket, COUNT(*) AS c_tgt FROM ft GROUP BY bucket),
+       |tot AS (SELECT (SELECT COUNT(*) FROM fr) AS t_raw,
+       |               (SELECT COUNT(*) FROM ft) AS t_tgt),
+       |terms AS (SELECT f.doc_id, ${Dsir.Sql.termQ()} AS lp_q
+       |  FROM fr f LEFT JOIN ct USING (bucket) LEFT JOIN cr USING (bucket)
+       |  CROSS JOIN tot),
+       |w AS (SELECT doc_id, COUNT(*) AS n_feats,
+       |    CAST(SUM(lp_q) AS BIGINT) AS logw_q,
+       |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 AS logw
+       |  FROM terms GROUP BY doc_id)""".stripMargin
 
   /** Variant-augmented docs + a planted duplicate CLUSTER: 40 exact
     * copies of doc 0 (ids 2e6+1 .. 2e6+40). All 41+ members share every
@@ -229,6 +251,30 @@ object TrainingCatalog {
         .join(TextDedup.corpusJaccard(sh, "corpus"),
           Seq("corpus_a", "corpus_b"))
         .orderBy(col("corpus_a"), col("corpus_b"))
+    }),
+
+    // SEL1 — DSIR importance weights: raw corpus = all documents,
+    // target = the English slice; fixed-size hashed-bucket models
+    // broadcast, so only the per-doc sum shuffles
+    "sel1_dsir_weights" -> ((spark, dir) => {
+      val d = Tables.documents(spark, dir)
+      Dsir.importanceWeights(
+        d.select(col("doc_id"), col("text")),
+        d.filter(col("lang") === "en").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // SEL2 — Gumbel-top-k selection over the DSIR weights: seeded
+    // md5 noise, integer key, deterministic total order
+    "sel2_dsir_topk" -> ((spark, dir) => {
+      val d = Tables.documents(spark, dir)
+      val w = Dsir.importanceWeights(
+        d.select(col("doc_id"), col("text")),
+        d.filter(col("lang") === "en").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      Dsir.gumbelTopK(w, "doc_id", k = 50, seed = "graft-sel")
+        .orderBy(col("key_q").desc, col("doc_id"))
     }),
 
     // per-label centroid embeddings (label prototypes): one wide
@@ -528,6 +574,18 @@ object TrainingCatalog {
          |JOIN sz zb ON zb.corpus = i.corpus_b
          |ORDER BY i.corpus_a, i.corpus_b""".stripMargin
     },
+
+    "sel1_dsir_weights" ->
+      s"""WITH $dsirWeightsSql
+         |SELECT doc_id, n_feats, logw_q, logw FROM w ORDER BY doc_id""".stripMargin,
+
+    "sel2_dsir_topk" ->
+      s"""WITH $dsirWeightsSql,
+         |sel AS (SELECT doc_id, logw,
+         |    logw_q + ${Dsir.Sql.gumbelQ("graft-sel", "doc_id")} AS key_q
+         |  FROM w)
+         |SELECT doc_id, logw, key_q FROM sel
+         |ORDER BY key_q DESC, doc_id LIMIT 50""".stripMargin,
 
     "t9_unigram_lm" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
