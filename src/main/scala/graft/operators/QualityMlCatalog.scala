@@ -112,6 +112,27 @@ object QualityMlCatalog {
             .cast("int").as("balanced"))
     }),
 
+    // ML5 — fastText-style text quality classifier: logistic model on
+    // the DSIR hashed-bucket feature space. The fixture label is a
+    // vocabulary signal (doc mentions "spark") — the shape a quality
+    // classifier actually learns (vocabulary evidence), and one the
+    // synthetic corpus genuinely carries (its lang/source tags are
+    // independent of the text). Hash-split membership, 1-partition
+    // sorted fit (ml1 determinism discipline); gated on the test-set
+    // confusion census, which must beat the majority rate (see spec)
+    "ml5_text_clf" -> ((spark, dir) => {
+      val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"),
+        array_contains(split(col("text"), " "), "spark")
+          .cast("double").as("label"))
+      val vecs = graft.ml.TextClassifier.hashedVectors(d, "doc_id", "text")
+        .join(d.select(col("doc_id"), col("label")), Seq("doc_id"))
+      val (train, test) = FeaturePipeline.hashSplit(vecs, col("doc_id"), 80)
+      val model = graft.ml.TextClassifier.fitDeterministic(train, "doc_id")
+      graft.ml.TextClassifier.confusionCells(
+          graft.ml.TextClassifier.score(model, test))
+        .orderBy(col("label"), col("prediction"))
+    }),
+
     // the reference's deterministic-metrics block (MLPCModel-3.py:
     // 382-401): tp/fp/tn/fn + the five ratio metrics with its
     // ZeroDivisionError→0.0 handling, positive class = 'F'
@@ -215,6 +236,18 @@ object QualityMlCatalog {
     // discretizer's contract DuckDB asserts (a10-style flag gate)
     "ml4_quantile_bins" ->
       "SELECT 4 AS n_bins, 1 AS balanced",
+
+    // golden cells at sf0.01, captured from three independent JVM runs
+    // at 4/8/32 cores — identical, because membership is key-hash and
+    // the fit funnels one sorted partition; test accuracy 0.894 vs a
+    // 0.753 majority rate (the spec asserts the learning behavior on
+    // synthetic data; this VALUES gate freezes the fixture run)
+    "ml5_text_clf" ->
+      """SELECT * FROM (VALUES
+        |  (0, 0, CAST(15 AS BIGINT)), (0, 1, CAST(6 AS BIGINT)),
+        |  (1, 0, CAST(3 AS BIGINT)), (1, 1, CAST(61 AS BIGINT)))
+        |  t(label, prediction, cnt)
+        |ORDER BY label, prediction""".stripMargin,
 
     // same golden run, reference metric block: tp=6 fp=18 tn=974 fn=479
     // (positive='F'); ratios are IEEE divisions of the same integers on
