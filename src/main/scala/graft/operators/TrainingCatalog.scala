@@ -397,6 +397,20 @@ object TrainingCatalog {
         "vec_id", "embedding", threshold = 0.9, dims = lshDims)
         .orderBy(col("a_id"), col("b_id"))),
 
+    // V10 — SemDeDup: deterministic-quantizer cells + within-cell
+    // cosine pruning (keep the min-id of each ≥0.9 pair), censused per
+    // cell. bucketCap 128 > the ~66-member cells at sf0.01, so the
+    // gate exercises the full-pairwise regime; the star regime is
+    // spec- and x11-covered
+    "v10_semdedup" -> ((spark, dir) =>
+      Similarity.semDedup(embWithVariants(spark, dir), "vec_id",
+        "embedding", threshold = 0.9, nCentroids = 16, bucketCap = 128)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("keep"), 0).otherwise(1)).as("n_dropped"),
+          sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
+        .orderBy(col("cell"))),
+
     // IVF recall audit — promotes v4's rows-only check to an oracle
     // gate: mean recall@5 of IVF probe-4 vs exact brute force must
     // clear 0.5 (measured 0.72 at sf0.01 / 0.64 at sf0.001; the margin
@@ -710,6 +724,47 @@ object TrainingCatalog {
          |ORDER BY a_id, b_id""".stripMargin,
 
     // the deterministic hash-init IVF index, derived end-to-end in SQL:
+    // v4's deterministic quantizer over the variant corpus, then the
+    // v3 star-capped pair spelling keyed on cell; dropped = b-side of
+    // any surviving pair (cap 128 ⇒ all cells full-pairwise at sf0.01)
+    "v10_semdedup" ->
+      s"""WITH $embWithVariantsSql,
+         |cenbase AS (
+         |  SELECT vec_id, embedding FROM emba
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |cent AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM cenbase),
+         |acell AS (
+         |  SELECT vec_id, embedding, cell, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY round(${S.dot("centroid", "centroid")}
+         |        - 2 * ${S.dot("embedding", "centroid")}, 6), cell) AS arn
+         |  FROM emba CROSS JOIN cent),
+         |assigned AS (SELECT vec_id, embedding, cell FROM acell WHERE arn = 1),
+         |bs AS (SELECT cell, MIN(vec_id) AS rep_id, COUNT(*) AS bsz
+         |  FROM assigned GROUP BY cell),
+         |up AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(${S.cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN bs s ON s.cell = a.cell
+         |  WHERE s.bsz <= 128
+         |  UNION ALL
+         |  SELECT LEAST(s.rep_id, m.vec_id), GREATEST(s.rep_id, m.vec_id),
+         |    round(${S.cosine("r.embedding", "m.embedding")}, 6)
+         |  FROM assigned m
+         |  JOIN bs s ON s.cell = m.cell
+         |  JOIN assigned r ON r.vec_id = s.rep_id
+         |  WHERE s.bsz > 128 AND m.vec_id <> s.rep_id),
+         |dropped AS (SELECT DISTINCT b_id FROM up WHERE cos_sim >= 0.9)
+         |SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_members,
+         |  CAST(SUM(CASE WHEN d.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM assigned LEFT JOIN dropped d ON d.b_id = assigned.vec_id
+         |GROUP BY cell ORDER BY cell""".stripMargin,
+
     // same centroid pick (smallest md5 of the id string), same rounded
     // + cell-tiebroken assignment and probe metric, same v1 top-k rank
     "v4_ivf_topk" ->

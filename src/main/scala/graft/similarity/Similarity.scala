@@ -390,14 +390,24 @@ object Similarity {
     */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dims: Seq[Int],
-                   bucketCap: Int = graft.dedup.TextDedup.DefaultBucketCap): DataFrame = {
+                   bucketCap: Int = graft.dedup.TextDedup.DefaultBucketCap): DataFrame =
+    cosPairsInBuckets(emb.withColumn("bucket", signBucket(col(vecCol), dims)),
+      idCol, vecCol, threshold, bucketCap)
+
+  /** Star-capped within-bucket cosine pairs over any precomputed
+    * `bucket` column — the shared core of [[nearDupPairs]] (sign-LSH
+    * buckets) and [[semDedup]] (IVF cells).
+    */
+  private def cosPairsInBuckets(withBucket: DataFrame, idCol: String,
+                                vecCol: String, threshold: Double,
+                                bucketCap: Int): DataFrame = {
     require(bucketCap >= 2, s"bucketCap=$bucketCap must be >= 2")
     // bucket stats via one window pass (see TextDedup.candidatePairs:
     // the window's hash-partitioning on the bucket key is the
     // self-join's key and survives the cache, so no extra shuffles;
     // the sorted pass is the standing price of the O(m) guarantee)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-    val annotated = emb.withColumn("bucket", signBucket(col(vecCol), dims))
+    val annotated = withBucket
       .withColumn("__nrm", l2norm(col(vecCol)))
       .withColumn("__rep", min(col(idCol)).over(w))
       .withColumn("__bsz", count(lit(1)).over(w))
@@ -425,6 +435,37 @@ object Similarity {
         round(dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("a_id", "b_id", "cos_sim")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by embedding — cluster the corpus with the
+    * deterministic coarse quantizer ([[buildIvfHashInit]], so the
+    * whole pass is oracle-able), generate within-cell cosine pairs
+    * (star-capped for megacells, the [[nearDupPairs]] contract), and
+    * drop every vector that has a smaller-id neighbor at
+    * `cos ≥ threshold` in its cell. Returns the assigned corpus with a
+    * `keep` flag — callers filter for the deduped corpus, or census
+    * per cell for an audit.
+    *
+    * Scale shape: clustering bounds the pair search to within-cell
+    * (O(Σ m_c²) with m_c ≈ n/k, vs n² flat — and star-capped on top),
+    * assignment is one broadcast-centroid aggregation, and the drop
+    * set joins back as a (small) broadcast-able anti-join side in the
+    * common heavy-dup case. Inside a cell the min-id keep rule is
+    * exactly the star topology's representative, so the capped and
+    * uncapped regimes agree on who survives a homogeneous megacell.
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nCentroids: Int,
+               bucketCap: Int = graft.dedup.TextDedup.DefaultBucketCap): DataFrame = {
+    val assigned = buildIvfHashInit(emb, idCol, vecCol, nCentroids).assigned
+    val pairs = cosPairsInBuckets(assigned.withColumn("bucket", col("cell")),
+      idCol, vecCol, threshold, bucketCap)
+    val dropped = pairs.select(col("b_id").as(idCol)).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col(vecCol), col("cell"),
+        coalesce(!col("__drop"), lit(true)).as("keep"))
   }
 
   /** Per-group centroid (mean embedding) — the building block for

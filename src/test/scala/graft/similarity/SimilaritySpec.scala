@@ -163,6 +163,39 @@ class SimilaritySpec extends SparkSpec {
     assert(maxErr <= 0.02, s"int8 cosine drifted: $maxErr")
   }
 
+  test("semDedup drops near-dup copies, keeps the min-id, keeps dissimilar vectors") {
+    // three planted near-identical vectors (ids 100 < 200 < 300) plus
+    // dissimilar fixture vectors — only the min-id copy survives
+    val base = graft.core.Tables.embeddings(spark, sf0001).limit(40)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("embedding"))
+    val v0 = base.filter($"vec_id" === 0).select($"embedding").head().getSeq[Double](0)
+    import spark.implicits._
+    val copies = Seq(100L, 200L, 300L).map(id => (id, v0.map(_ * 1.001)))
+      .toDF("vec_id", "embedding")
+    val corpus = base.filter($"vec_id" > 0).union(copies)
+    val r = Similarity.semDedup(corpus, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 4, bucketCap = 64)
+    val kept = r.filter($"keep").select($"vec_id").as[Long].collect().toSet
+    assert(kept.contains(100L) && !kept.contains(200L) && !kept.contains(300L))
+    // kept + dropped partitions the corpus
+    assert(r.count() == corpus.count())
+    // dissimilar fixture vectors survive
+    assert(r.filter($"keep" && $"vec_id" < 100).count() >= 30)
+  }
+
+  test("semDedup star regime agrees with full pairwise on a homogeneous megacell") {
+    import spark.implicits._
+    // 50 copies of one vector: with any cap, exactly the min id survives
+    val vec = Array.tabulate(8)(i => 0.1 * (i + 1))
+    val corpus = (1L to 50L).map(id => (id, vec.map(x => x * (1 + id * 1e-6)).toSeq))
+      .toDF("vec_id", "embedding")
+    def kept(cap: Int) = Similarity.semDedup(corpus, "vec_id", "embedding",
+        threshold = 0.99, nCentroids = 2, bucketCap = cap)
+      .filter($"keep").select($"vec_id").as[Long].collect().toSet
+    assert(kept(cap = 2) == Set(1L))
+    assert(kept(cap = 64) == Set(1L))
+  }
+
   test("int8TopK recall@5 vs float brute force is high") {
     val emb = graft.core.Tables.embeddings(spark, sf0001).cache()
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
