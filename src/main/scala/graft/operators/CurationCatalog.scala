@@ -177,6 +177,17 @@ object CurationCatalog {
         .orderBy(col("domain"))
     }),
 
+    // CX1 — CCNet perplexity buckets: per-language head/middle/tail
+    // terciles of the unigram-LM score (exact rank-window path, the
+    // oracle-able twin of the approx-percentile scale path), censused
+    "cx1_ppl_buckets" -> ((spark, dir) =>
+      graft.quality.Perplexity.buckets(
+        Tables.documents(spark, dir), "doc_id", "text", "lang",
+        exact = true)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("bucket"))),
+
     // token-window chunking: 32-token chunks, stride 24 (8-token overlap)
     "ck1_chunk_tokens" -> ((spark, dir) =>
       Chunker.chunkByTokens(docs(spark, dir), "doc_id", "text",
@@ -321,6 +332,35 @@ object CurationCatalog {
          |SELECT domain, COUNT(*) AS kept, SUM(n_chars) AS kept_chars
          |FROM r WHERE rn <= $DomainCap
          |GROUP BY domain ORDER BY domain""".stripMargin,
+
+    // t9 per-doc scores, then discrete tercile thresholds at integer
+    // ranks ceil(n/3)/ceil(2n/3) per language (value-at-rank is
+    // tie-permutation-invariant), then the census
+    "cx1_ppl_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT COUNT(*) AS n_total FROM tok),
+        |lpq AS (SELECT t.doc_id,
+        |    CAST(FLOOR(ln(CAST(c.cnt AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp_q
+        |  FROM tok t JOIN cnt c USING (tok) CROSS JOIN tot),
+        |sc AS (SELECT l.doc_id, d.lang,
+        |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logprob
+        |  FROM lpq l JOIN documents d USING (doc_id) GROUP BY l.doc_id, d.lang),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY mean_logprob, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n FROM sc),
+        |thr AS (SELECT lang,
+        |    MIN(CASE WHEN rn = (n + 2) // 3 THEN mean_logprob END) AS t1,
+        |    MIN(CASE WHEN rn = (2 * n + 2) // 3 THEN mean_logprob END) AS t2
+        |  FROM rk WHERE rn = (n + 2) // 3 OR rn = (2 * n + 2) // 3
+        |  GROUP BY lang),
+        |b AS (SELECT s.lang,
+        |    CASE WHEN mean_logprob <= t1 THEN 'tail'
+        |         WHEN mean_logprob <= t2 THEN 'middle'
+        |         ELSE 'head' END AS bucket
+        |  FROM sc s JOIN thr USING (lang))
+        |SELECT lang, bucket, COUNT(*) AS n FROM b
+        |GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     "ck1_chunk_tokens" ->
       s"""SELECT doc_id, chunk_id, chunk_text, chunk_tokens

@@ -1,0 +1,76 @@
+package graft.quality
+
+import graft.functions.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+  * arXiv:1911.00359): score every document with a language-model
+  * signal, split each language's score distribution into terciles, and
+  * tag documents head / middle / tail — the standard quality
+  * stratification that downstream mixing samples from at different
+  * rates. The LM here is the corpus-trained unigram model
+  * ([[TextAnalysis.unigramLogProb]]; CCNet trains on Wikipedia — the
+  * bucketing machinery is identical, swap the scorer).
+  *
+  * Scale shape: the APPROX path (default) computes both tercile
+  * thresholds per language with one partial-combining
+  * `percentile_approx` aggregation — no per-language window, so a
+  * dominant language never funnels into one partition — then
+  * broadcasts the tiny (languages × 2) threshold table back for a
+  * map-side bucket tag. The EXACT path ranks within language (one
+  * window whose per-language partition holds that language's corpus —
+  * the a19/N9 exactness-gate trade) and picks ranks ceil(n/3),
+  * ceil(2n/3); it exists to oracle the machinery, and its thresholds
+  * are discrete order statistics both engines reproduce bit-for-bit.
+  */
+object Perplexity {
+
+  /** (id, lang, n_tokens, mean_logprob, bucket) — bucket ∈
+    * head/middle/tail by per-language tercile of the LM score
+    * (head = most fluent). Ties sit in the lower bucket on both
+    * engines (`<=` against a member value).
+    */
+  def buckets(df: DataFrame, idCol: String, textCol: String,
+              langCol: String, exact: Boolean = false): DataFrame = {
+    val scores = TextAnalysis.unigramLogProb(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val thr = if (exact) exactTerciles(scores, idCol, langCol)
+              else approxTerciles(scores, langCol)
+    scores.join(broadcast(thr), Seq(langCol))
+      .withColumn("bucket",
+        when(col("mean_logprob") <= col("t1"), lit("tail"))
+          .when(col("mean_logprob") <= col("t2"), lit("middle"))
+          .otherwise(lit("head")))
+      .drop("t1", "t2")
+  }
+
+  /** One agg, map-side combinable, no window — the 100 TB path. */
+  private def approxTerciles(scores: DataFrame, langCol: String): DataFrame =
+    scores.groupBy(col(langCol))
+      .agg(percentile_approx(col("mean_logprob"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("t"))
+      .select(col(langCol), col("t")(0).as("t1"), col("t")(1).as("t2"))
+
+  /** Discrete order statistics at ranks ceil(n/3), ceil(2n/3) — the
+    * groupQuartiles rank spelling, integer arithmetic on both engines.
+    */
+  private def exactTerciles(scores: DataFrame, idCol: String,
+                            langCol: String): DataFrame = {
+    val ranked = Window.partitionBy(col(langCol))
+      .orderBy(col("mean_logprob"), col(idCol))
+    val whole = Window.partitionBy(col(langCol))
+    scores
+      .withColumn("__rn", row_number().over(ranked))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .filter(col("__rn") === expr("(__n + 2) div 3") ||
+        col("__rn") === expr("(2 * __n + 2) div 3"))
+      .groupBy(col(langCol))
+      .agg(
+        min(when(col("__rn") === expr("(__n + 2) div 3"),
+          col("mean_logprob"))).as("t1"),
+        min(when(col("__rn") === expr("(2 * __n + 2) div 3"),
+          col("mean_logprob"))).as("t2"))
+  }
+}
