@@ -54,6 +54,9 @@ object Bench {
       "ewma_fold" -> (() => Pipelines.ewmaFold(spark, sfDir)),
       "funnel_stages" -> (() => Pipelines.funnelStages(spark, sfDir)),
       "fuzzy_pairs" -> (() => Pipelines.fuzzyPairs(spark, sfDir)),
+      "dsir_select" -> (() => Pipelines.dsirSelect(spark, sfDir)),
+      "semdedup" -> (() => Pipelines.semDedup(spark, sfDir)),
+      "ppl_buckets" -> (() => Pipelines.pplBuckets(spark, sfDir)),
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
       "boilerplate_strip" -> (() => Pipelines.boilerplateStrip(spark, sfDir)),
       "dup_span_strip" -> (() => Pipelines.dupSpanStrip(spark, sfDir)),

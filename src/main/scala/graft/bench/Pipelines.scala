@@ -289,6 +289,33 @@ object Pipelines {
       rightCols = Seq("click_id", "click_value"))
   }
 
+  /** DSIR end-to-end: hashed-bucket models for target (English slice)
+    * and raw corpora, per-doc importance weights, Gumbel-top-1000
+    * selection.
+    */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val w = graft.selection.Dsir.importanceWeights(
+      d.select(col("doc_id"), col("text")),
+      d.filter(col("lang") === "en").select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    graft.selection.Dsir.gumbelTopK(w, "doc_id", k = 1000, seed = "bench")
+  }
+
+  /** SemDeDup end-to-end over the raw embeddings (16 deterministic
+    * cells; at sf0.1 every cell exceeds the default cap, so this
+    * measures the star regime — the 100 TB shape).
+    */
+  def semDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(spark, sfDir), "vec_id",
+      "embedding", threshold = 0.9, nCentroids = 16)
+      .filter(col("keep"))
+
+  /** CCNet perplexity bucketing, approx-threshold scale path. */
+  def pplBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    graft.quality.Perplexity.buckets(
+      Tables.documents(spark, sfDir), "doc_id", "text", "lang")
+
   /** Blocked edit-distance matching: quadratic Levenshtein stage
     * confined to nation blocks (codegen'd built-in, equi-join shuffle).
     */

@@ -87,30 +87,39 @@ object Dsir {
     * per-feature terms (the key [[gumbelTopK]] builds on), `logw` its
     * double reading.
     *
-    * Both models and both totals ride in as broadcasts (bounded by
-    * `buckets` / one row); the raw-side count join can never miss, the
-    * target-side left-join coalesces to the smoothed zero.
+    * Scan accounting (what matters at 100 TB): the RAW corpus streams
+    * exactly twice — once into its count model, once through scoring —
+    * because the raw total rides the model itself (one global window
+    * over the ≤ `buckets`-row aggregate; Packing's bounded-single-
+    * partition contract, not a corpus window). The TARGET corpus is
+    * small by assumption (it's the curated reference) and feeds its
+    * count model and its one-row total independently. A dense-model
+    * variant that also folded the target total into a `buckets`-row
+    * broadcast measured 2.2× SLOWER end-to-end at sf0.1 (the extra
+    * build stages cost more than the concurrent tiny scans they
+    * saved), so the sparse left-join + one-row cross join stays.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame,
                         idCol: String, textCol: String,
                         buckets: Int = DefaultBuckets): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val fRaw = hashedFeatures(raw, idCol, textCol, buckets)
     val fTgt = hashedFeatures(target, idCol, textCol, buckets)
     val cRaw = bucketCounts(fRaw)
+      .withColumn("t_raw", sum(col("cnt")).over(w))
+      .select(col("bucket"), col("cnt").as("c_raw"), col("t_raw"))
     val cTgt = bucketCounts(fTgt)
-    val totals = cRaw.agg(sum(col("cnt")).as("t_raw"))
-      .crossJoin(cTgt.agg(sum(col("cnt")).as("t_tgt")))
+    val tTgt = cTgt.agg(sum(col("cnt")).as("t_tgt"))
     val term = quantize(
       log((coalesce(col("c_tgt"), lit(0L)) + 1).cast("double") /
         (col("t_tgt") + buckets).cast("double")) -
-      log((coalesce(col("c_raw"), lit(0L)) + 1).cast("double") /
+      log((col("c_raw") + 1).cast("double") /
         (col("t_raw") + buckets).cast("double")))
     fRaw
       .join(broadcast(cTgt.select(col("bucket"), col("cnt").as("c_tgt"))),
         Seq("bucket"), "left")
-      .join(broadcast(cRaw.select(col("bucket"), col("cnt").as("c_raw"))),
-        Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+      .join(broadcast(cRaw), Seq("bucket"))
+      .crossJoin(broadcast(tTgt))
       .select(col(idCol), term.as("lp_q"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("lp_q")).as("logw_q"),
