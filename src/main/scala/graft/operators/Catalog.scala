@@ -340,6 +340,18 @@ object Catalog {
         Seq("l_returnflag"), "l_extendedprice")
         .orderBy(col("l_returnflag"))),
 
+    // K2 — salted equi-join (skew path); must equal the plain join
+    // exactly, pair for pair
+    "k2_salted_join" -> ((spark, dir) =>
+      Skew.saltedJoin(
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_quantity")),
+        Tables.part(spark, dir)
+          .select(col("p_partkey").as("l_partkey"), col("p_name")),
+        Seq("l_partkey"), salts = 8)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // E4 — session windows (gap-based) per user; oracle derives the
     // same sessions independently via lag + running sum, so Spark's
     // native session_window semantics (end = last event + gap) are
@@ -1199,6 +1211,12 @@ object Catalog {
       s"""SELECT l_returnflag, COUNT(*) AS cnt,
          |  ${sqlDsum("l_extendedprice")} AS sum_l_extendedprice
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the salt is an execution detail — semantics are the plain join
+    "k2_salted_join" ->
+      """SELECT l_partkey, l_orderkey, l_linenumber, l_quantity, p_name
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // exact sample membership is engine-specific RNG; the flags state
     // the seeded-sample contract DuckDB asserts (a10-style flag gate)

@@ -303,6 +303,34 @@ object CurationCatalog {
         "quality" -> (TextAnalysis.qualityScore(col("text")) >= 0.45),
         "english" -> (TextAnalysis.langId(col("text")) === "en")))
         .orderBy(col("stage_id"))
+    }),
+
+    // within-doc line dedup: every doc gets its first-4-token line
+    // planted as both header and footer; the dedup keeps the header
+    // occurrence only (same construction both engines)
+    "bl3_intradoc_dedup" -> ((spark, dir) => {
+      val lineA = substring_index(col("text"), " ", 4)
+      val built = docs(spark, dir).select(col("doc_id"),
+        concat(lineA, lit("\n"), col("text"), lit("\n"), lineA).as("text"))
+      Boilerplate.dedupLinesWithinDoc(built, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // bloom-prefiltered dedup against a historical fingerprint store
+    // (planted overlap: every 3rd doc is "in history", e11's fixture).
+    // Bloom negatives bypass the anti-join map-side; positives are
+    // exactly rechecked, so the result is byte-identical to the plain
+    // NOT IN spelling the oracle runs.
+    "bf1_bloom_dedup" -> ((spark, dir) => {
+      import graft.functions.TextAnalysis
+      val fp = TextAnalysis.normalizedFingerprint(col("text"))
+      val store = docs(spark, dir).filter(col("doc_id") % 3 === 0)
+        .select(fp.as("fp"))
+      Bloom.antiJoinWithBloom(
+        docs(spark, dir).withColumn("fp", fp), "fp",
+        store, "fp", expectedItems = 1 << 14, fpp = 0.01)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -513,7 +541,33 @@ object CurationCatalog {
          |  FROM tp LEFT JOIN mask ON tp.doc_id = mask.doc_id AND tp.pos = mask.pos
          |  WHERE mask.pos IS NULL)
          |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
-         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // first-occurrence-per-line via min(ord) + ord-ordered reassembly
+    "bl3_intradoc_dedup" -> {
+      val lineA = "array_to_string(string_split(text, ' ')[1:4], ' ')"
+      s"""WITH built AS (SELECT doc_id,
+         |    $lineA || chr(10) || text || chr(10) || $lineA AS text
+         |  FROM documents),
+         |lns AS (SELECT doc_id, t[i] AS line, i AS ord
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS t FROM built) s
+         |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+         |firsts AS (SELECT doc_id, line, MIN(ord) AS ord
+         |  FROM lns GROUP BY doc_id, line)
+         |SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+         |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    // the bloom pre-filter is an execution detail — the semantics (and
+    // the oracle) are the plain anti-join, e11's spelling
+    "bf1_bloom_dedup" -> {
+      val fp = graft.functions.TextAnalysis.Sql.normalizedFingerprint("text")
+      s"""WITH store AS (SELECT DISTINCT $fp AS fp
+         |  FROM documents WHERE doc_id % 3 = 0)
+         |SELECT doc_id, text FROM documents
+         |WHERE $fp NOT IN (SELECT fp FROM store)
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** Shared CTE chain: positioned grams → distinct-doc census →

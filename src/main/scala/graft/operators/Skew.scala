@@ -42,4 +42,39 @@ object Skew {
       .agg(sum(col("__cnt")).as("cnt"),
         sum(col("__sum")).cast("double").as(s"sum_$sumCol"))
   }
+
+  /** Salted equi-join: byte-identical to `fact.join(dim, keys,
+    * joinType)` for any salt count, with the fact side's hot keys
+    * spread over `salts` reducers.
+    *
+    * When to reach for it (AQE's skew-join split covers the common
+    * case at runtime): AQE can only split a skewed SORT-MERGE partition
+    * whose rows it can re-route; it cannot help when the hot key's
+    * rows must still meet ONE reducer's sort buffer first at the
+    * memory cliff, and it does nothing for joins it already planned
+    * differently. Static salting moves the decision to plan time:
+    * every fact row takes a deterministic row-hash salt, every dim row
+    * is replicated once per salt value, and the join key becomes
+    * (keys, salt) — the hot key's rows land on `salts` distinct
+    * reducers by construction. Price: the dim side ships `salts`×
+    * (explode before the exchange), so this fits the mid-size dim that
+    * is too big to broadcast but cheap to replicate — exactly the gap
+    * between broadcast joins and AQE-rescued sort-merge.
+    *
+    * Fact-preserving join types only (`inner`, `left`): a right/full
+    * join would see the dim replicas as `salts` unmatched copies.
+    * Same retry-safe salt discipline as [[saltedCountSum]]: the salt
+    * is a function of the row, never `rand()`.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, s"salts=$salts must be >= 1")
+    require(Set("inner", "left", "left_outer")(joinType),
+      s"joinType=$joinType is not fact-preserving; use inner/left")
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+    val saltedDim = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedFact.join(saltedDim, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -75,4 +75,30 @@ object Boilerplate {
           s => s(lineCol)),
         "\n").as("text"))
   }
+
+  /** WITHIN-document line dedup: each document keeps the first
+    * occurrence of every line, in original order — the intra-doc
+    * sibling of [[stripFrequentLines]] (which removes lines frequent
+    * ACROSS documents). Targets scraped pages that repeat their own
+    * header/nav/footer blocks several times in one document.
+    *
+    * Scale shape: a compiled per-row pass over the text — zero
+    * shuffles, no census, no join; the whole operator is map-side.
+    * Typed `map`, not an `array_distinct`-over-`split` HOF chain:
+    * `array_distinct` does preserve first-occurrence order but the
+    * HOF pipeline runs interpreted per row (see shingleSets's measured
+    * 10× note), while this is one compiled LinkedHashSet pass.
+    */
+  def dedupLinesWithinDoc(df: DataFrame, docCol: String,
+                          textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(docCol).cast("long"), col(textCol)).as[(Long, String)]
+      .map { case (id, text) =>
+        val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+        text.split("\n", -1).foreach(seen.add)
+        (id, seen.mkString("\n"))
+      }
+      .toDF(docCol, textCol)
+  }
 }

@@ -60,4 +60,22 @@ class BoilerplateSpec extends graft.SparkSpec {
       s"expected broadcast anti-join in:\n$plan")
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("within-doc dedup keeps first occurrences in order, map-side only") {
+    val docs = Seq(
+      (1L, "nav menu\nreal prose here\nnav menu\nmore prose\nreal prose here"),
+      (2L, "only line"),
+      (3L, "a\na\na"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Boilerplate.dedupLinesWithinDoc(docs, "doc_id", "text")
+    val got = out.orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "nav menu\nreal prose here\nmore prose"),
+      (2L, "only line"),
+      (3L, "a"),
+      (4L, "")))
+    // zero shuffles: no Exchange anywhere in the executed plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
