@@ -14,21 +14,31 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // full engine extensions (UnionFilterToIsin, TopOneWindowToArgmax,
+      // TopKWindowToAggregate, SQL functions): every oracle gate then
+      // continuously proves the rewrites are semantics-preserving
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // run every query under the engine's optimizer extension: all 70
-    // oracles then continuously gate the rewrite's semantics-preservation
-    spark.experimental.extraOptimizations = Seq(graft.plans.UnionFilterToIsin)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
+    // crash-visible protocol: a query that throws must leave a durable
+    // artifact (<name>._error + errors.json) and a loud end-of-run
+    // MISSING line — a silent stderr note once hid 17 broken queries
+    // behind a cleaner-looking record.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val selectedQueries = SparkEntry.queries.filter(e => selected(e._1))
+    selectedQueries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name FAILED: $msg")
+        Files.writeString(Paths.get(s"$outDir/$name._error"), msg + "\n")
       }
       // pipelines cache small intermediates (band tables etc.); release
       // them between queries so 60 runs don't accumulate dead blocks
@@ -49,6 +59,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    // end-of-run audit: written result dirs must cover every selected
+    // query — any gap is shouted, never silently omitted from the record
+    val written = selectedQueries.keySet.filter(n =>
+      Files.isDirectory(Paths.get(s"$outDir/$n")))
+    val missing = selectedQueries.keySet -- written
+    if (missing.nonEmpty) {
+      System.err.println(s"[verify] MISSING ${missing.size} of " +
+        s"${selectedQueries.size}: ${missing.toSeq.sorted.mkString(", ")}")
+      println(s"[verify] MISSING ${missing.size} of ${selectedQueries.size}")
+    } else
+      println(s"[verify] complete: ${selectedQueries.size} of ${selectedQueries.size} written")
     spark.stop()
   }
 }

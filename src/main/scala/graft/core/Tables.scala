@@ -23,36 +23,40 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to map to TimestampType. Read nanos as long (legacy conf)
-    * and truncate to microsecond timestamps — exact integer division,
-    * deterministic, and matches DuckDB's value at any sub-second
-    * granularity coarser than ns.
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations: TIMESTAMP(MICROS) (current — arrives as TIMESTAMP_NTZ
+    * under Spark's default `inferTimestampNTZ`) and TIMESTAMP(NANOS)
+    * (legacy — arrives as raw long nanos under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, since Spark 4 refuses
+    * to map NANOS to TimestampType). Dispatch on the LOADED type, not an
+    * assumed fixture era, and normalize to session-TZ TimestampType
+    * either way so every downstream consumer (windows, watermarks,
+    * unix_micros, the DuckDB oracle) sees one type.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    requireNanosConf(spark)
-    val raw = load(spark, sfDir, "events")
-    // `div` = exact integer division on longs (a double round-trip would
-    // lose precision above 2^53 ns).
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(load(spark, sfDir, "events"))
+
+  /** Normalize a `ts` column to TimestampType regardless of how the
+    * parquet encoding materialized it (see [[events]]). Sessions run
+    * UTC, so the NTZ→LTZ cast is value-preserving.
+    */
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case TimestampType => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      // true NANOS file read under the legacy conf: truncate to micros.
+      // `div` = exact integer division on longs (a double round-trip
+      // would lose precision above 2^53 ns).
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => sys.error(
+        s"events.ts arrived as unsupported type $other — expected " +
+          "TIMESTAMP(MICROS), TIMESTAMP_NTZ, or NANOS-as-long")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
-
-  /** The nanos conf must be a session-BUILD setting (`Sessions.local` and
-    * the three mains set it), not mutated here: a reader that rewrites
-    * session conf behind the caller's back also silently re-types every
-    * other NANOS parquet scan in the session, and derived sessions
-    * (`SparkSession.newSession`) inherit builder configs but not runtime
-    * mutations — streaming's state-sized sessions rely on that.
-    */
-  private[graft] def requireNanosConf(spark: SparkSession): Unit =
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet stores TIMESTAMP(NANOS): build the session with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (graft.core.Sessions.local does)")
 }
 
 /** SparkSession factory with the engine's scale-aware defaults:
@@ -72,8 +76,9 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_warehouse")
       .config("spark.sql.shuffle.partitions", cores.toString)
-      // events.ts is parquet TIMESTAMP(NANOS); set at build so derived
-      // sessions (newSession) inherit it — see Tables.requireNanosConf
+      // legacy-era events fixtures stored TIMESTAMP(NANOS); keeping the
+      // conf lets Tables.normalizeTs read such files as long and
+      // dispatch (harmless for MICROS files, which ignore it)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

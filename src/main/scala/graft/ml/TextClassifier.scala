@@ -73,12 +73,37 @@ object TextClassifier {
       .setMaxIter(maxIter).setRegParam(regParam)
       .fit(labeled.repartition(1).sortWithinPartitions(col(idCol)))
 
-  /** Map-side corpus scoring: adds `probability`/`prediction` to the
-    * vectors frame. The model is a `buckets`-sized coefficient vector
-    * in the task closure — no join, no shuffle.
+  /** Map-side corpus scoring: adds `probability` (P(label=1)) and
+    * `prediction` to the vectors frame. ONLY the `buckets`-sized
+    * coefficient array, the intercept, and the threshold ride in the
+    * task closure — `model.transform` would serialize the model object
+    * itself, whose training summary holds the fitting DataFrame and so
+    * drags the (non-serializable) session into the closure.
+    *
+    * Numerics match `model.transform` bit-for-bit on the sparse vectors
+    * [[hashedVectors]] emits: margin = ascending-index dot (BLAS sparse
+    * order) + intercept, probability = sigmoid, predict at
+    * `model.getThreshold`.
     */
-  def score(model: LogisticRegressionModel, vectors: DataFrame): DataFrame =
-    model.transform(vectors)
+  def score(model: LogisticRegressionModel, vectors: DataFrame): DataFrame = {
+    require(model.numClasses == 2, "binary models only")
+    val coef = model.coefficients.toArray
+    val intercept = model.intercept
+    val threshold = model.getThreshold
+    val idx = vectors.schema.fieldIndex("features")
+    val outSchema = vectors.schema
+      .add("probability", org.apache.spark.sql.types.DoubleType)
+      .add("prediction", org.apache.spark.sql.types.DoubleType)
+    vectors.map { row =>
+      val f = row.getAs[org.apache.spark.ml.linalg.Vector](idx)
+      var m = 0.0
+      f.foreachActive((i, v) => m += coef(i) * v)
+      m += intercept
+      val p = 1.0 / (1.0 + math.exp(-m))
+      val pred = if (p > threshold) 1.0 else 0.0
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ p :+ pred)
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 
   /** Distributed confusion census over a scored frame (label,
     * prediction as doubles): 4 rows out of any corpus size.

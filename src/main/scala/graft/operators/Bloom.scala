@@ -65,8 +65,27 @@ object Bloom {
     val hashed = ColumnBridge.toExpr(xxhash64(key))
     val agg = new BloomFilterAggregate(hashed, Literal(expectedItems),
       Literal(numBits)).toAggregateExpression()
-    Option(store.select(ColumnBridge.toColumn(agg).as("bf"))
+    // BloomFilterAggregate Math.min's the requested numItems/numBits
+    // against the RUNTIME-join bloom confs (defaults: 4M items, 8 MB) —
+    // sized for injected join filters, not a 10⁸–10⁹-key store. Without
+    // lifting them the build silently clamps, fpp degrades toward 1,
+    // and the prefilter stops pruning (still correct, uselessly). Raise
+    // them for the build only and restore, so injected join filters in
+    // the caller's session keep their intended bounds.
+    val spark = store.sparkSession
+    val liftedConfs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = liftedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    liftedConfs.foreach { case (k, v) =>
+      if (spark.conf.getOption(k).forall(_.toLong < v)) spark.conf.set(k, v.toString)
+    }
+    try Option(store.select(ColumnBridge.toColumn(agg).as("bf"))
       .head.getAs[Array[Byte]](0))
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** Codegen'd map-side probe: true iff `key` MIGHT be in the filter

@@ -32,6 +32,8 @@ object Skew {
     */
   def saltedCountSum(df: DataFrame, keys: Seq[String], sumCol: String,
                      salts: Int = 16): DataFrame = {
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column; rename it before saltedCountSum")
     val salted = df.withColumn("__salt",
       pmod(xxhash64(df.columns.map(col): _*), lit(salts.toLong)))
     val partial = salted
@@ -71,6 +73,10 @@ object Skew {
     require(salts >= 1, s"salts=$salts must be >= 1")
     require(Set("inner", "left", "left_outer")(joinType),
       s"joinType=$joinType is not fact-preserving; use inner/left")
+    // withColumn would silently REPLACE a caller's __salt column and
+    // then drop it — corrupting parity with the plain join
+    require(!(fact.columns ++ dim.columns).contains("__salt"),
+      "input already has a __salt column; rename it before saltedJoin")
     val saltedFact = fact.withColumn("__salt",
       pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)).cast("int"))
     val saltedDim = dim.withColumn("__salt",

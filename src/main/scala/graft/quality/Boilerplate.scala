@@ -91,14 +91,21 @@ object Boilerplate {
     */
   def dedupLinesWithinDoc(df: DataFrame, docCol: String,
                           textCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col(docCol).cast("long"), col(textCol)).as[(Long, String)]
-      .map { case (id, text) =>
+    // row-encoded map: every column (docCol included, whatever its
+    // type) passes through untouched — an earlier cast-to-long version
+    // silently nulled non-numeric ids and dropped the other columns
+    require(df.columns.contains(docCol), s"missing id column $docCol")
+    val idx = df.schema.fieldIndex(textCol)
+    require(df.schema(idx).dataType ==
+      org.apache.spark.sql.types.StringType, s"$textCol must be string")
+    df.map { row =>
+      val out = row.toSeq.toArray
+      if (!row.isNullAt(idx)) {
         val seen = scala.collection.mutable.LinkedHashSet.empty[String]
-        text.split("\n", -1).foreach(seen.add)
-        (id, seen.mkString("\n"))
+        row.getString(idx).split("\n", -1).foreach(seen.add)
+        out(idx) = seen.mkString("\n")
       }
-      .toDF(docCol, textCol)
+      org.apache.spark.sql.Row.fromSeq(out.toIndexedSeq)
+    }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 }

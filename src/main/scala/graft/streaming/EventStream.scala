@@ -20,23 +20,27 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema as stored (ts is TIMESTAMP(NANOS) → read as
-    * long under the legacy conf, converted after read).
+  /** events schema of the LEGACY fixture era, where ts was parquet
+    * TIMESTAMP(NANOS) and had to be read as raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (current fixtures
+    * store TIMESTAMP(MICROS); [[read]] dispatches on the actual files).
+    * Kept for tests that synthesize nanos-encoded inputs.
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over a directory of events parquet. The nanos
-    * conf is a session-build requirement (see
-    * [[graft.core.Tables.requireNanosConf]]) — a reader must not mutate
-    * the caller's session.
+  /** File-source stream over a directory of events parquet. Streaming
+    * sources need an explicit schema; take it from the files already in
+    * the directory (one batch footer read at plan time) so the `ts`
+    * encoding dispatch in [[graft.core.Tables.normalizeTs]] tracks
+    * whatever fixture era is on disk — MICROS (current), or legacy
+    * NANOS-as-long under the legacy conf.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    graft.core.Tables.requireNanosConf(spark)
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk = spark.read.parquet(dir).schema
+    graft.core.Tables.normalizeTs(spark.readStream.schema(onDisk).parquet(dir))
   }
 
   /** Derived session whose `spark.sql.shuffle.partitions` is sized for

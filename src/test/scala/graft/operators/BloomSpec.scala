@@ -63,7 +63,8 @@ class BloomSpec extends graft.SparkSpec {
     assert(plan.contains("might_contain"), plan.take(500))
     assert(!plan.contains("Join"), plan.take(500))
     // and the probe stays inside whole-stage codegen (the `*(n)` span
-    // marker in the executed plan's compact rendering)
-    assert(plan.contains("*(1) Filter"), plan.take(500))
+    // marker in the executed plan's compact rendering); the stage
+    // NUMBER is an implementation detail — match any
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(plan).isDefined, plan.take(500))
   }
 }

@@ -56,6 +56,26 @@ def _from_tail(tail):
                    if isinstance(v, dict) and "min" in v}
         if queries:
             return queries, spread
+    # truncation can cut the line INSIDE the spread map (the round-6
+    # artifact lost everything through the first entry's name, including
+    # the "spread" key itself): scrape the per-entry spread objects —
+    # self-delimiting, so every entry whose NAME survived is recovered
+    ent = re.findall(
+        r'"([a-z0-9_]+)"\s*:\s*\{\s*"min"\s*:\s*(-?[0-9.eE+]+)\s*,'
+        r'\s*"med"\s*:\s*(-?[0-9.eE+]+)\s*,\s*"max"\s*:\s*(-?[0-9.eE+]+)\s*\}',
+        tail)
+    if ent:
+        spread = {k: {"min": float(a), "med": float(b), "max": float(c)}
+                  for k, a, b, c in ent}
+        queries = {k: v["min"] for k, v in spread.items()}
+        # a failed entry's spread times are crash artifacts; restore the
+        # -1 sentinel the full "queries" map would have carried
+        mf = re.search(r'"failed"\s*:\s*\[([^\]]*)\]', tail)
+        if mf:
+            for name in re.findall(r'"([a-z0-9_]+)"', mf.group(1)):
+                if name in queries:
+                    queries[name] = -1.0
+        return queries, spread
     # pre-spread shape: scrape scalar "name":number pairs
     queries = {k: float(v) for k, v in
                re.findall(r'"([a-z0-9_]+)"\s*:\s*(-?[0-9.]+)', tail)
