@@ -165,6 +165,26 @@ object CurationCatalog {
         graft.quality.Urls.normalize(col("url")).as("norm_url"))
         .orderBy(col("doc_id"))),
 
+    // CU3 — public-suffix-list registrable domains: hosts synthesized
+    // across generic TLDs, 2-label suffixes (co.uk / com.br), and a
+    // 3-label suffix (wa.edu.au), with and without subdomains; the
+    // tiered longest-suffix expression must keep 2/3/4 labels
+    // respectively. Map-side only (InSet literals, no join).
+    "cu3_registrable_domain" -> ((spark, dir) => {
+      val host = lower(concat(
+        when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+        col("source"),
+        when(col("doc_id") % 5 === 0, lit(".co.uk"))
+          .when(col("doc_id") % 5 === 1, lit(".com"))
+          .when(col("doc_id") % 5 === 2, lit(".wa.edu.au"))
+          .when(col("doc_id") % 5 === 3, lit(".org"))
+          .otherwise(lit(".com.br"))))
+      Tables.documents(spark, dir).select(
+        col("doc_id"), host.as("host"),
+        graft.quality.PublicSuffix.registrableFromHost(host).as("domain"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-domain volume cap: top-10 docs per registrable domain by
     // (n_chars desc, doc_id) — one domain-keyed window, rank before
     // payload joins
@@ -350,6 +370,25 @@ object CurationCatalog {
         |  'https://' || host || port || '/p/' || CAST(doc_id AS VARCHAR)
         |    || '?' || q AS norm_url
         |FROM exp ORDER BY doc_id""".stripMargin,
+
+    "cu3_registrable_domain" -> {
+      val in2 = graft.quality.PublicSuffix.Default2.map(s => s"'$s'").mkString(",")
+      val in3 = graft.quality.PublicSuffix.Default3.map(s => s"'$s'").mkString(",")
+      val l2 = """regexp_extract(host, '([^.]+\.[^.]+)$', 1)"""
+      val l3 = """regexp_extract(host, '((?:[^.]+\.){2}[^.]+)$', 1)"""
+      val l4 = """regexp_extract(host, '((?:[^.]+\.){3}[^.]+)$', 1)"""
+      s"""WITH h AS (SELECT doc_id, lower(
+         |  (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || source ||
+         |  (CASE doc_id % 5 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+         |   WHEN 2 THEN '.wa.edu.au' WHEN 3 THEN '.org'
+         |   ELSE '.com.br' END)) AS host
+         |FROM documents)
+         |SELECT doc_id, host,
+         |  CASE WHEN $l3 IN ($in3) AND $l4 <> '' THEN $l4
+         |       WHEN $l2 IN ($in2) AND $l3 <> '' THEN $l3
+         |       ELSE $l2 END AS domain
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
 
     "cu2_domain_cap" ->
       s"""WITH u AS (SELECT doc_id, n_chars, source || '.org' AS domain

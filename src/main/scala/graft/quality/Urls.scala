@@ -23,12 +23,12 @@ object Urls {
 
   def host(url: Column): Column = lower(parse_url(url, lit("HOST")))
 
-  /** Registrable-domain approximation: the last two host labels.
-    * A faithful implementation consults the public-suffix list (so
-    * `foo.co.uk` keeps three labels); that table is a broadcast join
-    * against the suffix list in production — out of scope here, the
-    * two-label rule is the standard approximation and is exact for
-    * generic TLDs.
+  /** Registrable-domain approximation: the last two host labels —
+    * exact for generic TLDs, wrong for multi-label country suffixes
+    * (`foo.co.uk`). [[PublicSuffix.registrableDomain]] is the faithful
+    * variant (tiered longest-suffix match against the public-suffix
+    * list, embedded as map-side InSet literals); this stays the cheap
+    * default where the corpus is known generic-TLD.
     */
   def domain(url: Column): Column =
     regexp_extract(host(url), "([^.]+\\.[^.]+)$", 1)
