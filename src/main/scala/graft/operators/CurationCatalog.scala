@@ -240,6 +240,16 @@ object CurationCatalog {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))),
 
+    // SMP1 — Efraimidis–Spirakis weighted sample without replacement:
+    // 100 docs by n_chars weight, md5-uniform key (layout-invariant),
+    // rounded+tiebroken rank per the float-rank oracle rule
+    "smp1_weighted_topk" -> ((spark, dir) =>
+      Sampling.weightedTopK(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100, seed = "mix")
+        .orderBy(col("es_key").desc, col("doc_id"))),
+
     // deterministic shuffled export order (the Sinks.shuffledShards
     // order, gated as a query; the sink itself is range-sharded — the
     // global window here is the verify face only, see SinksSpec)
@@ -475,6 +485,17 @@ object CurationCatalog {
          |      < ($thrCase)
          |ORDER BY d.doc_id, epoch""".stripMargin
     },
+
+    // u = (60-bit md5 prefix + 0.5) / 2^60, key = round(ln(u)/w, 6):
+    // hex→int→double and the final rounding are cross-engine exact;
+    // ln's possible last-ulp skew is absorbed by the rounding+tiebreak
+    "smp1_weighted_topk" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::UBIGINT::DOUBLE + 0.5)
+        |           / 1152921504606846976.0) / n_chars, 6) AS es_key
+        |FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars, es_key FROM s
+        |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
 
     "sh1_shuffle_order" ->
       """SELECT doc_id,

@@ -73,6 +73,41 @@ object Sampling {
     * per-stratum passes, deterministic under repartitioning (pure
     * function of the row).
     */
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement: keep
+    * the `k` rows with the largest `u^(1/w)` — equivalently the
+    * largest `ln(u)/w` — where `u` is a uniform draw per row. The
+    * data-mixing primitive for "sample 10M docs proportional to
+    * quality weight" in ONE distributed pass, no per-stratum loops, no
+    * replacement bookkeeping.
+    *
+    * Determinism discipline (same as [[hashGate]]): `u` is md5-derived
+    * from (id, seed), not an RNG — the sample is a pure function of
+    * the data, invariant to partitioning, retries, and engine. The
+    * rank key is ROUNDED to 6 dp with the id as tiebreak (the
+    * float-rank oracle rule: ln may differ in the last ulp across
+    * libm implementations; at 6 dp the boundary probability is
+    * negligible and ties order identically both engines).
+    *
+    * Scale shape: the sort+limit plans as TakeOrderedAndProject — k
+    * rows per partition cross the wire, never the corpus. Rows with
+    * non-positive weight are excluded (zero weight = never sampled).
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                   seed: String = ""): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    // u = (h + 0.5) / 2^60 ∈ (0,1): h is the 60-bit md5 prefix; 2^60
+    // is exactly representable as a double, and decimal-string→double
+    // (Spark conv) and int→double (DuckDB) both round to the same
+    // nearest double, so u is bit-identical cross-engine
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("#" + seed))), 1, 15), 16, 10).cast("double")
+    val u = (h + 0.5) / 1152921504606846976.0
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol), 6))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
+
   def epochMix(df: DataFrame, keyCol: String, strataCol: String,
                weights: Map[String, Double],
                default: Double = 1.0): DataFrame = {

@@ -1,9 +1,10 @@
 package graft.operators
 
 import graft.core.Tables
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 
 class SamplingSpec extends graft.SparkSpec {
+  import spark.implicits._
 
   test("hash sample keeps ~fraction, is repartition-stable, and complements exactly") {
     val o = Tables.orders(spark, sf001)
@@ -105,5 +106,43 @@ class SamplingSpec extends graft.SparkSpec {
     assert(Sampling.epochMix(d.repartition(7), "doc_id", "source",
       Map("src0" -> 2.3, "src1" -> 0.5, "src2" -> 0.0), 1.0).count()
       == m.count())
+  }
+
+  test("weightedTopK: exact k, layout-invariant, non-positive weights excluded") {
+    val d = Tables.documents(spark, sf001).select(col("doc_id"), col("n_chars"))
+    val s1 = Sampling.weightedTopK(d, "doc_id", "n_chars", 50, "mix")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1.length == 50 && s1.distinct.length == 50)
+    val s2 = Sampling.weightedTopK(d.repartition(11), "doc_id", "n_chars",
+      50, "mix").select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s2, "sample must be a pure function of the data")
+    // zero/negative weights can never be drawn
+    val withBad = d.withColumn("n_chars",
+      when(col("doc_id") % 2 === 0, lit(-1L)).otherwise(col("n_chars")))
+    val odd = Sampling.weightedTopK(withBad, "doc_id", "n_chars", 50, "mix")
+      .select("doc_id").as[Long].collect()
+    assert(odd.forall(_ % 2 == 1))
+  }
+
+  test("weightedTopK: inclusion probability grows with weight") {
+    // planted skew: one heavy item (w=1000) among 500 light (w=1);
+    // across 40 seeds the heavy item must appear far more often than
+    // any light one would by chance (k=5 of 501)
+    val d = spark.range(0, 501).select(col("id").as("doc_id"),
+      when(col("id") === 0, 1000L).otherwise(1L).as("w"))
+    val hits = (0 until 40).count { s =>
+      Sampling.weightedTopK(d, "doc_id", "w", 5, s"seed$s")
+        .select("doc_id").as[Long].collect().contains(0L)
+    }
+    // P(include | w=1000 vs 500 light) ≈ 1; light-item rate ≈ 1%
+    assert(hits >= 35, s"heavy item sampled only $hits/40 times")
+  }
+
+  test("weightedTopK plans as TakeOrderedAndProject (k rows cross the wire)") {
+    val d = Tables.documents(spark, sf001).select(col("doc_id"), col("n_chars"))
+    val q = Sampling.weightedTopK(d, "doc_id", "n_chars", 10)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
   }
 }
