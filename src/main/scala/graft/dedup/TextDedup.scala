@@ -192,6 +192,29 @@ object TextDedup {
           (col("a_sz") + col("b_sz") - col("n_inter")).cast("double")).as("jacc"))
   }
 
+  /** Directional containment for candidate pairs: C(a→b) = |A∩B|/|A|
+    * and the reverse — the asymmetric sibling of [[jaccard]]. A short
+    * doc quoted wholesale inside a long one has containment ≈ 1 in one
+    * direction while Jaccard stays small (|A∪B| is dominated by the
+    * long doc), so a Jaccard threshold alone never catches
+    * quote/subsumption duplication. Same two-join shape and the same
+    * cross-engine-exact integer-ratio arithmetic as [[jaccard]].
+    */
+  def containment(pairs: DataFrame, shingles: DataFrame,
+                  idCol: String): DataFrame = {
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingles.withColumnRenamed(idCol, "a_id"), Seq("a_id"))
+      .join(shingles.withColumnRenamed(idCol, "b_id"), Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "a_id").withColumnRenamed("sz", "a_sz"), Seq("a_id"))
+      .join(sizes.withColumnRenamed(idCol, "b_id").withColumnRenamed("sz", "b_sz"), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (col("n_inter").cast("double") / col("a_sz").cast("double")).as("cont_a"),
+        (col("n_inter").cast("double") / col("b_sz").cast("double")).as("cont_b"))
+  }
+
   /** Corpus-level overlap estimation: one MinHash signature PER CORPUS
     * (min universal hash over the union of the corpus's shingles —
     * [[minhashSignatures]] grouped by the corpus tag instead of the doc

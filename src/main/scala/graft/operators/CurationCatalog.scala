@@ -250,6 +250,15 @@ object CurationCatalog {
         "doc_id", "n_chars", k = 100, seed = "mix")
         .orderBy(col("es_key").desc, col("doc_id"))),
 
+    // SMP2 — per-stratum weighted sample: 20 docs per language by
+    // n_chars weight, same deterministic key, stratum-windowed rank
+    "smp2_weighted_stratified" -> ((spark, dir) =>
+      Sampling.weightedTopKPerStratum(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", "n_chars", k = 20, seed = "mix")
+        .orderBy(col("lang"), col("es_key").desc, col("doc_id"))),
+
     // deterministic shuffled export order (the Sinks.shuffledShards
     // order, gated as a query; the sink itself is range-sharded — the
     // global window here is the verify face only, see SinksSpec)
@@ -496,6 +505,16 @@ object CurationCatalog {
         |FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, es_key FROM s
         |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    "smp2_weighted_stratified" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+        |  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::UBIGINT::DOUBLE + 0.5)
+        |           / 1152921504606846976.0) / n_chars, 6) AS es_key
+        |FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn FROM s)
+        |SELECT doc_id, lang, n_chars, es_key FROM r WHERE rn <= 20
+        |ORDER BY lang, es_key DESC, doc_id""".stripMargin,
 
     "sh1_shuffle_order" ->
       """SELECT doc_id,

@@ -108,6 +108,31 @@ object Sampling {
       .limit(k)
   }
 
+  /** Per-stratum Efraimidis–Spirakis: keep the `k` best weighted draws
+    * WITHIN each stratum ("20 docs per language by quality weight") —
+    * same deterministic key as [[weightedTopK]], ranked by a
+    * stratum-partitioned window instead of a global top-k. One
+    * hash-partitioned shuffle on the stratum key; stratum cardinality
+    * grows with the corpus so partitions stay balanced, and a
+    * megastratum's rows are exactly what the rank truncates.
+    */
+  def weightedTopKPerStratum(df: DataFrame, idCol: String,
+                             strataCol: String, weightCol: String, k: Int,
+                             seed: String = ""): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit("#" + seed))), 1, 15), 16, 10).cast("double")
+    val u = (h + 0.5) / 1152921504606846976.0
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("es_key").desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   def epochMix(df: DataFrame, keyCol: String, strataCol: String,
                weights: Map[String, Double],
                default: Double = 1.0): DataFrame = {

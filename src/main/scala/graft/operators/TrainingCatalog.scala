@@ -228,6 +228,18 @@ object TrainingCatalog {
       TextDedup.jaccard(pairs, sh, "doc_id").orderBy(col("a_id"), col("b_id"))
     }),
 
+    // X13 — directional containment on the LSH candidates: catches the
+    // short-doc-quoted-in-long-doc case a Jaccard threshold misses
+    "x13_containment" -> ((spark, dir) => {
+      val sh = TextDedup.shingleSets(docsWithVariants(spark, dir), "doc_id", "text")
+      val pairs = TextDedup.candidatePairs(
+        TextDedup.bandKeys(
+          TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
+        "doc_id")
+      TextDedup.containment(pairs, sh, "doc_id")
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // unigram LM quality signal: mean token log-probability per doc
     "t9_unigram_lm" -> ((spark, dir) =>
       TextAnalysis.unigramLogProb(docs(spark, dir), "doc_id", "text")
@@ -543,6 +555,22 @@ object TrainingCatalog {
          |  GROUP BY p.a_id, p.b_id)
          |SELECT i.a_id, i.b_id,
          |  CAST(i.n AS DOUBLE) / CAST(za.sz + zb.sz - i.n AS DOUBLE) AS jacc
+         |FROM inter i
+         |JOIN sz za ON za.doc_id = i.a_id
+         |JOIN sz zb ON zb.doc_id = i.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "x13_containment" ->
+      s"""WITH $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.a_id
+         |  JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY p.a_id, p.b_id)
+         |SELECT i.a_id, i.b_id,
+         |  CAST(i.n AS DOUBLE) / CAST(za.sz AS DOUBLE) AS cont_a,
+         |  CAST(i.n AS DOUBLE) / CAST(zb.sz AS DOUBLE) AS cont_b
          |FROM inter i
          |JOIN sz za ON za.doc_id = i.a_id
          |JOIN sz zb ON zb.doc_id = i.b_id

@@ -45,6 +45,23 @@ class TextDedupSpec extends SparkSpec {
     jacc.get((1L, 3L)).foreach(j => assert(j > 0.8 && j < 1.0))
   }
 
+  test("containment: a doc quoted inside a longer one scores 1.0 one-way") {
+    // doc 11 = doc 10's text + a long unique tail: C(10→11) = 1 while
+    // Jaccard stays low — the subsumption case Jaccard thresholds miss
+    val base = "the quick brown fox jumps over the lazy dog tonight"
+    val tail = (1 to 40).map(i => s"tail$i").mkString(" ")
+    val docs = Seq((10L, base), (11L, s"$base $tail")).toDF("doc_id", "text")
+    val sh = TextDedup.shingleSets(docs, "doc_id", "text")
+    val pairs = Seq((10L, 11L)).toDF("a_id", "b_id")
+    val c = TextDedup.containment(pairs, sh, "doc_id")
+      .as[(Long, Long, Double, Double)].head()
+    assert(c._3 == 1.0, s"short-in-long containment must be 1.0: $c")
+    assert(c._4 < 0.25, s"reverse containment must stay low: $c")
+    val j = TextDedup.jaccard(pairs, sh, "doc_id")
+      .as[(Long, Long, Double)].head()._3
+    assert(j < 0.25, s"jaccard misses the subsumption: $j")
+  }
+
   test("star cap: a planted 1000-copy cluster emits O(m) candidates, not O(m²)") {
     val text = "the quick brown fox jumps over the lazy dog tonight"
     val cluster = spark.range(1, 1001)

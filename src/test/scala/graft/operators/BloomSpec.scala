@@ -42,6 +42,25 @@ class BloomSpec extends graft.SparkSpec {
     assert(kept == (1L to 200L).toSet)
   }
 
+  test("a filter larger than the runtime-join conf caps actually gets built") {
+    // BloomFilterAggregate clamps numItems/numBits against the
+    // runtime-join bloom confs (4M items / 8 MB default); buildBytes
+    // must lift them for the build or a 10⁸-key store filter silently
+    // degrades. 10⁸ items at 1% fpp ⇒ ~9.6e8 bits ≈ 120 MB — well past
+    // the 8 MB clamp; the serialized blob proves which size was built.
+    val confKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val before = spark.conf.getOption(confKey)
+    val bf = Bloom.buildBytes(store, col("skey"),
+      expectedItems = 100L * 1000 * 1000).get
+    assert(bf.length > 100 * 1024 * 1024,
+      s"filter was clamped: ${bf.length} bytes")
+    // and the conf is back to its pre-build value (runtime-join
+    // filters in the session keep their intended bound)
+    assert(spark.conf.getOption(confKey) == before)
+    // no false negatives through the big filter
+    assert(store.filter(Bloom.mightContain(bf, col("skey"))).count() == 66L)
+  }
+
   test("size guard fails fast on an over-budget filter") {
     val e = intercept[IllegalArgumentException] {
       Bloom.buildBytes(store, col("skey"), expectedItems = 10L * 1000 * 1000 * 1000,

@@ -138,6 +138,26 @@ class SamplingSpec extends graft.SparkSpec {
     assert(hits >= 35, s"heavy item sampled only $hits/40 times")
   }
 
+  test("weightedTopKPerStratum: k per stratum, same key as the global draw") {
+    val d = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val s = Sampling.weightedTopKPerStratum(d, "doc_id", "lang", "n_chars",
+      5, "mix")
+    val perLang = s.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val langs = d.select("lang").distinct().as[String].collect()
+    assert(langs.forall(l => perLang(l) == 5L))
+    // stratum rank agrees with the global key: a stratum's members are
+    // its k best GLOBAL keys restricted to the stratum
+    val globalKeys = Sampling.weightedTopK(d, "doc_id", "n_chars",
+      d.count().toInt, "mix")
+      .select("doc_id", "lang", "es_key")
+      .as[(Long, String, Double)].collect()
+    val want = globalKeys.groupBy(_._2).flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(5).map(_._1).toSeq
+    }.toSet
+    assert(s.select("doc_id").as[Long].collect().toSet == want)
+  }
+
   test("weightedTopK plans as TakeOrderedAndProject (k rows cross the wire)") {
     val d = Tables.documents(spark, sf001).select(col("doc_id"), col("n_chars"))
     val q = Sampling.weightedTopK(d, "doc_id", "n_chars", 10)
