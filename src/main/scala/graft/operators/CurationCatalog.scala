@@ -415,7 +415,11 @@ object CurationCatalog {
          |r AS (SELECT *, ROW_NUMBER() OVER
          |    (PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS rn
          |  FROM u)
-         |SELECT domain, COUNT(*) AS kept, SUM(n_chars) AS kept_chars
+         |-- CAST: DuckDB SUM(BIGINT) yields HUGEINT (int128) — the only
+         |-- such output in the catalog, and the prime suspect for a
+         |-- driver-side-only hash mismatch (pandas renders int128 as
+         |-- object, not int64). BIGINT matches Spark's sum(long) exactly.
+         |SELECT domain, COUNT(*) AS kept, CAST(SUM(n_chars) AS BIGINT) AS kept_chars
          |FROM r WHERE rn <= $DomainCap
          |GROUP BY domain ORDER BY domain""".stripMargin,
 
