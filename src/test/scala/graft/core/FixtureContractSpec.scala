@@ -53,6 +53,42 @@ class FixtureContractSpec extends SparkSpec {
         diffs.mkString("\n"))
   }
 
+  /** Value-drift canary: (row count, order-invariant xxhash64 bit_xor)
+    * per table at sf0.01. Schema pinning above catches TYPE regens;
+    * this catches a VALUE regen (new seed, new generator) — which
+    * silently invalidates the frozen-VALUES oracle gates
+    * (`ml1_confusion`, `ml5_text_clf` golden cells). If THIS test
+    * fails and the schema test passes: re-freeze those golden cells
+    * against the new fixtures and update these constants.
+    */
+  private val valueCanary = Map(
+    "region" -> (5L, -3481749236230162207L),
+    "nation" -> (25L, 5388655099354214392L),
+    "customer" -> (1500L, 444616777978213876L),
+    "supplier" -> (100L, 3395166893464491746L),
+    "part" -> (2000L, 7794662097139650922L),
+    "orders" -> (15000L, -1818839239062128904L),
+    "lineitem" -> (60000L, 344258286308039897L),
+    "events" -> (10000L, -6801306131500995683L),
+    "documents" -> (500L, -2777317015277683973L),
+    "embeddings" -> (500L, -2359375503946816093L))
+
+  test("fixture VALUES are unchanged at sf0.01 (golden ml1/ml5 cells depend on them)") {
+    val diffs = Tables.names.flatMap { name =>
+      val df = Tables.load(spark, sf001, name)
+      val cols = df.columns.map(c => coalesce(col(c).cast("string"), lit(" ")))
+      val r = df.select(xxhash64(cols: _*).as("h"))
+        .select(count(lit(1)).as("n"), expr("bit_xor(h)").as("chk")).head
+      val got = (r.getLong(0), r.getLong(1))
+      if (got == valueCanary(name)) None
+      else Some(s"$name: expected ${valueCanary(name)}, got $got")
+    }
+    assert(diffs.isEmpty,
+      "FIXTURE VALUE DRIFT — testdata was regenerated with different " +
+        "values; re-freeze the golden VALUES oracles (ml1_confusion, " +
+        "ml5_text_clf) and update valueCanary:\n" + diffs.mkString("\n"))
+  }
+
   test("sf0.01 and sf0.1 events agree with sf0.001 on the ts encoding") {
     val base = Tables.load(spark, sf0001, "events").schema("ts").dataType
     for (dir <- Seq(sf001, "/root/testdata/sf0.1")) {
