@@ -250,6 +250,15 @@ object CurationCatalog {
         "doc_id", "n_chars", k = 100, seed = "mix")
         .orderBy(col("es_key").desc, col("doc_id"))),
 
+    // CU4 — blocklist gate: two blocked registrable domains plus a URL
+    // path/query pattern (tracking-campaign shape); oracle restates the
+    // expected survivors from the urlDocs construction arithmetic
+    "cu4_blocklist" -> ((spark, dir) =>
+      graft.quality.Urls.blocklistFilter(urlDocs(spark, dir), "url",
+        Seq("src1.org", "src3.org"), "(?i)utm_campaign")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // SMP2 — per-stratum weighted sample: 20 docs per language by
     // n_chars weight, same deterministic key, stratum-windowed rank
     "smp2_weighted_stratified" -> ((spark, dir) =>
@@ -509,6 +518,14 @@ object CurationCatalog {
         |FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, es_key FROM s
         |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
+
+    // survivors per the urlDocs construction: domain = source || '.org'
+    // (blocked: src1/src3) and only doc_id % 9 = 0 rows carry
+    // utm_campaign in the query string
+    "cu4_blocklist" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE source NOT IN ('src1', 'src3') AND doc_id % 9 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     "smp2_weighted_stratified" ->
       """WITH s AS (SELECT doc_id, lang, n_chars,

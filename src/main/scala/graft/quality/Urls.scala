@@ -70,6 +70,44 @@ object Urls {
       when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
+  /** Blocklist gate: keep rows whose registrable domain is NOT in
+    * `blockedDomains` and whose URL path+query does NOT match
+    * `blockedPattern` — the standard crawl-curation block stage
+    * (spam/adult/aggregator domains plus URL-shape heuristics).
+    *
+    * Scale shape: domain blocklists are fixed dimensions (10⁴–10⁶
+    * entries). Up to `maxInline` they ship as a hashed InSet literal in
+    * the plan (map-side, zero joins — the PublicSuffix discipline);
+    * larger lists become a broadcast LEFT ANTI join on the domain key,
+    * which still never shuffles the corpus. The pattern test is one
+    * codegen'd rlike on the scan.
+    */
+  def blocklistFilter(df: DataFrame, urlCol: String,
+                      blockedDomains: Seq[String],
+                      blockedPattern: String = "",
+                      maxInline: Int = 100000): DataFrame = {
+    val dom = PublicSuffix.registrableDomain(col(urlCol))
+    val pathOk =
+      if (blockedPattern.isEmpty) lit(true)
+      else !coalesce(
+        concat(coalesce(parse_url(col(urlCol), lit("PATH")), lit("")),
+          lit("?"), coalesce(parse_url(col(urlCol), lit("QUERY")), lit(""))),
+        lit("")).rlike(blockedPattern)
+    if (blockedDomains.isEmpty) df.filter(pathOk)
+    else if (blockedDomains.length <= maxInline)
+      df.filter(!dom.isin(blockedDomains: _*) && pathOk)
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val block = blockedDomains.toDF("__blocked_domain")
+      df.withColumn("__dom", dom)
+        .join(broadcast(block),
+          col("__dom") === col("__blocked_domain"), "left_anti")
+        .drop("__dom")
+        .filter(pathOk)
+    }
+  }
+
   /** Per-domain cap: keep at most `cap` rows per domain, preferring
     * high `scoreCol` with `idCol` as the deterministic tiebreak — the
     * standard anti-SEO-farm volume control. One hash-partitioned

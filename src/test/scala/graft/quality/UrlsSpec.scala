@@ -45,6 +45,27 @@ class UrlsSpec extends SparkSpec {
     assert(row == ("a.b.news.example.com", "example.com"))
   }
 
+  test("blocklistFilter: blocked domains and URL patterns drop, rest survive") {
+    val urls = Seq(
+      (1L, "https://news.example.com/a?id=1"),          // clean
+      (2L, "https://Sub.SPAM.co.uk/x"),                 // blocked domain (PSL)
+      (3L, "https://ok.org/p?utm_campaign=z&id=3"),     // blocked pattern
+      (4L, "https://spam.com/y"),                       // blocked domain
+      (5L, "https://fine.net/p?utm_source=feed")        // pattern near-miss
+    ).toDF("id", "url")
+    val block = Seq("spam.co.uk", "spam.com")
+    val inl = Urls.blocklistFilter(urls, "url", block, "(?i)utm_campaign")
+      .select($"id").as[Long].collect().toSet
+    assert(inl == Set(1L, 5L))
+    // over maxInline the same semantics run as a broadcast anti-join
+    val joined = Urls.blocklistFilter(urls, "url", block,
+      "(?i)utm_campaign", maxInline = 1)
+    assert(joined.select($"id").as[Long].collect().toSet == Set(1L, 5L))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(600))
+  }
+
   test("domainCap keeps top-k per domain with deterministic tiebreak") {
     val df = Seq(
       // domain d1: scores 5,5,3 with ids 2,1,3 — tie prefers lower id
