@@ -92,18 +92,27 @@ object Sampling {
     * rows per partition cross the wire, never the corpus. Rows with
     * non-positive weight are excluded (zero weight = never sampled).
     */
+  /** The Efraimidis–Spirakis rank key: round(ln(u)/w, 6) with
+    * u = (60-bit md5 prefix + 0.5) / 2^60 ∈ (0,1). 2^60 is exactly
+    * representable as a double, and decimal-string→double (Spark conv)
+    * and int→double (DuckDB) both round to the same nearest double, so
+    * u is bit-identical cross-engine; the rounding+id-tiebreak absorbs
+    * ln's possible last-ulp skew across libm implementations. Shared
+    * by the batch draws and the streaming face (stream ≡ batch because
+    * the key is a pure row function).
+    */
+  private[graft] def esKey(id: Column, weight: Column,
+                           seed: String): Column = {
+    val h = conv(substring(md5(concat(id.cast("string"),
+      lit("#" + seed))), 1, 15), 16, 10).cast("double")
+    round(log((h + 0.5) / 1152921504606846976.0) / weight, 6)
+  }
+
   def weightedTopK(df: DataFrame, idCol: String, weightCol: String, k: Int,
                    seed: String = ""): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    // u = (h + 0.5) / 2^60 ∈ (0,1): h is the 60-bit md5 prefix; 2^60
-    // is exactly representable as a double, and decimal-string→double
-    // (Spark conv) and int→double (DuckDB) both round to the same
-    // nearest double, so u is bit-identical cross-engine
-    val h = conv(substring(md5(concat(col(idCol).cast("string"),
-      lit("#" + seed))), 1, 15), 16, 10).cast("double")
-    val u = (h + 0.5) / 1152921504606846976.0
     df.filter(col(weightCol) > 0)
-      .withColumn("es_key", round(log(u) / col(weightCol), 6))
+      .withColumn("es_key", esKey(col(idCol), col(weightCol), seed))
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
   }
@@ -121,13 +130,10 @@ object Sampling {
                              seed: String = ""): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5(concat(col(idCol).cast("string"),
-      lit("#" + seed))), 1, 15), 16, 10).cast("double")
-    val u = (h + 0.5) / 1152921504606846976.0
     val w = Window.partitionBy(col(strataCol))
       .orderBy(col("es_key").desc, col(idCol))
     df.filter(col(weightCol) > 0)
-      .withColumn("es_key", round(log(u) / col(weightCol), 6))
+      .withColumn("es_key", esKey(col(idCol), col(weightCol), seed))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .drop("__rn")

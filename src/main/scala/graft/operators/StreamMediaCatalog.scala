@@ -120,6 +120,24 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E12 — streaming per-stratum weighted sampling: top-20 docs per
+    // language by n_chars weight in strata×k keyed state; the rank key
+    // is a pure row function, so the single-batch stream's Update
+    // emission must equal the batch smp2 draw exactly
+    "e12_stream_weighted_topk" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_wtopk"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val kept = graft.streaming.DocStream.weightedTopKUpdates(
+        graft.streaming.DocStream.read(spark, d.toString),
+        "doc_id", "lang", "n_chars", k = 20, seed = "mix")
+      EventStream.runToMemory(spark, kept.toDF(),
+        s"stream_wtopk_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Update())
+        .orderBy(col("stratum"), col("es_key").desc, col("doc_id"))
+    }),
+
     // E11 — continuous-ingestion dedup vs a historical fingerprint
     // store (planted overlap: every 3rd doc is already "in history");
     // stream-static left-outer+filter, stateless per micro-batch
@@ -171,6 +189,18 @@ object StreamMediaCatalog {
          |WHERE ${graft.functions.TextAnalysis.Sql.qualityScore(planted)} >= 0.4
          |ORDER BY doc_id""".stripMargin
     },
+
+    // streaming == batch for the deterministic weighted draw (the
+    // smp2 construction, restricted to the stream's emitted columns)
+    "e12_stream_weighted_topk" ->
+      """WITH s AS (SELECT doc_id, lang, n_chars,
+        |  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::UBIGINT::DOUBLE + 0.5)
+        |           / 1152921504606846976.0) / n_chars, 6) AS es_key
+        |FROM documents WHERE n_chars > 0),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |  (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn FROM s)
+        |SELECT lang AS stratum, doc_id, es_key FROM r WHERE rn <= 20
+        |ORDER BY stratum, es_key DESC, doc_id""".stripMargin,
 
     // streaming chunk fan-out == the batch ck1 chunking exactly
     "e10_stream_chunks" -> CurationCatalog.oracle("ck1_chunk_tokens"),

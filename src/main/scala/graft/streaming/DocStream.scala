@@ -60,6 +60,47 @@ object DocStream {
     * fingerprint); this operator's contract is purely
     * "never re-admit what the store already has".
     */
+  final case class TopKState(rows: Seq[(Double, Long)])
+  final case class KeptDoc(stratum: String, doc_id: Long, es_key: Double)
+
+  /** Streaming per-stratum weighted sampling: the continuous-ingestion
+    * face of [[graft.operators.Sampling.weightedTopKPerStratum]]. Each
+    * stratum's keyed state holds exactly its current top-k
+    * (rank-key, id) pairs — state is bounded by strata × k for ANY
+    * stream length, and eviction is the merge itself (a new better row
+    * pushes the worst one out). Because the rank key is a pure row
+    * function (md5-uniform, no RNG), the stream's converged answer
+    * equals the batch draw over the same rows EXACTLY — which is how
+    * the e12 gate oracles it against DuckDB. Update mode re-emits a
+    * stratum's refreshed top-k each micro-batch it changes.
+    */
+  def weightedTopKUpdates(docs: DataFrame, idCol: String,
+                          strataCol: String, weightCol: String, k: Int,
+                          seed: String = ""):
+      org.apache.spark.sql.Dataset[KeptDoc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(k >= 1, s"k=$k must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(weightCol) > 0)
+      .select(col(strataCol).cast("string"), col(idCol).cast("long"),
+        graft.operators.Sampling.esKey(col(idCol), col(weightCol), seed))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopKState, KeptDoc](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (stratum, it, state) =>
+          val merged =
+            (state.getOption.map(_.rows).getOrElse(Seq.empty) ++
+              it.map(r => (r._3, r._2)))
+              .distinct                       // redelivery-safe
+              .sortBy { case (key, id) => (-key, id) }
+              .take(k)
+          state.update(TopKState(merged))
+          merged.iterator.map { case (key, id) => KeptDoc(stratum, id, key) }
+      }
+  }
+
   def dedupAgainstStore(docs: DataFrame, store: DataFrame): DataFrame =
     docs
       .withColumn("__fp", TextAnalysis.normalizedFingerprint(col("text")))

@@ -70,4 +70,33 @@ class DocStreamSpec extends graft.SparkSpec {
     assert(streamed == batch)
     assert(streamed.size > 3, "fan-out produced multiple chunks per doc")
   }
+
+  test("streaming weighted top-k carries state across micro-batches, converges to batch") {
+    val src = stageTwoBatches()
+    // one file per trigger: the stratum's top-k must survive batch 1
+    // and merge against batch 2's rows
+    val streamSrc = spark.readStream
+      .schema(DocStream.docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val out = EventStream.runToMemory(spark,
+      DocStream.weightedTopKUpdates(streamSrc, "doc_id", "lang",
+        "n_chars", k = 2, seed = "s").toDF(),
+      "docstream_wtopk",
+      org.apache.spark.sql.streaming.OutputMode.Update())
+    // the LAST emission per (stratum, doc_id) set must equal the batch
+    // draw over all rows; with k=2 and 3 en docs the final top-2 is the
+    // batch answer, regardless of arrival order
+    val batch = graft.operators.Sampling.weightedTopKPerStratum(
+      spark.read.parquet(src), "doc_id", "lang", "n_chars", 2, "s")
+      .select($"doc_id").as[Long].collect().toSet
+    // rows emitted in the final micro-batch: group by doc and keep the
+    // latest emission set = all docs still present in state. State is
+    // bounded at k per stratum, so distinct docs over the LAST batch's
+    // update == batch winners; the memory sink appends every update, so
+    // reconstruct the final set as the top-2 by key over latest rows
+    val finalSet = out.orderBy($"es_key".desc, $"doc_id")
+      .select($"doc_id").as[Long].collect().distinct.take(2).toSet
+    assert(finalSet == batch,
+      s"stream state must converge to the batch draw: $finalSet vs $batch")
+  }
 }
