@@ -236,6 +236,22 @@ object Catalog {
         .orderBy($"p_partkey")
     }),
 
+    // C14 — HTML→text extraction: script/style blocks die wholesale,
+    // tags strip, entities unescape (&amp; last), whitespace collapses
+    // — the WARC→plain-text stage, as one codegen'd chain on the scan
+    "c14_html_strip" -> ((spark, dir) => {
+      import spark.implicits._
+      val html = concat(
+        lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;" +
+          "</script><style>p { color: red; }</style></head><body><p>"),
+        $"text",
+        lit("</p><div class=\"f\">Tom &amp; Jerry &lt;3&gt; " +
+          "&quot;hi&quot; it&#39;s&nbsp;here</div></body></html>"))
+      Tables.documents(spark, dir).select(
+        $"doc_id", Cleansers.stripHtml(html).as("text"))
+        .orderBy($"doc_id")
+    }),
+
     // C7 — month-token extraction ("1-URGENT" → "1"; dash-less unchanged)
     "c7_month_token" -> ((spark, dir) => {
       import spark.implicits._
@@ -904,6 +920,28 @@ object Catalog {
         |  regexp_replace(p_type, ' ', '_', 'g') AS type_u,
         |  COALESCE(regexp_extract(p_brand, '([0-9]+)', 1), '') AS brand_num
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "c14_html_strip" -> {
+      // identical regex chain (RE2-safe: no lookahead) + identical
+      // literal-replace order as Cleansers.stripHtml
+      val entities = Cleansers.HtmlEntities.foldLeft("t3") {
+        case (acc, (from, to)) =>
+          s"replace($acc, '${from.replace("'", "''")}', '${to.replace("'", "''")}')"
+      }
+      s"""WITH h AS (SELECT doc_id,
+         |  '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><p>'
+         |  || text ||
+         |  '</p><div class="f">Tom &amp; Jerry &lt;3&gt; &quot;hi&quot; it&#39;s&nbsp;here</div></body></html>' AS html
+         |FROM documents),
+         |s AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(html,
+         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |    '<[^>]*>', ' ', 'g') AS t3
+         |FROM h)
+         |SELECT doc_id, trim(regexp_replace($entities, '\\s+', ' ', 'g')) AS text
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "c7_month_token" ->
       """SELECT o_orderkey, split_part(o_orderpriority, '-', 1) AS priority_code

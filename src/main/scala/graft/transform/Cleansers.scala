@@ -39,6 +39,33 @@ object Cleansers {
     */
   final case class ColumnSpec(name: String, target: DataType,
                               cleanse: Column => Column = identity)
+  /** HTML→text extraction (the WARC→plain-text step of crawl
+    * pipelines): drop script/style blocks wholesale, strip remaining
+    * tags, unescape the five XML entities plus numeric space, collapse
+    * whitespace runs, trim. Pure codegen'd regexp/replace chain on the
+    * scan projection — zero shuffles, and every pattern is
+    * lookahead-free so the DuckDB (RE2) oracle runs the identical
+    * regexes. `(?s)` makes `.` span newlines in the block patterns;
+    * `(?i)` covers cased tags.
+    */
+  /** Entity table shared with the SQL oracle spelling — order matters
+    * (see [[stripHtml]]).
+    */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    // literal replaces (no regex): &amp; LAST so double-escaped input
+    // ("&amp;lt;") unescapes one level, not two — the standard order
+    val unescaped = HtmlEntities.foldLeft(noTags) {
+      case (col0, (from, to)) => replace(col0, lit(from), lit(to)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
   def applyCastPlan(df: DataFrame, specs: Seq[ColumnSpec]): DataFrame = {
     val bySpec = specs.map(s => s.name -> s).toMap
     df.select(df.columns.toSeq.map { c =>

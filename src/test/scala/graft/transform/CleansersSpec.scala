@@ -47,6 +47,24 @@ class CleansersSpec extends SparkSpec {
     assert(r.getDouble(0) == 12.74 && r.getDouble(1) == 36.0 && r.getString(2) == "Apr-2011")
   }
 
+  test("C14: stripHtml drops blocks, tags, entities; collapses whitespace") {
+    def strip(s: String): String = {
+      import org.apache.spark.sql.functions.{col => c}
+      Seq(s).toDF("h").select(Cleansers.stripHtml(c("h"))).as[String].head()
+    }
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    // script/style contents die wholesale, even with < > inside
+    assert(strip("<script>if (a<b) { x(); }</script>body<style>p{}</style>")
+      == "body")
+    assert(strip("a &amp; b &lt;c&gt; &quot;d&quot; it&#39;s&nbsp;e")
+      == "a & b <c> \"d\" it's e")
+    // double-escaped input unescapes ONE level (&amp; runs last)
+    assert(strip("&amp;lt;tag&amp;gt;") == "&lt;tag&gt;")
+    assert(strip("  a\n\n\tb   c  ") == "a b c")
+    // cased tags and multiline blocks
+    assert(strip("<SCRIPT>\nvar y = 2;\n</SCRIPT><P>ok</P>") == "ok")
+  }
+
   test("C9: minMaxNormalize maps to [0,1]; constant column → 0.0 (guarded)") {
     val df = Seq((1, 10.0, 5.0), (2, 20.0, 5.0), (3, 30.0, 5.0)).toDF("id", "x", "k")
     val out = Cleansers.minMaxNormalize(df, Seq("x", "k")).orderBy($"id")
