@@ -61,6 +61,7 @@ object Bench {
       "boilerplate_strip" -> (() => Pipelines.boilerplateStrip(spark, sfDir)),
       "dup_span_strip" -> (() => Pipelines.dupSpanStrip(spark, sfDir)),
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),
+      "curation_cascade" -> (() => Pipelines.curationCascade(spark, sfDir)),
       "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)),
       "ml_combo_fit" -> (() => Pipelines.mlComboFit(spark, sfDir))) ++
       // the TRUE JDBC load — a single-connection embedded-Derby insert

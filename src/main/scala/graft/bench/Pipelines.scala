@@ -249,6 +249,53 @@ object Pipelines {
         seqLen = 512, buckets = 256))
   }
 
+  /** Flagship LLM-curation cascade — the full crawl→training-corpus
+    * story in ONE measured pipeline, every stage the gated operator:
+    * HTML→text (c14) → URL blocklist (cu4) → quality/length gate (t2)
+    * → exact dedup on the normalized fingerprint (x1) → MinHash-LSH
+    * near-dup components → canonical keep (x9/x10) → per-language
+    * weighted sample (smp2) → sequence packing (pk1/pk2). Shuffle
+    * inventory: the LSH band join + component supersteps dominate
+    * (star-capped, log-star); everything upstream of exact dedup is
+    * map-side on the scan.
+    */
+  def curationCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
+    // synthetic crawl facade over the plain-text fixture: html + url
+    val crawl = raw.select(col("doc_id"), col("lang"), col("n_chars"),
+      concat(lit("<html><head><style>p{color:red}</style></head><body><p>"),
+        col("text"), lit("</p></body></html>")).as("html"),
+      concat(lit("https://"), col("source"), lit(".org/p/"), col("doc_id"))
+        .as("url"))
+    val text = crawl
+      .withColumn("text", Cleansers.stripHtml(col("html"))).drop("html")
+    val allowed = graft.quality.Urls.blocklistFilter(
+      text, "url", Seq("src3.org"))
+    val gated = allowed.filter(
+      TextAnalysis.qualityScore(col("text")) >= 0.2 &&
+        TextAnalysis.tokenCount(col("text")) >= 10)
+    val exact = Dedup.dropExactDuplicates(
+      gated.withColumn("fp", TextAnalysis.normalizedFingerprint(col("text"))),
+      Seq("fp"))
+    val sh = TextDedup.shingleSets(exact, "doc_id", "text", distinct = false,
+      parallelism = Some(spark.sparkContext.defaultParallelism))
+    val comps = graft.dedup.Components.connectedComponentsLogStar(
+      TextDedup.candidatePairs(
+        TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
+        "doc_id"),
+      exact.select(col("doc_id")), "doc_id")
+    val canonical = comps.groupBy(col("comp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val kept = exact.join(canonical, Seq("doc_id"))
+    val sampled = graft.operators.Sampling.weightedTopKPerStratum(
+      kept, "doc_id", "lang", "n_chars", k = 80, seed = "cascade")
+    graft.operators.Packing.packFill(
+      graft.operators.Packing.packSpans(
+        sampled.select(col("doc_id"), col("text")), "doc_id", "text",
+        seqLen = 512, buckets = 64))
+  }
+
   /** Shared events projection for the secondary-sort pipelines. */
   private def evOrdered(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -147,6 +147,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("curation cascade: end-to-end composes, stays UDF-free, produces packed sequences") {
+    val out = Pipelines.curationCascade(spark, sf0001)
+    val n = out.count()
+    assert(n > 0, "cascade must keep documents end-to-end")
+    // every curation stage upstream of packing is pure Catalyst — no
+    // UDF anywhere in the full cascade plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
+      "cascade must be UDF-free")
+    // packing contract: every pack holds ≥1 doc span and its token
+    // fill never exceeds the 512-token sequence budget
+    import spark.implicits._
+    val bad = out.filter($"n_docs" < 1 || $"fill" > 512L).count()
+    assert(bad == 0, s"$bad packs violate the fill/doc contract")
+  }
+
   test("etl upstream: casts/cleansers stay native (no UDF in plan)") {
     val csv = Pipelines.stageLoanCsv(spark, sf0001)
     val plan = planOf(Pipelines.etlUpstream(spark, csv))
