@@ -50,9 +50,12 @@ object CorrMatrix {
       col(s"__p_${a}__$b") - col(s"__s_$a") * col(s"__s_$b") / col("__n")
     val cells = for { i <- cols.indices; j <- i + 1 until cols.size } yield {
       val (a, b) = (cols(i), cols(j))
+      // the component sums are decimal-exact; only this final double
+      // assembly (divide + sqrt) can diverge cross-engine by an ulp —
+      // observed at sf0.1 — so round to 12 dp (both spellings)
       struct(lit(a).as("col_x"), lit(b).as("col_y"),
-        (centered(a, b) / (sqrt(centered(a, a)) * sqrt(centered(b, b))))
-          .as("corr"))
+        round(centered(a, b) / (sqrt(centered(a, a)) * sqrt(centered(b, b))),
+          12).as("corr"))
     }
     aggd.select(explode(array(cells: _*)).as("__pr")).select(col("__pr.*"))
   }
@@ -74,7 +77,7 @@ object CorrMatrix {
     val cells = for { i <- cols.indices; j <- i + 1 until cols.size } yield {
       val (a, b) = (cols(i), cols(j))
       s"""SELECT '$a' AS col_x, '$b' AS col_y,
-         |  ${centered(a, b)} / (sqrt(${centered(a, a)}) * sqrt(${centered(b, b)})) AS corr
+         |  round(${centered(a, b)} / (sqrt(${centered(a, a)}) * sqrt(${centered(b, b)})), 12) AS corr
          |FROM s""".stripMargin
     }
     s"""(WITH s AS (SELECT ${comps.mkString(", ")} FROM $src WHERE $notNull)

@@ -474,8 +474,14 @@ object TrainingCatalog {
     // contract as v6/v8.
     "v9_rp_recall" -> ((spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
+      // the RP sketch is a coarse filter: its candidate pool must scale
+      // with the corpus (~10%) for constant recall — a FIXED
+      // candidateK=50 held ≥0.5 recall at sf0.01 (500 vectors) and
+      // dropped below it at sf0.1 (5000), measured. The dial, not the
+      // projection width, is the recall/cost trade at scale.
+      val candidates = math.max(50L, emb.count() / 10).toInt
       val rp = Similarity.rpRerankTopK(emb, "vec_id", "embedding",
-        annQueryIds, k = 5, inDim = 64, outDim = 32, candidateK = 50)
+        annQueryIds, k = 5, inDim = 64, outDim = 32, candidateK = candidates)
       val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
         annQueryIds, k = 5)
       brute.select(col("query_id"), col("neighbor_id"))
