@@ -119,24 +119,26 @@ object Sampling {
 
   /** Per-stratum Efraimidis–Spirakis: keep the `k` best weighted draws
     * WITHIN each stratum ("20 docs per language by quality weight") —
-    * same deterministic key as [[weightedTopK]], ranked by a
-    * stratum-partitioned window instead of a global top-k. One
-    * hash-partitioned shuffle on the stratum key; stratum cardinality
-    * grows with the corpus so partitions stay balanced, and a
-    * megastratum's rows are exactly what the rank truncates.
+    * same deterministic key as [[weightedTopK]], ranked per stratum.
+    *
+    * Scale shape: [[GroupTopK.topKPerGroup]] (the TopKStructs native
+    * aggregate), NOT a rank window — the window formulation ships and
+    * sorts EVERY row through the stratum exchange, while the aggregate
+    * partial-combines map-side so at most k rows per stratum per
+    * partition cross the wire. Ordering (es_key desc, id asc) is
+    * realized as an ascending struct sort on (−es_key, id); the key is
+    * strictly negative (u<1 ⇒ ln u<0), so negation is order-exact.
     */
   def weightedTopKPerStratum(df: DataFrame, idCol: String,
                              strataCol: String, weightCol: String, k: Int,
                              seed: String = ""): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(strataCol))
-      .orderBy(col("es_key").desc, col(idCol))
-    df.filter(col(weightCol) > 0)
+    val keyed = df.filter(col(weightCol) > 0)
       .withColumn("es_key", esKey(col(idCol), col(weightCol), seed))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
+      .withColumn("__negkey", -col("es_key"))
+    GroupTopK.topKPerGroup(keyed, Seq(strataCol), Seq("__negkey", idCol), k)
+      .drop("__negkey", "rn")
+      .select(df.columns.map(col) :+ col("es_key"): _*)
   }
 
   def epochMix(df: DataFrame, keyCol: String, strataCol: String,

@@ -158,6 +158,19 @@ class SamplingSpec extends graft.SparkSpec {
     assert(s.select("doc_id").as[Long].collect().toSet == want)
   }
 
+  test("weightedTopKPerStratum plans as a partial-combining aggregate, not a window") {
+    val d = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val q = Sampling.weightedTopKPerStratum(d, "doc_id", "lang", "n_chars",
+      5, "mix")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "stratum top-k must not ship every row through a rank window")
+    assert(plan.contains("partial_top_k_structs") ||
+      plan.contains("top_k_structs"), plan.take(800))
+  }
+
   test("weightedTopK plans as TakeOrderedAndProject (k rows cross the wire)") {
     val d = Tables.documents(spark, sf001).select(col("doc_id"), col("n_chars"))
     val q = Sampling.weightedTopK(d, "doc_id", "n_chars", 10)
