@@ -59,6 +59,29 @@ object TextAnalysis {
     chain.otherwise("und")
   }
 
+  /** Language-ID confidence census: the [[langId]] winner plus the
+    * runner-up hit count and an integer-rule `mixed` flag (runner-up
+    * within 1 hit of the winner, and nonzero) — the standard
+    * mixed-language curation signal for code-switched or boilerplate-
+    * heavy pages, with no float thresholds so the flag is
+    * cross-engine exact. Same codegen'd hit counters as [[langId]];
+    * zero shuffles.
+    */
+  def langConfidence(text: Column): Column = {
+    val hitCols = stopwords.map { case (l, ws) => l -> hits(text, ws) }
+    val mx = greatest(hitCols.map(_._2): _*)
+    // runner-up = max over each language's hits with the winner's
+    // slot masked; winner identity follows langId's tie priority
+    val winner = langId(text)
+    val second = greatest(hitCols.map { case (l, h) =>
+      when(lit(l) === winner, lit(0)).otherwise(h) }: _*)
+    struct(
+      winner.as("lang_pred"),
+      mx.cast("long").as("hits_top"),
+      second.cast("long").as("hits_second"),
+      (second > 0 && (mx - second) <= 1).cast("int").as("mixed"))
+  }
+
   /** Stopword ratio against the English list (a standard quality
     * signal: natural prose has a stable stopword density).
     */

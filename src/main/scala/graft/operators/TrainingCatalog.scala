@@ -164,6 +164,17 @@ object TrainingCatalog {
         .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("lang"), col("lang_pred"))),
 
+    // T12 — language-confidence census: winner + runner-up stopword
+    // hits and the integer-rule mixed flag (runner-up nonzero and
+    // within 1 of the winner) — the code-switching signal, float-free
+    "t12_lang_confidence" -> ((spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          TextAnalysis.langConfidence(col("text")).as("c"))
+        .select(col("doc_id"), col("c.lang_pred"), col("c.hits_top"),
+          col("c.hits_second"), col("c.mixed"))
+        .orderBy(col("doc_id"))),
+
     // fingerprints (raw + normalization-invariant)
     "t4_fingerprint" -> ((spark, dir) =>
       docs(spark, dir).select(
@@ -524,6 +535,28 @@ object TrainingCatalog {
     "t3_lang_id" ->
       s"""SELECT lang, ${T.langId("text")} AS lang_pred, COUNT(*) AS cnt
          |FROM documents GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin,
+
+    "t12_lang_confidence" -> {
+      val langs = TextAnalysis.stopwords
+      val hitSel = langs.map { case (l, ws) =>
+        s"${T.hits("text", ws)} AS h_$l" }.mkString(", ")
+      val hitNames = langs.map(l => s"h_${l._1}").mkString(", ")
+      val mx = s"greatest($hitNames)"
+      val winner = {
+        val whens = langs.map { case (l, _) => s"WHEN h_$l = mx THEN '$l'" }
+          .mkString(" ")
+        s"CASE WHEN mx = 0 THEN 'und' $whens ELSE 'und' END"
+      }
+      val second = s"greatest(${langs.map { case (l, _) =>
+        s"CASE WHEN lang_pred = '$l' THEN 0 ELSE h_$l END" }.mkString(", ")})"
+      s"""WITH h AS (SELECT doc_id, $hitSel FROM documents),
+         |m AS (SELECT doc_id, $hitNames, $mx AS mx FROM h),
+         |w AS (SELECT *, $winner AS lang_pred FROM m)
+         |SELECT doc_id, lang_pred, CAST(mx AS BIGINT) AS hits_top,
+         |  CAST($second AS BIGINT) AS hits_second,
+         |  CASE WHEN $second > 0 AND mx - $second <= 1 THEN 1 ELSE 0 END AS mixed
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
 
     "t4_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp, ${T.normalizedFingerprint("text")} AS fp_norm

@@ -28,6 +28,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one(TextAnalysis.langId(col("t")), "the le") == "en")
   }
 
+  test("langConfidence flags code-switched text, not clean monolingual") {
+    def conf(text: String) = Seq(text).toDF("t")
+      .select(TextAnalysis.langConfidence(col("t")).as("c"))
+      .select("c.lang_pred", "c.hits_top", "c.hits_second", "c.mixed")
+      .as[(String, Long, Long, Int)].head()
+    // clean English: runner-up 0 → not mixed
+    assert(conf("the cat is of and to in") == (("en", 6L, 0L, 0)))
+    // code-switched en/fr with hits 2 vs 2 → tie goes en, mixed=1
+    val cs = conf("the cat le chat is et")
+    assert(cs._1 == "en" && cs._4 == 1 && cs._3 >= cs._2 - 1)
+    // dominant en with one stray fr stopword: gap > 1 → not mixed
+    assert(conf("the cat is of and le")._4 == 0)
+    // no stopwords at all: und, nothing to mix
+    assert(conf("zzz qqq") == (("und", 0L, 0L, 0)))
+  }
+
   test("quality score is in [0,1] and penalizes punctuation soup") {
     val clean = one(TextAnalysis.qualityScore(col("t")),
       "the quick brown fox is one of the best and fastest").asInstanceOf[Double]
