@@ -33,7 +33,9 @@ object SpanMask {
                       n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null text yields no grams (see TextDedup.shingleSets note)
     df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(textCol).isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.split(" ", -1)

@@ -58,7 +58,11 @@ object TextDedup {
     val spark = df.sparkSession
     import spark.implicits._
     val in = parallelism.map(df.repartition).getOrElse(df)
+    // null text yields no shingles (crawl-scale norm; matches the SQL
+    // oracle, where string_split(NULL) produces no rows) — without the
+    // filter the compiled flatMap NPEs on the first null document
     val pairs = in.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(textCol).isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.split(" ", -1)

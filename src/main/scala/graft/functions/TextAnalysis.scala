@@ -126,8 +126,10 @@ object TextAnalysis {
                             textCol: String, k: Int = 8, w: Int = 4): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null text has no fingerprints (see TextDedup.shingleSets note)
     df.select(org.apache.spark.sql.functions.col(idCol).cast("long"),
       org.apache.spark.sql.functions.col(textCol))
+      .filter(org.apache.spark.sql.functions.col(textCol).isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")

@@ -59,7 +59,9 @@ object Dsir {
                      buckets: Int = DefaultBuckets): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // null text contributes no features (see TextDedup.shingleSets note)
     df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(textCol).isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.split(" ", -1)
