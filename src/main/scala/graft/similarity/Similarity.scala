@@ -47,6 +47,21 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Scorable-vector gate applied at every cosine entry point: the
+    * vector must be non-null, non-empty, finite, and of nonzero norm.
+    * Crawl-scale embedding tables carry all four defect classes, and
+    * ungated they are not merely noise: a null vector FABRICATES a
+    * 0.0 similarity (null dot) and claims a top-k slot, an empty one
+    * crashes [[signBucket]]'s element_at, a NaN component ranks FIRST
+    * under descending sort (NaN compares greatest), and a zero vector
+    * divides to NaN. An unembeddable document has no neighbors —
+    * dropping it from similarity results is the correct semantics.
+    */
+  def scorable(vec: Column): Column = {
+    val nrm2 = dot(vec, vec)
+    vec.isNotNull && size(vec) > 0 && !isnan(nrm2) && nrm2 > 0
+  }
+
   /** Sign-bit LSH bucket key over `dims` (0-based) — equal keys =
     * same orthant on the sampled axes.
     */
@@ -96,12 +111,18 @@ object Similarity {
     */
   private def scoreAllPairsTopK(emb: DataFrame, idCol: String, vecCol: String,
                                 queryIds: Seq[Long], k: Int): DataFrame = {
-    val q = emb.filter(col(idCol).isInCollection(queryIds))
+    val clean = emb.filter(scorable(col(vecCol)))
+    val q = clean.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         l2norm(col(vecCol)).as("q_nrm"))
-    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+    val c = clean.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       l2norm(col(vecCol)).as("c_nrm"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    // size equality: zip_with/the dot fold TRUNCATE to the shorter
+    // operand, so a dimension-skewed row would score a silently wrong
+    // partial dot instead of failing
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          size(col("c_vec")) === size(col("q_vec")))
       .withColumn("cos_sim",
         round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
     topK(scored, k)
@@ -112,7 +133,8 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, dims: Seq[Int]): DataFrame = {
-    val withBucket = emb.withColumn("bucket", signBucket(col(vecCol), dims))
+    val withBucket = emb.filter(scorable(col(vecCol)))
+      .withColumn("bucket", signBucket(col(vecCol), dims))
     val q = withBucket.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"),
         l2norm(col(vecCol)).as("q_nrm"))
@@ -165,7 +187,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val spark = emb.sparkSession
     import spark.implicits._
-    val withVec = emb.withColumn("__fv",
+    val withVec = emb.filter(scorable(col(vecCol))).withColumn("__fv",
       array_to_vector(transform(col(vecCol), x => x.cast("double")))).cache()
     val model = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("__fv").fit(withVec)
@@ -193,14 +215,15 @@ object Similarity {
                        nCentroids: Int): IvfIndex = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__h"), col(idCol))
-    val cents = emb.select(col(idCol), col(vecCol))
+    val clean = emb.filter(scorable(col(vecCol)))
+    val cents = clean.select(col(idCol), col(vecCol))
       .withColumn("__h", md5(col(idCol).cast("string")))
       .orderBy(col("__h"), col(idCol)).limit(nCentroids)
       // 16-row frame: the unpartitioned window is the cheap, right call
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
       .select(col("cell"),
         transform(col(vecCol), x => x.cast("double")).as("centroid"))
-    val assigned = emb.select(col(idCol), col(vecCol))
+    val assigned = clean.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cents))
       .withColumn("__d", round(dot(col("centroid"), col("centroid"))
         - lit(2.0) * dot(col(vecCol), col("centroid")), 6))
@@ -364,10 +387,11 @@ object Similarity {
     require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
     val cands = rpTopK(emb, idCol, vecCol, queryIds, candidateK, inDim, outDim)
       .select(col("query_id"), col("neighbor_id"))
-    val q = emb.filter(col(idCol).isInCollection(queryIds))
+    val clean = emb.filter(scorable(col(vecCol)))
+    val q = clean.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         l2norm(col(vecCol)).as("q_nrm"))
-    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+    val c = clean.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       l2norm(col(vecCol)).as("c_nrm"))
     val scored = c.join(broadcast(cands.join(q, "query_id")), "neighbor_id")
       .withColumn("cos_sim",
@@ -391,7 +415,8 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dims: Seq[Int],
                    bucketCap: Int = graft.dedup.TextDedup.DefaultBucketCap): DataFrame =
-    cosPairsInBuckets(emb.withColumn("bucket", signBucket(col(vecCol), dims)),
+    cosPairsInBuckets(emb.filter(scorable(col(vecCol)))
+        .withColumn("bucket", signBucket(col(vecCol), dims)),
       idCol, vecCol, threshold, bucketCap)
 
   /** Star-capped within-bucket cosine pairs over any precomputed
@@ -454,6 +479,8 @@ object Similarity {
     * common heavy-dup case. Inside a cell the min-id keep rule is
     * exactly the star topology's representative, so the capped and
     * uncapped regimes agree on who survives a homogeneous megacell.
+    * Unscorable vectors (see [[scorable]]) are absent from the result
+    * — an unembeddable doc has no semantic duplicates to adjudicate.
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nCentroids: Int,

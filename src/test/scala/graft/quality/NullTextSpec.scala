@@ -31,6 +31,29 @@ class NullTextSpec extends SparkSpec {
     assert(grams.filter($"doc_id" === 2L).count() == 0 && grams.count() > 0)
   }
 
+  test("cosine paths exclude null / empty / NaN / zero / dim-skewed vectors") {
+    import graft.similarity.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, null.asInstanceOf[Array[Float]]),     // fabricated a 0.0 score
+      (4L, Array.empty[Float]),                  // crashed signBucket
+      (5L, Array(Float.NaN, 1.0f, 0.0f, 0.0f)),  // ranks FIRST desc
+      (6L, Array(0.0f, 0.0f, 0.0f, 0.0f)),       // zero norm → NaN
+      (7L, Array(1.0f, 0.1f))                    // dim skew → truncated dot
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding", Seq(1L), 10)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(top == Set(2L), s"only the clean neighbor may score: $top")
+    // the bucketed pair search must not crash and must pair only clean
+    val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      0.5, Seq(0, 1), 32).select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(pairs.toSet == Set((1L, 2L)), pairs.mkString(","))
+    // semdedup assigns and adjudicates only scorable vectors
+    val sd = Similarity.semDedup(emb, "vec_id", "embedding", 0.9, 2)
+    assert(sd.select($"vec_id").as[Long].collect().toSet == Set(1L, 2L, 7L))
+  }
+
   test("expression-based operators pass null through as null, empty as defined") {
     import graft.functions.TextAnalysis
     val out = df.select($"doc_id",
