@@ -101,7 +101,8 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      queryIds: Seq[Long], k: Int): DataFrame =
-    scoreAllPairsTopK(emb, idCol, vecCol, queryIds, k)
+    scoreAllPairsTopK(emb.filter(scorable(col(vecCol))), idCol, vecCol,
+      queryIds, k)
 
   /** The shared brute-force scoring contract for the float and int8
     * paths: broadcast the query side, precompute norms once per side
@@ -111,11 +112,18 @@ object Similarity {
     */
   private def scoreAllPairsTopK(emb: DataFrame, idCol: String, vecCol: String,
                                 queryIds: Seq[Long], k: Int): DataFrame = {
-    val clean = emb.filter(scorable(col(vecCol)))
-    val q = clean.filter(col(idCol).isInCollection(queryIds))
+    // PRECONDITION: every vector is already scorable — the gate lives
+    // at the public entry points where vecCol is a SCAN attribute, so
+    // the predicate pushes to the scan and codegen CSE makes it one
+    // dot per row. Do NOT filter here: when vecCol is a computed
+    // column (the RP path's 32-dot-product array), Catalyst's filter
+    // pushdown re-substitutes the array expression into the predicate
+    // and re-evaluates the whole projection per reference — measured
+    // 5–9.6× on ann_rp before this was moved out.
+    val q = emb.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         l2norm(col(vecCol)).as("q_nrm"))
-    val c = clean.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+    val c = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
       l2norm(col(vecCol)).as("c_nrm"))
     // size equality: zip_with/the dot fold TRUNCATE to the shorter
     // operand, so a dimension-skewed row would score a silently wrong
@@ -316,7 +324,8 @@ object Similarity {
   def int8TopKQuantized(qz: DataFrame, idCol: String,
                         queryIds: Seq[Long], k: Int,
                         qVecCol: String = "qvec"): DataFrame =
-    scoreAllPairsTopK(qz, idCol, qVecCol, queryIds, k)
+    scoreAllPairsTopK(qz.filter(scorable(col(qVecCol))), idCol, qVecCol,
+      queryIds, k)
 
   /** Johnson–Lindenstrauss sign matrix, outDim rows × inDim columns of
     * ±1/√outDim. Entries derive from md5 parity of "rp:row:col" — a
@@ -360,7 +369,11 @@ object Similarity {
     */
   def rpTopK(emb: DataFrame, idCol: String, vecCol: String,
              queryIds: Seq[Long], k: Int, inDim: Int, outDim: Int): DataFrame = {
-    val proj = randomProject(emb, vecCol, inDim, outDim, "__rp")
+    // gate the RAW vectors before projecting (scan-level, CSE'd); a
+    // finite nonzero input projects to a finite vector, so the scorer
+    // needs no gate on the computed __rp column (see scoreAllPairsTopK)
+    val proj = randomProject(emb.filter(scorable(col(vecCol))),
+        vecCol, inDim, outDim, "__rp")
       .select(col(idCol), col("__rp"))
     scoreAllPairsTopK(proj, idCol, "__rp", queryIds, k)
   }
@@ -387,6 +400,7 @@ object Similarity {
     require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
     val cands = rpTopK(emb, idCol, vecCol, queryIds, candidateK, inDim, outDim)
       .select(col("query_id"), col("neighbor_id"))
+    // raw-attribute gate (scan-level, CSE'd — see scoreAllPairsTopK)
     val clean = emb.filter(scorable(col(vecCol)))
     val q = clean.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
