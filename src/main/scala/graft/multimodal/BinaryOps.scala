@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads ride as
   * opaque `binary` columns with typed metadata; decode/feature-extract
   * runs as partition-batched JVM code over the binary column (the Scala
-  * analogue of a pandas `mapInPandas` batch UDF). The actual codec step
-  * is STUBBED — media libraries are not in this container — with a
-  * deterministic byte-derived fake, so the Spark-side contract
-  * (schema, partitioning, batch shape, null behavior) is real and
-  * oracle-testable while the codec stays swappable.
+  * analogue of a pandas `mapInPandas` batch UDF). The uncompressed
+  * 24-bit BMP path ([[encodeBmp]]/[[decodeBmp]]/[[bmpStats]]) is a
+  * fully REAL codec — pure byte arithmetic, no media library — and the
+  * m3 gate drives it end-to-end against an arithmetic oracle.
+  * Compressed codecs (JPEG/PNG/WAV) remain STUBBED with a
+  * deterministic byte-derived fake — those libraries are not in this
+  * container — so their Spark-side contract (schema, partitioning,
+  * batch shape, null behavior) stays real and oracle-testable while
+  * the codec stays swappable.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); payload bytes never enter a shuffle — feature extraction
@@ -37,6 +41,111 @@ object BinaryOps {
       lit("fake/raw").as("format"),
       (col("n_chars") % 640).cast("int").as("width"),
       (col("n_chars") % 480).cast("int").as("height"))
+
+  // ===== REAL codec: uncompressed 24-bit BMP =====
+  // Pure byte arithmetic (little-endian headers, 4-byte row padding,
+  // bottom-up row order) — no media library needed, so THIS format's
+  // decode path is fully real in this container; the stub below remains
+  // only for compressed codecs (JPEG/PNG/WAV) that need native libs.
+
+  final case class BmpImage(width: Int, height: Int, pixels: Array[Byte]) {
+    /** Channel value (0=B,1=G,2=R) at IMAGE coordinates — (0,0) is the
+      * TOP-left pixel (decode un-flips BMP's bottom-up row order).
+      */
+    def channel(x: Int, y: Int, c: Int): Int =
+      pixels((y * width + x) * 3 + c) & 0xff
+  }
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def rdLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Serialize pixels (3 bytes BGR per pixel, image row 0 = top) as an
+    * uncompressed 24-bit BMP. Test/fixture synthesis side of
+    * [[decodeBmp]].
+    */
+  def encodeBmp(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && pixels.length == width * height * 3,
+      s"need $width*$height*3 bytes, got ${pixels.length}")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val imageSize = rowSize * height
+    val out = new Array[Byte](54 + imageSize)
+    out(0) = 'B'; out(1) = 'M'
+    le32(54 + imageSize).copyToArray(out, 2)
+    le32(54).copyToArray(out, 10)          // pixel-array offset
+    le32(40).copyToArray(out, 14)          // BITMAPINFOHEADER size
+    le32(width).copyToArray(out, 18)
+    le32(height).copyToArray(out, 22)
+    out(26) = 1                            // planes
+    out(28) = 24                           // bpp
+    // compression 0, remaining header fields 0
+    for (y <- 0 until height; x <- 0 until width; c <- 0 until 3)
+      // file rows run bottom-up: image row y lands in file row h-1-y
+      out(54 + (height - 1 - y) * rowSize + x * 3 + c) =
+        pixels((y * width + x) * 3 + c)
+    out
+  }
+
+  /** Parse an uncompressed 24-bit BMP; None for anything malformed
+    * (wrong magic, truncated, compressed, non-24bpp) — crawl-grade
+    * payloads carry garbage, and a decoder that throws takes the whole
+    * partition down with it.
+    */
+  def decodeBmp(payload: Array[Byte]): Option[BmpImage] = {
+    if (payload == null || payload.length < 54 ||
+      payload(0) != 'B' || payload(1) != 'M') return None
+    val offset = rdLe32(payload, 10)
+    val width = rdLe32(payload, 18)
+    val height = rdLe32(payload, 22)
+    val bpp = rdLe16(payload, 28)
+    val compression = rdLe32(payload, 30)
+    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0)
+      return None
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    if (offset < 54 || offset.toLong + rowSize.toLong * height > payload.length)
+      return None
+    val px = new Array[Byte](width * height * 3)
+    for (y <- 0 until height; x <- 0 until width; c <- 0 until 3)
+      px((y * width + x) * 3 + c) =
+        payload(offset + (height - 1 - y) * rowSize + x * 3 + c)
+    Some(BmpImage(width, height, px))
+  }
+
+  final case class BmpStats(doc_id: Long, width: Int, height: Int,
+                            p00_b: Int, p00_g: Int, p00_r: Int,
+                            pbr_r: Int, sum_r: Long, n_px: Long)
+
+  /** Partition-batched REAL decode over a (doc_id, payload) binary
+    * table: dimensions from the header, corner channel probes (the
+    * top-left probe proves the bottom-up un-flip, the bottom-right one
+    * the row stride/padding), and an integer red-channel sum (exact —
+    * no float anywhere, so the oracle compares bit-for-bit). Malformed
+    * payloads are dropped, not thrown (the [[decodeBmp]] contract).
+    * Same no-shuffle mapPartitions shape as [[extractFeatures]].
+    */
+  def bmpStats(media: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload"): Dataset[BmpStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeBmp(payload).map { img =>
+          var sumR = 0L
+          var i = 2
+          while (i < img.pixels.length) { sumR += img.pixels(i) & 0xff; i += 3 }
+          BmpStats(id, img.width, img.height,
+            img.channel(0, 0, 0), img.channel(0, 0, 1), img.channel(0, 0, 2),
+            img.channel(img.width - 1, img.height - 1, 2),
+            sumR, img.width.toLong * img.height)
+        }
+      })
+  }
 
   /** ===== STUB: deterministic fake decoder =====
     * A real implementation would decode the codec here (JPEG/PNG/WAV…)

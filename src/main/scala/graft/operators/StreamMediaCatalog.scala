@@ -39,6 +39,30 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // M3 — REAL codec roundtrip: synthesize an uncompressed 24-bit BMP
+    // per doc (dims and pixel bytes pure functions of doc_id), decode
+    // it with the real byte-level parser, and emit header dims, corner
+    // channel probes (top-left proves the bottom-up un-flip,
+    // bottom-right the row stride/padding), and an integer red-channel
+    // sum. All-integer output; the oracle restates the pixel formula
+    // arithmetically without ever parsing a BMP.
+    "m3_bmp_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      val payloads = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w = 2 + (id % 6).toInt
+          val h = 1 + (id % 4).toInt
+          val px = Array.tabulate(w * h * 3) { i =>
+            val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
+            ((id * 31 + y * 7 + x * 3 + c) % 256).toByte
+          }
+          (id, BinaryOps.encodeBmp(w, h, px))
+        }
+        .toDF("doc_id", "payload")
+      BinaryOps.bmpStats(payloads).toDF().orderBy(col("doc_id"))
+    }),
+
     // E7 — stateful streaming EWMA: keyed mapGroupsWithState carrying
     // (acc, n); single-batch file source ⇒ one Update row per user that
     // must equal the batch secondary-sort fold bit-for-bit (same oracle
@@ -214,6 +238,28 @@ object StreamMediaCatalog {
          |WHERE $fp NOT IN (SELECT fp FROM store)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the same (doc_id, x, y, channel) pixel formula, restated in SQL —
+    // the gate then proves the whole encode→decode byte path: a wrong
+    // row un-flip or stride shows in the corner probes, a padding slip
+    // in the sum
+    "m3_bmp_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 6 AS INT) AS width,
+        |    CAST(1 + doc_id % 4 AS INT) AS height FROM documents),
+        |s AS (SELECT d.doc_id, d.width, d.height,
+        |    CAST(SUM((d.doc_id * 31 + y.y * 7 + x.x * 3 + 2) % 256) AS BIGINT) AS sum_r
+        |  FROM d
+        |  CROSS JOIN LATERAL unnest(range(0, d.width)) AS x(x)
+        |  CROSS JOIN LATERAL unnest(range(0, d.height)) AS y(y)
+        |  GROUP BY d.doc_id, d.width, d.height)
+        |SELECT doc_id, width, height,
+        |  CAST((doc_id * 31 + 0) % 256 AS INT) AS p00_b,
+        |  CAST((doc_id * 31 + 1) % 256 AS INT) AS p00_g,
+        |  CAST((doc_id * 31 + 2) % 256 AS INT) AS p00_r,
+        |  CAST((doc_id * 31 + (height - 1) * 7 + (width - 1) * 3 + 2) % 256 AS INT) AS pbr_r,
+        |  sum_r, CAST(width * height AS BIGINT) AS n_px
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // independent derivation: utf-8 payload bytes of ASCII text are the
     // codepoints, so f_i = ord(text[i]) / 255

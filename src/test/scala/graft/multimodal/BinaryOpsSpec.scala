@@ -33,6 +33,37 @@ class BinaryOpsSpec extends SparkSpec {
     assert(batched == perRow && perRow.size == 150)
   }
 
+  test("BMP roundtrip: encode→decode is identity across padding widths") {
+    // width 2 → row 6 bytes → 2 pad bytes; width 4 → 12 → no pad;
+    // 1×1 degenerate; tall-thin exercises the bottom-up flip hardest
+    for ((w, h) <- Seq((2, 3), (4, 2), (1, 1), (3, 5))) {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+      val img = BinaryOps.decodeBmp(BinaryOps.encodeBmp(w, h, px))
+      assert(img.exists(d => d.width == w && d.height == h &&
+        java.util.Arrays.equals(d.pixels, px)), s"roundtrip failed at ${w}x$h")
+    }
+  }
+
+  test("BMP decode rejects malformed payloads instead of throwing") {
+    val good = BinaryOps.encodeBmp(2, 2,
+      Array.tabulate(12)(i => i.toByte))
+    assert(BinaryOps.decodeBmp(null).isEmpty)
+    assert(BinaryOps.decodeBmp(Array[Byte](1, 2, 3)).isEmpty)
+    assert(BinaryOps.decodeBmp("not a bitmap at all, just text!!!!!!!!!!!!!!!!!!!!!!!!"
+      .getBytes("UTF-8")).isEmpty)
+    assert(BinaryOps.decodeBmp(good.take(30)).isEmpty)     // truncated
+    val badBpp = good.clone(); badBpp(28) = 8               // 8bpp
+    assert(BinaryOps.decodeBmp(badBpp).isEmpty)
+    val compressed = good.clone(); compressed(30) = 1       // BI_RLE8
+    assert(BinaryOps.decodeBmp(compressed).isEmpty)
+    // and the distributed stats op drops, never dies, on mixed input
+    val mixed = Seq((1L, good), (2L, Array[Byte](9, 9)),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("doc_id", "payload")
+    val ok = BinaryOps.bmpStats(mixed).collect()
+    assert(ok.map(_.doc_id).toSeq == Seq(1L))
+    assert(ok.head.n_px == 4L)
+  }
+
   test("resize keeps features, changes metadata; frameSample strides") {
     val feats = BinaryOps.extractFeatures(media)
     val resized = BinaryOps.resize(feats, 64, 64).collect().head
