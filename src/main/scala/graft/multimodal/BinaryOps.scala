@@ -147,6 +147,114 @@ object BinaryOps {
       })
   }
 
+  // ===== REAL codec: 16-bit PCM WAV =====
+  // RIFF/WAVE container with fmt + data chunks, raw little-endian
+  // 16-bit samples — byte arithmetic like BMP, so the audio decode
+  // path is also fully real in this container.
+
+  final case class WavAudio(sampleRate: Int, channels: Int,
+                            samples: Array[Short])
+
+  /** Serialize 16-bit PCM samples (interleaved if channels > 1). */
+  def encodeWav(sampleRate: Int, channels: Int,
+                samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 &&
+      samples.length % channels == 0,
+      s"bad wav shape: rate=$sampleRate ch=$channels n=${samples.length}")
+    val dataSize = samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    le32(36 + dataSize).copyToArray(out, 4)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    le32(16).copyToArray(out, 16)          // fmt chunk size
+    out(20) = 1                            // PCM
+    out(22) = channels.toByte
+    le32(sampleRate).copyToArray(out, 24)
+    le32(sampleRate * channels * 2).copyToArray(out, 28) // byte rate
+    out(32) = (channels * 2).toByte        // block align
+    out(34) = 16                           // bits per sample
+    "data".getBytes("US-ASCII").copyToArray(out, 36)
+    le32(dataSize).copyToArray(out, 40)
+    var i = 0
+    while (i < samples.length) {
+      out(44 + 2 * i) = (samples(i) & 0xff).toByte
+      out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Parse a 16-bit PCM WAV; None for anything malformed (wrong magic,
+    * truncated, compressed, non-16-bit) — same never-throw contract as
+    * [[decodeBmp]]. Chunk-walks from `fmt `, so extra chunks between
+    * fmt and data (LIST/INFO metadata, common in the wild) parse fine.
+    */
+  def decodeWav(payload: Array[Byte]): Option[WavAudio] = {
+    if (payload == null || payload.length < 44 ||
+      payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' ||
+      payload(3) != 'F' || payload(8) != 'W' || payload(9) != 'A' ||
+      payload(10) != 'V' || payload(11) != 'E') return None
+    var off = 12
+    var fmt: Option[(Int, Int)] = None // (sampleRate, channels)
+    while (off + 8 <= payload.length) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val size = rdLe32(payload, off + 4)
+      if (size < 0 || off + 8 + size > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16 || rdLe16(payload, off + 8) != 1 ||
+            rdLe16(payload, off + 8 + 14) != 16) return None
+          fmt = Some((rdLe32(payload, off + 8 + 4), rdLe16(payload, off + 8 + 2)))
+        case "data" =>
+          val (rate, ch) = fmt.getOrElse(return None)
+          if (rate <= 0 || ch <= 0 || size % 2 != 0) return None
+          val n = size / 2
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            samples(i) = ((payload(off + 8 + 2 * i) & 0xff) |
+              (payload(off + 8 + 2 * i + 1) << 8)).toShort
+            i += 1
+          }
+          return Some(WavAudio(rate, ch, samples))
+        case _ => // skip LIST/INFO/etc.
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    None
+  }
+
+  final case class WavStats(doc_id: Long, sample_rate: Int, channels: Int,
+                            n_samples: Long, first_sample: Int,
+                            last_sample: Int, sum_abs: Long, peak: Int)
+
+  /** Partition-batched REAL audio decode: format metadata, first/last
+    * sample probes (endianness + data-offset bugs show here), integer
+    * absolute-amplitude sum and peak (exact — no float). Malformed
+    * payloads are dropped, never thrown. No shuffle.
+    */
+  def wavStats(media: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload"): Dataset[WavStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWav(payload).filter(_.samples.nonEmpty).map { a =>
+          var sumAbs = 0L; var peak = 0
+          var i = 0
+          while (i < a.samples.length) {
+            val v = math.abs(a.samples(i).toInt)
+            sumAbs += v; if (v > peak) peak = v
+            i += 1
+          }
+          WavStats(id, a.sampleRate, a.channels, a.samples.length.toLong,
+            a.samples.head.toInt, a.samples.last.toInt, sumAbs, peak)
+        }
+      })
+  }
+
   /** ===== STUB: deterministic fake decoder =====
     * A real implementation would decode the codec here (JPEG/PNG/WAV…)
     * and emit pixel/sample features. The fake maps the first

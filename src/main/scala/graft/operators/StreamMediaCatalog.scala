@@ -63,6 +63,27 @@ object StreamMediaCatalog {
       BinaryOps.bmpStats(payloads).toDF().orderBy(col("doc_id"))
     }),
 
+    // M4 — REAL audio codec roundtrip: 16-bit PCM WAV per doc (rate,
+    // channels, samples all pure functions of doc_id), decoded with the
+    // real chunk-walking parser; first/last sample probes catch
+    // endianness and data-offset bugs, the integer |amplitude| sum and
+    // peak catch sample-width slips. All-integer oracle.
+    "m4_wav_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      val payloads = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val rate = 8000 + (id % 3).toInt * 4000
+          val ch = 1 + (id % 2).toInt
+          val n = (40 + (id % 40).toInt) * ch
+          val samples = Array.tabulate(n)(j =>
+            (((id * 13 + j * 17) % 4001) - 2000).toShort)
+          (id, BinaryOps.encodeWav(rate, ch, samples))
+        }
+        .toDF("doc_id", "payload")
+      BinaryOps.wavStats(payloads).toDF().orderBy(col("doc_id"))
+    }),
+
     // E7 — stateful streaming EWMA: keyed mapGroupsWithState carrying
     // (acc, n); single-batch file source ⇒ one Update row per user that
     // must equal the batch secondary-sort fold bit-for-bit (same oracle
@@ -238,6 +259,23 @@ object StreamMediaCatalog {
          |WHERE $fp NOT IN (SELECT fp FROM store)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the same (doc_id, sample-index) formula restated in SQL
+    "m4_wav_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    (40 + doc_id % 40) * (1 + doc_id % 2) AS n FROM documents),
+        |s AS (SELECT d.doc_id, d.sample_rate, d.channels, d.n,
+        |    CAST(SUM(ABS((d.doc_id * 13 + j.j * 17) % 4001 - 2000)) AS BIGINT) AS sum_abs,
+        |    CAST(MAX(ABS((d.doc_id * 13 + j.j * 17) % 4001 - 2000)) AS INT) AS peak
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, d.n)) AS j(j)
+        |  GROUP BY d.doc_id, d.sample_rate, d.channels, d.n)
+        |SELECT doc_id, sample_rate, channels, CAST(n AS BIGINT) AS n_samples,
+        |  CAST((doc_id * 13) % 4001 - 2000 AS INT) AS first_sample,
+        |  CAST((doc_id * 13 + (n - 1) * 17) % 4001 - 2000 AS INT) AS last_sample,
+        |  sum_abs, peak
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // the same (doc_id, x, y, channel) pixel formula, restated in SQL —
     // the gate then proves the whole encode→decode byte path: a wrong

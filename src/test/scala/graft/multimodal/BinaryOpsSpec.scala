@@ -64,6 +64,35 @@ class BinaryOpsSpec extends SparkSpec {
     assert(ok.head.n_px == 4L)
   }
 
+  test("WAV roundtrip: encode→decode identity; negative samples survive") {
+    val samples = Array.tabulate(101)(i => ((i * 997) % 65000 - 32000).toShort)
+    val back = BinaryOps.decodeWav(BinaryOps.encodeWav(16000, 1, samples))
+    assert(back.exists(a => a.sampleRate == 16000 && a.channels == 1 &&
+      java.util.Arrays.equals(
+        a.samples.map(_.toInt), samples.map(_.toInt))))
+  }
+
+  test("WAV decode chunk-walks past metadata chunks and rejects malformed") {
+    val samples = Array[Short](10, -20, 30, -40)
+    val wav = BinaryOps.encodeWav(8000, 2, samples)
+    // splice a LIST chunk between fmt and data (offset 36), as real
+    // recorders emit
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++
+      "INFO".getBytes("US-ASCII")
+    val spliced = wav.take(36) ++ list ++ wav.drop(36)
+    // RIFF size field is now stale, which the walker tolerates
+    val back = BinaryOps.decodeWav(spliced)
+    assert(back.exists(a => a.channels == 2 &&
+      a.samples.toSeq == samples.toSeq))
+    assert(BinaryOps.decodeWav(null).isEmpty)
+    assert(BinaryOps.decodeWav("RIFFxxxxWAVEbut no chunks".getBytes).isEmpty)
+    assert(BinaryOps.decodeWav(wav.take(40)).isEmpty)      // truncated
+    val badFmt = wav.clone(); badFmt(20) = 3                // IEEE float
+    assert(BinaryOps.decodeWav(badFmt).isEmpty)
+    val bad8 = wav.clone(); bad8(34) = 8                    // 8-bit
+    assert(BinaryOps.decodeWav(bad8).isEmpty)
+  }
+
   test("resize keeps features, changes metadata; frameSample strides") {
     val feats = BinaryOps.extractFeatures(media)
     val resized = BinaryOps.resize(feats, 64, 64).collect().head
