@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads ride as
   * opaque `binary` columns with typed metadata; decode/feature-extract
   * runs as partition-batched JVM code over the binary column (the Scala
-  * analogue of a pandas `mapInPandas` batch UDF). The uncompressed
-  * 24-bit BMP path ([[encodeBmp]]/[[decodeBmp]]/[[bmpStats]]) is a
-  * fully REAL codec — pure byte arithmetic, no media library — and the
-  * m3 gate drives it end-to-end against an arithmetic oracle.
-  * Compressed codecs (JPEG/PNG/WAV) remain STUBBED with a
-  * deterministic byte-derived fake — those libraries are not in this
-  * container — so their Spark-side contract (schema, partitioning,
-  * batch shape, null behavior) stays real and oracle-testable while
-  * the codec stays swappable.
+  * analogue of a pandas `mapInPandas` batch UDF). THREE codecs are
+  * fully REAL here: uncompressed 24-bit BMP and 16-bit PCM WAV (pure
+  * byte arithmetic) and PNG (8-bit RGB — DEFLATE/CRC32 from
+  * java.util.zip plus the five spec scanline filters, interop-verified
+  * in both directions against javax.imageio's independent codec). The
+  * m3/m4/m5 gates drive each end-to-end against arithmetic oracles.
+  * Codecs needing native libraries absent from this container (JPEG,
+  * video) remain STUBBED with a deterministic byte-derived fake, so
+  * their Spark-side contract (schema, partitioning, batch shape, null
+  * behavior) stays real and oracle-testable while the codec stays
+  * swappable.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); payload bytes never enter a shuffle — feature extraction
@@ -143,6 +145,169 @@ object BinaryOps {
             img.channel(0, 0, 0), img.channel(0, 0, 1), img.channel(0, 0, 2),
             img.channel(img.width - 1, img.height - 1, 2),
             sumR, img.width.toLong * img.height)
+        }
+      })
+  }
+
+  // ===== REAL codec: PNG (8-bit RGB, non-interlaced) =====
+  // A genuinely COMPRESSED format handled for real: DEFLATE and CRC32
+  // come from java.util.zip (JDK-only), chunk framing and the five
+  // scanline filters (None/Sub/Up/Average/Paeth) are implemented per
+  // the PNG spec. Supported profile: bit depth 8, color type 2 (RGB),
+  // no interlace — the common ML-corpus case; anything else returns
+  // None like the other decoders.
+
+  private def be32(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def rdBe32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  private def pngChunk(kind: String, data: Array[Byte]): Array[Byte] = {
+    val k = kind.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(k); crc.update(data)
+    be32(data.length) ++ k ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** Paeth predictor, verbatim from the PNG spec. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Serialize RGB pixels (3 bytes per pixel, row 0 = top) as a real
+    * PNG. Each row carries filter type `row % 5`, so a roundtrip
+    * exercises every filter path, and the IDAT stream is genuinely
+    * DEFLATE-compressed (java.util.zip.Deflater).
+    */
+  def encodePng(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"need $width*$height*3 bytes, got ${rgb.length}")
+    val stride = width * 3
+    val raw = new Array[Byte](height * (1 + stride))
+    for (y <- 0 until height) {
+      val f = y % 5
+      raw(y * (1 + stride)) = f.toByte
+      for (i <- 0 until stride) {
+        val cur = rgb(y * stride + i) & 0xff
+        val left = if (i >= 3) rgb(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val out = new java.io.ByteArrayOutputStream
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, RGB, deflate, adaptive, no interlace
+    PngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.empty)
+  }
+
+  /** Parse an 8-bit RGB non-interlaced PNG: chunk walk (CRC-checked),
+    * IDAT concatenation, real INFLATE, and the five filter inversions.
+    * None for any other profile or malformed payload — never throws.
+    * Returns pixels top-down (PNG's native order; no flip, unlike BMP).
+    */
+  def decodePng(payload: Array[Byte]): Option[BmpImage] = {
+    if (payload == null || payload.length < PngSig.length + 12 ||
+      !payload.take(8).sameElements(PngSig)) return None
+    var off = 8
+    var dims: Option[(Int, Int)] = None
+    val idat = new java.io.ByteArrayOutputStream
+    var done = false
+    while (!done && off + 12 <= payload.length) {
+      val len = rdBe32(payload, off)
+      if (len < 0 || off + 12 + len > payload.length) return None
+      val kind = new String(payload, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(payload, off + 4, 4 + len)
+      if (crc.getValue.toInt != rdBe32(payload, off + 8 + len)) return None
+      kind match {
+        case "IHDR" =>
+          if (len != 13 || payload(off + 16) != 8 || payload(off + 17) != 2 ||
+            payload(off + 20) != 0) return None
+          dims = Some((rdBe32(payload, off + 8), rdBe32(payload, off + 12)))
+        case "IDAT" => idat.write(payload, off + 8, len)
+        case "IEND" => done = true
+        case _ => // ancillary chunks (tEXt, pHYs, …) skip
+      }
+      off += 12 + len
+    }
+    val (width, height) = dims.getOrElse(return None)
+    if (width <= 0 || height <= 0 || !done) return None
+    val stride = width * 3
+    val raw = new Array[Byte](height * (1 + stride))
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    try {
+      var got = 0
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return None // truncated
+        got += n
+      }
+      if (got != raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inflater.end()
+    val px = new Array[Byte](height * stride)
+    for (y <- 0 until height) {
+      val f = raw(y * (1 + stride)) & 0xff
+      if (f > 4) return None
+      for (i <- 0 until stride) {
+        val v = raw(y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= 3) px(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) px((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) px((y - 1) * stride + i - 3) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        px(y * stride + i) = ((v + pred) & 0xff).toByte
+      }
+    }
+    Some(BmpImage(width, height, px)) // same (w, h, top-down bytes) shape
+  }
+
+  /** Same stats contract as [[bmpStats]] over PNG payloads — the
+    * channel order is RGB here (PNG) vs BGR (BMP), reflected in the
+    * gate's column naming.
+    */
+  def pngStats(media: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload"): Dataset[BmpStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodePng(payload).map { img =>
+          var sumLast = 0L
+          var i = 2
+          while (i < img.pixels.length) { sumLast += img.pixels(i) & 0xff; i += 3 }
+          BmpStats(id, img.width, img.height,
+            img.channel(0, 0, 0), img.channel(0, 0, 1), img.channel(0, 0, 2),
+            img.channel(img.width - 1, img.height - 1, 2),
+            sumLast, img.width.toLong * img.height)
         }
       })
   }

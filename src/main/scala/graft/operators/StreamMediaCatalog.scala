@@ -63,6 +63,27 @@ object StreamMediaCatalog {
       BinaryOps.bmpStats(payloads).toDF().orderBy(col("doc_id"))
     }),
 
+    // M5 — REAL COMPRESSED codec roundtrip: PNG per doc (JDK DEFLATE +
+    // CRC32 + all five scanline filters — heights ≥ 5 so every filter
+    // type appears), decoded with the real inflater/un-filter path and
+    // compared against the pixel formula restated in SQL
+    "m5_png_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      val payloads = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w = 2 + (id % 5).toInt
+          val h = 5 + (id % 4).toInt
+          val px = Array.tabulate(w * h * 3) { i =>
+            val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
+            ((id * 29 + y * 11 + x * 5 + c) % 256).toByte
+          }
+          (id, BinaryOps.encodePng(w, h, px))
+        }
+        .toDF("doc_id", "payload")
+      BinaryOps.pngStats(payloads).toDF().orderBy(col("doc_id"))
+    }),
+
     // M4 — REAL audio codec roundtrip: 16-bit PCM WAV per doc (rate,
     // channels, samples all pure functions of doc_id), decoded with the
     // real chunk-walking parser; first/last sample probes catch
@@ -259,6 +280,27 @@ object StreamMediaCatalog {
          |WHERE $fp NOT IN (SELECT fp FROM store)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the same (doc_id, x, y, channel) formula restated in SQL; column
+    // names carry PNG's RGB order (p00_b here is channel index 0 = R
+    // in PNG — the BmpStats field names are positional)
+    "m5_png_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 5 AS INT) AS width,
+        |    CAST(5 + doc_id % 4 AS INT) AS height FROM documents),
+        |s AS (SELECT d.doc_id, d.width, d.height,
+        |    CAST(SUM((d.doc_id * 29 + y.y * 11 + x.x * 5 + 2) % 256) AS BIGINT) AS sum_r
+        |  FROM d
+        |  CROSS JOIN LATERAL unnest(range(0, d.width)) AS x(x)
+        |  CROSS JOIN LATERAL unnest(range(0, d.height)) AS y(y)
+        |  GROUP BY d.doc_id, d.width, d.height)
+        |SELECT doc_id, width, height,
+        |  CAST((doc_id * 29 + 0) % 256 AS INT) AS p00_b,
+        |  CAST((doc_id * 29 + 1) % 256 AS INT) AS p00_g,
+        |  CAST((doc_id * 29 + 2) % 256 AS INT) AS p00_r,
+        |  CAST((doc_id * 29 + (height - 1) * 11 + (width - 1) * 5 + 2) % 256 AS INT) AS pbr_r,
+        |  sum_r, CAST(width * height AS BIGINT) AS n_px
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // the same (doc_id, sample-index) formula restated in SQL
     "m4_wav_decode" ->

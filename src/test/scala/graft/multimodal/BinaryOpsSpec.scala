@@ -64,6 +64,59 @@ class BinaryOpsSpec extends SparkSpec {
     assert(ok.head.n_px == 4L)
   }
 
+  test("PNG roundtrip exercises all five scanline filters") {
+    // heights ≥ 5 force filter types 0..4 (encoder assigns row % 5)
+    for ((w, h) <- Seq((1, 5), (3, 7), (4, 6))) {
+      val px = Array.tabulate(w * h * 3)(i => ((i * 131 + 17) % 256).toByte)
+      val img = BinaryOps.decodePng(BinaryOps.encodePng(w, h, px))
+      assert(img.exists(d => d.width == w && d.height == h &&
+        java.util.Arrays.equals(d.pixels, px)), s"roundtrip failed at ${w}x$h")
+    }
+  }
+
+  test("PNG interop: decodes the JDK's own encoder and vice versa") {
+    // a symmetric encoder/decoder bug would survive a self-roundtrip;
+    // javax.imageio is an INDEPENDENT implementation, so agreement in
+    // both directions pins spec conformance (filters, deflate, CRC)
+    val (w, h) = (5, 6)
+    val px = Array.tabulate(w * h * 3)(i => ((i * 83 + 5) % 256).toByte)
+    val bi = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      bi.setRGB(x, y, ((px(o) & 0xff) << 16) | ((px(o + 1) & 0xff) << 8) |
+        (px(o + 2) & 0xff))
+    }
+    val jdkOut = new java.io.ByteArrayOutputStream
+    assert(javax.imageio.ImageIO.write(bi, "png", jdkOut))
+    val mine = BinaryOps.decodePng(jdkOut.toByteArray)
+    assert(mine.exists(d => d.width == w && d.height == h &&
+      java.util.Arrays.equals(d.pixels, px)),
+      "our decoder must read the JDK encoder's PNG")
+    val jdkIn = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(BinaryOps.encodePng(w, h, px)))
+    assert(jdkIn != null && jdkIn.getWidth == w && jdkIn.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val rgb = jdkIn.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == (px(o) & 0xff) &&
+        ((rgb >> 8) & 0xff) == (px(o + 1) & 0xff) &&
+        (rgb & 0xff) == (px(o + 2) & 0xff),
+        s"JDK decoder must read our PNG at ($x,$y)")
+    }
+  }
+
+  test("PNG decode rejects malformed payloads instead of throwing") {
+    val good = BinaryOps.encodePng(2, 5, Array.tabulate(30)(_.toByte))
+    assert(BinaryOps.decodePng(null).isEmpty)
+    assert(BinaryOps.decodePng(good.take(20)).isEmpty)      // truncated
+    val badCrc = good.clone(); badCrc(badCrc.length - 5) =
+      (badCrc(badCrc.length - 5) ^ 0x7f).toByte
+    assert(BinaryOps.decodePng(badCrc).isEmpty)             // CRC flip
+    val grayscale = good.clone(); grayscale(25) = 0         // color type
+    assert(BinaryOps.decodePng(grayscale).isEmpty)          // (CRC fails too)
+  }
+
   test("WAV roundtrip: encode→decode identity; negative samples survive") {
     val samples = Array.tabulate(101)(i => ((i * 997) % 65000 - 32000).toShort)
     val back = BinaryOps.decodeWav(BinaryOps.encodeWav(16000, 1, samples))
