@@ -149,6 +149,51 @@ object BinaryOps {
       })
   }
 
+  /** REAL pixel resize: nearest-neighbor to (outW, outH) — source
+    * index floor(x2·w/outW) per the standard mapping, pure integer
+    * arithmetic so it is exactly oracle-able. Nearest-neighbor is the
+    * deterministic baseline; interpolating kernels drop in behind the
+    * same signature.
+    */
+  def resizeNearest(img: BmpImage, outW: Int, outH: Int): BmpImage = {
+    require(outW > 0 && outH > 0, s"bad target ${outW}x$outH")
+    val px = new Array[Byte](outW * outH * 3)
+    for (y2 <- 0 until outH; x2 <- 0 until outW; c <- 0 until 3) {
+      val sx = x2 * img.width / outW
+      val sy = y2 * img.height / outH
+      px((y2 * outW + x2) * 3 + c) = img.pixels((sy * img.width + sx) * 3 + c)
+    }
+    BmpImage(outW, outH, px)
+  }
+
+  final case class ResizedProbe(doc_id: Long, src_w: Int, src_h: Int,
+                                p00: Int, p_mid: Int, p_last: Int, sum_c0: Long)
+
+  /** Decode (BMP) → REAL resize to a fixed thumbnail → integer probes:
+    * corner, center, and last pixel of channel 0 plus the channel-0
+    * sum over the thumbnail — the decode+transform pipeline ML
+    * ingestion runs, end-to-end on real pixels, no shuffle.
+    */
+  def resizedStats(media: DataFrame, outW: Int, outH: Int,
+                   idCol: String = "doc_id",
+                   payloadCol: String = "payload"): Dataset[ResizedProbe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeBmp(payload).map { src =>
+          val t = resizeNearest(src, outW, outH)
+          var sum = 0L
+          var i = 0
+          while (i < t.pixels.length) { sum += t.pixels(i) & 0xff; i += 3 }
+          ResizedProbe(id, src.width, src.height,
+            t.channel(0, 0, 0), t.channel(outW / 2, outH / 2, 0),
+            t.channel(outW - 1, outH - 1, 0), sum)
+        }
+      })
+  }
+
   // ===== REAL codec: PNG (8-bit RGB, non-interlaced) =====
   // A genuinely COMPRESSED format handled for real: DEFLATE and CRC32
   // come from java.util.zip (JDK-only), chunk framing and the five

@@ -63,6 +63,27 @@ object StreamMediaCatalog {
       BinaryOps.bmpStats(payloads).toDF().orderBy(col("doc_id"))
     }),
 
+    // M6 — decode + REAL pixel resize: each doc's BMP (m3 formula)
+    // thumbnailed to 4×3 nearest-neighbor; probes hit three distinct
+    // source pixels via the floor(x2·w/outW) mapping, all integer
+    "m6_resize" -> ((spark, dir) => {
+      import spark.implicits._
+      val payloads = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w = 2 + (id % 6).toInt
+          val h = 1 + (id % 4).toInt
+          val px = Array.tabulate(w * h * 3) { i =>
+            val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
+            ((id * 31 + y * 7 + x * 3 + c) % 256).toByte
+          }
+          (id, BinaryOps.encodeBmp(w, h, px))
+        }
+        .toDF("doc_id", "payload")
+      BinaryOps.resizedStats(payloads, outW = 4, outH = 3)
+        .toDF().orderBy(col("doc_id"))
+    }),
+
     // M5 — REAL COMPRESSED codec roundtrip: PNG per doc (JDK DEFLATE +
     // CRC32 + all five scanline filters — heights ≥ 5 so every filter
     // type appears), decoded with the real inflater/un-filter path and
@@ -280,6 +301,28 @@ object StreamMediaCatalog {
          |WHERE $fp NOT IN (SELECT fp FROM store)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // nearest-neighbor source mapping floor(x2*w/4), floor(y2*h/3)
+    // restated with DuckDB integer division over the m3 pixel formula
+    "m6_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 6 AS INT) AS src_w,
+        |    CAST(1 + doc_id % 4 AS INT) AS src_h FROM documents),
+        |s AS (SELECT d.doc_id, d.src_w, d.src_h,
+        |    CAST(SUM((d.doc_id * 31 + ((y2.y * d.src_h) // 3) * 7
+        |              + ((x2.x * d.src_w) // 4) * 3) % 256) AS BIGINT) AS sum_c0
+        |  FROM d
+        |  CROSS JOIN LATERAL unnest(range(0, 4)) AS x2(x)
+        |  CROSS JOIN LATERAL unnest(range(0, 3)) AS y2(y)
+        |  GROUP BY d.doc_id, d.src_w, d.src_h)
+        |SELECT doc_id, src_w, src_h,
+        |  CAST((doc_id * 31) % 256 AS INT) AS p00,
+        |  CAST((doc_id * 31 + ((1 * src_h) // 3) * 7
+        |        + ((2 * src_w) // 4) * 3) % 256 AS INT) AS p_mid,
+        |  CAST((doc_id * 31 + ((2 * src_h) // 3) * 7
+        |        + ((3 * src_w) // 4) * 3) % 256 AS INT) AS p_last,
+        |  sum_c0
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // the same (doc_id, x, y, channel) formula restated in SQL; column
     // names carry PNG's RGB order (p00_b here is channel index 0 = R

@@ -64,6 +64,22 @@ class BinaryOpsSpec extends SparkSpec {
     assert(ok.head.n_px == 4L)
   }
 
+  test("resizeNearest: identity at same size, known mapping at downscale") {
+    val px = Array.tabulate(4 * 2 * 3)(_.toByte)
+    val img = BinaryOps.BmpImage(4, 2, px)
+    assert(java.util.Arrays.equals(
+      BinaryOps.resizeNearest(img, 4, 2).pixels, px))
+    // 4x2 → 2x1: sources are floor(x2*4/2)=0,2 at row floor(0*2/1)=0
+    val t = BinaryOps.resizeNearest(img, 2, 1)
+    assert(t.channel(0, 0, 0) == img.channel(0, 0, 0))
+    assert(t.channel(1, 0, 0) == img.channel(2, 0, 0))
+    // upscale replicates: 1x1 → 3x3 is nine copies of the pixel
+    val one = BinaryOps.BmpImage(1, 1, Array[Byte](7, 8, 9))
+    val up = BinaryOps.resizeNearest(one, 3, 3)
+    assert((0 until 3).forall(y => (0 until 3).forall(x =>
+      up.channel(x, y, 2) == 9)))
+  }
+
   test("PNG roundtrip exercises all five scanline filters") {
     // heights ≥ 5 force filter types 0..4 (encoder assigns row % 5)
     for ((w, h) <- Seq((1, 5), (3, 7), (4, 6))) {
