@@ -1,0 +1,70 @@
+package graft.multimodal
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck roundtrip properties for the real codecs — arbitrary
+  * dimensions and contents, the generative sibling of the fixed-vector
+  * cases in BinaryOpsSpec. Pure JVM (no Spark session): the codecs are
+  * plain functions. Same Gen + fixed-seed style as PropertiesSpec (no
+  * scalatestplus bridge in the offline cache).
+  */
+class CodecPropertiesSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1337L + i)))
+
+  private val dimGen = Gen.zip(Gen.choose(1, 9), Gen.choose(1, 9))
+
+  test("property: BMP roundtrip is identity for arbitrary dims and bytes") {
+    samples(dimGen, 12).foreach { case (w, h) =>
+      val px = Array.tabulate(w * h * 3)(i =>
+        ((i * 193 + w * 31 + h * 7) % 256).toByte)
+      val back = BinaryOps.decodeBmp(BinaryOps.encodeBmp(w, h, px))
+      assert(back.exists(d => d.width == w && d.height == h &&
+        java.util.Arrays.equals(d.pixels, px)), s"BMP failed at ${w}x$h")
+    }
+  }
+
+  test("property: PNG roundtrip is identity for arbitrary dims and bytes") {
+    samples(dimGen, 12).foreach { case (w, h) =>
+      val px = Array.tabulate(w * h * 3)(i =>
+        ((i * 89 + w * 13 + h * 3) % 256).toByte)
+      val back = BinaryOps.decodePng(BinaryOps.encodePng(w, h, px))
+      assert(back.exists(d => d.width == w && d.height == h &&
+        java.util.Arrays.equals(d.pixels, px)), s"PNG failed at ${w}x$h")
+    }
+  }
+
+  test("property: WAV roundtrip is identity for arbitrary rates/channels/samples") {
+    val gen = Gen.zip(Gen.choose(1, 3), Gen.choose(0, 200),
+      Gen.choose(4000, 48000))
+    samples(gen, 12).foreach { case (ch, frames, rate) =>
+      val samples0 = Array.tabulate(frames * ch)(i =>
+        ((i * striding + rate) % 65536 - 32768).toShort)
+      val back = BinaryOps.decodeWav(BinaryOps.encodeWav(rate, ch, samples0))
+      if (frames == 0)
+        // zero-sample files decode but carry no samples
+        assert(back.exists(_.samples.isEmpty))
+      else
+        assert(back.exists(a => a.sampleRate == rate && a.channels == ch &&
+          java.util.Arrays.equals(a.samples.map(_.toInt),
+            samples0.map(_.toInt))), s"WAV failed at ch=$ch n=$frames")
+    }
+  }
+  private val striding = 523
+
+  test("property: resize then resize-back preserves pixels picked by the mapping") {
+    samples(dimGen, 8).foreach { case (w, h) =>
+      val px = Array.tabulate(w * h * 3)(i => ((i * 57 + 3) % 256).toByte)
+      val img = BinaryOps.BmpImage(w, h, px)
+      // upscale by an integer factor then map back: every original
+      // pixel is recoverable at (x*f, y*f)
+      val f = 3
+      val up = BinaryOps.resizeNearest(img, w * f, h * f)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert(up.channel(x * f, y * f, c) == img.channel(x, y, c))
+    }
+  }
+}
