@@ -6,17 +6,19 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads ride as
   * opaque `binary` columns with typed metadata; decode/feature-extract
   * runs as partition-batched JVM code over the binary column (the Scala
-  * analogue of a pandas `mapInPandas` batch UDF). THREE codecs are
+  * analogue of a pandas `mapInPandas` batch UDF). FOUR codecs are
   * fully REAL here: uncompressed 24-bit BMP and 16-bit PCM WAV (pure
-  * byte arithmetic) and PNG (8-bit RGB — DEFLATE/CRC32 from
+  * byte arithmetic), PNG (8-bit RGB — DEFLATE/CRC32 from
   * java.util.zip plus the five spec scanline filters, interop-verified
-  * in both directions against javax.imageio's independent codec). The
-  * m3/m4/m5 gates drive each end-to-end against arithmetic oracles.
-  * Codecs needing native libraries absent from this container (JPEG,
-  * video) remain STUBBED with a deterministic byte-derived fake, so
-  * their Spark-side contract (schema, partitioning, batch shape, null
-  * behavior) stays real and oracle-testable while the codec stays
-  * swappable.
+  * in both directions against javax.imageio's independent codec), and
+  * uncompressed-DIB AVI video (RIFF walker + per-frame DIB decode, so
+  * frame-sampling runs on real container bytes). The m3–m7 gates
+  * drive each end-to-end against arithmetic oracles, including real
+  * pixel resize. Codecs needing native libraries absent from this
+  * container (JPEG, compressed video) remain STUBBED with a
+  * deterministic byte-derived fake, so their Spark-side contract
+  * (schema, partitioning, batch shape, null behavior) stays real and
+  * oracle-testable while the codec stays swappable.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); payload bytes never enter a shuffle — feature extraction
@@ -461,6 +463,139 @@ object BinaryOps {
           }
           WavStats(id, a.sampleRate, a.channels, a.samples.length.toLong,
             a.samples.head.toInt, a.samples.last.toInt, sumAbs, peak)
+        }
+      })
+  }
+
+  // ===== REAL codec: uncompressed AVI (DIB 'vids' stream) =====
+  // The video face: a RIFF container (WAV's framing) holding raw DIB
+  // frames (BMP's pixel layout — bottom-up rows, 4-byte padding), so
+  // real frame extraction composes the two parsers above. Supported
+  // profile: one 24-bit 'DIB ' video stream, '00db' frame chunks; the
+  // frame-sample op then runs on REAL video frames.
+
+  /** Serialize frames (each `width*height*3` BGR bytes, row 0 = top)
+    * as an uncompressed AVI: RIFF('AVI ') → LIST(hdrl: avih +
+    * LIST(strl: strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) →
+    * LIST(movi: '00db' DIB frames).
+    */
+  def encodeAvi(width: Int, height: Int, fps: Int,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames.nonEmpty &&
+      frames.forall(_.length == width * height * 3),
+      s"need nonempty $width*$height*3 frames")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dibSize = rowSize * height
+    def dib(rgb: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](dibSize)
+      for (y <- 0 until height; x <- 0 until width; c <- 0 until 3)
+        out((height - 1 - y) * rowSize + x * 3 + c) =
+          rgb((y * width + x) * 3 + c)
+      out
+    }
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val padded = if (data.length % 2 == 1) data :+ 0.toByte else data
+      id.getBytes("US-ASCII") ++ le32(data.length) ++ padded
+    }
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      "LIST".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+        kind.getBytes("US-ASCII") ++ body
+    val avih = le32(1000000 / fps) ++ le32(dibSize * fps) ++ le32(0) ++
+      le32(0) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++
+      le32(dibSize) ++ le32(width) ++ le32(height) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(frames.length) ++ le32(dibSize) ++ le32(-1) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array[Byte](1, 0, 24, 0) ++ le32(0) ++ le32(dibSize) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.toArray.flatMap(f => chunk("00db", dib(f))))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  final case class AviVideo(width: Int, height: Int,
+                            frames: IndexedSeq[Array[Byte]])
+
+  /** Parse an uncompressed-DIB AVI: chunk-walk to hdrl's avih for the
+    * dimensions, then collect the movi list's '00db' frames, un-pad
+    * and un-flip each like a BMP pixel array. None for any other
+    * profile or malformed payload — never throws.
+    */
+  def decodeAvi(payload: Array[Byte]): Option[AviVideo] = {
+    if (payload == null || payload.length < 24 ||
+      payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' ||
+      payload(3) != 'F' || new String(payload, 8, 4, "US-ASCII") != "AVI ")
+      return None
+    var width = -1; var height = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
+      var off = from
+      while (off + 8 <= to) {
+        val id = new String(payload, off, 4, "US-ASCII")
+        val size = rdLe32(payload, off + 4)
+        if (size < 0 || off + 8 + size > to) return false
+        if (id == "LIST") {
+          if (size < 4) return false
+          val kind = new String(payload, off + 8, 4, "US-ASCII")
+          if (!walk(off + 12, off + 8 + size,
+            inMovi || kind == "movi")) return false
+        } else if (id == "avih") {
+          if (size < 40) return false
+          width = rdLe32(payload, off + 8 + 32)
+          height = rdLe32(payload, off + 8 + 36)
+        } else if (inMovi && id == "00db") {
+          if (width <= 0 || height <= 0) return false
+          val rowSize = ((width * 3 + 3) / 4) * 4
+          if (size != rowSize * height) return false
+          val px = new Array[Byte](width * height * 3)
+          for (y <- 0 until height; x <- 0 until width; c <- 0 until 3)
+            px((y * width + x) * 3 + c) =
+              payload(off + 8 + (height - 1 - y) * rowSize + x * 3 + c)
+          frames += px
+        }
+        off += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, math.min(payload.length, 8 + rdLe32(payload, 4)), false))
+      return None
+    if (width <= 0 || height <= 0 || frames.isEmpty) None
+    else Some(AviVideo(width, height, frames.toIndexedSeq))
+  }
+
+  final case class FrameProbe(doc_id: Long, frame_idx: Int, width: Int,
+                              height: Int, n_frames: Long, p00_b: Int,
+                              sum_b: Long)
+
+  /** REAL video frame-sampling: decode the AVI, keep every `stride`-th
+    * frame, emit per-frame integer probes — the stride-sampling stage
+    * of video-corpus ingestion running on real container bytes.
+    * Malformed payloads drop; no shuffle.
+    */
+  def aviFrameSample(media: DataFrame, stride: Int,
+                     idCol: String = "doc_id",
+                     payloadCol: String = "payload"): Dataset[FrameProbe] = {
+    require(stride >= 1, s"stride=$stride must be >= 1")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeAvi(payload).iterator.flatMap { v =>
+          (0 until v.frames.length by stride).iterator.map { fi =>
+            val f = v.frames(fi)
+            var sumB = 0L
+            var i = 0
+            while (i < f.length) { sumB += f(i) & 0xff; i += 3 }
+            FrameProbe(id, fi, v.width, v.height, v.frames.length.toLong,
+              f(0) & 0xff, sumB)
+          }
         }
       })
   }

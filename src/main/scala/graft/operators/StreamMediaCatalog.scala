@@ -63,6 +63,31 @@ object StreamMediaCatalog {
       BinaryOps.bmpStats(payloads).toDF().orderBy(col("doc_id"))
     }),
 
+    // M7 — REAL video frame-sampling: an uncompressed-DIB AVI per doc
+    // (dims/frame-count/pixels pure functions of doc_id), decoded with
+    // the real RIFF walker, every 2nd frame probed — frame-stride
+    // ingestion on real container bytes, all-integer oracle
+    "m7_avi_frames" -> ((spark, dir) => {
+      import spark.implicits._
+      val payloads = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w = 2 + (id % 4).toInt
+          val h = 1 + (id % 3).toInt
+          val nf = 3 + (id % 5).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h * 3) { i =>
+              val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
+              ((id * 37 + f * 13 + y * 7 + x * 3 + c) % 256).toByte
+            }
+          }
+          (id, BinaryOps.encodeAvi(w, h, fps = 10, frames))
+        }
+        .toDF("doc_id", "payload")
+      BinaryOps.aviFrameSample(payloads, stride = 2)
+        .toDF().orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // M6 — decode + REAL pixel resize: each doc's BMP (m3 formula)
     // thumbnailed to 4×3 nearest-neighbor; probes hit three distinct
     // source pixels via the floor(x2·w/outW) mapping, all integer
@@ -301,6 +326,27 @@ object StreamMediaCatalog {
          |WHERE $fp NOT IN (SELECT fp FROM store)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // stride-2 frame indices + the per-frame pixel formula in SQL
+    "m7_avi_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 4 AS INT) AS width,
+        |    CAST(1 + doc_id % 3 AS INT) AS height,
+        |    3 + doc_id % 5 AS nf FROM documents),
+        |fr AS (SELECT d.*, CAST(f.f AS INT) AS frame_idx
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, d.nf, 2)) AS f(f)),
+        |s AS (SELECT fr.doc_id, fr.frame_idx, fr.width, fr.height, fr.nf,
+        |    CAST(SUM((fr.doc_id * 37 + fr.frame_idx * 13 + y.y * 7
+        |              + x.x * 3) % 256) AS BIGINT) AS sum_b
+        |  FROM fr
+        |  CROSS JOIN LATERAL unnest(range(0, fr.width)) AS x(x)
+        |  CROSS JOIN LATERAL unnest(range(0, fr.height)) AS y(y)
+        |  GROUP BY fr.doc_id, fr.frame_idx, fr.width, fr.height, fr.nf)
+        |SELECT doc_id, frame_idx, width, height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST((doc_id * 37 + frame_idx * 13) % 256 AS INT) AS p00_b,
+        |  sum_b
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
 
     // nearest-neighbor source mapping floor(x2*w/4), floor(y2*h/3)
     // restated with DuckDB integer division over the m3 pixel formula

@@ -133,6 +133,26 @@ class BinaryOpsSpec extends SparkSpec {
     assert(BinaryOps.decodePng(grayscale).isEmpty)          // (CRC fails too)
   }
 
+  test("AVI roundtrip: frames survive the container; malformed rejected") {
+    val (w, h) = (3, 2)
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(w * h * 3)(i => ((f * 61 + i * 7) % 256).toByte))
+    val avi = BinaryOps.encodeAvi(w, h, fps = 5, frames)
+    val back = BinaryOps.decodeAvi(avi)
+    assert(back.exists(v => v.width == w && v.height == h &&
+      v.frames.length == 4 &&
+      v.frames.zip(frames).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b) }))
+    assert(BinaryOps.decodeAvi(null).isEmpty)
+    assert(BinaryOps.decodeAvi(avi.take(30)).isEmpty)
+    assert(BinaryOps.decodeAvi("RIFFxxxxWAVEdata".getBytes).isEmpty)
+    // frame-sample stride over the real container
+    val media = Seq((1L, avi)).toDF("doc_id", "payload")
+    val sampled = BinaryOps.aviFrameSample(media, stride = 2).collect()
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(sampled.forall(p => p.n_frames == 4 && p.width == w))
+  }
+
   test("WAV roundtrip: encode→decode identity; negative samples survive") {
     val samples = Array.tabulate(101)(i => ((i * 997) % 65000 - 32000).toShort)
     val back = BinaryOps.decodeWav(BinaryOps.encodeWav(16000, 1, samples))
