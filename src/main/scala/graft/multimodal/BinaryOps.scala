@@ -29,6 +29,27 @@ object BinaryOps {
 
   val FeatureDim = 8
 
+  /** Crawl-garbage guard shared by every decoder: a forged header with
+    * e.g. width = 1431655768 wraps `width * 3` in Int arithmetic to a
+    * tiny rowSize that PASSES the payload bounds check, then the pixel
+    * copy loop indexes past the wrapped-small array and throws — which
+    * the never-throw contract forbids. Capping both dimensions at 2^15
+    * (a gigapixel image) keeps every stride/size product inside safe
+    * range BEFORE any allocation; the residual products are still
+    * compared in Long.
+    */
+  val MaxDim: Int = 1 << 15
+
+  /** PNG-only cap: unlike BMP/AVI, a PNG's decoded size is NOT bounded
+    * by its payload length (DEFLATE), so a tiny forged IHDR could
+    * demand a multi-GB raw buffer. 256 MB decoded ≫ any sane corpus
+    * image at the supported 8-bit RGB profile.
+    */
+  val MaxDecodedBytes: Long = 256L << 20
+
+  private def dimsSane(width: Int, height: Int): Boolean =
+    width > 0 && height > 0 && width <= MaxDim && height <= MaxDim
+
   final case class MediaRecord(doc_id: Long, payload: Array[Byte],
                                format: String, width: Int, height: Int)
   final case class MediaFeatures(doc_id: Long, format: String, width: Int,
@@ -108,7 +129,7 @@ object BinaryOps {
     val height = rdLe32(payload, 22)
     val bpp = rdLe16(payload, 28)
     val compression = rdLe32(payload, 30)
-    if (width <= 0 || height <= 0 || bpp != 24 || compression != 0)
+    if (!dimsSane(width, height) || bpp != 24 || compression != 0)
       return None
     val rowSize = ((width * 3 + 3) / 4) * 4
     if (offset < 54 || offset.toLong + rowSize.toLong * height > payload.length)
@@ -282,7 +303,7 @@ object BinaryOps {
     var done = false
     while (!done && off + 12 <= payload.length) {
       val len = rdBe32(payload, off)
-      if (len < 0 || off + 12 + len > payload.length) return None
+      if (len < 0 || off.toLong + 12 + len > payload.length) return None
       val kind = new String(payload, off + 4, 4, "US-ASCII")
       val crc = new java.util.zip.CRC32
       crc.update(payload, off + 4, 4 + len)
@@ -299,8 +320,11 @@ object BinaryOps {
       off += 12 + len
     }
     val (width, height) = dims.getOrElse(return None)
-    if (width <= 0 || height <= 0 || !done) return None
+    if (!dimsSane(width, height) || !done) return None
     val stride = width * 3
+    // decoded size is header-declared, not payload-bounded (DEFLATE):
+    // check it in Long against the cap before any allocation
+    if (height.toLong * (1L + stride) > MaxDecodedBytes) return None
     val raw = new Array[Byte](height * (1 + stride))
     val inflater = new java.util.zip.Inflater
     inflater.setInput(idat.toByteArray)
@@ -412,7 +436,7 @@ object BinaryOps {
     while (off + 8 <= payload.length) {
       val id = new String(payload, off, 4, "US-ASCII")
       val size = rdLe32(payload, off + 4)
-      if (size < 0 || off + 8 + size > payload.length) return None
+      if (size < 0 || off.toLong + 8 + size > payload.length) return None
       id match {
         case "fmt " =>
           if (size < 16 || rdLe16(payload, off + 8) != 1 ||
@@ -534,36 +558,45 @@ object BinaryOps {
       return None
     var width = -1; var height = -1
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    def walk(from: Int, to: Int, inMovi: Boolean): Boolean = {
-      var off = from
-      while (off + 8 <= to) {
-        val id = new String(payload, off, 4, "US-ASCII")
-        val size = rdLe32(payload, off + 4)
-        if (size < 0 || off + 8 + size > to) return false
-        if (id == "LIST") {
-          if (size < 4) return false
-          val kind = new String(payload, off + 8, 4, "US-ASCII")
-          if (!walk(off + 12, off + 8 + size,
-            inMovi || kind == "movi")) return false
-        } else if (id == "avih") {
-          if (size < 40) return false
-          width = rdLe32(payload, off + 8 + 32)
-          height = rdLe32(payload, off + 8 + 36)
-        } else if (inMovi && id == "00db") {
-          if (width <= 0 || height <= 0) return false
-          val rowSize = ((width * 3 + 3) / 4) * 4
-          if (size != rowSize * height) return false
-          val px = new Array[Byte](width * height * 3)
-          for (y <- 0 until height; x <- 0 until width; c <- 0 until 3)
-            px((y * width + x) * 3 + c) =
-              payload(off + 8 + (height - 1 - y) * rowSize + x * 3 + c)
-          frames += px
+    // Iterative chunk walk with an explicit segment stack: a crafted
+    // payload of nested 12-byte LIST headers would recurse
+    // ~payload.length/12 deep and StackOverflowError a recursive walk —
+    // heap-allocated segments make nesting depth a non-issue. Each
+    // stack entry is a (cursor, end, inMovi) segment; one chunk is
+    // consumed per iteration, LISTs push their body as a new segment.
+    def walk(from: Int, to: Int): Boolean = {
+      val stack = scala.collection.mutable.ArrayBuffer((from, to, false))
+      while (stack.nonEmpty) {
+        val (off, end, inMovi) = stack.last
+        if (off + 8 > end) stack.dropRightInPlace(1)
+        else {
+          val id = new String(payload, off, 4, "US-ASCII")
+          val size = rdLe32(payload, off + 4)
+          if (size < 0 || off.toLong + 8 + size > end) return false
+          stack(stack.length - 1) = (off + 8 + size + (size & 1), end, inMovi)
+          if (id == "LIST") {
+            if (size < 4) return false
+            val kind = new String(payload, off + 8, 4, "US-ASCII")
+            stack += ((off + 12, off + 8 + size, inMovi || kind == "movi"))
+          } else if (id == "avih") {
+            if (size < 40) return false
+            width = rdLe32(payload, off + 8 + 32)
+            height = rdLe32(payload, off + 8 + 36)
+          } else if (inMovi && id == "00db") {
+            if (!dimsSane(width, height)) return false
+            val rowSize = ((width * 3 + 3) / 4) * 4
+            if (size.toLong != rowSize.toLong * height) return false
+            val px = new Array[Byte](width * height * 3)
+            for (y <- 0 until height; x <- 0 until width; c <- 0 until 3)
+              px((y * width + x) * 3 + c) =
+                payload(off + 8 + (height - 1 - y) * rowSize + x * 3 + c)
+            frames += px
+          }
         }
-        off += 8 + size + (size & 1)
       }
       true
     }
-    if (!walk(12, math.min(payload.length, 8 + rdLe32(payload, 4)), false))
+    if (!walk(12, math.min(payload.length, 8 + rdLe32(payload, 4))))
       return None
     if (width <= 0 || height <= 0 || frames.isEmpty) None
     else Some(AviVideo(width, height, frames.toIndexedSeq))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, SessionBridge}
 import org.apache.spark.sql.types.BinaryType
 
 /** Bloom-filter membership pre-filtering — the 100 TB face of
@@ -69,23 +69,22 @@ object Bloom {
     // against the RUNTIME-join bloom confs (defaults: 4M items, 8 MB) —
     // sized for injected join filters, not a 10⁸–10⁹-key store. Without
     // lifting them the build silently clamps, fpp degrades toward 1,
-    // and the prefilter stops pruning (still correct, uselessly). Raise
-    // them for the build only and restore, so injected join filters in
-    // the caller's session keep their intended bounds.
-    val spark = store.sparkSession
-    val liftedConfs = Seq(
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
+    // and the prefilter stops pruning (still correct, uselessly). Lift
+    // them in a DERIVED session (newSession: shared SparkContext,
+    // isolated conf) and run the build there — the caller's session
+    // conf is never mutated, so concurrent queries keep the intended
+    // bounds for injected join filters and concurrent builds can't
+    // interleave a set/restore race.
+    val buildSession = store.sparkSession.newSession()
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> expectedItems,
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
-    val saved = liftedConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    liftedConfs.foreach { case (k, v) =>
-      if (spark.conf.getOption(k).forall(_.toLong < v)) spark.conf.set(k, v.toString)
-    }
-    try Option(store.select(ColumnBridge.toColumn(agg).as("bf"))
+      .foreach { case (k, v) =>
+        if (buildSession.conf.getOption(k).forall(_.toLong < v))
+          buildSession.conf.set(k, v.toString)
+      }
+    Option(SessionBridge.inSession(store, buildSession)
+      .select(ColumnBridge.toColumn(agg).as("bf"))
       .head.getAs[Array[Byte]](0))
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
   }
 
   /** Codegen'd map-side probe: true iff `key` MIGHT be in the filter

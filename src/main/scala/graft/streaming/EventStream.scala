@@ -31,6 +31,13 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** events schema of the CURRENT fixture era (ts = TIMESTAMP(MICROS));
+    * the inference fallback in [[read]] when the ingestion directory is
+    * still empty at stream start.
+    */
+  val microsSchema: StructType = StructType(
+    rawSchema.map(f => if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
   /** File-source stream over a directory of events parquet. Streaming
     * sources need an explicit schema; take it from the files already in
     * the directory (one batch footer read at plan time) so the `ts`
@@ -39,7 +46,18 @@ object EventStream {
     * NANOS-as-long under the legacy conf.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val onDisk = spark.read.parquet(dir).schema
+    // Inference throws AnalysisException on a directory with no parquet
+    // files yet — the normal state of an ingestion dir at stream start.
+    // Fall back to the era-appropriate explicit schema: legacy NANOS
+    // fixtures only exist under the nanosAsLong conf, otherwise MICROS.
+    val onDisk =
+      try spark.read.parquet(dir).schema
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          val legacyNanos = spark.conf
+            .getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true")
+          if (legacyNanos) rawSchema else microsSchema
+      }
     graft.core.Tables.normalizeTs(spark.readStream.schema(onDisk).parquet(dir))
   }
 

@@ -182,6 +182,49 @@ class BinaryOpsSpec extends SparkSpec {
     assert(BinaryOps.decodeWav(bad8).isEmpty)
   }
 
+  test("forged headers can't wrap Int arithmetic past the bounds checks") {
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    // BMP: width=1431655768 wraps width*3 to 8, so a 2x2 payload's
+    // bounds check passes and the copy loop used to throw AIOOBE
+    val bmp = BinaryOps.encodeBmp(2, 2, Array.tabulate(12)(_.toByte))
+    val wrapped = bmp.clone(); le32(1431655768).copyToArray(wrapped, 18)
+    assert(BinaryOps.decodeBmp(wrapped).isEmpty)
+    // PNG: a CRC-valid IHDR with width=0x30000000 wraps the stride
+    // negative and used to throw NegativeArraySizeException
+    def chunk(kind: String, data: Array[Byte]) = {
+      val k = kind.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32; crc.update(k); crc.update(data)
+      be32(data.length) ++ k ++ data ++ be32(crc.getValue.toInt)
+    }
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    val bombPng = sig ++
+      chunk("IHDR", be32(0x30000000) ++ be32(1) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", Array[Byte](0x78, 0x9c.toByte)) ++ chunk("IEND", Array.empty)
+    assert(BinaryOps.decodePng(bombPng).isEmpty)
+    // PNG: a chunk length near Int.MaxValue used to wrap the
+    // off+12+len bound negative and reach CRC32.update out of range
+    val lenBomb = sig ++ be32(0x7ffffff0) ++ "IDAT".getBytes("US-ASCII") ++
+      Array.fill[Byte](16)(0)
+    assert(BinaryOps.decodePng(lenBomb).isEmpty)
+    // AVI: 20k nested LIST headers used to StackOverflowError the
+    // recursive walker
+    var nested = Array.empty[Byte]
+    for (_ <- 0 until 20000)
+      nested = "LIST".getBytes("US-ASCII") ++ le32(4 + nested.length) ++
+        "recl".getBytes("US-ASCII") ++ nested
+    val bombAvi = "RIFF".getBytes("US-ASCII") ++ le32(4 + nested.length) ++
+      "AVI ".getBytes("US-ASCII") ++ nested
+    assert(BinaryOps.decodeAvi(bombAvi).isEmpty)
+    // WAV: a data-chunk size near Int.MaxValue used to wrap the bound
+    // negative and attempt a ~4 GB sample allocation
+    val wav = BinaryOps.encodeWav(8000, 1, Array[Short](1, 2))
+    val wavBomb = wav.clone(); le32(0x7ffffff0).copyToArray(wavBomb, 40)
+    assert(BinaryOps.decodeWav(wavBomb).isEmpty)
+  }
+
   test("resize keeps features, changes metadata; frameSample strides") {
     val feats = BinaryOps.extractFeatures(media)
     val resized = BinaryOps.resize(feats, 64, 64).collect().head

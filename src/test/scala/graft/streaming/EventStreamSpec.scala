@@ -15,6 +15,18 @@ class EventStreamSpec extends SparkSpec {
     d.toString
   }
 
+  test("stream starts on an EMPTY ingestion dir (schema-inference fallback)") {
+    // the normal state of an ingestion directory at stream start: no
+    // parquet has landed yet, so batch inference throws and read() must
+    // fall back to the explicit MICROS-era schema instead of failing
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_empty").toString
+    val out = EventStream.runToMemory(spark,
+      EventStream.tumblingCounts(EventStream.read(spark, d)), "spec_empty_dir")
+    assert(out.count() == 0L)
+    assert(EventStream.read(spark, d).schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("streaming tumbling rollup equals the batch rollup (sf0.001)") {
     val d = streamSrcDir("graft_stream_spec")
     val streamed = EventStream.runToMemory(spark,
