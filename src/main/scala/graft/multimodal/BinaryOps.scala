@@ -6,19 +6,22 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video payloads ride as
   * opaque `binary` columns with typed metadata; decode/feature-extract
   * runs as partition-batched JVM code over the binary column (the Scala
-  * analogue of a pandas `mapInPandas` batch UDF). FOUR codecs are
-  * fully REAL here: uncompressed 24-bit BMP and 16-bit PCM WAV (pure
-  * byte arithmetic), PNG (8-bit RGB — DEFLATE/CRC32 from
-  * java.util.zip plus the five spec scanline filters, interop-verified
-  * in both directions against javax.imageio's independent codec), and
-  * uncompressed-DIB AVI video (RIFF walker + per-frame DIB decode, so
-  * frame-sampling runs on real container bytes). The m3–m7 gates
-  * drive each end-to-end against arithmetic oracles, including real
-  * pixel resize. Codecs needing native libraries absent from this
-  * container (JPEG, compressed video) remain STUBBED with a
-  * deterministic byte-derived fake, so their Spark-side contract
-  * (schema, partitioning, batch shape, null behavior) stays real and
-  * oracle-testable while the codec stays swappable.
+  * analogue of a pandas `mapInPandas` batch UDF). SIX codecs are fully
+  * REAL here: uncompressed 24-bit BMP and 16-bit PCM WAV (pure byte
+  * arithmetic), PNG (8-bit RGB — DEFLATE/CRC32 from java.util.zip plus
+  * the five spec scanline filters, interop-verified in both directions
+  * against javax.imageio's independent codec), JPEG (the JDK's bundled
+  * javax.imageio reader/writer — real Huffman/DCT, gated with a pinned
+  * tolerance because the codec is lossy), and AVI video in both
+  * uncompressed-DIB ('00db') and M-JPEG ('00dc') profiles (RIFF walker
+  * + per-frame decode, so frame-sampling runs on real container
+  * bytes). The m3–m9 gates drive each end-to-end against arithmetic
+  * oracles, including real pixel resize. Only codecs genuinely needing
+  * native libraries absent from this container (H.264-class video,
+  * lossy audio) keep the deterministic byte-derived fake below, so
+  * their Spark-side contract (schema, partitioning, batch shape, null
+  * behavior) stays real and oracle-testable while the codec stays
+  * swappable.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); payload bytes never enter a shuffle — feature extraction
@@ -70,8 +73,7 @@ object BinaryOps {
   // ===== REAL codec: uncompressed 24-bit BMP =====
   // Pure byte arithmetic (little-endian headers, 4-byte row padding,
   // bottom-up row order) — no media library needed, so THIS format's
-  // decode path is fully real in this container; the stub below remains
-  // only for compressed codecs (JPEG/PNG/WAV) that need native libs.
+  // decode path is fully real in this container.
 
   final case class BmpImage(width: Int, height: Int, pixels: Array[Byte]) {
     /** Channel value (0=B,1=G,2=R) at IMAGE coordinates — (0,0) is the
@@ -383,6 +385,119 @@ object BinaryOps {
       })
   }
 
+  // ===== REAL codec: JPEG (via the JDK's bundled javax.imageio reader) =====
+  // The JDK ships an independent JPEG codec in every runtime — no
+  // native library needed — so the lossy-image path is real too: real
+  // Huffman/DCT decode on the executor, wrapped in the same never-throw
+  // contract. Decoded pixels come back in RGB order (like PNG, unlike
+  // BMP's BGR). Because JPEG is lossy, its gates compare against the
+  // source formula with a pinned tolerance flag rather than exact sums
+  // (dimensions and pixel counts stay exact).
+
+  // ImageIO's default stream cache writes temp FILES per decode — a
+  // disaster at corpus scale; force the in-memory cache once per JVM.
+  private lazy val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+  /** Serialize RGB pixels as a baseline JPEG at the given quality
+    * (fixture-synthesis side of [[decodeJpeg]], like the other
+    * encoders — but unlike them the roundtrip is LOSSY by design).
+    */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Byte],
+                 quality: Float = 0.95f): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"need $width*$height*3 bytes, got ${rgb.length}")
+    imageIoNoCache
+    val bi = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until height; x <- 0 until width) {
+      val o = (y * width + x) * 3
+      bi.setRGB(x, y, ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) |
+        (rgb(o + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Parse a JPEG through the JDK's own reader; None for anything that
+    * is not a decodable JPEG (wrong SOI magic, truncated, corrupt
+    * entropy stream, dimensions past [[MaxDim]]) — the reader's
+    * exceptions are absorbed into the never-throw contract. Pixels
+    * come back top-down in RGB channel order.
+    */
+  def decodeJpeg(payload: Array[Byte]): Option[BmpImage] = {
+    if (payload == null || payload.length < 4 ||
+      (payload(0) & 0xff) != 0xff || (payload(1) & 0xff) != 0xd8) return None
+    imageIoNoCache
+    try {
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (bi == null || !dimsSane(bi.getWidth, bi.getHeight)) None
+      else {
+        val w = bi.getWidth; val h = bi.getHeight
+        val px = new Array[Byte](w * h * 3)
+        val row = new Array[Int](w)
+        for (y <- 0 until h) {
+          bi.getRGB(0, y, w, 1, row, 0, w)
+          for (x <- 0 until w) {
+            val rgb = row(x); val o = (y * w + x) * 3
+            px(o) = ((rgb >> 16) & 0xff).toByte
+            px(o + 1) = ((rgb >> 8) & 0xff).toByte
+            px(o + 2) = (rgb & 0xff).toByte
+          }
+        }
+        Some(BmpImage(w, h, px))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  final case class JpegProbe(doc_id: Long, width: Int, height: Int,
+                             n_px: Long, decode_ok: Boolean)
+
+  /** Partition-batched REAL JPEG decode, gated with a pinned-tolerance
+    * comparison instead of exact sums (the codec is lossy): dimensions
+    * and pixel count must be exact, and every decoded channel value
+    * must land within `tol` of the caller-supplied expected image. A
+    * wrong stride, row flip, or channel swap blows the tolerance
+    * instantly; codec quantization noise does not. Malformed payloads
+    * report decode_ok=false (never thrown). No shuffle.
+    */
+  def jpegProbe(media: DataFrame, expected: Long => BmpImage, tol: Int,
+                idCol: String = "doc_id",
+                payloadCol: String = "payload"): Dataset[JpegProbe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val exp = expected(id)
+        decodeJpeg(payload) match {
+          case Some(img) =>
+            val dimsOk = img.width == exp.width && img.height == exp.height
+            var maxErr = 0
+            if (dimsOk) {
+              var i = 0
+              while (i < img.pixels.length) {
+                val e = math.abs((img.pixels(i) & 0xff) - (exp.pixels(i) & 0xff))
+                if (e > maxErr) maxErr = e
+                i += 1
+              }
+            }
+            JpegProbe(id, img.width, img.height,
+              img.width.toLong * img.height, dimsOk && maxErr <= tol)
+          case None => JpegProbe(id, -1, -1, -1L, decode_ok = false)
+        }
+      })
+  }
+
   // ===== REAL codec: 16-bit PCM WAV =====
   // RIFF/WAVE container with fmt + data chunks, raw little-endian
   // 16-bit samples — byte arithmetic like BMP, so the audio decode
@@ -491,65 +606,93 @@ object BinaryOps {
       })
   }
 
-  // ===== REAL codec: uncompressed AVI (DIB 'vids' stream) =====
-  // The video face: a RIFF container (WAV's framing) holding raw DIB
-  // frames (BMP's pixel layout — bottom-up rows, 4-byte padding), so
-  // real frame extraction composes the two parsers above. Supported
-  // profile: one 24-bit 'DIB ' video stream, '00db' frame chunks; the
-  // frame-sample op then runs on REAL video frames.
+  // ===== REAL codec: AVI (uncompressed DIB or M-JPEG 'vids' stream) =====
+  // The video face: a RIFF container (WAV's framing) holding either
+  // raw DIB frames (BMP's pixel layout — bottom-up rows, 4-byte
+  // padding, '00db' chunks) or M-JPEG frames ('00dc' chunks, each a
+  // complete JPEG decoded via the JDK codec), so real frame extraction
+  // composes the parsers above — including a genuinely COMPRESSED
+  // video profile. Supported: one 24-bit video stream per file.
 
   /** Serialize frames (each `width*height*3` BGR bytes, row 0 = top)
     * as an uncompressed AVI: RIFF('AVI ') → LIST(hdrl: avih +
     * LIST(strl: strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) →
     * LIST(movi: '00db' DIB frames).
     */
+  private def aviChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val padded = if (data.length % 2 == 1) data :+ 0.toByte else data
+    id.getBytes("US-ASCII") ++ le32(data.length) ++ padded
+  }
+  private def aviList(kind: String, body: Array[Byte]): Array[Byte] =
+    "LIST".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      kind.getBytes("US-ASCII") ++ body
+
+  /** RIFF('AVI ') scaffolding shared by the DIB and M-JPEG encoders:
+    * hdrl (avih + strl(strh 'vids'/fcc + strf BITMAPINFOHEADER)) and a
+    * movi list of the already-encoded frame chunk bodies.
+    */
+  private def aviContainer(width: Int, height: Int, fps: Int, fcc: String,
+                           biCompression: Array[Byte], frameChunkId: String,
+                           frameBodies: Seq[Array[Byte]]): Array[Byte] = {
+    val maxFrame = frameBodies.map(_.length).max
+    val avih = le32(1000000 / fps) ++ le32(maxFrame * fps) ++ le32(0) ++
+      le32(0) ++ le32(frameBodies.length) ++ le32(0) ++ le32(1) ++
+      le32(maxFrame) ++ le32(width) ++ le32(height) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes("US-ASCII") ++ fcc.getBytes("US-ASCII") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
+      le32(frameBodies.length) ++ le32(maxFrame) ++ le32(-1) ++ le32(0) ++
+      le32(0) ++ le32(0)
+    val strf = le32(40) ++ le32(width) ++ le32(height) ++
+      Array[Byte](1, 0, 24, 0) ++ biCompression ++ le32(maxFrame) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = aviList("hdrl", aviChunk("avih", avih) ++
+      aviList("strl", aviChunk("strh", strh) ++ aviChunk("strf", strf)))
+    val movi = aviList("movi",
+      frameBodies.toArray.flatMap(f => aviChunk(frameChunkId, f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
   def encodeAvi(width: Int, height: Int, fps: Int,
                 frames: Seq[Array[Byte]]): Array[Byte] = {
     require(width > 0 && height > 0 && fps > 0 && frames.nonEmpty &&
       frames.forall(_.length == width * height * 3),
       s"need nonempty $width*$height*3 frames")
     val rowSize = ((width * 3 + 3) / 4) * 4
-    val dibSize = rowSize * height
     def dib(rgb: Array[Byte]): Array[Byte] = {
-      val out = new Array[Byte](dibSize)
+      val out = new Array[Byte](rowSize * height)
       for (y <- 0 until height; x <- 0 until width; c <- 0 until 3)
         out((height - 1 - y) * rowSize + x * 3 + c) =
           rgb((y * width + x) * 3 + c)
       out
     }
-    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
-      val padded = if (data.length % 2 == 1) data :+ 0.toByte else data
-      id.getBytes("US-ASCII") ++ le32(data.length) ++ padded
-    }
-    def list(kind: String, body: Array[Byte]): Array[Byte] =
-      "LIST".getBytes("US-ASCII") ++ le32(4 + body.length) ++
-        kind.getBytes("US-ASCII") ++ body
-    val avih = le32(1000000 / fps) ++ le32(dibSize * fps) ++ le32(0) ++
-      le32(0) ++ le32(frames.length) ++ le32(0) ++ le32(1) ++
-      le32(dibSize) ++ le32(width) ++ le32(height) ++
-      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
-      le32(0) ++ le32(0) ++ le32(0) ++ le32(1) ++ le32(fps) ++ le32(0) ++
-      le32(frames.length) ++ le32(dibSize) ++ le32(-1) ++ le32(0) ++
-      le32(0) ++ le32(0)
-    val strf = le32(40) ++ le32(width) ++ le32(height) ++
-      Array[Byte](1, 0, 24, 0) ++ le32(0) ++ le32(dibSize) ++
-      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
-    val hdrl = list("hdrl", chunk("avih", avih) ++
-      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val movi = list("movi",
-      frames.toArray.flatMap(f => chunk("00db", dib(f))))
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    aviContainer(width, height, fps, "DIB ", le32(0), "00db", frames.map(dib))
+  }
+
+  /** COMPRESSED video for real: an M-JPEG AVI — the same RIFF
+    * container, fcc 'MJPG', each '00dc' chunk a complete baseline JPEG
+    * ([[encodeJpeg]], so the JDK's codec does the entropy coding).
+    */
+  def encodeAviMjpeg(width: Int, height: Int, fps: Int,
+                     frames: Seq[Array[Byte]],
+                     quality: Float = 0.95f): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0 && frames.nonEmpty &&
+      frames.forall(_.length == width * height * 3),
+      s"need nonempty $width*$height*3 frames")
+    aviContainer(width, height, fps, "MJPG",
+      "MJPG".getBytes("US-ASCII"), "00dc",
+      frames.map(encodeJpeg(width, height, _, quality)))
   }
 
   final case class AviVideo(width: Int, height: Int,
                             frames: IndexedSeq[Array[Byte]])
 
-  /** Parse an uncompressed-DIB AVI: chunk-walk to hdrl's avih for the
-    * dimensions, then collect the movi list's '00db' frames, un-pad
-    * and un-flip each like a BMP pixel array. None for any other
-    * profile or malformed payload — never throws.
+  /** Parse an AVI: chunk-walk to hdrl's avih for the dimensions, then
+    * collect the movi list's frames — '00db' DIB frames un-padded and
+    * un-flipped like a BMP pixel array (BGR order), '00dc' M-JPEG
+    * frames decoded through [[decodeJpeg]] (RGB order). None for any
+    * other profile or malformed payload — never throws.
     */
   def decodeAvi(payload: Array[Byte]): Option[AviVideo] = {
     if (payload == null || payload.length < 24 ||
@@ -591,6 +734,17 @@ object BinaryOps {
               px((y * width + x) * 3 + c) =
                 payload(off + 8 + (height - 1 - y) * rowSize + x * 3 + c)
             frames += px
+          } else if (inMovi && id == "00dc") {
+            // M-JPEG frame: the chunk body is a complete JPEG stream
+            // (pixels come back RGB, vs BGR for DIB frames); decoded
+            // dims must agree with the avih header or the payload lies
+            if (!dimsSane(width, height)) return false
+            decodeJpeg(java.util.Arrays.copyOfRange(
+              payload, off + 8, off + 8 + size)) match {
+              case Some(img) if img.width == width && img.height == height =>
+                frames += img.pixels
+              case _ => return false
+            }
           }
         }
       }
@@ -634,8 +788,9 @@ object BinaryOps {
   }
 
   /** ===== STUB: deterministic fake decoder =====
-    * A real implementation would decode the codec here (JPEG/PNG/WAV…)
-    * and emit pixel/sample features. The fake maps the first
+    * A real implementation would decode the codec here (H.264, MP3 —
+    * the formats that DO need native libs; BMP/PNG/JPEG/WAV/AVI are
+    * real above) and emit pixel/sample features. The fake maps the first
     * [[FeatureDim]] payload bytes to [0,1] doubles — deterministic,
     * cross-engine reproducible, and shape-identical to a real decoder.
     */

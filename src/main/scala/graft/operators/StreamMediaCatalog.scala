@@ -130,6 +130,87 @@ object StreamMediaCatalog {
       BinaryOps.pngStats(payloads).toDF().orderBy(col("doc_id"))
     }),
 
+    // M8 — REAL lossy codec: a baseline JPEG per doc (smooth grayscale
+    // gradient, pure function of doc_id, dims NOT multiples of the 8×8
+    // DCT block so edge extension is exercised), encoded and decoded
+    // through the JDK's independent JPEG codec. Dimensions and pixel
+    // count gate EXACTLY; pixel values gate via a pinned ±8 tolerance
+    // flag — a wrong stride / row flip / channel swap blows the flag,
+    // quantization noise on a smooth gray ramp (channels equal ⇒ no
+    // chroma-subsampling error) cannot.
+    "m8_jpeg_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      def source(id: Long): BinaryOps.BmpImage = {
+        val w = 9 + (id % 5).toInt
+        val h = 9 + (id % 4).toInt
+        val px = Array.tabulate(w * h * 3) { i =>
+          val x = (i / 3) % w; val y = i / (3 * w)
+          ((id % 64) + x * 2 + y * 3).toByte // ≤ 63+24+33 < 256: no wrap
+        }
+        BinaryOps.BmpImage(w, h, px)
+      }
+      val payloads = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val s = source(id)
+          (id, BinaryOps.encodeJpeg(s.width, s.height, s.pixels))
+        }
+        .toDF("doc_id", "payload")
+      BinaryOps.jpegProbe(payloads, source, tol = 8)
+        .toDF().orderBy(col("doc_id"))
+    }),
+
+    // M9 — REAL COMPRESSED video: an M-JPEG AVI per doc (each '00dc'
+    // chunk a complete JPEG of the same smooth-gradient family as m8,
+    // varying per frame), frame-stride sampled through the real RIFF
+    // walker + JDK JPEG decode. Frame geometry/count gate exactly;
+    // per-frame pixels gate via the ±8 tolerance flag.
+    "m9_mjpeg_frames" -> ((spark, dir) => {
+      import spark.implicits._
+      val payloads = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w = 9 + (id % 4).toInt
+          val h = 9 + (id % 3).toInt
+          val nf = 3 + (id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            Array.tabulate(w * h * 3) { i =>
+              val x = (i / 3) % w; val y = i / (3 * w)
+              ((id % 40) + f * 2 + x * 2 + y * 3).toByte // ≤ 39+6+22+30
+            }
+          }
+          (id, BinaryOps.encodeAviMjpeg(w, h, fps = 10, frames))
+        }
+        .toDF("doc_id", "payload")
+      payloads.as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, payload) =>
+          val w = 9 + (id % 4).toInt
+          val h = 9 + (id % 3).toInt
+          val nf = 3 + (id % 4).toInt
+          BinaryOps.decodeAvi(payload).iterator.flatMap { v =>
+            (0 until v.frames.length by 2).iterator.map { fi =>
+              val f = v.frames(fi)
+              var maxErr = 0
+              val geomOk = v.width == w && v.height == h && v.frames.length == nf
+              if (geomOk) {
+                var i = 0
+                while (i < f.length) {
+                  val x = (i / 3) % w; val y = i / (3 * w)
+                  val expPx = ((id % 40).toInt + fi * 2 + x * 2 + y * 3) & 0xff
+                  val e = math.abs((f(i) & 0xff) - expPx)
+                  if (e > maxErr) maxErr = e
+                  i += 1
+                }
+              }
+              (id, fi, v.width, v.height, v.frames.length.toLong,
+                geomOk && maxErr <= 8)
+            }
+          }
+        })
+        .toDF("doc_id", "frame_idx", "width", "height", "n_frames", "decode_ok")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // M4 — REAL audio codec roundtrip: 16-bit PCM WAV per doc (rate,
     // channels, samples all pure functions of doc_id), decoded with the
     // real chunk-walking parser; first/last sample probes catch
@@ -390,6 +471,31 @@ object StreamMediaCatalog {
         |  CAST((doc_id * 29 + (height - 1) * 11 + (width - 1) * 5 + 2) % 256 AS INT) AS pbr_r,
         |  sum_r, CAST(width * height AS BIGINT) AS n_px
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // lossless facets of the lossy codec predicted exactly (dims from
+    // the doc_id formula); the pixel fidelity flag must be TRUE — the
+    // Spark side computes it against the source formula with the
+    // pinned ±8 tolerance, so a decode that is absent, mis-strided,
+    // flipped, or channel-swapped hash-mismatches here
+    "m8_jpeg_decode" ->
+      """SELECT doc_id,
+        |  CAST(9 + doc_id % 5 AS INT) AS width,
+        |  CAST(9 + doc_id % 4 AS INT) AS height,
+        |  CAST((9 + doc_id % 5) * (9 + doc_id % 4) AS BIGINT) AS n_px,
+        |  TRUE AS decode_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // stride-2 frame indices + exact geometry; per-frame pixel
+    // fidelity rides the same tolerance-flag contract as m8
+    "m9_mjpeg_frames" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(9 + doc_id % 4 AS INT) AS width,
+        |    CAST(9 + doc_id % 3 AS INT) AS height,
+        |    3 + doc_id % 4 AS nf FROM documents)
+        |SELECT d.doc_id, CAST(f.f AS INT) AS frame_idx, d.width, d.height,
+        |  CAST(d.nf AS BIGINT) AS n_frames, TRUE AS decode_ok
+        |FROM d CROSS JOIN LATERAL unnest(range(0, d.nf, 2)) AS f(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // the same (doc_id, sample-index) formula restated in SQL
     "m4_wav_decode" ->

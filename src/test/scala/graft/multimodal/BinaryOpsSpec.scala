@@ -182,6 +182,73 @@ class BinaryOpsSpec extends SparkSpec {
     assert(BinaryOps.decodeWav(bad8).isEmpty)
   }
 
+  test("JPEG roundtrip through the JDK codec: exact dims, pixels within tolerance") {
+    // smooth grayscale ramp (r=g=b, no mod-256 wrap): quantization
+    // error stays small, while stride/flip/channel bugs would blow it
+    for ((w, h) <- Seq((9, 11), (16, 8), (10, 13))) {
+      val px = Array.tabulate(w * h * 3) { i =>
+        val x = (i / 3) % w; val y = i / (3 * w)
+        (20 + x * 2 + y * 3).toByte
+      }
+      val back = BinaryOps.decodeJpeg(BinaryOps.encodeJpeg(w, h, px))
+      assert(back.exists(d => d.width == w && d.height == h), s"dims at ${w}x$h")
+      val img = back.get
+      val maxErr = px.indices.map(i =>
+        math.abs((img.pixels(i) & 0xff) - (px(i) & 0xff))).max
+      assert(maxErr <= 8, s"maxErr=$maxErr at ${w}x$h")
+    }
+  }
+
+  test("JPEG decode rejects non-JPEG and corrupt payloads instead of throwing") {
+    assert(BinaryOps.decodeJpeg(null).isEmpty)
+    assert(BinaryOps.decodeJpeg(Array[Byte](1, 2, 3)).isEmpty)
+    // PNG magic is not a JPEG SOI
+    val png = BinaryOps.encodePng(2, 5, Array.tabulate(30)(_.toByte))
+    assert(BinaryOps.decodeJpeg(png).isEmpty)
+    val good = BinaryOps.encodeJpeg(9, 9, Array.fill[Byte](9 * 9 * 3)(50))
+    assert(BinaryOps.decodeJpeg(good.take(20)).isEmpty)        // truncated
+    val corrupt = good.clone()
+    for (i <- good.length / 2 until good.length / 2 + 8)
+      corrupt(i) = 0x00 // stomp the entropy stream mid-scan
+    // corrupt streams either decode-with-noise or fail — never throw
+    BinaryOps.decodeJpeg(corrupt)
+  }
+
+  test("M-JPEG AVI: real compressed video frames survive the container") {
+    val (w, h, nf) = (11, 9, 4)
+    val frames = (0 until nf).map { f =>
+      Array.tabulate(w * h * 3) { i =>
+        val x = (i / 3) % w; val y = i / (3 * w)
+        (15 + f * 2 + x * 2 + y * 3).toByte
+      }
+    }
+    val avi = BinaryOps.encodeAviMjpeg(w, h, fps = 10, frames)
+    val back = BinaryOps.decodeAvi(avi)
+    assert(back.exists(v => v.width == w && v.height == h && v.frames.length == nf))
+    val v = back.get
+    for (f <- 0 until nf) {
+      val maxErr = frames(f).indices.map(i =>
+        math.abs((v.frames(f)(i) & 0xff) - (frames(f)(i) & 0xff))).max
+      assert(maxErr <= 8, s"frame $f maxErr=$maxErr")
+    }
+    // a stomped frame chunk rejects the payload rather than throwing
+    val dcAt = {
+      var idx = -1
+      for (i <- 0 until avi.length - 4 if idx < 0)
+        if (avi(i) == '0' && avi(i + 1) == '0' && avi(i + 2) == 'd' && avi(i + 3) == 'c')
+          idx = i
+      idx
+    }
+    assert(dcAt > 0)
+    val stomped = avi.clone(); stomped(dcAt + 8) = 0x00 // kill the SOI
+    assert(BinaryOps.decodeAvi(stomped).isEmpty)
+    // the frame-sample operator runs over the compressed container too
+    val media = Seq((1L, avi)).toDF("doc_id", "payload")
+    val sampled = BinaryOps.aviFrameSample(media, stride = 2).collect()
+    assert(sampled.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(sampled.forall(p => p.n_frames == nf && p.width == w))
+  }
+
   test("forged headers can't wrap Int arithmetic past the bounds checks") {
     def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
       ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
