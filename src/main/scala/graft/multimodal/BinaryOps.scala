@@ -798,6 +798,40 @@ object BinaryOps {
     Array.tabulate(FeatureDim)(i =>
       if (i < payload.length) (payload(i) & 0xff) / 255.0 else 0.0)
 
+  /** REAL media-features extraction: dispatches on the `format` column
+    * to the real decoder — BMP pixels (dims come from the DECODED
+    * header, proving the parse) normalized /255, WAV samples
+    * normalized /32768 (true PCM scale) — and falls back to the
+    * deterministic stub for formats this container can't decode (the
+    * documented swappable-codec contract). Rows whose payload fails
+    * its declared codec are dropped, never thrown. Same
+    * mapPartitions/no-shuffle shape as the stub path: decode stays
+    * embarrassingly parallel and payload bytes never enter a shuffle.
+    */
+  def extractFeaturesReal(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "payload", "format", "width", "height")
+      .as[MediaRecord]
+      .mapPartitions(_.flatMap { r =>
+        r.format match {
+          case "image/bmp" => decodeBmp(r.payload).map { img =>
+            MediaFeatures(r.doc_id, r.format, img.width, img.height,
+              Array.tabulate(FeatureDim)(i =>
+                if (i < img.pixels.length) (img.pixels(i) & 0xff) / 255.0
+                else 0.0))
+          }
+          case "audio/wav" => decodeWav(r.payload).map { a =>
+            MediaFeatures(r.doc_id, r.format, 0, 0,
+              Array.tabulate(FeatureDim)(i =>
+                if (i < a.samples.length) a.samples(i) / 32768.0 else 0.0))
+          }
+          case _ => Some(MediaFeatures(r.doc_id, r.format, r.width, r.height,
+            decodeStub(r.payload)))
+        }
+      })
+  }
+
   /** Partition-batched decode / feature extraction (no shuffle). */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession

@@ -16,6 +16,35 @@ object StreamMediaCatalog {
 
   private val streamNo = new AtomicInteger(0)
 
+  /** Real mixed-modality media table for the m1/m2 gates: even docs a
+    * real BMP whose pixel bytes are the doc's utf-8 bytes (zero-padded
+    * to w·h·3, dims ≥ 2×2 so the first FeatureDim bytes always fit),
+    * odd docs a real mono 16-bit WAV whose samples are the byte
+    * values. Deterministic per doc_id, so DuckDB can predict the
+    * decoded features from `text` alone.
+    */
+  private def mixedRealMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        if (id % 2 == 0) {
+          val w = 2 + (id % 6).toInt
+          val h = 2 + (id % 4).toInt
+          val px = Array.tabulate(w * h * 3)(i =>
+            if (i < bytes.length) bytes(i) else 0.toByte)
+          (id, BinaryOps.encodeBmp(w, h, px), "image/bmp", w, h)
+        } else {
+          val n = 8 + (id % 16).toInt
+          val samples = Array.tabulate(n)(j =>
+            (if (j < bytes.length) bytes(j) & 0xff else 0).toShort)
+          (id, BinaryOps.encodeWav(8000, 1, samples), "audio/wav", 0, 0)
+        }
+      }
+      .toDF("doc_id", "payload", "format", "width", "height")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e3_stream_windows" -> ((spark, dir) => {
       // file source wants a directory: expose the fixture via symlink
@@ -29,13 +58,21 @@ object StreamMediaCatalog {
         .orderBy(col("hour_start"), col("event_type"))
     }),
 
+    // M1 — media features over REAL ENCODED PAYLOADS end-to-end: even
+    // docs become a real BMP (pixel bytes = the doc's utf-8 bytes,
+    // zero-padded; dims sized so w·h·3 ≥ FeatureDim), odd docs a real
+    // 16-bit PCM WAV (samples = byte values) — then the format-
+    // dispatching REAL extractor decodes each and emits normalized
+    // features. The oracle predicts every feature from the text bytes
+    // (ASCII fixture ⇒ byte = codepoint) without touching a codec.
     "m1_media_features" -> ((spark, dir) => {
-      val media = BinaryOps.asMediaTable(Tables.documents(spark, dir))
-      val feats = BinaryOps.extractFeatures(media)
+      import spark.implicits._
+      val media = mixedRealMedia(spark, dir)
+      val feats = BinaryOps.extractFeaturesReal(media)
       val fCols = (0 until BinaryOps.FeatureDim).map(i =>
         element_at(col("features"), i + 1).as(s"f$i"))
       feats.toDF().select(
-        Seq(col("doc_id"), col("width"), col("height")) ++ fCols: _*)
+        Seq(col("doc_id"), col("format"), col("width"), col("height")) ++ fCols: _*)
         .orderBy(col("doc_id"))
     }),
 
@@ -265,13 +302,15 @@ object StreamMediaCatalog {
         .orderBy(col("user_id"))
     }),
 
-    // M2 — frame sampling over decoded media: stride-2 sample of the
-    // feature vector (the video-frame-sampler contract), exploded to
-    // one row per frame — proves the explode/posexplode plumbing over
-    // mapPartitions-produced arrays
+    // M2 — frame sampling over REAL decoded media: stride-2 sample of
+    // the feature vector produced by the real BMP/WAV extractor (the
+    // video-frame-sampler contract), exploded to one row per frame —
+    // proves the explode/posexplode plumbing over mapPartitions-
+    // produced arrays, now fed by real codec output
     "m2_frame_sample" -> ((spark, dir) => {
-      val media = BinaryOps.asMediaTable(Tables.documents(spark, dir))
-      val frames = BinaryOps.frameSample(BinaryOps.extractFeatures(media), stride = 2)
+      val media = mixedRealMedia(spark, dir)
+      val frames = BinaryOps.frameSample(
+        BinaryOps.extractFeaturesReal(media), stride = 2)
       frames.select(col("doc_id"),
         posexplode(col("sampled")).as(Seq("frame_idx", "v")))
         .withColumn("frame_idx", col("frame_idx").cast("bigint"))
@@ -536,15 +575,22 @@ object StreamMediaCatalog {
         |  sum_r, CAST(width * height AS BIGINT) AS n_px
         |FROM s ORDER BY doc_id""".stripMargin,
 
-    // independent derivation: utf-8 payload bytes of ASCII text are the
-    // codepoints, so f_i = ord(text[i]) / 255
+    // independent derivation, never touching a codec: utf-8 bytes of
+    // the ASCII fixture text ARE the codepoints, so pixel i of the BMP
+    // (and sample i of the WAV) is ord(text[i]) — normalized by the
+    // modality's scale (/255 pixels, /32768 PCM). Dims restate the
+    // encode formulas; WAV rows carry (0,0) by the extractor contract.
     "m1_media_features" -> {
       val fs = (0 until BinaryOps.FeatureDim).map(i =>
-        s"CASE WHEN len(text) > $i THEN CAST(ord(substr(text, ${i + 1}, 1)) AS DOUBLE) / 255.0 ELSE 0.0 END AS f$i")
+        s"""CASE WHEN len(text) > $i
+           |    THEN CAST(ord(substr(text, ${i + 1}, 1)) AS DOUBLE)
+           |         / (CASE WHEN doc_id % 2 = 0 THEN 255.0 ELSE 32768.0 END)
+           |    ELSE 0.0 END AS f$i""".stripMargin)
         .mkString(",\n  ")
       s"""SELECT doc_id,
-         |  CAST(n_chars % 640 AS INTEGER) AS width,
-         |  CAST(n_chars % 480 AS INTEGER) AS height,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS format,
+         |  CASE WHEN doc_id % 2 = 0 THEN CAST(2 + doc_id % 6 AS INT) ELSE 0 END AS width,
+         |  CASE WHEN doc_id % 2 = 0 THEN CAST(2 + doc_id % 4 AS INT) ELSE 0 END AS height,
          |  $fs
          |FROM documents ORDER BY doc_id""".stripMargin
     },
@@ -557,11 +603,12 @@ object StreamMediaCatalog {
 
     // same byte-is-codepoint equivalence as m1 (ASCII fixture guard in
     // CatalogSmokeSpec); sampled indices are 0,2,4,6 of the 8-wide
-    // feature vector
+    // REAL-decoded feature vector, so the modality scale rides along
     "m2_frame_sample" ->
       """SELECT doc_id, i AS frame_idx,
         |  CASE WHEN len(text) > 2*i
-        |       THEN CAST(ord(substr(text, 2*i + 1, 1)) AS DOUBLE) / 255.0
+        |       THEN CAST(ord(substr(text, 2*i + 1, 1)) AS DOUBLE)
+        |            / (CASE WHEN doc_id % 2 = 0 THEN 255.0 ELSE 32768.0 END)
         |       ELSE 0.0 END AS v
         |FROM documents, (SELECT unnest(generate_series(0, 3)) AS i) s
         |ORDER BY doc_id, frame_idx""".stripMargin,

@@ -292,6 +292,27 @@ class BinaryOpsSpec extends SparkSpec {
     assert(BinaryOps.decodeWav(wavBomb).isEmpty)
   }
 
+  test("real extractor dispatches on format: BMP pixels, WAV samples, stub fallback") {
+    val px = Array.tabulate(2 * 2 * 3)(i => (10 * i).toByte)
+    val samples = Array[Short](100, -200, 300, 0, 1, 2, 3, 4, 5)
+    val rows = Seq(
+      (1L, BinaryOps.encodeBmp(2, 2, px), "image/bmp", 0, 0),
+      (2L, BinaryOps.encodeWav(8000, 1, samples), "audio/wav", 0, 0),
+      (3L, "xyz".getBytes("UTF-8"), "fake/raw", 7, 9),
+      (4L, Array[Byte](1, 2, 3), "image/bmp", 0, 0)) // malformed: dropped
+      .toDF("doc_id", "payload", "format", "width", "height")
+    val out = BinaryOps.extractFeaturesReal(rows).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // BMP: decoded dims + first pixels / 255
+    assert(out(1L).width == 2 && out(1L).height == 2)
+    assert(out(1L).features(3) == 30 / 255.0)
+    // WAV: PCM scale, negatives preserved
+    assert(out(2L).features(1) == -200 / 32768.0)
+    // unknown format: the documented stub contract, declared metadata
+    assert(out(3L).width == 7 && out(3L).features.head == 'x'.toInt / 255.0)
+  }
+
   test("resize keeps features, changes metadata; frameSample strides") {
     val feats = BinaryOps.extractFeatures(media)
     val resized = BinaryOps.resize(feats, 64, 64).collect().head
