@@ -125,6 +125,7 @@ object Components {
 
     var edges = canon(pairs.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b")), "a", "b").localCheckpoint()
+    var edgesCount = edges.count()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -143,8 +144,17 @@ object Components {
         smaller.join(minsS, "u").select(col("v").as("a"), col("m").as("b"))
           .union(minsS.select(col("u").as("a"), col("m").as("b"))), "a", "b")
       val next = afterSmall.localCheckpoint()
-      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      // both sides are canonical DISTINCT edge sets, so set equality
+      // reduces to |next| == |edges| && (next \ edges) = ∅ — one
+      // exceptAll shuffle per round instead of two, and the count is
+      // free off the checkpoint. This is the flagship cascade's
+      // iterative stage; per-round cost is the sensitive term.
+      val nextCount = next.count()
+      changed =
+        if (nextCount != edgesCount) 1L
+        else next.exceptAll(edges).count()
       edges = next
+      edgesCount = nextCount
       iter += 1
     }
     require(changed == 0,

@@ -21,12 +21,18 @@ never fails the ritual).
 
 Driver artifacts sometimes arrive with "parsed": null and the bench
 JSON line truncated into the "tail" string (the head of the line is
-cut, so the "queries" key may be gone entirely). The loader falls back
-to extracting the balanced "spread" object out of the tail — its mins
-ARE the best-of-N values queries records — and, failing that, scalar
-name:number pairs.
+cut, so the "queries" key may be gone entirely). Recovery order:
+
+1. the compact "BENCHMIN {...}" line graft.Bench prints LAST (tails
+   keep the end, so it survives any head truncation);
+2. a sibling bench_out.json next to the artifact (the dual-written
+   full line from the same run);
+3. the balanced "spread" object scraped out of the tail — its mins
+   ARE the best-of-N values queries records — and, failing that,
+   scalar name:number pairs.
 """
 import json
+import os
 import re
 import sys
 
@@ -89,6 +95,31 @@ def load(path):
     parsed = doc.get("parsed", doc)
     if parsed is None:
         tail = doc.get("tail", "")
+        # 1. the BENCHMIN line Bench prints last: same run, guaranteed
+        #    provenance, survives head truncation by construction
+        m = re.search(r"BENCHMIN\s*\{", tail)
+        if m:
+            obj = _balanced_object(tail, m.end() - 1)
+            if obj.get("queries"):
+                return obj["queries"], obj.get("spread", {})
+        # 2. the dual-written full line beside the artifact (may be from
+        #    a LATER local run — cross-check sf against the tail if both
+        #    are visible)
+        sib = os.path.join(os.path.dirname(os.path.abspath(path)),
+                           "bench_out.json")
+        if os.path.exists(sib):
+            try:
+                with open(sib) as f:
+                    obj = json.load(f)
+                tail_sf = re.search(r'"sf"\s*:\s*"([^"]+)"', tail)
+                if obj.get("queries") and (
+                        tail_sf is None or obj.get("sf") == tail_sf.group(1)):
+                    print(f"[bench_delta] {path}: parsed null, "
+                          f"recovered from sibling {sib}", file=sys.stderr)
+                    return obj["queries"], obj.get("spread", {})
+            except (OSError, ValueError):
+                pass
+        # 3. scrape whatever survived in the tail
         if not tail:
             sys.exit(f"{path}: parsed is null and no tail to recover from")
         return _from_tail(tail)
