@@ -10,12 +10,14 @@ object SparkEntry {
     operators.Relational.queries ++ operators.Catalog.queries ++
       operators.TrainingCatalog.queries ++ operators.SourcesCatalog.queries ++
       operators.QualityMlCatalog.queries ++ operators.StreamMediaCatalog.queries ++
-      operators.StatsCatalog.queries ++ operators.CurationCatalog.queries
+      operators.StatsCatalog.queries ++ operators.CurationCatalog.queries ++
+      operators.AuditCatalog.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++ operators.Catalog.oracle ++
       operators.TrainingCatalog.oracle ++ operators.SourcesCatalog.oracle ++
       operators.QualityMlCatalog.oracle ++ operators.StreamMediaCatalog.oracle ++
-      operators.StatsCatalog.oracle ++ operators.CurationCatalog.oracle
+      operators.StatsCatalog.oracle ++ operators.CurationCatalog.oracle ++
+      operators.AuditCatalog.oracle
 }

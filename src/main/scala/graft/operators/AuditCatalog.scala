@@ -1,0 +1,238 @@
+package graft.operators
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 widening: audit / reconciliation / graph-signal operators a
+  * production corpus pipeline runs AROUND the per-document transforms —
+  * pre-ingest contract checks (dq1), snapshot reconciliation between
+  * crawl drops (cd1), link-graph authority (pr1), scalable non-equi
+  * range joins (rj1), and Unicode canonicalization (tn1). Each gate has
+  * a DuckDB oracle twin; exactness discipline per [[Exact]] (integer
+  * verdicts, decimal-routed sums, integral-divide PageRank).
+  */
+object AuditCatalog {
+
+  /** pr1's deterministic 64-node link graph derived from events: src =
+    * user bucket, dst = md5-hash bucket of the event id — both sides
+    * re-derivable in SQL (the smp1 hex idiom). Self-loops dropped;
+    * parallel edges deduped so each link counts once.
+    */
+  private def eventEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .filter($"user_id".isNotNull)
+      .select(($"user_id" % 64).as("src"),
+        (conv(substring(md5($"event_id".cast("string")), 1, 4), 16, 10)
+          .cast("long") % 64).as("dst"))
+      .filter($"src" =!= $"dst")
+      .distinct()
+  }
+
+  /** cd1's "later snapshot" synthesized deterministically from the
+    * documents fixture: doc_id%10==3 rows vanish (removed), %10==7 rows
+    * gain a revision marker (changed), %10==1 rows are copied to new
+    * ids (added), the rest ride along (unchanged). The oracle predicts
+    * the census from the id arithmetic alone — it never joins, hashes,
+    * or compares text.
+    */
+  private def snapshotB(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.documents(spark, dir).select($"doc_id", $"text", $"source")
+    val kept = a.filter($"doc_id" % 10 =!= 3)
+      .withColumn("text",
+        when($"doc_id" % 10 === 7, concat($"text", lit(" [rev2]")))
+          .otherwise($"text"))
+    val added = a.filter($"doc_id" % 10 === 1)
+      .select(($"doc_id" + 10000000L).as("doc_id"), $"text", $"source")
+    kept.union(added)
+  }
+
+  /** tn1's synthesized non-ASCII corpus: fixture text is pure ASCII, so
+    * accented forms are planted via translate (precomposed á/è/ö) plus
+    * an appended COMBINING-mark suffix (a+U+0301, c+U+0327) that NFC
+    * must compose and accent-stripping must reduce to bare letters.
+    */
+  private def accented(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        concat(translate($"text", "aeo", "áèö"),
+          lit(" a\u0301c\u0327")).as("synth"))  // " a<U+0301>c<U+0327>"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RJ1 — point-in-interval range join at scale: every lineitem price
+    // inside an order's [totalprice, totalprice+200) band, aggregated
+    // per interval. Bucketed equi-join (see RangeJoin) — the oracle is
+    // the O(n·m) non-equi join DuckDB brute-forces at sf0.01.
+    "rj1_range_join" -> ((spark, dir) => {
+      import spark.implicits._
+      val pts = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      val iv = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice".as("lo"),
+          ($"o_totalprice" + 200.0).as("hi"))
+      RangeJoin.pointInInterval(pts, "l_extendedprice", iv, "lo", "hi", 200.0)
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).cast("long").as("n_points"),
+          Exact.dsum($"l_extendedprice").as("sum_price"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // DQ1 — one-pass declarative contract check (Expectations): five
+    // constraints verified in a single aggregation; bounds(c_acctbal
+    // >= 0) is planted to FAIL (negative balances exist), proving the
+    // verdict path. Integer cross-multiplied pass flags.
+    "dq1_expectations" -> ((spark, dir) => {
+      import Expectations._
+      verify(Tables.customer(spark, dir), Seq(
+        Complete("c_name", 1.0),
+        Unique("c_custkey"),
+        Bounds("c_acctbal", -1000.0, 10000.0),
+        Matches("c_name", "^Customer#[0-9]{9}$", 1.0),
+        InSet("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+          1.0)))
+        .orderBy(col("check_name"))
+    }),
+
+    // CD1 — snapshot reconciliation census: fingerprint-compare two
+    // corpus snapshots through ONE full-outer join (SnapshotDiff); the
+    // planted drift (see snapshotB) is predicted by the oracle from id
+    // arithmetic alone
+    "cd1_corpus_diff" -> ((spark, dir) => {
+      import spark.implicits._
+      val a = Tables.documents(spark, dir).select($"doc_id", $"text", $"source")
+      SnapshotDiff.census(a, snapshotB(spark, dir), "doc_id",
+          Seq("text", "source"))
+        .orderBy($"status")
+    }),
+
+    // PR1 — 3-iteration integer PageRank over the derived event link
+    // graph; the oracle unrolls the identical integral-divide recurrence
+    "pr1_pagerank" -> ((spark, dir) => {
+      import spark.implicits._
+      PageRank.ranks(eventEdges(spark, dir), "src", "dst", iterations = 3)
+        .orderBy($"node")
+    }),
+
+    // TN1 — Unicode canonicalization through the codegen'd native
+    // expressions: NFC composes the planted combining marks, accent
+    // stripping restores the ASCII letters translate swapped out
+    "tn1_unicode_norm" -> ((spark, dir) => {
+      import spark.implicits._
+      import graft.functions.UnicodeNorm._
+      accented(spark, dir).select($"doc_id",
+          unicode_normalize($"synth", "NFC").as("nfc"),
+          strip_accents($"synth").as("ascii"),
+          // byte length of the NFD form: counts the split-off combining
+          // marks unambiguously (char-length semantics differ across
+          // engines on combining sequences; octet length cannot)
+          octet_length(unicode_normalize($"synth", "NFD")).as("nfd_bytes"))
+        .orderBy($"doc_id")
+    }))
+
+  private val prBase: String =
+    """e AS (SELECT DISTINCT (user_id % 64) AS src,
+      |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::UBIGINT % 64 AS BIGINT) AS dst
+      |  FROM events WHERE user_id IS NOT NULL),
+      |e2 AS (SELECT src, dst FROM e WHERE src <> dst),
+      |nodes AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+      |nn AS (SELECT COUNT(*) AS n FROM nodes),
+      |od AS (SELECT src, COUNT(*) AS deg FROM e2 GROUP BY src)""".stripMargin
+
+  /** One PageRank superstep as SQL (same integral arithmetic as the
+    * engine: contribution = (85·r) // (100·deg), teleport base
+    * (15·scale) // (100·n); `//` floors but every operand is
+    * non-negative, so it agrees with Spark's truncating `div`).
+    */
+  private def prStep(prev: String, out: String): String =
+    s"""$out AS (SELECT nd.node,
+       |    (SELECT (15 * 1000000) // (100 * n) FROM nn)
+       |    + COALESCE((SELECT SUM((85 * p.r) // (100 * od.deg))
+       |                FROM e2 JOIN od USING (src) JOIN $prev p ON p.node = e2.src
+       |                WHERE e2.dst = nd.node), 0) AS r
+       |  FROM nodes nd)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+
+    "rj1_range_join" ->
+      """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem
+        |  ON l_extendedprice >= o_totalprice
+        | AND l_extendedprice < o_totalprice + 200.0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "dq1_expectations" ->
+      """WITH m AS (
+        |  SELECT 'complete(c_name)' AS check_name, COUNT(c_name) AS n_ok,
+        |         COUNT(*) AS n_total, 1000000 AS thr FROM customer
+        |  UNION ALL
+        |  SELECT 'unique(c_custkey)', COUNT(DISTINCT c_custkey),
+        |         COUNT(c_custkey), 1000000 FROM customer
+        |  UNION ALL
+        |  SELECT 'bounds(c_acctbal)',
+        |         COUNT(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0 THEN 1 END),
+        |         COUNT(c_acctbal), 1000000 FROM customer
+        |  UNION ALL
+        |  SELECT 'matches(c_name)',
+        |         COUNT(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 END),
+        |         COUNT(c_name), 1000000 FROM customer
+        |  UNION ALL
+        |  SELECT 'in_set(c_mktsegment)',
+        |         COUNT(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING',
+        |           'FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 END),
+        |         COUNT(c_mktsegment), 1000000 FROM customer)
+        |SELECT check_name, CAST(n_ok AS BIGINT) AS n_ok,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  round(CAST(n_ok AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS ratio,
+        |  CAST(CASE WHEN n_ok * 1000000 >= thr * n_total THEN 1 ELSE 0 END AS INTEGER) AS passed
+        |FROM m ORDER BY check_name""".stripMargin,
+
+    // predicted from the planted id arithmetic: %10==3 removed,
+    // %10==7 changed, %10==1 duplicated to +10M ids (added), rest
+    // unchanged — the engine must arrive at the same census through
+    // the fingerprint full-outer join
+    "cd1_corpus_diff" ->
+      """WITH d AS (SELECT doc_id FROM documents)
+        |SELECT 'added' AS status, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(doc_id) + 10000000 AS min_id, MAX(doc_id) + 10000000 AS max_id
+        |FROM d WHERE doc_id % 10 = 1
+        |UNION ALL
+        |SELECT 'changed', CAST(COUNT(*) AS BIGINT), MIN(doc_id), MAX(doc_id)
+        |FROM d WHERE doc_id % 10 = 7
+        |UNION ALL
+        |SELECT 'removed', CAST(COUNT(*) AS BIGINT), MIN(doc_id), MAX(doc_id)
+        |FROM d WHERE doc_id % 10 = 3
+        |UNION ALL
+        |SELECT 'unchanged', CAST(COUNT(*) AS BIGINT), MIN(doc_id), MAX(doc_id)
+        |FROM d WHERE doc_id % 10 NOT IN (3, 7)
+        |ORDER BY status""".stripMargin,
+
+    "pr1_pagerank" ->
+      s"""WITH $prBase,
+         |r0 AS (SELECT node, (SELECT 1000000 // n FROM nn) AS r FROM nodes),
+         |${prStep("r0", "i1")},
+         |${prStep("i1", "i2")},
+         |${prStep("i2", "i3")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_q FROM i3 ORDER BY node""".stripMargin,
+
+    "tn1_unicode_norm" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  translate(text, 'aeo', 'áèö') || ' a' || chr(769) || 'c' || chr(807) AS synth
+        |FROM documents)
+        |SELECT doc_id,
+        |  nfc_normalize(synth) AS nfc,
+        |  strip_accents(nfc_normalize(synth)) AS ascii,
+        |  -- NFD byte length predicted arithmetically (DuckDB has no
+        |  -- nfd_normalize): each translated precomposed accent (2 bytes)
+        |  -- splits into base+mark (3 bytes) under NFD, so +1 byte per
+        |  -- planted a/e/o; the combining suffix is already decomposed
+        |  CAST(strlen(synth)
+        |    + (strlen(text) - strlen(translate(text, 'aeo', ''))) AS INTEGER) AS nfd_bytes
+        |FROM s ORDER BY doc_id""".stripMargin)
+}

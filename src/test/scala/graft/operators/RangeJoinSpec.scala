@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def points = Seq(
+    (1L, 0.0), (2L, 5.0), (3L, 9.99), (4L, 10.0), (5L, 15.0),
+    (6L, 100.0), (7L, -3.5), (8L, 250.0)
+  ).toDF("pid", "p")
+
+  private def intervals = Seq(
+    (10L, 0.0, 10.0),    // catches 0.0, 5.0, 9.99 — NOT 10.0 (half-open)
+    (11L, 10.0, 10.0),   // empty (end == start)
+    (12L, 20.0, 5.0),    // degenerate (end < start) — must not throw
+    (13L, -5.0, 0.0),    // negative span catches -3.5, not 0.0
+    (14L, 9.0, 16.0),    // overlaps 10: catches 9.99, 10.0, 15.0
+    (15L, 240.0, 260.0)  // far bucket
+  ).toDF("iid", "lo", "hi")
+
+  private def pairs(df: DataFrame): Set[(Long, Long)] =
+    df.select("pid", "iid").as[(Long, Long)].collect().toSet
+
+  private val expected = Set(
+    (1L, 10L), (2L, 10L), (3L, 10L),
+    (7L, 13L),
+    (3L, 14L), (4L, 14L), (5L, 14L),
+    (8L, 15L))
+
+  test("golden half-open matches, degenerate intervals match nothing") {
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 4.0)
+    assert(pairs(got) == expected)
+  }
+
+  test("bucket width does not change the result") {
+    for (w <- Seq(0.5, 1.0, 7.0, 1000.0)) {
+      val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", w)
+      assert(pairs(got) == expected, s"width $w")
+    }
+  }
+
+  test("parity with the brute-force non-equi join on fixture data") {
+    val pts = graft.core.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey".as("pid"), $"l_extendedprice".as("p"))
+    val iv = graft.core.Tables.orders(spark, sf0001)
+      .select($"o_orderkey".as("iid"), $"o_totalprice".as("lo"),
+        ($"o_totalprice" + 500.0).as("hi"))
+    val brute = pts.crossJoin(iv).filter($"p" >= $"lo" && $"p" < $"hi")
+    val bucketed = RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi", 500.0)
+    assert(pairs(bucketed) == pairs(brute))
+    assert(bucketed.count() > 0, "parity test must exercise real matches")
+  }
+
+  test("plans as an equi join, not a nested-loop/cartesian") {
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 4.0)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
