@@ -60,6 +60,7 @@ object Bench {
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
       "boilerplate_strip" -> (() => Pipelines.boilerplateStrip(spark, sfDir)),
       "dup_span_strip" -> (() => Pipelines.dupSpanStrip(spark, sfDir)),
+      "range_join" -> (() => Pipelines.rangeJoinAgg(spark, sfDir)),
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),
       "curation_cascade" -> (() => Pipelines.curationCascade(spark, sfDir)),
       "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)),

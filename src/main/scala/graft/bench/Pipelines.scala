@@ -240,6 +240,25 @@ object Pipelines {
     * feeds a dedup agg, a bucketed prefix sum, and a pack census — no
     * global sort anywhere.
     */
+  /** Bucketed point-in-interval range join (rj1's shape at bench
+    * scale): every lineitem price inside an order's 200-unit price
+    * band, aggregated per interval — ~35M residual-checked pairs at
+    * sf0.1 through one bucket-keyed equi shuffle, where the naive plan
+    * is a 150k × 600k nested loop.
+    */
+  def rangeJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val iv = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_totalprice").as("lo"),
+        (col("o_totalprice") + 200.0).as("hi"))
+    graft.operators.RangeJoin
+      .pointInInterval(pts, "l_extendedprice", iv, "lo", "hi", 200.0)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_points"),
+        Exact.dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
   def corpusExport(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val kept = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.2)
@@ -259,8 +278,14 @@ object Pipelines {
     * (star-capped, log-star); everything upstream of exact dedup is
     * map-side on the scan.
     */
-  def curationCascade(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = Tables.documents(spark, sfDir)
+  def curationCascade(spark: SparkSession, sfDir: String): DataFrame =
+    curationCascadeOn(spark, Tables.documents(spark, sfDir))
+
+  /** Cascade over an explicit documents frame — the ScaleProbe arm
+    * multiplies the input through this entry so the flagship's growth
+    * curve uses the same methodology as the per-operator probes.
+    */
+  def curationCascadeOn(spark: SparkSession, raw: DataFrame): DataFrame = {
     // synthetic crawl facade over the plain-text fixture: html + url
     val crawl = raw.select(col("doc_id"), col("lang"), col("n_chars"),
       concat(lit("<html><head><style>p{color:red}</style></head><body><p>"),

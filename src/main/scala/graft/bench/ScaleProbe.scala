@@ -33,8 +33,38 @@ object ScaleProbe {
 
     val mults = sys.env.get("SPARK_GRAFT_SCALE_MULTS")
       .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(Seq(1, 4, 16))
+    // SPARK_GRAFT_SCALE_OPS=cascade (or core, or cascade,core) selects
+    // probe families — the 64× cascade arm shouldn't pay for the full
+    // per-operator sweep and vice versa
+    val only = sys.env.get("SPARK_GRAFT_SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    def enabled(fam: String): Boolean = only.forall(_.contains(fam))
     for (m <- mults) {
       println(s"--- multiplier $m")
+      // flagship end-to-end: the multiplied-input curve for the whole
+      // curation cascade (html strip → blocklist → quality → exact
+      // dedup → LSH components → canonical → stratified sample → pack).
+      // Each copy gets a tiny text perturbation keyed on its copy index,
+      // so exact dedup keeps all m copies and the EXPENSIVE stages (LSH
+      // band join, star-capped candidates, log-star components) see the
+      // full m× corpus organized as m-sized near-dup clusters — the
+      // worst-case shape for the near-dedup machinery, and the honest
+      // one (verbatim copies would let exact dedup collapse the run).
+      if (enabled("cascade")) {
+        val docs = multiply(Tables.documents(spark, sfDir), "doc_id", m,
+            10000000L)
+          .withColumn("text",
+            concat_ws(" ", col("text"), lit("rev"),
+              expr("doc_id div 10000000").cast("string")))
+          .repartition(64).cache()
+        docs.count()
+        time(s"curation_cascade x$m") {
+          Pipelines.curationCascadeOn(spark, docs).count()
+        }
+        docs.unpersist()
+        spark.catalog.clearCache()
+      }
+      if (enabled("core")) {
       val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m, 1000000000L)
         .repartition(64).cache()
       li.count()
@@ -178,6 +208,7 @@ object ScaleProbe {
         cust.unpersist()
       }
       spark.catalog.clearCache()
+      } // enabled("core")
     }
     spark.stop()
   }
