@@ -49,6 +49,7 @@ object Bench {
       "ann_int8" -> (() => Pipelines.annInt8TopK(spark, int8Dir)),
       "ann_lsh" -> (() => Pipelines.lshTopK(spark, sfDir)),
       "ann_rp" -> (() => Pipelines.annRpTopK(spark, sfDir)),
+      "ann_pq" -> (() => Pipelines.annPqTopK(spark, sfDir)),
       "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)),
       "asof_join" -> (() => Pipelines.asofEnrich(spark, sfDir)),
       "ewma_fold" -> (() => Pipelines.ewmaFold(spark, sfDir)),

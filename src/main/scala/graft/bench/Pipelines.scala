@@ -141,6 +141,17 @@ object Pipelines {
       "vec_id", "embedding", AnnQueryIds, AnnK,
       inDim = 64, outDim = 32, candidateK = 50)
 
+  /** Two-stage PQ ANN (32×-compressed ADC candidate scan + exact
+    * re-rank) — the memory-bandwidth rung of the ANN ladder.
+    */
+  def annPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cb = graft.similarity.ProductQuant.buildCodebook(
+      emb, "vec_id", "embedding", m = 8, ks = 16)
+    graft.similarity.ProductQuant.pqRerankTopK(emb, "vec_id", "embedding",
+      AnnQueryIds, AnnK, cb, candidateK = 50)
+  }
+
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(
       col("doc_id"),

@@ -503,6 +503,44 @@ object TrainingCatalog {
           countDistinct(col("query_id")).as("n_queries"),
           (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
             >= 0.5).cast("int").as("recall_ge_50"))
+    }),
+
+    // Product-quantization code assignment — oracle-EXACT: the md5-
+    // ordered codebook, subspace slicing, rounded distance, and
+    // first-index argmin are all re-derived in SQL (the v4 hash-init
+    // discipline applied to PQ). One row per (vector, subspace).
+    "v11_pq_codes" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cb = graft.similarity.ProductQuant.buildCodebook(
+        emb, "vec_id", "embedding", m = 8, ks = 16)
+      graft.similarity.ProductQuant.encode(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("int").as("subspace"),
+          col("col").as("code"))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    // Two-stage PQ recall audit: ADC candidates from the 32×-compressed
+    // codes scan (candidate pool ~N/10, the v9 scales-with-corpus
+    // contract) + exact re-rank; recall@5 vs float brute force must
+    // clear 0.5. Same oracle contract as v6/v8/v9.
+    "v12_pq_recall" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cb = graft.similarity.ProductQuant.buildCodebook(
+        emb, "vec_id", "embedding", m = 8, ks = 16)
+      val candidates = math.max(50L, emb.count() / 10).toInt
+      val pq = graft.similarity.ProductQuant.pqRerankTopK(emb, "vec_id",
+        "embedding", annQueryIds, k = 5, cb, candidateK = candidates)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(pq.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.5).cast("int").as("recall_ge_50"))
     })
   )
 
@@ -876,6 +914,39 @@ object TrainingCatalog {
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 
     "v9_rp_recall" ->
+      s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    // same md5-ordered seed pick, same subspace slices (1-based list
+    // slicing), same round(||c||² − 2·v_j·c, 6) distance and
+    // first-index argmin as ProductQuant.encode — code-for-code exact.
+    // ||c||² and both dots are index-ordered left folds in BOTH
+    // engines (Scala .map(x*x).sum / DuckDB list_reduce), so the
+    // doubles agree bit-for-bit before the shared rounding.
+    "v11_pq_codes" ->
+      s"""WITH seedbase AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |seeds AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS c, v
+         |  FROM seedbase),
+         |cw AS (
+         |  SELECT s.c, j.j, s.v[j.j * 8 + 1 : j.j * 8 + 8] AS w
+         |  FROM seeds s CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) j),
+         |dists AS (
+         |  SELECT e.vec_id, cw.j, cw.c,
+         |    round(${S.dot("cw.w", "cw.w")}
+         |      - 2 * ${S.dot("e.embedding[cw.j * 8 + 1 : cw.j * 8 + 8]", "cw.w")}, 6) AS d
+         |  FROM embeddings e CROSS JOIN cw),
+         |ranked AS (
+         |  SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |    ORDER BY d, c) AS rn
+         |  FROM dists)
+         |SELECT vec_id, CAST(j AS INTEGER) AS subspace, CAST(c AS INTEGER) AS code
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    "v12_pq_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 

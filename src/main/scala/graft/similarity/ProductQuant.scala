@@ -1,0 +1,150 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-scale ANN path (FAISS's
+  * IVF-PQ workhorse): each `dim`-vector is split into `m` subvectors;
+  * each subvector is replaced by the index of its nearest codeword in
+  * a per-subspace codebook of `ks` entries. A 64-float vector becomes
+  * `m` small ints — with m=8, a 32× scan-bandwidth/memory reduction,
+  * which at 100 TB of embeddings is the difference between an
+  * in-memory candidate scan and an I/O-bound one (int8's 4×, RP's 2×,
+  * PQ's 32× are the three rungs of the same ladder).
+  *
+  * Query scoring is the classic asymmetric-distance LUT: the query
+  * precomputes its dot product against every codeword (`m·ks` dots on
+  * the handful of query rows), then each corpus row costs `m` array
+  * lookups + `m−1` adds — NO multiplications, codegen'd `element_at`
+  * chains, never a lambda. Codes are computed map-side against
+  * codebook slices embedded as plan literals (the rpTopK
+  * literal-matrix idiom), so encoding shuffles nothing.
+  *
+  * Codebooks are md5-ordered deterministic picks (the
+  * `buildIvfHashInit` discipline): the whole pipeline — codebook,
+  * codes, LUT scores — is a pure function of the data, re-derivable
+  * in SQL, so the code assignment is oracle-EXACT (`v11_pq_codes`)
+  * and recall is oracle-gated (`v12_pq_recall`). A KMeans-refined
+  * codebook drops in by replacing the seed pick only (the IVF
+  * `buildIvf`/`buildIvfHashInit` pairing, same trade).
+  */
+object ProductQuant {
+
+  /** Per-subspace codebooks derived from `ks` md5-ordered seed
+    * vectors; codebook j = the seeds' j-th subvector slices.
+    */
+  case class PqCodebook(seeds: Seq[Seq[Double]], m: Int) {
+    require(seeds.nonEmpty, "empty codebook")
+    val dim: Int = seeds.head.size
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub: Int = dim / m
+    val ks: Int = seeds.size
+    /** codeword c of subspace j */
+    def slice(j: Int, c: Int): Seq[Double] =
+      seeds(c).slice(j * sub, (j + 1) * sub)
+    /** ||codeword||² as a plan literal */
+    def sliceNorm2(j: Int, c: Int): Double = {
+      val s = slice(j, c); s.map(x => x * x).sum
+    }
+  }
+
+  /** Deterministic codebook: the `ks` seed vectors with smallest
+    * md5(id) — a BOUNDED driver collect (`ks` rows, same contract as
+    * the IVF centroid pick and the capped pivot-value collect).
+    */
+  def buildCodebook(emb: DataFrame, idCol: String, vecCol: String,
+                    m: Int, ks: Int): PqCodebook = {
+    require(ks >= 2 && ks <= 256, s"ks must be in [2,256]: $ks")
+    val rows = emb.filter(Similarity.scorable(col(vecCol)))
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(ks)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(rows.size == ks, s"corpus has ${rows.size} scorable vectors < ks=$ks")
+    PqCodebook(rows, m)
+  }
+
+  /** Map-side encoding: (id, codes array<int> of length m). Per
+    * subspace, distances to all `ks` codewords unroll to a literal
+    * array of `round(||c||² − 2·v_j·c, 6)` (the ||v_j||² term is
+    * constant across codewords and cannot move the argmin); the code
+    * is the first index attaining the min — rounding + first-index
+    * tiebreak make the argmin engine-exact.
+    */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             cb: PqCodebook): DataFrame = {
+    val codes = (0 until cb.m).map { j =>
+      val subv = slice(col(vecCol), j * cb.sub + 1, cb.sub)
+      val dists = array((0 until cb.ks).map { c =>
+        round(lit(cb.sliceNorm2(j, c)) -
+          lit(2.0) * Similarity.dot(subv, lit(cb.slice(j, c).toArray)), 6)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    emb.filter(Similarity.scorable(col(vecCol)))
+      .select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** The query side's LUT: table[j][c] = q_j · codeword(j, c), computed
+    * once per QUERY row (m·ks dots over a handful of rows).
+    */
+  private def lutFor(qVec: Column, cb: PqCodebook): Column =
+    array((0 until cb.m).map { j =>
+      val subq = slice(qVec, j * cb.sub + 1, cb.sub)
+      array((0 until cb.ks).map { c =>
+        Similarity.dot(subq, lit(cb.slice(j, c).toArray))
+      }: _*)
+    }: _*)
+
+  /** ADC top-k: approximate score(q, v) ≈ q · reconstruct(codes(v)) =
+    * Σ_j table[j][codes_j], an unrolled fixed-order add chain (IEEE
+    * order identical on both engines). Corpus cost: m lookups per row
+    * over the CODES table only — the full vectors never rescan.
+    * Output contract matches bruteForceTopK (query_id, rn,
+    * neighbor_id, cos_sim≈score rounded 6dp, id-tiebroken).
+    */
+  def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int, cb: PqCodebook,
+              codes: Option[DataFrame] = None): DataFrame = {
+    val coded = codes.getOrElse(encode(emb, idCol, vecCol, cb))
+    val q = emb.filter(Similarity.scorable(col(vecCol)))
+      .filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), lutFor(col(vecCol), cb).as("__lut"))
+    val score = (0 until cb.m)
+      .map(j => element_at(element_at(col("__lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val scored = coded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(score, 6))
+    Similarity.topK(scored, k)
+  }
+
+  /** Two-stage PQ: ADC candidate generation (`candidateK` per query
+    * from the 32×-compressed codes scan) + exact full-precision
+    * re-rank of the candidates only — the standard production shape
+    * (compressed first pass pays the scan, exact second pass pays only
+    * candidateK rows per query). Same candidate-pool-scales-with-N
+    * contract as rpRerankTopK.
+    */
+  def pqRerankTopK(emb: DataFrame, idCol: String, vecCol: String,
+                   queryIds: Seq[Long], k: Int, cb: PqCodebook,
+                   candidateK: Int): DataFrame = {
+    require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
+    val cands = adcTopK(emb, idCol, vecCol, queryIds, candidateK, cb)
+      .select(col("query_id"), col("neighbor_id"))
+    val clean = emb.filter(Similarity.scorable(col(vecCol)))
+    val q = clean.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        Similarity.l2norm(col(vecCol)).as("q_nrm"))
+    val c = clean.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      Similarity.l2norm(col(vecCol)).as("c_nrm"))
+    val scored = c.join(broadcast(cands.join(q, "query_id")), "neighbor_id")
+      .withColumn("cos_sim",
+        round(Similarity.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6))
+    Similarity.topK(scored, k)
+  }
+}

@@ -155,7 +155,7 @@ object Similarity {
     topK(scored, k)
   }
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
+  private[similarity] def topK(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     val agg = udaf(new TopKAgg(k))
     scored

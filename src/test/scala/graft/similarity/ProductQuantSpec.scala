@@ -1,0 +1,85 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+class ProductQuantSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = graft.core.Tables.embeddings(spark, sf001)
+  private lazy val cb = ProductQuant.buildCodebook(emb, "vec_id", "embedding",
+    m = 8, ks = 16)
+
+  test("codebook: ks seeds of full dim, subspace slices line up") {
+    assert(cb.ks == 16 && cb.m == 8 && cb.dim == 64 && cb.sub == 8)
+    assert(cb.slice(0, 0) == cb.seeds.head.slice(0, 8))
+    assert(cb.slice(7, 3) == cb.seeds(3).slice(56, 64))
+  }
+
+  test("codes: m entries per vector, each in [0, ks)") {
+    val codes = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+    val stats = codes.select(
+      min(size($"codes")), max(size($"codes")),
+      min(array_min($"codes")), max(array_max($"codes")))
+      .as[(Int, Int, Int, Int)].head()
+    assert(stats == ((8, 8, 0, 15)) ||
+      (stats._1 == 8 && stats._2 == 8 && stats._3 >= 0 && stats._4 <= 15),
+      s"stats $stats")
+  }
+
+  test("encoding is layout-invariant (pure function of the row)") {
+    val a = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val b = ProductQuant.encode(emb.repartition(13), "vec_id", "embedding", cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(a == b)
+  }
+
+  test("a seed vector encodes to its own codeword in every subspace") {
+    // seed c is distance 0 from codeword c in every subspace, and 0 is
+    // the unique min unless another seed shares the exact subvector
+    val seedIds = emb
+      .withColumn("__h", md5($"vec_id".cast("string")))
+      .orderBy($"__h", $"vec_id").limit(16)
+      .select($"vec_id").as[Long].collect().toSet
+    val codes = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+      .filter($"vec_id".isInCollection(seedIds))
+      .as[(Long, Seq[Int])].collect().toMap
+    val seedVecs = emb.filter($"vec_id".isInCollection(seedIds))
+      .select($"vec_id", transform($"embedding", x => x.cast("double")))
+      .as[(Long, Seq[Double])].collect().toMap
+    for ((id, cs) <- codes; (c, j) <- cs.zipWithIndex) {
+      val decoded = cb.slice(j, c)
+      val own = seedVecs(id).slice(j * cb.sub, (j + 1) * cb.sub)
+      val d = decoded.zip(own).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(d == 0.0, s"seed $id subspace $j decoded to a non-equal codeword")
+    }
+  }
+
+  test("pqRerank with candidateK = corpus recovers brute force exactly") {
+    val n = emb.count().toInt
+    val qs = Seq(0L, 1L, 2L)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qs, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val pq = ProductQuant.pqRerankTopK(emb, "vec_id", "embedding", qs, 5, cb,
+      candidateK = n)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(pq == brute)
+  }
+
+  test("ADC output contract matches the ANN family (rn 1..k, no self)") {
+    val out = ProductQuant.adcTopK(emb, "vec_id", "embedding", Seq(0L, 1L), 3, cb)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.length == 6)
+    assert(out.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+    assert(out.forall(r => r._1 != r._3))
+  }
+
+  test("codebook guards: ks bounds and divisibility") {
+    intercept[IllegalArgumentException] {
+      ProductQuant.buildCodebook(emb, "vec_id", "embedding", m = 8, ks = 1)
+    }
+    intercept[IllegalArgumentException] {
+      ProductQuant.PqCodebook(Seq(Seq.fill(64)(0.0)), m = 7)
+    }
+  }
+}
