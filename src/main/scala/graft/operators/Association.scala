@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Categorical-association profiling: mutual information and
+  * chi-square / Cramér's V between two categorical columns — the
+  * feature-relevance / redundancy audit of dataset curation ("does
+  * `source` carry any information about `lang`, or can the mix recipe
+  * treat them independently?"). The reference's EDA stops at
+  * per-column censuses; association is the natural pairwise step.
+  *
+  * Exactness discipline: counts are integers; each cell's
+  * transcendental term (ln for MI) is quantized ONCE —
+  * floor(ln(·)·1e6 + 1e-4) as int64, the t9 contract — and summed
+  * exactly, so the verdict is independent of cell summation order and
+  * engine libm ulp. The chi-square cell is a ratio of integers
+  * ((N·n_xy − n_x·n_y)² / (N·n_x·n_y)) — one fixed-shape double
+  * expression per cell, quantized the same way. Final assembly (÷N,
+  * sqrt for V) is a fixed sequence of IEEE ops spelled identically in
+  * the oracle.
+  *
+  * Scale shape: one (x,y)-keyed aggregation over the scan (map-side
+  * partial), two margin aggregations BOUNDED by the category
+  * cardinalities, margins broadcast back onto the joint table, one
+  * ≤|X|·|Y|-row final fold. Nothing driver-side; no window; the wide
+  * table never reshuffles.
+  */
+object Association {
+
+  private val Scale = 1e6
+
+  /** One row: (n, x_cats, y_cats, mi, chi2, cramers_v) for the
+    * listwise-complete (x, y) pairs.
+    */
+  def categoricalAssociation(df: DataFrame, xCol: String,
+                             yCol: String): DataFrame = {
+    val base = df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val joint = base.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = base.groupBy(col("__x")).agg(count(lit(1)).as("n_x"))
+    val my = base.groupBy(col("__y")).agg(count(lit(1)).as("n_y"))
+    val tot = base.agg(count(lit(1)).as("n"),
+      count_distinct(col("__x")).as("x_cats"),
+      count_distinct(col("__y")).as("y_cats"))
+    // the FULL |X|·|Y| grid, not just observed pairs: unobserved cells
+    // contribute 0 to MI (0·ln 0 → 0 by convention) but their expected
+    // counts DO enter chi² — dropping them understates association
+    // (a perfectly-dependent diagonal would read V ≈ 0.82, not 1).
+    // Grid and margins are bounded by category cardinalities.
+    val cells = broadcast(mx).crossJoin(broadcast(my))
+      .join(joint, Seq("__x", "__y"), "left")
+      .withColumn("n_xy", coalesce(col("n_xy"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      // MI cell: n_xy · q(ln(N·n_xy / (n_x·n_y)))
+      .withColumn("__mi_q", when(col("n_xy") > 0, col("n_xy") *
+        floor(log((col("n_xy").cast("double") * col("n").cast("double")) /
+            (col("n_x").cast("double") * col("n_y").cast("double"))) * lit(Scale)
+          + lit(1e-4)).cast("long")).otherwise(lit(0L)))
+      // chi² cell: (N·n_xy − n_x·n_y)² / (N·n_x·n_y), exact-integer
+      // numerator root, one double division
+      .withColumn("__d",
+        (col("n").cast("long") * col("n_xy") - col("n_x") * col("n_y"))
+          .cast("double"))
+      .withColumn("__chi_q",
+        floor(col("__d") * col("__d") /
+            (col("n").cast("double") * col("n_x").cast("double") *
+              col("n_y").cast("double")) * lit(Scale) + lit(1e-4))
+          .cast("long"))
+    cells
+      .groupBy(col("n"), col("x_cats"), col("y_cats"))
+      .agg(sum(col("__mi_q")).as("__mi_sum"),
+        sum(col("__chi_q")).as("__chi_sum"))
+      .select(col("n"), col("x_cats").cast("int").as("x_cats"),
+        col("y_cats").cast("int").as("y_cats"),
+        // nats; ÷scale then ÷N, fixed order
+        round(col("__mi_sum").cast("double") / lit(Scale) /
+          col("n").cast("double"), 6).as("mi"),
+        round(col("__chi_sum").cast("double") / lit(Scale), 6).as("chi2"),
+        round(sqrt((col("__chi_sum").cast("double") / lit(Scale)) /
+          (col("n").cast("double") *
+            (least(col("x_cats"), col("y_cats")) - lit(1)).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  /** DuckDB spelling — same quantization, same assembly. */
+  def sql(src: String, xCol: String, yCol: String): String =
+    s"""(WITH base AS (SELECT $xCol AS x, $yCol AS y FROM $src
+       |    WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL),
+       |  joint AS (SELECT x, y, COUNT(*) AS n_xy FROM base GROUP BY x, y),
+       |  mx AS (SELECT x, COUNT(*) AS n_x FROM base GROUP BY x),
+       |  my AS (SELECT y, COUNT(*) AS n_y FROM base GROUP BY y),
+       |  tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT x) AS x_cats,
+       |      COUNT(DISTINCT y) AS y_cats FROM base),
+       |  grid AS (SELECT mx.x, mx.n_x, my.y, my.n_y FROM mx CROSS JOIN my),
+       |  cells AS (
+       |    SELECT t.n, t.x_cats, t.y_cats,
+       |      CASE WHEN COALESCE(j.n_xy, 0) > 0 THEN
+       |        j.n_xy * CAST(FLOOR(ln((CAST(j.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE))
+       |            / (CAST(g.n_x AS DOUBLE) * CAST(g.n_y AS DOUBLE))) * 1000000.0
+       |          + 0.0001) AS BIGINT)
+       |      ELSE 0 END AS mi_q,
+       |      CAST(FLOOR(
+       |        CAST(t.n * COALESCE(j.n_xy, 0) - g.n_x * g.n_y AS DOUBLE)
+       |        * CAST(t.n * COALESCE(j.n_xy, 0) - g.n_x * g.n_y AS DOUBLE)
+       |        / (CAST(t.n AS DOUBLE) * CAST(g.n_x AS DOUBLE) * CAST(g.n_y AS DOUBLE))
+       |        * 1000000.0 + 0.0001) AS BIGINT) AS chi_q
+       |    FROM grid g LEFT JOIN joint j USING (x, y) CROSS JOIN tot t)
+       |  SELECT n, CAST(x_cats AS INTEGER) AS x_cats,
+       |    CAST(y_cats AS INTEGER) AS y_cats,
+       |    round(CAST(SUM(mi_q) AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) AS mi,
+       |    round(CAST(SUM(chi_q) AS DOUBLE) / 1000000.0, 6) AS chi2,
+       |    round(sqrt((CAST(SUM(chi_q) AS DOUBLE) / 1000000.0)
+       |      / (CAST(n AS DOUBLE) * CAST(LEAST(x_cats, y_cats) - 1 AS DOUBLE))), 6)
+       |      AS cramers_v
+       |  FROM cells GROUP BY n, x_cats, y_cats)""".stripMargin
+}

@@ -119,6 +119,25 @@ object AuditCatalog {
         .orderBy($"node")
     }),
 
+    // WS1 — winsorization: clip events.value to the discrete [p05,p95]
+    // percentiles (exact integer ranks; see Outliers.winsorize) — tail
+    // repair where ol1 is tail removal
+    "ws1_winsorize" -> ((spark, dir) => {
+      import spark.implicits._
+      Outliers.winsorize(
+          Tables.events(spark, dir).select($"event_id", $"value"),
+          "value", loPct = 5, hiPct = 95)
+        .select($"event_id", $"value", $"value_winsor")
+        .orderBy($"event_id")
+    }),
+
+    // MI1 — categorical association (mutual information + chi² /
+    // Cramér's V) between documents.lang and documents.source —
+    // quantized-int64 cell terms per the t9 discipline
+    "mi1_mutual_info" -> ((spark, dir) =>
+      Association.categoricalAssociation(
+        Tables.documents(spark, dir), "lang", "source")),
+
     // TN1 — Unicode canonicalization through the codegen'd native
     // expressions: NFC composes the planted combining marks, accent
     // stripping restores the ASCII letters translate swapped out
@@ -220,6 +239,22 @@ object AuditCatalog {
          |${prStep("i1", "i2")},
          |${prStep("i2", "i3")}
          |SELECT node, CAST(r AS BIGINT) AS rank_q FROM i3 ORDER BY node""".stripMargin,
+
+    "ws1_winsorize" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n FROM v),
+        |r AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn FROM v),
+        |b AS (SELECT
+        |  MIN(CASE WHEN rn = (SELECT (5 * n + 99) // 100 FROM n) THEN value END) AS lo,
+        |  MIN(CASE WHEN rn = (SELECT (95 * n + 99) // 100 FROM n) THEN value END) AS hi
+        |FROM r)
+        |SELECT event_id, value,
+        |  CASE WHEN value < lo THEN lo WHEN value > hi THEN hi
+        |       ELSE value END AS value_winsor
+        |FROM events CROSS JOIN b ORDER BY event_id""".stripMargin,
+
+    "mi1_mutual_info" ->
+      s"""SELECT * FROM ${Association.sql("documents", "lang", "source")} a""",
 
     "tn1_unicode_norm" ->
       """WITH s AS (SELECT doc_id, text,

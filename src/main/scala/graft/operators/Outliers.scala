@@ -94,4 +94,57 @@ object Outliers {
     val q3 = s"(SELECT quantile_disc($c, 0.75) FROM $src WHERE $c IS NOT NULL)"
     (s"($q1 - $k * ($q3 - $q1))", s"($q3 + $k * ($q3 - $q1))")
   }
+
+  /** Winsorization: CLIP (not drop) values to the [loPct, hiPct]
+    * discrete percentiles — outlier REPAIR where [[iqrFilter]] is
+    * outlier removal; the standard tail-taming step before moment
+    * statistics or minmax normalization (one crawl-bug 1e308 would
+    * otherwise flatten c9's whole scale). Percentiles are integer
+    * percents and ranks are exact integer arithmetic (ceil(p·n/100) =
+    * (p·n+99) div 100), so the clip bounds are actual data values and
+    * the result is cross-engine exact. Nulls pass through unclipped
+    * (N-series territory).
+    *
+    * Same scale contract as [[iqrBounds]]: the rank pick sorts the
+    * pruned value column once (the exactness gate);
+    * [[winsorizeApprox]] is the sketch-bounds 100 TB path with
+    * identical clip assembly.
+    */
+  def winsorize(df: DataFrame, c: String, loPct: Int = 5,
+                hiPct: Int = 95): DataFrame = {
+    require(0 <= loPct && loPct < hiPct && hiPct <= 100,
+      s"need 0 <= loPct < hiPct <= 100: $loPct, $hiPct")
+    val vals = df.select(col(c)).filter(col(c).isNotNull)
+    val n = vals.agg(count(lit(1)).as("__n"))
+    val bounds = vals
+      .withColumn("__rn", row_number().over(Window.orderBy(col(c))))
+      .crossJoin(broadcast(n))
+      .filter(col("__rn") === expr(s"($loPct * __n + 99) div 100") ||
+        col("__rn") === expr(s"($hiPct * __n + 99) div 100"))
+      .agg(
+        min(when(col("__rn") === expr(s"($loPct * __n + 99) div 100"), col(c)))
+          .as("__lo"),
+        min(when(col("__rn") === expr(s"($hiPct * __n + 99) div 100"), col(c)))
+          .as("__hi"))
+    clip(df, c, bounds)
+  }
+
+  /** Sketch-bounds winsorization (percentile_approx, one mergeable
+    * pass — no global sort); clip assembly identical to [[winsorize]].
+    */
+  def winsorizeApprox(df: DataFrame, c: String, loPct: Int = 5,
+                      hiPct: Int = 95, accuracy: Int = 10000): DataFrame = {
+    val bounds = df.filter(col(c).isNotNull)
+      .agg(percentile_approx(col(c), lit(loPct / 100.0), lit(accuracy)).as("__lo"),
+        percentile_approx(col(c), lit(hiPct / 100.0), lit(accuracy)).as("__hi"))
+    clip(df, c, bounds)
+  }
+
+  private def clip(df: DataFrame, c: String, bounds: DataFrame): DataFrame =
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${c}_winsor",
+        when(col(c) < col("__lo"), col("__lo"))
+          .when(col(c) > col("__hi"), col("__hi"))
+          .otherwise(col(c)))
+      .drop("__lo", "__hi")
 }

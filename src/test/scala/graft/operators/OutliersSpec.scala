@@ -65,4 +65,54 @@ class OutliersSpec extends graft.SparkSpec {
       "value", 1.5).queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("winsorize clips to the exact rank percentiles, goldens") {
+    // 1..100: rank ceil(5·100/100)=5 → lo=5, rank ceil(95·100/100)=95 → hi=95
+    val df100 = (1 to 100).map(_.toDouble).toDF("v")
+    val out = Outliers.winsorize(df100, "v", 5, 95)
+      .select("v", "v_winsor").as[(Double, Double)].collect().toMap
+    assert(out(1.0) == 5.0 && out(4.0) == 5.0 && out(5.0) == 5.0)
+    assert(out(50.0) == 50.0)
+    assert(out(95.0) == 95.0 && out(96.0) == 95.0 && out(100.0) == 95.0)
+  }
+
+  test("winsorize: nulls pass through unclipped") {
+    val df = Seq(Option(1.0), Option(50.0), Option.empty[Double], Option(99.0))
+      .toDF("v")
+    val out = Outliers.winsorize(df, "v", 25, 75)
+      .select("v_winsor").as[Option[Double]].collect()
+    assert(out.count(_.isEmpty) == 1)
+  }
+
+  test("winsorizeApprox bounds sit within a few order statistics of exact") {
+    // percentile_approx picks an approximate-RANK data value under a
+    // slightly different rank convention than ceil(q·n), so each clip
+    // bound can land on a NEIGHBORING order statistic — and a one-rank
+    // bound shift relabels every clipped row, so row-count agreement is
+    // the wrong contract. The sketch's guarantee is rank proximity of
+    // the BOUNDS; assert that.
+    val ev = graft.core.Tables.events(spark, sf001)
+      .select($"event_id", $"value")
+    def bounds(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val c = df.select(org.apache.spark.sql.functions.min($"value_winsor"),
+          org.apache.spark.sql.functions.max($"value_winsor"))
+        .as[(Double, Double)].head()
+      c
+    }
+    val sorted = ev.filter($"value".isNotNull)
+      .select($"value").as[Double].collect().sorted
+    val (exLo, exHi) = bounds(Outliers.winsorize(ev, "value", 5, 95))
+    val (apLo, apHi) = bounds(Outliers.winsorizeApprox(ev, "value", 5, 95))
+    def rank(v: Double): Int = sorted.indexWhere(_ == v)
+    assert(math.abs(rank(apLo) - rank(exLo)) <= 3,
+      s"lo ranks: exact ${rank(exLo)} approx ${rank(apLo)}")
+    assert(math.abs(rank(apHi) - rank(exHi)) <= 3,
+      s"hi ranks: exact ${rank(exHi)} approx ${rank(apHi)}")
+  }
+
+  test("winsorize guards the percentile order") {
+    intercept[IllegalArgumentException] {
+      Outliers.winsorize(Seq(1.0).toDF("v"), "v", 95, 5)
+    }
+  }
 }
