@@ -125,6 +125,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => UnionFilterToIsin)
     e.injectOptimizerRule(_ => TopOneWindowToArgmax)
     e.injectOptimizerRule(_ => TopKWindowToAggregate)
+    e.injectOptimizerRule(_ => RangeJoinToBucketJoin)
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("dot_product"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
