@@ -119,6 +119,27 @@ object AuditCatalog {
         .orderBy($"node")
     }),
 
+    // A21 — mergeable-sketch cardinality across partitions/snapshots:
+    // one Datasketches HLL per source (fixed-size state), merged with
+    // hll_union_agg — the register-wise max merge is ORDER-INDEPENDENT,
+    // which is what makes per-shard/per-day sketches composable at
+    // 100 TB without re-scanning. Exact side oracled directly; the
+    // estimate is sketch-implementation-specific, so it is gated as a
+    // within-tolerance flag (the a10/a20 contract).
+    "a21_hll_union" -> ((spark, dir) => {
+      import spark.implicits._
+      val d = Tables.documents(spark, dir)
+      val merged = d.groupBy($"source")
+        .agg(hll_sketch_agg($"doc_id").as("sk"))
+        .agg(count(lit(1)).as("n_sources"),
+          hll_sketch_estimate(hll_union_agg($"sk")).as("est"))
+      val exact = d.agg(count_distinct($"doc_id").as("exact_nd"))
+      merged.crossJoin(exact)
+        .select($"n_sources", $"exact_nd",
+          (abs($"est" - $"exact_nd").cast("double") /
+            $"exact_nd".cast("double") <= 0.05).cast("int").as("within_tol"))
+    }),
+
     // WS1 — winsorization: clip events.value to the discrete [p05,p95]
     // percentiles (exact integer ranks; see Outliers.winsorize) — tail
     // repair where ol1 is tail removal
@@ -239,6 +260,12 @@ object AuditCatalog {
          |${prStep("i1", "i2")},
          |${prStep("i2", "i3")}
          |SELECT node, CAST(r AS BIGINT) AS rank_q FROM i3 ORDER BY node""".stripMargin,
+
+    "a21_hll_union" ->
+      """SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS exact_nd,
+        |  1 AS within_tol
+        |FROM documents""".stripMargin,
 
     "ws1_winsorize" ->
       """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),

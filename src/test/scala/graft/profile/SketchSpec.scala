@@ -24,4 +24,25 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(approxP50 - exactP50) / spread < 0.02,
       s"p50 approx=$approxP50 exact=$exactP50")
   }
+
+  test("HLL sketch union: composable partials stay within tolerance") {
+    import graft.core.Tables
+    val d = Tables.documents(spark, sf0001)
+    // per-shard sketches union into a whole-corpus estimate without
+    // re-scanning — the 100 TB composability story. The ESTIMATE is
+    // not bit-stable across layouts (measured 491 vs 493 under a
+    // repartition: HLL_4 partials promote LIST→SET→HLL at different
+    // points, so the union gadget sees different inputs), which is
+    // exactly why a21 gates a tolerance FLAG, not the estimate. The
+    // contract: within tolerance of exact under EVERY layout.
+    def merged(src: org.apache.spark.sql.DataFrame): Long =
+      src.groupBy($"source").agg(hll_sketch_agg($"doc_id").as("sk"))
+        .select(hll_sketch_estimate(hll_union_agg($"sk"))).as[Long].head()
+    val exact = d.select(countDistinct($"doc_id")).as[Long].head()
+    for (layout <- Seq(d, d.repartition(7, $"doc_id"), d.orderBy($"doc_id".desc))) {
+      val est = merged(layout)
+      assert(math.abs(est - exact).toDouble / exact <= 0.05,
+        s"est=$est exact=$exact")
+    }
+  }
 }
