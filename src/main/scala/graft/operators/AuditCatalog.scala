@@ -62,7 +62,57 @@ object AuditCatalog {
           lit(" a\u0301c\u0327")).as("synth"))  // " a<U+0301>c<U+0327>"
   }
 
+  /** sn1/sn2's sentence segmentation: RE2∩Java-portable split on
+    * sentence-ending punctuation + space (no lookbehind — DuckDB's RE2
+    * has none), empties dropped, ordinal = pre-filter position. A
+    * cross-doc boilerplate sentence ("Subscribe…") is planted on every
+    * fifth doc so the census is non-vacuous at any sf.
+    */
+  private def sentenceRows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("text2", when($"doc_id" % 5 === 0,
+          concat($"text", lit(". Subscribe to our newsletter today")))
+        .otherwise($"text"))
+      .select($"doc_id", posexplode(split($"text2", "[.!?]+ ")))
+      .select($"doc_id", $"pos".cast("long").as("sent_no"),
+        $"col".as("sentence"))
+      .filter(trim($"sentence") =!= "")
+  }
+
+  private val sentSql =
+    """sents AS (
+      |  SELECT doc_id, CAST(u.i AS BIGINT) AS sent_no, s[u.i + 1] AS sentence
+      |  FROM (SELECT doc_id, string_split_regex(
+      |          CASE WHEN doc_id % 5 = 0
+      |               THEN text || '. Subscribe to our newsletter today'
+      |               ELSE text END,
+      |          '[.!?]+ ') AS s
+      |        FROM documents) d
+      |  CROSS JOIN LATERAL unnest(range(0, len(s))) AS u(i)
+      |  WHERE trim(s[u.i + 1]) <> '')""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // SN1 — sentence-level cross-doc boilerplate census (the bl1
+    // machinery at sentence granularity: distinct-doc counting with
+    // map-side partials)
+    "sn1_sentence_census" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.quality.Boilerplate
+        .frequentLines(sentenceRows(spark, dir), "doc_id", "sentence", 3L)
+        .orderBy($"doc_freq".desc, $"sentence")
+    }),
+
+    // SN2 — sentence-level dedup: strip the frequent sentences and
+    // reassemble (broadcast anti-join; the corpus never reshuffles)
+    "sn2_sentence_strip" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.quality.Boilerplate
+        .stripFrequentLines(sentenceRows(spark, dir), "doc_id", "sent_no",
+          "sentence", 3L)
+        .orderBy($"doc_id")
+    }),
 
     // RJ1 — point-in-interval range join at scale: every lineitem price
     // inside an order's [totalprice, totalprice+200) band, aggregated
@@ -260,6 +310,25 @@ object AuditCatalog {
          |${prStep("i1", "i2")},
          |${prStep("i2", "i3")}
          |SELECT node, CAST(r AS BIGINT) AS rank_q FROM i3 ORDER BY node""".stripMargin,
+
+    "sn1_sentence_census" ->
+      s"""WITH $sentSql
+         |SELECT sentence, CAST(COUNT(*) AS BIGINT) AS doc_freq
+         |FROM (SELECT DISTINCT doc_id, sentence FROM sents)
+         |GROUP BY sentence HAVING COUNT(*) >= 3
+         |ORDER BY doc_freq DESC, sentence""".stripMargin,
+
+    "sn2_sentence_strip" ->
+      s"""WITH $sentSql,
+         |freq AS (SELECT sentence FROM (
+         |   SELECT sentence, COUNT(DISTINCT doc_id) AS c FROM sents
+         |   GROUP BY sentence) f
+         | WHERE c >= 3)
+         |SELECT doc_id,
+         |  string_agg(sentence, chr(10) ORDER BY sent_no, sentence) AS text
+         |FROM sents
+         |WHERE sentence NOT IN (SELECT sentence FROM freq)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "a21_hll_union" ->
       """SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
