@@ -8,11 +8,16 @@ import org.apache.spark.sql.functions._
   * production corpus pipeline runs AROUND the per-document transforms —
   * pre-ingest contract checks (dq1), snapshot reconciliation between
   * crawl drops (cd1), link-graph authority (pr1), scalable non-equi
-  * range joins (rj1), and Unicode canonicalization (tn1). Each gate has
-  * a DuckDB oracle twin; exactness discipline per [[Exact]] (integer
-  * verdicts, decimal-routed sums, integral-divide PageRank).
+  * range joins (rj1), Unicode canonicalization (tn1), sentence-level
+  * dedup (sn1/sn2), winsorization (ws1), categorical association
+  * (mi1), and mergeable-sketch cardinality (a21). Each gate has a
+  * DuckDB oracle twin; exactness discipline per [[Exact]] (integer
+  * verdicts, decimal-routed sums, integral-divide PageRank, quantized
+  * transcendentals, sketch outputs as tolerance flags only).
   */
 object AuditCatalog {
+
+  private val auditStreamNo = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** pr1's deterministic 64-node link graph derived from events: src =
     * user bucket, dst = md5-hash bucket of the event id — both sides
@@ -209,6 +214,34 @@ object AuditCatalog {
       Association.categoricalAssociation(
         Tables.documents(spark, dir), "lang", "source")),
 
+    // E13 — streaming face of the contract check: the SAME constraint
+    // metrics aggregate incrementally over a file stream in Complete
+    // mode (conditional counts are streaming-aggregatable; Unique is
+    // NOT — distinct aggregation is unsupported on streams, so the
+    // streaming set is the contract minus uniqueness, which stays a
+    // batch-audit concern). Final complete-mode row == the batch
+    // verify, which the dq1-style oracle states directly.
+    "e13_stream_expectations" -> ((spark, dir) => {
+      import Expectations._
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_dq"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("customer.parquet"),
+        java.nio.file.Paths.get(s"$dir/customer.parquet"))
+      val sch = spark.read.parquet(s"$dir/customer.parquet").schema
+      val src = spark.readStream.schema(sch).parquet(d.toString)
+      val checks = Seq(
+        Complete("c_name", 1.0),
+        Bounds("c_acctbal", -1000.0, 10000.0),
+        Matches("c_name", "^Customer#[0-9]{9}$", 1.0),
+        InSet("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"),
+          1.0))
+      val sink = graft.streaming.EventStream.runToMemory(spark,
+        metricsRow(src, checks),
+        s"stream_dq_${auditStreamNo.incrementAndGet()}")
+      explodeMetrics(sink, checks.size).orderBy(col("check_name"))
+    }),
+
     // TN1 — Unicode canonicalization through the codegen'd native
     // expressions: NFC composes the planted combining marks, accent
     // stripping restores the ASCII letters translate swapped out
@@ -310,6 +343,29 @@ object AuditCatalog {
          |${prStep("i1", "i2")},
          |${prStep("i2", "i3")}
          |SELECT node, CAST(r AS BIGINT) AS rank_q FROM i3 ORDER BY node""".stripMargin,
+
+    "e13_stream_expectations" ->
+      """WITH m AS (
+        |  SELECT 'complete(c_name)' AS check_name, COUNT(c_name) AS n_ok,
+        |         COUNT(*) AS n_total, 1000000 AS thr FROM customer
+        |  UNION ALL
+        |  SELECT 'bounds(c_acctbal)',
+        |         COUNT(CASE WHEN c_acctbal BETWEEN -1000.0 AND 10000.0 THEN 1 END),
+        |         COUNT(c_acctbal), 1000000 FROM customer
+        |  UNION ALL
+        |  SELECT 'matches(c_name)',
+        |         COUNT(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 END),
+        |         COUNT(c_name), 1000000 FROM customer
+        |  UNION ALL
+        |  SELECT 'in_set(c_mktsegment)',
+        |         COUNT(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING',
+        |           'FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 END),
+        |         COUNT(c_mktsegment), 1000000 FROM customer)
+        |SELECT check_name, CAST(n_ok AS BIGINT) AS n_ok,
+        |  CAST(n_total AS BIGINT) AS n_total,
+        |  round(CAST(n_ok AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS ratio,
+        |  CAST(CASE WHEN n_ok * 1000000 >= thr * n_total THEN 1 ELSE 0 END AS INTEGER) AS passed
+        |FROM m ORDER BY check_name""".stripMargin,
 
     "sn1_sentence_census" ->
       s"""WITH $sentSql

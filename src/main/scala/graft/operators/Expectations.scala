@@ -67,11 +67,15 @@ object Expectations {
       (count(when(col(col0).isin(vs: _*), 1)), count(col(col0)), micros(r))
   }
 
-  /** Verify all constraints in one pass.
-    * @return one row per constraint: (check_name, n_ok, n_total,
-    *         ratio 6dp, passed 0/1), in the given constraint order
+  /** The one-row aggregate stage of [[verify]]: one struct column per
+    * constraint. Split out because it is also STREAMING-compatible —
+    * conditional counts are incrementally aggregatable, so the same
+    * constraint set runs over an unbounded stream in Complete mode
+    * (the `inline` explode is a generator, which streaming
+    * aggregation output can't host — apply [[explodeMetrics]] to the
+    * collected sink instead).
     */
-  def verify(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+  def metricsRow(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
     require(constraints.nonEmpty, "no constraints")
     require(constraints.map(_.name).distinct.size == constraints.size,
       "duplicate constraint names")
@@ -89,7 +93,17 @@ object Expectations {
           .otherwise(0).cast("int").as("passed"))
     }
     df.agg(structs.head.as("c0"),
-        structs.tail.zipWithIndex.map { case (s, i) => s.as(s"c${i + 1}") }: _*)
-      .select(inline(array(constraints.indices.map(i => col(s"c$i")): _*)))
+      structs.tail.zipWithIndex.map { case (s, i) => s.as(s"c${i + 1}") }: _*)
   }
+
+  /** Unpack a [[metricsRow]] result into one row per constraint. */
+  def explodeMetrics(row: DataFrame, nConstraints: Int): DataFrame =
+    row.select(inline(array((0 until nConstraints).map(i => col(s"c$i")): _*)))
+
+  /** Verify all constraints in one pass.
+    * @return one row per constraint: (check_name, n_ok, n_total,
+    *         ratio 6dp, passed 0/1), in the given constraint order
+    */
+  def verify(df: DataFrame, constraints: Seq[Constraint]): DataFrame =
+    explodeMetrics(metricsRow(df, constraints), constraints.size)
 }

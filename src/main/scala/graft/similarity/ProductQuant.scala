@@ -97,12 +97,19 @@ object ProductQuant {
       }: _*)
     }: _*)
 
-  /** ADC top-k: approximate score(q, v) ≈ q · reconstruct(codes(v)) =
-    * Σ_j table[j][codes_j], an unrolled fixed-order add chain (IEEE
-    * order identical on both engines). Corpus cost: m lookups per row
-    * over the CODES table only — the full vectors never rescan.
-    * Output contract matches bruteForceTopK (query_id, rn,
-    * neighbor_id, cos_sim≈score rounded 6dp, id-tiebroken).
+  /** ADC top-k by approximate COSINE: score(q, v) ≈
+    * (q · v̂) / ‖v̂‖ where v̂ = reconstruct(codes(v)) — the numerator is
+    * Σ_j lut[j][codes_j] and ‖v̂‖² is Σ_j ‖codeword(j, codes_j)‖², BOTH
+    * read from literal tables with m codegen'd `element_at` lookups per
+    * corpus row (unrolled fixed-order add chains; no multiplications
+    * beyond the final divide). Ranking by raw inner product instead
+    * biases toward large-norm neighbors and measurably loses recall on
+    * mixed-norm corpora (caught by the sf0.001 stress: recall@5
+    * dropped below the 0.5 gate). ‖q‖ is constant per query and cannot
+    * move ranks, so it is omitted. Corpus cost: the CODES table only —
+    * the full vectors never rescan. Output contract matches
+    * bruteForceTopK (query_id, rn, neighbor_id, cos_sim≈score rounded
+    * 6dp, id-tiebroken).
     */
   def adcTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int, cb: PqCodebook,
@@ -111,14 +118,23 @@ object ProductQuant {
     val q = emb.filter(Similarity.scorable(col(vecCol)))
       .filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), lutFor(col(vecCol), cb).as("__lut"))
-    val score = (0 until cb.m)
+    // literal ‖codeword‖² table, indexed like the per-query LUT
+    val normLut = array((0 until cb.m).map { j =>
+      array((0 until cb.ks).map(c => lit(cb.sliceNorm2(j, c))): _*)
+    }: _*)
+    val ip = (0 until cb.m)
       .map(j => element_at(element_at(col("__lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val n2 = (0 until cb.m)
+      .map(j => element_at(element_at(normLut, j + 1),
         element_at(col("codes"), j + 1) + 1))
       .reduce(_ + _)
     val scored = coded.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos_sim", round(score, 6))
+      .withColumn("cos_sim",
+        round(when(n2 > 0, ip / sqrt(n2)).otherwise(lit(0.0)), 6))
     Similarity.topK(scored, k)
   }
 

@@ -65,6 +65,22 @@ class ExpectationsSpec extends graft.SparkSpec {
     }
   }
 
+  test("streaming face: metrics accumulate across micro-batches to the batch verdict") {
+    val dir = graft.core.Staging.tmpDir("dq_stream_spec")
+    df.repartition(3).write.mode("overwrite").parquet(dir)
+    val checks = Seq(Complete("name", 0.8), Bounds("score", 0.0, 10.0),
+      Matches("code", "^[0-9]{2}$", 0.8))
+    val src = spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val sink = graft.streaming.EventStream.runToMemory(spark,
+      metricsRow(src, checks), "dq_stream_spec_sink")
+    val streamed = explodeMetrics(sink, checks.size)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val batch = verify(df, checks)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(streamed == batch)
+  }
+
   test("one pass: no join, single output row source") {
     val q = verify(df, Seq(Complete("name", 1.0), Unique("id"),
       Bounds("score", 0.0, 1.0)))
