@@ -544,6 +544,32 @@ object TrainingCatalog {
           countDistinct(col("query_id")).as("n_queries"),
           (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
             >= 0.5).cast("int").as("recall_ge_50"))
+    }),
+
+    // IVF-PQ recall audit — the full FAISS composition (cell pruning ×
+    // 32× code compression × exact re-rank). Wider probe than v4's
+    // oracle-exact nProbe=2: the coarse hash-init quantizer caps
+    // recall at the fraction of true neighbors inside probed cells, so
+    // the composition probes half the cells and re-ranks a N/5 pool —
+    // same margins discipline as v12. Oracle contract as v6/v8/v9.
+    "v13_ivfpq_recall" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cb = graft.similarity.ProductQuant.buildCodebook(
+        emb, "vec_id", "embedding", m = 8, ks = 16)
+      val candidates = math.max(100L, emb.count() / 5).toInt
+      val ivfpq = graft.similarity.ProductQuant.ivfPqTopK(emb, "vec_id",
+        "embedding", annQueryIds, k = 5, nCells = 16, nProbe = 8, cb,
+        candidateK = candidates)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(ivfpq.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.5).cast("int").as("recall_ge_50"))
     })
   )
 
@@ -950,6 +976,10 @@ object TrainingCatalog {
          |FROM ranked WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
 
     "v12_pq_recall" ->
+      s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    "v13_ivfpq_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 

@@ -138,6 +138,70 @@ object ProductQuant {
     Similarity.topK(scored, k)
   }
 
+  /** IVF-PQ: the full FAISS composition — coarse cells prune WHERE to
+    * look ([[Similarity.buildIvfHashInit]]'s deterministic quantizer),
+    * PQ codes compress WHAT is scanned there (cosine-ADC over the
+    * probed cells' codes only), and an exact re-rank restores full
+    * precision on the `candidateK` survivors. At 100 TB this is the
+    * production shape: the cell join prunes the scan to
+    * nProbe/nCells of the corpus, the scan itself reads m-byte codes
+    * instead of d floats (32×), and full vectors are touched only for
+    * candidateK rows per query. Scale shape: one equi join on the cell
+    * key (the pruning), map-side LUT scoring, bounded top-k, broadcast
+    * candidate join back — the corpus shuffles once at index-build
+    * time, never per query.
+    */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
+                queryIds: Seq[Long], k: Int, nCells: Int, nProbe: Int,
+                cb: PqCodebook, candidateK: Int): DataFrame = {
+    require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
+    val idx = Similarity.buildIvfHashInit(emb, idCol, vecCol, nCells)
+    val codes = encode(emb, idCol, vecCol, cb)
+      .join(idx.assigned.select(col(idCol), col("cell")), idCol)
+    // probe selection: nProbe nearest cells per query (rounded +
+    // cell-tiebroken, the ivfTopKIndexed rule)
+    val q = idx.assigned.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probes = q.crossJoin(broadcast(idx.centroids))
+      .withColumn("d2", round(Similarity.dot(col("centroid"), col("centroid"))
+        - lit(2.0) * Similarity.dot(col("q_vec"), col("centroid")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val probeSet = probes.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), lutFor(col("q_vec"), cb).as("__lut"), col("cell"))
+    val normLut = array((0 until cb.m).map { j =>
+      array((0 until cb.ks).map(c => lit(cb.sliceNorm2(j, c))): _*)
+    }: _*)
+    val ip = (0 until cb.m)
+      .map(j => element_at(element_at(col("__lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val n2 = (0 until cb.m)
+      .map(j => element_at(element_at(normLut, j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val cands = codes.select(col(idCol).as("neighbor_id"), col("codes"), col("cell"))
+      .join(broadcast(probeSet), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(when(n2 > 0, ip / sqrt(n2)).otherwise(lit(0.0)), 6))
+    val picked = Similarity.topK(cands, candidateK)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the candidates only
+    val clean = emb.filter(Similarity.scorable(col(vecCol)))
+    val qv = clean.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        Similarity.l2norm(col(vecCol)).as("q_nrm"))
+    val cv = clean.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      Similarity.l2norm(col(vecCol)).as("c_nrm"))
+    val scored = cv.join(broadcast(picked.join(qv, "query_id")), "neighbor_id")
+      .withColumn("cos_sim",
+        round(Similarity.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6))
+    Similarity.topK(scored, k)
+  }
+
   /** Two-stage PQ: ADC candidate generation (`candidateK` per query
     * from the 32×-compressed codes scan) + exact full-precision
     * re-rank of the candidates only — the standard production shape

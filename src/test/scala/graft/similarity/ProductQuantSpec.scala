@@ -74,6 +74,17 @@ class ProductQuantSpec extends graft.SparkSpec {
     assert(out.forall(r => r._1 != r._3))
   }
 
+  test("IVF-PQ with full probe and full candidate pool recovers brute force") {
+    val n = emb.count().toInt
+    val qs = Seq(0L, 1L)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qs, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val ivfpq = ProductQuant.ivfPqTopK(emb, "vec_id", "embedding", qs, 5,
+      nCells = 16, nProbe = 16, cb, candidateK = n)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivfpq == brute)
+  }
+
   test("codebook guards: ks bounds and divisibility") {
     intercept[IllegalArgumentException] {
       ProductQuant.buildCodebook(emb, "vec_id", "embedding", m = 8, ks = 1)
