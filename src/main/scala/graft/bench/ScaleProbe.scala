@@ -207,6 +207,32 @@ object ScaleProbe {
         }
         cust.unpersist()
       }
+      // range join: multiplying BOTH sides m× grows the matched-pair
+      // count m² (every point meets m× more intervals) — output-
+      // inherent, like fuzzy_pairs' block growth, NOT a plan defect;
+      // the curve documents that bucketWidth dials the candidate:match
+      // ratio while the match count belongs to the data
+      if (m <= 4) {
+        val pts = multiply(
+          Tables.lineitem(spark, sfDir).select(col("l_orderkey"),
+            col("l_extendedprice")), "l_orderkey", m, 1000000000L)
+          .repartition(64).cache()
+        val iv = multiply(
+          Tables.orders(spark, sfDir).select(col("o_orderkey"),
+            col("o_totalprice")), "o_orderkey", m, 1000000000L)
+          .select(col("o_orderkey"), col("o_totalprice").as("lo"),
+            (col("o_totalprice") + 200.0).as("hi"))
+          .repartition(64).cache()
+        pts.count(); iv.count()
+        time(s"range_join x$m") {
+          graft.operators.RangeJoin
+            .pointInInterval(pts, "l_extendedprice", iv, "lo", "hi", 200.0)
+            .groupBy(col("o_orderkey"))
+            .agg(count(lit(1)).as("n"))
+            .count()
+        }
+        pts.unpersist(); iv.unpersist()
+      }
       spark.catalog.clearCache()
       } // enabled("core")
     }

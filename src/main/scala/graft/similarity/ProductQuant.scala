@@ -202,6 +202,41 @@ object ProductQuant {
     Similarity.topK(scored, k)
   }
 
+  /** Persist a PQ index: the codes table (cell-partitioned when a
+    * `cell` column is present, so IVF-PQ probing prunes files) plus
+    * the codebook seeds — the saveIvf contract extended to the
+    * compressed regime. At 100 TB the codes parquet is ~32× smaller
+    * than the vectors it stands in for; rebuilding it per run would
+    * re-scan the full corpus, so persistence IS the scale feature.
+    */
+  def savePq(codes: DataFrame, cb: PqCodebook, dir: String): Unit = {
+    val spark = codes.sparkSession
+    val writer = codes.write.mode("overwrite")
+    (if (codes.columns.contains("cell")) writer.partitionBy("cell") else writer)
+      .parquet(s"$dir/codes")
+    import spark.implicits._
+    cb.seeds.zipWithIndex.map { case (v, c) => (c, v) }
+      .toDF("c", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    Seq((cb.m, cb.ks, cb.dim)).toDF("m", "ks", "dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Reload a persisted PQ index; the codebook round-trips exactly
+    * (doubles stored losslessly), so reloaded ADC scores are
+    * bit-identical to the building session's.
+    */
+  def loadPq(spark: org.apache.spark.sql.SparkSession,
+             dir: String): (DataFrame, PqCodebook) = {
+    import spark.implicits._
+    val m = spark.read.parquet(s"$dir/meta")
+      .select(col("m")).as[Int].head()
+    val seeds = spark.read.parquet(s"$dir/codebook")
+      .orderBy(col("c")).select(col("seed"))
+      .as[Seq[Double]].collect().toSeq
+    (spark.read.parquet(s"$dir/codes"), PqCodebook(seeds, m))
+  }
+
   /** Two-stage PQ: ADC candidate generation (`candidateK` per query
     * from the 32×-compressed codes scan) + exact full-precision
     * re-rank of the candidates only — the standard production shape

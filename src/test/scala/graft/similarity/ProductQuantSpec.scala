@@ -85,6 +85,21 @@ class ProductQuantSpec extends graft.SparkSpec {
     assert(ivfpq == brute)
   }
 
+  test("persisted PQ index answers identically after reload") {
+    val dir = graft.core.Staging.tmpDir("pq_index")
+    val codes = ProductQuant.encode(emb, "vec_id", "embedding", cb)
+    ProductQuant.savePq(codes, cb, dir)
+    val (codes2, cb2) = ProductQuant.loadPq(spark, dir)
+    assert(cb2 == cb)
+    val qs = Seq(0L, 1L)
+    val before = ProductQuant.adcTopK(emb, "vec_id", "embedding", qs, 5, cb,
+      Some(codes)).as[(Long, Int, Long, Double)].collect().toSet
+    val after = ProductQuant.adcTopK(emb, "vec_id", "embedding", qs, 5, cb2,
+      Some(codes2.select($"vec_id", $"codes")))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(after == before)
+  }
+
   test("codebook guards: ks bounds and divisibility") {
     intercept[IllegalArgumentException] {
       ProductQuant.buildCodebook(emb, "vec_id", "embedding", m = 8, ks = 1)
