@@ -44,11 +44,118 @@ object Relational {
        |GROUP BY l_returnflag, l_linestatus
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Q3-shape (shipping-priority): segment-filtered customer ⋈ orders
+    * ⋈ lineitem, date-banded both sides, top-10 orders by decimal-
+    * exact revenue. Scale notes: the segment + date filters push to
+    * the scans; customer (small side, further ⅕-filtered) broadcasts
+    * under the join into orders; orders⋈lineitem is the one real
+    * shuffle, keyed on orderkey whose cardinality grows with data;
+    * the top-10 is TakeOrderedAndProject above the partial-combined
+    * agg — 10 rows per partition cross the wire, never the rank table.
+    */
+  def q3Top(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    Tables.customer(spark, sfDir).filter($"c_mktsegment" === "BUILDING")
+      .join(Tables.orders(spark, sfDir), $"c_custkey" === $"o_custkey")
+      .filter($"o_orderdate" < cutoff)
+      .join(Tables.lineitem(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > cutoff)
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsumDisc($"l_extendedprice", $"l_discount").as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+      .limit(10)
+  }
+
+  /** Q5-shape (local-supplier revenue): six-table join where customer
+    * and supplier must share the nation, revenue per nation of one
+    * region. Scale notes: region→nation prunes to a ¼-sized broadcast
+    * dimension chain; lineitem⋈orders⋈customer shuffle on their
+    * growing keys; the co-location predicate (s_nationkey =
+    * c_nationkey) rides the supplier join; one low-cardinality final
+    * agg.
+    */
+  def q5Region(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Tables.nation(spark, sfDir)
+      .join(Tables.region(spark, sfDir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+    Tables.customer(spark, sfDir)
+      .join(broadcast(nations), $"c_nationkey" === $"n_nationkey")
+      .join(Tables.orders(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .join(Tables.lineitem(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.supplier(spark, sfDir),
+        $"s_suppkey" === $"l_suppkey" && $"s_nationkey" === $"c_nationkey")
+      .groupBy($"n_name")
+      .agg(dsumDisc($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** Q10-shape (returned-item ranking): which customers returned the
+    * most revenue. Scale notes: the returnflag filter pushes to the
+    * lineitem scan (the big table shrinks FIRST); per-customer agg
+    * partial-combines; top-20 is TakeOrderedAndProject.
+    */
+  def q10Returns(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, sfDir).filter($"l_returnflag" === "R")
+      .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name", $"c_mktsegment")
+      .agg(dsumDisc($"l_extendedprice", $"l_discount").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
+    "q1_agg" -> (q1Agg _),
+    "q3_top_orders" -> (q3Top _),
+    "q5_region_revenue" -> (q5Region _),
+    "q10_returned" -> (q10Returns _)
   )
 
   def oracle: Map[String, String] = Map(
-    "q1_agg" -> q1AggSql
+    "q1_agg" -> q1AggSql,
+
+    "q3_top_orders" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  ${sqlDsumDisc("l_extendedprice", "l_discount")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      s"""SELECT n_name,
+         |  ${sqlDsumDisc("l_extendedprice", "l_discount")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM region
+         |JOIN nation ON n_regionkey = r_regionkey
+         |JOIN customer ON c_nationkey = n_nationkey
+         |JOIN orders ON o_custkey = c_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+         |  ${sqlDsumDisc("l_extendedprice", "l_discount")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_mktsegment
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin
   )
 }

@@ -169,4 +169,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
       "cleansing must be pure Catalyst expressions")
   }
+
+  test("q5 six-table join: dimension chain broadcasts, no cartesian") {
+    val plan = planOf(graft.operators.Relational.q5Region(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q10: the returnflag filter is pushed to the lineitem scan") {
+    val plan = planOf(graft.operators.Relational.q10Returns(spark, sf0001))
+    assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"),
+      plan)
+  }
 }
