@@ -111,6 +111,31 @@ object Components {
     * of them. At the fixpoint every component is a star rooted at its
     * minimum id.
     */
+  /** Incremental maintenance: fold a NEW batch of nodes and near-dup
+    * pairs into an EXISTING component assignment without recomputing
+    * from scratch — the daily-crawl-increment path. Each existing
+    * component collapses to a STAR around its min-id label
+    * ((id, comp) rows ARE edges to the representative), so the prior
+    * result replaces the prior edge list: the superstep input is
+    * |assignment| + |newPairs| rows, not the full historical edge
+    * set, and pre-collapsed components give the propagation a
+    * diameter-2 head start. The fixpoint (min reachable id) is
+    * identical to a from-scratch run over the union, which is exactly
+    * what the oracle and spec assert.
+    */
+  def incrementalComponents(existing: DataFrame, newPairs: DataFrame,
+                            newNodes: DataFrame, idCol: String,
+                            aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val starEdges = existing
+      .filter(col(idCol).cast("long") =!= col("comp").cast("long"))
+      .select(col(idCol).cast("long").as(aCol), col("comp").cast("long").as(bCol))
+    val edges = starEdges.union(
+      newPairs.select(col(aCol).cast("long"), col(bCol).cast("long")))
+    val nodes = existing.select(col(idCol).cast("long").as(idCol))
+      .union(newNodes.select(col(idCol).cast("long").as(idCol)))
+    connectedComponentsLogStar(edges, nodes, idCol, aCol, bCol)
+  }
+
   def connectedComponentsLogStar(pairs: DataFrame, nodes: DataFrame, idCol: String,
                                  aCol: String = "a_id", bCol: String = "b_id",
                                  maxIter: Int = 20): DataFrame = {

@@ -313,6 +313,29 @@ object TrainingCatalog {
     "x9_dedup_groups" -> ((spark, dir) =>
       dedupComponents(spark, dir).orderBy(col("doc_id"))),
 
+    // X14 — incremental component maintenance (the daily-crawl path):
+    // an EXISTING assignment (built from the day-0 pair batch)
+    // absorbs a new pair batch — including pairs that MERGE two
+    // existing components — via star-collapsed edges, and must equal
+    // the from-scratch fixpoint over the union, which is exactly what
+    // the recursive-CTE oracle computes. Edge batches are arithmetic
+    // (d↔d+3 day 0; d↔d+6 and the component-merging d↔d+9 day 1) so
+    // the oracle derives them independently of the engine.
+    "x14_incremental_cc" -> ((spark, dir) => {
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir)
+        .select($"doc_id".cast("long").as("id"))
+      def arith(mod: Int, off: Int) =
+        ids.filter($"id" % mod === 0)
+          .select($"id".as("a_id"), ($"id" + off).as("b_id"))
+          .join(ids.withColumnRenamed("id", "b_id"), Seq("b_id"), "left_semi")
+      val existing = graft.dedup.Components.connectedComponentsLogStar(
+        arith(9, 3), ids, "id")
+      graft.dedup.Components.incrementalComponents(existing,
+          arith(9, 6).union(arith(18, 9)), ids, "id")
+        .orderBy($"id")
+    }),
+
     // X10 — the keep-list: one canonical representative (min id) +
     // size per near-dup group; the group agg is a partial-combining
     // (comp)-keyed shuffle over the (id, comp) pairs only
@@ -754,6 +777,19 @@ object TrainingCatalog {
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
          |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")}
          |SELECT id AS doc_id, comp FROM comps ORDER BY doc_id""".stripMargin,
+
+    "x14_incremental_cc" ->
+      s"""WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),
+         |op AS (SELECT id AS a_id, id + 3 AS b_id FROM ids
+         |  WHERE id % 9 = 0 AND id + 3 IN (SELECT id FROM ids)),
+         |np1 AS (SELECT id AS a_id, id + 6 AS b_id FROM ids
+         |  WHERE id % 9 = 0 AND id + 6 IN (SELECT id FROM ids)),
+         |np2 AS (SELECT id AS a_id, id + 9 AS b_id FROM ids
+         |  WHERE id % 18 = 0 AND id + 9 IN (SELECT id FROM ids)),
+         |pairs AS (SELECT * FROM op UNION ALL SELECT * FROM np1
+         |  UNION ALL SELECT * FROM np2),
+         |${graft.dedup.Components.Sql.componentsCtes("pairs", "ids", "id")}
+         |SELECT id, comp FROM comps ORDER BY id""".stripMargin,
 
     "x10_canonical_docs" ->
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,

@@ -91,4 +91,24 @@ class ComponentsSpec extends SparkSpec {
       Components.connectedComponents(p, n, "id", maxIter = 2)
     }
   }
+
+  test("incremental update equals from-scratch, incl. component merges") {
+    // day 0: {1,2}, {3,4}, {5,6}, singleton 7..9
+    val day0 = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val nodes0 = (1L to 9L).toDF("id")
+    val existing = Components.connectedComponentsLogStar(day0, nodes0, "id")
+    // day 1: merge {1,2}+{3,4} via 2-3, grow {5,6} with 10, link
+    // singletons 7-8, and a brand-new isolated pair 11-12
+    val day1 = Seq((2L, 3L), (6L, 10L), (7L, 8L), (11L, 12L))
+      .toDF("a_id", "b_id")
+    val nodes1 = Seq(10L, 11L, 12L).toDF("id")
+    val inc = Components.incrementalComponents(existing, day1, nodes1, "id")
+      .as[(Long, Long)].collect().toMap
+    val scratch = Components.connectedComponentsLogStar(
+        day0.union(day1), nodes0.union(nodes1), "id")
+      .as[(Long, Long)].collect().toMap
+    assert(inc == scratch)
+    assert(inc(4L) == 1L, "merged component takes the global min label")
+    assert(inc(10L) == 5L && inc(9L) == 9L && inc(12L) == 11L)
+  }
 }

@@ -72,4 +72,27 @@ class CurationPropertiesSpec extends SparkSpec {
       assert(got == expect)
     }
   }
+
+  test("property: bucketed range join equals the brute-force non-equi join") {
+    val ptsGen = Gen.listOfN(25, Gen.choose(-50.0, 50.0))
+    val ivGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(-60.0, 60.0), Gen.choose(-10.0, 25.0)))
+    for (i <- 1 to 4) {
+      val pts = samples(ptsGen, 1).head.zipWithIndex
+        .map { case (v, j) => (j.toLong, v) }.toDF("pid", "p")
+      // spans include negative lengths (degenerate) and zero-width
+      val iv = samples(ivGen, 1).head.zipWithIndex
+        .map { case ((lo, len), j) => (j.toLong, lo, lo + len) }
+        .toDF("iid", "lo", "hi")
+      for (w <- Seq(0.7, 5.0, 120.0)) {
+        val brute = pts.crossJoin(iv)
+          .filter($"p" >= $"lo" && $"p" < $"hi")
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        val bucketed = RangeJoin
+          .pointInInterval(pts, "p", iv, "lo", "hi", w)
+          .select("pid", "iid").as[(Long, Long)].collect().toSet
+        assert(bucketed == brute, s"round $i width $w")
+      }
+    }
+  }
 }
