@@ -42,6 +42,7 @@ object Bench {
       "dedup_window" -> (() => Pipelines.dedupWindow(spark, sfDir)),
       "dedup_exact" -> (() => Pipelines.dedupExact(spark, sfDir)),
       "q1_agg" -> (() => Pipelines.q1(spark, sfDir)),
+      "q5_join" -> (() => operators.Relational.q5Region(spark, sfDir)),
       "join_agg" -> (() => Pipelines.joinAgg(spark, sfDir)),
       "minhash_lsh" -> (() => Pipelines.minhashLsh(spark, sfDir)),
       "dedup_groups" -> (() => Pipelines.dedupGroups(spark, sfDir)),
