@@ -84,6 +84,70 @@ object Association {
           .as("cramers_v"))
   }
 
+  /** Correlation ratio η² (ANOVA R²) between a CATEGORICAL column and
+    * a NUMERIC one — the missing cell of the association matrix (mi1
+    * covers cat×cat, a14/a18 cover num×num): how much of the numeric
+    * variance the grouping explains. η² = SS_between / SS_total.
+    *
+    * Exactness: per-group count and sum are exact longs; the one
+    * rational term per group (S_g²/n_g) is computed in doubles that
+    * stay EXACT (S_g² must sit under 2^53 — holds for count-like
+    * metrics at any per-group sum ≤ 9.4e7; guard documents the bound)
+    * then quantized to int64 (×1e3, nudged floor — the t9 contract)
+    * and summed exactly, so the verdict is independent of group
+    * summation order. Final assembly is one fixed IEEE expression.
+    *
+    * Scale: one group-keyed partial agg (bounded by category count) +
+    * one global fold of the per-group longs. Nothing else moves.
+    */
+  def etaSquared(df: DataFrame, catCol: String, numCol: String): DataFrame = {
+    val base = df.select(col(catCol).as("__g"),
+        col(numCol).cast("long").as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val per = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_g"), sum(col("__x")).as("s_g"),
+        sum(col("__x") * col("__x")).as("ss_g"))
+      .select(col("n_g"), col("s_g"), col("ss_g"),
+        floor(col("s_g").cast("double") * col("s_g").cast("double") /
+          col("n_g").cast("double") * lit(1000.0) + lit(1e-4))
+          .cast("long").as("q_g"))
+    per.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"),
+        sum(col("ss_g")).as("ssq"), sum(col("q_g")).as("qsum"),
+        count(lit(1)).as("n_groups"))
+      .select(col("n"), col("n_groups").cast("int").as("n_groups"),
+        // all-constant input has SS_total = 0: eta undefined -> null
+        // (ANSI raises on the 0-divisor double division otherwise)
+        when(col("n").cast("double") * col("ssq").cast("double")
+            - col("s").cast("double") * col("s").cast("double") =!= 0.0,
+          round(
+            (col("n").cast("double") * (col("qsum").cast("double") / lit(1000.0))
+              - col("s").cast("double") * col("s").cast("double")) /
+            (col("n").cast("double") * col("ssq").cast("double")
+              - col("s").cast("double") * col("s").cast("double")), 6))
+          .as("eta_sq"))
+  }
+
+  /** DuckDB spelling of [[etaSquared]] — identical arithmetic. */
+  def etaSquaredSql(src: String, catCol: String, numCol: String): String =
+    s"""(WITH base AS (SELECT $catCol AS g, CAST($numCol AS BIGINT) AS x
+       |    FROM $src WHERE $catCol IS NOT NULL AND $numCol IS NOT NULL),
+       |  per AS (SELECT g, COUNT(*) AS n_g, SUM(x) AS s_g,
+       |      SUM(x * x) AS ss_g FROM base GROUP BY g),
+       |  perq AS (SELECT n_g, s_g, ss_g,
+       |      CAST(FLOOR(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+       |        / CAST(n_g AS DOUBLE) * 1000.0 + 0.0001) AS BIGINT) AS q_g
+       |    FROM per)
+       |  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS INTEGER) AS n_groups,
+       |    CASE WHEN CAST(SUM(n_g) AS DOUBLE) * CAST(SUM(ss_g) AS DOUBLE)
+       |              - CAST(SUM(s_g) AS DOUBLE) * CAST(SUM(s_g) AS DOUBLE) <> 0.0
+       |    THEN round(
+       |      (CAST(SUM(n_g) AS DOUBLE) * (CAST(SUM(q_g) AS DOUBLE) / 1000.0)
+       |        - CAST(SUM(s_g) AS DOUBLE) * CAST(SUM(s_g) AS DOUBLE)) /
+       |      (CAST(SUM(n_g) AS DOUBLE) * CAST(SUM(ss_g) AS DOUBLE)
+       |        - CAST(SUM(s_g) AS DOUBLE) * CAST(SUM(s_g) AS DOUBLE)), 6)
+       |    END AS eta_sq
+       |  FROM perq)""".stripMargin
+
   /** DuckDB spelling — same quantization, same assembly. */
   def sql(src: String, xCol: String, yCol: String): String =
     s"""(WITH base AS (SELECT $xCol AS x, $yCol AS y FROM $src

@@ -242,6 +242,24 @@ object AuditCatalog {
       explodeMetrics(sink, checks.size).orderBy(col("check_name"))
     }),
 
+    // MI2 — correlation ratio η² (categorical × numeric association —
+    // the cell mi1/a14 leave open): how much n_chars variance `lang`
+    // explains; quantized per-group rational terms, order-independent
+    "mi2_eta_squared" -> ((spark, dir) =>
+      Association.etaSquared(Tables.documents(spark, dir), "lang", "n_chars")),
+
+    // DD3 — two-sample KS distance (nonparametric drift beside dd1's
+    // PSI): baseline events.value vs a planted-shift snapshot
+    // (+5.0 on every fourth event); integer sup-norm, single division
+    "dd3_ks_drift" -> ((spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.events(spark, dir)
+      val drifted = ev.select(
+        when($"event_id" % 4 === 0, $"value" + 5.0)
+          .otherwise($"value").as("value"))
+      DriftKs.ksStatistic(ev.select($"value"), drifted, "value")
+    }),
+
     // TN1 — Unicode canonicalization through the codegen'd native
     // expressions: NFC composes the planted combining marks, accent
     // stripping restores the ASCII letters translate swapped out
@@ -385,6 +403,14 @@ object AuditCatalog {
          |FROM sents
          |WHERE sentence NOT IN (SELECT sentence FROM freq)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "mi2_eta_squared" ->
+      s"""SELECT * FROM ${Association.etaSquaredSql("documents", "lang", "n_chars")} e""",
+
+    "dd3_ks_drift" ->
+      s"""SELECT * FROM ${DriftKs.sql("events",
+           "(SELECT CASE WHEN event_id % 4 = 0 THEN value + 5.0 ELSE value END AS value FROM events) drifted",
+           "value")} k""",
 
     "a21_hll_union" ->
       """SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,

@@ -115,3 +115,71 @@ object Drift {
        |   (p - q) * (FLOOR(ln(p / q) * 1000000 + 0.0001) / 1000000) AS term
        | FROM t)""".stripMargin
 }
+object DriftKs {
+  import org.apache.spark.sql.{DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** Two-sample Kolmogorov–Smirnov distance between a baseline and a
+    * current numeric snapshot — the nonparametric companion of the
+    * [[Drift]] PSI monitor (PSI needs a bucketing choice; KS is the
+    * sup-norm of the empirical CDFs and has none). D = max over
+    * observed values v of |F_base(v) − F_cur(v)|, computed ENTIRELY in
+    * integers: at each value the numerator is
+    * |cum_base·n_cur − cum_cur·n_base| (exact longs); the single
+    * double division happens once, on the max. Cross-engine exact.
+    *
+    * Scale shape: distinct values collapse FIRST (one
+    * partial-combining agg), so the cumulative window runs over the
+    * VALUE CARDINALITY, not the row count — the ol1/h2 exactness-gate
+    * contract (deliberate single-partition sort over distinct values;
+    * at unbounded cardinality the scale path is the binned dd1 PSI
+    * with its bounded bucket table). Totals ride as a broadcast 1-row
+    * join (the scalar-subquery idiom), never a collect.
+    */
+  def ksStatistic(base: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = base.select(col(valueCol).cast("double").as("v"),
+        lit(1L).as("a"), lit(0L).as("b"))
+      .union(cur.select(col(valueCol).cast("double").as("v"),
+        lit(0L).as("a"), lit(1L).as("b")))
+      .filter(col("v").isNotNull)
+    val perValue = tagged.groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(col("b")).as("cb"))
+    val totals = perValue.agg(sum(col("ca")).as("n_base"),
+      sum(col("cb")).as("n_cur"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("n_base"), col("n_cur"),
+        abs(col("cum_a") * col("n_cur") - col("cum_b") * col("n_base"))
+          .as("num"))
+      .groupBy(col("n_base"), col("n_cur"))
+      .agg(max(col("num")).as("max_num"))
+      .select(col("n_base"), col("n_cur"), col("max_num"),
+        round(col("max_num").cast("double") /
+          (col("n_base").cast("double") * col("n_cur").cast("double")), 6)
+          .as("ks_d"))
+  }
+
+  /** DuckDB spelling — identical integer sup-norm. */
+  def sql(baseRel: String, curRel: String, v: String): String =
+    s"""(WITH tagged AS (
+       |    SELECT CAST($v AS DOUBLE) AS v, 1 AS a, 0 AS b FROM $baseRel
+       |    UNION ALL
+       |    SELECT CAST($v AS DOUBLE) AS v, 0 AS a, 1 AS b FROM $curRel),
+       |  pv AS (SELECT v, SUM(a) AS ca, SUM(b) AS cb FROM tagged
+       |    WHERE v IS NOT NULL GROUP BY v),
+       |  tot AS (SELECT SUM(ca) AS n_base, SUM(cb) AS n_cur FROM pv),
+       |  cum AS (SELECT v,
+       |      SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+       |      SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+       |    FROM pv)
+       |  SELECT CAST(t.n_base AS BIGINT) AS n_base, CAST(t.n_cur AS BIGINT) AS n_cur,
+       |    CAST(MAX(ABS(cum_a * t.n_cur - cum_b * t.n_base)) AS BIGINT) AS max_num,
+       |    round(CAST(MAX(ABS(cum_a * t.n_cur - cum_b * t.n_base)) AS DOUBLE)
+       |      / (CAST(t.n_base AS DOUBLE) * CAST(t.n_cur AS DOUBLE)), 6) AS ks_d
+       |  FROM cum, tot t GROUP BY t.n_base, t.n_cur)""".stripMargin
+}

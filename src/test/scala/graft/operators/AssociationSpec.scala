@@ -50,4 +50,26 @@ class AssociationSpec extends graft.SparkSpec {
     assert(mi > 0.0 && mi < math.log(2.0))
     assert(v > 0.0 && v < 1.0)
   }
+
+  test("eta squared: group means identical -> 0; groups fully separated -> 1") {
+    val same = (Seq.fill(4)(("a", 5L)) ++ Seq.fill(4)(("b", 5L)))
+      .toDF("g", "x")
+    // zero variance overall: SS_total = 0, eta undefined -> null
+    val r0 = Association.etaSquared(same, "g", "x").collect().head
+    assert(r0.isNullAt(r0.fieldIndex("eta_sq")))
+    val balanced = Seq(("a", 1L), ("a", 9L), ("b", 1L), ("b", 9L)).toDF("g", "x")
+    val rb = Association.etaSquared(balanced, "g", "x").collect().head
+    assert(rb.getAs[Double]("eta_sq") == 0.0)
+    val separated = Seq(("a", 1L), ("a", 1L), ("b", 9L), ("b", 9L)).toDF("g", "x")
+    val rs = Association.etaSquared(separated, "g", "x").collect().head
+    assert(rs.getAs[Double]("eta_sq") == 1.0)
+    assert(rs.getAs[Long]("n") == 4 && rs.getAs[Int]("n_groups") == 2)
+  }
+
+  test("eta squared matches the hand-computed ANOVA ratio") {
+    // groups a={2,4}, b={8,10}: mean 6, SS_total=40, SS_between=36
+    val df = Seq(("a", 2L), ("a", 4L), ("b", 8L), ("b", 10L)).toDF("g", "x")
+    val r = Association.etaSquared(df, "g", "x").collect().head
+    assert(math.abs(r.getAs[Double]("eta_sq") - 0.9) < 1e-6)
+  }
 }

@@ -53,4 +53,19 @@ class DriftSpec extends graft.SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
     assert(plan.contains("partial_count"), "bucket counts must map-side combine")
   }
+
+  test("KS statistic: identical samples 0, disjoint samples 1, shift golden") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val same = DriftKs.ksStatistic(a, a, "v").collect().head
+    assert(same.getAs[Double]("ks_d") == 0.0)
+    val b = Seq(10.0, 11.0, 12.0, 13.0).toDF("v")
+    val disjoint = DriftKs.ksStatistic(a, b, "v").collect().head
+    assert(disjoint.getAs[Double]("ks_d") == 1.0)
+    // base {1,2,3,4} vs cur {3,4,5,6}: D = max at v=2 -> |2/4 - 0/4| = 0.5
+    val c = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val shift = DriftKs.ksStatistic(a, c, "v").collect().head
+    assert(shift.getAs[Double]("ks_d") == 0.5)
+    assert(shift.getAs[Long]("max_num") == 8L)
+  }
 }
