@@ -242,6 +242,17 @@ object AuditCatalog {
       explodeMetrics(sink, checks.size).orderBy(col("check_name"))
     }),
 
+    // ML6 — smoothed target encoding (the high-cardinality-categorical
+    // transform one-hot can't serve): per-priority mean order value
+    // shrunk toward the global mean; decimal-routed sums, one fixed
+    // IEEE blend
+    "ml6_target_encode" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.ml.TargetEncoder.fit(Tables.orders(spark, dir),
+          "o_orderpriority", "o_totalprice", smoothing = 10.0)
+        .orderBy($"o_orderpriority")
+    }),
+
     // MI2 — correlation ratio η² (categorical × numeric association —
     // the cell mi1/a14 leave open): how much n_chars variance `lang`
     // explains; quantized per-group rational terms, order-independent
@@ -403,6 +414,11 @@ object AuditCatalog {
          |FROM sents
          |WHERE sentence NOT IN (SELECT sentence FROM freq)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ml6_target_encode" ->
+      s"""SELECT * FROM ${graft.ml.TargetEncoder.fitSql("orders",
+           "o_orderpriority", "o_totalprice", 10.0)} te
+         |ORDER BY o_orderpriority""".stripMargin,
 
     "mi2_eta_squared" ->
       s"""SELECT * FROM ${Association.etaSquaredSql("documents", "lang", "n_chars")} e""",
