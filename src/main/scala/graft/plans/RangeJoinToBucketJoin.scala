@@ -81,8 +81,16 @@ object RangeJoinToBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = conf.getConfString(WidthConf, "")
     if (width.isEmpty) return plan
-    val w = width.toDouble
-    require(w > 0, s"$WidthConf must be positive: $w")
+    // a malformed width must not brick every query in the session (the
+    // rule runs on ALL plans once the conf is set): unparseable or
+    // non-positive values log once and disable the rule
+    val w = scala.util.Try(width.toDouble).toOption match {
+      case Some(v) if v > 0 => v
+      case _ =>
+        logWarning(s"$WidthConf='$width' is not a positive number; " +
+          "range-join rewrite disabled")
+        return plan
+    }
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>

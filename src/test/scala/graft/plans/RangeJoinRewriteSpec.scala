@@ -123,4 +123,13 @@ class RangeJoinRewriteSpec extends graft.SparkSpec {
     }
     assert(naive.nonEmpty)
   }
+
+  test("malformed width conf disables the rule instead of failing queries") {
+    for (bad <- Seq("not-a-number", "-5", "0")) {
+      withWidth(bad) {
+        val q = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+        assert(q.count() == 8L)   // plans and runs fine, naive path
+      }
+    }
+  }
 }
