@@ -42,6 +42,9 @@ object PageRank {
   def ranks(edges: DataFrame, srcCol: String, dstCol: String,
             iterations: Int, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    // 85·rank_q must stay inside a long: ranks never exceed `scale`
+    require(scale >= 1000L && scale <= (Long.MaxValue / 100),
+      s"scale out of the overflow-safe range: $scale")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
