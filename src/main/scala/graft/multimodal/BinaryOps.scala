@@ -459,6 +459,126 @@ object BinaryOps {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Serialize RGB pixels as a GIF (fixture-synthesis side of
+    * [[decodeGif]]). GIF is palette-indexed, so the image must use
+    * ≤ 256 distinct colors; the encoder builds the EXACT palette from
+    * the input (never the writer's quantizer), which makes the
+    * round-trip LOSSLESS — unlike JPEG, decoded pixels are gated with
+    * integer-exact oracles, the m3/m5 contract.
+    */
+  def encodeGif(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"need $width*$height*3 bytes, got ${rgb.length}")
+    imageIoNoCache
+    val colors = new java.util.LinkedHashMap[Integer, Integer]()
+    val idx = new Array[Byte](width * height)
+    var i = 0
+    while (i < width * height) {
+      val o = i * 3
+      val c = ((rgb(o) & 0xff) << 16) | ((rgb(o + 1) & 0xff) << 8) |
+        (rgb(o + 2) & 0xff)
+      var k = colors.get(c)
+      if (k == null) {
+        k = colors.size()
+        require(k < 256, "GIF needs <= 256 distinct colors")
+        colors.put(c, k)
+      }
+      idx(i) = k.toByte
+      i += 1
+    }
+    val n = colors.size()
+    val (rs, gs, bs) = (new Array[Byte](n), new Array[Byte](n), new Array[Byte](n))
+    colors.forEach((c, k) => {
+      rs(k) = ((c >> 16) & 0xff).toByte
+      gs(k) = ((c >> 8) & 0xff).toByte
+      bs(k) = (c & 0xff).toByte
+    })
+    val cm = new java.awt.image.IndexColorModel(8, n, rs, gs, bs)
+    val bi = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = bi.getRaster
+    var p = 0
+    while (p < width * height) {
+      raster.setSample(p % width, p / width, 0, idx(p) & 0xff)
+      p += 1
+    }
+    // the JDK writer INTERLACES by default, and the JDK reader
+    // mis-decodes interlaced images whose heights leave interlace
+    // passes empty (measured: h=2 and h=4 come back with only pass-1
+    // rows; h=1,3,5+ are fine) — write non-interlaced explicitly
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val out = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(bi, null, null), param)
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Parse a GIF through the JDK's own reader (first frame); None for
+    * anything that is not a decodable GIF (wrong GIF8 magic,
+    * truncated, corrupt LZW, dimensions past [[MaxDim]]) — the
+    * never-throw contract. Pixels top-down, RGB channel order.
+    */
+  def decodeGif(payload: Array[Byte]): Option[BmpImage] = {
+    if (payload == null || payload.length < 6 ||
+      payload(0) != 'G' || payload(1) != 'I' || payload(2) != 'F' ||
+      payload(3) != '8') return None
+    imageIoNoCache
+    try {
+      val bi = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (bi == null || !dimsSane(bi.getWidth, bi.getHeight)) None
+      else {
+        val w = bi.getWidth; val h = bi.getHeight
+        val px = new Array[Byte](w * h * 3)
+        val row = new Array[Int](w)
+        for (y <- 0 until h) {
+          bi.getRGB(0, y, w, 1, row, 0, w)
+          for (x <- 0 until w) {
+            val rgb = row(x); val o = (y * w + x) * 3
+            px(o) = ((rgb >> 16) & 0xff).toByte
+            px(o + 1) = ((rgb >> 8) & 0xff).toByte
+            px(o + 2) = (rgb & 0xff).toByte
+          }
+        }
+        Some(BmpImage(w, h, px))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  final case class GifStats(doc_id: Long, width: Int, height: Int,
+                            p00_r: Int, p00_g: Int, p00_b: Int,
+                            pbr_r: Int, sum_r: Long, n_px: Long)
+
+  /** Partition-batched REAL GIF decode with integer-EXACT probes (the
+    * format is lossless, so unlike [[jpegStats]] there is no tolerance
+    * band): corner channels catch stride/flip/palette bugs, the
+    * red-channel sum catches index slips. Malformed payloads drop.
+    * Pixel layout is RGB (ImageIO), not BMP's BGR.
+    */
+  def gifStats(media: DataFrame, idCol: String = "doc_id",
+               payloadCol: String = "payload"): Dataset[GifStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeGif(payload).map { img =>
+          var sumR = 0L
+          var i = 0
+          while (i < img.pixels.length) { sumR += img.pixels(i) & 0xff; i += 3 }
+          GifStats(id, img.width, img.height,
+            img.channel(0, 0, 0), img.channel(0, 0, 1), img.channel(0, 0, 2),
+            img.channel(img.width - 1, img.height - 1, 0),
+            sumR, img.width.toLong * img.height)
+        }
+      })
+  }
+
   final case class JpegProbe(doc_id: Long, width: Int, height: Int,
                              n_px: Long, decode_ok: Boolean)
 

@@ -100,6 +100,28 @@ object StreamMediaCatalog {
       BinaryOps.bmpStats(payloads).toDF().orderBy(col("doc_id"))
     }),
 
+    // M10 — REAL palette image codec (GIF via the JDK's LZW reader):
+    // grayscale ramps (≤256 colors) make the exact-palette encode
+    // LOSSLESS, so decoded pixels are gated integer-EXACT — no m8-style
+    // tolerance band; dims/corners/channel-sum restate the synthesis
+    // formula in SQL
+    "m10_gif_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      val payloads = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val w = 2 + (id % 5).toInt
+          val h = 1 + (id % 3).toInt
+          val px = Array.tabulate(w * h * 3) { i =>
+            val x = (i / 3) % w; val y = i / (3 * w)
+            ((id * 29 + y * 5 + x * 11) % 256).toByte
+          }
+          (id, BinaryOps.encodeGif(w, h, px))
+        }
+        .toDF("doc_id", "payload")
+      BinaryOps.gifStats(payloads).toDF().orderBy(col("doc_id"))
+    }),
+
     // M7 — REAL video frame-sampling: an uncompressed-DIB AVI per doc
     // (dims/frame-count/pixels pure functions of doc_id), decoded with
     // the real RIFF walker, every 2nd frame probed — frame-stride
@@ -557,6 +579,24 @@ object StreamMediaCatalog {
     // the gate then proves the whole encode→decode byte path: a wrong
     // row un-flip or stride shows in the corner probes, a padding slip
     // in the sum
+    "m10_gif_decode" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(2 + doc_id % 5 AS INT) AS width,
+        |    CAST(1 + doc_id % 3 AS INT) AS height FROM documents),
+        |s AS (SELECT d.doc_id, d.width, d.height,
+        |    CAST(SUM((d.doc_id * 29 + y.y * 5 + x.x * 11) % 256) AS BIGINT) AS sum_r
+        |  FROM d
+        |  CROSS JOIN LATERAL unnest(range(0, d.width)) AS x(x)
+        |  CROSS JOIN LATERAL unnest(range(0, d.height)) AS y(y)
+        |  GROUP BY d.doc_id, d.width, d.height)
+        |SELECT doc_id, width, height,
+        |  CAST((doc_id * 29) % 256 AS INT) AS p00_r,
+        |  CAST((doc_id * 29) % 256 AS INT) AS p00_g,
+        |  CAST((doc_id * 29) % 256 AS INT) AS p00_b,
+        |  CAST((doc_id * 29 + (height - 1) * 5 + (width - 1) * 11) % 256 AS INT) AS pbr_r,
+        |  sum_r, CAST(width * height AS BIGINT) AS n_px
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "m3_bmp_decode" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(2 + doc_id % 6 AS INT) AS width,

@@ -322,4 +322,36 @@ class BinaryOpsSpec extends SparkSpec {
     assert(sampled.length == BinaryOps.FeatureDim / 2)
     assert(sampled.head == 'a'.toInt / 255.0 && sampled(1) == 'c'.toInt / 255.0)
   }
+
+  test("GIF roundtrip is lossless, incl. the JDK interlace-bug heights") {
+    // heights 2 and 4 come back corrupted when written interlaced
+    // (the JDK default) — encodeGif writes non-interlaced exactly so
+    // these shapes MUST roundtrip bit-for-bit
+    for ((w, h) <- Seq((3, 2), (8, 4), (20, 2), (2, 1), (5, 5), (16, 8))) {
+      val px = Array.tabulate(w * h * 3) { i =>
+        val x = (i / 3) % w; val y = i / (3 * w)
+        ((y * 5 + x * 11) % 256).toByte
+      }
+      val dec = BinaryOps.decodeGif(BinaryOps.encodeGif(w, h, px)).get
+      assert(dec.width == w && dec.height == h)
+      assert(dec.pixels.toSeq == px.toSeq, s"${w}x$h")
+    }
+  }
+
+  test("GIF rejects malformed payloads and over-wide palettes") {
+    assert(BinaryOps.decodeGif(null).isEmpty)
+    assert(BinaryOps.decodeGif(Array[Byte](1, 2, 3)).isEmpty)
+    assert(BinaryOps.decodeGif("GIF8 but garbage".getBytes).isEmpty)
+    val good = BinaryOps.encodeGif(2, 2, Array.fill(12)(7.toByte))
+    assert(BinaryOps.decodeGif(java.util.Arrays.copyOf(good, 10)).isEmpty,
+      "truncated stream must be rejected")
+    // 300 distinct colors cannot be palette-encoded
+    val wide = Array.tabulate(20 * 15 * 3) { i =>
+      val p = i / 3
+      (if (i % 3 == 0) p % 256 else p / 256).toByte
+    }
+    intercept[IllegalArgumentException] {
+      BinaryOps.encodeGif(20, 15, wide)
+    }
+  }
 }
