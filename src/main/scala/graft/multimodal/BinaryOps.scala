@@ -946,6 +946,12 @@ object BinaryOps {
               Array.tabulate(FeatureDim)(i =>
                 if (i < a.samples.length) a.samples(i) / 32768.0 else 0.0))
           }
+          case "image/gif" => decodeGif(r.payload).map { img =>
+            MediaFeatures(r.doc_id, r.format, img.width, img.height,
+              Array.tabulate(FeatureDim)(i =>
+                if (i < img.pixels.length) (img.pixels(i) & 0xff) / 255.0
+                else 0.0))
+          }
           case _ => Some(MediaFeatures(r.doc_id, r.format, r.width, r.height,
             decodeStub(r.payload)))
         }

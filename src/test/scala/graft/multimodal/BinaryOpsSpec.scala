@@ -299,11 +299,17 @@ class BinaryOpsSpec extends SparkSpec {
       (1L, BinaryOps.encodeBmp(2, 2, px), "image/bmp", 0, 0),
       (2L, BinaryOps.encodeWav(8000, 1, samples), "audio/wav", 0, 0),
       (3L, "xyz".getBytes("UTF-8"), "fake/raw", 7, 9),
-      (4L, Array[Byte](1, 2, 3), "image/bmp", 0, 0)) // malformed: dropped
+      (4L, Array[Byte](1, 2, 3), "image/bmp", 0, 0), // malformed: dropped
+      (5L, BinaryOps.encodeGif(2, 2, px), "image/gif", 0, 0))
       .toDF("doc_id", "payload", "format", "width", "height")
     val out = BinaryOps.extractFeaturesReal(rows).collect()
       .map(f => f.doc_id -> f).toMap
-    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    // GIF: decoded dims + first pixels / 255 (RGB order — same bytes
+    // as the BMP fixture but WITHOUT its BGR swap)
+    assert(out(5L).width == 2 && out(5L).height == 2)
+    assert(out(5L).features(0) == 0 / 255.0 &&
+      out(5L).features(2) == 20 / 255.0)
     // BMP: decoded dims + first pixels / 255
     assert(out(1L).width == 2 && out(1L).height == 2)
     assert(out(1L).features(3) == 30 / 255.0)
