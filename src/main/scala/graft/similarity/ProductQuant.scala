@@ -202,6 +202,75 @@ object ProductQuant {
     Similarity.topK(scored, k)
   }
 
+  /** Persist the FULL IVF-PQ index: the coarse index (cell-assigned
+    * vectors + centroids, via [[Similarity.saveIvf]]) plus the
+    * cell-partitioned codes and the codebook. Probing a cell then
+    * reads only that cell's code files — partition pruning does the
+    * candidate selection on disk, the way a production ANN service
+    * keeps its postings.
+    */
+  def saveIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+                nCells: Int, cb: PqCodebook, dir: String): Unit = {
+    val idx = Similarity.buildIvfHashInit(emb, idCol, vecCol, nCells)
+    Similarity.saveIvf(idx, s"$dir/ivf")
+    val codes = encode(emb, idCol, vecCol, cb)
+      .join(idx.assigned.select(col(idCol), col("cell")), idCol)
+    savePq(codes, cb, s"$dir/pq")
+  }
+
+  /** Query a [[saveIvfPq]] index from disk: probe cells against the
+    * persisted centroids, ADC-score ONLY the probed cells' code
+    * partitions, exact-rerank candidates against the persisted
+    * vectors. Answers are identical to the in-memory [[ivfPqTopK]]
+    * over the same corpus (spec-verified) — the index build cost is
+    * paid once, not per query session.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       idCol: String, vecCol: String, queryIds: Seq[Long],
+                       k: Int, nProbe: Int, candidateK: Int): DataFrame = {
+    require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
+    val idx = Similarity.loadIvf(spark, s"$dir/ivf")
+    val (codes, cb) = loadPq(spark, s"$dir/pq")
+    val q = idx.assigned.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probes = q.crossJoin(broadcast(idx.centroids))
+      .withColumn("d2", round(Similarity.dot(col("centroid"), col("centroid"))
+        - lit(2.0) * Similarity.dot(col("q_vec"), col("centroid")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val probeSet = probes.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), lutFor(col("q_vec"), cb).as("__lut"), col("cell"))
+    val normLut = array((0 until cb.m).map { j =>
+      array((0 until cb.ks).map(c => lit(cb.sliceNorm2(j, c))): _*)
+    }: _*)
+    val ip = (0 until cb.m)
+      .map(j => element_at(element_at(col("__lut"), j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val n2 = (0 until cb.m)
+      .map(j => element_at(element_at(normLut, j + 1),
+        element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val cands = codes.select(col(idCol).as("neighbor_id"), col("codes"), col("cell"))
+      .join(broadcast(probeSet), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(when(n2 > 0, ip / sqrt(n2)).otherwise(lit(0.0)), 6))
+    val picked = Similarity.topK(cands, candidateK)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = idx.assigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"), Similarity.l2norm(col(vecCol)).as("c_nrm"))
+    val qv = idx.assigned.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec2"),
+        Similarity.l2norm(col(vecCol)).as("q_nrm"))
+    val scored = c.join(broadcast(picked.join(qv, "query_id")), "neighbor_id")
+      .withColumn("cos_sim",
+        round(Similarity.dot(col("q_vec2"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6))
+    Similarity.topK(scored, k)
+  }
+
   /** Persist a PQ index: the codes table (cell-partitioned when a
     * `cell` column is present, so IVF-PQ probing prunes files) plus
     * the codebook seeds — the saveIvf contract extended to the

@@ -108,4 +108,17 @@ class ProductQuantSpec extends graft.SparkSpec {
       ProductQuant.PqCodebook(Seq(Seq.fill(64)(0.0)), m = 7)
     }
   }
+
+  test("persisted IVF-PQ index answers identically to the in-memory path") {
+    val dir = graft.core.Staging.tmpDir("ivfpq_index")
+    ProductQuant.saveIvfPq(emb, "vec_id", "embedding", nCells = 16, cb, dir)
+    val qs = Seq(0L, 1L, 2L)
+    val mem = ProductQuant.ivfPqTopK(emb, "vec_id", "embedding", qs, 5,
+      nCells = 16, nProbe = 8, cb, candidateK = 100)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val disk = ProductQuant.ivfPqTopKIndexed(spark, dir, "vec_id", "embedding",
+      qs, 5, nProbe = 8, candidateK = 100)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(disk == mem)
+  }
 }
