@@ -154,8 +154,16 @@ object Bench {
     val failed = results.collect { case (k, _, n, _) if n < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // run-provenance stamp: the SAME wall value appears at the END of
+    // the big line (truncation eats the front, so it survives), in the
+    // BENCHMIN line, and in the dual-written sibling file. bench_delta
+    // accepts the sibling for an artifact ONLY when the stamps match —
+    // without this, a later local run's bench_out.json silently stood
+    // in for an older round's artifact (recorded: r8 compared itself
+    // to itself and printed uniform 1.00x).
+    val wall = System.currentTimeMillis()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir","wall":$wall}"""
     println(line)
     // durable copy: the driver captures a BOUNDED stdout tail, which has
     // truncated the head of this line (losing "queries") in recorded
@@ -169,7 +177,7 @@ object Bench {
     // map) in two recorded rounds. Truncation eats the front, so a
     // compact mins-only line printed LAST always survives intact;
     // bench_delta prefers it whenever the artifact's parsed is null.
-    println(s"""BENCHMIN {"queries":$qs,"failed":$failed,"value":$total,"sf":"$sfDir"}""")
+    println(s"""BENCHMIN {"queries":$qs,"failed":$failed,"value":$total,"sf":"$sfDir","wall":$wall}""")
     spark.stop()
   }
 }

@@ -25,11 +25,16 @@ cut, so the "queries" key may be gone entirely). Recovery order:
 
 1. the compact "BENCHMIN {...}" line graft.Bench prints LAST (tails
    keep the end, so it survives any head truncation);
-2. a sibling bench_out.json next to the artifact (the dual-written
-   full line from the same run);
-3. the balanced "spread" object scraped out of the tail — its mins
-   ARE the best-of-N values queries records — and, failing that,
-   scalar name:number pairs.
+2. the balanced "spread" object scraped out of the tail — its mins
+   ARE the best-of-N values queries records. The artifact's OWN tail
+   always outranks the sibling file: the sibling is overwritten by
+   whatever run happened last, so trusting it for an older artifact
+   compares a round to itself (recorded: the r7-vs-r8 ritual printed
+   uniform 1.00x because r7's load fell through to r8's sibling);
+3. a sibling bench_out.json next to the artifact — accepted ONLY when
+   the "wall" run stamp Bench writes into both the line tail and the
+   sibling matches, proving same-run provenance;
+4. scalar name:number pairs scraped from a pre-spread-era tail.
 """
 import json
 import os
@@ -53,8 +58,9 @@ def _balanced_object(text, start):
     raise ValueError("unbalanced object in bench tail")
 
 
-def _from_tail(tail):
-    """Recover (queries, spread) from a truncated bench JSON line."""
+def _spread_from_tail(tail):
+    """Recover (queries, spread) from the spread map in a truncated
+    bench JSON line; (None, None) when no spread survived."""
     m = re.search(r'"spread"\s*:\s*\{', tail)
     if m:
         spread = _balanced_object(tail, m.end() - 1)
@@ -82,10 +88,15 @@ def _from_tail(tail):
                 if name in queries:
                     queries[name] = -1.0
         return queries, spread
-    # pre-spread shape: scrape scalar "name":number pairs
+    return None, None
+
+
+def _scalars_from_tail(tail):
+    """Pre-spread shape: scrape scalar "name":number pairs."""
     queries = {k: float(v) for k, v in
                re.findall(r'"([a-z0-9_]+)"\s*:\s*(-?[0-9.]+)', tail)
-               if k not in ("metric", "value", "sf", "n", "rc", "cpus")}
+               if k not in ("metric", "value", "sf", "n", "rc", "cpus",
+                            "wall")}
     return queries, {}
 
 
@@ -102,27 +113,37 @@ def load(path):
             obj = _balanced_object(tail, m.end() - 1)
             if obj.get("queries"):
                 return obj["queries"], obj.get("spread", {})
-        # 2. the dual-written full line beside the artifact (may be from
-        #    a LATER local run — cross-check sf against the tail if both
-        #    are visible)
+        # 2. the artifact's OWN tail spread — same run by construction.
+        #    This MUST outrank the sibling file: bench_out.json is
+        #    overwritten by whichever run happened last, so falling
+        #    through to it for an older artifact self-compares rounds
+        #    (the recorded r7-vs-r8 uniform-1.00x incident).
+        q, s = _spread_from_tail(tail)
+        if q:
+            return q, s
+        # 3. the dual-written full line beside the artifact — trusted
+        #    ONLY when its "wall" run stamp matches one visible in the
+        #    tail (Bench writes the same stamp to both; an sf match
+        #    alone cannot distinguish rounds, they all run sf0.1)
         sib = os.path.join(os.path.dirname(os.path.abspath(path)),
                            "bench_out.json")
-        if os.path.exists(sib):
+        tail_wall = re.search(r'"wall"\s*:\s*(\d+)', tail)
+        if os.path.exists(sib) and tail_wall:
             try:
                 with open(sib) as f:
                     obj = json.load(f)
-                tail_sf = re.search(r'"sf"\s*:\s*"([^"]+)"', tail)
-                if obj.get("queries") and (
-                        tail_sf is None or obj.get("sf") == tail_sf.group(1)):
+                if obj.get("queries") and \
+                        obj.get("wall") == int(tail_wall.group(1)):
                     print(f"[bench_delta] {path}: parsed null, "
-                          f"recovered from sibling {sib}", file=sys.stderr)
+                          f"recovered from stamp-matched sibling {sib}",
+                          file=sys.stderr)
                     return obj["queries"], obj.get("spread", {})
             except (OSError, ValueError):
                 pass
-        # 3. scrape whatever survived in the tail
+        # 4. scrape scalar pairs from a pre-spread-era tail
         if not tail:
             sys.exit(f"{path}: parsed is null and no tail to recover from")
-        return _from_tail(tail)
+        return _scalars_from_tail(tail)
     return parsed.get("queries", {}), parsed.get("spread", {})
 
 
