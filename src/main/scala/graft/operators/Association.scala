@@ -91,11 +91,15 @@ object Association {
     *
     * Exactness: per-group count and sum are exact longs; the one
     * rational term per group (S_g²/n_g) is computed in doubles that
-    * stay EXACT (S_g² must sit under 2^53 — holds for count-like
-    * metrics at any per-group sum ≤ 9.4e7; guard documents the bound)
-    * then quantized to int64 (×1e3, nudged floor — the t9 contract)
-    * and summed exactly, so the verdict is independent of group
-    * summation order. Final assembly is one fixed IEEE expression.
+    * stay EXACT only while S_g² sits under 2^53 (|S_g| ≤ 94 906 265).
+    * Inside the bound the term is quantized to int64 (×1e3, nudged
+    * floor — the t9 contract) and summed exactly, so the verdict is
+    * independent of group summation order; final assembly is one fixed
+    * IEEE expression. BEYOND the bound the result is still
+    * cross-engine DETERMINISTIC (both engines evaluate the identical
+    * IEEE expression tree) but no longer exact-rational — the output
+    * `exact` flag reports which regime the input landed in, computed
+    * from max(|S_g|) in the same pass.
     *
     * Scale: one group-keyed partial agg (bounded by category count) +
     * one global fold of the per-group longs. Nothing else moves.
@@ -113,8 +117,11 @@ object Association {
           .cast("long").as("q_g"))
     per.agg(sum(col("n_g")).as("n"), sum(col("s_g")).as("s"),
         sum(col("ss_g")).as("ssq"), sum(col("q_g")).as("qsum"),
-        count(lit(1)).as("n_groups"))
+        count(lit(1)).as("n_groups"), max(abs(col("s_g"))).as("__smax"))
       .select(col("n"), col("n_groups").cast("int").as("n_groups"),
+        // the exact-rational regime's bound: S_g^2 < 2^53 <=>
+        // |S_g| <= floor(sqrt(2^53)) = 94906265
+        (col("__smax") <= lit(94906265L)).as("exact"),
         // all-constant input has SS_total = 0: eta undefined -> null
         // (ANSI raises on the 0-divisor double division otherwise)
         when(col("n").cast("double") * col("ssq").cast("double")
@@ -138,6 +145,7 @@ object Association {
        |        / CAST(n_g AS DOUBLE) * 1000.0 + 0.0001) AS BIGINT) AS q_g
        |    FROM per)
        |  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(COUNT(*) AS INTEGER) AS n_groups,
+       |    MAX(ABS(s_g)) <= 94906265 AS exact,
        |    CASE WHEN CAST(SUM(n_g) AS DOUBLE) * CAST(SUM(ss_g) AS DOUBLE)
        |              - CAST(SUM(s_g) AS DOUBLE) * CAST(SUM(s_g) AS DOUBLE) <> 0.0
        |    THEN round(

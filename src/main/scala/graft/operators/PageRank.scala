@@ -58,16 +58,22 @@ object PageRank {
       .select(col("node"),
         expr(s"(15 * ${scale}L) div (100 * __n)").as("__base"),
         expr(s"${scale}L div __n").as("rank_q"))
-    val withBase = (1 to iterations).foldLeft(base) { (r, _) =>
+    val withBase = (1 to iterations).foldLeft(base) { (r, it) =>
       val contrib = eDeg
         .join(r.select(col("node").as("src"), col("rank_q")), "src")
         .select(col("dst"),
           expr("(85 * rank_q) div (100 * __deg)").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__in"))
-      r.select(col("node"), col("__base"))
+      val next = r.select(col("node"), col("__base"))
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"), col("__base"),
           (col("__base") + coalesce(col("__in"), lit(0L))).as("rank_q"))
+      // lineage truncation (the Components pattern): unbroken, the plan
+      // nests one join per superstep — at 20+ iterations analysis time
+      // and failure-recovery recomputation grow with that depth. A
+      // localCheckpoint every 4 supersteps bounds both; ranks are
+      // (node, long) rows, so the checkpointed footprint is minimal.
+      if (it % 4 == 0 && it < iterations) next.localCheckpoint() else next
     }
     withBase.select(col("node"), col("rank_q"))
   }

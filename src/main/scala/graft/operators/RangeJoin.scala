@@ -44,18 +44,25 @@ object RangeJoin {
                       intervals: DataFrame, startCol: String, endCol: String,
                       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // collision-proof internal key: withColumn REPLACES an existing
+    // column of the same name, so a fixed "__bucket" would clobber (and
+    // the final drop delete) a user column — pick the first suffix
+    // absent from BOTH inputs instead
+    val taken = points.columns.toSet ++ intervals.columns
+    val bucket = Iterator.from(0).map(i => s"__graft_rj_bucket_$i")
+      .find(!taken.contains(_)).get
     def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
-    val p = points.withColumn("__bucket", bucketOf(col(pointCol)))
+    val p = points.withColumn(bucket, bucketOf(col(pointCol)))
     // degenerate intervals (end <= start) are dropped BEFORE the
     // sequence fan-out: with an explicit positive step, sequence(a, b)
     // throws at runtime when b < a rather than silently descending
     val i = intervals
       .filter(col(startCol) < col(endCol))
-      .withColumn("__bucket",
+      .withColumn(bucket,
         explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)),
           lit(1L))))
-    p.join(i, Seq("__bucket"))
+    p.join(i, Seq(bucket))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
-      .drop("__bucket")
+      .drop(bucket)
   }
 }

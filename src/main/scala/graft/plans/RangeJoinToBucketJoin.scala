@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+import org.apache.spark.sql.types.{DoubleType, LongType, NullType, NumericType}
 
 /** Optimizer rule: inner joins whose ONLY cross-side predicates are a
   * band `lo ⊴ p ⊴ hi` (one side's expression between two of the other
@@ -41,7 +41,23 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   */
 object RangeJoinToBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** Global bucket width (point units) for EVERY band join in the
+    * session once set — a data-dependent dial, so unset ⇒ rule off.
+    * CAUTION: one width serves all band joins; an interval long
+    * relative to it explodes to ceil(len/width)+1 rows. Intervals
+    * spanning more than [[MaxSpanConf]] buckets fail fast with a
+    * clear remediation message instead of materializing the fan-out
+    * (or hitting Sequence's opaque max-array-length error).
+    */
   val WidthConf = "spark.graft.rangeJoin.bucketWidth"
+
+  /** Per-interval fan-out cap, in buckets (default 65536). A row whose
+    * interval covers more buckets raises a runtime error naming both
+    * confs — silently dropping or clamping it would return wrong
+    * results; proceeding would blow the row count up unannounced.
+    */
+  val MaxSpanConf = "spark.graft.rangeJoin.maxSpan"
+  private val DefaultMaxSpan = 65536L
 
   /** A cross-side comparison normalized to "point ⊵ bound". */
   private case class Band(point: Expression, bound: Expression,
@@ -91,6 +107,13 @@ object RangeJoinToBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
           "range-join rewrite disabled")
         return plan
     }
+    val maxSpan = scala.util.Try(
+      conf.getConfString(MaxSpanConf, DefaultMaxSpan.toString).toLong)
+      .toOption.filter(_ > 0).getOrElse {
+        logWarning(s"$MaxSpanConf is not a positive long; " +
+          s"using default $DefaultMaxSpan")
+        DefaultMaxSpan
+      }
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
@@ -119,7 +142,7 @@ object RangeJoinToBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
                 val lo = if (b1.isLower) b1.bound else b2.bound
                 val hi = if (b1.isLower) b2.bound else b1.bound
                 Some(rewrite(j, pointSide, boundSide, pointIsLeft,
-                  b1.point, lo, hi, w))
+                  b1.point, lo, hi, w, maxSpan))
               case _ => None
             }
           }
@@ -132,7 +155,10 @@ object RangeJoinToBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
 
   private def rewrite(j: Join, pointSide: LogicalPlan, boundSide: LogicalPlan,
                       pointIsLeft: Boolean, point: Expression, lo: Expression,
-                      hi: Expression, w: Double): LogicalPlan = {
+                      hi: Expression, w: Double, maxSpan: Long): LogicalPlan = {
+    logInfo(s"rewriting band join to bucket equi-join: width=$w, " +
+      s"per-interval fan-out bounded by $MaxSpanConf=$maxSpan buckets " +
+      s"(rows spanning more raise a runtime error)")
     // point side: one projected bucket column
     val pBucketAlias = Alias(bucketOf(point, w), "__graft_bucket_p")()
     val pPlan = Project(pointSide.output :+ pBucketAlias, pointSide)
@@ -140,7 +166,19 @@ object RangeJoinToBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
     // explode the covering buckets
     val loB = bucketOf(lo, w)
     val hiB = bucketOf(hi, w)
-    val guarded = Filter(LessThanOrEqual(loB, hiB), boundSide)
+    // fan-out tripwire: an interval wide relative to the GLOBAL width
+    // (e.g. a second band join over a much larger domain) would explode
+    // to ceil(len/w)+1 rows — up to Sequence's opaque max-array-length
+    // error. Such rows fail fast with the remediation spelled out;
+    // dropping or clamping them would silently return wrong results.
+    val spanOk = LessThanOrEqual(Subtract(hiB, loB), Literal(maxSpan))
+    val spanGuard = IsNull(If(spanOk, Literal(null, NullType),
+      new RaiseError(Literal(
+        s"graft range-join rewrite: an interval spans more than " +
+          s"$maxSpan buckets at $WidthConf=$w; raise $MaxSpanConf, " +
+          s"widen $WidthConf, or unset it to fall back to the " +
+          s"nested-loop plan"))))
+    val guarded = Filter(And(LessThanOrEqual(loB, hiB), spanGuard), boundSide)
     val bAttr = AttributeReference("__graft_bucket_i", LongType,
       nullable = false)()
     val gen = Generate(

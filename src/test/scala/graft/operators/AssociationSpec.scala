@@ -72,4 +72,21 @@ class AssociationSpec extends graft.SparkSpec {
     val r = Association.etaSquared(df, "g", "x").collect().head
     assert(math.abs(r.getAs[Double]("eta_sq") - 0.9) < 1e-6)
   }
+
+  test("eta squared exact flag reports the S_g^2 < 2^53 regime") {
+    // small sums: firmly inside the exact-rational bound
+    val small = Seq(("a", 2L), ("a", 4L), ("b", 8L), ("b", 10L)).toDF("g", "x")
+    assert(Association.etaSquared(small, "g", "x")
+      .collect().head.getAs[Boolean]("exact"))
+    // one group's |sum| crosses floor(sqrt(2^53)) = 94906265: the
+    // result is still deterministic, but the exactness claim must drop
+    val big = Seq(("a", 94906265L), ("a", 1L), ("b", 8L), ("b", 10L))
+      .toDF("g", "x")
+    assert(!Association.etaSquared(big, "g", "x")
+      .collect().head.getAs[Boolean]("exact"))
+    // boundary itself still qualifies
+    val edge = Seq(("a", 94906265L), ("b", 8L), ("b", 10L)).toDF("g", "x")
+    assert(Association.etaSquared(edge, "g", "x")
+      .collect().head.getAs[Boolean]("exact"))
+  }
 }

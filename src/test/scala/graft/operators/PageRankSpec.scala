@@ -34,6 +34,17 @@ class PageRankSpec extends graft.SparkSpec {
     }
   }
 
+  test("lineage truncation at deep iteration counts changes nothing") {
+    // 4, 5, 9, 12 straddle the every-4-supersteps localCheckpoint
+    // cadence (4 = checkpoint is last step and skipped, 5 = one
+    // checkpoint mid-fold, 12 = three); ranks stay bit-identical to
+    // the driver-side recurrence through each
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (2L, 4L))
+    for (k <- Seq(4, 5, 9, 12)) {
+      assert(run(edges, k) == simulate(edges, k), s"iteration $k")
+    }
+  }
+
   test("star graph: the hub outranks every spoke") {
     val edges = (2L to 9L).map(s => (s, 1L)) ++ Seq((1L, 2L))
     val ranks = run(edges, 3)

@@ -53,6 +53,20 @@ class RangeJoinSpec extends graft.SparkSpec {
     assert(bucketed.count() > 0, "parity test must exercise real matches")
   }
 
+  test("a pre-existing __bucket column on either side survives intact") {
+    val pts = points.withColumn("__bucket", lit("user-data-p"))
+    val ivs = intervals.withColumn("__bucket", lit("user-data-i"))
+    val got = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", 4.0)
+    assert(pairs(got) == expected)
+    // both sides' user columns are in the output, values untouched
+    // (positional access: the duplicate name is ambiguous by-name)
+    val idxs = got.columns.zipWithIndex.filter(_._1 == "__bucket").map(_._2)
+    assert(idxs.length == 2,
+      s"expected both user __bucket columns, got: ${got.columns.mkString(",")}")
+    val row = got.collect().head
+    assert(idxs.map(row.getString).toSet == Set("user-data-p", "user-data-i"))
+  }
+
   test("plans as an equi join, not a nested-loop/cartesian") {
     val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 4.0)
     got.collect()

@@ -124,6 +124,30 @@ class RangeJoinRewriteSpec extends graft.SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("an interval wider than maxSpan buckets fails fast with remediation") {
+    // the 20-unit interval at width 1e-4 = 200k buckets > default 65536:
+    // without the guard this materializes the fan-out (or dies inside
+    // Sequence); with it, a clear error names the confs to turn
+    withWidth("0.0001") {
+      val q = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+      val e = intercept[Exception](q.collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val all = msgs(e).mkString("\n")
+      assert(all.contains("graft range-join rewrite"), all)
+      assert(all.contains(RangeJoinToBucketJoin.MaxSpanConf), all)
+    }
+    // raising the cap un-blocks the same query, results intact
+    val naive = pairs(points.join(intervals, $"p" >= $"lo" && $"p" < $"hi"))
+    withWidth("0.0001") {
+      spark.conf.set(RangeJoinToBucketJoin.MaxSpanConf, "400000")
+      try {
+        val q = points.join(intervals, $"p" >= $"lo" && $"p" < $"hi")
+        assert(pairs(q) == naive)
+      } finally spark.conf.unset(RangeJoinToBucketJoin.MaxSpanConf)
+    }
+  }
+
   test("malformed width conf disables the rule instead of failing queries") {
     for (bad <- Seq("not-a-number", "-5", "0")) {
       withWidth(bad) {
