@@ -15,13 +15,15 @@ import org.apache.spark.sql.functions._
   * tolerance because the codec is lossy), and AVI video in both
   * uncompressed-DIB ('00db') and M-JPEG ('00dc') profiles (RIFF walker
   * + per-frame decode, so frame-sampling runs on real container
-  * bytes). The m3–m9 gates drive each end-to-end against arithmetic
-  * oracles, including real pixel resize. Only codecs genuinely needing
-  * native libraries absent from this container (H.264-class video,
-  * lossy audio) keep the deterministic byte-derived fake below, so
-  * their Spark-side contract (schema, partitioning, batch shape, null
-  * behavior) stays real and oracle-testable while the codec stays
-  * swappable.
+  * bytes), and G.711 mu-law/A-law COMPRESSED audio (the telephony
+  * standard; fixed integer expansion tables, cross-checked against
+  * javax.sound.sampled's own converters). The m3–m11 gates drive each
+  * end-to-end against arithmetic oracles, including real pixel
+  * resize. Only codecs genuinely needing native libraries absent from
+  * this container (H.264-class video, MP3/AAC perceptual audio) keep
+  * the deterministic byte-derived fake below, so their Spark-side
+  * contract (schema, partitioning, batch shape, null behavior) stays
+  * real and oracle-testable while the codec stays swappable.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); payload bytes never enter a shuffle — feature extraction
@@ -722,6 +724,197 @@ object BinaryOps {
           }
           WavStats(id, a.sampleRate, a.channels, a.samples.length.toLong,
             a.samples.head.toInt, a.samples.last.toInt, sumAbs, peak)
+        }
+      })
+  }
+
+  // ===== REAL codec: G.711 mu-law / A-law COMPRESSED audio =====
+  // The telephony-standard 2:1 log-companded encodings, carried in the
+  // same RIFF/WAVE container as PCM but with format tag 7 (mu-law) or
+  // 6 (A-law) and 8 bits per sample. Both expansions are fixed
+  // 256-entry integer tables (CCITT G.711), stated here as arithmetic
+  // so the DuckDB oracle can restate them bit-exactly — and the JDK
+  // ships the SAME encodings in javax.sound.sampled
+  // (AudioFormat.Encoding.ULAW/ALAW), which the spec cross-checks
+  // against sample-for-sample. This shrinks the fake-codec boundary to
+  // formats with no JDK decoder at all (MP3/AAC, H.264).
+
+  /** Expand one mu-law byte (0-255) to its 16-bit linear sample —
+    * CCITT G.711 arithmetic: complement, then mantissa<<3 + bias
+    * shifted by the 3-bit exponent.
+    */
+  def ulawToLinear(b: Int): Int = {
+    val u = ~b & 0xff
+    val t = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Expand one A-law byte (0-255) to its 16-bit linear sample —
+    * CCITT G.711: xor 0x55, segment-0/1 special-cased, sign bit SET
+    * means positive.
+    */
+  def alawToLinear(b: Int): Int = {
+    val a = (b ^ 0x55) & 0xff
+    val seg = (a & 0x70) >> 4
+    val t0 = (a & 0x0f) << 4
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case _ => (t0 + 0x108) << (seg - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  private val UlawClip = 8159 // 14-bit domain clip (CCITT)
+
+  /** Compress one 16-bit linear sample to its mu-law byte (the exact
+    * inverse of [[ulawToLinear]]: encode(decode(b)) == b for all 256
+    * byte values, spec-verified).
+    */
+  def linearToUlaw(pcm: Int): Int = {
+    var p = pcm >> 2 // 16 -> 14 bit
+    val mask = if (p < 0) { p = -p; 0x7f } else 0xff
+    if (p > UlawClip) p = UlawClip
+    p += 0x84 >> 2
+    var seg = 0
+    while (seg < 8 && p > ((0x3f << seg) | ((1 << seg) - 1))) seg += 1
+    if (seg >= 8) 0x7f ^ mask
+    else (((seg << 4) | ((p >> (seg + 1)) & 0x0f)) ^ mask) & 0xff
+  }
+
+  /** Compress one 16-bit linear sample to its A-law byte (exact
+    * inverse of [[alawToLinear]] on the 256 codewords).
+    */
+  def linearToAlaw(pcm: Int): Int = {
+    var p = pcm >> 3 // 16 -> 13 bit
+    val mask = if (p >= 0) 0xd5 else { p = -p - 1; 0x55 }
+    if (p > 0xfff) p = 0xfff
+    var seg = 0
+    while (seg < 8 && p > ((0x1f << seg) | ((1 << seg) - 1))) seg += 1
+    if (seg >= 8) 0x7f ^ mask
+    else {
+      val mant = if (seg < 2) (p >> 1) & 0x0f else (p >> seg) & 0x0f
+      (((seg << 4) | mant) ^ mask) & 0xff
+    }
+  }
+
+  /** Compress a 16-bit sample array to G.711 bytes. */
+  def encodeUlaw(samples: Array[Short]): Array[Byte] =
+    samples.map(s => linearToUlaw(s.toInt).toByte)
+  def encodeAlaw(samples: Array[Short]): Array[Byte] =
+    samples.map(s => linearToAlaw(s.toInt).toByte)
+
+  /** Wrap raw G.711 bytes in a RIFF/WAVE container: format tag 7
+    * (mu-law) or 6 (A-law), 8 bits/sample, the standard 18-byte fmt
+    * (cbSize = 0) plus the fact chunk compressed formats carry.
+    */
+  def encodeWavG711(sampleRate: Int, channels: Int, g711: Array[Byte],
+                    aLaw: Boolean): Array[Byte] = {
+    require(sampleRate > 0 && channels > 0 && g711.length % channels == 0,
+      s"bad g711 shape: rate=$sampleRate ch=$channels n=${g711.length}")
+    val dataSize = g711.length
+    val pad = dataSize & 1 // RIFF chunks are word-aligned
+    // RIFF hdr 12 + fmt (8+18) + fact (8+4) + data hdr 8
+    val out = new Array[Byte](12 + 26 + 12 + 8 + dataSize + pad)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    le32(out.length - 8).copyToArray(out, 4)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    le32(18).copyToArray(out, 16)
+    out(20) = if (aLaw) 6 else 7            // wFormatTag
+    out(22) = channels.toByte
+    le32(sampleRate).copyToArray(out, 24)
+    le32(sampleRate * channels).copyToArray(out, 28) // byte rate (1 B/sample)
+    out(32) = channels.toByte               // block align
+    out(34) = 8                             // bits per sample
+    // bytes 36-37: cbSize = 0
+    "fact".getBytes("US-ASCII").copyToArray(out, 38)
+    le32(4).copyToArray(out, 42)
+    le32(dataSize / channels).copyToArray(out, 46) // samples per channel
+    "data".getBytes("US-ASCII").copyToArray(out, 50)
+    le32(dataSize).copyToArray(out, 54)
+    g711.copyToArray(out, 58)
+    out
+  }
+
+  /** Convenience compress path: 16-bit linear in, G.711 WAV out. */
+  def encodeWavUlaw(sampleRate: Int, channels: Int,
+                    samples: Array[Short]): Array[Byte] =
+    encodeWavG711(sampleRate, channels, encodeUlaw(samples), aLaw = false)
+  def encodeWavAlaw(sampleRate: Int, channels: Int,
+                    samples: Array[Short]): Array[Byte] =
+    encodeWavG711(sampleRate, channels, encodeAlaw(samples), aLaw = true)
+
+  /** Parse a G.711 WAV (format tag 6 or 7, 8-bit) and EXPAND to 16-bit
+    * linear samples; None for anything else — same never-throw,
+    * chunk-walking contract as [[decodeWav]]. Also returns which law
+    * the payload carried.
+    */
+  def decodeWavG711(payload: Array[Byte]): Option[(WavAudio, String)] = {
+    if (payload == null || payload.length < 44 ||
+      payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' ||
+      payload(3) != 'F' || payload(8) != 'W' || payload(9) != 'A' ||
+      payload(10) != 'V' || payload(11) != 'E') return None
+    var off = 12
+    var fmt: Option[(Int, Int, Boolean)] = None // (rate, ch, aLaw)
+    while (off + 8 <= payload.length) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val size = rdLe32(payload, off + 4)
+      if (size < 0 || off.toLong + 8 + size > payload.length) return None
+      id match {
+        case "fmt " =>
+          val tag = if (size >= 16) rdLe16(payload, off + 8) else -1
+          if (size < 16 || (tag != 6 && tag != 7) ||
+            rdLe16(payload, off + 8 + 14) != 8) return None
+          fmt = Some((rdLe32(payload, off + 8 + 4),
+            rdLe16(payload, off + 8 + 2), tag == 6))
+        case "data" =>
+          val (rate, ch, aLaw) = fmt.getOrElse(return None)
+          if (rate <= 0 || ch <= 0) return None
+          val samples = new Array[Short](size)
+          var i = 0
+          while (i < size) {
+            val b = payload(off + 8 + i) & 0xff
+            samples(i) = (if (aLaw) alawToLinear(b) else ulawToLinear(b)).toShort
+            i += 1
+          }
+          return Some((WavAudio(rate, ch, samples),
+            if (aLaw) "alaw" else "ulaw"))
+        case _ => // skip fact/LIST/etc.
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  final case class G711Stats(doc_id: Long, codec: String, sample_rate: Int,
+                             channels: Int, n_samples: Long,
+                             first_sample: Int, last_sample: Int,
+                             sum_abs: Long, peak: Int)
+
+  /** Partition-batched G.711 decode+expand: [[wavStats]]'s probe set
+    * plus the law tag. Integer-exact — the expansion is a fixed table,
+    * so the oracle states it arithmetically.
+    */
+  def g711Stats(media: DataFrame, idCol: String = "doc_id",
+                payloadCol: String = "payload"): Dataset[G711Stats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWavG711(payload).filter(_._1.samples.nonEmpty).map {
+          case (a, law) =>
+            var sumAbs = 0L; var peak = 0
+            var i = 0
+            while (i < a.samples.length) {
+              val v = math.abs(a.samples(i).toInt)
+              sumAbs += v; if (v > peak) peak = v
+              i += 1
+            }
+            G711Stats(id, law, a.sampleRate, a.channels,
+              a.samples.length.toLong, a.samples.head.toInt,
+              a.samples.last.toInt, sumAbs, peak)
         }
       })
   }

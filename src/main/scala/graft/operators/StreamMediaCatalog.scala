@@ -291,6 +291,27 @@ object StreamMediaCatalog {
       BinaryOps.wavStats(payloads).toDF().orderBy(col("doc_id"))
     }),
 
+    // M11 — REAL COMPRESSED audio codec (G.711, the telephony
+    // standard; the JDK ships the same encodings in
+    // javax.sound.sampled): per doc the raw mu-law (even ids) or
+    // A-law (odd ids) BYTE STREAM is a pure function of doc_id,
+    // wrapped in a tag-7/tag-6 WAV and expanded by the real
+    // chunk-walking decoder. G.711 expansion is a fixed 256-entry
+    // integer table, so the oracle restates it as bit arithmetic and
+    // every probe gates integer-EXACT — no tolerance band.
+    "m11_g711_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      val payloads = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val n = 32 + (id % 32).toInt
+          val g711 = Array.tabulate(n)(j => ((id * 7 + j * 13) % 256).toByte)
+          (id, BinaryOps.encodeWavG711(8000, 1, g711, aLaw = id % 2 == 1))
+        }
+        .toDF("doc_id", "payload")
+      BinaryOps.g711Stats(payloads).toDF().orderBy(col("doc_id"))
+    }),
+
     // E7 — stateful streaming EWMA: keyed mapGroupsWithState carrying
     // (acc, n); single-batch file source ⇒ one Update row per user that
     // must equal the batch secondary-sort fold bit-for-bit (same oracle
@@ -574,6 +595,45 @@ object StreamMediaCatalog {
         |  CAST((doc_id * 13 + (n - 1) * 17) % 4001 - 2000 AS INT) AS last_sample,
         |  sum_abs, peak
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // the G.711 expansion tables (CCITT) restated as bit arithmetic:
+    // mu-law complements the byte then shifts mantissa*8+132 by the
+    // exponent; A-law xors 0x55 with segment-0/1 special cases. The
+    // byte stream itself is the (doc_id, j) formula from the gate.
+    "m11_g711_decode" ->
+      """WITH d AS (SELECT doc_id, 32 + doc_id % 32 AS n FROM documents),
+        |b AS (SELECT d.doc_id, d.n, j.j,
+        |    CAST((d.doc_id * 7 + j.j * 13) % 256 AS INT) AS byte
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, d.n)) AS j(j)),
+        |x AS (SELECT doc_id, n, j,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    CASE WHEN (255 - byte) >= 128
+        |      THEN 132 - ((((255 - byte) & 15) * 8 + 132)
+        |                  << (((255 - byte) >> 4) & 7))
+        |      ELSE ((((255 - byte) & 15) * 8 + 132)
+        |            << (((255 - byte) >> 4) & 7)) - 132 END
+        |  ELSE
+        |    CASE WHEN (xor(byte, 85) & 128) != 0 THEN 1 ELSE -1 END *
+        |    CASE WHEN ((xor(byte, 85) >> 4) & 7) = 0
+        |           THEN (xor(byte, 85) & 15) * 16 + 8
+        |         WHEN ((xor(byte, 85) >> 4) & 7) = 1
+        |           THEN (xor(byte, 85) & 15) * 16 + 264
+        |         ELSE ((xor(byte, 85) & 15) * 16 + 264)
+        |              << (((xor(byte, 85) >> 4) & 7) - 1) END
+        |  END AS s
+        |  FROM b),
+        |agg AS (SELECT doc_id, n,
+        |    CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+        |    CAST(MAX(ABS(s)) AS INT) AS peak,
+        |    CAST(MIN(CASE WHEN j = 0 THEN s END) AS INT) AS first_sample,
+        |    CAST(MIN(CASE WHEN j = n - 1 THEN s END) AS INT) AS last_sample
+        |  FROM x GROUP BY doc_id, n)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples, first_sample, last_sample,
+        |  sum_abs, peak
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // the same (doc_id, x, y, channel) pixel formula, restated in SQL —
     // the gate then proves the whole encode→decode byte path: a wrong

@@ -182,6 +182,66 @@ class BinaryOpsSpec extends SparkSpec {
     assert(BinaryOps.decodeWav(bad8).isEmpty)
   }
 
+  test("G.711 codeword identity: encode(decode(b)) == b for all 256 bytes, both laws") {
+    for (b <- 0 until 256) {
+      // mu-law's one non-injective point: 0x7F is "negative zero" —
+      // it decodes to 0, which canonically re-encodes to 0xFF
+      // (positive zero). Every other codeword round-trips exactly.
+      val expectU = if (b == 0x7f) 0xff else b
+      assert(BinaryOps.linearToUlaw(BinaryOps.ulawToLinear(b)) == expectU, s"ulaw $b")
+      // A-law's minimum magnitude is 8, so it has no +-0 collision
+      assert(BinaryOps.linearToAlaw(BinaryOps.alawToLinear(b)) == b, s"alaw $b")
+    }
+  }
+
+  test("G.711 expansion matches javax.sound's own ULAW/ALAW converters") {
+    import javax.sound.sampled._
+    def jdkExpand(bytes: Array[Byte], enc: AudioFormat.Encoding): Array[Int] = {
+      val srcFmt = new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false)
+      val dstFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val src = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), srcFmt, bytes.length.toLong)
+      val out = AudioSystem.getAudioInputStream(dstFmt, src).readAllBytes()
+      Array.tabulate(out.length / 2)(i =>
+        ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort.toInt)
+    }
+    val all = Array.tabulate(256)(_.toByte)
+    val jdkU = jdkExpand(all, AudioFormat.Encoding.ULAW)
+    val jdkA = jdkExpand(all, AudioFormat.Encoding.ALAW)
+    for (b <- 0 until 256) {
+      assert(jdkU(b) == BinaryOps.ulawToLinear(b),
+        s"ulaw byte $b: jdk=${jdkU(b)} ours=${BinaryOps.ulawToLinear(b)}")
+      assert(jdkA(b) == BinaryOps.alawToLinear(b),
+        s"alaw byte $b: jdk=${jdkA(b)} ours=${BinaryOps.alawToLinear(b)}")
+    }
+  }
+
+  test("G.711 WAV container roundtrip, law tag dispatch, PCM/G.711 exclusion") {
+    val g711 = Array.tabulate(101)(j => ((j * 37 + 5) % 256).toByte)
+    val uWav = BinaryOps.encodeWavG711(8000, 1, g711, aLaw = false)
+    val aWav = BinaryOps.encodeWavG711(16000, 1, g711, aLaw = true)
+    val Some((u, uLaw)) = BinaryOps.decodeWavG711(uWav)
+    val Some((a, aLaw)) = BinaryOps.decodeWavG711(aWav)
+    assert(uLaw == "ulaw" && u.sampleRate == 8000 &&
+      u.samples.toSeq == g711.toSeq.map(b => BinaryOps.ulawToLinear(b & 0xff).toShort))
+    assert(aLaw == "alaw" && a.sampleRate == 16000 &&
+      a.samples.toSeq == g711.toSeq.map(b => BinaryOps.alawToLinear(b & 0xff).toShort))
+    // the compress convenience path: lossy on arbitrary input, but
+    // expansion of the stored codewords is what decode must return
+    val pcm = Array.tabulate(64)(i => ((i * 991) % 60000 - 30000).toShort)
+    val Some((rt, _)) = BinaryOps.decodeWavG711(BinaryOps.encodeWavUlaw(8000, 1, pcm))
+    assert(rt.samples.toSeq == pcm.toSeq.map(s =>
+      BinaryOps.ulawToLinear(BinaryOps.linearToUlaw(s.toInt)).toShort))
+    // parsers are mutually exclusive: the PCM walker rejects tag-7
+    // payloads, the G.711 walker rejects tag-1
+    assert(BinaryOps.decodeWav(uWav).isEmpty)
+    assert(BinaryOps.decodeWavG711(BinaryOps.encodeWav(8000, 1, pcm)).isEmpty)
+    // malformed: truncation and null never throw
+    assert(BinaryOps.decodeWavG711(uWav.take(40)).isEmpty)
+    assert(BinaryOps.decodeWavG711(null).isEmpty)
+  }
+
   test("JPEG roundtrip through the JDK codec: exact dims, pixels within tolerance") {
     // smooth grayscale ramp (r=g=b, no mod-256 wrap): quantization
     // error stays small, while stride/flip/channel bugs would blow it
