@@ -593,6 +593,42 @@ object TrainingCatalog {
           countDistinct(col("query_id")).as("n_queries"),
           (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
             >= 0.5).cast("int").as("recall_ge_50"))
+    }),
+
+    // V14 — incremental IVF-PQ maintenance: build the index over 3/4
+    // of the corpus, APPEND the held-out quarter against the persisted
+    // (frozen) quantizer, and query the appended index. The gate
+    // compares every (query, neighbor, score) row against a
+    // from-scratch frozen-quantizer build over the union — EXACT
+    // equality (assignment and encoding are pure row functions of the
+    // frozen centroids/codebook), not a recall bound. Flag-style
+    // output: the oracle states the expected query count and zero
+    // mismatches.
+    "v14_ivfpq_append" -> ((spark, dir) => {
+      import graft.similarity.ProductQuant
+      val emb = Tables.embeddings(spark, dir)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val delta = emb.filter(col("vec_id") % 4 === 0)
+      val cb = ProductQuant.buildCodebook(base, "vec_id", "embedding",
+        m = 8, ks = 16)
+      val candidates = math.max(100L, emb.count() / 5).toInt
+      val dirA = graft.core.Staging.tmpDir("ivfpq_append")
+      ProductQuant.saveIvfPq(base, "vec_id", "embedding", nCells = 16,
+        cb, dirA)
+      ProductQuant.appendToIvfPq(spark, dirA, delta, "vec_id", "embedding")
+      val dirB = graft.core.Staging.tmpDir("ivfpq_union")
+      ProductQuant.saveIvfPqFrozen(emb, "vec_id", "embedding",
+        spark.read.parquet(s"$dirA/ivf/centroids"), cb, dirB)
+      def q(d: String) = ProductQuant.ivfPqTopKIndexed(spark, d,
+        "vec_id", "embedding", annQueryIds, k = 5, nProbe = 8,
+        candidateK = candidates)
+      val joined = q(dirA).withColumn("__a", lit(1)).join(
+        q(dirB).withColumn("__b", lit(1)),
+        Seq("query_id", "neighbor_id", "cos_sim"), "full_outer")
+      joined.agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        sum((col("__a").isNull || col("__b").isNull).cast("long"))
+          .as("n_mismatch"))
     })
   )
 
@@ -1017,6 +1053,10 @@ object TrainingCatalog {
 
     "v13_ivfpq_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    "v14_ivfpq_append" ->
+      s"""SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_mismatch
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 
     "t8_stopword_filter" -> {

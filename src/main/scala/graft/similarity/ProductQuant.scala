@@ -218,6 +218,55 @@ object ProductQuant {
     savePq(codes, cb, s"$dir/pq")
   }
 
+  /** [[saveIvfPq]] with a FROZEN quantizer: assign + encode against a
+    * given centroid table and codebook instead of refitting. This is
+    * the reference implementation [[appendToIvfPq]]'s invariant is
+    * stated against: append(base, new) must equal frozen-rebuild over
+    * (base ∪ new) — exactly, not by recall, because assignment and
+    * encoding are pure row functions of the frozen quantizer.
+    */
+  def saveIvfPqFrozen(emb: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame, cb: PqCodebook,
+                      dir: String): Unit = {
+    val assigned = Similarity.assignToCentroids(emb, idCol, vecCol, centroids)
+    Similarity.saveIvf(Similarity.IvfIndex(assigned, centroids), s"$dir/ivf")
+    val codes = encode(emb, idCol, vecCol, cb)
+      .join(assigned.select(col(idCol), col("cell")), idCol)
+    savePq(codes, cb, s"$dir/pq")
+  }
+
+  /** Incremental index maintenance — the daily-crawl story for
+    * similarity search, the ANN sibling of dedup's incremental
+    * connected components: encode NEW vectors against the PERSISTED
+    * centroids and codebook (both frozen at build time — no refit, no
+    * corpus re-scan) and append them to the cell-partitioned
+    * assigned/codes tables. Cost is O(|new|): the new rows broadcast-
+    * join the tiny centroid table, encode map-side, and land in their
+    * cells' partitions; the base corpus is never read, let alone
+    * reshuffled. Because assignment and encoding are pure row
+    * functions of the frozen quantizer, the index afterwards is
+    * IDENTICAL to a [[saveIvfPqFrozen]] build over the union
+    * (spec- and v14-gated as exact equality, not recall).
+    *
+    * Caller contract: `newRows` ids are genuinely new — appending an
+    * id already in the index duplicates it (this layer is
+    * append-only, like the parquet files it writes; upsert belongs to
+    * a table format above it).
+    */
+  def appendToIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    newRows: DataFrame, idCol: String,
+                    vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$dir/ivf/centroids")
+    val (_, cb) = loadPq(spark, s"$dir/pq")
+    val assigned = Similarity.assignToCentroids(newRows, idCol, vecCol,
+      centroids)
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/ivf/assigned")
+    val codes = encode(newRows, idCol, vecCol, cb)
+      .join(assigned.select(col(idCol), col("cell")), idCol)
+    codes.write.mode("append").partitionBy("cell").parquet(s"$dir/pq/codes")
+  }
+
   /** Query a [[saveIvfPq]] index from disk: probe cells against the
     * persisted centroids, ADC-score ONLY the probed cells' code
     * partitions, exact-rerank candidates against the persisted

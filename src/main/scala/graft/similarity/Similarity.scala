@@ -231,8 +231,22 @@ object Similarity {
       .withColumn("cell", (row_number().over(w) - 1).cast("int"))
       .select(col("cell"),
         transform(col(vecCol), x => x.cast("double")).as("centroid"))
-    val assigned = clean.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cents))
+    IvfIndex(assignToCentroids(clean, idCol, vecCol, cents), cents)
+  }
+
+  /** Assign vectors to a FROZEN centroid table — the pure row function
+    * at the heart of [[buildIvfHashInit]], exposed so incremental
+    * index maintenance (append new crawl rows against the persisted
+    * quantizer, no refit) assigns by exactly the same rounding and
+    * tie rules as the original build. Argmin_cell
+    * round(c·c − 2·v·c, 6) with cell-id tiebreak, one
+    * map-side-combinable min-struct aggregation over the broadcast
+    * centroid table.
+    */
+  def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame =
+    emb.filter(scorable(col(vecCol))).select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
       .withColumn("__d", round(dot(col("centroid"), col("centroid"))
         - lit(2.0) * dot(col(vecCol), col("centroid")), 6))
       // (__d, cell) is unique per id, so the trailing vec field never
@@ -240,8 +254,6 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(min(struct(col("__d"), col("cell"), col(vecCol).as("v"))).as("m"))
       .select(col(idCol), col("m.v").as(vecCol), col("m.cell").as("cell"))
-    IvfIndex(assigned, cents)
-  }
 
   /** Persist / reload the index (cell-partitioned corpus copy: probing
     * a cell then reads only that cell's files — partition pruning does

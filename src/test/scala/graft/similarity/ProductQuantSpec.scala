@@ -109,6 +109,36 @@ class ProductQuantSpec extends graft.SparkSpec {
     }
   }
 
+  test("appendToIvfPq equals a frozen-quantizer rebuild over the union, exactly") {
+    import org.apache.spark.sql.functions.col
+    val base = emb.filter(col("vec_id") % 3 =!= 0)
+    val delta = emb.filter(col("vec_id") % 3 === 0)
+    val cbB = ProductQuant.buildCodebook(base, "vec_id", "embedding",
+      m = 8, ks = 16)
+    val dirA = graft.core.Staging.tmpDir("ivfpq_app_a")
+    ProductQuant.saveIvfPq(base, "vec_id", "embedding", nCells = 16, cbB, dirA)
+    ProductQuant.appendToIvfPq(spark, dirA, delta, "vec_id", "embedding")
+    val dirB = graft.core.Staging.tmpDir("ivfpq_app_b")
+    ProductQuant.saveIvfPqFrozen(emb, "vec_id", "embedding",
+      spark.read.parquet(s"$dirA/ivf/centroids"), cbB, dirB)
+    // INDEX STATE equality: assigned rows and code rows, as sets
+    def assigned(d: String) = spark.read.parquet(s"$d/ivf/assigned")
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+    def codes(d: String) = spark.read.parquet(s"$d/pq/codes")
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    assert(assigned(dirA) == assigned(dirB))
+    assert(codes(dirA) == codes(dirB))
+    assert(assigned(dirA).map(_._1) ==
+      emb.select(col("vec_id")).as[Long].collect().toSet)
+    // QUERY equality through the indexed path
+    val qs = Seq(0L, 1L, 2L, 3L)
+    def q(d: String) = ProductQuant.ivfPqTopKIndexed(spark, d, "vec_id",
+      "embedding", qs, 5, nProbe = 8, candidateK = 100)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(q(dirA) == q(dirB))
+  }
+
   test("persisted IVF-PQ index answers identically to the in-memory path") {
     val dir = graft.core.Staging.tmpDir("ivfpq_index")
     ProductQuant.saveIvfPq(emb, "vec_id", "embedding", nCells = 16, cb, dir)
