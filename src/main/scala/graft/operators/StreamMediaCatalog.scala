@@ -435,6 +435,35 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E14 — streaming NEAR-dup against a historical band store: the
+    // LSH face of e11. Band keys are pure row functions (computed
+    // compiled per doc, no streaming aggregation), kept as columns and
+    // probed by four stateless stream-static left joins; odd docs
+    // stream in, even docs' bands are the store. Must equal the batch
+    // LSH band-join spelling over the same files exactly.
+    "e14_stream_neardup" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_nd"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      import graft.dedup.TextDedup
+      val storeDocs = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 2 === 0)
+      val store = TextDedup.bandKeys(
+        TextDedup.minhashSignatures(
+          TextDedup.shingleSets(storeDocs, "doc_id", "text",
+            distinct = false), "doc_id"), "doc_id")
+        .select(col("band_id"), col("band_key"))
+      val admitted = graft.streaming.DocStream.nearDupAgainstStore(
+        graft.streaming.DocStream.read(spark, d.toString)
+          .filter(col("doc_id") % 2 === 1),
+        store)
+      EventStream.runToMemory(spark, admitted,
+        s"stream_nd_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     // E10 — streaming chunk fan-out: the Chunker generate in
     // micro-batch; must equal the batch ck1 exactly
     "e10_stream_chunks" -> ((spark, dir) => {
@@ -487,6 +516,26 @@ object StreamMediaCatalog {
          |  FROM documents WHERE doc_id % 3 = 0)
          |SELECT doc_id, text FROM documents
          |WHERE $fp NOT IN (SELECT fp FROM store)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // the batch LSH band-join spelling: docs that share any band with
+    // the even-id store are dropped; shingle-less docs are admitted
+    "e14_stream_neardup" -> {
+      import graft.dedup.TextDedup.{Sql => D}
+      val bandsCte = "bands AS (" + D.bandKeyExprs().map { case (b, e) =>
+        s"SELECT doc_id, $b AS band_id, $e AS band_key FROM sig"
+      }.mkString(" UNION ALL ") + ")"
+      s"""WITH sh AS ${D.shingleSets("documents", "doc_id", "text")},
+         |sig AS (SELECT doc_id, ${D.minhashAggs()} FROM sh GROUP BY doc_id),
+         |$bandsCte,
+         |flagged AS (SELECT DISTINCT a.doc_id
+         |  FROM bands a JOIN bands s
+         |    ON a.band_id = s.band_id AND a.band_key = s.band_key
+         |  WHERE a.doc_id % 2 = 1 AND s.doc_id % 2 = 0)
+         |SELECT doc_id, text FROM documents
+         |WHERE doc_id % 2 = 1
+         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -109,4 +109,90 @@ object DocStream {
         Seq("__fp"), "left_outer")
       .filter(col("__seen").isNull)
       .drop("__fp", "__seen")
+
+  /** Per-document MinHash band keys — [[graft.dedup.TextDedup]]'s
+    * EXACT arithmetic (md5-derived 32-bit base hash, the universal
+    * hash family, md5 band key over the "sig|sig" string) computed
+    * compiled inside one row function, because the batch spelling
+    * aggregates exploded shingles and a streaming aggregation would
+    * drag in state the near-dup filter does not need. None when the
+    * document has no shingles (< k tokens or null text) — the batch
+    * path emits no signature for those either.
+    */
+  private[streaming] def bandKeysOf(text: String): Option[Array[String]] = {
+    import graft.dedup.TextDedup._
+    if (text == null) return None
+    val toks = text.split(" ", -1)
+    if (toks.length < DefaultShingle) return None
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sigs = Array.fill(NumHashes)(Long.MaxValue)
+    toks.sliding(DefaultShingle).foreach { w =>
+      val digest = md.digest(w.mkString(" ").getBytes("UTF-8"))
+      md.reset()
+      // first 8 hex chars of md5 == big-endian unsigned int of the
+      // first 4 digest bytes (the conv(substring(md5,1,8),16,10) hash)
+      val h = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      var j = 0
+      while (j < NumHashes) {
+        val v = (HashA(j) * h + HashB(j)) % HashP
+        if (v < sigs(j)) sigs(j) = v
+        j += 1
+      }
+    }
+    Some(Array.tabulate(Bands) { b =>
+      val key = (0 until RowsPerBand)
+        .map(r => sigs(b * RowsPerBand + r).toString).mkString("|")
+      md.digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    })
+  }
+
+  /** Continuous-ingestion NEAR-dup filter — the LSH sibling of
+    * [[dedupAgainstStore]]'s exact fingerprints: drop stream documents
+    * that share any MinHash band with a historical band store
+    * (`bandStore(band_id, band_key)`, built batch-side by
+    * `TextDedup.bandKeys` and persisted like the e11 fingerprint
+    * store). Admitted documents are returned as (doc_id, text).
+    *
+    * Statelessness: band keys are computed per row ([[bandKeysOf]]),
+    * kept as COLUMNS rather than exploded rows, and probed with one
+    * stream-static left join per band against that band's (distinct)
+    * store keys — so no watermark, no state store, and no
+    * re-aggregation of exploded rows. Per micro-batch each static
+    * side broadcasts, the same shape as the batch Boilerplate /
+    * Decontam filters. Documents too short to shingle are admitted
+    * (they have no signature on the batch path either).
+    *
+    * Scale: the store is bands × distinct keys — for a 100 TB corpus
+    * the band table is large, but each join is an equi join the
+    * planner can shuffle instead of broadcast when it outgrows the
+    * threshold; the stream side stays one row per document
+    * throughout.
+    */
+  def nearDupAgainstStore(docs: DataFrame, bandStore: DataFrame): DataFrame = {
+    import graft.dedup.TextDedup.Bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withBands = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, text, bandKeysOf(text).map(_.toSeq).getOrElse(Seq.empty))
+      }
+      .toDF("doc_id", "text", "__bands")
+    val keyed = (0 until Bands).foldLeft(withBands) { (df, b) =>
+      // try_: ANSI element_at throws on the shingle-less docs' empty
+      // band array; null keys fall through the left joins to admission
+      df.withColumn(s"__bk$b", try_element_at(col("__bands"), lit(b + 1)))
+    }
+    val probed = (0 until Bands).foldLeft(keyed) { (df, b) =>
+      df.join(
+        bandStore.filter(col("band_id") === b)
+          .select(col("band_key").as(s"__bk$b")).distinct()
+          .withColumn(s"__seen$b", lit(1)),
+        Seq(s"__bk$b"), "left_outer")
+    }
+    probed
+      .filter((0 until Bands).map(b => col(s"__seen$b").isNull).reduce(_ && _))
+      .select(col("doc_id"), col("text"))
+  }
 }

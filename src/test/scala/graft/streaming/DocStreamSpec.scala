@@ -57,6 +57,51 @@ class DocStreamSpec extends graft.SparkSpec {
       "doc 1 is in history (normalization-invariant); 2 and 3 are new")
   }
 
+  test("near-dup filter: band keys match the batch LSH path exactly") {
+    import graft.dedup.TextDedup
+    // per-row compiled band keys vs the batch explode→agg spelling,
+    // over fixture docs (incl. whatever null/short texts it carries)
+    val docs = graft.core.Tables.documents(spark, sf001).limit(200)
+    val batch = TextDedup.bandKeys(
+      TextDedup.minhashSignatures(
+        TextDedup.shingleSets(docs, "doc_id", "text", distinct = false),
+        "doc_id"), "doc_id")
+      .select($"doc_id", $"band_id", $"band_key")
+      .as[(Long, Int, String)].collect().toSet
+    val rowLevel = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect()
+      .flatMap { case (id, text) =>
+        DocStream.bandKeysOf(text).toSeq.flatMap(_.zipWithIndex.map {
+          case (key, b) => (id, b, key)
+        })
+      }.toSet
+    assert(rowLevel == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("near-dup filter drops band-sharing docs across batches, admits the rest") {
+    import graft.dedup.TextDedup
+    val src = stageTwoBatches()
+    // the store holds doc 1's text verbatim (same shingles ⇒ all bands
+    // agree) — doc 1 must drop in whatever micro-batch it arrives;
+    // docs 2 (too short to shingle) and 3 (unrelated) are admitted
+    val storeDocs = Seq(
+      (100L, "the quick brown fox and the lazy dog went to the market today"))
+      .toDF("doc_id", "text")
+    val store = TextDedup.bandKeys(
+      TextDedup.minhashSignatures(
+        TextDedup.shingleSets(storeDocs, "doc_id", "text",
+          distinct = false), "doc_id"), "doc_id")
+      .select($"band_id", $"band_key")
+    val out = EventStream.runToMemory(spark,
+      DocStream.nearDupAgainstStore(DocStream.read(spark, src), store),
+      "docstream_neardup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect().toSeq
+    assert(out.map(_.getLong(0)) == Seq(2L, 3L),
+      "doc 1 shares every band with the store; 2 has no shingles; 3 is new")
+  }
+
   test("chunk fan-out streams: one row per window, parity with batch chunker") {
     val src = stageTwoBatches()
     val streamed = EventStream.runToMemory(spark,
