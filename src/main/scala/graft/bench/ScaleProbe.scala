@@ -64,6 +64,31 @@ object ScaleProbe {
         docs.unpersist()
         spark.catalog.clearCache()
       }
+      // PageRank: multiplied events → m disjoint subgraphs (copy-offset
+      // node ids), so nodes AND edges grow m× while structure stays
+      // comparable. Fixed 8 supersteps — past the every-4 localCheckpoint
+      // cadence, so the probe times the truncated-lineage plan the
+      // operator actually ships. Per superstep only (node, long) pairs
+      // shuffle; the expected curve is linear in m.
+      if (enabled("pagerank")) {
+        val ev = multiply(
+          Tables.events(spark, sfDir).filter(col("user_id").isNotNull)
+            .select(col("user_id"), col("event_id")),
+          "event_id", m, 10000000L).repartition(64).cache()
+        ev.count()
+        time(s"pagerank x$m (iters=8)") {
+          val copy = expr("event_id div 10000000")
+          val edges = ev.select(
+            (col("user_id") + copy * 1000000L).as("src"),
+            ((conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+              .cast("long") % 100000L) + copy * 1000000L).as("dst"))
+            .filter(col("src") =!= col("dst"))
+          graft.operators.PageRank.ranks(edges, "src", "dst", iterations = 8)
+            .count()
+        }
+        ev.unpersist()
+        spark.catalog.clearCache()
+      }
       if (enabled("core")) {
       val li = multiply(Tables.lineitem(spark, sfDir), "l_orderkey", m, 1000000000L)
         .repartition(64).cache()

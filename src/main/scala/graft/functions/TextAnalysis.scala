@@ -219,6 +219,48 @@ object TextAnalysis {
           + lit(1.0)), 6).as("tfidf"))
   }
 
+  /** Okapi BM25 term scores — the retrieval-grade upgrade of [[tfidf]]
+    * (tf saturation via k1, document-length normalization via b):
+    * score(d,t) = idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf = ln((N−df+0.5)/(df+0.5) + 1). In a curation pipeline this is
+    * the query-relevance signal for targeted corpus selection (score
+    * documents against a topic's terms) and a better duplicate-boost
+    * damper than raw tf-idf.
+    *
+    * Exactness follows the t7 contract: counts (tf, df, dl) are exact
+    * longs, N and avgdl ride in as ONE broadcast stats row, and the
+    * final score is a single fixed IEEE expression rounded to 6 —
+    * cross-engine identical because both engines evaluate the same
+    * tree on the same exact-integer operands.
+    *
+    * Scale shape: term-keyed shuffles for tf/df (vocabulary can exceed
+    * broadcast size), doc-keyed partial agg for dl, the 1-row stats
+    * crossJoin idiom for N/avgdl — same layout as [[tfidf]], one extra
+    * doc-keyed join for dl.
+    */
+  def bm25(df: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.TextDedup
+    val tf = TextDedup.shingleSets(df, idCol, textCol, k = 1, distinct = false)
+      .groupBy(col(idCol), col("shingle").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    // docs-with-tokens count + average length, one broadcast row
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    tf.join(dl, Seq(idCol)).join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("dl"),
+        round(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+            + lit(b) * col("dl") / col("avgdl"))), 6).as("bm25"))
+  }
+
   /** Per-document mean unigram log-probability — the CCNet-style LM
     * quality signal: score(doc) = mean over tokens of ln p(token),
     * with p trained on the corpus itself (every token is in-vocabulary

@@ -595,6 +595,13 @@ object TrainingCatalog {
             >= 0.5).cast("int").as("recall_ge_50"))
     }),
 
+    // T13 — Okapi BM25 term scoring (retrieval-grade tf-idf upgrade:
+    // tf saturation + document-length normalization), the
+    // query-relevance signal for targeted corpus selection
+    "t13_bm25" -> ((spark, dir) =>
+      TextAnalysis.bm25(Tables.documents(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"), col("term"))),
+
     // V14 — incremental IVF-PQ maintenance: build the index over 3/4
     // of the corpus, APPEND the held-out quarter against the persisted
     // (frozen) quantizer, and query the appended index. The gate
@@ -1099,6 +1106,25 @@ object TrainingCatalog {
         |SELECT t.doc_id, t.term, t.tf, d.df,
         |  round(t.tf * (ln((n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
+        |ORDER BY t.doc_id, t.term""".stripMargin,
+
+    // identical expression tree to the engine: exact-integer tf/df/dl
+    // operands, the (1.2 + 1.0) sum written as a SUM so both engines
+    // compute the same double (the parsed literal 2.2 is a half-ulp
+    // tie against the computed sum)
+    "t13_bm25" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |tf AS (SELECT doc_id, tk AS term, COUNT(*) AS tf FROM uni GROUP BY doc_id, tk),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl)
+        |SELECT t.doc_id, t.term, t.tf, d.df, l.dl,
+        |  round(ln((n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |    (t.tf * (1.2 + 1.0)) /
+        |    (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl)), 6) AS bm25
+        |FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term)
+        |CROSS JOIN st
         |ORDER BY t.doc_id, t.term""".stripMargin,
 
     "t10_top_terms" ->

@@ -91,6 +91,30 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "a", 1L, 2L, 1.0), (2L, "c", 1L, 1L, rare)))
   }
 
+  test("bm25 golden values (saturation + length normalization)") {
+    // docs: 1 = "a a b" (dl 3), 2 = "a c" (dl 2); N=2, avgdl=2.5
+    val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25(d, "doc_id", "text")
+      .orderBy($"doc_id", $"term")
+      .as[(Long, String, Long, Long, Long, Double)].collect()
+    def gold(tf: Long, df: Long, dl: Long): Double = {
+      val idf = math.log((2.0 - df + 0.5) / (df + 0.5) + 1.0)
+      val norm = 1.0 - 0.75 + 0.75 * dl / 2.5
+      BigDecimal(idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * norm))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(r.toSeq == Seq(
+      (1L, "a", 2L, 2L, 3L, gold(2, 2, 3)),
+      (1L, "b", 1L, 1L, 3L, gold(1, 1, 3)),
+      (2L, "a", 1L, 2L, 2L, gold(1, 2, 2)),
+      (2L, "c", 1L, 1L, 2L, gold(1, 1, 2))))
+    // the signal's two levers actually lever: the common term scores
+    // below the rare one at equal tf, and tf=2 scores below 2× tf=1
+    // (saturation)
+    assert(gold(1, 2, 2) < gold(1, 1, 2))
+    assert(gold(2, 2, 3) < 2 * gold(1, 2, 3))
+  }
+
   test("unigramLogProb golden values (quantized mean token log-prob)") {
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // corpus: a,a,b,b,c → N=5; p(a)=p(b)=0.4, p(c)=0.2
