@@ -257,6 +257,20 @@ object Pipelines {
     * sf0.1 through one bucket-keyed equi shuffle, where the naive plan
     * is a 150k × 600k nested loop.
     */
+  /** Integer PageRank over the event-derived graph, 6 supersteps —
+    * past the every-4 localCheckpoint cadence, so the benched plan is
+    * the truncated-lineage shape the operator ships at depth.
+    */
+  def pageRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").as("src"),
+        (conv(substring(md5(col("event_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 100000L).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    graft.operators.PageRank.ranks(edges, "src", "dst", iterations = 6)
+  }
+
   def rangeJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val pts = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"))
