@@ -84,6 +84,63 @@ object Drift {
         sort_array(collect_list(struct(col("bucket"), col("term")))),
         lit(0.0), (acc, s) => acc + s("term")).as("psi"))
 
+  /** Streaming PSI against a FROZEN baseline — the monitoring face of
+    * [[psi]]: yesterday's snapshot fixes the bucketing and the q
+    * proportions, today's data streams in, and every micro-batch
+    * refreshes one PSI row (Complete mode).
+    *
+    * Why this shape: a second aggregation over a streaming aggregate
+    * is unsupported, so the whole computation must be ONE streaming
+    * agg + projections. The baseline therefore collapses to plan
+    * literals driver-side (bounds + nBuckets smoothed q values —
+    * a BOUNDED collect, ≤ nBuckets+2 scalars, the capped-pivot
+    * idiom), the stream pays a single agg of nBuckets conditional
+    * counts in one row (Expectations' metricsRow shape — state is one
+    * row of longs), and PSI assembles as an index-ordered literal
+    * fold ON that row. Arithmetic is bit-identical to [[psiProfile]]:
+    * same bucket expression, same smoothed rationals, same quantized
+    * ln, same bucket-ordered summation — so the converged stream
+    * equals batch [[psi]] exactly, which is how the e15 gate oracles
+    * it.
+    */
+  def psiStream(cur: DataFrame, c: String, base: DataFrame, baseCol: String,
+                nBuckets: Int): DataFrame = {
+    require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")
+    val b = base.filter(col(baseCol).isNotNull)
+      .agg(min(col(baseCol)).cast("double"), max(col(baseCol)).cast("double"))
+      .head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    def bucketOf(v: Column): Column =
+      if (hi == lo) lit(0L)
+      else least(greatest(
+        floor((v.cast("double") - lit(lo)) /
+          ((lit(hi) - lit(lo)) / lit(nBuckets))).cast("long"),
+        lit(0L)), lit(nBuckets - 1L))
+    val baseCounts = {
+      val m = base.filter(col(baseCol).isNotNull)
+        .groupBy(bucketOf(col(baseCol)).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Array.tabulate(nBuckets)(i => m.getOrElse(i.toLong, 0L))
+    }
+    val bt = baseCounts.sum
+    val q = baseCounts.map(n => (n + 0.5) / (bt.toDouble + 0.5 * nBuckets))
+    val counts = cur.filter(col(c).isNotNull)
+      .select(bucketOf(col(c)).as("bucket"))
+      .agg(
+        sum(when(col("bucket") === 0L, 1L).otherwise(0L)).as("n_0"),
+        (1 until nBuckets).map(i =>
+          sum(when(col("bucket") === i.toLong, 1L).otherwise(0L))
+            .as(s"n_$i")): _*)
+    val ct = (0 until nBuckets).map(i => col(s"n_$i")).reduceLeft(_ + _)
+    counts.withColumn("__ct", ct.cast("double"))
+      .select((0 until nBuckets).map { i =>
+        val p = (col(s"n_$i").cast("double") + lit(0.5)) /
+          (col("__ct") + lit(0.5 * nBuckets))
+        (p - lit(q(i))) * lnQ(p / lit(q(i)))
+      }.reduceLeft(_ + _).as("psi"))
+  }
+
   /** DuckDB spelling over two snapshot CTE names `base`/`cur`, each
     * exposing the value as column x.
     */

@@ -435,6 +435,30 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E15 — streaming PSI drift monitor against a frozen baseline:
+    // yesterday's snapshot fixes bounds + q as plan literals, today's
+    // (planted-shift) snapshot streams in, one Complete-mode agg row
+    // refreshes PSI per micro-batch. Converged answer must equal the
+    // batch dd2 arithmetic exactly over the same snapshot pair.
+    "e15_stream_psi" -> ((spark, dir) => {
+      val ev = Tables.events(spark, dir)
+      val base = ev.select(col("value"))
+      val shifted = ev.select(
+        when(col("event_id") % 4 === 0, col("value") + 5.0)
+          .otherwise(col("value")).as("value"))
+      val d = graft.core.Staging.tmpDir("stream_psi")
+      shifted.write.mode("overwrite").parquet(d)
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.DoubleType))))
+        .parquet(d)
+      val psi = Drift.psiStream(stream, "value", base, "value", nBuckets = 10)
+      EventStream.runToMemory(spark, psi,
+        s"stream_psi_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+    }),
+
     // E14 — streaming NEAR-dup against a historical band store: the
     // LSH face of e11. Band keys are pure row functions (computed
     // compiled per doc, no streaming aggregation), kept as columns and
@@ -518,6 +542,17 @@ object StreamMediaCatalog {
          |WHERE $fp NOT IN (SELECT fp FROM store)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the batch dd2 PSI spelling over the same snapshot pair
+    "e15_stream_psi" ->
+      s"""WITH base AS (SELECT value AS x FROM events),
+         |cur AS (SELECT CASE WHEN event_id % 4 = 0 THEN value + 5.0
+         |               ELSE value END AS x FROM events)
+         |SELECT list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      array_agg(term ORDER BY bucket)),
+         |    (a, b) -> a + b) AS psi
+         |FROM ${Drift.profileSql(10)} t""".stripMargin,
 
     // the batch LSH band-join spelling: docs that share any band with
     // the even-id store are dropped; shingle-less docs are admitted

@@ -54,6 +54,49 @@ class DriftSpec extends graft.SparkSpec {
     assert(plan.contains("partial_count"), "bucket counts must map-side combine")
   }
 
+  test("psiStream's literal-baseline plan equals batch psi bit-for-bit") {
+    // psiStream's agg runs fine on a batch frame — that isolates the
+    // arithmetic parity claim (plan-literal q/bounds + one-row
+    // conditional counts + left-fold) from streaming delivery
+    val base = snap((1 to 100).map(_.toDouble))
+    val cur = snap((1 to 100).map(v => v + (v % 7).toDouble))
+    val batch = Drift.psi(base, cur, "v", 10).as[Double].collect().head
+    val lit = Drift.psiStream(cur, "v", base, "v", 10)
+      .as[Double].collect().head
+    assert(lit == batch)
+    // and zero on identical snapshots
+    assert(Drift.psiStream(base, "v", base, "v", 10)
+      .as[Double].collect().head == 0.0)
+  }
+
+  test("psiStream over a multi-file stream converges to the batch answer") {
+    val dir = graft.core.Staging.tmpDir("drift_stream")
+    val b1 = (1 to 60).map(v => (v + (v % 5)).toDouble)
+    val b2 = (61 to 100).map(v => (v - (v % 3)).toDouble)
+    b1.toDF("v").write.parquet(s"$dir/f1")
+    b2.toDF("v").write.parquet(s"$dir/f2")
+    val src = graft.core.Staging.tmpDir("drift_stream_src")
+    for (f <- Seq("f1", "f2")) {
+      val p = java.nio.file.Paths.get(dir, f)
+      java.nio.file.Files.list(p).filter(_.toString.endsWith(".parquet"))
+        .forEach(q => java.nio.file.Files.copy(q,
+          java.nio.file.Paths.get(src, s"${f}_${q.getFileName}")))
+    }
+    val base = snap((1 to 100).map(_.toDouble))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val streamed = graft.streaming.EventStream.runToMemory(spark,
+      Drift.psiStream(stream, "v", base, "v", 10), "drift_psi_stream",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+      .as[Double].collect().head
+    val batch = Drift.psi(base, snap(b1 ++ b2), "v", 10)
+      .as[Double].collect().head
+    assert(streamed == batch)
+  }
+
   test("KS statistic: identical samples 0, disjoint samples 1, shift golden") {
     import org.apache.spark.sql.functions.col
     val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
