@@ -109,11 +109,35 @@ object Relational {
       .limit(20)
   }
 
+  /** Q18-shape (large-volume customers): orders whose total lineitem
+    * quantity clears a threshold, enriched with their customer. Scale
+    * notes: the HAVING pre-aggregation shrinks the big table FIRST —
+    * one orderkey-keyed partial-combined agg over lineitem, filtered
+    * to the few qualifying keys, and only THOSE re-join orders and
+    * customer (a semi-join shape Spark plans as broadcast once the
+    * survivor set is small; the full 3-way join never materializes
+    * unfiltered). Top-100 is TakeOrderedAndProject.
+    */
+  def q18BigOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 250.0)
+    big.join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q3_top_orders" -> (q3Top _),
     "q5_region_revenue" -> (q5Region _),
-    "q10_returned" -> (q10Returns _)
+    "q10_returned" -> (q10Returns _),
+    "q18_big_orders" -> (q18BigOrders _)
   )
 
   def oracle: Map[String, String] = Map(
@@ -156,6 +180,19 @@ object Relational {
          |WHERE l_returnflag = 'R'
          |GROUP BY c_custkey, c_name, c_mktsegment
          |ORDER BY revenue DESC, c_custkey
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    "q18_big_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${sqlDsum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${sqlDsum("l_quantity")} > 250.0)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |  o_totalprice, sum_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+         |LIMIT 100""".stripMargin
   )
 }

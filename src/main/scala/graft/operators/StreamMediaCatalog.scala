@@ -435,6 +435,39 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E16 — streaming MEDIA decode: the multimodal pipeline's
+    // continuous-ingestion face. G.711 payloads (m11's byte formula)
+    // stage to parquet, stream in as binary rows, and the REAL
+    // partition-batched decoder runs unchanged inside the micro-batch
+    // (typed mapPartitions is a stateless projection — no watermark,
+    // no state). Must equal the batch m11 gate exactly, which is the
+    // point: payload decode composes with streams for free because it
+    // never needed an aggregation.
+    "e16_stream_media" -> ((spark, dir) => {
+      import spark.implicits._
+      val staged = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val n = 32 + (id % 32).toInt
+          val g711 = Array.tabulate(n)(j => ((id * 7 + j * 13) % 256).toByte)
+          (id, BinaryOps.encodeWavG711(8000, 1, g711, aLaw = id % 2 == 1))
+        }
+        .toDF("doc_id", "payload")
+      val d = graft.core.Staging.tmpDir("stream_media")
+      staged.write.mode("overwrite").parquet(d)
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType))))
+        .parquet(d)
+      EventStream.runToMemory(spark, BinaryOps.g711Stats(stream).toDF(),
+        s"stream_media_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     // E15 — streaming PSI drift monitor against a frozen baseline:
     // yesterday's snapshot fixes bounds + q as plan literals, today's
     // (planted-shift) snapshot streams in, one Complete-mode agg row
@@ -503,6 +536,47 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"), col("chunk_id"))
     })
   )
+
+  /** G.711 expansion tables (CCITT) restated as bit arithmetic:
+    * mu-law complements the byte then shifts mantissa*8+132 by the
+    * exponent; A-law xors 0x55 with segment-0/1 special cases. The
+    * byte stream itself is the (doc_id, j) formula of the m11/e16
+    * gates — same payloads, same decoder, batch and streamed.
+    */
+  private val G711DecodeSql: String =
+    """WITH d AS (SELECT doc_id, 32 + doc_id % 32 AS n FROM documents),
+        |b AS (SELECT d.doc_id, d.n, j.j,
+        |    CAST((d.doc_id * 7 + j.j * 13) % 256 AS INT) AS byte
+        |  FROM d CROSS JOIN LATERAL unnest(range(0, d.n)) AS j(j)),
+        |x AS (SELECT doc_id, n, j,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    CASE WHEN (255 - byte) >= 128
+        |      THEN 132 - ((((255 - byte) & 15) * 8 + 132)
+        |                  << (((255 - byte) >> 4) & 7))
+        |      ELSE ((((255 - byte) & 15) * 8 + 132)
+        |            << (((255 - byte) >> 4) & 7)) - 132 END
+        |  ELSE
+        |    CASE WHEN (xor(byte, 85) & 128) != 0 THEN 1 ELSE -1 END *
+        |    CASE WHEN ((xor(byte, 85) >> 4) & 7) = 0
+        |           THEN (xor(byte, 85) & 15) * 16 + 8
+        |         WHEN ((xor(byte, 85) >> 4) & 7) = 1
+        |           THEN (xor(byte, 85) & 15) * 16 + 264
+        |         ELSE ((xor(byte, 85) & 15) * 16 + 264)
+        |              << (((xor(byte, 85) >> 4) & 7) - 1) END
+        |  END AS s
+        |  FROM b),
+        |agg AS (SELECT doc_id, n,
+        |    CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+        |    CAST(MAX(ABS(s)) AS INT) AS peak,
+        |    CAST(MIN(CASE WHEN j = 0 THEN s END) AS INT) AS first_sample,
+        |    CAST(MIN(CASE WHEN j = n - 1 THEN s END) AS INT) AS last_sample
+        |  FROM x GROUP BY doc_id, n)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples, first_sample, last_sample,
+        |  sum_abs, peak
+        |FROM agg ORDER BY doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // identical to the batch rollup — streaming must agree with batch
@@ -684,40 +758,11 @@ object StreamMediaCatalog {
     // mu-law complements the byte then shifts mantissa*8+132 by the
     // exponent; A-law xors 0x55 with segment-0/1 special cases. The
     // byte stream itself is the (doc_id, j) formula from the gate.
-    "m11_g711_decode" ->
-      """WITH d AS (SELECT doc_id, 32 + doc_id % 32 AS n FROM documents),
-        |b AS (SELECT d.doc_id, d.n, j.j,
-        |    CAST((d.doc_id * 7 + j.j * 13) % 256 AS INT) AS byte
-        |  FROM d CROSS JOIN LATERAL unnest(range(0, d.n)) AS j(j)),
-        |x AS (SELECT doc_id, n, j,
-        |  CASE WHEN doc_id % 2 = 0 THEN
-        |    CASE WHEN (255 - byte) >= 128
-        |      THEN 132 - ((((255 - byte) & 15) * 8 + 132)
-        |                  << (((255 - byte) >> 4) & 7))
-        |      ELSE ((((255 - byte) & 15) * 8 + 132)
-        |            << (((255 - byte) >> 4) & 7)) - 132 END
-        |  ELSE
-        |    CASE WHEN (xor(byte, 85) & 128) != 0 THEN 1 ELSE -1 END *
-        |    CASE WHEN ((xor(byte, 85) >> 4) & 7) = 0
-        |           THEN (xor(byte, 85) & 15) * 16 + 8
-        |         WHEN ((xor(byte, 85) >> 4) & 7) = 1
-        |           THEN (xor(byte, 85) & 15) * 16 + 264
-        |         ELSE ((xor(byte, 85) & 15) * 16 + 264)
-        |              << (((xor(byte, 85) >> 4) & 7) - 1) END
-        |  END AS s
-        |  FROM b),
-        |agg AS (SELECT doc_id, n,
-        |    CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
-        |    CAST(MAX(ABS(s)) AS INT) AS peak,
-        |    CAST(MIN(CASE WHEN j = 0 THEN s END) AS INT) AS first_sample,
-        |    CAST(MIN(CASE WHEN j = n - 1 THEN s END) AS INT) AS last_sample
-        |  FROM x GROUP BY doc_id, n)
-        |SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS codec,
-        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
-        |  CAST(n AS BIGINT) AS n_samples, first_sample, last_sample,
-        |  sum_abs, peak
-        |FROM agg ORDER BY doc_id""".stripMargin,
+    "m11_g711_decode" -> G711DecodeSql,
+
+    // identical payloads, identical decoder, streamed: same oracle
+    "e16_stream_media" -> G711DecodeSql,
+
 
     // the same (doc_id, x, y, channel) pixel formula, restated in SQL —
     // the gate then proves the whole encode→decode byte path: a wrong
