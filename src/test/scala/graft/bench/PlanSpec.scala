@@ -60,6 +60,43 @@ class PlanSpec extends SparkSpec {
     assert(aggs.size >= 2)
   }
 
+  test("q18: the HAVING pre-agg shrinks lineitem BELOW the joins, two-phase") {
+    val df = graft.operators.Relational.q18BigOrders(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial-combined quantity agg exists, and no cartesian/BNLJ —
+    // only equi joins above the filtered aggregate
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 must not sort the full join:\n$plan")
+  }
+
+  test("t13_bm25: stats ride ONE broadcast row; term/doc aggs partial-combine") {
+    val df = graft.functions.TextAnalysis.bm25(
+      graft.core.Tables.documents(spark, sf0001), "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the N/avgdl stats row joins via BroadcastNestedLoopJoin over ONE
+    // row (the crossJoin stats idiom) — never a shuffled cartesian
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")), plan)
+  }
+
+  test("e15 psiStream shape: baseline is plan literals, one single-row agg") {
+    val base = spark.range(100).selectExpr("cast(id as double) as v")
+    val df = graft.operators.Drift.psiStream(base, "v", base, "v", 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // no join at all on the stream side — the baseline collapsed to
+    // literals; the only exchange is the single-row final agg's
+    assert(!plan.contains("Join"), s"baseline must be literal, not joined:\n$plan")
+    assert(plan.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial_")), plan)
+  }
+
   test("q1_agg: whole-stage codegen covers the scan→partial-agg hot path") {
     val df = graft.operators.Relational.q1Agg(spark, sf0001)
     df.collect() // AQE: codegen spans appear only in THIS qe's finalized plan
