@@ -636,6 +636,40 @@ object TrainingCatalog {
         countDistinct(col("query_id")).as("n_queries"),
         sum((col("__a").isNull || col("__b").isNull).cast("long"))
           .as("n_mismatch"))
+    }),
+
+    // V15 — index REMOVAL, v14's other direction (takedowns/TTL):
+    // build over the full corpus, remove a quarter (avoiding the
+    // query ids) rewriting only the affected cell partitions, and
+    // compare indexed answers against a frozen-quantizer build over
+    // the survivors — exact equality, same contract as v14.
+    "v15_ivfpq_remove" -> ((spark, dir) => {
+      import graft.similarity.ProductQuant
+      val emb = Tables.embeddings(spark, dir)
+      val removeIds = emb
+        .filter(col("vec_id") % 4 === 3 && col("vec_id") > 20)
+        .select(col("vec_id"))
+      val keep = emb.join(removeIds, Seq("vec_id"), "left_anti")
+      val cb = ProductQuant.buildCodebook(emb, "vec_id", "embedding",
+        m = 8, ks = 16)
+      val candidates = math.max(100L, emb.count() / 5).toInt
+      val dirA = graft.core.Staging.tmpDir("ivfpq_remove")
+      ProductQuant.saveIvfPq(emb, "vec_id", "embedding", nCells = 16,
+        cb, dirA)
+      ProductQuant.removeFromIvfPq(spark, dirA, removeIds, "vec_id")
+      val dirB = graft.core.Staging.tmpDir("ivfpq_survivors")
+      ProductQuant.saveIvfPqFrozen(keep, "vec_id", "embedding",
+        spark.read.parquet(s"$dirA/ivf/centroids"), cb, dirB)
+      def q(d: String) = ProductQuant.ivfPqTopKIndexed(spark, d,
+        "vec_id", "embedding", annQueryIds, k = 5, nProbe = 8,
+        candidateK = candidates)
+      q(dirA).withColumn("__a", lit(1)).join(
+        q(dirB).withColumn("__b", lit(1)),
+        Seq("query_id", "neighbor_id", "cos_sim"), "full_outer")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          sum((col("__a").isNull || col("__b").isNull).cast("long"))
+            .as("n_mismatch"))
     })
   )
 
@@ -1063,6 +1097,10 @@ object TrainingCatalog {
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 
     "v14_ivfpq_append" ->
+      s"""SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_mismatch
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    "v15_ivfpq_remove" ->
       s"""SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_mismatch
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 

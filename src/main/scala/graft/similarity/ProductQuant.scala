@@ -320,6 +320,66 @@ object ProductQuant {
     Similarity.topK(scored, k)
   }
 
+  /** Remove ids from a persisted IVF-PQ index, rewriting ONLY the
+    * cells that contain them — [[appendToIvfPq]]'s other direction
+    * (takedowns, dedup retractions, TTL expiry). The removal set
+    * joins the assigned table to find its cells (≤ nCells values — a
+    * bounded collect), the surviving rows of THOSE cells are
+    * anti-joined and written back under dynamic partition overwrite
+    * (a derived session carries the conf, the Bloom pattern — the
+    * caller's session is never mutated), and cells left EMPTY are
+    * deleted explicitly (dynamic overwrite cannot write an empty
+    * partition, so without the delete their stale files would
+    * survive). Untouched cells' files are never read or written:
+    * cost is O(rows in affected cells), not O(index).
+    *
+    * The quantizer is untouched, so remove(base ∪ X, X) equals a
+    * [[saveIvfPqFrozen]] build over base exactly — the v15 gate's
+    * claim.
+    */
+  def removeFromIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      removeIds: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    val s = spark.newSession()
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // materialize the removal set BEFORE any overwrite: a caller-built
+    // frame may derive from the index's own files (e.g. "everything in
+    // cell 7"), and its plan would re-list those files after we
+    // rewrote them — localCheckpoint truncates that lineage eagerly
+    val ids = SessionBridge.inSession(
+      removeIds.select(col(idCol)).distinct(), s).localCheckpoint()
+    def prune(table: String): Unit = {
+      val full = s.read.parquet(s"$dir/$table")
+      val affected = full.join(ids, idCol)
+        .select(col("cell")).distinct()
+        .collect().map(_.getAs[Int]("cell")).toSeq
+      if (affected.isEmpty) return
+      val scoped = full.filter(col("cell").isInCollection(affected))
+      val remaining = scoped.join(ids, Seq(idCol), "left_anti")
+      // Spark refuses to overwrite a path that appears in the read
+      // plan, so the survivors stage through a scratch dir first —
+      // bounded by the affected cells' rows, the same O(affected)
+      val tmp = graft.core.Staging.tmpDir(
+        "ivfpq_remove_" + table.replace('/', '_'))
+      remaining.write.mode("overwrite").parquet(tmp)
+      val staged = s.read.parquet(tmp)
+      staged.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dir/$table")
+      val stillThere = staged.select(col("cell")).distinct()
+        .collect().map(_.getAs[Int]("cell")).toSet
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir match {
+          case d if d.contains("://") => d
+          case d => s"file:$d"
+        }), s.sparkContext.hadoopConfiguration)
+      affected.filterNot(stillThere).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$table/cell=$c"), true)
+      }
+    }
+    prune("ivf/assigned")
+    prune("pq/codes")
+  }
+
   /** Persist a PQ index: the codes table (cell-partitioned when a
     * `cell` column is present, so IVF-PQ probing prunes files) plus
     * the codebook seeds — the saveIvf contract extended to the

@@ -139,6 +139,47 @@ class ProductQuantSpec extends graft.SparkSpec {
     assert(q(dirA) == q(dirB))
   }
 
+  test("removeFromIvfPq equals a frozen rebuild over survivors; emptied cells vanish") {
+    import org.apache.spark.sql.functions.col
+    val dirA = graft.core.Staging.tmpDir("ivfpq_rm_a")
+    ProductQuant.saveIvfPq(emb, "vec_id", "embedding", nCells = 16, cb, dirA)
+    // removal set: every 5th id PLUS one whole cell's membership —
+    // the emptied-cell partition must be deleted, not left stale
+    // (dynamic overwrite cannot write an empty partition)
+    val assigned0 = spark.read.parquet(s"$dirA/ivf/assigned")
+    val victimCell = assigned0.select(col("cell")).as[Int].head()
+    val removeIds = assigned0
+      .filter(col("cell") === victimCell || col("vec_id") % 5 === 0)
+      .select(col("vec_id"))
+    // snapshot before the removal rewrites the files this frame reads
+    val removed = removeIds.as[Long].collect().toSet
+    ProductQuant.removeFromIvfPq(spark, dirA, removeIds, "vec_id")
+    assert(!new java.io.File(s"$dirA/ivf/assigned/cell=$victimCell").exists(),
+      "emptied assigned partition must be deleted")
+    assert(!new java.io.File(s"$dirA/pq/codes/cell=$victimCell").exists(),
+      "emptied codes partition must be deleted")
+    val dirB = graft.core.Staging.tmpDir("ivfpq_rm_b")
+    ProductQuant.saveIvfPqFrozen(
+      emb.filter(!col("vec_id").isInCollection(removed.toSeq)),
+      "vec_id", "embedding",
+      spark.read.parquet(s"$dirA/ivf/centroids"), cb, dirB)
+    def assigned(d: String) = spark.read.parquet(s"$d/ivf/assigned")
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toSet
+    def codes(d: String) = spark.read.parquet(s"$d/pq/codes")
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    assert(assigned(dirA) == assigned(dirB))
+    assert(codes(dirA) == codes(dirB))
+    // survivors only, and none of the removed ids remain
+    assert(assigned(dirA).map(_._1).intersect(removed).isEmpty)
+    // indexed queries over surviving query ids agree
+    val qs = assigned(dirA).map(_._1).toSeq.sorted.take(3)
+    def q(d: String) = ProductQuant.ivfPqTopKIndexed(spark, d, "vec_id",
+      "embedding", qs, 5, nProbe = 8, candidateK = 100)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(q(dirA) == q(dirB))
+  }
+
   test("persisted IVF-PQ index answers identically to the in-memory path") {
     val dir = graft.core.Staging.tmpDir("ivfpq_index")
     ProductQuant.saveIvfPq(emb, "vec_id", "embedding", nCells = 16, cb, dir)
