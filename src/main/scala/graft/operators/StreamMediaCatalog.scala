@@ -435,6 +435,31 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E17 — stateful streaming token-budget admission: per-source
+    // state is one long; docs admitted in doc_id order while their
+    // start sits inside the budget (the batch keep rule). Must equal
+    // the doc_id-ordered batch cumsum spelling exactly.
+    "e17_stream_token_budget" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_tb"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val stream = graft.streaming.DocStream.read(spark, d.toString)
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_toks"))
+        // null-text docs drop on BOTH paths (the oracle's cum - n_toks
+        // predicate is NULL for them); filtering first keeps the typed
+        // encoder away from a null primitive
+        .filter(col("n_toks").isNotNull)
+      val admitted = graft.streaming.DocStream.tokenBudgetUpdates(
+        stream, "doc_id", "source", "n_toks", budget = 800L)
+      EventStream.runToMemory(spark, admitted.toDF(),
+        s"stream_tb_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     // E16 — streaming MEDIA decode: the multimodal pipeline's
     // continuous-ingestion face. G.711 payloads (m11's byte formula)
     // stage to parquet, stream in as binary rows, and the REAL
@@ -616,6 +641,19 @@ object StreamMediaCatalog {
          |WHERE $fp NOT IN (SELECT fp FROM store)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the doc_id-ordered batch cumsum spelling (arrival-order prefix —
+    // the streaming contract; tb1's quality order needs the future)
+    "e17_stream_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, n_toks,
+        |    SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT source, doc_id, n_toks FROM c
+        |WHERE cum - n_toks < 800 ORDER BY doc_id""".stripMargin,
 
     // the batch dd2 PSI spelling over the same snapshot pair
     "e15_stream_psi" ->

@@ -101,6 +101,45 @@ object DocStream {
       }
   }
 
+  final case class BudgetState(used: Long)
+  final case class AdmittedDoc(source: String, doc_id: Long, n_toks: Long)
+
+  /** Streaming per-group token-budget admission — the continuous face
+    * of `GroupStats.tokenBudgetTrim`: each group's keyed state is ONE
+    * long (tokens already admitted), and a document is admitted iff it
+    * STARTS inside the budget, exactly the batch keep rule
+    * (cum − n < budget). Admission is an ingestion-order prefix, so
+    * the streaming contract orders by `doc_id` (within a micro-batch
+    * explicitly, across batches by arrival) rather than batch tb1's
+    * quality-descending order — a stream cannot sort the future; the
+    * e17 oracle states the same doc_id-ordered spelling. State is
+    * bounded by the group count for ANY stream length; admitted docs
+    * emit once (Append).
+    */
+  def tokenBudgetUpdates(docs: DataFrame, idCol: String, groupCol: String,
+                         nTokCol: String, budget: Long):
+      org.apache.spark.sql.Dataset[AdmittedDoc] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(budget > 0, s"budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        col(nTokCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BudgetState, AdmittedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (source, it, state) =>
+          var used = state.getOption.map(_.used).getOrElse(0L)
+          val admitted = it.toSeq.sortBy(_._2).flatMap { case (_, id, n) =>
+            if (used < budget) { used += n; Some(AdmittedDoc(source, id, n)) }
+            else None
+          }
+          state.update(BudgetState(used))
+          admitted.iterator
+      }
+  }
+
   def dedupAgainstStore(docs: DataFrame, store: DataFrame): DataFrame =
     docs
       .withColumn("__fp", TextAnalysis.normalizedFingerprint(col("text")))

@@ -102,6 +102,44 @@ class DocStreamSpec extends graft.SparkSpec {
       "doc 1 shares every band with the store; 2 has no shingles; 3 is new")
   }
 
+  test("token-budget admission carries per-group state across micro-batches") {
+    // budget 10 per source. Batch 1: a/1 (6 toks, admits, 6 used),
+    // a/2 (5, STARTS inside 10 -> admits, 11 used), b/3 (4, admits).
+    // Batch 2: a/4 (1, budget exhausted -> rejected), b/5 (7, starts
+    // at 4 < 10 -> admits), b/6 (1, starts at 11 -> rejected).
+    val dir = graft.core.Staging.tmpDir("docstream_tb")
+    Seq((1L, "a", 6L), (2L, "a", 5L), (3L, "b", 4L))
+      .toDF("doc_id", "source", "n_toks").coalesce(1)
+      .write.parquet(s"$dir/b1")
+    Seq((4L, "a", 1L), (5L, "b", 7L), (6L, "b", 1L))
+      .toDF("doc_id", "source", "n_toks").coalesce(1)
+      .write.parquet(s"$dir/b2")
+    val src = graft.core.Staging.tmpDir("docstream_tb_src")
+    for (b <- Seq("b1", "b2")) {
+      val p = java.nio.file.Paths.get(dir, b)
+      java.nio.file.Files.list(p).filter(_.toString.endsWith(".parquet"))
+        .forEach(q => java.nio.file.Files.copy(q,
+          java.nio.file.Paths.get(src, s"${b}_${q.getFileName}")))
+    }
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_toks",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val out = EventStream.runToMemory(spark,
+      DocStream.tokenBudgetUpdates(stream, "doc_id", "source", "n_toks",
+        budget = 10L).toDF(),
+      "docstream_tb_sink",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect().toSeq
+    assert(out.map(_.getLong(1)) == Seq(1L, 2L, 3L, 5L),
+      s"expected 1,2,3,5 admitted; got $out")
+  }
+
   test("chunk fan-out streams: one row per window, parity with batch chunker") {
     val src = stageTwoBatches()
     val streamed = EventStream.runToMemory(spark,
