@@ -340,6 +340,65 @@ object TextAnalysis {
           .as("mean_logprob"))
   }
 
+  /** Stupid-backoff bigram scoring ACROSS corpora — the rung the
+    * within-corpus LMs (t9/t11) cannot reach: score held-out
+    * documents with a model trained on a DIFFERENT corpus, where
+    * unseen bigrams are real. S(w|c) = c_bg/c_ctx when the bigram was
+    * seen in training; else α·c_w/N when the word was; else the
+    * α·0.5/N half-count floor (Brants et al.'s web-scale recipe —
+    * no normalization, which is what makes it join-shaped instead of
+    * a distribution fit). Emits per scored doc the position count,
+    * how many positions backed off, and the quantized mean log-score.
+    *
+    * Exactness: every branch is an exact rational of train counts,
+    * ln quantized once per position (t9's nudged floor), sums exact
+    * int64. Scale shape: t11's layout — counts partial-aggregate
+    * map-side, the model join keys are vocabulary entries whose
+    * cardinality grows with the corpus (shuffle, not broadcast — a
+    * bigram table grows with data), N rides the 1-row broadcast.
+    */
+  def backoffLogProb(score: org.apache.spark.sql.DataFrame,
+                     train: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.TextDedup
+    val scale = 1e6
+    val bgTrain = TextDedup.shingleSets(train, idCol, textCol, k = 2,
+        distinct = false)
+      .select(col("shingle").as("bigram"),
+        substring_index(col("shingle"), " ", 1).as("ctx"))
+    val bgCnt = bgTrain.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+    val ctxCnt = bgTrain.groupBy(col("ctx")).agg(count(lit(1)).as("c_ctx"))
+    val uniTrain = TextDedup.shingleSets(train, idCol, textCol, k = 1,
+      distinct = false)
+    val uniCnt = uniTrain.groupBy(col("shingle").as("w"))
+      .agg(count(lit(1)).as("c_w"))
+    val n = uniTrain.agg(count(lit(1)).as("n_train_tokens"))
+    val pos = TextDedup.shingleSets(score, idCol, textCol, k = 2,
+        distinct = false)
+      .select(col(idCol), col("shingle").as("bigram"),
+        substring_index(col("shingle"), " ", 1).as("ctx"),
+        substring_index(col("shingle"), " ", -1).as("w"))
+    pos
+      .join(bgCnt, Seq("bigram"), "left")
+      .join(ctxCnt, Seq("ctx"), "left")
+      .join(uniCnt, Seq("w"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("lp_q", floor(log(
+        when(col("c_bg").isNotNull,
+          col("c_bg").cast("double") / col("c_ctx").cast("double"))
+        .when(col("c_w").isNotNull,
+          lit(alpha) * col("c_w").cast("double")
+            / col("n_train_tokens").cast("double"))
+        .otherwise(lit(alpha) * lit(0.5)
+          / col("n_train_tokens").cast("double"))) * lit(scale) + lit(1e-4)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(col("c_bg").isNull.cast("long")).as("n_backoff"),
+        (sum(col("lp_q")).cast("double") / lit(scale)
+          / count(lit(1)).cast("double")).as("mean_logscore"))
+  }
+
   // ------------------------------------------------------- DuckDB spellings
 
   /** SQL fragments mirroring the expressions above, used to build

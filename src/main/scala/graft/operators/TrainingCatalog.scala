@@ -602,6 +602,19 @@ object TrainingCatalog {
       TextAnalysis.bm25(Tables.documents(spark, dir), "doc_id", "text")
         .orderBy(col("doc_id"), col("term"))),
 
+    // T14 — Stupid-backoff cross-corpus LM scoring: train on even
+    // docs, score odd docs — unseen bigrams are REAL (unlike the
+    // within-corpus t9/t11) and back off to alpha-discounted unigrams,
+    // then to the half-count floor
+    "t14_backoff_lm" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      TextAnalysis.backoffLogProb(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // V14 — incremental IVF-PQ maintenance: build the index over 3/4
     // of the corpus, APPEND the held-out quarter against the persisted
     // (frozen) quantizer, and query the appended index. The gate
@@ -794,6 +807,41 @@ object TrainingCatalog {
         |  FROM bg g JOIN bc USING (bigram) JOIN cc USING (ctx))
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // train CTEs count even docs' bigrams/unigrams; scored positions
+    // LEFT-join the model and CASE through the backoff ladder — same
+    // quantized-ln, same exact-rational branches
+    "t14_backoff_lm" ->
+      """WITH ttok AS (SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |tbg AS (SELECT t[i] AS ctx, t[i] || ' ' || t[i+1] AS bigram
+        |  FROM ttok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT bigram, COUNT(*) AS c_bg FROM tbg GROUP BY bigram),
+        |cc AS (SELECT ctx, COUNT(*) AS c_ctx FROM tbg GROUP BY ctx),
+        |tuni AS (SELECT u.tk AS w FROM ttok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |uc AS (SELECT w, COUNT(*) AS c_w FROM tuni GROUP BY w),
+        |nn AS (SELECT COUNT(*) AS n FROM tuni),
+        |stok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |sbg AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS w,
+        |    t[i] || ' ' || t[i+1] AS bigram
+        |  FROM stok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |lp AS (SELECT g.doc_id, bc.c_bg,
+        |    CAST(FLOOR(ln(
+        |      CASE WHEN bc.c_bg IS NOT NULL
+        |             THEN CAST(bc.c_bg AS DOUBLE) / CAST(cc.c_ctx AS DOUBLE)
+        |           WHEN uc.c_w IS NOT NULL
+        |             THEN 0.4 * CAST(uc.c_w AS DOUBLE) / CAST(nn.n AS DOUBLE)
+        |           ELSE 0.4 * 0.5 / CAST(nn.n AS DOUBLE)
+        |      END) * 1000000.0 + 0.0001) AS BIGINT) AS lp_q
+        |  FROM sbg g LEFT JOIN bc USING (bigram) LEFT JOIN cc USING (ctx)
+        |  LEFT JOIN uc USING (w) CROSS JOIN nn)
+        |SELECT doc_id, COUNT(*) AS n_positions,
+        |  CAST(SUM(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+        |  CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // the corpus tag rides through the same md5 universal-hash twin the

@@ -115,6 +115,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gold(2, 2, 3) < 2 * gold(1, 2, 3))
   }
 
+  test("backoff ladder golden: seen bigram, unigram backoff, OOV floor") {
+    // train "a b a c": bigrams {a b, b a, a c}, ctx counts a:2 b:1,
+    // unigrams a:2 b:1 c:1, N=4
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    // score "a b c a x q": positions and their ladder branches:
+    //   a b -> seen bigram      ln(1/2)
+    //   b c -> unseen, c seen   ln(0.4*1/4)
+    //   c a -> unseen, a seen   ln(0.4*2/4)
+    //   a x -> unseen, x OOV    ln(0.4*0.5/4)
+    //   x q -> unseen, q OOV    ln(0.4*0.5/4)
+    val scoreD = Seq((1L, "a b c a x q")).toDF("doc_id", "text")
+    val r = TextAnalysis.backoffLogProb(scoreD, train, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().head
+    def q(v: Double): Long = math.floor(v * 1e6 + 1e-4).toLong
+    val lps = Seq(math.log(1.0 / 2.0), math.log(0.4 * 1.0 / 4.0),
+      math.log(0.4 * 2.0 / 4.0), math.log(0.4 * 0.5 / 4.0),
+      math.log(0.4 * 0.5 / 4.0))
+    val golden = lps.map(q).sum.toDouble / 1e6 / 5.0
+    assert(r == ((1L, 5L, 4L, golden)), s"got $r expected mean $golden")
+  }
+
   test("unigramLogProb golden values (quantized mean token log-prob)") {
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // corpus: a,a,b,b,c → N=5; p(a)=p(b)=0.4, p(c)=0.2
