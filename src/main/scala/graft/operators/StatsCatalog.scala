@@ -452,6 +452,21 @@ object StatsCatalog {
         .orderBy($"user_id", $"ts_us", $"event_id")
     }),
 
+    // W8 — lag/lead inter-event gaps: per-user time since previous and
+    // until next event ((ts_us, event_id) order — the w-family's
+    // deterministic-ordering rule). Pure integer lag/lead differences;
+    // one user-keyed window exchange, no arithmetic beyond subtraction.
+    "w8_lag_gaps" -> ((spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev(spark, dir)
+        .withColumn("gap_prev_us", $"ts_us" - lag($"ts_us", 1).over(w))
+        .withColumn("gap_next_us", lead($"ts_us", 1).over(w) - $"ts_us")
+        .select($"user_id", $"ts_us", $"event_id",
+          $"gap_prev_us", $"gap_next_us")
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    }),
+
     // N11 — per-key forward fill (LOCF over existing rows — TS1's
     // sibling without the resample grid): nulls planted on both
     // engines (every 5th event), carried value = last non-null in
@@ -516,6 +531,15 @@ object StatsCatalog {
          |WHERE value IS NOT NULL AND (value < $lo OR value > $hi)
          |ORDER BY event_id""".stripMargin
     },
+
+    "w8_lag_gaps" ->
+      s"""WITH $evSql
+         |SELECT user_id, ts_us, event_id,
+         |  ts_us - LAG(ts_us, 1) OVER w AS gap_prev_us,
+         |  LEAD(ts_us, 1) OVER w - ts_us AS gap_next_us
+         |FROM ev
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "w7_range_frame" ->
       s"""WITH $evSql
