@@ -113,6 +113,35 @@ object TextDedup {
       .select(col(idCol), col("bk.band_id"), col("bk.band_key"))
   }
 
+  /** Persist an LSH band store — the dedup sibling of the ANN index's
+    * saveIvfPq: (id, band_id, band_key) rows, band-partitioned so a
+    * single-band probe prunes to one partition. The store feeds
+    * [[graft.streaming.DocStream.nearDupAgainstStore]] (continuous
+    * ingestion) and batch anti-dedup of new crawls without ever
+    * re-shingling the historical corpus.
+    */
+  def saveBandStore(docs: DataFrame, idCol: String, textCol: String,
+                    dir: String): Unit =
+    bandKeys(minhashSignatures(
+        shingleSets(docs, idCol, textCol, distinct = false), idCol), idCol)
+      .write.mode("overwrite").partitionBy("band_id").parquet(dir)
+
+  /** Append new documents' bands to a persisted store. Band keys are
+    * pure row functions (no corpus-dependent training — unlike the ANN
+    * quantizer there is nothing to freeze), so append ≡ rebuild over
+    * the union BY CONSTRUCTION; the x15 gate states it anyway. Cost
+    * O(new docs); the historical rows are never read.
+    */
+  def appendToBandStore(docs: DataFrame, idCol: String, textCol: String,
+                        dir: String): Unit =
+    bandKeys(minhashSignatures(
+        shingleSets(docs, idCol, textCol, distinct = false), idCol), idCol)
+      .write.mode("append").partitionBy("band_id").parquet(dir)
+
+  def loadBandStore(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame =
+    spark.read.parquet(dir)
+
   /** Pairwise join only inside buckets of at most this many members;
     * larger buckets switch to star pairing (see [[candidatePairs]]).
     * 32 members = 496 pairs, the break-even neighborhood where full

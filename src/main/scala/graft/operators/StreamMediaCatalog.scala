@@ -517,6 +517,27 @@ object StreamMediaCatalog {
         org.apache.spark.sql.streaming.OutputMode.Complete())
     }),
 
+    // X15 — PERSISTED band store with append (the dedup sibling of
+    // v14's ANN index maintenance): save even/4 docs' bands, append
+    // the even/2 docs', then batch-admit odd docs against the LOADED
+    // store. Band keys are pure row functions — nothing to freeze, so
+    // append ≡ rebuild by construction; the gate shares e14's oracle,
+    // proving persisted == inline == SQL.
+    "x15_band_store_append" -> ((spark, dir) => {
+      import graft.dedup.TextDedup
+      val docs = Tables.documents(spark, dir)
+      val storeDir = graft.core.Staging.tmpDir("band_store")
+      TextDedup.saveBandStore(docs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "text", storeDir)
+      TextDedup.appendToBandStore(docs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "text", storeDir)
+      val store = TextDedup.loadBandStore(spark, storeDir)
+        .select(col("band_id"), col("band_key"))
+      graft.streaming.DocStream.nearDupAgainstStore(
+        docs.filter(col("doc_id") % 2 === 1), store)
+        .orderBy(col("doc_id"))
+    }),
+
     // E14 — streaming NEAR-dup against a historical band store: the
     // LSH face of e11. Band keys are pure row functions (computed
     // compiled per doc, no streaming aggregation), kept as columns and
@@ -603,6 +624,29 @@ object StreamMediaCatalog {
         |  sum_abs, peak
         |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** The LSH band-join admission spelling shared by e14 (inline
+    * store, streamed) and x15 (persisted+appended store, batch): odd
+    * docs sharing any band with the even-doc store drop; shingle-less
+    * docs admit.
+    */
+  private val NearDupAdmitSql: String = {
+    import graft.dedup.TextDedup.{Sql => D}
+    val bandsCte = "bands AS (" + D.bandKeyExprs().map { case (b, e) =>
+      s"SELECT doc_id, $b AS band_id, $e AS band_key FROM sig"
+    }.mkString(" UNION ALL ") + ")"
+    s"""WITH sh AS ${D.shingleSets("documents", "doc_id", "text")},
+       |sig AS (SELECT doc_id, ${D.minhashAggs()} FROM sh GROUP BY doc_id),
+       |$bandsCte,
+       |flagged AS (SELECT DISTINCT a.doc_id
+       |  FROM bands a JOIN bands s
+       |    ON a.band_id = s.band_id AND a.band_key = s.band_key
+       |  WHERE a.doc_id % 2 = 1 AND s.doc_id % 2 = 0)
+       |SELECT doc_id, text FROM documents
+       |WHERE doc_id % 2 = 1
+       |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     // identical to the batch rollup — streaming must agree with batch
     "e3_stream_windows" -> Catalog.oracle("e1_event_windows"),
@@ -668,23 +712,11 @@ object StreamMediaCatalog {
 
     // the batch LSH band-join spelling: docs that share any band with
     // the even-id store are dropped; shingle-less docs are admitted
-    "e14_stream_neardup" -> {
-      import graft.dedup.TextDedup.{Sql => D}
-      val bandsCte = "bands AS (" + D.bandKeyExprs().map { case (b, e) =>
-        s"SELECT doc_id, $b AS band_id, $e AS band_key FROM sig"
-      }.mkString(" UNION ALL ") + ")"
-      s"""WITH sh AS ${D.shingleSets("documents", "doc_id", "text")},
-         |sig AS (SELECT doc_id, ${D.minhashAggs()} FROM sh GROUP BY doc_id),
-         |$bandsCte,
-         |flagged AS (SELECT DISTINCT a.doc_id
-         |  FROM bands a JOIN bands s
-         |    ON a.band_id = s.band_id AND a.band_key = s.band_key
-         |  WHERE a.doc_id % 2 = 1 AND s.doc_id % 2 = 0)
-         |SELECT doc_id, text FROM documents
-         |WHERE doc_id % 2 = 1
-         |  AND doc_id NOT IN (SELECT doc_id FROM flagged)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "e14_stream_neardup" -> NearDupAdmitSql,
+
+    // identical admission semantics through the PERSISTED, APPENDED
+    // band store: same oracle proves persisted == inline == SQL
+    "x15_band_store_append" -> NearDupAdmitSql,
 
     // stride-2 frame indices + the per-frame pixel formula in SQL
     "m7_avi_frames" ->
