@@ -64,6 +64,7 @@ object Bench {
       "dup_span_strip" -> (() => Pipelines.dupSpanStrip(spark, sfDir)),
       "range_join" -> (() => Pipelines.rangeJoinAgg(spark, sfDir)),
       "pagerank" -> (() => Pipelines.pageRank(spark, sfDir)),
+      "bm25" -> (() => Pipelines.bm25Score(spark, sfDir)),
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),
       "curation_cascade" -> (() => Pipelines.curationCascade(spark, sfDir)),
       "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)),

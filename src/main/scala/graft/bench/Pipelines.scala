@@ -257,6 +257,18 @@ object Pipelines {
     * sf0.1 through one bucket-keyed equi shuffle, where the naive plan
     * is a 150k × 600k nested loop.
     */
+  /** BM25 scoring over the document corpus — the vocabulary-keyed
+    * shuffle workload (tf/df/dl aggs + two joins), reduced to a
+    * per-doc top term so the benched count is small but the full
+    * term table is computed.
+    */
+  def bm25Score(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.TextAnalysis
+      .bm25(Tables.documents(spark, sfDir), "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("bm25"), col("term"))).as("top"))
+      .select(col("doc_id"), col("top.term").as("top_term"))
+
   /** Integer PageRank over the event-derived graph, 6 supersteps —
     * past the every-4 localCheckpoint cadence, so the benched plan is
     * the truncated-lineage shape the operator ships at depth.

@@ -55,6 +55,35 @@ class CodecPropertiesSpec extends AnyFunSuite {
   }
   private val striding = 523
 
+  test("property: G.711 WAV roundtrip — decode(encode(x)) is the codec projection") {
+    // G.711 is lossy on arbitrary 16-bit input, but idempotent past the
+    // first pass: the decoded samples are codewords' expansions, so a
+    // second compress→expand must be the identity on them. Also the
+    // container roundtrips rate/channels/law exactly.
+    val gen = Gen.zip(Gen.choose(1, 3), Gen.choose(1, 200),
+      Gen.zip(Gen.choose(4000, 48000), Gen.oneOf(false, true)))
+    samples(gen, 12).foreach { case (ch, frames, (rate, aLaw)) =>
+      val pcm = Array.tabulate(frames * ch)(i =>
+        ((i * 911 + rate) % 65536 - 32768).toShort)
+      def wav(s: Array[Short]): Array[Byte] =
+        if (aLaw) BinaryOps.encodeWavAlaw(rate, ch, s)
+        else BinaryOps.encodeWavUlaw(rate, ch, s)
+      val Some((once, law1)) = BinaryOps.decodeWavG711(wav(pcm))
+      assert(law1 == (if (aLaw) "alaw" else "ulaw"))
+      assert(once.sampleRate == rate && once.channels == ch &&
+        once.samples.length == pcm.length)
+      val Some((twice, _)) = BinaryOps.decodeWavG711(wav(once.samples))
+      assert(java.util.Arrays.equals(
+        twice.samples.map(_.toInt), once.samples.map(_.toInt)),
+        s"G.711 not idempotent at ch=$ch n=$frames aLaw=$aLaw")
+      // and the lossy projection stays within the top segment's step
+      // (the coarsest G.711 quantization interval)
+      val maxErr = pcm.zip(once.samples)
+        .map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= 1024, s"quantization error $maxErr out of range")
+    }
+  }
+
   test("property: resize then resize-back preserves pixels picked by the mapping") {
     samples(dimGen, 8).foreach { case (w, h) =>
       val px = Array.tabulate(w * h * 3)(i => ((i * 57 + 3) % 256).toByte)
