@@ -239,6 +239,27 @@ object TrainingCatalog {
       TextDedup.jaccard(pairs, sh, "doc_id").orderBy(col("a_id"), col("b_id"))
     }),
 
+    // X16 — LSH quality audit: what fraction of the band-join
+    // candidates clear the Jaccard threshold the pipeline actually
+    // dedups at. The production dial-tuning readout (bands ×
+    // rowsPerBand vs precision) as one cheap aggregate over the x5
+    // machinery — at 100 TB you audit the dial on a sample before
+    // committing the full band join to it.
+    "x16_lsh_quality" -> ((spark, dir) => {
+      val sh = TextDedup.shingleSets(docsWithVariants(spark, dir),
+        "doc_id", "text")
+      val j = TextDedup.jaccard(
+        TextDedup.candidatePairs(
+          TextDedup.bandKeys(
+            TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
+          "doc_id"),
+        sh, "doc_id")
+      j.agg(count(lit(1)).as("n_candidates"),
+        sum((col("jacc") >= 0.5).cast("long")).as("n_ge_50"),
+        round(sum((col("jacc") >= 0.5).cast("long")).cast("double")
+          / count(lit(1)).cast("double"), 6).as("precision_at_50"))
+    }),
+
     // X13 — directional containment on the LSH candidates: catches the
     // short-doc-quoted-in-long-doc case a Jaccard threshold misses
     "x13_containment" -> ((spark, dir) => {
@@ -763,6 +784,25 @@ object TrainingCatalog {
     "x11_lsh_star_cap" ->
       s"""WITH $docsWithVariantsSql, $docsWithClusterSql, ${shCte("augc")}, $sigCte, $bandsCte, $pairsCte
          |SELECT a_id, b_id FROM pairs ORDER BY a_id, b_id""".stripMargin,
+
+    "x16_lsh_quality" ->
+      s"""WITH $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.a_id
+         |  JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY p.a_id, p.b_id),
+         |j AS (SELECT CAST(i.n AS DOUBLE)
+         |      / CAST(za.sz + zb.sz - i.n AS DOUBLE) AS jacc
+         |  FROM inter i
+         |  JOIN sz za ON za.doc_id = i.a_id
+         |  JOIN sz zb ON zb.doc_id = i.b_id)
+         |SELECT COUNT(*) AS n_candidates,
+         |  CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_50,
+         |  round(CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS precision_at_50
+         |FROM j""".stripMargin,
 
     "x5_jaccard" ->
       s"""WITH $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
