@@ -636,6 +636,29 @@ object TrainingCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // CX2 — selection by CROSS-corpus LM score: t14's backoff scores
+    // tercile the held-out corpus (the CCNet recipe with a model that
+    // actually saw different data — cx1's in-corpus LM cannot rank
+    // what it trained on without leakage). Rounded float-rank +
+    // doc_id tiebreak, NTILE(3); deliberate single-partition window
+    // over the per-doc score table (one row per doc — the exact-gate
+    // contract, the scale path being a percentile_approx twin).
+    "cx2_backoff_buckets" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val scored = TextAnalysis.backoffLogProb(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(round(col("mean_logscore"), 6).desc, col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("mean_logscore")), 6).as("min_score"),
+          round(max(col("mean_logscore")), 6).as("max_score"))
+        .orderBy(col("bucket"))
+    }),
+
     // V14 — incremental IVF-PQ maintenance: build the index over 3/4
     // of the corpus, APPEND the held-out quarter against the persisted
     // (frozen) quantizer, and query the appended index. The gate
@@ -719,6 +742,37 @@ object TrainingCatalog {
     s"SELECT doc_id, $b AS band_id, $e AS band_key FROM sig"
   }.mkString(" UNION ALL ") + ")"
   private val pairsCte = D.pairsCtes("doc_id")
+
+  /** t14's train-and-score CTE chain (through `lp`), shared with the
+    * cx2 bucketing oracle.
+    */
+  private val BackoffLpCtes: String =
+    """ttok AS (SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |tbg AS (SELECT t[i] AS ctx, t[i] || ' ' || t[i+1] AS bigram
+        |  FROM ttok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |bc AS (SELECT bigram, COUNT(*) AS c_bg FROM tbg GROUP BY bigram),
+        |cc AS (SELECT ctx, COUNT(*) AS c_ctx FROM tbg GROUP BY ctx),
+        |tuni AS (SELECT u.tk AS w FROM ttok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |uc AS (SELECT w, COUNT(*) AS c_w FROM tuni GROUP BY w),
+        |nn AS (SELECT COUNT(*) AS n FROM tuni),
+        |stok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |sbg AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS w,
+        |    t[i] || ' ' || t[i+1] AS bigram
+        |  FROM stok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |lp AS (SELECT g.doc_id, bc.c_bg,
+        |    CAST(FLOOR(ln(
+        |      CASE WHEN bc.c_bg IS NOT NULL
+        |             THEN CAST(bc.c_bg AS DOUBLE) / CAST(cc.c_ctx AS DOUBLE)
+        |           WHEN uc.c_w IS NOT NULL
+        |             THEN 0.4 * CAST(uc.c_w AS DOUBLE) / CAST(nn.n AS DOUBLE)
+        |           ELSE 0.4 * 0.5 / CAST(nn.n AS DOUBLE)
+        |      END) * 1000000.0 + 0.0001) AS BIGINT) AS lp_q
+        |  FROM sbg g LEFT JOIN bc USING (bigram) LEFT JOIN cc USING (ctx)
+        |  LEFT JOIN uc USING (w) CROSS JOIN nn)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "t1_token_stats" ->
@@ -853,36 +907,27 @@ object TrainingCatalog {
     // LEFT-join the model and CASE through the backoff ladder — same
     // quantized-ln, same exact-rational branches
     "t14_backoff_lm" ->
-      """WITH ttok AS (SELECT string_split(text, ' ') AS t FROM documents
-        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
-        |tbg AS (SELECT t[i] AS ctx, t[i] || ' ' || t[i+1] AS bigram
-        |  FROM ttok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 2),
-        |bc AS (SELECT bigram, COUNT(*) AS c_bg FROM tbg GROUP BY bigram),
-        |cc AS (SELECT ctx, COUNT(*) AS c_ctx FROM tbg GROUP BY ctx),
-        |tuni AS (SELECT u.tk AS w FROM ttok CROSS JOIN LATERAL unnest(t) AS u(tk)),
-        |uc AS (SELECT w, COUNT(*) AS c_w FROM tuni GROUP BY w),
-        |nn AS (SELECT COUNT(*) AS n FROM tuni),
-        |stok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
-        |sbg AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS w,
-        |    t[i] || ' ' || t[i+1] AS bigram
-        |  FROM stok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 2),
-        |lp AS (SELECT g.doc_id, bc.c_bg,
-        |    CAST(FLOOR(ln(
-        |      CASE WHEN bc.c_bg IS NOT NULL
-        |             THEN CAST(bc.c_bg AS DOUBLE) / CAST(cc.c_ctx AS DOUBLE)
-        |           WHEN uc.c_w IS NOT NULL
-        |             THEN 0.4 * CAST(uc.c_w AS DOUBLE) / CAST(nn.n AS DOUBLE)
-        |           ELSE 0.4 * 0.5 / CAST(nn.n AS DOUBLE)
-        |      END) * 1000000.0 + 0.0001) AS BIGINT) AS lp_q
-        |  FROM sbg g LEFT JOIN bc USING (bigram) LEFT JOIN cc USING (ctx)
-        |  LEFT JOIN uc USING (w) CROSS JOIN nn)
-        |SELECT doc_id, COUNT(*) AS n_positions,
-        |  CAST(SUM(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
-        |  CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
-        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $BackoffLpCtes,
+         |agg AS (SELECT doc_id, COUNT(*) AS n_positions,
+         |    CAST(SUM(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+         |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
+         |  FROM lp GROUP BY doc_id)
+         |SELECT doc_id, n_positions, n_backoff, mean_logscore
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "cx2_backoff_buckets" ->
+      s"""WITH $BackoffLpCtes,
+         |agg AS (SELECT doc_id,
+         |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
+         |  FROM lp GROUP BY doc_id),
+         |b AS (SELECT mean_logscore, CAST(NTILE(3) OVER (
+         |    ORDER BY round(mean_logscore, 6) DESC, doc_id) AS INT) AS bucket
+         |  FROM agg)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  round(MIN(mean_logscore), 6) AS min_score,
+         |  round(MAX(mean_logscore), 6) AS max_score
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
 
     // the corpus tag rides through the same md5 universal-hash twin the
     // per-doc signatures use; est = agreeing slots / numHashes, exact =
