@@ -137,6 +137,27 @@ object AuditCatalog {
         .orderBy($"o_orderkey")
     }),
 
+    // J6 — interval × interval OVERLAP join on the bucket grid (rj1's
+    // two-sided sibling): order price bands vs lineitem price bands,
+    // pairs counted exactly once via the canonical later-start bucket
+    // (no distinct pass). The aggregate keeps the gate's row count
+    // bounded while hashing the full match multiset.
+    "j6_interval_overlap" -> ((spark, dir) => {
+      import spark.implicits._
+      val a = Tables.orders(spark, dir)
+        .select($"o_orderkey", $"o_totalprice".as("a_lo"),
+          ($"o_totalprice" + 500.0).as("a_hi"))
+      val b = Tables.lineitem(spark, dir)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_extendedprice".as("b_lo"),
+          ($"l_extendedprice" + 300.0).as("b_hi"))
+      RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", 400.0)
+        .groupBy($"o_orderkey")
+        .agg(count(lit(1)).cast("long").as("n_overlaps"),
+          Exact.dsum($"b_lo").as("sum_b_lo"))
+        .orderBy($"o_orderkey")
+    }),
+
     // DQ1 — one-pass declarative contract check (Expectations): five
     // constraints verified in a single aggregation; bounds(c_acctbal
     // >= 0) is planted to FAIL (negative balances exist), proving the
@@ -317,6 +338,14 @@ object AuditCatalog {
         |FROM orders JOIN lineitem
         |  ON l_extendedprice >= o_totalprice
         | AND l_extendedprice < o_totalprice + 200.0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "j6_interval_overlap" ->
+      """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_b_lo
+        |FROM orders JOIN lineitem
+        |  ON o_totalprice < l_extendedprice + 300.0
+        | AND l_extendedprice < o_totalprice + 500.0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "dq1_expectations" ->

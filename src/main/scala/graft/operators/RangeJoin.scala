@@ -65,4 +65,40 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop(bucket)
   }
+
+  /** Interval × interval OVERLAP join: every (a, b) pair with
+    * `a.start < b.end && b.start < a.end` (half-open overlap — the
+    * genomic-region / booking-conflict / session-intersection shape).
+    *
+    * Same grid as [[pointInInterval]], but BOTH sides explode to their
+    * covering buckets, so an overlapping pair meets in every shared
+    * bucket — a naive equi-join would multiply it. The standard
+    * dedup-free fix: keep a pair only in the ONE canonical bucket
+    * containing the LATER of the two starts (that bucket is always
+    * shared when the intervals overlap, because the later start lies
+    * inside both intervals' bucket ranges) — multiplicity stays exact
+    * with no distinct pass. One equi shuffle on the bucket key, a
+    * codegen'd residual, AQE skew-splitting on hot cells; fan-out per
+    * row bounded by ceil(len/width)+1 like the point case.
+    */
+  def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
+                      right: DataFrame, rStart: String, rEnd: String,
+                      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val taken = left.columns.toSet ++ right.columns
+    val bucket = Iterator.from(0).map(i => s"__graft_ov_bucket_$i")
+      .find(!taken.contains(_)).get
+    def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
+    def exploded(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(s) < col(e))
+        .withColumn(bucket,
+          explode(sequence(bucketOf(col(s)), bucketOf(col(e)), lit(1L))))
+    exploded(left, lStart, lEnd).join(exploded(right, rStart, rEnd),
+        Seq(bucket))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      // canonical-bucket guard: count the pair exactly once, where the
+      // later start lives
+      .filter(col(bucket) === bucketOf(greatest(col(lStart), col(rStart))))
+      .drop(bucket)
+  }
 }

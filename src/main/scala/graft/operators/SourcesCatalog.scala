@@ -127,6 +127,25 @@ object SourcesCatalog {
         .orderBy(col("c_custkey"))
     }),
 
+    // S16 — schema EVOLUTION read: a corpus written in two eras (the
+    // later one gained an `extra` column) reads back as one table with
+    // mergeSchema, nulls where the early files never had the column —
+    // the additive-evolution contract a long-lived 100 TB lake lives
+    // by (per-file footers merge; no rewrite of the old era)
+    "s16_schema_merge" -> ((spark, dir) => {
+      val d = tmp("evolve")
+      val docs = Tables.documents(spark, dir)
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$d/era1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("n_chars").as("extra"))
+        .write.mode("overwrite").parquet(s"$d/era2")
+      spark.read.option("mergeSchema", "true")
+        .parquet(s"$d/era1", s"$d/era2")
+        .orderBy(col("doc_id"))
+    }),
+
     // S3: DROPMALFORMED silently drops short/unparseable rows
     "s3_malformed_policy" -> ((spark, dir) => {
       val d = tmp("bad")
@@ -259,6 +278,11 @@ object SourcesCatalog {
 
     "s9_parquet_roundtrip" ->
       "SELECT * FROM customer ORDER BY c_custkey",
+
+    "s16_schema_merge" ->
+      """SELECT doc_id, text,
+        |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS extra
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s10_xml_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -67,6 +67,39 @@ class RangeJoinSpec extends graft.SparkSpec {
     assert(idxs.map(row.getString).toSet == Set("user-data-p", "user-data-i"))
   }
 
+  test("interval overlap: brute parity, exact multiplicity, width-invariant") {
+    val a = Seq((1L, 0.0, 10.0), (2L, 5.0, 6.0), (3L, 20.0, 25.0),
+      (4L, 9.0, 9.0), (5L, -8.0, -2.0)).toDF("aid", "alo", "ahi")
+    val b = Seq((10L, 9.0, 21.0), (11L, 5.5, 5.6), (12L, 30.0, 31.0),
+      (13L, -3.0, 1.0), (14L, 24.0, 40.0)).toDF("bid", "blo", "bhi")
+    val brute = a.crossJoin(b)
+      .filter($"alo" < $"bhi" && $"blo" < $"ahi")
+      .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+    for (w <- Seq(0.5, 3.0, 7.0, 100.0)) {
+      val got = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", w)
+        .select("aid", "bid").as[(Long, Long)].collect().toSeq.sorted
+      assert(got == brute, s"width $w")  // sorted SEQ equality: no dup rows
+    }
+    assert(brute.nonEmpty)
+  }
+
+  test("interval overlap fixture parity with the brute non-equi join") {
+    val a = graft.core.Tables.orders(spark, sf0001)
+      .select($"o_orderkey", $"o_totalprice".as("alo"),
+        ($"o_totalprice" + 500.0).as("ahi"))
+    val b = graft.core.Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_extendedprice".as("blo"), ($"l_extendedprice" + 300.0).as("bhi"))
+    val brute = a.crossJoin(b).filter($"alo" < $"bhi" && $"blo" < $"ahi")
+      .select($"o_orderkey", $"l_orderkey", $"l_linenumber")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val got = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", 400.0)
+      .select($"o_orderkey", $"l_orderkey", $"l_linenumber")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == brute)
+    assert(got.nonEmpty)
+  }
+
   test("plans as an equi join, not a nested-loop/cartesian") {
     val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 4.0)
     got.collect()
