@@ -240,6 +240,26 @@ object CurationCatalog {
         .select(col("doc_id"), col("source"), col("epoch"))
         .orderBy(col("doc_id"), col("epoch"))),
 
+    // MX2 — temperature-scaled mixing weights: p(source) ∝ n^0.75,
+    // the multilingual/multi-domain upsampling recipe (downweights the
+    // head, lifts the tail). pow is transcendental, so each source's
+    // n^0.75 is quantized once (nudged floor, the t9 contract) and the
+    // weight is a ratio of exact int64 sums — cross-engine identical.
+    // One tiny source-keyed agg + the 1-row broadcast total.
+    "mx2_temperature_mix" -> ((spark, dir) => {
+      val cnt = Tables.documents(spark, dir)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val w = cnt.withColumn("__q",
+        floor(pow(col("n_docs").cast("double"), lit(0.75)) * lit(1000000.0)
+          + lit(1e-4)).cast("long"))
+      val tot = w.agg(sum(col("__q")).as("__t"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          round(col("__q").cast("double") / col("__t").cast("double"), 6)
+            .as("weight"))
+        .orderBy(col("source"))
+    }),
+
     // SMP1 — Efraimidis–Spirakis weighted sample without replacement:
     // 100 docs by n_chars weight, md5-uniform key (layout-invariant),
     // rounded+tiebroken rank per the float-rank oracle rule
@@ -489,6 +509,18 @@ object CurationCatalog {
     "pii1_redact" ->
       s"""SELECT doc_id, ${Redact.redactSql(s"($piiTextSql)")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mx2_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |  GROUP BY source),
+        |q AS (SELECT source, n_docs,
+        |    CAST(FLOOR(pow(CAST(n_docs AS DOUBLE), 0.75) * 1000000.0
+        |      + 0.0001) AS BIGINT) AS qv
+        |  FROM c)
+        |SELECT source, n_docs,
+        |  round(CAST(qv AS DOUBLE)
+        |    / CAST((SELECT SUM(qv) FROM q) AS DOUBLE), 6) AS weight
+        |FROM q ORDER BY source""".stripMargin,
 
     "mx1_epoch_mix" -> {
       def fullOf(w: Double) = math.floor(w).toInt
