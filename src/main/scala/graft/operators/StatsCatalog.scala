@@ -438,6 +438,22 @@ object StatsCatalog {
       Drift.psi(b, c, "o_totalprice", nBuckets = 10)
     }),
 
+    // DD4 — multi-column drift SWEEP: the monitoring sweep a nightly
+    // pipeline runs over every numeric column at once (one (col, psi)
+    // verdict row each). Each column is its own pair of bounded-bucket
+    // partial aggs — the sweep is a union of tiny plans, no
+    // cross-column shuffle; at 100 TB the columns share the two scans
+    // via cache if desired, the aggregates stay ≤ nBuckets rows each.
+    "dd4_psi_sweep" -> ((spark, dir) => {
+      val li = Tables.lineitem(spark, dir)
+      val b = li.filter(year(col("l_shipdate")) <= 1994)
+      val c = li.filter(year(col("l_shipdate")) >= 1995)
+      Seq("l_discount", "l_extendedprice", "l_quantity").map { cn =>
+        Drift.psi(b, c, cn, nBuckets = 10)
+          .select(lit(cn).as("col_name"), col("psi"))
+      }.reduce(_ union _).orderBy(col("col_name"))
+    }),
+
     // W7 — trailing 1-hour RANGE-frame window (frame bounded by the
     // ORDER value, not row count — w4's rows-frame sibling): per-user
     // sum+count of the last hour of events at every event. Decimal-
@@ -450,6 +466,36 @@ object StatsCatalog {
         .withColumn("trail_sum", sum(dec($"value")).over(w).cast("double"))
         .withColumn("n_frame", count(lit(1)).over(w))
         .orderBy($"user_id", $"ts_us", $"event_id")
+    }),
+
+    // TS3 — trapezoidal TIME-WEIGHTED mean per user: irregular samples
+    // weight by the interval they span, twa = Σ(vᵢ+vᵢ₊₁)·dtᵢ / 2·Σdtᵢ
+    // — the sensor/price-series mean a row-count average misstates.
+    // Exactness: each term is DECIMAL(v)+DECIMAL(v₊₁) times an integer
+    // dt — exact; sums exact; ONE double division at the end.
+    // Zero-dt ties contribute zero whatever the pair order, so the
+    // (ts, event_id) ordering fully determines the result.
+    "ts3_time_weighted" -> ((spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      ev(spark, dir)
+        .withColumn("__nts", lead($"ts_us", 1).over(w))
+        .withColumn("__nv", lead($"value", 1).over(w))
+        .filter($"__nts".isNotNull)
+        .groupBy($"user_id")
+        .agg(
+          sum((dec($"value") + dec($"__nv")) * ($"__nts" - $"ts_us"))
+            .as("__sterm"),
+          sum($"__nts" - $"ts_us").as("__sdt"))
+        .select($"user_id",
+          // the decimal sums exceed 2^53 scaled units, where the two
+          // engines' decimal->double conversions can differ by an ulp
+          // (single correctly-rounded conversion vs unscaled-int*10^-s)
+          // - the 6-decimal round absorbs it, the house float contract
+          when($"__sdt" > 0,
+            round($"__sterm".cast("double") / (lit(2.0) * $"__sdt".cast("double")), 6))
+            .as("twa"))
+        .orderBy($"user_id")
     }),
 
     // W8 — lag/lead inter-event gaps: per-user time since previous and
@@ -532,6 +578,23 @@ object StatsCatalog {
          |ORDER BY event_id""".stripMargin
     },
 
+    "ts3_time_weighted" ->
+      s"""WITH $evSql,
+         |l AS (SELECT user_id, ts_us, value,
+         |    LEAD(ts_us, 1) OVER w AS nts, LEAD(value, 1) OVER w AS nv
+         |  FROM ev
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |t AS (SELECT user_id,
+         |    SUM((CAST(value AS DECIMAL(18,2)) + CAST(nv AS DECIMAL(18,2)))
+         |        * (nts - ts_us)) AS sterm,
+         |    SUM(nts - ts_us) AS sdt
+         |  FROM l WHERE nts IS NOT NULL GROUP BY user_id)
+         |SELECT user_id,
+         |  CASE WHEN sdt > 0
+         |       THEN round(CAST(sterm AS DOUBLE) / (2.0 * CAST(sdt AS DOUBLE)), 6)
+         |  END AS twa
+         |FROM t ORDER BY user_id""".stripMargin,
+
     "w8_lag_gaps" ->
       s"""WITH $evSql
          |SELECT user_id, ts_us, event_id,
@@ -575,6 +638,22 @@ object StatsCatalog {
          |      array_agg(term ORDER BY bucket)),
          |    (a, b) -> a + b) AS psi
          |FROM ${Drift.profileSql(10)} t""".stripMargin,
+
+    "dd4_psi_sweep" -> {
+      def one(cn: String) =
+        s"""SELECT '$cn' AS col_name, psi FROM (
+           |  WITH base AS (SELECT $cn AS x FROM lineitem
+           |         WHERE year(l_shipdate) <= 1994),
+           |       cur AS (SELECT $cn AS x FROM lineitem
+           |         WHERE year(l_shipdate) >= 1995)
+           |  SELECT list_reduce(
+           |      list_prepend(CAST(0.0 AS DOUBLE),
+           |        array_agg(term ORDER BY bucket)),
+           |      (a, b) -> a + b) AS psi
+           |  FROM ${Drift.profileSql(10)} t)""".stripMargin
+      Seq("l_discount", "l_extendedprice", "l_quantity").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
 
     "a13_percentile" ->
       """SELECT l_returnflag,
