@@ -115,11 +115,20 @@ class DocStreamSpec extends graft.SparkSpec {
       .toDF("doc_id", "source", "n_toks").coalesce(1)
       .write.parquet(s"$dir/b2")
     val src = graft.core.Staging.tmpDir("docstream_tb_src")
-    for (b <- Seq("b1", "b2")) {
+    // the file source orders batches by MODIFICATION TIME and breaks
+    // ties arbitrarily — admission is an arrival-order prefix, so the
+    // test must pin distinct timestamps or b2-first is a legal (and
+    // observed) delivery that admits everything
+    for ((b, i) <- Seq("b1", "b2").zipWithIndex) {
       val p = java.nio.file.Paths.get(dir, b)
       java.nio.file.Files.list(p).filter(_.toString.endsWith(".parquet"))
-        .forEach(q => java.nio.file.Files.copy(q,
-          java.nio.file.Paths.get(src, s"${b}_${q.getFileName}")))
+        .forEach { q =>
+          val dst = java.nio.file.Paths.get(src, s"${b}_${q.getFileName}")
+          java.nio.file.Files.copy(q, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() - 60000L + i * 30000L))
+        }
     }
     val stream = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
