@@ -262,6 +262,15 @@ object Pipelines {
     * per-doc top term so the benched count is small but the full
     * term table is computed.
     */
+  /** BPE re-tokenization of the whole corpus under the frozen merges —
+    * the vocab-memoized apply (per-DISTINCT-word merge loop + broadcast
+    * join + doc-keyed reassembly), timed end to end.
+    */
+  def bpeTokenize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Bpe.tokenizeDocs(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      "doc_id", "text", graft.functions.Bpe.FrozenMerges)
+
   def bm25Score(spark: SparkSession, sfDir: String): DataFrame =
     graft.functions.TextAnalysis
       .bm25(Tables.documents(spark, sfDir), "doc_id", "text")

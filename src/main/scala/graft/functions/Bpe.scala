@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer — the LLM-pipeline primitive that
+  * every token-denominated operator (chunking, token budgets, mixture
+  * weights) is really denominated in: LLM context windows count BPE
+  * tokens, not whitespace splits.
+  *
+  * Semantics (the graft BPE contract, identical on engine and oracle):
+  * a word is split to characters, then repeatedly the adjacent symbol
+  * pair with the LOWEST merge rank present anywhere in the word is
+  * merged at its LEFTMOST occurrence, until no adjacent pair is in the
+  * merge table. One-occurrence-at-a-time with re-evaluation is
+  * equivalent to the classic all-occurrences-per-pass scan (merging at
+  * position i can never create an occurrence of the same pair earlier
+  * than i: that would need y = x·y or x = ε), and it is exactly
+  * restatable in SQL — the DuckDB oracle replays it with a recursive
+  * CTE over the DISTINCT words (one leftmost `regexp_replace` per
+  * step; see [[tokenizeSql]]), so the tk1/tk2 gates are oracle-exact,
+  * not flag-style.
+  *
+  * Scale shape: tokenization is a pure function of the WORD, so the
+  * per-word merge loop runs once per DISTINCT word (the vocabulary —
+  * orders of magnitude smaller than the corpus) as a compiled typed
+  * map, and the corpus only pays a broadcast hash join (word →
+  * tokenization) plus one doc-keyed reassembly agg. Training iterates
+  * over the same (word, freq) table: one partial-combining pair count
+  * and a 1-row argmax collect per merge — the corpus is read once, and
+  * no plan lineage accumulates across iterations because each
+  * iteration re-derives symbolizations from the persisted vocab with
+  * the merges applied as a pure broadcast-closure function.
+  */
+object Bpe {
+
+  /** Canonical greedy merge application for one word: repeatedly merge
+    * the leftmost occurrence of the lowest-rank adjacent pair. Pure —
+    * safe in closures; `ranks` is small (the merge table).
+    */
+  def applyWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var more = syms.length > 1
+    while (more) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i } // strict < keeps the LEFTMOST min
+        i += 1
+      }
+      if (bi < 0) more = false
+      else syms = (syms.take(bi) :+ (syms(bi) + syms(bi + 1))) ++ syms.drop(bi + 2)
+    }
+    syms
+  }
+
+  private def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** Learn `nMerges` merges from the corpus: each round counts every
+    * adjacent symbol pair over the (distinct word, frequency) table —
+    * occurrence-weighted, so "aaa" contributes ("a","a") twice — and
+    * freezes the most frequent pair, ties broken by lexicographically
+    * smallest (x, y) so training is deterministic under any
+    * partitioning (counts are exact longs). Stops early when no
+    * adjacent pair remains.
+    *
+    * Scale: the vocab table is persisted once; each round is one
+    * compiled flatMap + partial-combining sum + a 1-row argmax collect
+    * (bounded — the only driver-side value is the winning pair).
+    */
+  def train(df: DataFrame, textCol: String, nMerges: Int): Vector[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Dataset[(String, Long)] = df
+      .select(explode(split(col(textCol), " ", -1)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)].persist()
+    try {
+      val merges = Vector.newBuilder[(String, String)]
+      var current = Vector.empty[(String, String)]
+      var rounds = 0
+      var exhausted = false
+      while (rounds < nMerges && !exhausted) {
+        val ranks = ranksOf(current) // tiny closure capture, ≤ nMerges
+        val best = vocab
+          .flatMap { case (w, f) =>
+            val syms = applyWord(w, ranks)
+            (0 until syms.length - 1).iterator
+              .map(i => (syms(i), syms(i + 1), f))
+          }
+          .toDF("x", "y", "f")
+          .groupBy($"x", $"y").agg(sum($"f").as("cnt"))
+          .orderBy($"cnt".desc, $"x", $"y")
+          .limit(1)
+          .as[(String, String, Long)]
+          .collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (x, y, _) = best.head
+          merges += ((x, y))
+          current = current :+ ((x, y))
+          rounds += 1
+        }
+      }
+      merges.result()
+    } finally vocab.unpersist()
+  }
+
+  /** The frozen merge table the tk1/tk2 gates run under: the output of
+    * [[train]] over `documents` at sf0.01 with nMerges=24, frozen as a
+    * literal (like the ml1 golden cells) so the gates are pure
+    * deterministic replays at EVERY sf — the oracle SQL embeds the
+    * same 24 rows as a VALUES list. BpeSpec re-derives this from the
+    * live trainer and fails loudly if the fixture or trainer drifts.
+    */
+  val FrozenMerges: Vector[(String, String)] = Vector(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
+
+  /** Re-tokenize every document under `merges`: returns
+    * (idCol, n_words, n_bpe_tokens, bpe_text) with `bpe_text` the
+    * space-joined BPE token stream in word order. Feeding `bpe_text`
+    * to [[graft.operators.Chunker.chunkByTokens]] chunks in BPE-token
+    * space, and `n_bpe_tokens` is the tokenizer column the batch and
+    * streaming token budgets (`GroupStats.tokenBudgetTrim`,
+    * `DocStream.tokenBudgetUpdates`) accept as `nTokCol` — the
+    * operators were already tokenizer-agnostic by signature; this
+    * supplies the BPE denomination.
+    *
+    * Documents with no words (empty text) drop out, matching the
+    * oracle's join semantics. The vocab side of the join carries the
+    * broadcast hint because |vocab| ≪ |corpus| by Heaps' law; for a
+    * pathological vocab larger than the broadcast threshold, remove
+    * the hint and the same plan degrades gracefully to a shuffle join.
+    */
+  def tokenizeDocs(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = ranksOf(merges)
+    val words = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
+      .filter(col("__w") =!= "")
+    val vocabTok = words.select(col("__w")).distinct().as[String]
+      .map { w =>
+        val t = applyWord(w, ranks)
+        (w, t.mkString(" "), t.length.toLong)
+      }
+      .toDF("__w", "__toks", "__n")
+    words.join(broadcast(vocabTok), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__n")).as("n_bpe_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__toks")))),
+            s => s("__toks")),
+          " ").as("bpe_text"))
+  }
+
+  /** DuckDB spelling of [[tokenizeDocs]] over `src(id, text)`: the
+    * recursive CTE replays the same greedy loop — per DISTINCT word,
+    * each recursion step merges the leftmost occurrence (non-global
+    * `regexp_replace`) of the min-rank pair present (`min_by` over the
+    * merge VALUES), and a word's terminal row is the one where no pair
+    * applies. Merge symbols here are [a-z]+ so they are regex-inert;
+    * the '|' pair separator cannot collide for the same reason.
+    */
+  def tokenizeSql(src: String, id: String, text: String,
+                  merges: Seq[(String, String)]): String = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    require(merges.forall { case (x, y) =>
+      (x + y).forall(c => c >= 'a' && c <= 'z') },
+      "oracle replay requires regex-inert [a-z]+ merge symbols")
+    val mvals = merges.zipWithIndex
+      .map { case ((x, y), i) => s"($i, '$x', '$y')" }.mkString(", ")
+    s"""(WITH RECURSIVE
+       |m(rank, x, y) AS (SELECT * FROM (VALUES $mvals) v(rank, x, y)),
+       |w0 AS (SELECT $id AS __id, i - 1 AS __pos, t[i] AS __w
+       |  FROM (SELECT $id, string_split($text, ' ') AS t FROM $src) d
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)
+       |  WHERE t[i] <> ''),
+       |vocab AS (SELECT DISTINCT __w AS word FROM w0),
+       |step(word, seq) AS (
+       |  SELECT word, ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT word, regexp_replace(seq,
+       |      ' ' || split_part(p, '|', 1) || ' ' || split_part(p, '|', 2) || ' ',
+       |      ' ' || split_part(p, '|', 1) || split_part(p, '|', 2) || ' ')
+       |  FROM (SELECT word, seq,
+       |          (SELECT min_by(x || '|' || y, rank) FROM m
+       |           WHERE position(' ' || x || ' ' || y || ' ' IN s.seq) > 0) AS p
+       |        FROM step s) t
+       |  WHERE p IS NOT NULL),
+       |fin AS (SELECT word, trim(seq) AS toks,
+       |    CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n
+       |  FROM step s
+       |  WHERE NOT EXISTS (SELECT 1 FROM m
+       |    WHERE position(' ' || x || ' ' || y || ' ' IN s.seq) > 0))
+       |SELECT w0.__id AS $id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(f.n) AS BIGINT) AS n_bpe_tokens,
+       |  string_agg(f.toks, ' ' ORDER BY w0.__pos) AS bpe_text
+       |FROM w0 JOIN fin f ON w0.__w = f.word
+       |GROUP BY w0.__id)""".stripMargin
+  }
+}

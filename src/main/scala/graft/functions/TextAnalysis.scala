@@ -197,7 +197,10 @@ object TextAnalysis {
 
   /** Per (document, term) TF-IDF with sklearn-style smooth idf:
     * tf * (ln((N+1)/(df+1)) + 1). tf and df stay integer-exact; the
-    * one ln+multiply rounds to 6 dp for cross-engine parity. Scale
+    * one transcendental factor is quantized with the t9 nudged floor
+    * (floor((ln+1)·1e6 + 1e-4) as int64) so libm last-ulp drift can't
+    * flip a digit cross-engine, and the emitted score is the exact
+    * integer product tf·idfQ over one shared IEEE division. Scale
     * shape: tf and df are both term-keyed partial aggregations, joined
     * on term (vocabulary can exceed broadcast size — shuffle join is
     * correct); N rides in as a broadcast single-row cross join, never
@@ -212,11 +215,17 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("term"))
       .agg(countDistinct(col(idCol)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    // t9 nudged-floor quantization of the transcendental factor (never
+    // round a raw transcendental — the round-9 t13 lesson): idf+1 is
+    // quantized to int64 once, then tf·idfQ is an exact long product
+    // (< 2^53, so DuckDB's double product is the same integer) and one
+    // shared IEEE division lands both engines on identical bits
+    val idfQ = floor((log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+      + lit(1.0)) * lit(1e6) + lit(1e-4))
     tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select(col(idCol), col("term"), col("tf"), col("df"),
-        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
-          + lit(1.0)), 6).as("tfidf"))
+        ((col("tf") * idfQ).cast("double") / lit(1e6)).as("tfidf"))
   }
 
   /** Okapi BM25 term scores — the retrieval-grade upgrade of [[tfidf]]
@@ -227,11 +236,20 @@ object TextAnalysis {
     * documents against a topic's terms) and a better duplicate-boost
     * damper than raw tf-idf.
     *
-    * Exactness follows the t7 contract: counts (tf, df, dl) are exact
-    * longs, N and avgdl ride in as ONE broadcast stats row, and the
-    * final score is a single fixed IEEE expression rounded to 6 —
-    * cross-engine identical because both engines evaluate the same
-    * tree on the same exact-integer operands.
+    * Exactness follows the t9 contract, NOT the t7 one: the idf is a
+    * raw transcendental ln, and libm builds disagree in the last ulp —
+    * at sf0.01 real scores sit 8.7e-10 relative from a 6-dp round
+    * boundary, so `round(ln·…, 6)` flips digits across DuckDB builds
+    * (this gate failed the driver's hash in round 9 exactly that way).
+    * The fix is the repo-wide discipline: quantize the ln ONCE with the
+    * nudged floor — idf_q = floor(ln(...)·1e6 + 1e-4) as int64 — after
+    * which every remaining operand (tf, df, dl exact longs; N, avgdl
+    * one broadcast stats row) feeds a pure +,−,×,÷ IEEE tree that is
+    * bit-identical across engines; the emitted score is then itself
+    * floor-quantized to a multiple of 1e-6 (floor of bit-identical
+    * input bits — zero cross-engine boundary risk, unlike decimal
+    * rounding of a near-boundary double). Quantization bias ≤1e-6 on
+    * each factor, invisible at the signal's O(0.1) useful resolution.
     *
     * Scale shape: term-keyed shuffles for tf/df (vocabulary can exceed
     * broadcast size), doc-keyed partial agg for dl, the 1-row stats
@@ -250,15 +268,20 @@ object TextAnalysis {
       .agg(countDistinct(col(idCol)).as("df"))
     // docs-with-tokens count + average length, one broadcast row
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // t9 nudged-floor quantization of the one transcendental term
+    val idfQ = floor(
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0)) * lit(1e6) + lit(1e-4))
+    // pure IEEE tree on exact/identical operands from here down
+    val raw = idfQ.cast("double") / lit(1e6) *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+        + lit(b) * col("dl") / col("avgdl")))
     tf.join(dl, Seq(idCol)).join(dfreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("dl"),
-        round(
-          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-            + lit(1.0)) *
-          (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b)
-            + lit(b) * col("dl") / col("avgdl"))), 6).as("bm25"))
+        (floor(raw * lit(1e6) + lit(1e-4)).cast("double") / lit(1e6))
+          .as("bm25"))
   }
 
   /** Per-document mean unigram log-probability — the CCNet-style LM

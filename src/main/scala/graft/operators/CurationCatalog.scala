@@ -540,13 +540,14 @@ object CurationCatalog {
          |ORDER BY d.doc_id, epoch""".stripMargin
     },
 
-    // u = (60-bit md5 prefix + 0.5) / 2^60, key = round(ln(u)/w, 6):
-    // hex→int→double and the final rounding are cross-engine exact;
-    // ln's possible last-ulp skew is absorbed by the rounding+tiebreak
+    // u = (60-bit md5 prefix + 0.5) / 2^60, key = the t9 nudged floor
+    // floor(ln(u)/w·1e6 + 1e-4)/1e6: hex→int→double is cross-engine
+    // exact, and the nudged floor (never round a raw transcendental —
+    // the round-9 t13 lesson) absorbs ln's last-ulp libm skew
     "smp1_weighted_topk" ->
       """WITH s AS (SELECT doc_id, n_chars,
-        |  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::UBIGINT::DOUBLE + 0.5)
-        |           / 1152921504606846976.0) / n_chars, 6) AS es_key
+        |  floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::UBIGINT::DOUBLE + 0.5)
+        |           / 1152921504606846976.0) / n_chars * 1e6 + 1e-4) / 1e6 AS es_key
         |FROM documents WHERE n_chars > 0)
         |SELECT doc_id, n_chars, es_key FROM s
         |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
@@ -561,8 +562,8 @@ object CurationCatalog {
 
     "smp2_weighted_stratified" ->
       """WITH s AS (SELECT doc_id, lang, n_chars,
-        |  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::UBIGINT::DOUBLE + 0.5)
-        |           / 1152921504606846976.0) / n_chars, 6) AS es_key
+        |  floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::UBIGINT::DOUBLE + 0.5)
+        |           / 1152921504606846976.0) / n_chars * 1e6 + 1e-4) / 1e6 AS es_key
         |FROM documents WHERE n_chars > 0),
         |r AS (SELECT *, ROW_NUMBER() OVER
         |  (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn FROM s)

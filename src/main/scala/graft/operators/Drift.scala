@@ -109,6 +109,13 @@ object Drift {
     val b = base.filter(col(baseCol).isNotNull)
       .agg(min(col(baseCol)).cast("double"), max(col(baseCol)).cast("double"))
       .head()
+    // an empty / all-null baseline has no bounds to bucket against —
+    // fail with the actual problem, not getDouble's opaque NPE
+    // (psiProfile handles this shape per-row via when(); here the
+    // bounds must exist driver-side before the stream starts)
+    require(!b.isNullAt(0),
+      s"psiStream baseline column '$baseCol' has no non-null rows — " +
+        "cannot derive bucket bounds")
     val (lo, hi) = (b.getDouble(0), b.getDouble(1))
     def bucketOf(v: Column): Column =
       if (hi == lo) lit(0L)

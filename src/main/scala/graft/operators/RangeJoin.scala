@@ -30,6 +30,22 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Fan-out tripwire shared by both direct-API joins: a row whose
+    * interval covers more than `maxSpan` grid buckets raises a clear
+    * error naming the remediation (the optimizer-rule path has the
+    * identical guard at RangeJoinToBucketJoin.scala) — dropping or
+    * clamping the row would silently return wrong results; proceeding
+    * would blow the row count up unannounced or hit `Sequence`'s
+    * opaque max-array-length error. `assert_true` returns NULL when
+    * the bound holds, so the filter passes every compliant row.
+    */
+  private def spanGuard(loB: Column, hiB: Column, maxSpan: Long,
+                        bucketWidth: Double): Column =
+    assert_true(hiB - loB <= lit(maxSpan), lit(
+      s"graft range join: an interval spans more than $maxSpan buckets " +
+        s"at bucketWidth=$bucketWidth; raise maxSpan or widen " +
+        "bucketWidth")).isNull
+
   /** @param points      point rows
     * @param pointCol    numeric point column
     * @param intervals   interval rows
@@ -37,13 +53,22 @@ object RangeJoin {
     * @param endCol      exclusive upper bound column
     * @param bucketWidth grid width in `pointCol` units (> 0); choose
     *                    ≈ the typical interval length
+    * @param maxSpan     per-interval fan-out cap in buckets (> 0,
+    *                    default 65536) — an interval covering more
+    *                    buckets fails fast with a clear remediation
+    *                    message instead of silently materializing a
+    *                    huge row blow-up or dying in `Sequence`'s
+    *                    opaque max-array-length error (same guard the
+    *                    optimizer-rule path carries via
+    *                    `spark.graft.rangeJoin.maxSpan`)
     * @return every `points` × `intervals` match (all columns from both
     *         sides; empty/negative intervals match nothing)
     */
   def pointInInterval(points: DataFrame, pointCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
-                      bucketWidth: Double): DataFrame = {
+                      bucketWidth: Double, maxSpan: Long = 65536L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxSpan > 0, s"maxSpan must be positive: $maxSpan")
     // collision-proof internal key: withColumn REPLACES an existing
     // column of the same name, so a fixed "__bucket" would clobber (and
     // the final drop delete) a user column — pick the first suffix
@@ -58,6 +83,8 @@ object RangeJoin {
     // throws at runtime when b < a rather than silently descending
     val i = intervals
       .filter(col(startCol) < col(endCol))
+      .filter(spanGuard(bucketOf(col(startCol)), bucketOf(col(endCol)),
+        maxSpan, bucketWidth))
       .withColumn(bucket,
         explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)),
           lit(1L))))
@@ -83,14 +110,17 @@ object RangeJoin {
     */
   def intervalOverlap(left: DataFrame, lStart: String, lEnd: String,
                       right: DataFrame, rStart: String, rEnd: String,
-                      bucketWidth: Double): DataFrame = {
+                      bucketWidth: Double, maxSpan: Long = 65536L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxSpan > 0, s"maxSpan must be positive: $maxSpan")
     val taken = left.columns.toSet ++ right.columns
     val bucket = Iterator.from(0).map(i => s"__graft_ov_bucket_$i")
       .find(!taken.contains(_)).get
     def bucketOf(c: Column): Column = floor(c / lit(bucketWidth)).cast("long")
     def exploded(df: DataFrame, s: String, e: String): DataFrame =
       df.filter(col(s) < col(e))
+        .filter(spanGuard(bucketOf(col(s)), bucketOf(col(e)), maxSpan,
+          bucketWidth))
         .withColumn(bucket,
           explode(sequence(bucketOf(col(s)), bucketOf(col(e)), lit(1L))))
     exploded(left, lStart, lEnd).join(exploded(right, rStart, rEnd),

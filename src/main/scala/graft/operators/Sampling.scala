@@ -92,20 +92,27 @@ object Sampling {
     * rows per partition cross the wire, never the corpus. Rows with
     * non-positive weight are excluded (zero weight = never sampled).
     */
-  /** The Efraimidis–Spirakis rank key: round(ln(u)/w, 6) with
+  /** The Efraimidis–Spirakis rank key, floor-quantized to 1e-6:
+    * floor(ln(u)/w · 1e6 + 1e-4) / 1e6 with
     * u = (60-bit md5 prefix + 0.5) / 2^60 ∈ (0,1). 2^60 is exactly
     * representable as a double, and decimal-string→double (Spark conv)
     * and int→double (DuckDB) both round to the same nearest double, so
-    * u is bit-identical cross-engine; the rounding+id-tiebreak absorbs
-    * ln's possible last-ulp skew across libm implementations. Shared
-    * by the batch draws and the streaming face (stream ≡ batch because
-    * the key is a pure row function).
+    * u is bit-identical cross-engine. The t9 NUDGED FLOOR (not a
+    * decimal round — the round-9 t13 lesson: never round a raw
+    * transcendental) absorbs ln's last-ulp libm skew: a flip needs the
+    * true value within ~1e-10 quantized units of boundary−1e-4, where
+    * round(…, 6) flips whenever ln lands ulp-close to the half
+    * boundary. The id tiebreak keeps ordering deterministic under the
+    * ≤1e-6 quantization ties. Shared by the batch draws and the
+    * streaming face (stream ≡ batch because the key is a pure row
+    * function).
     */
   private[graft] def esKey(id: Column, weight: Column,
                            seed: String): Column = {
     val h = conv(substring(md5(concat(id.cast("string"),
       lit("#" + seed))), 1, 15), 16, 10).cast("double")
-    round(log((h + 0.5) / 1152921504606846976.0) / weight, 6)
+    floor(log((h + 0.5) / 1152921504606846976.0) / weight * lit(1e6)
+      + lit(1e-4)).cast("double") / lit(1e6)
   }
 
   def weightedTopK(df: DataFrame, idCol: String, weightCol: String, k: Int,

@@ -665,8 +665,8 @@ object StreamMediaCatalog {
     // smp2 construction, restricted to the stream's emitted columns)
     "e12_stream_weighted_topk" ->
       """WITH s AS (SELECT doc_id, lang, n_chars,
-        |  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::UBIGINT::DOUBLE + 0.5)
-        |           / 1152921504606846976.0) / n_chars, 6) AS es_key
+        |  floor(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 15))::UBIGINT::DOUBLE + 0.5)
+        |           / 1152921504606846976.0) / n_chars * 1e6 + 1e-4) / 1e6 AS es_key
         |FROM documents WHERE n_chars > 0),
         |r AS (SELECT *, ROW_NUMBER() OVER
         |  (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS rn FROM s)

@@ -139,6 +139,40 @@ object TrainingCatalog {
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TK1 — BPE re-tokenization of the corpus under the frozen merge
+    // table: per doc, word count, BPE token count, and the full BPE
+    // token stream (oracle-exact: DuckDB replays the greedy merge loop
+    // with a recursive CTE over the distinct words)
+    "tk1_bpe_apply" -> ((spark, dir) =>
+      graft.functions.Bpe.tokenizeDocs(docs(spark, dir), "doc_id", "text",
+        graft.functions.Bpe.FrozenMerges)
+        .orderBy(col("doc_id"))),
+
+    // TK2 — chunking in BPE-token space: the tokenizer column feeds
+    // the SAME Chunker (it was tokenizer-agnostic by signature);
+    // chunk boundaries now fall on BPE tokens, the denomination a
+    // context window actually pays
+    "tk2_bpe_chunk" -> ((spark, dir) =>
+      Chunker.chunkByTokens(
+        graft.functions.Bpe.tokenizeDocs(docs(spark, dir), "doc_id", "text",
+          graft.functions.Bpe.FrozenMerges)
+          .select(col("doc_id"), col("bpe_text")),
+        "doc_id", "bpe_text", size = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
+    // TK3 — per-source token budget denominated in BPE tokens: the
+    // batch budget trim accepts n_bpe_tokens as its count column
+    // unchanged (and the streaming face takes the same column)
+    "tk3_bpe_budget" -> ((spark, dir) =>
+      GroupStats.tokenBudgetTrim(
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+          .join(graft.functions.Bpe.tokenizeDocs(docs(spark, dir), "doc_id",
+            "text", graft.functions.Bpe.FrozenMerges), Seq("doc_id"))
+          .select(col("doc_id"), col("source"), col("n_bpe_tokens")),
+        "source", "n_bpe_tokens", budget = 5000L,
+        order = Seq(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
     // token counting + mean token length
     "t1_token_stats" -> ((spark, dir) =>
       docs(spark, dir).select(
@@ -775,6 +809,36 @@ object TrainingCatalog {
         |  LEFT JOIN uc USING (w) CROSS JOIN nn)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // the recursive CTE replays the engine's greedy merge loop exactly
+    // (leftmost occurrence of the min-rank pair per step) over the
+    // DISTINCT words, then reassembles docs in word order
+    "tk1_bpe_apply" ->
+      s"""SELECT doc_id, n_words, n_bpe_tokens, bpe_text
+         |FROM ${graft.functions.Bpe.tokenizeSql("documents", "doc_id",
+               "text", graft.functions.Bpe.FrozenMerges)} b
+         |ORDER BY doc_id""".stripMargin,
+
+    "tk2_bpe_chunk" ->
+      s"""WITH bpe AS (SELECT doc_id, bpe_text
+         |  FROM ${graft.functions.Bpe.tokenizeSql("documents", "doc_id",
+               "text", graft.functions.Bpe.FrozenMerges)} b)
+         |SELECT doc_id, chunk_id, chunk_text, chunk_tokens
+         |FROM ${Chunker.chunkSql("bpe", "doc_id", "bpe_text", 32, 24)} c
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "tk3_bpe_budget" ->
+      s"""WITH bpe AS (SELECT doc_id, n_bpe_tokens
+         |  FROM ${graft.functions.Bpe.tokenizeSql("documents", "doc_id",
+               "text", graft.functions.Bpe.FrozenMerges)} b),
+         |j AS (SELECT d.doc_id, d.source, bpe.n_bpe_tokens
+         |  FROM documents d JOIN bpe ON d.doc_id = bpe.doc_id),
+         |c AS (SELECT doc_id, source, n_bpe_tokens,
+         |  SUM(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM j)
+         |SELECT doc_id, source, n_bpe_tokens FROM c
+         |WHERE cum - n_bpe_tokens < 5000 ORDER BY doc_id""".stripMargin,
+
     "t1_token_stats" ->
       s"""SELECT doc_id, ${T.tokenCount("text")} AS n_tokens,
          |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_regex_tokens,
@@ -1275,14 +1339,18 @@ object TrainingCatalog {
         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
         |nd AS (SELECT COUNT(*) AS n_docs FROM documents)
         |SELECT t.doc_id, t.term, t.tf, d.df,
-        |  round(t.tf * (ln((n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+        |  (t.tf * floor((ln((n_docs + 1.0) / (d.df + 1.0)) + 1.0) * 1e6 + 1e-4)) / 1e6 AS tfidf
         |FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd
         |ORDER BY t.doc_id, t.term""".stripMargin,
 
     // identical expression tree to the engine: exact-integer tf/df/dl
     // operands, the (1.2 + 1.0) sum written as a SUM so both engines
     // compute the same double (the parsed literal 2.2 is a half-ulp
-    // tie against the computed sum)
+    // tie against the computed sum); the idf ln is quantized with the
+    // t9 nudged floor (floor(ln·1e6 + 1e-4)) so libm last-ulp drift
+    // cannot flip the value, and the final score is floor-quantized to
+    // a multiple of 1e-6 on BOTH sides — never round a raw
+    // transcendental (round-9 driver hash failure)
     "t13_bm25" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
@@ -1291,9 +1359,11 @@ object TrainingCatalog {
         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
         |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl)
         |SELECT t.doc_id, t.term, t.tf, d.df, l.dl,
-        |  round(ln((n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |  floor(floor(ln((n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1e6 + 1e-4)
+        |      / 1e6 *
         |    (t.tf * (1.2 + 1.0)) /
-        |    (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl)), 6) AS bm25
+        |    (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl)) * 1e6 + 1e-4)
+        |    / 1e6 AS bm25
         |FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term)
         |CROSS JOIN st
         |ORDER BY t.doc_id, t.term""".stripMargin,
@@ -1305,7 +1375,7 @@ object TrainingCatalog {
         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
         |ti AS (SELECT t.doc_id, t.term,
-        |         round(t.tf * (ln((n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS tfidf
+        |         (t.tf * floor((ln((n_docs + 1.0) / (d.df + 1.0)) + 1.0) * 1e6 + 1e-4)) / 1e6 AS tfidf
         |       FROM tf t JOIN dfreq d USING (term) CROSS JOIN nd),
         |r AS (SELECT doc_id, term, tfidf, CAST(row_number() OVER (
         |        PARTITION BY doc_id ORDER BY tfidf DESC, term DESC) AS INT) AS rn

@@ -1,0 +1,85 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(m: Seq[(String, String)]) = m.zipWithIndex.toMap
+
+  test("applyWord goldens under the frozen merges") {
+    val r = ranks(Bpe.FrozenMerges)
+    assert(Bpe.applyWord("customer", r) == Vector("cu", "st", "o", "mer"))
+    assert(Bpe.applyWord("hash", r) == Vector("hash"))
+    assert(Bpe.applyWord("batch", r) == Vector("batch"))
+    assert(Bpe.applyWord("a", r) == Vector("a"))
+    assert(Bpe.applyWord("", r) == Vector.empty)
+    // rank order beats position: ("s","t") outranks ("e","r")? no —
+    // ("e","r") is rank 0, so in "ster" the er merge wins first even
+    // though st appears earlier in the word
+    assert(Bpe.applyWord("ster", r) == Vector("st", "er"))
+  }
+
+  test("applyWord repeated-run semantics: leftmost occurrence merges first") {
+    val r = ranks(Seq(("a", "a")))
+    // one-at-a-time leftmost: aaa -> [aa, a] (the merged symbol can't
+    // re-pair as ("a","a")), aaaa -> [aa, aa]
+    assert(Bpe.applyWord("aaa", r) == Vector("aa", "a"))
+    assert(Bpe.applyWord("aaaa", r) == Vector("aa", "aa"))
+    // min-rank beats leftmost-of-any-rank: in "abab" with ranks
+    // {("b","a")->0, ("a","b")->1}, b-a merges first even though an
+    // a-b pair sits further left: abab -> a(ba)b, after which neither
+    // remaining pair (a,ba) or (ba,b) is in the table
+    val r2 = ranks(Seq(("b", "a"), ("a", "b")))
+    assert(Bpe.applyWord("abab", r2) == Vector("a", "ba", "b"))
+  }
+
+  test("trainer reproduces the frozen merges at sf0.01 (golden pin)") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select($"doc_id", $"text")
+    val learned = Bpe.train(docs, "text", nMerges = 24)
+    assert(learned == Bpe.FrozenMerges,
+      s"trainer or fixture drifted:\n$learned\nvs frozen:\n${Bpe.FrozenMerges}")
+  }
+
+  test("trainer is deterministic and early-stops when pairs run out") {
+    val tiny = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
+    val m1 = Bpe.train(tiny, "text", nMerges = 8)
+    val m2 = Bpe.train(tiny, "text", nMerges = 8)
+    assert(m1 == m2)
+    // 2-char words exhaust after 2 merges; count ties break lexicographic
+    assert(m1 == Vector(("a", "b"), ("c", "d")))
+  }
+
+  test("tokenizeDocs invariants at sf0.001: counts agree, chars round-trip") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val tok = Bpe.tokenizeDocs(docs, "doc_id", "text", Bpe.FrozenMerges)
+    val joined = docs.join(tok, Seq("doc_id"))
+    // BPE never invents or loses characters: tokens concatenated ==
+    // the original text with spaces removed
+    val broken = joined.filter(
+      regexp_replace($"bpe_text", " ", "") =!=
+        regexp_replace($"text", " ", "")).count()
+    assert(broken == 0L)
+    // n_bpe_tokens equals the emitted stream's length; BPE never has
+    // MORE tokens than characters nor FEWER than words
+    val bad = tok.filter(
+      array_size(split($"bpe_text", " ", -1)) =!= $"n_bpe_tokens" ||
+        $"n_bpe_tokens" < $"n_words").count()
+    assert(bad == 0L)
+    assert(tok.count() == docs.count())
+  }
+
+  test("tokenizeDocs plan: vocab rides a broadcast join, one doc-keyed agg") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val df = Bpe.tokenizeDocs(docs, "doc_id", "text", Bpe.FrozenMerges)
+    df.collect() // AQE finalizes the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus->vocab join must broadcast the vocab side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}

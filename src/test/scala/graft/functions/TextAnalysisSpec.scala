@@ -83,9 +83,9 @@ class TextAnalysisSpec extends SparkSpec {
     val r = TextAnalysis.tfidf(d, "doc_id", "text")
       .orderBy($"doc_id", $"term")
       .as[(Long, String, Long, Long, Double)].collect()
-    // N=2; df(a)=2 → idf=ln(3/3)+1=1; df(b)=df(c)=1 → idf=ln(3/2)+1
-    val rare = BigDecimal(math.log(1.5) + 1.0)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N=2; df(a)=2 → idf=ln(3/3)+1=1; df(b)=df(c)=1 → idf=ln(3/2)+1;
+    // quantized contract: tf · floor((ln+1)·1e6 + 1e-4) / 1e6
+    val rare = 1L * math.floor((math.log(1.5) + 1.0) * 1e6 + 1e-4) / 1e6
     assert(r.toSeq == Seq(
       (1L, "a", 1L, 2L, 1.0), (1L, "b", 1L, 1L, rare),
       (2L, "a", 1L, 2L, 1.0), (2L, "c", 1L, 1L, rare)))
@@ -97,11 +97,15 @@ class TextAnalysisSpec extends SparkSpec {
     val r = TextAnalysis.bm25(d, "doc_id", "text")
       .orderBy($"doc_id", $"term")
       .as[(Long, String, Long, Long, Long, Double)].collect()
+    // the t9-quantized contract: idf floor-quantized to 1e-6, then a
+    // pure IEEE tree, then the score floor-quantized to 1e-6 — never
+    // round a raw transcendental (round-9 driver hash failure)
     def gold(tf: Long, df: Long, dl: Long): Double = {
-      val idf = math.log((2.0 - df + 0.5) / (df + 0.5) + 1.0)
+      val idfQ = math.floor(
+        math.log((2.0 - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 1e-4)
       val norm = 1.0 - 0.75 + 0.75 * dl / 2.5
-      BigDecimal(idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * norm))
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val raw = idfQ / 1e6 * (tf * (1.2 + 1.0)) / (tf + 1.2 * norm)
+      math.floor(raw * 1e6 + 1e-4) / 1e6
     }
     assert(r.toSeq == Seq(
       (1L, "a", 2L, 2L, 3L, gold(2, 2, 3)),
@@ -113,6 +117,33 @@ class TextAnalysisSpec extends SparkSpec {
     // (saturation)
     assert(gold(1, 2, 2) < gold(1, 1, 2))
     assert(gold(2, 2, 3) < 2 * gold(1, 2, 3))
+  }
+
+  test("bm25 idf quantization margin clears the floor boundary at sf0.001/0.01/0.1") {
+    // The only cross-engine-risky boundary left in bm25 is the nudged
+    // floor over the idf ln (everything downstream is a pure IEEE tree
+    // on bit-identical operands, so the outer floor sees identical
+    // input bits on both engines — zero flip risk regardless of
+    // proximity). A flip of the idf floor needs the true ln·1e6 + 1e-4
+    // to sit within libm cross-build drift (~4e-9 quantized units) of
+    // an integer; assert ≥1e-5 of headroom over every (n_docs, df)
+    // pair the corpus actually produces, at all three sfs.
+    import graft.dedup.TextDedup
+    for (dir <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+      val docs = graft.core.Tables.documents(spark, dir)
+      val toks = TextDedup.shingleSets(docs, "doc_id", "text", k = 1,
+        distinct = false)
+      val n = toks.select(countDistinct($"doc_id")).head().getLong(0)
+      val dfreq = toks.groupBy($"shingle")
+        .agg(countDistinct($"doc_id").as("df"))
+      val q = log((lit(n.toDouble) - $"df" + lit(0.5)) / ($"df" + lit(0.5))
+        + lit(1.0)) * lit(1e6) + lit(1e-4)
+      val dist = least(q - floor(q), lit(1.0) - (q - floor(q)))
+      val minDist = dfreq.agg(min(dist)).head().getDouble(0)
+      assert(minDist > 1e-5,
+        s"$dir: idf quantization margin $minDist <= 1e-5 — a libm-drift " +
+          "flip is conceivable; revisit the nudge or the scale")
+    }
   }
 
   test("backoff ladder golden: seen bigram, unigram backoff, OOV floor") {

@@ -67,6 +67,12 @@ class DriftSpec extends graft.SparkSpec {
     // and zero on identical snapshots
     assert(Drift.psiStream(base, "v", base, "v", 10)
       .as[Double].collect().head == 0.0)
+    // an empty / all-null baseline names the problem instead of NPEing
+    val empty = snap(Seq.empty)
+    val e = intercept[IllegalArgumentException] {
+      Drift.psiStream(cur, "v", empty, "v", 10)
+    }
+    assert(e.getMessage.contains("no non-null rows"), e.getMessage)
   }
 
   test("psiStream over a multi-file stream converges to the batch answer") {

@@ -41,6 +41,34 @@ class RangeJoinSpec extends graft.SparkSpec {
     }
   }
 
+  test("fan-out guard: an over-wide interval fails fast with the remediation") {
+    // interval 15 spans 20 buckets at width 1.0 — a maxSpan of 4 must
+    // trip with the clear message, not silently explode or hit
+    // Sequence's opaque max-array-length error; compliant maxSpan
+    // passes untouched. Same contract on both direct APIs.
+    def msgOf(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null && (c.getMessage == null ||
+        !c.getMessage.contains("spans more than"))) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    val e1 = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi",
+        1.0, maxSpan = 4L).count()
+    }
+    assert(msgOf(e1).contains("spans more than 4 buckets"), msgOf(e1))
+    assert(msgOf(e1).contains("widen bucketWidth"), msgOf(e1))
+    val e2 = intercept[Exception] {
+      RangeJoin.intervalOverlap(intervals, "lo", "hi",
+        intervals.toDF("iid2", "lo2", "hi2"), "lo2", "hi2",
+        1.0, maxSpan = 4L).count()
+    }
+    assert(msgOf(e2).contains("spans more than 4 buckets"), msgOf(e2))
+    // generous cap: identical results to the unguarded default
+    assert(pairs(RangeJoin.pointInInterval(points, "p", intervals,
+      "lo", "hi", 1.0, maxSpan = 64L)) == expected)
+  }
+
   test("parity with the brute-force non-equi join on fixture data") {
     val pts = graft.core.Tables.lineitem(spark, sf0001)
       .select($"l_orderkey".as("pid"), $"l_extendedprice".as("p"))
