@@ -919,6 +919,239 @@ object BinaryOps {
       })
   }
 
+  // ===== REAL codec: IMA ADPCM (DVI; WAV format tag 0x11) =====
+  // One more genuinely compressed-audio rung implementable from spec
+  // in pure integer arithmetic (IMA "Recommended Practices for
+  // Enhancing Digital Audio Compatibility", 1992): 4 bits/sample
+  // adaptive differential PCM. Every step is integer shifts/adds over
+  // an 89-entry step table, so the DuckDB oracle replays the decode
+  // state machine exactly (recursive CTE, one sample per step) and the
+  // m12 gate is integer-EXACT like m11 — no tolerance band. The JDK
+  // ships NO ADPCM codec, so unlike G.711 there is no javax.sound
+  // cross-check; the spec instead pins encode→decode round-trip error
+  // to the quantizer's step bound and golden-decodes a fixed vector.
+
+  /** IMA step-size table (89 entries, spec Table 2). */
+  val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767)
+
+  /** Step-index adjustment per nibble magnitude (spec Table 1). */
+  val ImaIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** Decode one 4-bit nibble against (predictor, stepIndex) state —
+    * the spec's integer reconstruction: diff = step/8 + bit-gated
+    * step, step/2, step/4; sign bit 8 subtracts; predictor clamps to
+    * int16; index moves by [[ImaIndexTable]] clamped to [0, 88].
+    */
+  def imaStep(pred: Int, idx: Int, nibble: Int): (Int, Int) = {
+    val step = ImaStepTable(idx)
+    var diff = step >> 3
+    if ((nibble & 4) != 0) diff += step
+    if ((nibble & 2) != 0) diff += step >> 1
+    if ((nibble & 1) != 0) diff += step >> 2
+    val p0 = if ((nibble & 8) != 0) pred - diff else pred + diff
+    val p = math.max(-32768, math.min(32767, p0))
+    val i = math.max(0, math.min(88, idx + ImaIndexTable(nibble & 7)))
+    (p, i)
+  }
+
+  /** Decode one mono IMA block body: the 4-byte header's predictor is
+    * sample 0, then each data byte carries two nibbles LOW FIRST (the
+    * WAV tag-0x11 layout). Emits `1 + 2·data.length` samples.
+    */
+  def imaDecodeBlock(pred0: Short, idx0: Int,
+                     data: Array[Byte]): Array[Short] = {
+    require(idx0 >= 0 && idx0 <= 88, s"step index out of range: $idx0")
+    val out = new Array[Short](1 + 2 * data.length)
+    out(0) = pred0
+    var pred = pred0.toInt
+    var idx = idx0
+    var j = 0
+    while (j < data.length) {
+      val b = data(j) & 0xff
+      val (p1, i1) = imaStep(pred, idx, b & 0x0f)
+      out(1 + 2 * j) = p1.toShort
+      val (p2, i2) = imaStep(p1, i1, (b >> 4) & 0x0f)
+      out(2 + 2 * j) = p2.toShort
+      pred = p2; idx = i2
+      j += 1
+    }
+    out
+  }
+
+  /** Encode mono 16-bit PCM as one IMA block: the standard feedback
+    * quantizer — each nibble is chosen greedily bit-by-bit against the
+    * current step, then the state advances through the DECODER's
+    * arithmetic ([[imaStep]]), so encoder and decoder predictors never
+    * drift. Returns (header predictor, header index, nibble bytes);
+    * `samples` must have odd length ≥ 1 (1 header sample + 2/byte).
+    */
+  def imaEncodeBlock(samples: Array[Short],
+                     idx0: Int = 0): (Short, Int, Array[Byte]) = {
+    require(samples.nonEmpty && samples.length % 2 == 1,
+      s"mono IMA block needs odd sample count, got ${samples.length}")
+    require(idx0 >= 0 && idx0 <= 88, s"step index out of range: $idx0")
+    val data = new Array[Byte]((samples.length - 1) / 2)
+    var pred = samples(0).toInt
+    var idx = idx0
+    var k = 0
+    while (k < samples.length - 1) {
+      val step = ImaStepTable(idx)
+      var diff = samples(1 + k) - pred
+      var nib = 0
+      if (diff < 0) { nib = 8; diff = -diff }
+      if (diff >= step) { nib |= 4; diff -= step }
+      if (diff >= (step >> 1)) { nib |= 2; diff -= step >> 1 }
+      if (diff >= (step >> 2)) nib |= 1
+      val (p, i) = imaStep(pred, idx, nib)
+      pred = p; idx = i
+      if ((k & 1) == 0) data(k / 2) = nib.toByte
+      else data(k / 2) = (data(k / 2) | (nib << 4)).toByte
+      k += 1
+    }
+    (samples(0), idx0, data)
+  }
+
+  /** Wrap mono IMA blocks in RIFF/WAVE: format tag 0x11, 4 bits per
+    * sample, the 20-byte fmt (cbSize = 2 carrying wSamplesPerBlock)
+    * plus the fact chunk. Every block must be (blockAlign − 4) data
+    * bytes; `blocks` = (predictor, stepIndex, data) triples.
+    */
+  def encodeWavIma(sampleRate: Int,
+                   blocks: Seq[(Short, Int, Array[Byte])]): Array[Byte] = {
+    require(sampleRate > 0 && blocks.nonEmpty, "need rate > 0 and >= 1 block")
+    val nData = blocks.head._3.length
+    require(blocks.forall(_._3.length == nData),
+      "all blocks must share one blockAlign")
+    val blockAlign = 4 + nData
+    val samplesPerBlock = 1 + 2 * nData
+    val dataSize = blocks.length * blockAlign
+    val pad = dataSize & 1
+    // RIFF hdr 12 + fmt (8+20) + fact (8+4) + data hdr 8
+    val out = new Array[Byte](12 + 28 + 12 + 8 + dataSize + pad)
+    "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
+    le32(out.length - 8).copyToArray(out, 4)
+    "WAVE".getBytes("US-ASCII").copyToArray(out, 8)
+    "fmt ".getBytes("US-ASCII").copyToArray(out, 12)
+    le32(20).copyToArray(out, 16)
+    out(20) = 0x11                           // wFormatTag = IMA ADPCM
+    out(22) = 1                              // mono
+    le32(sampleRate).copyToArray(out, 24)
+    // byte rate for tag 0x11: rate * blockAlign / samplesPerBlock
+    le32((sampleRate.toLong * blockAlign / samplesPerBlock).toInt)
+      .copyToArray(out, 28)
+    out(32) = (blockAlign & 0xff).toByte
+    out(33) = ((blockAlign >> 8) & 0xff).toByte
+    out(34) = 4                              // bits per sample
+    out(36) = 2                              // cbSize = 2
+    out(38) = (samplesPerBlock & 0xff).toByte
+    out(39) = ((samplesPerBlock >> 8) & 0xff).toByte
+    "fact".getBytes("US-ASCII").copyToArray(out, 40)
+    le32(4).copyToArray(out, 44)
+    le32(blocks.length * samplesPerBlock).copyToArray(out, 48)
+    "data".getBytes("US-ASCII").copyToArray(out, 52)
+    le32(dataSize).copyToArray(out, 56)
+    var off = 60
+    blocks.foreach { case (pred, idx, data) =>
+      out(off) = (pred & 0xff).toByte
+      out(off + 1) = ((pred >> 8) & 0xff).toByte
+      out(off + 2) = idx.toByte
+      out(off + 3) = 0
+      data.copyToArray(out, off + 4)
+      off += blockAlign
+    }
+    out
+  }
+
+  /** Parse a mono IMA-ADPCM WAV (format tag 0x11, 4-bit) and decode to
+    * 16-bit linear — same never-throw chunk-walking contract as
+    * [[decodeWav]]. The data chunk must be whole blocks of fmt's
+    * blockAlign; each block header re-seeds the (predictor, index)
+    * state, so blocks decode independently.
+    */
+  def decodeWavIma(payload: Array[Byte]): Option[WavAudio] = {
+    if (payload == null || payload.length < 44 ||
+      payload(0) != 'R' || payload(1) != 'I' || payload(2) != 'F' ||
+      payload(3) != 'F' || payload(8) != 'W' || payload(9) != 'A' ||
+      payload(10) != 'V' || payload(11) != 'E') return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // (rate, blockAlign, samplesPerBlock)
+    while (off + 8 <= payload.length) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val size = rdLe32(payload, off + 4)
+      if (size < 0 || off.toLong + 8 + size > payload.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 20 || rdLe16(payload, off + 8) != 0x11 ||
+            rdLe16(payload, off + 8 + 2) != 1 ||           // mono only
+            rdLe16(payload, off + 8 + 14) != 4) return None
+          val align = rdLe16(payload, off + 8 + 12)
+          val spb = rdLe16(payload, off + 8 + 18)
+          if (align < 5 || spb != 1 + 2 * (align - 4)) return None
+          fmt = Some((rdLe32(payload, off + 8 + 4), align, spb))
+        case "data" =>
+          val (rate, align, spb) = fmt.getOrElse(return None)
+          if (rate <= 0 || size % align != 0) return None
+          val nBlocks = size / align
+          val samples = new Array[Short](nBlocks * spb)
+          var b = 0
+          while (b < nBlocks) {
+            val base = off + 8 + b * align
+            val pred0 = ((payload(base) & 0xff) |
+              (payload(base + 1) << 8)).toShort
+            val idx0 = payload(base + 2) & 0xff
+            if (idx0 > 88) return None
+            val data = java.util.Arrays.copyOfRange(
+              payload, base + 4, base + align)
+            imaDecodeBlock(pred0, idx0, data).copyToArray(samples, b * spb)
+            b += 1
+          }
+          return Some(WavAudio(rate, 1, samples))
+        case _ => // skip fact/LIST/etc.
+      }
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  final case class AdpcmStats(doc_id: Long, codec: String, sample_rate: Int,
+                              channels: Int, n_samples: Long,
+                              first_sample: Int, last_sample: Int,
+                              sum_abs: Long, peak: Int)
+
+  /** Partition-batched IMA-ADPCM decode: [[g711Stats]]'s probe set
+    * over the tag-0x11 decoder. Integer-exact — the oracle replays the
+    * per-nibble state machine with a recursive CTE.
+    */
+  def adpcmStats(media: DataFrame, idCol: String = "doc_id",
+                 payloadCol: String = "payload"): Dataset[AdpcmStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWavIma(payload).filter(_.samples.nonEmpty).map { a =>
+          var sumAbs = 0L; var peak = 0
+          var i = 0
+          while (i < a.samples.length) {
+            val v = math.abs(a.samples(i).toInt)
+            sumAbs += v; if (v > peak) peak = v
+            i += 1
+          }
+          AdpcmStats(id, "ima_adpcm", a.sampleRate, a.channels,
+            a.samples.length.toLong, a.samples.head.toInt,
+            a.samples.last.toInt, sumAbs, peak)
+        }
+      })
+  }
+
   // ===== REAL codec: AVI (uncompressed DIB or M-JPEG 'vids' stream) =====
   // The video face: a RIFF container (WAV's framing) holding either
   // raw DIB frames (BMP's pixel layout — bottom-up rows, 4-byte

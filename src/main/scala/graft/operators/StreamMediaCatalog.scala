@@ -312,6 +312,34 @@ object StreamMediaCatalog {
       BinaryOps.g711Stats(payloads).toDF().orderBy(col("doc_id"))
     }),
 
+    // M12 — real IMA-ADPCM (WAV tag 0x11) decode: per doc 1–3 blocks,
+    // each with a doc_id-derived (predictor, step-index) header and
+    // 8 nibble bytes, wrapped in a real tag-0x11 container and decoded
+    // by the chunk-walking block decoder. The state machine is pure
+    // integer shifts/adds over the 89-entry step table, so the oracle
+    // replays it sample-by-sample with a recursive CTE — integer-EXACT
+    // like m11, no tolerance band. (No javax.sound cross-check exists:
+    // the JDK ships no ADPCM codec — which is exactly why this rung
+    // was previously on the fake-codec boundary.)
+    "m12_adpcm_decode" -> ((spark, dir) => {
+      import spark.implicits._
+      val payloads = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val nBlocks = 1 + (id % 3).toInt
+          val blocks = (0 until nBlocks).map { b =>
+            val pred0 = (((id * 37 + b * 101) % 65536) - 32768).toShort
+            val idx0 = ((id + 13 * b) % 89).toInt
+            val data = Array.tabulate(8)(j =>
+              ((id * 11 + b * 17 + j * 29) % 256).toByte)
+            (pred0, idx0, data)
+          }
+          (id, BinaryOps.encodeWavIma(8000, blocks))
+        }
+        .toDF("doc_id", "payload")
+      BinaryOps.adpcmStats(payloads).toDF().orderBy(col("doc_id"))
+    }),
+
     // E7 — stateful streaming EWMA: keyed mapGroupsWithState carrying
     // (acc, n); single-batch file source ⇒ one Update row per user that
     // must equal the batch secondary-sort fold bit-for-bit (same oracle
@@ -624,6 +652,62 @@ object StreamMediaCatalog {
         |  sum_abs, peak
         |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** m12's oracle: replay the IMA-ADPCM state machine sample-by-sample
+    * with a recursive CTE (depth 16 = nibbles per block; blocks are
+    * independent because each header re-seeds the state). The step and
+    * index-adjust tables are emitted from the SAME arrays the engine
+    * decodes with ([[BinaryOps.ImaStepTable]]) — no transcription to
+    * drift. All arithmetic is integer shifts/adds, so every probe
+    * gates exact.
+    */
+  private val AdpcmDecodeSql: String = {
+    val stepvals = BinaryOps.ImaStepTable.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    val idxvals = BinaryOps.ImaIndexTable.zipWithIndex
+      .map { case (a, n) => s"($n, $a)" }.mkString(", ")
+    s"""WITH RECURSIVE
+       |steps(i, s) AS (SELECT * FROM (VALUES $stepvals) v(i, s)),
+       |idxadj(n, a) AS (SELECT * FROM (VALUES $idxvals) v(n, a)),
+       |d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS BIGINT) AS nb
+       |  FROM documents),
+       |blk AS (SELECT doc_id, b.b,
+       |    CAST((doc_id * 37 + b.b * 101) % 65536 - 32768 AS BIGINT) AS pred0,
+       |    CAST((doc_id + 13 * b.b) % 89 AS BIGINT) AS idx0
+       |  FROM d CROSS JOIN LATERAL unnest(range(0, nb)) AS b(b)),
+       |walk(doc_id, b, j, pred, idx) AS (
+       |  SELECT doc_id, b, CAST(0 AS BIGINT), pred0, idx0 FROM blk
+       |  UNION ALL
+       |  SELECT t.doc_id, t.b, t.j + 1,
+       |    GREATEST(-32768, LEAST(32767,
+       |      CASE WHEN t.nib >= 8 THEN t.pred - t.diff ELSE t.pred + t.diff END)),
+       |    GREATEST(0, LEAST(88, t.idx + ia.a))
+       |  FROM (
+       |    SELECT w.doc_id, w.b, w.j, w.pred, w.idx, n.nib,
+       |      (st.s >> 3)
+       |      + CASE WHEN (n.nib & 4) != 0 THEN st.s ELSE 0 END
+       |      + CASE WHEN (n.nib & 2) != 0 THEN st.s >> 1 ELSE 0 END
+       |      + CASE WHEN (n.nib & 1) != 0 THEN st.s >> 2 ELSE 0 END AS diff
+       |    FROM walk w
+       |    JOIN steps st ON st.i = w.idx
+       |    CROSS JOIN LATERAL (SELECT CASE WHEN w.j % 2 = 0
+       |        THEN ((w.doc_id * 11 + w.b * 17 + (w.j // 2) * 29) % 256) & 15
+       |        ELSE (((w.doc_id * 11 + w.b * 17 + (w.j // 2) * 29) % 256) >> 4) & 15
+       |      END AS nib) n(nib)
+       |    WHERE w.j < 16) t
+       |  JOIN idxadj ia ON ia.n = (t.nib & 7)),
+       |agg AS (SELECT w.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+       |    CAST(MIN(CASE WHEN w.b = 0 AND w.j = 0 THEN w.pred END) AS INT) AS first_sample,
+       |    CAST(MIN(CASE WHEN w.b = d.nb - 1 AND w.j = 16 THEN w.pred END) AS INT) AS last_sample,
+       |    CAST(SUM(ABS(w.pred)) AS BIGINT) AS sum_abs,
+       |    CAST(MAX(ABS(w.pred)) AS INT) AS peak
+       |  FROM walk w JOIN d USING (doc_id) GROUP BY w.doc_id)
+       |SELECT doc_id, 'ima_adpcm' AS codec, CAST(8000 AS INT) AS sample_rate,
+       |  CAST(1 AS INT) AS channels, n_samples, first_sample, last_sample,
+       |  sum_abs, peak
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   /** The LSH band-join admission spelling shared by e14 (inline
     * store, streamed) and x15 (persisted+appended store, batch): odd
     * docs sharing any band with the even-doc store drop; shingle-less
@@ -829,6 +913,7 @@ object StreamMediaCatalog {
     // exponent; A-law xors 0x55 with segment-0/1 special cases. The
     // byte stream itself is the (doc_id, j) formula from the gate.
     "m11_g711_decode" -> G711DecodeSql,
+    "m12_adpcm_decode" -> AdpcmDecodeSql,
 
     // identical payloads, identical decoder, streamed: same oracle
     "e16_stream_media" -> G711DecodeSql,

@@ -420,4 +420,64 @@ class BinaryOpsSpec extends SparkSpec {
       BinaryOps.encodeGif(20, 15, wide)
     }
   }
+
+  test("IMA-ADPCM golden decode vectors, incl. both clamp rails") {
+    // hand-replayed against the spec arithmetic (nibbles low-first)
+    assert(BinaryOps.imaDecodeBlock(0, 0,
+      Array(0x71, 0xF8, 0x3C).map(_.toByte)).toSeq ==
+      Seq[Short](0, 1, 12, 10, -15, -49, -18))
+    // positive clamp: near-rail predictor + max step stays at 32767
+    assert(BinaryOps.imaDecodeBlock(32760, 88,
+      Array(0x77).map(_.toByte)).toSeq == Seq[Short](32760, 32767, 32767))
+    // negative clamp mirrors at -32768
+    assert(BinaryOps.imaDecodeBlock(-32760, 88,
+      Array(0xFF).map(_.toByte)).toSeq == Seq[Short](-32760, -32768, -32768))
+    assert(BinaryOps.ImaStepTable.length == 89 &&
+      BinaryOps.ImaStepTable.head == 7 && BinaryOps.ImaStepTable.last == 32767)
+  }
+
+  test("IMA-ADPCM encode->decode tracks the signal within the step bound") {
+    // encoder state advances through the DECODER arithmetic, so
+    // reconstruction error per sample is bounded by the current step;
+    // on a smooth ramp the adaptive step stays small
+    val n = 321
+    val samples = Array.tabulate(n)(i =>
+      (2000.0 * math.sin(i / 10.0)).toInt.toShort)
+    val (p0, i0, data) = BinaryOps.imaEncodeBlock(samples)
+    val decoded = BinaryOps.imaDecodeBlock(p0, i0, data)
+    assert(decoded.length == n && decoded(0) == samples(0))
+    val maxErr = samples.zip(decoded).map { case (a, b) =>
+      math.abs(a - b) }.max
+    assert(maxErr <= BinaryOps.ImaStepTable(88) / 4,
+      s"unbounded drift: maxErr=$maxErr")
+    // smooth signal => tight tracking in practice
+    val rms = math.sqrt(samples.zip(decoded).map { case (a, b) =>
+      val d = (a - b).toDouble; d * d }.sum / n)
+    assert(rms < 100.0, s"rms=$rms")
+  }
+
+  test("IMA-ADPCM WAV container roundtrip; malformed payloads reject") {
+    val blocks = (0 until 3).map { b =>
+      ((b * 1000 - 500).toShort, b * 7,
+        Array.tabulate(8)(j => ((b * 31 + j * 13) % 256).toByte))
+    }
+    val wav = BinaryOps.encodeWavIma(8000, blocks)
+    val got = BinaryOps.decodeWavIma(wav).get
+    assert(got.sampleRate == 8000 && got.channels == 1)
+    val expect = blocks.flatMap { case (p, i, d) =>
+      BinaryOps.imaDecodeBlock(p, i, d) }
+    assert(got.samples.toSeq == expect)
+    // the tag-0x11 decoder refuses PCM and G.711 payloads, and the
+    // PCM decoder refuses the ADPCM payload (format dispatch is real)
+    val pcm = BinaryOps.encodeWav(8000, 1, Array[Short](1, 2, 3))
+    assert(BinaryOps.decodeWavIma(pcm).isEmpty)
+    assert(BinaryOps.decodeWav(wav).isEmpty)
+    assert(BinaryOps.decodeWavIma(
+      BinaryOps.encodeWavUlaw(8000, 1, Array[Short](1, 2, 3))).isEmpty)
+    // truncated + corrupt-step-index reject instead of throwing
+    assert(BinaryOps.decodeWavIma(java.util.Arrays.copyOf(wav, 50)).isEmpty)
+    val badIdx = wav.clone
+    badIdx(62) = 120.toByte // block 0 header stepIndex > 88
+    assert(BinaryOps.decodeWavIma(badIdx).isEmpty)
+  }
 }
