@@ -597,6 +597,23 @@ object StreamMediaCatalog {
 
     // E10 — streaming chunk fan-out: the Chunker generate in
     // micro-batch; must equal the batch ck1 exactly
+    // E18 — streaming BPE re-tokenization: pure-row-function
+    // tokenization under the frozen merges needs no state store, so
+    // the converged stream equals batch tk1 exactly (same oracle)
+    "e18_stream_bpe" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_bpe"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val toks = graft.streaming.DocStream.bpeTokenize(
+        graft.streaming.DocStream.read(spark, d.toString),
+        graft.functions.Bpe.FrozenMerges)
+      EventStream.runToMemory(spark, toks,
+        s"stream_bpe_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     "e10_stream_chunks" -> ((spark, dir) => {
       val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_ck"))
       java.nio.file.Files.createSymbolicLink(
@@ -759,6 +776,9 @@ object StreamMediaCatalog {
 
     // streaming chunk fan-out == the batch ck1 chunking exactly
     "e10_stream_chunks" -> CurationCatalog.oracle("ck1_chunk_tokens"),
+
+    // streaming == batch for the pure-row-function BPE re-tokenization
+    "e18_stream_bpe" -> TrainingCatalog.oracle("tk1_bpe_apply"),
 
     // streaming store-dedup == the batch anti-join spelling
     "e11_stream_dedup_store" -> {

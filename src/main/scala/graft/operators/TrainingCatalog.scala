@@ -173,6 +173,24 @@ object TrainingCatalog {
         order = Seq(col("doc_id")))
         .orderBy(col("doc_id"))),
 
+    // TK4 — tokenizer fertility audit per language: BPE tokens per
+    // word is the standard tokenizer-evaluation statistic (a tokenizer
+    // trained on one distribution inflates token budgets on another);
+    // counts are exact longs, the ratio one shared IEEE division
+    "tk4_bpe_fertility" -> ((spark, dir) => {
+      val tok = graft.functions.Bpe.tokenizeDocs(docs(spark, dir), "doc_id",
+        "text", graft.functions.Bpe.FrozenMerges)
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+        .join(tok, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          (sum(col("n_bpe_tokens")).cast("double") /
+            sum(col("n_words")).cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     // token counting + mean token length
     "t1_token_stats" -> ((spark, dir) =>
       docs(spark, dir).select(
@@ -838,6 +856,19 @@ object TrainingCatalog {
          |  FROM j)
          |SELECT doc_id, source, n_bpe_tokens FROM c
          |WHERE cum - n_bpe_tokens < 5000 ORDER BY doc_id""".stripMargin,
+
+    "tk4_bpe_fertility" ->
+      s"""WITH bpe AS (SELECT doc_id, n_words, n_bpe_tokens
+         |  FROM ${graft.functions.Bpe.tokenizeSql("documents", "doc_id",
+               "text", graft.functions.Bpe.FrozenMerges)} b),
+         |j AS (SELECT d.lang, bpe.n_words, bpe.n_bpe_tokens
+         |  FROM documents d JOIN bpe ON d.doc_id = bpe.doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+         |    AS fertility
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t1_token_stats" ->
       s"""SELECT doc_id, ${T.tokenCount("text")} AS n_tokens,

@@ -45,6 +45,53 @@ object DocStream {
   def chunk(docs: DataFrame, size: Int, stride: Int): DataFrame =
     graft.operators.Chunker.chunkByTokens(docs, "doc_id", "text", size, stride)
 
+  /** Stateless streaming BPE re-tokenization — the continuous face of
+    * `Bpe.tokenizeDocs`: tokenization under a frozen merge table is a
+    * pure row function, so the stream needs no vocab aggregation, no
+    * state store, no watermark — a compiled mapPartitions with a
+    * per-partition word memo (capped; on overflow it just recomputes —
+    * correctness never depends on the cache) replaces the batch path's
+    * distinct-vocab broadcast join. Converged output equals batch tk1
+    * EXACTLY, which is how the e18 gate oracles it.
+    */
+  def bpeTokenize(docs: DataFrame,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, (String, Long)]()
+        val MemoCap = 1 << 16
+        it.map { case (id, text) =>
+          val words = text.split(" ", -1)
+          var nWords = 0L
+          var nTok = 0L
+          val sb = new StringBuilder
+          var i = 0
+          while (i < words.length) {
+            val w = words(i)
+            if (w.nonEmpty) {
+              var hit = memo.get(w)
+              if (hit == null) {
+                val toks = graft.functions.Bpe.applyWord(w, ranks)
+                hit = (toks.mkString(" "), toks.length.toLong)
+                if (memo.size < MemoCap) memo.put(w, hit)
+              }
+              if (sb.nonEmpty) sb.append(' ')
+              sb.append(hit._1)
+              nWords += 1
+              nTok += hit._2
+            }
+            i += 1
+          }
+          (id, nWords, nTok, sb.toString)
+        }.filter(_._2 > 0L) // wordless docs drop, matching batch tk1
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens", "bpe_text")
+  }
+
   /** Continuous-ingestion dedup against a HISTORICAL store: drop
     * stream documents whose normalized fingerprint already exists in
     * the static fingerprint table (`store(fp)`). Spelled as

@@ -72,6 +72,25 @@ class BpeSpec extends SparkSpec {
     assert(tok.count() == docs.count())
   }
 
+  test("streaming face == batch face row-for-row (pure row function)") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val batch = Bpe.tokenizeDocs(docs, "doc_id", "text", Bpe.FrozenMerges)
+    // the stream operator runs unchanged on a batch frame — that
+    // isolates the arithmetic/memo parity claim from stream delivery
+    // (delivery parity is the e18 gate's job)
+    val streamFace = graft.streaming.DocStream.bpeTokenize(
+      docs, Bpe.FrozenMerges)
+    assert(streamFace.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamFace).isEmpty)
+    // wordless docs drop on both faces
+    val empty = Seq((1L, ""), (2L, "a b")).toDF("doc_id", "text")
+    assert(graft.streaming.DocStream.bpeTokenize(empty, Bpe.FrozenMerges)
+      .count() == 1L)
+    assert(Bpe.tokenizeDocs(empty, "doc_id", "text", Bpe.FrozenMerges)
+      .count() == 1L)
+  }
+
   test("tokenizeDocs plan: vocab rides a broadcast join, one doc-keyed agg") {
     val docs = graft.core.Tables.documents(spark, sf0001)
       .select($"doc_id", $"text")
