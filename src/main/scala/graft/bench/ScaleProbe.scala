@@ -64,6 +64,32 @@ object ScaleProbe {
         docs.unpersist()
         spark.catalog.clearCache()
       }
+      // BPE apply: multiplied docs with every copy's WORDS suffixed by
+      // its copy index — so the corpus AND the vocabulary both grow m×
+      // (the honest Heaps'-law shape: vocab memoization is the whole
+      // scale argument, so the probe must grow the part that defeats
+      // it). Expected: the vocab-side merge loop grows m×, the
+      // corpus-side broadcast join + reassembly grows m×; curve linear.
+      if (enabled("bpe")) {
+        val docs = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", m, 10000000L)
+          .withColumn("text",
+            // suffix every word with the copy index: 'key agg' (copy 2)
+            // -> 'keyc2 aggc2' — new vocab entries per copy, same word
+            // count; merges still apply to the [a-z] prefixes
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1c"),
+                expr("doc_id div 10000000").cast("string"))))
+          .repartition(64).cache()
+        docs.count()
+        time(s"bpe_tokenize x$m") {
+          graft.functions.Bpe.tokenizeDocs(docs, "doc_id", "text",
+            graft.functions.Bpe.FrozenMerges).count()
+        }
+        docs.unpersist()
+        spark.catalog.clearCache()
+      }
       // PageRank: multiplied events → m disjoint subgraphs (copy-offset
       // node ids), so nodes AND edges grow m× while structure stays
       // comparable. Fixed 8 supersteps — past the every-4 localCheckpoint
