@@ -521,6 +521,42 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E19 — streaming IMA-ADPCM decode: m12's stateful-ARITHMETIC
+    // codec (per-block predictor walk) is still a STATELESS stream
+    // operator, because blocks re-seed state inside one payload — so
+    // adpcmStats runs unchanged on a binary file stream, Append mode,
+    // no watermark (same composition claim as e16, one codec up)
+    "e19_stream_adpcm" -> ((spark, dir) => {
+      import spark.implicits._
+      val staged = Tables.documents(spark, dir).select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val nBlocks = 1 + (id % 3).toInt
+          val blocks = (0 until nBlocks).map { b =>
+            val pred0 = (((id * 37 + b * 101) % 65536) - 32768).toShort
+            val idx0 = ((id + 13 * b) % 89).toInt
+            val data = Array.tabulate(8)(j =>
+              ((id * 11 + b * 17 + j * 29) % 256).toByte)
+            (pred0, idx0, data)
+          }
+          (id, BinaryOps.encodeWavIma(8000, blocks))
+        }
+        .toDF("doc_id", "payload")
+      val d = graft.core.Staging.tmpDir("stream_adpcm")
+      staged.write.mode("overwrite").parquet(d)
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("payload",
+            org.apache.spark.sql.types.BinaryType))))
+        .parquet(d)
+      EventStream.runToMemory(spark, BinaryOps.adpcmStats(stream).toDF(),
+        s"stream_adpcm_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     // E15 — streaming PSI drift monitor against a frozen baseline:
     // yesterday's snapshot fixes bounds + q as plan literals, today's
     // (planted-shift) snapshot streams in, one Complete-mode agg row
@@ -934,6 +970,8 @@ object StreamMediaCatalog {
     // byte stream itself is the (doc_id, j) formula from the gate.
     "m11_g711_decode" -> G711DecodeSql,
     "m12_adpcm_decode" -> AdpcmDecodeSql,
+    // streaming == batch for the stateless per-payload decode
+    "e19_stream_adpcm" -> AdpcmDecodeSql,
 
     // identical payloads, identical decoder, streamed: same oracle
     "e16_stream_media" -> G711DecodeSql,
