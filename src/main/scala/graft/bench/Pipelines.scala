@@ -271,6 +271,25 @@ object Pipelines {
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
       "doc_id", "text", graft.functions.Bpe.FrozenMerges)
 
+  /** Model-ready token-shard export: quality gate → BPE token IDS →
+    * fixed 128-token sequence windows (the shape a dataloader maps
+    * straight into a training batch). The window fan-out is a map-side
+    * generate over the id arrays — after the tokenizer's one doc-keyed
+    * agg, nothing reshuffles.
+    */
+  def tokenizedExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val kept = docs.filter(
+      graft.functions.TextAnalysis.qualityScore(col("text")) >= 0.2)
+    val ids = graft.functions.Bpe.tokenizeToIds(kept, "doc_id", "text",
+      graft.functions.Bpe.FrozenMerges)
+    ids.select(col("doc_id"), col("bpe_ids"),
+      posexplode(sequence(lit(0), greatest(col("n_bpe_tokens").cast("int") - 1,
+        lit(0)), lit(128))).as(Seq("seq_id", "__start")))
+      .select(col("doc_id"), col("seq_id").cast("long").as("seq_id"),
+        slice(col("bpe_ids"), col("__start") + 1, lit(128)).as("ids"))
+  }
+
   def bm25Score(spark: SparkSession, sfDir: String): DataFrame =
     graft.functions.TextAnalysis
       .bm25(Tables.documents(spark, sfDir), "doc_id", "text")

@@ -168,6 +168,75 @@ object Bpe {
           " ").as("bpe_text"))
   }
 
+  /** Deterministic token→id table — the model-ready vocabulary: the
+    * base alphabet a–z takes ids 0–25, then each merge product takes
+    * 26+rank. A product whose surface string collides with an earlier
+    * token keeps the FIRST id (surface-string vocab, the GPT-2
+    * convention — two merge paths to one string are one token).
+    * Lookup of anything else (out-of-alphabet characters) yields the
+    * unk id −1.
+    */
+  def vocab(merges: Seq[(String, String)]): Map[String, Int] = {
+    val base = ('a' to 'z').map(_.toString).zipWithIndex.toMap
+    merges.zipWithIndex.foldLeft(base) { case (m, ((x, y), i)) =>
+      if (m.contains(x + y)) m else m + ((x + y) -> (26 + i))
+    }
+  }
+
+  /** [[tokenizeDocs]] emitting integer token IDS — the artifact a
+    * training run actually consumes: (idCol, n_bpe_tokens, bpe_ids)
+    * with ids from [[vocab]] in token order (−1 for out-of-vocabulary
+    * symbols). Same vocab-memoized shape: the merge loop and id
+    * lookup run once per DISTINCT word; the corpus pays the broadcast
+    * join and one doc-keyed ordered flatten.
+    */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranks = ranksOf(merges)
+    val ids = vocab(merges)
+    val words = df
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
+      .filter(col("__w") =!= "")
+    val vocabIds = words.select(col("__w")).distinct().as[String]
+      .map { w =>
+        val t = applyWord(w, ranks).map(s => ids.getOrElse(s, -1))
+        (w, t, t.length.toLong)
+      }
+      .toDF("__w", "__ids", "__n")
+    words.join(broadcast(vocabIds), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_bpe_tokens"),
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__ids")))),
+            s => s("__ids"))).as("bpe_ids"))
+  }
+
+  /** DuckDB spelling of [[tokenizeToIds]]: the [[tokenizeSql]] replay
+    * joined against the SAME vocab table ([[vocab]] emitted as a
+    * VALUES list — no SQL-side re-derivation to drift), −1 for misses.
+    */
+  def idsSql(src: String, id: String, text: String,
+             merges: Seq[(String, String)]): String = {
+    val vvals = vocab(merges).toSeq.sortBy(_._2)
+      .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    s"""(WITH bpe AS (SELECT $id, bpe_text
+       |  FROM ${tokenizeSql(src, id, text, merges)} b),
+       |v(tok, tid) AS (SELECT * FROM (VALUES $vvals) x(tok, tid)),
+       |tks AS (SELECT $id, u.i, t[u.i] AS tok
+       |  FROM (SELECT $id, string_split(bpe_text, ' ') AS t FROM bpe) s
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+       |ids AS (SELECT tks.$id, tks.i, CAST(COALESCE(v.tid, -1) AS INT) AS tid
+       |  FROM tks LEFT JOIN v ON tks.tok = v.tok)
+       |SELECT $id, CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens,
+       |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i) AS bpe_ids
+       |FROM ids GROUP BY $id)""".stripMargin
+  }
+
   /** DuckDB spelling of [[tokenizeDocs]] over `src(id, text)`: the
     * recursive CTE replays the same greedy loop — per DISTINCT word,
     * each recursion step merges the leftmost occurrence (non-global

@@ -173,6 +173,19 @@ object TrainingCatalog {
         order = Seq(col("doc_id")))
         .orderBy(col("doc_id"))),
 
+    // TK5 — token-ID emission, the artifact a training run actually
+    // consumes: integer ids from the deterministic surface-string
+    // vocab (a–z base + merge products), −1 for out-of-vocabulary
+    // (the operator emits a real array<int>; the gate projects it to
+    // the comma-joined string the oracle harness can hash — the a15
+    // collection convention)
+    "tk5_bpe_ids" -> ((spark, dir) =>
+      graft.functions.Bpe.tokenizeToIds(docs(spark, dir), "doc_id", "text",
+        graft.functions.Bpe.FrozenMerges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids"), ",").as("bpe_ids"))
+        .orderBy(col("doc_id"))),
+
     // TK4 — tokenizer fertility audit per language: BPE tokens per
     // word is the standard tokenizer-evaluation statistic (a tokenizer
     // trained on one distribution inflates token budgets on another);
@@ -856,6 +869,12 @@ object TrainingCatalog {
          |  FROM j)
          |SELECT doc_id, source, n_bpe_tokens FROM c
          |WHERE cum - n_bpe_tokens < 5000 ORDER BY doc_id""".stripMargin,
+
+    "tk5_bpe_ids" ->
+      s"""SELECT doc_id, n_bpe_tokens, bpe_ids
+         |FROM ${graft.functions.Bpe.idsSql("documents", "doc_id", "text",
+               graft.functions.Bpe.FrozenMerges)} b
+         |ORDER BY doc_id""".stripMargin,
 
     "tk4_bpe_fertility" ->
       s"""WITH bpe AS (SELECT doc_id, n_words, n_bpe_tokens

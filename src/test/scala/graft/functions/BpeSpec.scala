@@ -72,6 +72,36 @@ class BpeSpec extends SparkSpec {
     assert(tok.count() == docs.count())
   }
 
+  test("vocab ids: a-z base, merge products by rank, first id wins collisions") {
+    val v = Bpe.vocab(Bpe.FrozenMerges)
+    assert(v("a") == 0 && v("z") == 25)
+    assert(v("er") == 26 && v("cu") == 26 + 23)
+    assert(v.values.toSeq.distinct.size == v.size) // ids unique
+    // two merge paths to one surface keep the FIRST id
+    val coll = Bpe.vocab(Seq(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")))
+    assert(coll("abc") == 26 + 1) // ("a","bc") wins over ("ab","c")
+  }
+
+  test("tokenizeToIds: ids mirror the token stream; unk maps to -1") {
+    val docs = Seq((1L, "hash customer"), (2L, "q7")).toDF("doc_id", "text")
+    val r = Bpe.tokenizeToIds(docs, "doc_id", "text", Bpe.FrozenMerges)
+      .orderBy($"doc_id").as[(Long, Long, Seq[Int])].collect()
+    val v = Bpe.vocab(Bpe.FrozenMerges)
+    // hash -> [hash]; customer -> [cu, st, o, mer]
+    assert(r(0) == ((1L, 5L,
+      Seq(v("hash"), v("cu"), v("st"), v("o"), v("mer")))))
+    // '7' is out of alphabet -> unk
+    assert(r(1) == ((2L, 2L, Seq(v("q"), -1))))
+    // parity with the string face at sf0.001: same counts per doc
+    val d = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val byStr = Bpe.tokenizeDocs(d, "doc_id", "text", Bpe.FrozenMerges)
+      .select($"doc_id", $"n_bpe_tokens")
+    val byIds = Bpe.tokenizeToIds(d, "doc_id", "text", Bpe.FrozenMerges)
+      .select($"doc_id", $"n_bpe_tokens")
+    assert(byStr.exceptAll(byIds).isEmpty && byIds.exceptAll(byStr).isEmpty)
+  }
+
   test("streaming face == batch face row-for-row (pure row function)") {
     val docs = graft.core.Tables.documents(spark, sf0001)
       .select($"doc_id", $"text")
