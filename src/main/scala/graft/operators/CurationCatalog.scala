@@ -153,7 +153,27 @@ object CurationCatalog {
         .as("url"))
   }
 
+  /** The planted badwords list for bw1/bw2 (fixture vocabulary terms,
+    * one stated uppercase to prove case folding).
+    */
+  private val BadWords = Seq("SLOW", "dup", "spark")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BW1 — C4-style badwords profile: per-doc banned-token hits
+    // (token-boundary, case-folded) over docs with >= 1 hit
+    "bw1_blocklist_profile" -> ((spark, dir) =>
+      graft.quality.TermBlocklist.profile(docs(spark, dir), "doc_id",
+        "text", BadWords)
+        .orderBy(col("doc_id"))),
+
+    // BW2 — the surviving corpus after the badwords cut (doc-level
+    // drop, unlike t8's token-level strip)
+    "bw2_blocklist_filter" -> ((spark, dir) =>
+      graft.quality.TermBlocklist.filterClean(docs(spark, dir), "doc_id",
+        "text", BadWords)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
     // canonical URL + host/domain extraction (all parse_url + regex,
     // no UDF); :443 drops as the https default, :8080 survives,
     // tracking params strip in all three layouts, fragment drops
@@ -403,6 +423,24 @@ object CurationCatalog {
   )
 
   def oracle: Map[String, String] = Map(
+    "bw1_blocklist_profile" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |h AS (SELECT doc_id, lower(tk) AS tk FROM uni
+        |      WHERE lower(tk) IN ('slow', 'dup', 'spark'))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |  CAST(COUNT(DISTINCT tk) AS BIGINT) AS n_terms
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bw2_blocklist_filter" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |h AS (SELECT DISTINCT doc_id FROM uni
+        |      WHERE lower(tk) IN ('slow', 'dup', 'spark'))
+        |SELECT d.doc_id, d.text FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM h)
+        |ORDER BY d.doc_id""".stripMargin,
+
     // expected canonical form rebuilt from (doc_id, source) arithmetic —
     // no URL parsing on the oracle side
     "cu1_url_normalize" ->
