@@ -159,6 +159,20 @@ object CurationCatalog {
   private val BadWords = Seq("SLOW", "dup", "spark")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // GQ1 — Gopher quality-rule census: raw counters + integer rule
+    // bits + verdict per doc (word-count bounds, mean word length,
+    // alpha-word ratio, stopword presence — all cross-multiplied
+    // integer arithmetic, no float in any verdict)
+    "gq1_gopher_rules" -> ((spark, dir) =>
+      graft.quality.GopherRules.profile(docs(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // GQ2 — the corpus cut: docs passing all Gopher rules
+    "gq2_gopher_filter" -> ((spark, dir) =>
+      graft.quality.GopherRules.filterPass(docs(spark, dir), "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
     // BW1 — C4-style badwords profile: per-doc banned-token hits
     // (token-boundary, case-folded) over docs with >= 1 hit
     "bw1_blocklist_profile" -> ((spark, dir) =>
@@ -423,6 +437,47 @@ object CurationCatalog {
   )
 
   def oracle: Map[String, String] = Map(
+    "gq1_gopher_rules" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(length(tk)) AS BIGINT) AS sum_len,
+        |  CAST(SUM(CASE WHEN regexp_full_match(tk, '[A-Za-z]+')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_words,
+        |  CAST(SUM(CASE WHEN lower(tk) IN
+        |             ('the','be','to','of','and','that','have','with')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits
+        |  FROM uni GROUP BY doc_id)
+        |SELECT doc_id, n_words, sum_len, n_alpha_words, n_stop_hits,
+        |  CAST(sum_len AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+        |  CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_wordcount,
+        |  CAST(sum_len >= 3 * n_words AND sum_len <= 10 * n_words AS INT)
+        |    AS r_meanlen,
+        |  CAST(10 * n_alpha_words >= 8 * n_words AS INT) AS r_alpha,
+        |  CAST(n_stop_hits >= 2 AS INT) AS r_stop,
+        |  CAST(n_words BETWEEN 50 AND 100000
+        |    AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        |    AND 10 * n_alpha_words >= 8 * n_words
+        |    AND n_stop_hits >= 2 AS INT) AS pass
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "gq2_gopher_filter" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |g AS (SELECT doc_id, COUNT(*) AS n_words, SUM(length(tk)) AS sum_len,
+        |  SUM(CASE WHEN regexp_full_match(tk, '[A-Za-z]+') THEN 1 ELSE 0 END)
+        |    AS n_alpha_words,
+        |  SUM(CASE WHEN lower(tk) IN
+        |        ('the','be','to','of','and','that','have','with')
+        |      THEN 1 ELSE 0 END) AS n_stop_hits
+        |  FROM uni GROUP BY doc_id),
+        |p AS (SELECT doc_id FROM g
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        |    AND 10 * n_alpha_words >= 8 * n_words AND n_stop_hits >= 2)
+        |SELECT d.doc_id, d.text FROM documents d JOIN p USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "bw1_blocklist_profile" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
