@@ -173,6 +173,26 @@ object TrainingCatalog {
         order = Seq(col("doc_id")))
         .orderBy(col("doc_id"))),
 
+    // TK6 — the model-ready shard pipeline AS A GATE (the
+    // tokenized_export bench entry's oracle twin): quality gate → BPE
+    // token IDS → fixed 128-token sequence windows; every shard's id
+    // list exact
+    "tk6_token_shards" -> ((spark, dir) => {
+      val kept = docs(spark, dir).filter(
+        TextAnalysis.qualityScore(col("text")) >= 0.2)
+      val ids = graft.functions.Bpe.tokenizeToIds(kept, "doc_id", "text",
+        graft.functions.Bpe.FrozenMerges)
+      ids.select(col("doc_id"), col("bpe_ids"), col("n_bpe_tokens"),
+        posexplode(sequence(lit(0),
+          greatest(col("n_bpe_tokens").cast("int") - 1, lit(0)),
+          lit(128))).as(Seq("seq_id", "__s")))
+        .select(col("doc_id"), col("seq_id").cast("long").as("seq_id"),
+          least(lit(128L), col("n_bpe_tokens") - col("__s")).as("n_ids"),
+          array_join(slice(col("bpe_ids"), col("__s") + 1, lit(128)), ",")
+            .as("ids"))
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
     // TK5 — token-ID emission, the artifact a training run actually
     // consumes: integer ids from the deterministic surface-string
     // vocab (a–z base + merge products), −1 for out-of-vocabulary
@@ -869,6 +889,22 @@ object TrainingCatalog {
          |  FROM j)
          |SELECT doc_id, source, n_bpe_tokens FROM c
          |WHERE cum - n_bpe_tokens < 5000 ORDER BY doc_id""".stripMargin,
+
+    "tk6_token_shards" ->
+      s"""WITH kept AS (SELECT doc_id, text FROM documents
+         |  WHERE ${TextAnalysis.Sql.qualityScore("text")} >= 0.2),
+         |ids AS (SELECT doc_id, n_bpe_tokens, bpe_ids
+         |  FROM ${graft.functions.Bpe.idsSql("kept", "doc_id", "text",
+               graft.functions.Bpe.FrozenMerges)} b),
+         |w AS (SELECT doc_id, n_bpe_tokens, bpe_ids,
+         |    CAST(u.s // 128 AS BIGINT) AS seq_id, u.s
+         |  FROM ids CROSS JOIN LATERAL
+         |    unnest(range(0, GREATEST(n_bpe_tokens, 1), 128)) AS u(s))
+         |SELECT doc_id, seq_id,
+         |  CAST(LEAST(128, n_bpe_tokens - s) AS BIGINT) AS n_ids,
+         |  array_to_string(string_split(bpe_ids, ',')[s + 1 : s + 128], ',')
+         |    AS ids
+         |FROM w ORDER BY doc_id, seq_id""".stripMargin,
 
     "tk5_bpe_ids" ->
       s"""SELECT doc_id, n_bpe_tokens, bpe_ids
