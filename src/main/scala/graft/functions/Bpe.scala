@@ -36,10 +36,23 @@ object Bpe {
 
   /** Canonical greedy merge application for one word: repeatedly merge
     * the leftmost occurrence of the lowest-rank adjacent pair. Pure —
-    * safe in closures; `ranks` is small (the merge table).
+    * safe in closures; `ranks` is small (the merge table). The initial
+    * split is by Unicode CODE POINT, not UTF-16 code unit — the DuckDB
+    * oracle's RE2 `(.)` matches a code point, so splitting surrogate
+    * pairs here would silently diverge engine-vs-oracle the moment a
+    * corpus carries a non-BMP character (emoji, CJK extensions).
     */
   def applyWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < word.length) {
+        val n = Character.charCount(word.codePointAt(i))
+        b += word.substring(i, i + n)
+        i += n
+      }
+      b.result()
+    }
     var more = syms.length > 1
     while (more) {
       var best = Int.MaxValue

@@ -1092,9 +1092,12 @@ object BinaryOps {
           if (size < 20 || rdLe16(payload, off + 8) != 0x11 ||
             rdLe16(payload, off + 8 + 2) != 1 ||           // mono only
             rdLe16(payload, off + 8 + 14) != 4) return None
+          // align == 4 is legitimate: a header-only block carries one
+          // sample and zero nibble bytes — imaEncodeBlock emits it for
+          // a single-sample input, so the decoder must round-trip it
           val align = rdLe16(payload, off + 8 + 12)
           val spb = rdLe16(payload, off + 8 + 18)
-          if (align < 5 || spb != 1 + 2 * (align - 4)) return None
+          if (align < 4 || spb != 1 + 2 * (align - 4)) return None
           fmt = Some((rdLe32(payload, off + 8 + 4), align, spb))
         case "data" =>
           val (rate, align, spb) = fmt.getOrElse(return None)

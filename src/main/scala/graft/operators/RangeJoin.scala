@@ -31,17 +31,25 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Fan-out tripwire shared by both direct-API joins: a row whose
-    * interval covers more than `maxSpan` grid buckets raises a clear
-    * error naming the remediation (the optimizer-rule path has the
-    * identical guard at RangeJoinToBucketJoin.scala) — dropping or
-    * clamping the row would silently return wrong results; proceeding
-    * would blow the row count up unannounced or hit `Sequence`'s
-    * opaque max-array-length error. `assert_true` returns NULL when
-    * the bound holds, so the filter passes every compliant row.
+    * bucket SPAN (`bucketOf(end) − bucketOf(start)`, i.e. covering
+    * `span + 1` grid buckets) exceeds `maxSpan` raises a clear error
+    * naming the remediation — the same span convention as the
+    * optimizer-rule guard in RangeJoinToBucketJoin, so one `maxSpan`
+    * value means the same thing on both paths. Dropping or clamping
+    * the row would silently return wrong results; proceeding would
+    * blow the row count up unannounced or hit `Sequence`'s opaque
+    * max-array-length error. `assert_true` returns NULL when the bound
+    * holds, so the filter passes every compliant row. NULL bounds pass
+    * the guard untripped (the `coalesce`): Catalyst may merge this
+    * filter with the `start < end` one, and `And` still evaluates the
+    * right conjunct when the left is NULL — without the coalesce a
+    * null-bounded row (previously silently dropped) would crash the
+    * job with a misleading span error. Such rows still drop via the
+    * degenerate-interval filter, exactly as before the guard existed.
     */
   private def spanGuard(loB: Column, hiB: Column, maxSpan: Long,
                         bucketWidth: Double): Column =
-    assert_true(hiB - loB <= lit(maxSpan), lit(
+    assert_true(coalesce(hiB - loB <= lit(maxSpan), lit(true)), lit(
       s"graft range join: an interval spans more than $maxSpan buckets " +
         s"at bucketWidth=$bucketWidth; raise maxSpan or widen " +
         "bucketWidth")).isNull
@@ -53,14 +61,15 @@ object RangeJoin {
     * @param endCol      exclusive upper bound column
     * @param bucketWidth grid width in `pointCol` units (> 0); choose
     *                    ≈ the typical interval length
-    * @param maxSpan     per-interval fan-out cap in buckets (> 0,
-    *                    default 65536) — an interval covering more
-    *                    buckets fails fast with a clear remediation
-    *                    message instead of silently materializing a
-    *                    huge row blow-up or dying in `Sequence`'s
-    *                    opaque max-array-length error (same guard the
-    *                    optimizer-rule path carries via
-    *                    `spark.graft.rangeJoin.maxSpan`)
+    * @param maxSpan     per-interval bucket-SPAN cap (> 0, default
+    *                    65536): an interval with `bucketOf(end) −
+    *                    bucketOf(start) > maxSpan` (i.e. covering more
+    *                    than `maxSpan + 1` buckets) fails fast with a
+    *                    clear remediation message instead of silently
+    *                    materializing a huge row blow-up or dying in
+    *                    `Sequence`'s opaque max-array-length error —
+    *                    the same span convention as the optimizer-rule
+    *                    guard (`spark.graft.rangeJoin.maxSpan`)
     * @return every `points` × `intervals` match (all columns from both
     *         sides; empty/negative intervals match nothing)
     */

@@ -45,6 +45,24 @@ object StreamMediaCatalog {
       .toDF("doc_id", "payload", "format", "width", "height")
   }
 
+  /** m12/e19 shared IMA-ADPCM payload: 1-3 blocks per doc, every
+    * header field and nibble byte a pure function of doc_id — the
+    * SAME formulas AdpcmDecodeSql restates, kept in exactly one place
+    * so the batch gate, the stream gate, and the oracle cannot
+    * desynchronize.
+    */
+  private def adpcmFixture(id: Long): Array[Byte] = {
+    val nBlocks = 1 + (id % 3).toInt
+    val blocks = (0 until nBlocks).map { b =>
+      val pred0 = (((id * 37 + b * 101) % 65536) - 32768).toShort
+      val idx0 = ((id + 13 * b) % 89).toInt
+      val data = Array.tabulate(8)(j =>
+        ((id * 11 + b * 17 + j * 29) % 256).toByte)
+      (pred0, idx0, data)
+    }
+    BinaryOps.encodeWavIma(8000, blocks)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e3_stream_windows" -> ((spark, dir) => {
       // file source wants a directory: expose the fixture via symlink
@@ -325,17 +343,7 @@ object StreamMediaCatalog {
       import spark.implicits._
       val payloads = Tables.documents(spark, dir).select(col("doc_id"))
         .as[Long]
-        .map { id =>
-          val nBlocks = 1 + (id % 3).toInt
-          val blocks = (0 until nBlocks).map { b =>
-            val pred0 = (((id * 37 + b * 101) % 65536) - 32768).toShort
-            val idx0 = ((id + 13 * b) % 89).toInt
-            val data = Array.tabulate(8)(j =>
-              ((id * 11 + b * 17 + j * 29) % 256).toByte)
-            (pred0, idx0, data)
-          }
-          (id, BinaryOps.encodeWavIma(8000, blocks))
-        }
+        .map(id => (id, adpcmFixture(id)))
         .toDF("doc_id", "payload")
       BinaryOps.adpcmStats(payloads).toDF().orderBy(col("doc_id"))
     }),
@@ -530,17 +538,7 @@ object StreamMediaCatalog {
       import spark.implicits._
       val staged = Tables.documents(spark, dir).select(col("doc_id"))
         .as[Long]
-        .map { id =>
-          val nBlocks = 1 + (id % 3).toInt
-          val blocks = (0 until nBlocks).map { b =>
-            val pred0 = (((id * 37 + b * 101) % 65536) - 32768).toShort
-            val idx0 = ((id + 13 * b) % 89).toInt
-            val data = Array.tabulate(8)(j =>
-              ((id * 11 + b * 17 + j * 29) % 256).toByte)
-            (pred0, idx0, data)
-          }
-          (id, BinaryOps.encodeWavIma(8000, blocks))
-        }
+        .map(id => (id, adpcmFixture(id)))
         .toDF("doc_id", "payload")
       val d = graft.core.Staging.tmpDir("stream_adpcm")
       staged.write.mode("overwrite").parquet(d)

@@ -59,7 +59,12 @@ object DocStream {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranks = merges.zipWithIndex.toMap
+    // null text drops BEFORE the compiled map (the shingleSets
+    // convention: crawl-scale norm, and split(null) would NPE the
+    // executor) — the batch twin drops null-text docs the same way,
+    // keeping stream == batch on dirty corpora, not just fixtures
     docs.select(col("doc_id").cast("long"), col("text"))
+      .filter(col("text").isNotNull)
       .as[(Long, String)]
       .mapPartitions { it =>
         val memo = new java.util.HashMap[String, (String, Long)]()

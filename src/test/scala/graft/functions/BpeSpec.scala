@@ -21,6 +21,16 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyWord("ster", r) == Vector("st", "er"))
   }
 
+  test("applyWord splits by CODE POINT, matching the RE2 '(.)' oracle") {
+    // a non-BMP char (surrogate pair in UTF-16) is ONE symbol, never
+    // two lone surrogates — otherwise engine and DuckDB oracle diverge
+    // the moment a corpus carries an emoji
+    val r = ranks(Bpe.FrozenMerges)
+    assert(Bpe.applyWord("a😀b", r) ==
+      Vector("a", "😀", "b"))
+    assert(Bpe.applyWord("😀", r) == Vector("😀"))
+  }
+
   test("applyWord repeated-run semantics: leftmost occurrence merges first") {
     val r = ranks(Seq(("a", "a")))
     // one-at-a-time leftmost: aaa -> [aa, a] (the merged symbol can't

@@ -464,6 +464,13 @@ class BinaryOpsSpec extends SparkSpec {
     val wav = BinaryOps.encodeWavIma(8000, blocks)
     val got = BinaryOps.decodeWavIma(wav).get
     assert(got.sampleRate == 8000 && got.channels == 1)
+    // header-only blocks (one sample, zero nibble bytes) are the
+    // encoder's own output for single-sample input and must round-trip
+    val (p1, i1, d1) = BinaryOps.imaEncodeBlock(Array[Short](1234))
+    assert(d1.isEmpty)
+    val tiny = BinaryOps.decodeWavIma(
+      BinaryOps.encodeWavIma(8000, Seq((p1, i1, d1)))).get
+    assert(tiny.samples.toSeq == Seq[Short](1234))
     val expect = blocks.flatMap { case (p, i, d) =>
       BinaryOps.imaDecodeBlock(p, i, d) }
     assert(got.samples.toSeq == expect)

@@ -67,6 +67,15 @@ class RangeJoinSpec extends graft.SparkSpec {
     // generous cap: identical results to the unguarded default
     assert(pairs(RangeJoin.pointInInterval(points, "p", intervals,
       "lo", "hi", 1.0, maxSpan = 64L)) == expected)
+    // a null-bounded interval row DROPS silently (pre-guard behavior),
+    // never trips the span error — Catalyst may merge the guard with
+    // the start<end filter, and And still evaluates the guard on NULL
+    val withNull = intervals.unionByName(
+      Seq((99L, Option.empty[Double], Option(5.0)),
+        (98L, Option(1.0), Option.empty[Double]))
+        .toDF("iid", "lo", "hi"))
+    assert(pairs(RangeJoin.pointInInterval(points, "p", withNull,
+      "lo", "hi", 1.0, maxSpan = 64L)) == expected)
   }
 
   test("parity with the brute-force non-equi join on fixture data") {
