@@ -158,7 +158,45 @@ object CurationCatalog {
     */
   private val BadWords = Seq("SLOW", "dup", "spark")
 
+  // ---- encoding-quality fixtures --------------------------------------
+  // The fixture corpus is clean ASCII, so en1/en2 plant the artifact
+  // classes deterministically on both sides: every 17th doc gains a
+  // replacement char + a C0 control, every 23rd a mojibake phrase
+  // (escaped codepoints in source so no editor/locale can mangle the
+  // bytes; the SQL literal is emitted from the SAME Scala constant).
+  private val MojiPlant = " caf\u00C3\u00A9 ma\u00C3\u00B1ana"
+
+  private def encDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 17 === 0, lit(" z�q"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 23 === 0, lit(MojiPlant))
+          .otherwise(lit(""))).as("text"))
+
+  // NB: no line may START with '|' — this CTE is interpolated into
+  // stripMargin oracle templates, which would strip a leading '||'
+  private val encDocsSql =
+    s"""edocs AS (SELECT doc_id, text ||
+       | CASE WHEN doc_id % 17 = 0
+       |   THEN ' z' || chr(65533) || chr(8) || 'q' ELSE '' END ||
+       | CASE WHEN doc_id % 23 = 0 THEN '$MojiPlant' ELSE '' END AS text
+       | FROM documents)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // EN1 — encoding-artifact census (ftfy-style): replacement chars,
+    // stray C0 controls, mojibake pair hits, clean bit — all
+    // char-length arithmetic over literal replaces, map-side
+    "en1_encoding_census" -> ((spark, dir) =>
+      graft.quality.Encoding.census(encDocs(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // EN2 — mechanical repair: mojibake reversed through the fixed
+    // pair table, replacement/control chars stripped; byte-exact text
+    "en2_encoding_repair" -> ((spark, dir) =>
+      graft.quality.Encoding.repair(encDocs(spark, dir), "text")
+        .orderBy(col("doc_id"))),
+
     // GQ1 — Gopher quality-rule census: raw counters + integer rule
     // bits + verdict per doc (word-count bounds, mean word length,
     // alpha-word ratio, stopword presence — all cross-multiplied
@@ -437,6 +475,28 @@ object CurationCatalog {
   )
 
   def oracle: Map[String, String] = Map(
+    "en1_encoding_census" -> {
+      val E = graft.quality.Encoding.Sql
+      s"""WITH $encDocsSql
+         |SELECT doc_id,
+         |  ${E.countOccurrences("text", graft.quality.Encoding.Replacement)}
+         |    AS n_replacement,
+         |  ${E.nCtrl("text")} AS n_ctrl,
+         |  ${E.nMojibake("text")} AS n_mojibake,
+         |  CAST(${E.countOccurrences("text",
+                graft.quality.Encoding.Replacement)} = 0
+         |    AND ${E.nCtrl("text")} = 0
+         |    AND ${E.nMojibake("text")} = 0 AS INT) AS clean
+         |FROM edocs ORDER BY doc_id""".stripMargin
+    },
+
+    "en2_encoding_repair" -> {
+      val E = graft.quality.Encoding.Sql
+      s"""WITH $encDocsSql
+         |SELECT doc_id, ${E.repaired("text")} AS text
+         |FROM edocs ORDER BY doc_id""".stripMargin
+    },
+
     "gq1_gopher_rules" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
