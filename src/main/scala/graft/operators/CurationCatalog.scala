@@ -166,13 +166,18 @@ object CurationCatalog {
   // bytes; the SQL literal is emitted from the SAME Scala constant).
   private val MojiPlant = " caf\u00C3\u00A9 ma\u00C3\u00B1ana"
 
+  /** The planting expression itself — shared with the e20 streaming
+    * face so batch and stream corrupt identically.
+    */
+  private[operators] def encPlantText: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(col("doc_id") % 17 === 0, lit(" z\uFFFD\u0008q"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 23 === 0, lit(MojiPlant))
+        .otherwise(lit("")))
+
   private def encDocs(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir).select(col("doc_id"),
-      concat(col("text"),
-        when(col("doc_id") % 17 === 0, lit(" z�q"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 23 === 0, lit(MojiPlant))
-          .otherwise(lit(""))).as("text"))
+    docs(spark, sfDir).select(col("doc_id"), encPlantText.as("text"))
 
   // NB: no line may START with '|' — this CTE is interpolated into
   // stripMargin oracle templates, which would strip a leading '||'

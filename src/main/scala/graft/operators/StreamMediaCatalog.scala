@@ -631,6 +631,24 @@ object StreamMediaCatalog {
 
     // E10 — streaming chunk fan-out: the Chunker generate in
     // micro-batch; must equal the batch ck1 exactly
+    // E20 — streaming encoding repair: the ftfy stage is a pure
+    // codegen'd projection, so it runs unchanged on a doc stream
+    // (Append, no state); artifacts planted with the SAME expression
+    // as the batch en2 gate, whose oracle this shares
+    "e20_stream_encoding" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_enc"))
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val planted = graft.streaming.DocStream.read(spark, d.toString)
+        .select(col("doc_id"), CurationCatalog.encPlantText.as("text"))
+      EventStream.runToMemory(spark,
+        graft.quality.Encoding.repair(planted, "text"),
+        s"stream_enc_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     // E18 — streaming BPE re-tokenization: pure-row-function
     // tokenization under the frozen merges needs no state store, so
     // the converged stream equals batch tk1 exactly (same oracle)
@@ -813,6 +831,9 @@ object StreamMediaCatalog {
 
     // streaming == batch for the pure-row-function BPE re-tokenization
     "e18_stream_bpe" -> TrainingCatalog.oracle("tk1_bpe_apply"),
+
+    // streaming == batch for the pure-projection encoding repair
+    "e20_stream_encoding" -> CurationCatalog.oracle("en2_encoding_repair"),
 
     // streaming store-dedup == the batch anti-join spelling
     "e11_stream_dedup_store" -> {

@@ -173,6 +173,33 @@ object TrainingCatalog {
         order = Seq(col("doc_id")))
         .orderBy(col("doc_id"))),
 
+    // TK7 — cross-corpus out-of-vocabulary audit per language: the
+    // t14 even/odd split (train on even docs, evaluate odd), counting
+    // eval tokens whose WORD the training vocabulary never saw —
+    // the tokenizer-and-LM health check run before committing a vocab;
+    // counts exact longs, rate one shared IEEE division
+    "tk7_oov_rate" -> ((spark, dir) => {
+      val d = Tables.documents(spark, dir)
+      val trainVocab = TextDedup.shingleSets(
+        d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 1, distinct = false)
+        .select(col("shingle").as("__w")).distinct()
+      val evalToks = TextDedup.shingleSets(
+        d.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 1, distinct = false)
+        .withColumnRenamed("shingle", "__w")
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      evalToks.join(broadcast(trainVocab.withColumn("__seen", lit(1))),
+          Seq("__w"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_rate"))
+        .orderBy(col("lang"))
+    }),
+
     // TK6 — the model-ready shard pipeline AS A GATE (the
     // tokenized_export bench entry's oracle twin): quality gate → BPE
     // token IDS → fixed 128-token sequence windows; every shard's id
@@ -889,6 +916,23 @@ object TrainingCatalog {
          |  FROM j)
          |SELECT doc_id, source, n_bpe_tokens FROM c
          |WHERE cum - n_bpe_tokens < 5000 ORDER BY doc_id""".stripMargin,
+
+    "tk7_oov_rate" ->
+      """WITH tv AS (SELECT DISTINCT u.tk AS w
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents
+        |        WHERE doc_id % 2 = 0) s
+        |  CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |et AS (SELECT d.doc_id, d.lang, u.tk
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+        |        FROM documents WHERE doc_id % 2 = 1) d
+        |  CROSS JOIN LATERAL unnest(t) AS u(tk))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN tv.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(CASE WHEN tv.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+        |FROM et LEFT JOIN tv ON et.tk = tv.w
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tk6_token_shards" ->
       s"""WITH kept AS (SELECT doc_id, text FROM documents
