@@ -374,8 +374,13 @@ object Pipelines {
     // GopherRules.filterPass back-to-back would explode and aggregate
     // the corpus twice for per-doc counters that one pass computes
     // (measured: the unfused spelling added ~4 s to this cascade at
-    // sf0.1). Semantics are exactly bw2 ∘ gq2 — the oracle gates pin
-    // each operator's standalone behavior; this is their composition.
+    // sf0.1). The RULE SHAPES are TermBlocklist's and GopherRules'
+    // (each pinned standalone by its oracle gate), with cascade-tuned
+    // PARAMETERS that deliberately diverge from the gates' choices:
+    // minWords=10 (not Gopher's 50 — the fixture docs run 23–80 words
+    // and the default would gut the corpus the packing stages need)
+    // and a 2-term badwords list (not bw2's 3 — "spark" appears in
+    // ~1/6 of fixture docs).
     val cascadeBadwords = Seq("slow", "dup")
     val tk = TextDedup.shingleSets(gated, "doc_id", "text", k = 1,
       distinct = false)

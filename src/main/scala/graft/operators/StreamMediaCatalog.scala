@@ -63,13 +63,22 @@ object StreamMediaCatalog {
     BinaryOps.encodeWavIma(8000, blocks)
   }
 
+  /** Stage one fixture parquet behind a fresh symlink directory (file
+    * sources want a directory); shared by every file-source stream
+    * gate so the staging convention lives in one place.
+    */
+  private def stageFixtureDir(name: String, dir: String,
+                              file: String): String = {
+    val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir(name))
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve(file), java.nio.file.Paths.get(s"$dir/$file"))
+    d.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e3_stream_windows" -> ((spark, dir) => {
       // file source wants a directory: expose the fixture via symlink
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream", dir, "events.parquet"))
       val rolled = EventStream.tumblingCounts(EventStream.read(spark, d.toString))
       EventStream.runToMemory(spark, rolled,
         s"stream_windows_${streamNo.incrementAndGet()}")
@@ -353,10 +362,7 @@ object StreamMediaCatalog {
     // must equal the batch secondary-sort fold bit-for-bit (same oracle
     // as ts2_ewma)
     "e7_stream_ewma" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_ewma"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_ewma", dir, "events.parquet"))
       val updates = EventStream.ewmaUpdates(
         EventStream.read(spark, d.toString), alpha = 0.25)
       EventStream.runToMemory(spark, updates.toDF(),
@@ -369,10 +375,7 @@ object StreamMediaCatalog {
     // stage state; single-batch source must equal the batch state
     // machine (same oracle as sq1)
     "e8_stream_funnel" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_funnel"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_funnel", dir, "events.parquet"))
       val updates = EventStream.funnelUpdates(
         EventStream.read(spark, d.toString), Seq("signup", "click", "purchase"))
       EventStream.runToMemory(spark, updates.toDF(),
@@ -401,10 +404,7 @@ object StreamMediaCatalog {
     // micro-batch, so the static-dir run must equal the batch join the
     // oracle spells independently
     "e6_stream_join" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_ss"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_ss", dir, "events.parquet"))
       val joined = EventStream.purchaseClickJoin(EventStream.read(spark, d.toString))
       EventStream.runToMemory(spark, joined,
         s"stream_ss_${streamNo.incrementAndGet()}",
@@ -417,10 +417,7 @@ object StreamMediaCatalog {
     // store); PII planted in-stream per the pii1 convention, parity
     // with the batch spelling is the gate
     "e9_stream_curation" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_doc"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_doc", dir, "documents.parquet"))
       val curated = graft.streaming.DocStream.curate(
         graft.streaming.DocStream.read(spark, d.toString)
           .withColumn("text", CurationCatalog.piiText),
@@ -436,10 +433,7 @@ object StreamMediaCatalog {
     // is a pure row function, so the single-batch stream's Update
     // emission must equal the batch smp2 draw exactly
     "e12_stream_weighted_topk" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_wtopk"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_wtopk", dir, "documents.parquet"))
       val kept = graft.streaming.DocStream.weightedTopKUpdates(
         graft.streaming.DocStream.read(spark, d.toString),
         "doc_id", "lang", "n_chars", k = 20, seed = "mix")
@@ -453,10 +447,7 @@ object StreamMediaCatalog {
     // store (planted overlap: every 3rd doc is already "in history");
     // stream-static left-outer+filter, stateless per micro-batch
     "e11_stream_dedup_store" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_dd"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_dd", dir, "documents.parquet"))
       val store = Tables.documents(spark, dir)
         .filter(col("doc_id") % 3 === 0)
         .select(graft.functions.TextAnalysis
@@ -476,10 +467,7 @@ object StreamMediaCatalog {
     // start sits inside the budget (the batch keep rule). Must equal
     // the doc_id-ordered batch cumsum spelling exactly.
     "e17_stream_token_budget" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_tb"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_tb", dir, "documents.parquet"))
       val stream = graft.streaming.DocStream.read(spark, d.toString)
         .select(col("doc_id"), col("source"),
           graft.functions.TextAnalysis.tokenCount(col("text"))
@@ -607,10 +595,7 @@ object StreamMediaCatalog {
     // stream in, even docs' bands are the store. Must equal the batch
     // LSH band-join spelling over the same files exactly.
     "e14_stream_neardup" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_nd"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_nd", dir, "documents.parquet"))
       import graft.dedup.TextDedup
       val storeDocs = Tables.documents(spark, dir)
         .filter(col("doc_id") % 2 === 0)
@@ -636,10 +621,7 @@ object StreamMediaCatalog {
     // (Append, no state); artifacts planted with the SAME expression
     // as the batch en2 gate, whose oracle this shares
     "e20_stream_encoding" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_enc"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_enc", dir, "documents.parquet"))
       val planted = graft.streaming.DocStream.read(spark, d.toString)
         .select(col("doc_id"), CurationCatalog.encPlantText.as("text"))
       EventStream.runToMemory(spark,
@@ -653,10 +635,7 @@ object StreamMediaCatalog {
     // tokenization under the frozen merges needs no state store, so
     // the converged stream equals batch tk1 exactly (same oracle)
     "e18_stream_bpe" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_bpe"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_bpe", dir, "documents.parquet"))
       val toks = graft.streaming.DocStream.bpeTokenize(
         graft.streaming.DocStream.read(spark, d.toString),
         graft.functions.Bpe.FrozenMerges)
@@ -667,10 +646,7 @@ object StreamMediaCatalog {
     }),
 
     "e10_stream_chunks" -> ((spark, dir) => {
-      val d = java.nio.file.Paths.get(graft.core.Staging.tmpDir("stream_ck"))
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_ck", dir, "documents.parquet"))
       val chunks = graft.streaming.DocStream.chunk(
         graft.streaming.DocStream.read(spark, d.toString), size = 32, stride = 24)
       EventStream.runToMemory(spark, chunks,

@@ -171,7 +171,13 @@ object RangeJoinToBucketJoin extends Rule[LogicalPlan] with PredicateHelper {
     // to ceil(len/w)+1 rows — up to Sequence's opaque max-array-length
     // error. Such rows fail fast with the remediation spelled out;
     // dropping or clamping them would silently return wrong results.
-    val spanOk = LessThanOrEqual(Subtract(hiB, loB), Literal(maxSpan))
+    // NULL bounds coalesce to TRUE (no trip): And still evaluates this
+    // conjunct when loB<=hiB is NULL, and the un-rewritten plan simply
+    // non-matches a null-bounded row — it must not crash here either
+    // (same fix as the direct API's RangeJoin.spanGuard).
+    val spanOk = Coalesce(Seq(
+      LessThanOrEqual(Subtract(hiB, loB), Literal(maxSpan)),
+      Literal.TrueLiteral))
     val spanGuard = IsNull(If(spanOk, Literal(null, NullType),
       new RaiseError(Literal(
         s"graft range-join rewrite: an interval spans more than " +

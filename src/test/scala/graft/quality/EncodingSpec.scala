@@ -11,7 +11,7 @@ class EncodingSpec extends SparkSpec {
   private def docs = Seq(
     (1L, "clean ascii text"),
     (2L, "bad \uFFFD here \uFFFD twice"),
-    (3L, "ctrlmidend"),
+    (3L, "ctrl\u0001mid\u0008end"),
     (4L, moji),
     (5L, "tabs\tand\nnewlines are legitimate")
   ).toDF("doc_id", "text")
