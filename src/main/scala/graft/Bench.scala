@@ -67,6 +67,7 @@ object Bench {
       "bm25" -> (() => Pipelines.bm25Score(spark, sfDir)),
       "bpe_tokenize" -> (() => Pipelines.bpeTokenize(spark, sfDir)),
       "tokenized_export" -> (() => Pipelines.tokenizedExport(spark, sfDir)),
+      "packed_export" -> (() => Pipelines.packedExport(spark, sfDir)),
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),
       "curation_cascade" -> (() => Pipelines.curationCascade(spark, sfDir)),
       "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)),

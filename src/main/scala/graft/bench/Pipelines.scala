@@ -290,11 +290,28 @@ object Pipelines {
         slice(col("bpe_ids"), col("__start") + 1, lit(128)).as("ids"))
   }
 
+  /** Cross-document packed-sequence export: quality gate → BPE ids →
+    * separator-terminated concat-and-chunk into dense 128-id packs
+    * (real training batches — no per-doc padded tails). The tokenized
+    * frame is persisted so the offset derivation and the segment join
+    * read it once instead of running the tokenizer twice.
+    */
+  def packedExport(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val kept = docs.filter(
+      graft.functions.TextAnalysis.qualityScore(col("text")) >= 0.2)
+    val ids = graft.functions.Bpe.tokenizeToIds(kept, "doc_id", "text",
+      graft.functions.Bpe.FrozenMerges).localCheckpoint()
+    graft.operators.Packing.packSequences(ids, "doc_id", "bpe_ids",
+      "n_bpe_tokens", seqLen = 128,
+      sepId = graft.functions.Bpe.sepId(graft.functions.Bpe.FrozenMerges))
+  }
+
   def bm25Score(spark: SparkSession, sfDir: String): DataFrame =
     graft.functions.TextAnalysis
       .bm25(Tables.documents(spark, sfDir), "doc_id", "text")
       .groupBy(col("doc_id"))
-      .agg(max(struct(col("bm25"), col("term"))).as("top"))
+      .agg(max(struct(col("bm25_q"), col("term"))).as("top"))
       .select(col("doc_id"), col("top.term").as("top_term"))
 
   /** Integer PageRank over the event-derived graph, 6 supersteps —

@@ -138,6 +138,15 @@ object Bpe {
     ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
     ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
 
+  /** The end-of-document separator id for cross-doc sequence packing:
+    * the first id past [[vocab]]'s range (base 26 + one per merge —
+    * collisions leave holes below but never claim ids above), so it
+    * can never collide with a real token id. The GPT `<|endoftext|>`
+    * convention, derived from the merge table so engine and oracle
+    * agree by construction.
+    */
+  def sepId(merges: Seq[(String, String)]): Int = 26 + merges.size
+
   /** Re-tokenize every document under `merges`: returns
     * (idCol, n_words, n_bpe_tokens, bpe_text) with `bpe_text` the
     * space-joined BPE token stream in word order. Feeding `bpe_text`
@@ -274,7 +283,7 @@ object Bpe {
        |  WHERE t[i] <> ''),
        |vocab AS (SELECT DISTINCT __w AS word FROM w0),
        |step(word, seq) AS (
-       |  SELECT word, ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+       |  SELECT word, ' ' || trim(regexp_replace(word, '(?s)(.)', '\\1 ', 'g')) || ' '
        |  FROM vocab
        |  UNION ALL
        |  SELECT word, regexp_replace(seq,
@@ -296,5 +305,72 @@ object Bpe {
        |  string_agg(f.toks, ' ' ORDER BY w0.__pos) AS bpe_text
        |FROM w0 JOIN fin f ON w0.__w = f.word
        |GROUP BY w0.__id)""".stripMargin
+  }
+
+  /** DuckDB replay of [[train]] over `src(text)`: the merge-selection
+    * loop is unrolled into `nMerges` sequential stages — each stage
+    * counts adjacent symbol pairs (occurrence-weighted by exact-long
+    * word frequency), freezes the argmax (`ORDER BY cnt DESC, x, y
+    * LIMIT 1` — the trainer's deterministic tie-break verbatim), and
+    * advances every word's symbolization with a per-stage RECURSIVE
+    * CTE that merges the chosen pair leftmost-first until absent (the
+    * [[tokenizeSql]] step discipline). Incremental advance here equals
+    * the trainer's per-round greedy re-derivation: the trainer's
+    * lowest-rank-first loop replays merges in exactly the order they
+    * were frozen, so state after k incremental applications is the
+    * state applyWord reaches under ranks 1..k ([[BpeSpec]] pins this
+    * on the gate corpus). Emits (rank BIGINT, x, y) ordered rows; if
+    * the corpus exhausts adjacent pairs early, later stages select
+    * from an empty argmax and contribute no rows — matching the
+    * trainer's early stop.
+    *
+    * Tokens are filtered to regex-inert `^[a-z]+$` (the same filter
+    * the paired engine gate applies before [[train]]): chosen symbols
+    * are interpolated into the recursive stage's `regexp_replace`
+    * PATTERN, so they must carry no metacharacters — the
+    * [[tokenizeSql]] merge-symbol contract, enforced here at the
+    * source instead of over a frozen table.
+    *
+    * Every stage CTE is `AS MATERIALIZED`: each stage references its
+    * predecessor 2–3 times, and a planner that inlines CTEs would
+    * re-evaluate the chain O(3^nMerges) times — the unhinted spelling
+    * measurably hangs DuckDB at 8 stages.
+    */
+  def learnSql(src: String, text: String, nMerges: Int): String = {
+    require(nMerges >= 1 && nMerges <= 32,
+      s"learnSql unrolls one stage per merge; keep nMerges in [1, 32], got $nMerges")
+    val sb = new StringBuilder
+    sb ++= s"""(WITH RECURSIVE
+       | w0 AS MATERIALIZED (SELECT u.tk AS w, CAST(COUNT(*) AS BIGINT) AS f
+       |   FROM (SELECT string_split($text, ' ') AS t FROM $src) d
+       |   CROSS JOIN LATERAL unnest(t) AS u(tk)
+       |   WHERE u.tk <> '' AND regexp_full_match(u.tk, '[a-z]+')
+       |   GROUP BY u.tk),
+       | s0 AS MATERIALIZED (SELECT w, f,
+       |   ' ' || trim(regexp_replace(w, '(?s)(.)', '\\1 ', 'g')) || ' ' AS seq
+       |   FROM w0)""".stripMargin
+    for (k <- 1 to nMerges) {
+      val prev = s"s${k - 1}"
+      sb ++= s""",
+       | p$k AS MATERIALIZED (SELECT t[i] AS x, t[i+1] AS y, SUM(f) AS cnt
+       |   FROM (SELECT f, string_split(trim(seq), ' ') AS t FROM $prev) z
+       |   CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+       |   GROUP BY 1, 2),
+       | b$k AS MATERIALIZED (SELECT x, y FROM p$k ORDER BY cnt DESC, x, y LIMIT 1),
+       | r$k(w, f, seq) AS (
+       |   SELECT w, f, seq FROM $prev
+       |   UNION ALL
+       |   SELECT r.w, r.f, regexp_replace(r.seq,
+       |       ' ' || b.x || ' ' || b.y || ' ', ' ' || b.x || b.y || ' ')
+       |   FROM r$k r, b$k b
+       |   WHERE position(' ' || b.x || ' ' || b.y || ' ' IN r.seq) > 0),
+       | s$k AS MATERIALIZED (SELECT w, f, seq FROM r$k r
+       |   WHERE NOT EXISTS (SELECT 1 FROM b$k b
+       |     WHERE position(' ' || b.x || ' ' || b.y || ' ' IN r.seq) > 0))""".stripMargin
+    }
+    sb ++= (1 to nMerges)
+      .map(k => s"SELECT CAST(${k - 1} AS BIGINT) AS rank, x, y FROM b$k")
+      .mkString("\n ", "\n UNION ALL\n ", ")")
+    sb.result()
   }
 }

@@ -246,10 +246,25 @@ object TextAnalysis {
     * which every remaining operand (tf, df, dl exact longs; N, avgdl
     * one broadcast stats row) feeds a pure +,−,×,÷ IEEE tree that is
     * bit-identical across engines; the emitted score is then itself
-    * floor-quantized to a multiple of 1e-6 (floor of bit-identical
-    * input bits — zero cross-engine boundary risk, unlike decimal
-    * rounding of a near-boundary double). Quantization bias ≤1e-6 on
-    * each factor, invisible at the signal's O(0.1) useful resolution.
+    * floor-quantized (floor of bit-identical input bits — zero
+    * cross-engine boundary risk, unlike decimal rounding of a
+    * near-boundary double). Quantization bias ≤1e-6 on each factor,
+    * invisible at the signal's O(0.1) useful resolution.
+    *
+    * The CONTRACT is integer-only (round-11 escalation): the output
+    * carries `idf_q` and `bm25_q` as raw int64 quantization units
+    * (micro-nats / micro-score), with NO trailing `/1e6` re-division
+    * back to double. Round 10 proved the double-emitting form locally
+    * bit-exact against DuckDB 1.0.0 with ≥1.9e-4-unit floor margins,
+    * yet the driver's DuckDB still hash-flipped it two rounds running —
+    * the remaining suspect is version-dependent DECIMAL-literal typing
+    * in the oracle SQL (0.5/1.2/0.75 parse as DECIMAL and their
+    * propagation rules changed across DuckDB releases). Emitting the
+    * int64 kills the double-hashing class entirely on the engine side;
+    * the paired oracle CASTs every decimal literal to DOUBLE so no
+    * decimal arithmetic rule can alter its tree. Consumers who want
+    * the float score divide by 1e6 themselves ([[Pipelines.bm25Score]]
+    * ranks on the int directly — order-isomorphic).
     *
     * Scale shape: term-keyed shuffles for tf/df (vocabulary can exceed
     * broadcast size), doc-keyed partial agg for dl, the 1-row stats
@@ -280,8 +295,8 @@ object TextAnalysis {
     tf.join(dl, Seq(idCol)).join(dfreq, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col(idCol), col("term"), col("tf"), col("df"), col("dl"),
-        (floor(raw * lit(1e6) + lit(1e-4)).cast("double") / lit(1e6))
-          .as("bm25"))
+        idfQ.cast("long").as("idf_q"),
+        floor(raw * lit(1e6) + lit(1e-4)).cast("long").as("bm25_q"))
   }
 
   /** Per-document mean unigram log-probability — the CCNet-style LM

@@ -156,7 +156,7 @@ object CurationCatalog {
   /** The planted badwords list for bw1/bw2 (fixture vocabulary terms,
     * one stated uppercase to prove case folding).
     */
-  private val BadWords = Seq("SLOW", "dup", "spark")
+  private[operators] val BadWords = Seq("SLOW", "dup", "spark")
 
   // ---- encoding-quality fixtures --------------------------------------
   // The fixture corpus is clean ASCII, so en1/en2 plant the artifact
@@ -166,6 +166,14 @@ object CurationCatalog {
   // bytes; the SQL literal is emitted from the SAME Scala constant).
   private val MojiPlant = " caf\u00C3\u00A9 ma\u00C3\u00B1ana"
 
+  /** cp1252 â€-class plant (every 29th doc): curly-quoted word (the
+    * right-quote form carries the INVISIBLE C1 U+009D), an en dash
+    * and a right single quote — escaped codepoints in source, and
+    * `Encoding.Sql.sqlLit` (chr(157) pieces) on the SQL side.
+    */
+  private val Cp1252Plant =
+    " \u00E2\u20AC\u0153q\u00E2\u20AC\u009D \u00E2\u20AC\u201Cx\u00E2\u20AC\u2122"
+
   /** The planting expression itself — shared with the e20 streaming
     * face so batch and stream corrupt identically.
     */
@@ -174,6 +182,8 @@ object CurationCatalog {
       when(col("doc_id") % 17 === 0, lit(" z\uFFFD\u0008q"))
         .otherwise(lit("")),
       when(col("doc_id") % 23 === 0, lit(MojiPlant))
+        .otherwise(lit("")),
+      when(col("doc_id") % 29 === 0, lit(Cp1252Plant))
         .otherwise(lit("")))
 
   private def encDocs(spark: SparkSession, sfDir: String): DataFrame =
@@ -185,7 +195,10 @@ object CurationCatalog {
     s"""edocs AS (SELECT doc_id, text ||
        | CASE WHEN doc_id % 17 = 0
        |   THEN ' z' || chr(65533) || chr(8) || 'q' ELSE '' END ||
-       | CASE WHEN doc_id % 23 = 0 THEN '$MojiPlant' ELSE '' END AS text
+       | CASE WHEN doc_id % 23 = 0 THEN '$MojiPlant' ELSE '' END ||
+       | CASE WHEN doc_id % 29 = 0
+       |   THEN ${graft.quality.Encoding.Sql.sqlLit(Cp1252Plant)}
+       |   ELSE '' END AS text
        | FROM documents)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -488,10 +501,12 @@ object CurationCatalog {
          |    AS n_replacement,
          |  ${E.nCtrl("text")} AS n_ctrl,
          |  ${E.nMojibake("text")} AS n_mojibake,
+         |  ${E.nCp1252("text")} AS n_cp1252,
          |  CAST(${E.countOccurrences("text",
                 graft.quality.Encoding.Replacement)} = 0
          |    AND ${E.nCtrl("text")} = 0
-         |    AND ${E.nMojibake("text")} = 0 AS INT) AS clean
+         |    AND ${E.nMojibake("text")} = 0
+         |    AND ${E.nCp1252("text")} = 0 AS INT) AS clean
          |FROM edocs ORDER BY doc_id""".stripMargin
     },
 

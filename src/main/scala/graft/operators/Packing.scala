@@ -37,7 +37,18 @@ object Packing {
     * Chunker/TextDedup and the DuckDB oracles).
     */
   def packSpans(df: DataFrame, idCol: String, textCol: String,
-                seqLen: Int, buckets: Int = 256): DataFrame = {
+                seqLen: Int, buckets: Int = 256): DataFrame =
+    spansFromCounts(
+      df.select(col(idCol),
+        size(split(col(textCol), " ", -1)).cast("long").as("__n")),
+      idCol, seqLen, buckets)
+
+  /** The span map over a frame that already carries per-document
+    * token counts as `__n` — the shared core of [[packSpans]]
+    * (whitespace tokens) and [[packSequences]] (BPE ids + separator).
+    */
+  private def spansFromCounts(counts: DataFrame, idCol: String,
+                              seqLen: Int, buckets: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(buckets > 0 && buckets <= 65536,
       s"buckets must be in [1, 65536], got $buckets")
@@ -53,10 +64,7 @@ object Packing {
     // infers on the probe side — without it the two subtrees hanging
     // off this exchange canonicalize differently and ReuseExchange
     // cannot collapse them to one scan
-    val base = df.select(
-      col(idCol),
-      h.as("__h"),
-      size(split(col(textCol), " ", -1)).cast("long").as("__n"))
+    val base = counts.select(col(idCol), h.as("__h"), col("__n"))
       .withColumn("__b", substring(col("__h"), 1, nibbles))
       .filter(col("__b").isNotNull)
 
@@ -137,4 +145,84 @@ object Packing {
        |          - GREATEST(s, u.p * $seqLen) AS n_toks
        | FROM o CROSS JOIN LATERAL
        |   unnest(range(s // $seqLen, (s + n - 1) // $seqLen + 1)) AS u(p))""".stripMargin
+
+  /** Dense cross-document training sequences — the step [[packSpans]]
+    * maps out and a dataloader actually consumes: each document's BPE
+    * id array gets a `sepId` end-of-document separator appended (the
+    * GPT convention), the id streams are laid end-to-end in the
+    * deterministic md5 order, and the concatenation is cut into
+    * `seqLen`-id packs. Every pack except the last is exactly full —
+    * no per-document padded tails (contrast the per-doc windows of
+    * `tk6_token_shards`, where every tail under `seqLen` ships as a
+    * fragment).
+    *
+    * Input is [[graft.functions.Bpe.tokenizeToIds]]'s shape:
+    * `(idCol, nCol = token count, idsCol = array<int> ids)`.
+    *
+    * Scale design: the global offset is the [[packSpans]] bucketed
+    * two-phase prefix sum (no corpus-wide single-partition window);
+    * span enumeration is a bounded map-side fan-out; each span then
+    * SLICES its id segment out of the document row BEFORE the
+    * pack-keyed shuffle, so the exchange carries ≤`seqLen` ids per
+    * row, never whole documents; pack assembly is one keyed agg whose
+    * groups are ≤`seqLen` ids by construction. The `ids` input is
+    * consumed twice (offset derivation + segment join) — at scale pass
+    * a persisted/checkpointed frame so tokenization doesn't run twice.
+    */
+  def packSequences(ids: DataFrame, idCol: String, idsCol: String,
+                    nCol: String, seqLen: Int, sepId: Int,
+                    buckets: Int = 256): DataFrame = {
+    val withSep = ids.select(col(idCol),
+      concat(col(idsCol), array(lit(sepId))).as("__ids"),
+      (col(nCol) + lit(1L)).as("__n"))
+    val spans = spansFromCounts(withSep.select(col(idCol), col("__n")),
+      idCol, seqLen, buckets)
+    spans.join(withSep, Seq(idCol))
+      .select(col("pack_id"), col("pack_off"), col("n_toks"),
+        slice(col("__ids"), (col("doc_off") + lit(1L)).cast("int"),
+          col("n_toks").cast("int")).as("__seg"))
+      .groupBy(col("pack_id"))
+      .agg(
+        sum(col("n_toks")).as("n_ids"),
+        flatten(transform(
+          array_sort(collect_list(struct(col("pack_off"), col("__seg")))),
+          s => s("__seg"))).as("ids"))
+  }
+
+  /** DuckDB spelling of [[packSequences]] over `idsSrc(id,
+    * n_bpe_tokens, bpe_ids)` where `bpe_ids` is the comma-joined id
+    * string ([[graft.functions.Bpe.idsSql]]'s output shape): append
+    * the separator, plain global-window prefix sum (verify scale),
+    * slice each span's segment, reassemble per pack in `pack_off`
+    * order. Emits `ids` as the comma-joined string (the a15 collection
+    * convention — the harness cannot hash ARRAY columns).
+    */
+  def packSequencesSql(idsSrc: String, id: String, seqLen: Int,
+                       sepId: Int): String =
+    s"""(WITH w AS (
+       |   SELECT $id, md5(CAST($id AS VARCHAR)) AS h,
+       |          n_bpe_tokens + 1 AS n,
+       |          bpe_ids || ',$sepId' AS sids
+       |   FROM $idsSrc),
+       | o AS (
+       |   SELECT $id, n, sids,
+       |          CAST(sum(n) OVER (ORDER BY h, $id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+       |            AS BIGINT) AS s
+       |   FROM w),
+       | sp AS (
+       |   SELECT CAST(u.p AS BIGINT) AS pack_id,
+       |          GREATEST(s, u.p * $seqLen) - u.p * $seqLen AS pack_off,
+       |          LEAST(s + n, (u.p + 1) * $seqLen)
+       |            - GREATEST(s, u.p * $seqLen) AS n_toks,
+       |          array_to_string(string_split(sids, ',')[
+       |            GREATEST(s, u.p * $seqLen) - s + 1 :
+       |            GREATEST(s, u.p * $seqLen) - s
+       |              + LEAST(s + n, (u.p + 1) * $seqLen)
+       |              - GREATEST(s, u.p * $seqLen)], ',') AS seg
+       |   FROM o CROSS JOIN LATERAL
+       |     unnest(range(s // $seqLen, (s + n - 1) // $seqLen + 1)) AS u(p))
+       | SELECT pack_id, CAST(SUM(n_toks) AS BIGINT) AS n_ids,
+       |        string_agg(seg, ',' ORDER BY pack_off) AS ids
+       | FROM sp GROUP BY pack_id)""".stripMargin
 }

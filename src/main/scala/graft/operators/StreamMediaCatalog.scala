@@ -631,6 +631,22 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E21 — streaming fused badwords + Gopher quality gate: both
+    // verdicts are doc-local, so the stream face is ONE per-row
+    // integer predicate (no explode/agg/join state, Append); converged
+    // output equals the batch gq2 ∩ bw2 composition, which the oracle
+    // states directly
+    "e21_stream_quality_gate" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(stageFixtureDir("stream_qgate", dir, "documents.parquet"))
+      val gated = graft.streaming.DocStream.fusedQualityGate(
+        graft.streaming.DocStream.read(spark, d.toString),
+        CurationCatalog.BadWords)
+      EventStream.runToMemory(spark, gated,
+        s"stream_qgate_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     // E18 — streaming BPE re-tokenization: pure-row-function
     // tokenization under the frozen merges needs no state store, so
     // the converged stream equals batch tk1 exactly (same oracle)
@@ -810,6 +826,28 @@ object StreamMediaCatalog {
 
     // streaming == batch for the pure-projection encoding repair
     "e20_stream_encoding" -> CurationCatalog.oracle("en2_encoding_repair"),
+
+    // streaming == batch for the doc-local fused quality gate: the
+    // gq2 Gopher pass-set composed with the bw2 badwords anti-set
+    "e21_stream_quality_gate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
+        |g AS (SELECT doc_id, COUNT(*) AS n_words, SUM(length(tk)) AS sum_len,
+        |  SUM(CASE WHEN regexp_full_match(tk, '[A-Za-z]+') THEN 1 ELSE 0 END)
+        |    AS n_alpha_words,
+        |  SUM(CASE WHEN lower(tk) IN
+        |        ('the','be','to','of','and','that','have','with')
+        |      THEN 1 ELSE 0 END) AS n_stop_hits
+        |  FROM uni GROUP BY doc_id),
+        |p AS (SELECT doc_id FROM g
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND sum_len >= 3 * n_words AND sum_len <= 10 * n_words
+        |    AND 10 * n_alpha_words >= 8 * n_words AND n_stop_hits >= 2),
+        |h AS (SELECT DISTINCT doc_id FROM uni
+        |      WHERE lower(tk) IN ('slow', 'dup', 'spark'))
+        |SELECT d.doc_id, d.text FROM documents d JOIN p USING (doc_id)
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM h)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // streaming store-dedup == the batch anti-join spelling
     "e11_stream_dedup_store" -> {

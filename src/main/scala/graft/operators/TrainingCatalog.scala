@@ -220,6 +220,41 @@ object TrainingCatalog {
         .orderBy(col("doc_id"), col("seq_id"))
     }),
 
+    // TK9 — BPE TRAINING as a gate: learn 8 merges from the corpus
+    // (exact-long pair counts, lexicographic tie-break) and emit the
+    // ordered merge list; the oracle replays the whole selection loop
+    // in SQL — per-round pair-count argmax + a recursive leftmost
+    // merge advance, the m12 recursive-CTE discipline. Tokens filter
+    // to regex-inert [a-z]+ on BOTH sides (chosen symbols land in the
+    // oracle's regexp_replace pattern)
+    "tk9_bpe_learn" -> ((spark, dir) => {
+      import spark.implicits._
+      val corpus = docs(spark, dir).select(
+        array_join(filter(split(col("text"), " ", -1),
+          w => w.rlike("^[a-z]+$")), " ").as("text"))
+      graft.functions.Bpe.train(corpus, "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rank", "x", "y").orderBy(col("rank"))
+    }),
+
+    // TK8 — dense cross-document packing of the BPE id stream: docs
+    // in deterministic md5 order, separator-terminated, cut into
+    // 128-id packs — TRAINING BATCHES, not tk6's per-doc padded
+    // tails. Bucketed two-phase prefix sum (no corpus-wide
+    // single-partition window); the a15 string convention for the
+    // ids (the operator's real API returns array<int>)
+    "tk8_packed_seqs" -> ((spark, dir) => {
+      val m = graft.functions.Bpe.FrozenMerges
+      val ids = graft.functions.Bpe.tokenizeToIds(
+        docs(spark, dir), "doc_id", "text", m)
+      graft.operators.Packing.packSequences(ids, "doc_id", "bpe_ids",
+          "n_bpe_tokens", seqLen = 128, sepId = graft.functions.Bpe.sepId(m))
+        .select(col("pack_id"), col("n_ids"),
+          array_join(col("ids"), ",").as("ids"))
+        .orderBy(col("pack_id"))
+    }),
+
     // TK5 — token-ID emission, the artifact a training run actually
     // consumes: integer ids from the deterministic surface-string
     // vocab (a–z base + merge products), −1 for out-of-vocabulary
@@ -956,6 +991,21 @@ object TrainingCatalog {
                graft.functions.Bpe.FrozenMerges)} b
          |ORDER BY doc_id""".stripMargin,
 
+    "tk9_bpe_learn" ->
+      s"""SELECT rank, x, y
+         |FROM ${graft.functions.Bpe.learnSql("documents", "text", 8)} q
+         |ORDER BY rank""".stripMargin,
+
+    "tk8_packed_seqs" ->
+      s"""WITH ids AS (SELECT doc_id, n_bpe_tokens, bpe_ids
+         |  FROM ${graft.functions.Bpe.idsSql("documents", "doc_id", "text",
+               graft.functions.Bpe.FrozenMerges)} b)
+         |SELECT pack_id, n_ids, ids
+         |FROM ${graft.operators.Packing.packSequencesSql("ids", "doc_id",
+               128, graft.functions.Bpe.sepId(
+                 graft.functions.Bpe.FrozenMerges))} p
+         |ORDER BY pack_id""".stripMargin,
+
     "tk4_bpe_fertility" ->
       s"""WITH bpe AS (SELECT doc_id, n_words, n_bpe_tokens
          |  FROM ${graft.functions.Bpe.tokenizeSql("documents", "doc_id",
@@ -1474,13 +1524,16 @@ object TrainingCatalog {
         |ORDER BY t.doc_id, t.term""".stripMargin,
 
     // identical expression tree to the engine: exact-integer tf/df/dl
-    // operands, the (1.2 + 1.0) sum written as a SUM so both engines
-    // compute the same double (the parsed literal 2.2 is a half-ulp
-    // tie against the computed sum); the idf ln is quantized with the
-    // t9 nudged floor (floor(ln·1e6 + 1e-4)) so libm last-ulp drift
-    // cannot flip the value, and the final score is floor-quantized to
-    // a multiple of 1e-6 on BOTH sides — never round a raw
-    // transcendental (round-9 driver hash failure)
+    // operands; the idf ln is quantized with the t9 nudged floor
+    // (floor(ln·1e6 + 1e-4)) so libm last-ulp drift cannot flip it.
+    // Round-11 escalation — the contract is INTEGER-ONLY: idf_q and
+    // bm25_q ship as BIGINT quantization units with no trailing /1e6
+    // re-division (the double-emitting form was locally bit-exact vs
+    // DuckDB 1.0.0 yet hash-flipped on the driver's build two rounds
+    // running), and EVERY decimal literal is CAST(… AS DOUBLE) so no
+    // DuckDB version's DECIMAL typing/propagation rules can alter the
+    // tree ((1.2 + 1.0) stays a computed sum — the flattened literal
+    // 2.2 is a half-ulp round-to-even tie against it)
     "t13_bm25" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)),
@@ -1489,11 +1542,17 @@ object TrainingCatalog {
         |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
         |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl)
         |SELECT t.doc_id, t.term, t.tf, d.df, l.dl,
-        |  floor(floor(ln((n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0) * 1e6 + 1e-4)
-        |      / 1e6 *
-        |    (t.tf * (1.2 + 1.0)) /
-        |    (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / avgdl)) * 1e6 + 1e-4)
-        |    / 1e6 AS bm25
+        |  CAST(floor(ln((n_docs - d.df + CAST(0.5 AS DOUBLE))
+        |      / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |      * 1e6 + 1e-4) AS BIGINT) AS idf_q,
+        |  CAST(floor(
+        |    floor(ln((n_docs - d.df + CAST(0.5 AS DOUBLE))
+        |        / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |        * 1e6 + 1e-4) / 1e6 *
+        |    (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |    (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |      - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dl / avgdl))
+        |    * 1e6 + 1e-4) AS BIGINT) AS bm25_q
         |FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term)
         |CROSS JOIN st
         |ORDER BY t.doc_id, t.term""".stripMargin,

@@ -45,6 +45,40 @@ object DocStream {
   def chunk(docs: DataFrame, size: Int, stride: Int): DataFrame =
     graft.operators.Chunker.chunkByTokens(docs, "doc_id", "text", size, stride)
 
+  /** Stateless streaming face of the fused badwords + Gopher quality
+    * gate: both verdicts are DOC-LOCAL, so on a stream they collapse
+    * to one per-row predicate over the token array — no explode, no
+    * aggregation state, no join, Append mode. The arithmetic is the
+    * SAME integer arithmetic as the batch operators (cross-multiplied
+    * bounds, exact long counts over the `split(" ", -1)` token
+    * convention, badwords case-folded on whole tokens), so converged
+    * output equals `GopherRules.filterPass ∩ TermBlocklist.filterClean`
+    * row-for-row — which is how the e21 gate oracles it. The batch
+    * path keeps its fused explode+agg+semi-join spelling (HOF lambdas
+    * are interpreted — fine for micro-batches, wrong for a 100 TB
+    * scan); null text drops, matching the batch word-count rule.
+    */
+  def fusedQualityGate(docs: DataFrame, badwords: Seq[String],
+                       minWords: Int = 50,
+                       maxWords: Int = 100000): DataFrame = {
+    val toks = split(col("text"), " ", -1)
+    val bw = array(badwords.map(_.toLowerCase).distinct.sorted.map(lit): _*)
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, w) => a + length(w).cast("long"))
+    val nAlpha = size(filter(toks, w => w.rlike("^[A-Za-z]+$"))).cast("long")
+    val nStop = size(filter(toks,
+      w => lower(w).isin(graft.quality.GopherRules.GopherStopwords: _*)))
+      .cast("long")
+    val hasBad = arrays_overlap(transform(toks, w => lower(w)), bw)
+    docs.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull)
+      .filter(!hasBad &&
+        nWords >= minWords && nWords <= maxWords &&
+        sumLen >= lit(3L) * nWords && sumLen <= lit(10L) * nWords &&
+        lit(10L) * nAlpha >= lit(8L) * nWords &&
+        nStop >= 2L)
+  }
+
   /** Stateless streaming BPE re-tokenization — the continuous face of
     * `Bpe.tokenizeDocs`: tokenization under a frozen merge table is a
     * pure row function, so the stream needs no vocab aggregation, no

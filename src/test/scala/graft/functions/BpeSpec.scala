@@ -53,6 +53,46 @@ class BpeSpec extends SparkSpec {
       s"trainer or fixture drifted:\n$learned\nvs frozen:\n${Bpe.FrozenMerges}")
   }
 
+  test("learned merges are invariant to input partitioning (sf0.001)") {
+    // exact-long counts + the lexicographic tie-break make each
+    // round's argmax partitioning-independent — the tk9 gate's
+    // determinism contract
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val base = Bpe.train(docs, "text", nMerges = 8)
+    assert(Bpe.train(docs.repartition(13), "text", nMerges = 8) == base)
+    assert(Bpe.train(docs.repartition(1), "text", nMerges = 8) == base)
+  }
+
+  test("incremental merge replay == per-round greedy re-derivation (tk9 oracle pin)") {
+    // the tk9 oracle advances each word INCREMENTALLY (one recursive
+    // leftmost-replace stage per chosen merge) while the trainer
+    // re-derives from characters each round with the full rank table;
+    // pin their equivalence over every distinct word of the gate
+    // corpus, under the gate's learned merges
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val merges = Bpe.train(docs, "text", nMerges = 8)
+    val rks = ranks(merges)
+    def incremental(w: String): Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      for ((x, y) <- merges) {
+        var j = 0
+        while (j >= 0) {
+          j = (0 until syms.length - 1)
+            .indexWhere(i => syms(i) == x && syms(i + 1) == y)
+          if (j >= 0)
+            syms = (syms.take(j) :+ (x + y)) ++ syms.drop(j + 2)
+        }
+      }
+      syms
+    }
+    val words = docs.select(explode(split($"text", " ", -1)).as("w"))
+      .filter($"w" =!= "").distinct().as[String].collect()
+    for (w <- words)
+      assert(incremental(w) == Bpe.applyWord(w, rks),
+        s"incremental vs re-derived divergence on '$w'")
+  }
+
   test("trainer is deterministic and early-stops when pairs run out") {
     val tiny = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
     val m1 = Bpe.train(tiny, "text", nMerges = 8)
@@ -90,6 +130,11 @@ class BpeSpec extends SparkSpec {
     // two merge paths to one surface keep the FIRST id
     val coll = Bpe.vocab(Seq(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")))
     assert(coll("abc") == 26 + 1) // ("a","bc") wins over ("ab","c")
+    // the packing separator sits strictly above every real id — it can
+    // never alias a token, including under vocab collisions
+    assert(Bpe.sepId(Bpe.FrozenMerges) > v.values.max)
+    assert(Bpe.sepId(Seq(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c")))
+      > coll.values.max)
   }
 
   test("tokenizeToIds: ids mirror the token stream; unk maps to -1") {

@@ -96,22 +96,24 @@ class TextAnalysisSpec extends SparkSpec {
     val d = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
     val r = TextAnalysis.bm25(d, "doc_id", "text")
       .orderBy($"doc_id", $"term")
-      .as[(Long, String, Long, Long, Long, Double)].collect()
-    // the t9-quantized contract: idf floor-quantized to 1e-6, then a
-    // pure IEEE tree, then the score floor-quantized to 1e-6 — never
-    // round a raw transcendental (round-9 driver hash failure)
-    def gold(tf: Long, df: Long, dl: Long): Double = {
-      val idfQ = math.floor(
-        math.log((2.0 - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 1e-4)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect()
+    // the integer-only t9 contract (round-11 escalation): idf
+    // floor-quantized to int64 micro-nats, then a pure IEEE tree, then
+    // the score floor-quantized to int64 micro-score units — no double
+    // ever crosses the engine/oracle boundary, and never round a raw
+    // transcendental (round-9 driver hash failure)
+    def goldIdf(df: Long): Long = math.floor(
+      math.log((2.0 - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 1e-4).toLong
+    def gold(tf: Long, df: Long, dl: Long): Long = {
       val norm = 1.0 - 0.75 + 0.75 * dl / 2.5
-      val raw = idfQ / 1e6 * (tf * (1.2 + 1.0)) / (tf + 1.2 * norm)
-      math.floor(raw * 1e6 + 1e-4) / 1e6
+      val raw = goldIdf(df) / 1e6 * (tf * (1.2 + 1.0)) / (tf + 1.2 * norm)
+      math.floor(raw * 1e6 + 1e-4).toLong
     }
     assert(r.toSeq == Seq(
-      (1L, "a", 2L, 2L, 3L, gold(2, 2, 3)),
-      (1L, "b", 1L, 1L, 3L, gold(1, 1, 3)),
-      (2L, "a", 1L, 2L, 2L, gold(1, 2, 2)),
-      (2L, "c", 1L, 1L, 2L, gold(1, 1, 2))))
+      (1L, "a", 2L, 2L, 3L, goldIdf(2), gold(2, 2, 3)),
+      (1L, "b", 1L, 1L, 3L, goldIdf(1), gold(1, 1, 3)),
+      (2L, "a", 1L, 2L, 2L, goldIdf(2), gold(1, 2, 2)),
+      (2L, "c", 1L, 1L, 2L, goldIdf(1), gold(1, 1, 2))))
     // the signal's two levers actually lever: the common term scores
     // below the rare one at equal tf, and tf=2 scores below 2× tf=1
     // (saturation)
@@ -143,6 +145,33 @@ class TextAnalysisSpec extends SparkSpec {
       assert(minDist > 1e-5,
         s"$dir: idf quantization margin $minDist <= 1e-5 — a libm-drift " +
           "flip is conceivable; revisit the nudge or the scale")
+
+      // FINAL-score floor margin (round-11): with the integer-only
+      // contract the outer floor sees bit-identical inputs whenever
+      // both engines build the same IEEE tree — this arm bounds the
+      // damage if a foreign DuckDB's decimal-literal typing perturbs
+      // that tree by O(ulp) anyway: every raw·1e6 + 1e-4 argument must
+      // clear the nearest integer by far more than any such skew.
+      val tfDf = toks.groupBy($"doc_id", $"shingle".as("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tfDf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+      val idfQ = floor(log(($"n_docs" - $"df" + lit(0.5)) /
+        ($"df" + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(1e-4))
+      val raw = idfQ.cast("double") / lit(1e6) *
+        ($"tf" * lit(1.2 + 1.0)) /
+        ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75)
+          + lit(0.75) * $"dl" / $"avgdl"))
+      val s = raw * lit(1e6) + lit(1e-4)
+      val sDist = least(s - floor(s), lit(1.0) - (s - floor(s)))
+      val minScore = tfDf.join(dl, Seq("doc_id"))
+        .join(dfreq, $"term" === dfreq("shingle"))
+        .crossJoin(broadcast(stats))
+        .agg(min(sDist)).head().getDouble(0)
+      assert(minScore > 1e-5,
+        s"$dir: bm25 final-score floor margin $minScore <= 1e-5 — an " +
+          "O(ulp) tree perturbation could flip the emitted int; " +
+          "revisit the nudge or the scale")
     }
   }
 

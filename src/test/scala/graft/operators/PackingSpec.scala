@@ -107,4 +107,72 @@ class PackingSpec extends graft.SparkSpec {
       global.head.collectFirst { case a: Aggregate => a }.nonEmpty,
       "global window must consume the bucket aggregate only")
   }
+
+  // ---- packSequences: dense cross-doc training sequences ----
+
+  private val idsFixture = (0L until 25L).map(i =>
+    (i, (0 until 1 + (i % 7).toInt).map(j => ((i * 7 + j) % 50).toInt)))
+
+  private def idsDf(part: Int = 0) = {
+    val d = idsFixture.toDF("doc_id", "bpe_ids")
+    (if (part > 0) d.repartition(part) else d)
+      .withColumn("n_bpe_tokens",
+        org.apache.spark.sql.functions.size($"bpe_ids").cast("long"))
+  }
+
+  test("packSequences matches brute-force sep-terminated concat-and-chunk") {
+    val sep = 99
+    val got = Packing.packSequences(idsDf(), "doc_id", "bpe_ids",
+      "n_bpe_tokens", seqLen = 7, sepId = sep, buckets = 16)
+      .orderBy("pack_id").as[(Long, Long, Seq[Int])].collect().toSeq
+    val stream = idsFixture
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .flatMap { case (_, ids) => ids :+ sep }
+    val expected = stream.grouped(7).zipWithIndex.map { case (g, i) =>
+      (i.toLong, g.length.toLong, g.toSeq)
+    }.toSeq
+    assert(got == expected)
+    // every pack but the last is exactly full — the property tk6's
+    // per-doc windows lack
+    assert(got.dropRight(1).forall(_._2 == 7L))
+  }
+
+  test("packSequences is invariant to input partition layout and bucket count") {
+    def run(part: Int, buckets: Int) =
+      Packing.packSequences(idsDf(part), "doc_id", "bpe_ids",
+        "n_bpe_tokens", seqLen = 7, sepId = 99, buckets = buckets)
+        .orderBy("pack_id").as[(Long, Long, Seq[Int])].collect().toSeq
+    val base = run(0, 1)
+    assert(run(13, 16) == base)
+    assert(run(7, 256) == base)
+  }
+
+  test("packSequences: no corpus-wide global window; shuffle carries segments, not docs") {
+    val ids = graft.functions.Bpe.tokenizeToIds(
+      graft.core.Tables.documents(spark, sf001).select($"doc_id", $"text"),
+      "doc_id", "text", graft.functions.Bpe.FrozenMerges)
+    val df = Packing.packSequences(ids, "doc_id", "bpe_ids",
+      "n_bpe_tokens", seqLen = 128,
+      sepId = graft.functions.Bpe.sepId(graft.functions.Bpe.FrozenMerges))
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w
+    }
+    val (global, keyed) = windows.partition(_.partitionSpec.isEmpty)
+    assert(keyed.nonEmpty, s"big-side window must be bucket-partitioned:\n$windows")
+    assert(global.forall(
+      _.collectFirst { case a: Aggregate => a }.nonEmpty),
+      "any unpartitioned window must sit above the ≤buckets-row aggregate")
+    // the pack-keyed exchange ships sliced segments (≤seqLen ids/row):
+    // the slice happens BELOW the final aggregate's shuffle
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("slice("), s"segment slice missing from plan:\n$plan")
+  }
+
+  test("packSequences conserves ids: sum(n_ids) == sum(n_bpe_tokens + 1)") {
+    val packs = Packing.packSequences(idsDf(), "doc_id", "bpe_ids",
+      "n_bpe_tokens", seqLen = 7, sepId = 99, buckets = 16)
+    val total = packs.agg(org.apache.spark.sql.functions.sum($"n_ids"))
+      .head().getLong(0)
+    assert(total == idsFixture.map(_._2.length + 1).sum.toLong)
+  }
 }

@@ -33,7 +33,8 @@ import sys
 
 # transcendental call tokens whose last-ulp value is NOT guaranteed
 # identical across libm builds (sqrt is IEEE-correctly-rounded: exempt)
-SQL_TRANSCENDENTAL = re.compile(r"\b(ln|log|log2|log10|exp|power)\s*\(", re.I)
+SQL_TRANSCENDENTAL = re.compile(
+    r"\b(ln|log|log2|log10|log1p|exp|power|pow)\s*\(", re.I)
 SCALA_TRANSCENDENTAL = re.compile(r"\b(log|log2|log10|log1p|exp|expm1|pow)\s*\(")
 
 
@@ -81,14 +82,17 @@ def audit_scala(root):
 
 
 def selftest():
-    bad_sql = {"g1": "SELECT round(ln(x) * 2, 6) FROM t"}
+    bad_sql = {"g1": "SELECT round(ln(x) * 2, 6) FROM t",
+               "g1b": "SELECT round(pow(x, y), 6) FROM t",  # DuckDB's pow( alias
+               "g1c": "SELECT round(log1p(x), 6) FROM t"}
     ok_sql = {
         "g2": "SELECT round(a / b, 6) FROM t",                      # rational: fine
         "g3": "SELECT floor(ln(x) * 1e6 + 1e-4) / 1e6 FROM t",      # quantized: fine
         "g4": "SELECT round(sqrt(a), 6) FROM t",                    # sqrt exact: fine
         "g5": "SELECT ln(round(a, 2)) FROM t",                      # ln OUTSIDE round: fine
     }
-    assert [g for g, _ in audit_sql(bad_sql)] == ["g1"], audit_sql(bad_sql)
+    assert [g for g, _ in audit_sql(bad_sql)] == ["g1", "g1b", "g1c"], \
+        audit_sql(bad_sql)
     assert audit_sql(ok_sql) == [], audit_sql(ok_sql)
     # nested parens resolve correctly
     nested = {"g6": "SELECT round(exp((a + b) * (c - d)), 3), round(e, 2) FROM t"}
