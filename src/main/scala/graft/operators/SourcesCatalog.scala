@@ -309,8 +309,12 @@ object SourcesCatalog {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // bare 1.5 would type v as DECIMAL(2,1) — an exotic emission type
+    // per the r12 dtype lint — so the first value carries the cast
+    // that promotes the column to DOUBLE (the s3b convention)
     "s3_malformed_policy" ->
-      """SELECT * FROM (VALUES (1, 1.5, 'alpha'), (5, 4.5, 'epsilon')) t(k, v, name)
+      """SELECT * FROM (VALUES (1, CAST(1.5 AS DOUBLE), 'alpha'),
+        |  (5, 4.5, 'epsilon')) t(k, v, name)
         |ORDER BY k""".stripMargin,
 
     // the planted fixture's expected PERMISSIVE capture, stated

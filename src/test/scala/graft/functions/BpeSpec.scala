@@ -31,6 +31,34 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyWord("😀", r) == Vector("😀"))
   }
 
+  test("embedded-newline word: engine split matches the (?s)(.) oracle split") {
+    // The oracle char-split regex carries RE2's (?s) flag so `.`
+    // matches \n; without it a newline-bearing word tokenizes
+    // differently engine-vs-oracle (r11 ADVICE #1). Fixtures are
+    // newline-free today — this arm keeps the class closed if a
+    // future regen embeds one. Replay the oracle's exact split
+    // spelling in Spark SQL (same (?s) dotall semantics as RE2 here)
+    // and compare against the engine's code-point split.
+    val word = "ab\ncd"
+    val r = ranks(Seq(("a", "b")))
+    assert(Bpe.applyWord(word, r) == Vector("ab", "\n", "c", "d"))
+    val oracleSplit = Seq(word).toDF("w")
+      .select(split(trim(regexp_replace($"w", "(?s)(.)", "$1 ")), " ").as("s"))
+      .as[Seq[String]].head()
+    assert(oracleSplit == Seq("a", "b", "\n", "c", "d"),
+      s"oracle-spelling split diverged: $oracleSplit")
+    assert(oracleSplit == Bpe.applyWord(word, ranks(Seq.empty)),
+      "engine code-point split != oracle (?s)(.) split on a newline word")
+    // end-to-end: tokenizeDocs carries the newline symbol as a token
+    val out = Bpe.tokenizeDocs(
+      Seq((1L, "ab\ncd xy")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq(("a", "b")))
+      .select($"n_words", $"n_bpe_tokens", $"bpe_text").head()
+    assert(out.getLong(0) == 2L)
+    assert(out.getLong(1) == 6L)
+    assert(out.getString(2) == "ab \n c d x y")
+  }
+
   test("applyWord repeated-run semantics: leftmost occurrence merges first") {
     val r = ranks(Seq(("a", "a")))
     // one-at-a-time leftmost: aaa -> [aa, a] (the merged symbol can't

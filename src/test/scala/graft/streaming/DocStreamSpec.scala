@@ -163,6 +163,54 @@ class DocStreamSpec extends graft.SparkSpec {
     assert(streamed.size > 3, "fan-out produced multiple chunks per doc")
   }
 
+  test("fused quality gate: every rule boundary decided on the correct side") {
+    // The e21 gate passes only 3 docs at verify scale, so most rule
+    // branches are exercised by exclusion there (r11 ADVICE #4); this
+    // arm plants one doc ON each boundary and one just OFF it, plus a
+    // badword-only rejection. The gate is a pure select/filter, so
+    // batch application exercises the identical Column tree the
+    // stream runs.
+    val word = "word" // 4 chars, alpha
+    def doc(ws: Seq[String]) = ws.mkString(" ")
+    val base48 = Seq.fill(48)(word) ++ Seq("the", "to") // 50 words, 2 stops
+    val docs = Seq(
+      // n_words boundaries (minWords=50, maxWords=60 for a cheap cap)
+      1L -> doc(base48),                                   // 50 → PASS
+      2L -> doc(base48.drop(1)),                           // 49 → reject (min)
+      3L -> doc(Seq.fill(58)(word) ++ Seq("the", "to")),   // 60 → PASS (max)
+      4L -> doc(Seq.fill(59)(word) ++ Seq("the", "to")),   // 61 → reject (max)
+      // mean-length low boundary: sum_len == 3n passes, 3n-1 rejects
+      5L -> doc(Seq.fill(47)("abc") ++ Seq("abcd", "the", "to")),  // 150 = 3·50 → PASS
+      6L -> doc(Seq.fill(48)("abc") ++ Seq("the", "to")),          // 149 → reject
+      // mean-length high boundary: sum_len == 10n passes, 10n+1 rejects
+      7L -> doc(Seq.fill(45)("abcdefghij") ++
+        Seq.fill(3)("abcdefghijklmno") ++ Seq("the", "to")),       // 500 = 10·50 → PASS
+      8L -> doc(Seq.fill(45)("abcdefghij") ++ Seq.fill(2)("abcdefghijklmno") ++
+        Seq("abcdefghijklmnop", "the", "to")),                     // 501 → reject
+      // alpha-ratio boundary: 40/50 alpha passes (10·40 ≥ 8·50), 39 rejects
+      9L -> doc(Seq.fill(38)(word) ++ Seq("the", "to") ++ Seq.fill(10)("x9")),  // PASS
+      10L -> doc(Seq.fill(37)(word) ++ Seq("the", "to") ++ Seq.fill(11)("x9")), // reject
+      // stopword boundary: 2 hits pass (doc 1), 1 hit rejects
+      11L -> doc(Seq.fill(49)(word) :+ "the"),             // 1 stop → reject
+      // badword-ONLY rejection: passes every Gopher rule, carries one
+      // badword (case-insensitive: BadWords has "SLOW")
+      12L -> doc(Seq.fill(47)(word) ++ Seq("slow", "the", "to")),  // reject
+      13L -> doc(Seq.fill(47)(word) ++ Seq("Spark", "the", "to"))  // reject
+    )
+    val df = docs.toDF("doc_id", "text")
+    val kept = DocStream.fusedQualityGate(df,
+        Seq("SLOW", "dup", "spark"), minWords = 50, maxWords = 60)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L, 7L, 9L),
+      s"boundary decisions drifted: kept $kept")
+    // null text never reaches the predicate
+    val withNull = (Seq(14L -> doc(base48)).toDF("doc_id", "text")
+      union Seq((15L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    assert(DocStream.fusedQualityGate(withNull,
+        Seq("SLOW", "dup", "spark"), minWords = 50, maxWords = 60)
+      .select($"doc_id").as[Long].collect().toSeq == Seq(14L))
+  }
+
   test("streaming weighted top-k carries state across micro-batches, converges to batch") {
     val src = stageTwoBatches()
     // one file per trigger: the stratum's top-k must survive batch 1

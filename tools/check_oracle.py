@@ -11,12 +11,47 @@ designed to be cross-engine exact). Exit 1 on any mismatch.
 
 This file is developer tooling only — the engine itself is pure Scala.
 """
-import sys, os, json, glob
+import sys, os, json, glob, re
 import duckdb
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# Oracle output-dtype lint (round-12, from the r11 verdict): DuckDB
+# types SUM(BIGINT) as HUGEINT, which pandas materializes as float64
+# while the engine's parquet is int64 — values compare equal (10 ==
+# 10.0, so the value loop below passes) but the driver's
+# dtype-sensitive hash flips on every row (t13_bm25 was red for three
+# rounds this way). Every oracle result column must land in a safe
+# type; anything exotic is an error at the emission boundary even
+# when values match.
+BAD_DUCK_TYPE = re.compile(
+    r"HUGEINT|DECIMAL|^FLOAT$|UTINYINT|USMALLINT|UINTEGER|UBIGINT", re.I)
+
+
+def dtype_lint(name, rel_types, g, w):
+    """Return a list of dtype issues for one gate: exotic DuckDB output
+    types, and engine-vs-oracle pandas dtype KIND mismatches. Kind
+    (integer / float / bool / object / datetime), not width: a
+    repr-sensitive hash sees 10 == 10 for int32-vs-int64 (13 such
+    gates have been driver-green for 11 rounds) but 10 != 10.0 for
+    int-vs-float — which is exactly how t13_bm25's HUGEINT→float64
+    column stayed red for three rounds while every value compared
+    equal."""
+    issues = []
+    for c, t in rel_types:
+        if BAD_DUCK_TYPE.search(str(t)):
+            issues.append(f"oracle col {c} has exotic DuckDB type {t}")
+
+    def kind(dt):
+        k = dt.kind  # i/u -> integer, f float, b bool, O object, M datetime
+        return "i" if k in "iu" else k
+    for c in g.columns:
+        if kind(g[c].dtype) != kind(w[c].dtype):
+            issues.append(
+                f"col {c} dtype-kind mismatch: engine {g[c].dtype} vs oracle {w[c].dtype}")
+    return issues
 
 
 def norm(df):
@@ -47,7 +82,9 @@ def main(sf_dir, out_dir):
             (ok if len(got) > 0 else bad).append((name, "rows-only"))
             continue
         try:
-            want = con.execute(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            rel_types = list(zip(rel.columns, rel.types))
+            want = rel.df()
         except Exception as e:
             bad.append((name, f"oracle SQL failed: {e}"))
             continue
@@ -70,6 +107,10 @@ def main(sf_dir, out_dir):
                     break
         if mismatch:
             bad.append((name, mismatch))
+            continue
+        lint = dtype_lint(name, rel_types, g, w)
+        if lint:
+            bad.append((name, "; ".join(lint)))
         else:
             ok.append((name, "exact"))
     for n, m in ok:
