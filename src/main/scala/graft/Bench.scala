@@ -65,6 +65,7 @@ object Bench {
       "range_join" -> (() => Pipelines.rangeJoinAgg(spark, sfDir)),
       "pagerank" -> (() => Pipelines.pageRank(spark, sfDir)),
       "bm25" -> (() => Pipelines.bm25Score(spark, sfDir)),
+      "inverted_index" -> (() => Pipelines.invertedIndex(spark, sfDir)),
       "bpe_tokenize" -> (() => Pipelines.bpeTokenize(spark, sfDir)),
       "tokenized_export" -> (() => Pipelines.tokenizedExport(spark, sfDir)),
       "packed_export" -> (() => Pipelines.packedExport(spark, sfDir)),

@@ -307,6 +307,16 @@ object Pipelines {
       sepId = graft.functions.Bpe.sepId(graft.functions.Bpe.FrozenMerges))
   }
 
+  /** Full-corpus sharded inverted-index build (ii1's operator at
+    * bench scale): tokenize → (doc,term) tf agg → term-keyed
+    * df/row-number window → block-chunked posting rows. Two shuffles;
+    * the (term, block) agg reuses the term partitioning.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.InvertedIndex.postingsExport(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      nShards = 8, blockSize = 64)
+
   def bm25Score(spark: SparkSession, sfDir: String): DataFrame =
     graft.functions.TextAnalysis
       .bm25(Tables.documents(spark, sfDir), "doc_id", "text")

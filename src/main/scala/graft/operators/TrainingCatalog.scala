@@ -220,6 +220,17 @@ object TrainingCatalog {
         .orderBy(col("doc_id"), col("seq_id"))
     }),
 
+    // II1 — sharded inverted-index export: term-partitioned postings
+    // with df metadata, block-chunked (blockSize=16 forces multi-block
+    // lists on frequent terms at verify scale) — the retrieval
+    // artifact over the same term-keyed layout t7/t13 score from.
+    // Two shuffles total (doc+term agg, term window); plan-audited in
+    // InvertedIndexSpec.
+    "ii1_inverted_index" -> ((spark, dir) =>
+      graft.functions.InvertedIndex.postingsExport(
+        docs(spark, dir), "doc_id", "text", nShards = 8, blockSize = 16)
+        .orderBy(col("term"), col("block"))),
+
     // TK9 — BPE TRAINING as a gate: learn 8 merges from the corpus
     // (exact-long pair counts, lexicographic tie-break) and emit the
     // ordered merge list; the oracle replays the whole selection loop
@@ -995,6 +1006,12 @@ object TrainingCatalog {
       s"""SELECT rank, x, y
          |FROM ${graft.functions.Bpe.learnSql("documents", "text", 8)} q
          |ORDER BY rank""".stripMargin,
+
+    "ii1_inverted_index" ->
+      s"""SELECT shard, term, df, block, block_df, postings
+         |FROM ${graft.functions.InvertedIndex.postingsSql(
+             "documents", "doc_id", "text", nShards = 8, blockSize = 16)} q
+         |ORDER BY term, block""".stripMargin,
 
     "tk8_packed_seqs" ->
       s"""WITH ids AS (SELECT doc_id, n_bpe_tokens, bpe_ids

@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple cherry cherry date"),
+    (4L, "banana"),
+    (5L, "apple")
+  ).toDF("doc_id", "text")
+
+  test("planted postings: df, blocks, and doc:tf lists exact") {
+    // blockSize=2 forces multi-block lists: apple appears in docs
+    // 1,3,5 (df=3) -> blocks [1:2, 3:1] and [5:1]
+    val out = InvertedIndex.postingsExport(corpus, "doc_id", "text",
+        nShards = 4, blockSize = 2)
+      .select($"term", $"df", $"block", $"block_df", $"postings")
+      .as[(String, Long, Long, Long, String)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(out == Seq(
+      ("apple", 3L, 0L, 2L, "1:2,3:1"),
+      ("apple", 3L, 1L, 1L, "5:1"),
+      ("banana", 3L, 0L, 2L, "1:1,2:1"),
+      ("banana", 3L, 1L, 1L, "4:1"),
+      ("cherry", 2L, 0L, 2L, "2:1,3:2"),
+      ("date", 1L, 0L, 1L, "3:1")))
+  }
+
+  test("shard routing is the shared md5-prefix hash, constant per term") {
+    val n = 8
+    val out = InvertedIndex.postingsExport(corpus, "doc_id", "text",
+        nShards = n, blockSize = 2)
+      .select($"term", $"shard").distinct()
+      .as[(String, Int)].collect().toSeq
+    // one shard per term, in range, and equal to the engine formula
+    assert(out.map(_._1).distinct.size == out.size, "shard not term-functional")
+    assert(out.forall { case (_, s) => s >= 0 && s < n })
+    val expected = out.map(_._1).toDF("term")
+      .select($"term",
+        (conv(substring(md5($"term"), 1, 8), 16, 10).cast("long") % n)
+          .cast("int").as("shard"))
+      .as[(String, Int)].collect().toMap
+    assert(out.toMap == expected)
+  }
+
+  test("block invariants: per-block cap, per-term df reconciliation") {
+    val b = 4
+    val rows = InvertedIndex.postingsExport(
+        graft.core.Tables.documents(spark, sf001), "doc_id", "text",
+        nShards = 8, blockSize = b)
+      .select($"term", $"df", $"block", $"block_df", $"postings")
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._4 <= b), "a block exceeded blockSize")
+    assert(rows.forall(r => r._5.split(",").length == r._4),
+      "postings entry count != block_df")
+    for ((_, g) <- rows.groupBy(_._1)) {
+      assert(g.map(_._4).sum == g.head._2, "sum(block_df) != df")
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length.toLong),
+        "blocks not contiguous from 0")
+      // every block except the last is full
+      assert(g.sortBy(_._3).dropRight(1).forall(_._4 == b))
+    }
+    // postings are doc_id-ordered within each block
+    assert(rows.forall { r =>
+      val ids = r._5.split(",").map(_.split(":")(0).toLong).toSeq
+      ids == ids.sorted
+    })
+  }
+
+  test("plan: two exchanges total; (term, block) agg reuses the term partitioning") {
+    val df = InvertedIndex.postingsExport(
+      graft.core.Tables.documents(spark, sf001), "doc_id", "text")
+    df.collect() // AQE finalizes the plan at runtime
+    // the adaptive toString prints Final AND Initial sections — count
+    // only the final one
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"expected exactly 2 shuffles (doc+term agg, term window); got $exchanges:\n$plan")
+  }
+}
