@@ -111,4 +111,76 @@ object InvertedIndex {
        |    ',' ORDER BY doc_id) AS postings
        |FROM r
        |GROUP BY term, (rn - 1) // $blockSize)""".stripMargin
+
+  /** Doc-length sidecar — the metadata a BM25 serving tier ships next
+    * to the postings shards: one (doc_id, dl) row per document with
+    * ≥1 token, dl = exact token count (identical to the scorers' dl =
+    * SUM(tf)). Corpus-keyed partial-agg; tokenless docs drop, matching
+    * the dl CTE's join semantics on the oracle side.
+    */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+
+  /** Serve a top-k query FROM the exported artifact: posting lookups +
+    * the t13 BM25 tree, proving the index + doc-length sidecar carry
+    * everything the online scorer computes — the ii2 gate pins
+    * index-served == corpus-computed ranking exactly.
+    *
+    * Scoring contract is t13's verbatim: idf quantized once with the
+    * nudged floor, then a pure IEEE tree on exact operands (tf/df from
+    * the index, dl from the sidecar, n_docs/avgdl one broadcast stats
+    * row); per-term scores ship as int64 `bm25_q` units and the doc
+    * total is an EXACT int64 sum, so the (score DESC, doc_id) ranking
+    * is deterministic — no float ties anywhere.
+    *
+    * Scale shape: the term filter prunes to the query terms' postings
+    * BEFORE anything joins (on a shard-partitioned layout that is a
+    * shard+term partition prune — O(query) postings read, not
+    * O(index)); the parsed postings join doc lengths on doc_id and the
+    * 1-row stats ride a broadcast cross join; final top-k is a
+    * TakeOrdered over per-doc totals.
+    */
+  def queryTopK(index: DataFrame, docLens: DataFrame,
+                queryTerms: Seq[String], k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val postings = index
+      .filter(col("term").isin(queryTerms: _*))
+      .select(col("term"), col("df"),
+        explode(split(col("postings"), ",")).as("p"))
+      .select(col("term"), col("df"),
+        split(col("p"), ":")(0).cast("long").as("doc_id"),
+        split(col("p"), ":")(1).cast("long").as("tf"))
+    val stats = docLens.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val idfQ = floor(
+      log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0)) * lit(1e6) + lit(1e-4))
+    val raw = idfQ.cast("double") / lit(1e6) *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b)
+        + lit(b) * col("dl") / col("avgdl")))
+    val scored = postings
+      .join(docLens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(raw * lit(1e6) + lit(1e-4)).cast("long").as("bm25_q"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bm25_q")).as("score_q"))
+    // TakeOrderedAndProject does the global top-k (per-partition heap,
+    // k rows to the driver-side merge); the rank window then runs over
+    // only those k survivors, so the unpartitioned window is bounded
+    scored
+      .orderBy(col("score_q").desc, col("doc_id")).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score_q").desc, col("doc_id"))))
+      .select(col("rn").cast("long").as("rn"), col("doc_id"),
+        col("score_q"))
+  }
 }

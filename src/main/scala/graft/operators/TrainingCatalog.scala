@@ -231,6 +231,28 @@ object TrainingCatalog {
         docs(spark, dir), "doc_id", "text", nShards = 8, blockSize = 16)
         .orderBy(col("term"), col("block"))),
 
+    // II2 — top-k retrieval SERVED FROM the exported index: rebuild
+    // the ii1 artifact + dl sidecar, derive the query as the 3
+    // highest-df terms (term-asc tiebreak; bounded 3-row collect, the
+    // annQueryIds idiom), and serve BM25 top-10. The oracle computes
+    // the same ranking straight from the corpus with t13's tree —
+    // index-served == corpus-computed, the retrieval loop closed.
+    "ii2_index_topk" -> ((spark, dir) => {
+      import spark.implicits._
+      val d = docs(spark, dir)
+      val idx = graft.functions.InvertedIndex.postingsExport(
+        d, "doc_id", "text", nShards = 8, blockSize = 16)
+        .localCheckpoint()
+      val qterms = idx.groupBy(col("term"))
+        .agg(max(col("df")).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(3).select(col("term")).as[String].collect().toSeq
+      graft.functions.InvertedIndex.queryTopK(idx,
+        graft.functions.InvertedIndex.docLengths(d, "doc_id", "text"),
+        qterms, k = 10)
+        .orderBy(col("rn"))
+    }),
+
     // TK9 — BPE TRAINING as a gate: learn 8 merges from the corpus
     // (exact-long pair counts, lexicographic tie-break) and emit the
     // ordered merge list; the oracle replays the whole selection loop
@@ -1012,6 +1034,37 @@ object TrainingCatalog {
          |FROM ${graft.functions.InvertedIndex.postingsSql(
              "documents", "doc_id", "text", nShards = 8, blockSize = 16)} q
          |ORDER BY term, block""".stripMargin,
+
+    // corpus-side restatement of the index-served ranking: t13's exact
+    // CTE chain filtered to the same top-3-df query terms, int64 score
+    // sums, (score DESC, doc_id) rank
+    "ii2_index_topk" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)
+        |  WHERE u.tk <> ''),
+        |tf AS (SELECT doc_id, tk AS term, COUNT(*) AS tf FROM uni GROUP BY doc_id, tk),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |q AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 3),
+        |sc AS (SELECT t.doc_id,
+        |  CAST(floor(
+        |    floor(ln((n_docs - d.df + CAST(0.5 AS DOUBLE))
+        |        / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |        * 1e6 + 1e-4) / 1e6 *
+        |    (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |    (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |      - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dl / avgdl))
+        |    * 1e6 + 1e-4) AS BIGINT) AS bm25_q
+        |FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term)
+        |CROSS JOIN st
+        |WHERE t.term IN (SELECT term FROM q)),
+        |tot AS (SELECT doc_id, CAST(SUM(bm25_q) AS BIGINT) AS score_q
+        |  FROM sc GROUP BY doc_id),
+        |rk AS (SELECT ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn,
+        |  doc_id, score_q FROM tot)
+        |SELECT rn, doc_id, score_q FROM rk WHERE rn <= 10
+        |ORDER BY rn""".stripMargin,
 
     "tk8_packed_seqs" ->
       s"""WITH ids AS (SELECT doc_id, n_bpe_tokens, bpe_ids

@@ -74,6 +74,43 @@ class InvertedIndexSpec extends SparkSpec {
     })
   }
 
+  test("docLengths: exact token counts, tokenless docs drop") {
+    val withEmpty = corpus.union(Seq((6L, "")).toDF("doc_id", "text"))
+    val out = InvertedIndex.docLengths(withEmpty, "doc_id", "text")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L), (2L, 2L), (3L, 4L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("queryTopK: index-served ranking equals corpus-side bm25 exactly") {
+    val idx = InvertedIndex.postingsExport(corpus, "doc_id", "text",
+      nShards = 4, blockSize = 2) // multi-block lists exercised
+    val dls = InvertedIndex.docLengths(corpus, "doc_id", "text")
+    val served = InvertedIndex.queryTopK(idx, dls,
+        Seq("apple", "cherry"), k = 3)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // corpus-side truth: bm25 per (doc, term), summed over query terms,
+    // ranked (score desc, doc_id asc)
+    val truth = graft.functions.TextAnalysis
+      .bm25(corpus, "doc_id", "text")
+      .filter($"term".isin("apple", "cherry"))
+      .groupBy($"doc_id").agg(sum($"bm25_q").as("score_q"))
+      .as[(Long, Long)].collect().toSeq
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1L, id, s) }
+    assert(served == truth)
+  }
+
+  test("queryTopK: k bound and only-query-terms contribute") {
+    val idx = InvertedIndex.postingsExport(corpus, "doc_id", "text")
+    val dls = InvertedIndex.docLengths(corpus, "doc_id", "text")
+    val one = InvertedIndex.queryTopK(idx, dls, Seq("date"), k = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // "date" appears only in doc 3 — exactly one scored doc
+    assert(one.map(_._2) == Seq(3L))
+    assert(InvertedIndex.queryTopK(idx, dls, Seq("apple"), k = 1)
+      .count() == 1L)
+  }
+
   test("plan: two exchanges total; (term, block) agg reuses the term partitioning") {
     val df = InvertedIndex.postingsExport(
       graft.core.Tables.documents(spark, sf001), "doc_id", "text")
