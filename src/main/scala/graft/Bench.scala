@@ -26,6 +26,7 @@ object Bench {
     // setup (untimed): stage ETL input CSV; warm the JVM/codegen paths
     val csvDir = Pipelines.stageLoanCsv(spark, sfDir)
     val int8Dir = Pipelines.stageInt8(spark, sfDir)
+    val indexDir = Pipelines.stageIndex(spark, sfDir)
     Pipelines.q1(spark, sfDir).count()
 
     val sinkDir = graft.core.Staging.tmpDir("bench_sink")
@@ -66,6 +67,7 @@ object Bench {
       "pagerank" -> (() => Pipelines.pageRank(spark, sfDir)),
       "bm25" -> (() => Pipelines.bm25Score(spark, sfDir)),
       "inverted_index" -> (() => Pipelines.invertedIndex(spark, sfDir)),
+      "index_topk" -> (() => Pipelines.indexTopK(spark, indexDir)),
       "bpe_tokenize" -> (() => Pipelines.bpeTokenize(spark, sfDir)),
       "tokenized_export" -> (() => Pipelines.tokenizedExport(spark, sfDir)),
       "packed_export" -> (() => Pipelines.packedExport(spark, sfDir)),

@@ -317,6 +317,39 @@ object Pipelines {
       Tables.documents(spark, sfDir), "doc_id", "text",
       nShards = 8, blockSize = 64)
 
+  /** Untimed staging for the serving-path bench: build the postings
+    * artifact + doc-length + block-max sidecars once, write them as
+    * parquet (what a serving tier actually loads).
+    */
+  def stageIndex(spark: SparkSession, sfDir: String): String = {
+    val dir = graft.core.Staging.tmpDir("bench_index")
+    val d = Tables.documents(spark, sfDir)
+    val idx = graft.functions.InvertedIndex.postingsExport(
+      d, "doc_id", "text", nShards = 8, blockSize = 64)
+    idx.write.mode("overwrite").parquet(s"$dir/postings")
+    val dls = graft.functions.InvertedIndex
+      .docLengths(d, "doc_id", "text").localCheckpoint()
+    dls.write.mode("overwrite").parquet(s"$dir/doclens")
+    graft.functions.InvertedIndex
+      .blockMax(spark.read.parquet(s"$dir/postings"), dls)
+      .write.mode("overwrite").parquet(s"$dir/blockmax")
+    dir
+  }
+
+  /** Index-served BM25 top-k through the lossless block-max pruned
+    * path, query = 3 highest-df terms (the worst case: stopword-scale
+    * posting lists, where pruning pays).
+    */
+  def indexTopK(spark: SparkSession, indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(s"$indexDir/postings")
+    val qterms = idx.groupBy(col("term")).agg(max(col("df")).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(3)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    graft.functions.InvertedIndex.queryTopKPruned(idx,
+      spark.read.parquet(s"$indexDir/blockmax"),
+      spark.read.parquet(s"$indexDir/doclens"), qterms, k = 10)
+  }
+
   def bm25Score(spark: SparkSession, sfDir: String): DataFrame =
     graft.functions.TextAnalysis
       .bm25(Tables.documents(spark, sfDir), "doc_id", "text")

@@ -150,13 +150,30 @@ object InvertedIndex {
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k >= 1, s"k must be >= 1, got $k")
-    val postings = index
-      .filter(col("term").isin(queryTerms: _*))
-      .select(col("term"), col("df"),
-        explode(split(col("postings"), ",")).as("p"))
-      .select(col("term"), col("df"),
-        split(col("p"), ":")(0).cast("long").as("doc_id"),
-        split(col("p"), ":")(1).cast("long").as("tf"))
+    val postings = parsePostings(
+      index.filter(col("term").isin(queryTerms: _*)))
+    rankTopK(scoreDocs(postings, docLens, k1, b), k)
+  }
+
+  /** `"doc:tf"` posting cells back to relational rows. Keeps every
+    * input column except `postings`, so block metadata survives when
+    * the caller needs it (the pruned path).
+    */
+  private def parsePostings(index: DataFrame): DataFrame =
+    index
+      .withColumn("p", explode(split(col("postings"), ",")))
+      .drop("postings")
+      .withColumn("doc_id", split(col("p"), ":")(0).cast("long"))
+      .withColumn("tf", split(col("p"), ":")(1).cast("long"))
+      .drop("p")
+
+  /** The t13 per-posting score in int64 `bm25_q` units, per input row.
+    * Exact operands (tf/df from the index, dl from the sidecar,
+    * n_docs/avgdl one broadcast stats row), nudged-floor idf, pure
+    * IEEE tree — identical to [[TextAnalysis.bm25]]'s.
+    */
+  private def postingScores(postings: DataFrame, docLens: DataFrame,
+                            k1: Double, b: Double): DataFrame = {
     val stats = docLens.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val idfQ = floor(
@@ -166,21 +183,101 @@ object InvertedIndex {
       (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b)
         + lit(b) * col("dl") / col("avgdl")))
-    val scored = postings
+    postings
       .join(docLens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        floor(raw * lit(1e6) + lit(1e-4)).cast("long").as("bm25_q"))
+      .withColumn("bm25_q",
+        floor(raw * lit(1e6) + lit(1e-4)).cast("long"))
+      .drop("dl", "n_docs", "avgdl")
+  }
+
+  private def scoreDocs(postings: DataFrame, docLens: DataFrame,
+                        k1: Double, b: Double): DataFrame =
+    postingScores(postings, docLens, k1, b)
       .groupBy(col("doc_id"))
       .agg(sum(col("bm25_q")).as("score_q"))
-    // TakeOrderedAndProject does the global top-k (per-partition heap,
-    // k rows to the driver-side merge); the rank window then runs over
-    // only those k survivors, so the unpartitioned window is bounded
+
+  // TakeOrderedAndProject does the global top-k (per-partition heap,
+  // k rows to the driver-side merge); the rank window then runs over
+  // only those k survivors, so the unpartitioned window is bounded
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .orderBy(col("score_q").desc, col("doc_id")).limit(k)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("score_q").desc, col("doc_id"))))
       .select(col("rn").cast("long").as("rn"), col("doc_id"),
         col("score_q"))
+
+  /** Block-max sidecar — per (term, block), the exact maximum
+    * per-posting `bm25_q` inside the block, precomputed at index-build
+    * time against the SAME `docLens` the scorer will use (the classic
+    * block-max metadata of Ding & Suel's Block-Max WAND, reshaped for
+    * a relational engine). One term-keyed shuffle over the parsed
+    * postings; output is one row per index block, so the sidecar is
+    * ~1/blockSize the index's row count and joins back on the index's
+    * own (term, block) key.
+    */
+  def blockMax(index: DataFrame, docLens: DataFrame,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    postingScores(parsePostings(index), docLens, k1, b)
+      .groupBy(col("term"), col("block"))
+      .agg(max(col("bm25_q")).as("block_max_q"))
+
+  /** Lossless block-max-pruned top-k — the same ranking as
+    * [[queryTopK]] (bit-identical scores), reached without running the
+    * expensive scoring path over every matching document:
+    *
+    *  1. UPPER BOUNDS: each doc's `ub_q` = Σ over its matched query
+    *     terms of the containing block's `block_max_q` — integer sums
+    *     of precomputed sidecar values, no dl join, no float tree.
+    *     `ub_q ≥ score_q` always (each posting's score ≤ its block
+    *     max), which is the pruning invariant.
+    *  2. THRESHOLD: exact-score only the top-k docs BY upper bound
+    *     (bounded k-id collect, the annQueryIds idiom) — the k-th best
+    *     of those true scores is a certified lower bound T on the
+    *     final top-k admission score.
+    *  3. PRUNE + FINISH: docs with `ub_q < T` cannot reach the top-k
+    *     (score ≤ ub < T); the dl join + IEEE tree run only over the
+    *     survivors, then the usual TakeOrdered rank.
+    *
+    * Scale shape: the posting parse and the integer UB agg still read
+    * O(query postings) — what the pruning removes is the doc-keyed
+    * join against the corpus-size dl sidecar and the scoring tree,
+    * which now touch only candidates (on a stopword-heavy query that
+    * is the dominant cost). `blockMaxDf` must be built against the
+    * same `docLens` (and k1/b) passed here, or UB ≥ score breaks —
+    * [[blockMax]]'s contract.
+    */
+  def queryTopKPruned(index: DataFrame, blockMaxDf: DataFrame,
+                      docLens: DataFrame, queryTerms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val parsed = parsePostings(
+        index.filter(col("term").isin(queryTerms: _*)))
+      .localCheckpoint() // parsed once, read by UB + seed + final paths
+    val ub = parsed
+      .join(broadcast(
+        blockMaxDf.filter(col("term").isin(queryTerms: _*))),
+        Seq("term", "block"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("block_max_q")).as("ub_q"))
+    val seedIds = ub.orderBy(col("ub_q").desc, col("doc_id")).limit(k)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    if (seedIds.isEmpty) return rankTopK(
+      scoreDocs(parsed, docLens, k1, b), k)
+    val seedScores = scoreDocs(
+        parsed.filter(col("doc_id").isin(seedIds: _*)), docLens, k1, b)
+      .select(col("score_q")).collect().map(_.getLong(0))
+    // fewer than k matched docs ⇒ nothing can be pruned away safely
+    val threshold =
+      if (seedScores.length < k) Long.MinValue else seedScores.min
+    // no forced broadcast: candidates degrade to corpus-scale on a
+    // no-prune query, and AQE picks the broadcast itself when small
+    val candidates = ub.filter(col("ub_q") >= threshold)
+      .select(col("doc_id"))
+    rankTopK(
+      scoreDocs(parsed.join(candidates, Seq("doc_id"), "left_semi"),
+        docLens, k1, b), k)
   }
 }

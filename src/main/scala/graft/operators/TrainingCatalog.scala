@@ -109,6 +109,41 @@ object TrainingCatalog {
       "doc_id")
     Components.connectedComponents(pairs, d, "doc_id")
   }
+  /** Shared corpus-side truth for the index-served retrieval gates
+    * (ii2 exact path, ii3 pruned path — the pruning is lossless, so
+    * both are held to the identical ranking): t13's exact CTE chain
+    * filtered to the top-3-df query terms (term-asc tiebreak), int64
+    * score sums, (score DESC, doc_id) rank, top 10. A plain literal —
+    * never interpolated into another stripMargin template.
+    */
+  private val indexTopKOracleSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)
+      |  WHERE u.tk <> ''),
+      |tf AS (SELECT doc_id, tk AS term, COUNT(*) AS tf FROM uni GROUP BY doc_id, tk),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+      |q AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 3),
+      |sc AS (SELECT t.doc_id,
+      |  CAST(floor(
+      |    floor(ln((n_docs - d.df + CAST(0.5 AS DOUBLE))
+      |        / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+      |        * 1e6 + 1e-4) / 1e6 *
+      |    (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+      |    (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+      |      - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dl / avgdl))
+      |    * 1e6 + 1e-4) AS BIGINT) AS bm25_q
+      |FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term)
+      |CROSS JOIN st
+      |WHERE t.term IN (SELECT term FROM q)),
+      |tot AS (SELECT doc_id, CAST(SUM(bm25_q) AS BIGINT) AS score_q
+      |  FROM sc GROUP BY doc_id),
+      |rk AS (SELECT ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn,
+      |  doc_id, score_q FROM tot)
+      |SELECT rn, doc_id, score_q FROM rk WHERE rn <= 10
+      |ORDER BY rn""".stripMargin
+
   private val annQueryIds: Seq[Long] = (0L until 10L)
 
   /** Embeddings + near-variants of every 20th vector: odd dims scaled
@@ -250,6 +285,31 @@ object TrainingCatalog {
       graft.functions.InvertedIndex.queryTopK(idx,
         graft.functions.InvertedIndex.docLengths(d, "doc_id", "text"),
         qterms, k = 10)
+        .orderBy(col("rn"))
+    }),
+
+    // II3 — the same retrieval through the block-max PRUNED path:
+    // integer upper bounds from the sidecar, threshold from exact-
+    // scoring the top-k-by-UB seeds, dl join + IEEE tree only over
+    // the survivors. Lossless by construction (ub_q >= score_q), so
+    // the gate holds it to the SAME corpus-side oracle as ii2 — the
+    // pruning must change nothing but the work done.
+    "ii3_pruned_topk" -> ((spark, dir) => {
+      import spark.implicits._
+      val d = docs(spark, dir)
+      val idx = graft.functions.InvertedIndex.postingsExport(
+        d, "doc_id", "text", nShards = 8, blockSize = 16)
+        .localCheckpoint()
+      val dls = graft.functions.InvertedIndex
+        .docLengths(d, "doc_id", "text").localCheckpoint()
+      val bmax = graft.functions.InvertedIndex.blockMax(idx, dls)
+        .localCheckpoint()
+      val qterms = idx.groupBy(col("term"))
+        .agg(max(col("df")).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(3).select(col("term")).as[String].collect().toSeq
+      graft.functions.InvertedIndex.queryTopKPruned(
+        idx, bmax, dls, qterms, k = 10)
         .orderBy(col("rn"))
     }),
 
@@ -1038,33 +1098,11 @@ object TrainingCatalog {
     // corpus-side restatement of the index-served ranking: t13's exact
     // CTE chain filtered to the same top-3-df query terms, int64 score
     // sums, (score DESC, doc_id) rank
-    "ii2_index_topk" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)
-        |  WHERE u.tk <> ''),
-        |tf AS (SELECT doc_id, tk AS term, COUNT(*) AS tf FROM uni GROUP BY doc_id, tk),
-        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
-        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
-        |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-        |q AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 3),
-        |sc AS (SELECT t.doc_id,
-        |  CAST(floor(
-        |    floor(ln((n_docs - d.df + CAST(0.5 AS DOUBLE))
-        |        / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
-        |        * 1e6 + 1e-4) / 1e6 *
-        |    (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
-        |    (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
-        |      - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dl / avgdl))
-        |    * 1e6 + 1e-4) AS BIGINT) AS bm25_q
-        |FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term)
-        |CROSS JOIN st
-        |WHERE t.term IN (SELECT term FROM q)),
-        |tot AS (SELECT doc_id, CAST(SUM(bm25_q) AS BIGINT) AS score_q
-        |  FROM sc GROUP BY doc_id),
-        |rk AS (SELECT ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rn,
-        |  doc_id, score_q FROM tot)
-        |SELECT rn, doc_id, score_q FROM rk WHERE rn <= 10
-        |ORDER BY rn""".stripMargin,
+    "ii2_index_topk" -> indexTopKOracleSql,
+
+    // the pruned path is LOSSLESS — held to the identical corpus-side
+    // oracle; any block-max/threshold slip shows up as a rank diff
+    "ii3_pruned_topk" -> indexTopKOracleSql,
 
     "tk8_packed_seqs" ->
       s"""WITH ids AS (SELECT doc_id, n_bpe_tokens, bpe_ids
