@@ -208,6 +208,126 @@ object InvertedIndex {
       .select(col("rn").cast("long").as("rn"), col("doc_id"),
         col("score_q"))
 
+  /** Positional postings export — [[postingsExport]] with in-document
+    * token positions carried per posting, the artifact phrase and
+    * proximity queries are served from. Cell format (a15 strings):
+    * `postings` = `"doc:p1;p2,doc2:p5"` — doc_id-ordered entries, each
+    * `doc:` followed by that document's ascending 0-based token
+    * positions ';'-joined. Positions are indices into the raw
+    * space-split token array (empty tokens from doubled spaces are
+    * dropped but KEEP their original indices, so adjacency never spans
+    * a dropped empty — the oracle replays the same convention).
+    * Same sharding/blocking/shuffle shape as [[postingsExport]]: a
+    * posting's position list is bounded by its document's length, so
+    * the blocked rows stay bounded; two shuffles total.
+    */
+  def positionalExport(docs: DataFrame, idCol: String, textCol: String,
+                       nShards: Int = 8, blockSize: Int = 16): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val pt = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"),
+        array_join(array_sort(collect_list(col("pos"))), ";").as("ps"))
+    val byTerm = Window.partitionBy(col("term"))
+    val ranked = pt
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("rn", row_number().over(byTerm.orderBy(col("doc_id"))))
+      .withColumn("block",
+        floor((col("rn") - 1) / lit(blockSize)).cast("long"))
+    ranked
+      .groupBy(col("term"), col("block"))
+      .agg(
+        max(col("df")).as("df"),
+        count(lit(1)).as("block_df"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("ps")))),
+            s => concat(s("doc_id").cast("string"), lit(":"), s("ps"))),
+          ",").as("postings"))
+      .select(
+        (conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int").as("shard"),
+        col("term"), col("df"), col("block"), col("block_df"),
+        col("postings"))
+  }
+
+  /** DuckDB spelling of [[positionalExport]] — the ii4 oracle. Same
+    * CTE chain as [[postingsSql]] with 0-based positions from
+    * generate_series carried through an ordered string_agg.
+    */
+  def positionalSql(src: String, id: String, text: String,
+                    nShards: Int = 8, blockSize: Int = 16): String =
+    s"""(WITH tok AS (SELECT $id AS doc_id, string_split($text, ' ') AS t FROM $src),
+       |uni AS (SELECT doc_id, t[u.i] AS tk, u.i - 1 AS pos FROM tok
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)
+       |  WHERE t[u.i] <> ''),
+       |pt AS (SELECT doc_id, tk AS term,
+       |    string_agg(CAST(pos AS VARCHAR), ';' ORDER BY pos) AS ps
+       |  FROM uni GROUP BY doc_id, tk),
+       |r AS (SELECT doc_id, term, ps,
+       |    COUNT(*) OVER (PARTITION BY term) AS df,
+       |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       |  FROM pt)
+       |SELECT
+       |  CAST(('0x' || substr(md5(term), 1, 8))::UBIGINT % $nShards AS INT)
+       |    AS shard,
+       |  term, CAST(MAX(df) AS BIGINT) AS df,
+       |  CAST((rn - 1) // $blockSize AS BIGINT) AS block,
+       |  CAST(COUNT(*) AS BIGINT) AS block_df,
+       |  string_agg(CAST(doc_id AS VARCHAR) || ':' || ps,
+       |    ',' ORDER BY doc_id) AS postings
+       |FROM r
+       |GROUP BY term, (rn - 1) // $blockSize)""".stripMargin
+
+  /** Phrase match served FROM the positional artifact: documents
+    * containing `phrase` as consecutive tokens, with the exact
+    * occurrence count (overlapping occurrences included — the count is
+    * positional, not substring-replace). For each phrase slot j, a
+    * position p of `phrase(j)` votes for anchor `p - j`; an anchor
+    * with all L distinct slots present is one occurrence.
+    *
+    * Scale shape: the term filter prunes to the phrase's posting
+    * blocks before any parse (O(phrase postings) read); the phrase
+    * slot table is a broadcast L-row join; the anchor vote agg is one
+    * (doc, anchor)-keyed shuffle whose input is already pruned to the
+    * phrase terms' postings. Output `(doc_id, n_matches)`.
+    */
+  def phraseMatch(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val spark = index.sparkSession
+    import spark.implicits._
+    val L = phrase.length
+    val slots = phrase.zipWithIndex
+      .map { case (t, j) => (t, j.toLong) }.toDF("term", "slot")
+    val positions = parsePositional(
+        index.filter(col("term").isin(phrase.distinct: _*)))
+    positions
+      .join(broadcast(slots), Seq("term"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("anchor"),
+        col("slot"))
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("slot")).as("n_slots"))
+      .filter(col("n_slots") === L)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
+  /** Positional `"doc:p1;p2,…"` cells back to (term, doc_id, pos)
+    * rows; keeps every other input column.
+    */
+  private def parsePositional(index: DataFrame): DataFrame =
+    index
+      .withColumn("p", explode(split(col("postings"), ",")))
+      .drop("postings")
+      .withColumn("doc_id", split(col("p"), ":")(0).cast("long"))
+      .withColumn("pos_s", explode(split(split(col("p"), ":")(1), ";")))
+      .withColumn("pos", col("pos_s").cast("long"))
+      .drop("p", "pos_s")
+
   /** Block-max sidecar — per (term, block), the exact maximum
     * per-posting `bm25_q` inside the block, precomputed at index-build
     * time against the SAME `docLens` the scorer will use (the classic

@@ -313,6 +313,46 @@ object TrainingCatalog {
         .orderBy(col("rn"))
     }),
 
+    // II4 — positional postings export: ii1's artifact with in-doc
+    // token positions per posting ("doc:p1;p2,…" cells), the index
+    // phrase/proximity queries serve from. Same two-shuffle shape.
+    "ii4_positional_index" -> ((spark, dir) =>
+      graft.functions.InvertedIndex.positionalExport(
+        docs(spark, dir), "doc_id", "text", nShards = 8, blockSize = 16)
+        .orderBy(col("term"), col("block"))),
+
+    // II5 — phrase match SERVED FROM the positional index: derive the
+    // corpus's most frequent bigram (count desc, lexicographic
+    // tiebreak; strict pos+1 adjacency, the positional convention) and
+    // count its occurrences per doc via anchor voting over the index's
+    // position lists. Oracle replays both the bigram selection and the
+    // positional count straight off the token arrays — index-served ==
+    // corpus-computed, overlaps included.
+    "ii5_phrase_match" -> ((spark, dir) => {
+      import spark.implicits._
+      val d = docs(spark, dir)
+      val idx = graft.functions.InvertedIndex.positionalExport(
+        d, "doc_id", "text", nShards = 8, blockSize = 16)
+        .localCheckpoint()
+      val toks = d.select(col("doc_id"),
+          posexplode(split(col("text"), " ", -1)).as(Seq("pos", "tk")))
+        .filter(col("tk") =!= "")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val Array(w1, w2) = toks
+        .withColumn("tk2", lead(col("tk"), 1).over(w))
+        .withColumn("pos2", lead(col("pos"), 1).over(w))
+        .filter(col("pos2") === col("pos") + 1)
+        .groupBy(col("tk"), col("tk2")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tk"), col("tk2"))
+        .limit(1).select(col("tk"), col("tk2"))
+        .as[(String, String)].collect().head match {
+          case (a, b) => Array(a, b)
+        }
+      graft.functions.InvertedIndex.phraseMatch(idx, Seq(w1, w2))
+        .orderBy(col("doc_id"))
+    }),
+
     // TK9 — BPE TRAINING as a gate: learn 8 merges from the corpus
     // (exact-long pair counts, lexicographic tie-break) and emit the
     // ordered merge list; the oracle replays the whole selection loop
@@ -1103,6 +1143,32 @@ object TrainingCatalog {
     // the pruned path is LOSSLESS — held to the identical corpus-side
     // oracle; any block-max/threshold slip shows up as a rank diff
     "ii3_pruned_topk" -> indexTopKOracleSql,
+
+    "ii4_positional_index" ->
+      s"""SELECT shard, term, df, block, block_df, postings
+         |FROM ${graft.functions.InvertedIndex.positionalSql(
+             "documents", "doc_id", "text", nShards = 8, blockSize = 16)} q
+         |ORDER BY term, block""".stripMargin,
+
+    // bigram selection + positional occurrence count replayed off the
+    // raw token arrays: strict pos+1 adjacency, (count desc, w1, w2)
+    // tiebreak, overlapping occurrences counted
+    "ii5_phrase_match" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, t[u.i] AS tk, u.i - 1 AS pos FROM tok
+        |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)
+        |  WHERE t[u.i] <> ''),
+        |bg AS (SELECT p1.tk AS w1, p2.tk AS w2, COUNT(*) AS c
+        |  FROM uni p1 JOIN uni p2
+        |    ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+        |  GROUP BY p1.tk, p2.tk),
+        |top AS (SELECT w1, w2 FROM bg ORDER BY c DESC, w1, w2 LIMIT 1)
+        |SELECT p1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        |FROM uni p1 JOIN uni p2
+        |  ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+        |JOIN top ON p1.tk = top.w1 AND p2.tk = top.w2
+        |GROUP BY p1.doc_id
+        |ORDER BY p1.doc_id""".stripMargin,
 
     "tk8_packed_seqs" ->
       s"""WITH ids AS (SELECT doc_id, n_bpe_tokens, bpe_ids

@@ -190,6 +190,40 @@ class InvertedIndexSpec extends SparkSpec {
     assert(pruned == exact && pruned.size == 10)
   }
 
+  test("positionalExport: planted cells carry exact 0-based positions") {
+    val out = InvertedIndex.positionalExport(corpus, "doc_id", "text",
+        nShards = 4, blockSize = 2)
+      .select($"term", $"df", $"block", $"block_df", $"postings")
+      .as[(String, Long, Long, Long, String)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(out == Seq(
+      ("apple", 3L, 0L, 2L, "1:0;2,3:0"),
+      ("apple", 3L, 1L, 1L, "5:0"),
+      ("banana", 3L, 0L, 2L, "1:1,2:0"),
+      ("banana", 3L, 1L, 1L, "4:0"),
+      ("cherry", 2L, 0L, 2L, "2:1,3:1;2"),
+      ("date", 1L, 0L, 1L, "3:3")))
+  }
+
+  test("phraseMatch: overlaps counted, repeated-token phrases, gaps break adjacency") {
+    val planted = Seq(
+      (1L, "a a a"),          // "a a" occurs at anchors 0 and 1
+      (2L, "a b a b a"),      // "a b a" occurs at anchors 0 and 2
+      (3L, "a  b"),           // doubled space: a@0, b@2 — NOT adjacent
+      (4L, "b a"),            // reversed — no "a b"
+      (5L, "x a b a y")       // "a b a" once at anchor 1
+    ).toDF("doc_id", "text")
+    val idx = InvertedIndex.positionalExport(planted, "doc_id", "text",
+      nShards = 4, blockSize = 2)
+    def matches(phrase: Seq[String]): Seq[(Long, Long)] =
+      InvertedIndex.phraseMatch(idx, phrase)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(matches(Seq("a", "a")) == Seq((1L, 2L)))
+    assert(matches(Seq("a", "b", "a")) == Seq((2L, 2L), (5L, 1L)))
+    assert(matches(Seq("a", "b")) == Seq((2L, 2L), (5L, 1L)))
+    assert(matches(Seq("z", "z")).isEmpty)
+  }
+
   test("plan: two exchanges total; (term, block) agg reuses the term partitioning") {
     val df = InvertedIndex.postingsExport(
       graft.core.Tables.documents(spark, sf001), "doc_id", "text")
