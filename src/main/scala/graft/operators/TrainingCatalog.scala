@@ -353,6 +353,16 @@ object TrainingCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // HH1 — bounded-memory frequent terms: count-min candidate probe
+    // (lossless — CM never undercounts) kills the tail vocabulary
+    // before the exact count shuffle; emitted counts are EXACT, so the
+    // sketch parameters affect work, never results, and the oracle is
+    // a plain HAVING over integer arithmetic.
+    "hh1_heavy_hitters" -> ((spark, dir) =>
+      graft.operators.HeavyHitters.frequentTerms(
+        docs(spark, dir), "doc_id", "text", denom = 1000L)
+        .orderBy(col("term"))),
+
     // TK9 — BPE TRAINING as a gate: learn 8 merges from the corpus
     // (exact-long pair counts, lexicographic tie-break) and emit the
     // ordered merge list; the oracle replays the whole selection loop
@@ -1143,6 +1153,19 @@ object TrainingCatalog {
     // the pruned path is LOSSLESS — held to the identical corpus-side
     // oracle; any block-max/threshold slip shows up as a rank diff
     "ii3_pruned_topk" -> indexTopKOracleSql,
+
+    // exact two-sided truth: the engine's sketch pass only prunes
+    // work, so a plain integer HAVING replays the full result
+    "hh1_heavy_hitters" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)
+        |  WHERE u.tk <> ''),
+        |tot AS (SELECT COUNT(*) AS total FROM uni)
+        |SELECT tk AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM uni CROSS JOIN tot
+        |GROUP BY tk, total
+        |HAVING COUNT(*) * 1000 >= total
+        |ORDER BY term""".stripMargin,
 
     "ii4_positional_index" ->
       s"""SELECT shard, term, df, block, block_df, postings
