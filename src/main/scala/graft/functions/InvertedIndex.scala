@@ -48,37 +48,13 @@ object InvertedIndex {
 
   def postingsExport(docs: DataFrame, idCol: String, textCol: String,
                      nShards: Int = 8, blockSize: Int = 16): DataFrame = {
-    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
     val tf = docs
       .select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ", -1)).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val byTerm = Window.partitionBy(col("term"))
-    val ranked = tf
-      .withColumn("df", count(lit(1)).over(byTerm))
-      .withColumn("rn", row_number().over(byTerm.orderBy(col("doc_id"))))
-      // rn ≤ df ≤ n_docs < 2^52: the double division is exact
-      .withColumn("block",
-        floor((col("rn") - 1) / lit(blockSize)).cast("long"))
-    ranked
-      .groupBy(col("term"), col("block"))
-      .agg(
-        max(col("df")).as("df"), // constant within a term
-        count(lit(1)).as("block_df"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
-            s => concat(s("doc_id").cast("string"), lit(":"),
-              s("tf").cast("string"))),
-          ",").as("postings"))
-      .select(
-        (conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
-          % nShards).cast("int").as("shard"),
-        col("term"), col("df"), col("block"), col("block_df"),
-        col("postings"))
+    rebuildBlocks(tf, nShards, blockSize)
   }
 
   /** DuckDB spelling of [[postingsExport]] over `src(id, text)` — the
@@ -207,6 +183,103 @@ object InvertedIndex {
         Window.orderBy(col("score_q").desc, col("doc_id"))))
       .select(col("rn").cast("long").as("rn"), col("doc_id"),
         col("score_q"))
+
+  /** Incremental postings maintenance: fold `newDocs` into an existing
+    * [[postingsExport]] artifact with O(new + affected-term postings)
+    * work — the index-lifecycle operator that makes the export a
+    * maintainable store rather than a one-shot dump (same discipline
+    * as the IVF-PQ `appendToIndex`: touch only what changed).
+    *
+    *  - UNTOUCHED terms (no posting in `newDocs`): their blocked rows
+    *    pass through VERBATIM — no parse, no shuffle participation
+    *    beyond the broadcast anti-join probe (pinned by the spec's
+    *    poisoned-cell arm).
+    *  - AFFECTED terms: old postings parse back to rows, union the new
+    *    docs' (doc, term, tf) rows, and df/rn/block recompute for just
+    *    those terms — block cuts depend on doc_id rank, so an
+    *    interleaved-id append legitimately recuts the whole term.
+    *
+    * Precondition (append-only contract): `newDocs` doc_ids are
+    * disjoint from the indexed corpus — same-id re-ingest must go
+    * through [[indexRemove]] first.
+    */
+  def indexAppend(index: DataFrame, newDocs: DataFrame,
+                  idCol: String, textCol: String,
+                  nShards: Int = 8, blockSize: Int = 16): DataFrame = {
+    val newTf = newDocs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val affected = newTf.select(col("term")).distinct()
+    val untouched = index.join(broadcast(affected), Seq("term"),
+      "left_anti")
+    val oldRows = parsePostings(
+        index.join(broadcast(affected), Seq("term"), "left_semi"))
+      .select(col("doc_id"), col("term"), col("tf"))
+    rebuildBlocks(oldRows.unionByName(newTf), nShards, blockSize)
+      .unionByName(untouched.select(untouched.columns.map(col): _*))
+  }
+
+  /** Remove documents from a [[postingsExport]] artifact with
+    * O(removed + affected-term postings) work. `removedDocs` must
+    * carry the removed documents' (id, text) — the forward record a
+    * store keeps precisely so deletion knows which terms to touch
+    * without scanning every posting list. Terms whose postings become
+    * empty disappear; untouched terms pass through verbatim.
+    */
+  def indexRemove(index: DataFrame, removedDocs: DataFrame,
+                  idCol: String, textCol: String,
+                  nShards: Int = 8, blockSize: Int = 16): DataFrame = {
+    val removedTerms = removedDocs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .filter(col("term") =!= "")
+    val affected = removedTerms.select(col("term")).distinct()
+    val removedIds = removedTerms.select(col("doc_id")).distinct()
+    val untouched = index.join(broadcast(affected), Seq("term"),
+      "left_anti")
+    val surviving = parsePostings(
+        index.join(broadcast(affected), Seq("term"), "left_semi"))
+      .join(broadcast(removedIds), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("term"), col("tf"))
+    rebuildBlocks(surviving, nShards, blockSize)
+      .unionByName(untouched.select(untouched.columns.map(col): _*))
+  }
+
+  /** df/rn/block/shard re-derivation over bare (doc_id, term, tf)
+    * rows — the shared tail of [[postingsExport]] and the incremental
+    * maintainers (single source of truth for the artifact layout).
+    */
+  private def rebuildBlocks(tf: DataFrame, nShards: Int,
+                            blockSize: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val byTerm = Window.partitionBy(col("term"))
+    val ranked = tf
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("rn", row_number().over(byTerm.orderBy(col("doc_id"))))
+      // rn ≤ df ≤ n_docs < 2^52: the double division is exact
+      .withColumn("block",
+        floor((col("rn") - 1) / lit(blockSize)).cast("long"))
+    ranked
+      .groupBy(col("term"), col("block"))
+      .agg(
+        max(col("df")).as("df"), // constant within a term
+        count(lit(1)).as("block_df"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            s => concat(s("doc_id").cast("string"), lit(":"),
+              s("tf").cast("string"))),
+          ",").as("postings"))
+      .select(
+        (conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int").as("shard"),
+        col("term"), col("df"), col("block"), col("block_df"),
+        col("postings"))
+  }
 
   /** Positional postings export — [[postingsExport]] with in-document
     * token positions carried per posting, the artifact phrase and

@@ -313,6 +313,36 @@ object TrainingCatalog {
         .orderBy(col("rn"))
     }),
 
+    // II6 — incremental index APPEND: build on ~2/3 of the corpus,
+    // fold the rest in with O(new + affected-term postings) work
+    // (untouched terms pass through verbatim — no reparse), and the
+    // result must equal the FULL-corpus ii1 artifact cell-for-cell:
+    // the maintenance path is held to the build path's oracle.
+    "ii6_index_append" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val baseIdx = graft.functions.InvertedIndex.postingsExport(
+        d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        nShards = 8, blockSize = 16).localCheckpoint()
+      graft.functions.InvertedIndex.indexAppend(
+        baseIdx, d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        nShards = 8, blockSize = 16)
+        .orderBy(col("term"), col("block"))
+    }),
+
+    // II7 — incremental index REMOVE: delete ~1/3 of the docs from the
+    // full artifact using their forward records (the store's deletion
+    // contract); result must equal a clean rebuild on the survivors.
+    "ii7_index_remove" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val fullIdx = graft.functions.InvertedIndex.postingsExport(
+        d, "doc_id", "text", nShards = 8, blockSize = 16)
+        .localCheckpoint()
+      graft.functions.InvertedIndex.indexRemove(
+        fullIdx, d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        nShards = 8, blockSize = 16)
+        .orderBy(col("term"), col("block"))
+    }),
+
     // II4 — positional postings export: ii1's artifact with in-doc
     // token positions per posting ("doc:p1;p2,…" cells), the index
     // phrase/proximity queries serve from. Same two-shuffle shape.
@@ -1166,6 +1196,21 @@ object TrainingCatalog {
         |GROUP BY tk, total
         |HAVING COUNT(*) * 1000 >= total
         |ORDER BY term""".stripMargin,
+
+    // append must reproduce the full-corpus artifact: ii1's own oracle
+    "ii6_index_append" ->
+      s"""SELECT shard, term, df, block, block_df, postings
+         |FROM ${graft.functions.InvertedIndex.postingsSql(
+             "documents", "doc_id", "text", nShards = 8, blockSize = 16)} q
+         |ORDER BY term, block""".stripMargin,
+
+    // remove must reproduce a clean rebuild on the survivors
+    "ii7_index_remove" ->
+      s"""SELECT shard, term, df, block, block_df, postings
+         |FROM ${graft.functions.InvertedIndex.postingsSql(
+             "(SELECT * FROM documents WHERE doc_id % 3 <> 0) dsrc",
+             "doc_id", "text", nShards = 8, blockSize = 16)} q
+         |ORDER BY term, block""".stripMargin,
 
     "ii4_positional_index" ->
       s"""SELECT shard, term, df, block, block_df, postings

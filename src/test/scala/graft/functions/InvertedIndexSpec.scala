@@ -224,6 +224,54 @@ class InvertedIndexSpec extends SparkSpec {
     assert(matches(Seq("z", "z")).isEmpty)
   }
 
+  test("indexAppend/indexRemove: incremental result equals a clean rebuild") {
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Int, String, Long, Long, Long, String)] =
+      df.as[(Int, String, Long, Long, Long, String)]
+        .collect().sortBy(r => (r._2, r._4)).toSeq
+    val base = corpus.filter($"doc_id" <= 3)
+    val inc = corpus.filter($"doc_id" > 3)
+    val baseIdx = InvertedIndex.postingsExport(base, "doc_id", "text",
+      nShards = 4, blockSize = 2)
+    // append: interleaved ids force block recuts on affected terms
+    assert(rows(InvertedIndex.indexAppend(baseIdx, inc, "doc_id",
+        "text", nShards = 4, blockSize = 2))
+      == rows(InvertedIndex.postingsExport(corpus, "doc_id", "text",
+        nShards = 4, blockSize = 2)))
+    // remove: surviving postings recut; emptied terms disappear
+    val fullIdx = InvertedIndex.postingsExport(corpus, "doc_id", "text",
+      nShards = 4, blockSize = 2)
+    val removed = corpus.filter($"doc_id" === 3) // only holder of "date"
+    val afterRemove = rows(InvertedIndex.indexRemove(fullIdx, removed,
+      "doc_id", "text", nShards = 4, blockSize = 2))
+    assert(afterRemove == rows(InvertedIndex.postingsExport(
+      corpus.filter($"doc_id" =!= 3), "doc_id", "text",
+      nShards = 4, blockSize = 2)))
+    assert(!afterRemove.exists(_._2 == "date"), "emptied term survived")
+  }
+
+  test("maintenance passes untouched terms through verbatim (poisoned cell)") {
+    // poison a term's cell in the base artifact; touch only OTHER
+    // terms; the poison must survive both append and remove — proof
+    // the untouched branch never reparses or recomputes
+    val baseIdx = InvertedIndex.postingsExport(corpus, "doc_id", "text",
+        nShards = 4, blockSize = 2)
+      .withColumn("postings",
+        when($"term" === "date", lit("POISON")).otherwise($"postings"))
+    val newDoc = Seq((9L, "apple banana")).toDF("doc_id", "text")
+    val appended = InvertedIndex.indexAppend(baseIdx, newDoc,
+        "doc_id", "text", nShards = 4, blockSize = 2)
+      .filter($"term" === "date").select($"postings")
+      .as[String].collect().toSeq
+    assert(appended == Seq("POISON"))
+    val removed = InvertedIndex.indexRemove(baseIdx,
+        Seq((5L, "apple")).toDF("doc_id", "text"),
+        "doc_id", "text", nShards = 4, blockSize = 2)
+      .filter($"term" === "date").select($"postings")
+      .as[String].collect().toSeq
+    assert(removed == Seq("POISON"))
+  }
+
   test("plan: two exchanges total; (term, block) agg reuses the term partitioning") {
     val df = InvertedIndex.postingsExport(
       graft.core.Tables.documents(spark, sf001), "doc_id", "text")
