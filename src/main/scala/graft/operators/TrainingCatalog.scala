@@ -343,6 +343,29 @@ object TrainingCatalog {
         .orderBy(col("term"), col("block"))
     }),
 
+    // II8 — compressed postings export: ii1's artifact in the wire
+    // format real indexes ship (d-gap + LEB128 varint, hex cells).
+    // The oracle re-derives every varint byte arithmetically, so the
+    // compressed artifact is exact down to each hex digit.
+    "ii8_compressed_index" -> ((spark, dir) => {
+      graft.functions.InvertedIndex.compressedExport(
+        docs(spark, dir), "doc_id", "text", nShards = 8, blockSize = 16)
+        .orderBy(col("term"), col("block"))
+    }),
+
+    // II9 — compression roundtrip: decoding the compressed artifact
+    // must reproduce the PLAIN ii1 artifact cell-for-cell against
+    // ii1's own independent SQL oracle — losslessness, not just
+    // self-consistency (encode and decode can't share a bug the gate
+    // would miss, because the reference side never compresses).
+    "ii9_compressed_roundtrip" -> ((spark, dir) => {
+      graft.functions.InvertedIndex.decompressIndex(
+        graft.functions.InvertedIndex.compressedExport(
+          docs(spark, dir), "doc_id", "text",
+          nShards = 8, blockSize = 16))
+        .orderBy(col("term"), col("block"))
+    }),
+
     // II4 — positional postings export: ii1's artifact with in-doc
     // token positions per posting ("doc:p1;p2,…" cells), the index
     // phrase/proximity queries serve from. Same two-shuffle shape.
@@ -1210,6 +1233,20 @@ object TrainingCatalog {
          |FROM ${graft.functions.InvertedIndex.postingsSql(
              "(SELECT * FROM documents WHERE doc_id % 3 <> 0) dsrc",
              "doc_id", "text", nShards = 8, blockSize = 16)} q
+         |ORDER BY term, block""".stripMargin,
+
+    // every varint byte re-derived arithmetically in SQL
+    "ii8_compressed_index" ->
+      s"""SELECT shard, term, df, block, block_df, postings_hex
+         |FROM ${graft.functions.InvertedIndex.compressedSql(
+             "documents", "doc_id", "text", nShards = 8, blockSize = 16)} q
+         |ORDER BY term, block""".stripMargin,
+
+    // decode(encode(corpus)) must equal the PLAIN artifact's oracle
+    "ii9_compressed_roundtrip" ->
+      s"""SELECT shard, term, df, block, block_df, postings
+         |FROM ${graft.functions.InvertedIndex.postingsSql(
+             "documents", "doc_id", "text", nShards = 8, blockSize = 16)} q
          |ORDER BY term, block""".stripMargin,
 
     "ii4_positional_index" ->

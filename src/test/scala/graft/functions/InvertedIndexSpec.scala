@@ -284,4 +284,81 @@ class InvertedIndexSpec extends SparkSpec {
     assert(exchanges == 2,
       s"expected exactly 2 shuffles (doc+term agg, term window); got $exchanges:\n$plan")
   }
+
+  test("varint pack: LEB128 goldens at the byte boundaries") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def pack(vs: Long*): String =
+      VarintUtil.packHex(new GenericArrayData(vs.toArray)).toString
+    assert(pack(0L) == "00")
+    assert(pack(1L) == "01")
+    assert(pack(127L) == "7f")          // last 1-byte value
+    assert(pack(128L) == "8001")        // first 2-byte value
+    assert(pack(300L) == "ac02")
+    assert(pack(16384L) == "808001")    // first 3-byte value
+    assert(pack(0L, 1L, 127L, 128L, 300L, 16384L)
+      == "00017f8001ac02808001")
+  }
+
+  test("varint decode: prefix-summed pairs; malformed cells -> empty, never throw") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def dec(h: String): Seq[(Long, Long)] = {
+      val a = VarintUtil.decodePostings(UTF8String.fromString(h))
+      (0 until a.numElements()).map { i =>
+        val r = a.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+    }
+    assert(dec("01020201") == Seq((1L, 2L), (3L, 1L))) // gaps 1,2 -> ids 1,3
+    assert(dec("") == Seq.empty)
+    assert(dec("012") == Seq.empty)     // odd hex length
+    assert(dec("zz01") == Seq.empty)    // non-hex char
+    assert(dec("8001" + "80") == Seq.empty) // truncated continuation
+    assert(dec("010202") == Seq.empty)  // dangling gap without tf
+  }
+
+  test("compressedExport: planted d-gap varint cells exact") {
+    val out = InvertedIndex.compressedExport(corpus, "doc_id", "text",
+        nShards = 4, blockSize = 2)
+      .select($"term", $"df", $"block", $"block_df", $"postings_hex")
+      .as[(String, Long, Long, Long, String)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    // first gap in a block is the ABSOLUTE doc_id (self-contained
+    // seek target); later gaps are deltas; tfs interleave
+    assert(out == Seq(
+      ("apple", 3L, 0L, 2L, "01020201"),  // (1,tf2),(gap2->3,tf1)
+      ("apple", 3L, 1L, 1L, "0501"),      // (5,tf1) absolute restart
+      ("banana", 3L, 0L, 2L, "01010101"),
+      ("banana", 3L, 1L, 1L, "0401"),
+      ("cherry", 2L, 0L, 2L, "02010102"),
+      ("date", 1L, 0L, 1L, "0301")))
+  }
+
+  test("compression roundtrip: decompress == plain artifact, and smaller") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Int, String, Long, Long, Long, String)] =
+      df.as[(Int, String, Long, Long, Long, String)]
+        .collect().sortBy(r => (r._2, r._4)).toSeq
+    val plain = rows(InvertedIndex.postingsExport(docs, "doc_id", "text"))
+    val compressed = InvertedIndex.compressedExport(docs, "doc_id", "text")
+    assert(rows(InvertedIndex.decompressIndex(compressed)) == plain)
+    // the point of the format: bytes (hex/2) beat the decimal cells
+    val Seq((hexChars, plainChars)) = compressed
+      .agg(sum(length($"postings_hex")).as("h"))
+      .crossJoin(InvertedIndex.postingsExport(docs, "doc_id", "text")
+        .agg(sum(length($"postings")).as("p")))
+      .as[(Long, Long)].collect().toSeq
+    assert(hexChars / 2 < plainChars / 2,
+      s"compressed bytes $hexChars/2 not below plain $plainChars/2")
+  }
+
+  test("compressed plan: still two exchanges (gap lag shares the term window)") {
+    val df = InvertedIndex.compressedExport(
+      graft.core.Tables.documents(spark, sf001), "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"expected exactly 2 shuffles; got $exchanges:\n$plan")
+  }
 }
