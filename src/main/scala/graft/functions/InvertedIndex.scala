@@ -537,6 +537,80 @@ object InvertedIndex {
             s("tf").cast("string"))),
         ",").as("postings"))
 
+  /** Impact-quantized index (Anh & Moffat's impact ordering, with this
+    * repo's exact-integer twist): each posting carries its PRECOMPUTED
+    * final int64 `bm25_q` impact instead of a raw tf — cell format
+    * `"doc:impact"`. Serving then needs NO doc-length join, NO stats
+    * row, and NO float tree: a query's score is a pure integer sum of
+    * impact cells ([[queryTopKImpacts]]), turning serve-time cost from
+    * (postings join corpus-size sidecar + IEEE arithmetic) into
+    * (filter + integer adds) — at 100 TB the dl sidecar is billions of
+    * rows, so baking it out of the query path is the difference
+    * between a lookup and a join.
+    *
+    * The trade the real systems make, stated here as the contract:
+    * corpus stats (n_docs, avgdl, df) are FROZEN at build time — an
+    * appended document changes every impact in principle, so impact
+    * indexes rebuild on stats drift rather than maintain incrementally
+    * (use [[postingsExport]] + [[indexAppend]] when maintenance
+    * matters more than serve cost). Impacts are the SAME int64 units
+    * t13 / [[queryTopK]] compute, so the served ranking is
+    * bit-identical to the online scorer's — the ii10 gate holds it to
+    * ii2's own corpus-side oracle.
+    *
+    * Build shape: tf agg, doc-keyed dl agg, doc-keyed join + term
+    * window — one extra doc-keyed shuffle vs [[postingsExport]], paid
+    * once at build time to delete the per-query join forever.
+    */
+  def impactExport(docs: DataFrame, idCol: String, textCol: String,
+                   nShards: Int = 8, blockSize: Int = 16,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(blockSize >= 1, s"blockSize must be >= 1, got $blockSize")
+    val tf = termFreqs(docs, idCol, textCol)
+    val dls = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val byTerm = Window.partitionBy(col("term"))
+    val scored = postingScores(
+      tf.withColumn("df", count(lit(1)).over(byTerm)), dls, k1, b)
+    val ranked = scored
+      .withColumn("rn", row_number().over(byTerm.orderBy(col("doc_id"))))
+      .withColumn("block",
+        floor((col("rn") - 1) / lit(blockSize)).cast("long"))
+    ranked
+      .groupBy(col("term"), col("block"))
+      .agg(
+        max(col("df")).as("df"),
+        count(lit(1)).as("block_df"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("bm25_q")))),
+            s => concat(s("doc_id").cast("string"), lit(":"),
+              s("bm25_q").cast("string"))),
+          ",").as("postings"))
+      .select(
+        (conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int").as("shard"),
+        col("term"), col("df"), col("block"), col("block_df"),
+        col("postings"))
+  }
+
+  /** Top-k FROM the impact artifact: term filter → parse → one integer
+    * sum per doc → TakeOrdered. No dl join, no stats, no float — the
+    * serve path an impact index buys. Ranking is bit-identical to
+    * [[queryTopK]] over the plain artifact (same frozen int64 units).
+    */
+  def queryTopKImpacts(impactIdx: DataFrame, queryTerms: Seq[String],
+                       k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val parsed = parsePostings(
+      impactIdx.filter(col("term").isin(queryTerms: _*)))
+    rankTopK(
+      parsed.groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("score_q")), // tf slot carries impact_q
+      k)
+  }
+
   /** One LEB128 value as DuckDB hex — little-endian 7-bit groups,
     * continuation high bit, ≤5 bytes (values < 2^35; doc_ids and gaps
     * are far below that at any fixture sf). Generated as a single line

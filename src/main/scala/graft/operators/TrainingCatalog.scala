@@ -366,6 +366,26 @@ object TrainingCatalog {
         .orderBy(col("term"), col("block"))
     }),
 
+    // II10 — impact-quantized index: postings carry precomputed int64
+    // bm25_q impacts (stats frozen at build), so serving is a pure
+    // integer sum — no dl join, no stats row, no float tree. Same
+    // top-3-df query as ii2, held to ii2's own corpus-side oracle:
+    // the baked artifact must reproduce the online scorer's ranking
+    // bit-for-bit.
+    "ii10_impact_topk" -> ((spark, dir) => {
+      import spark.implicits._
+      val d = docs(spark, dir)
+      val idx = graft.functions.InvertedIndex.impactExport(
+        d, "doc_id", "text", nShards = 8, blockSize = 16)
+        .localCheckpoint()
+      val qterms = idx.groupBy(col("term"))
+        .agg(max(col("df")).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(3).select(col("term")).as[String].collect().toSeq
+      graft.functions.InvertedIndex.queryTopKImpacts(idx, qterms, k = 10)
+        .orderBy(col("rn"))
+    }),
+
     // II4 — positional postings export: ii1's artifact with in-doc
     // token positions per posting ("doc:p1;p2,…" cells), the index
     // phrase/proximity queries serve from. Same two-shuffle shape.
@@ -1202,6 +1222,9 @@ object TrainingCatalog {
     // CTE chain filtered to the same top-3-df query terms, int64 score
     // sums, (score DESC, doc_id) rank
     "ii2_index_topk" -> indexTopKOracleSql,
+
+    // the baked impact artifact must reproduce the online ranking
+    "ii10_impact_topk" -> indexTopKOracleSql,
 
     // the pruned path is LOSSLESS — held to the identical corpus-side
     // oracle; any block-max/threshold slip shows up as a rank diff

@@ -351,6 +351,47 @@ class InvertedIndexSpec extends SparkSpec {
       s"compressed bytes $hexChars/2 not below plain $plainChars/2")
   }
 
+  test("impact index: per-posting impacts == the online scorer's bm25_q") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val fromIdx = InvertedIndex.impactExport(docs, "doc_id", "text")
+      .withColumn("p", explode(split($"postings", ",")))
+      .select($"term", split($"p", ":")(0).cast("long").as("doc_id"),
+        split($"p", ":")(1).cast("long").as("impact_q"))
+    val online = TextAnalysis.bm25(docs, "doc_id", "text")
+      .select($"term", $"doc_id", $"bm25_q")
+    assert(fromIdx.join(online, Seq("term", "doc_id"))
+      .filter($"impact_q" =!= $"bm25_q").count() == 0)
+    assert(fromIdx.count() == online.count())
+  }
+
+  test("impact-served top-k == plain-index-served top-k, and the plan has no join") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val plainIdx = InvertedIndex.postingsExport(docs, "doc_id", "text")
+      .localCheckpoint()
+    val dls = InvertedIndex.docLengths(docs, "doc_id", "text")
+      .localCheckpoint()
+    val impactIdx = InvertedIndex.impactExport(docs, "doc_id", "text")
+      .localCheckpoint()
+    val topTerms = plainIdx.groupBy($"term").agg(max($"df").as("df"))
+      .orderBy($"df".desc, $"term").limit(5)
+      .select($"term").as[String].collect().toSeq
+    for (q <- Seq(topTerms.take(3), topTerms.drop(2), topTerms.take(1));
+         k <- Seq(1, 10)) {
+      val served = InvertedIndex.queryTopKImpacts(impactIdx, q, k)
+      assert(served.as[(Long, Long, Long)].collect().toSeq
+        == InvertedIndex.queryTopK(plainIdx, dls, q, k)
+          .as[(Long, Long, Long)].collect().toSeq,
+        s"impact-served diverged for q=$q k=$k")
+    }
+    // the point of the format: the serve plan is join-free (the plain
+    // path pays a doc-keyed join against the corpus-size dl sidecar)
+    val serve = InvertedIndex.queryTopKImpacts(impactIdx, topTerms.take(3), 10)
+    serve.collect()
+    val plan = serve.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"impact serve path joined:\n$plan")
+  }
+
   test("compressed plan: still two exchanges (gap lag shares the term window)") {
     val df = InvertedIndex.compressedExport(
       graft.core.Tables.documents(spark, sf001), "doc_id", "text")
