@@ -318,8 +318,8 @@ object Pipelines {
       nShards = 8, blockSize = 64)
 
   /** Untimed staging for the serving-path bench: build the postings
-    * artifact + doc-length + block-max sidecars once, write them as
-    * parquet (what a serving tier actually loads).
+    * artifact + doc-length + block-max sidecars + the impact-quantized
+    * variant once, write them as parquet (what a serving tier loads).
     */
   def stageIndex(spark: SparkSession, sfDir: String): String = {
     val dir = graft.core.Staging.tmpDir("bench_index")
@@ -333,7 +333,30 @@ object Pipelines {
     graft.functions.InvertedIndex
       .blockMax(spark.read.parquet(s"$dir/postings"), dls)
       .write.mode("overwrite").parquet(s"$dir/blockmax")
+    graft.functions.InvertedIndex.impactExport(
+        d, "doc_id", "text", nShards = 8, blockSize = 64)
+      .write.mode("overwrite").parquet(s"$dir/impact")
     dir
+  }
+
+  /** Compressed-artifact build: the d-gap varint export (codegen
+    * LEB128 pack) over the full corpus — ii8's bench twin.
+    */
+  def compressedExport(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.InvertedIndex.compressedExport(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      nShards = 8, blockSize = 64)
+
+  /** Impact-served top-k (same worst-case stopword query as
+    * [[indexTopK]]) — the join-free serve path: no dl sidecar, no
+    * stats, pure integer sums over the staged impact artifact.
+    */
+  def impactTopK(spark: SparkSession, indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(s"$indexDir/impact")
+    val qterms = idx.groupBy(col("term")).agg(max(col("df")).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(3)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    graft.functions.InvertedIndex.queryTopKImpacts(idx, qterms, k = 10)
   }
 
   /** Index-served BM25 top-k through the lossless block-max pruned

@@ -611,6 +611,64 @@ object InvertedIndex {
       k)
   }
 
+  /** "More like this" — sparse lexical doc→doc similarity through the
+    * term space (Lucene's MLT / the sparse-retrieval complement to the
+    * dense ANN stack): for each query document, the top-k other
+    * documents by an EXACT-INTEGER tf·idf² dot product,
+    * `score = Σ_t tf_q(t)·tf_d(t)·idf2_q(t)` with
+    * `idf2_q = (idf_q·idf_q) div 1e6` — pure integer arithmetic end to
+    * end (idf_q is t13's nudged-floor micro-nat unit), so ranking has
+    * no float ties and the oracle replays it digit-for-digit.
+    *
+    * The scale lever is the RELATIVE df cap (`df·dfCapRatio ≤ n_docs`,
+    * an integer comparison): join fan-out through a term is df_q·df(t),
+    * so stopwordy terms dominate cost while contributing the least
+    * idf² signal — MLT's classic "interesting terms" prune, stated as
+    * part of the semantics (the oracle applies the same cap). With the
+    * cap, a query doc's candidate count is bounded by
+    * Σ_{t ∈ doc, df≤n/ratio} df(t) — never corpus².
+    *
+    * Shape: one term-keyed shuffle for df/weights, the query side
+    * prunes to `queryIds`' rows (broadcast-size by construction), one
+    * term equi-join against the corpus tf rows, a (query, doc) partial
+    * agg, and a per-query top-k window (the TopKWindowToAggregate rule
+    * turns rank≤k into a bounded aggregate).
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+                   queryIds: Seq[Long], k: Int,
+                   dfCapRatio: Int = 5): DataFrame = {
+    require(queryIds.nonEmpty, "queryIds must be non-empty")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(dfCapRatio >= 1, s"dfCapRatio must be >= 1, got $dfCapRatio")
+    val tf = termFreqs(docs, idCol, textCol)
+    val stats = tf.select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val weights = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .filter(col("df") * dfCapRatio <= col("n_docs"))
+      .withColumn("idf_q", floor(
+        log((col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)) * lit(1e6) + lit(1e-4))
+        .cast("long"))
+      .select(col("term"),
+        expr("(idf_q * idf_q) DIV 1000000").as("idf2_q"))
+    val q = tf.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("query_id"), col("term"),
+        col("tf").as("tf_q"))
+      .join(weights, Seq("term"))
+    q.join(tf.select(col("term"), col("doc_id"), col("tf").as("tf_d")),
+        Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("tf_q") * col("tf_d") * col("idf2_q")).as("score_q"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("score_q"))
+  }
+
   /** One LEB128 value as DuckDB hex — little-endian 7-bit groups,
     * continuation high bit, ≤5 bytes (values < 2^35; doc_ids and gaps
     * are far below that at any fixture sf). Generated as a single line

@@ -386,6 +386,19 @@ object TrainingCatalog {
         .orderBy(col("rn"))
     }),
 
+    // MLT1 — sparse more-like-this: top-10 lexically-similar docs per
+    // query doc by an exact-integer tf·idf² dot product. The fixture's
+    // synthetic vocabulary is near-uniform (31 terms, df ≈ 0.76·n), so
+    // any biting relative df cap empties the result — the gate runs
+    // un-pruned (ratio=1, mirrored structurally in the oracle) and the
+    // cap's prune semantics are pinned by the planted spec arm.
+    "mlt1_more_like_this" -> ((spark, dir) => {
+      graft.functions.InvertedIndex.moreLikeThis(
+        docs(spark, dir), "doc_id", "text",
+        queryIds = Seq(1L, 2L, 3L), k = 10, dfCapRatio = 1)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // II4 — positional postings export: ii1's artifact with in-doc
     // token positions per posting ("doc:p1;p2,…" cells), the index
     // phrase/proximity queries serve from. Same two-shuffle shape.
@@ -1225,6 +1238,32 @@ object TrainingCatalog {
 
     // the baked impact artifact must reproduce the online ranking
     "ii10_impact_topk" -> indexTopKOracleSql,
+
+    // exact-integer tf·idf² dot product with the same relative df cap
+    "mlt1_more_like_this" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)
+        |  WHERE u.tk <> ''),
+        |tf AS (SELECT doc_id, tk AS term, COUNT(*) AS tf FROM uni GROUP BY doc_id, tk),
+        |st AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+        |w AS (SELECT term,
+        |    CAST(floor(ln((n_docs - df + CAST(0.5 AS DOUBLE))
+        |      / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |      * 1e6 + 1e-4) AS BIGINT) AS idf_q
+        |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term) d
+        |  CROSS JOIN st WHERE df * 1 <= n_docs),
+        |w2 AS (SELECT term, (idf_q * idf_q) // 1000000 AS idf2_q FROM w),
+        |sc AS (SELECT q.doc_id AS query_id, c.doc_id AS doc_id,
+        |    SUM(q.tf * c.tf * w2.idf2_q) AS s
+        |  FROM tf q JOIN w2 USING (term) JOIN tf c USING (term)
+        |  WHERE q.doc_id IN (1, 2, 3) AND c.doc_id <> q.doc_id
+        |  GROUP BY q.doc_id, c.doc_id),
+        |rk AS (SELECT query_id, ROW_NUMBER()
+        |    OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rn,
+        |  doc_id, s FROM sc)
+        |SELECT query_id, rn, doc_id, CAST(s AS BIGINT) AS score_q
+        |FROM rk WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin,
 
     // the pruned path is LOSSLESS — held to the identical corpus-side
     // oracle; any block-max/threshold slip shows up as a rank diff

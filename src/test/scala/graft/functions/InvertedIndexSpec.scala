@@ -392,6 +392,41 @@ class InvertedIndexSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"impact serve path joined:\n$plan")
   }
 
+  test("moreLikeThis: planted similarity through uncapped terms only") {
+    // n_docs=5, ratio=2 -> only df<=2 terms survive: cherry (docs 2,3)
+    // and date (doc 3). Query doc 3 matches ONLY doc 2 (via cherry);
+    // query doc 1's terms (apple, banana, df=3) are all capped out.
+    val out = InvertedIndex.moreLikeThis(corpus, "doc_id", "text",
+        queryIds = Seq(1L, 3L), k = 10, dfCapRatio = 2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((3L, 1L, 2L)))
+    assert(out.head._4 > 0L)
+  }
+
+  test("moreLikeThis: self-exclusion, rank contiguity, pairwise symmetry") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val qids = Seq(1L, 2L, 3L)
+    val out = InvertedIndex.moreLikeThis(docs, "doc_id", "text",
+        qids, k = 1000, dfCapRatio = 1)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.forall(r => r._1 != r._3), "a query matched itself")
+    for ((q, g) <- out.groupBy(_._1))
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length.toLong),
+        s"ranks not contiguous for query $q")
+    // the tf·idf² dot product is symmetric: score(a->b) == score(b->a).
+    // Docs 1..3 need not co-match each other, so take query 1's own
+    // top hit as the partner and re-query with both as queries.
+    val (q0, _, d0, s0) = out.filter(_._1 == out.head._1).minBy(_._2)
+    val pair = InvertedIndex.moreLikeThis(docs, "doc_id", "text",
+        Seq(q0, d0), k = 1000, dfCapRatio = 1)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    assert(pair.get((q0, d0)).contains(s0))
+    assert(pair.get((d0, q0)).contains(s0),
+      s"asymmetric score for ($q0,$d0)")
+  }
+
   test("compressed plan: still two exchanges (gap lag shares the term window)") {
     val df = InvertedIndex.compressedExport(
       graft.core.Tables.documents(spark, sf001), "doc_id", "text")
