@@ -588,6 +588,25 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E22 — CONTINUOUS index maintenance (ii6's streaming face): the
+    // corpus staged as 3 disjoint files → 3 micro-batches
+    // (maxFilesPerTrigger=1); the postings store folds batch-by-batch
+    // via indexAppend (untouched terms pass through verbatim each
+    // fold) and the FINAL store must equal the one-shot full-corpus
+    // build — continuous maintenance == clean rebuild, on ii1's own
+    // oracle.
+    "e22_stream_index_append" -> ((spark, dir) => {
+      val in = graft.core.Staging.tmpDir("stream_idx_in")
+      val d = Tables.documents(spark, dir)
+      for (r <- 0 to 2)
+        d.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      graft.streaming.DocStream.indexAppendFold(
+        graft.streaming.DocStream.readOneFilePerTrigger(spark, in),
+        "doc_id", "text", nShards = 8, blockSize = 16)
+        .orderBy(col("term"), col("block"))
+    }),
+
     // E14 — streaming NEAR-dup against a historical band store: the
     // LSH face of e11. Band keys are pure row functions (computed
     // compiled per doc, no streaming aggregation), kept as columns and
@@ -886,6 +905,13 @@ object StreamMediaCatalog {
     // the batch LSH band-join spelling: docs that share any band with
     // the even-id store are dropped; shingle-less docs are admitted
     "e14_stream_neardup" -> NearDupAdmitSql,
+
+    // the folded store must equal the one-shot build: ii1's own oracle
+    "e22_stream_index_append" ->
+      s"""SELECT shard, term, df, block, block_df, postings
+         |FROM ${graft.functions.InvertedIndex.postingsSql(
+             "documents", "doc_id", "text", nShards = 8, blockSize = 16)} q
+         |ORDER BY term, block""".stripMargin,
 
     // identical admission semantics through the PERSISTED, APPENDED
     // band store: same oracle proves persisted == inline == SQL

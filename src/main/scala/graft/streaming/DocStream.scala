@@ -320,4 +320,46 @@ object DocStream {
       .filter((0 until Bands).map(b => col(s"__seen$b").isNull).reduce(_ && _))
       .select(col("doc_id"), col("text"))
   }
+
+  /** [[read]] delivering ONE file per micro-batch — the maintenance
+    * cadence knob for store-folding operators (each arriving file
+    * becomes one fold step).
+    */
+  def readOneFilePerTrigger(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+
+  /** Continuous index maintenance — the streaming face of ii6: fold a
+    * document stream into a postings store, one
+    * [[graft.functions.InvertedIndex.indexAppend]] per micro-batch
+    * (first batch bootstraps via `postingsExport`). foreachBatch is
+    * the right sink because the store is a cross-batch ARTIFACT, not a
+    * row stream: each fold touches only the arriving docs' terms
+    * (untouched postings pass through verbatim), and `localCheckpoint`
+    * truncates lineage so the plan never replays prior batches — the
+    * same discipline as the batch maintainer. Append-only contract:
+    * arriving doc_ids must be disjoint from the store's (same as
+    * `indexAppend`).
+    *
+    * Returns the FINAL store after the stream drains; the e22 gate
+    * holds it to the one-shot full-corpus oracle — continuous
+    * maintenance must equal a clean rebuild.
+    */
+  def indexAppendFold(docStream: DataFrame, idCol: String,
+                      textCol: String, nShards: Int = 8,
+                      blockSize: Int = 16): DataFrame = {
+    var store: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val next =
+        if (store == null)
+          graft.functions.InvertedIndex.postingsExport(
+            batch, idCol, textCol, nShards, blockSize)
+        else
+          graft.functions.InvertedIndex.indexAppend(
+            store, batch, idCol, textCol, nShards, blockSize)
+      store = next.localCheckpoint()
+    })
+    require(store != null, "indexAppendFold: stream delivered no batches")
+    store
+  }
 }

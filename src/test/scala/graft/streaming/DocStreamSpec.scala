@@ -239,4 +239,23 @@ class DocStreamSpec extends graft.SparkSpec {
     assert(finalSet == batch,
       s"stream state must converge to the batch draw: $finalSet vs $batch")
   }
+
+  test("streaming index fold: per-file indexAppend converges to the one-shot build") {
+    val src = stageTwoBatches()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"term", $"df", $"block", $"block_df", $"postings")
+        .as[(String, Long, Long, Long, String)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+    // one file per trigger => the second file's docs fold into the
+    // store built from the first (interleaved terms force real
+    // append work: "the"/"of" span both batches)
+    val folded = DocStream.indexAppendFold(
+      DocStream.readOneFilePerTrigger(spark, src), "doc_id", "text",
+      nShards = 4, blockSize = 2)
+    val oneShot = graft.functions.InvertedIndex.postingsExport(
+      spark.read.parquet(src), "doc_id", "text",
+      nShards = 4, blockSize = 2)
+    assert(rows(folded) == rows(oneShot))
+    assert(rows(folded).nonEmpty)
+  }
 }
