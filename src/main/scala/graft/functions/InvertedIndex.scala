@@ -611,6 +611,42 @@ object InvertedIndex {
       k)
   }
 
+  /** Batch retrieval — a TABLE of queries served in ONE plan, the
+    * Spark-native serving shape: where an online tier loops per query,
+    * a relational engine scores the whole workload at once, and a
+    * posting is scored ONCE however many queries share its term (the
+    * query fan-out joins AFTER the per-posting score). `queries` is
+    * (query_id, term) rows; duplicate terms within a query are
+    * deduped, matching [[queryTopK]]'s isin semantics.
+    *
+    * Scale shape: the postings prune is a broadcast semi-join on the
+    * queries' distinct terms (the batch analogue of the isin filter —
+    * O(workload postings) read, not O(index)); scoring is the t13
+    * tree once per surviving posting; the query fan-out is a second
+    * broadcast join; per-query top-k is the rank window the
+    * TopKWindowToAggregate rule turns into a bounded aggregate.
+    * Ranking per query is bit-identical to [[queryTopK]].
+    */
+  def queryTopKBatch(index: DataFrame, docLens: DataFrame,
+                     queries: DataFrame, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = queries.select(col("query_id"), col("term")).distinct()
+    val postings = parsePostings(
+      index.join(broadcast(q.select(col("term")).distinct()),
+        Seq("term"), "left_semi"))
+    postingScores(postings, docLens, k1, b)
+      .join(broadcast(q), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("bm25_q")).as("score_q"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_q").desc, col("doc_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("score_q"))
+  }
+
   /** "More like this" — sparse lexical doc→doc similarity through the
     * term space (Lucene's MLT / the sparse-retrieval complement to the
     * dense ANN stack): for each query document, the top-k other

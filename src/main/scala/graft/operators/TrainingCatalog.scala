@@ -386,6 +386,31 @@ object TrainingCatalog {
         .orderBy(col("rn"))
     }),
 
+    // II11 — BATCH retrieval: a query TABLE (three overlapping top-df
+    // triples, derived fully distributed — no collect) served in one
+    // plan; each posting scored once however many queries share its
+    // term. Per-query rankings must equal the per-query oracle.
+    "ii11_batch_topk" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val idx = graft.functions.InvertedIndex.postingsExport(
+        d, "doc_id", "text", nShards = 8, blockSize = 16)
+        .localCheckpoint()
+      val top6 = idx.groupBy(col("term")).agg(max(col("df")).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(6)
+        .withColumn("tr", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("df").desc, col("term"))))
+      val qs = Seq((0L, 1, 3), (1L, 4, 6), (2L, 2, 4))
+        .map { case (qid, lo, hi) =>
+          top6.filter(col("tr").between(lo, hi))
+            .select(lit(qid).as("query_id"), col("term"))
+        }.reduce(_ unionByName _)
+      graft.functions.InvertedIndex.queryTopKBatch(idx,
+        graft.functions.InvertedIndex.docLengths(d, "doc_id", "text"),
+        qs, k = 10)
+        .orderBy(col("query_id"), col("rn"))
+    }),
+
     // MLT1 — sparse more-like-this: top-10 lexically-similar docs per
     // query doc by an exact-integer tf·idf² dot product. The fixture's
     // synthetic vocabulary is near-uniform (31 terms, df ≈ 0.76·n), so
@@ -1238,6 +1263,41 @@ object TrainingCatalog {
 
     // the baked impact artifact must reproduce the online ranking
     "ii10_impact_topk" -> indexTopKOracleSql,
+
+    // the batch workload replayed per query: same t13 tree, query
+    // triples from the same ROW_NUMBER-ranked top-6 df terms
+    "ii11_batch_topk" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)
+        |  WHERE u.tk <> ''),
+        |tf AS (SELECT doc_id, tk AS term, COUNT(*) AS tf FROM uni GROUP BY doc_id, tk),
+        |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+        |st AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+        |qt AS (SELECT term, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS tr
+        |  FROM dfreq),
+        |qs AS (SELECT CAST(0 AS BIGINT) AS query_id, term FROM qt WHERE tr BETWEEN 1 AND 3
+        |  UNION ALL SELECT CAST(1 AS BIGINT), term FROM qt WHERE tr BETWEEN 4 AND 6
+        |  UNION ALL SELECT CAST(2 AS BIGINT), term FROM qt WHERE tr BETWEEN 2 AND 4),
+        |sc AS (SELECT qs.query_id, t.doc_id,
+        |  CAST(floor(
+        |    floor(ln((n_docs - d.df + CAST(0.5 AS DOUBLE))
+        |        / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+        |        * 1e6 + 1e-4) / 1e6 *
+        |    (t.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |    (t.tf + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+        |      - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * l.dl / avgdl))
+        |    * 1e6 + 1e-4) AS BIGINT) AS bm25_q
+        |FROM tf t JOIN dl l USING (doc_id) JOIN dfreq d USING (term)
+        |JOIN qs ON qs.term = t.term
+        |CROSS JOIN st),
+        |tot AS (SELECT query_id, doc_id, CAST(SUM(bm25_q) AS BIGINT) AS score_q
+        |  FROM sc GROUP BY query_id, doc_id),
+        |rk AS (SELECT query_id, ROW_NUMBER()
+        |    OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rn,
+        |  doc_id, score_q FROM tot)
+        |SELECT query_id, rn, doc_id, score_q FROM rk WHERE rn <= 10
+        |ORDER BY query_id, rn""".stripMargin,
 
     // exact-integer tf·idf² dot product with the same relative df cap
     "mlt1_more_like_this" ->

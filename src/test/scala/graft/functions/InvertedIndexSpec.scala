@@ -392,6 +392,34 @@ class InvertedIndexSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"impact serve path joined:\n$plan")
   }
 
+  test("batch retrieval: one-plan workload == per-query queryTopK loop") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+    val idx = InvertedIndex.postingsExport(docs, "doc_id", "text")
+      .localCheckpoint()
+    val dls = InvertedIndex.docLengths(docs, "doc_id", "text")
+      .localCheckpoint()
+    val top = idx.groupBy($"term").agg(max($"df").as("df"))
+      .orderBy($"df".desc, $"term").limit(6)
+      .select($"term").as[String].collect().toSeq
+    // overlapping queries: shared terms must fan out to both rankings
+    val workload = Map(0L -> top.take(3), 1L -> top.drop(3),
+      2L -> top.slice(1, 4))
+    val qdf = workload.toSeq
+      .flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    // a duplicated (query, term) row must not double-count (isin parity)
+    val batch = InvertedIndex.queryTopKBatch(idx, dls,
+        qdf.unionByName(qdf.limit(1)), k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    for ((q, ts) <- workload) {
+      val solo = InvertedIndex.queryTopK(idx, dls, ts, k = 10)
+        .as[(Long, Long, Long)].collect().toSeq
+        .map { case (rn, d, s) => (q, rn, d, s) }
+      assert(batch(q) == solo, s"batch diverged from solo for query $q")
+    }
+  }
+
   test("moreLikeThis: planted similarity through uncapped terms only") {
     // n_docs=5, ratio=2 -> only df<=2 terms survive: cherry (docs 2,3)
     // and date (doc 3). Query doc 3 matches ONLY doc 2 (via cherry);
