@@ -438,6 +438,60 @@ object TextAnalysis {
           / count(lit(1)).cast("double")).as("mean_logscore"))
   }
 
+  /** Top-k PMI collocations — corpus-level association mining (Church
+    * & Hanks' pointwise mutual information over adjacent token pairs),
+    * the classic phrase-discovery statistic a tokenizer/vocab builder
+    * runs before committing multi-word units:
+    * `pmi = ln( (c_ab/N_bg) / ((c_a/N_uni)·(c_b/N_uni)) )`, computed
+    * as ONE double division of two exact int64 products
+    * (`c_ab·N_uni²` over `N_bg·c_a·c_b` — both < 2^63 at any fixture
+    * scale; long→double casts are IEEE-deterministic, so both engines
+    * divide identical operands) and quantized with the t9 nudged
+    * floor. `minCount` kills the low-count PMI pathology (hapax pairs
+    * score highest) before the join — the standard collocation floor.
+    *
+    * Adjacency is over each document's EMPTY-FILTERED token sequence
+    * (the token-stream convention; contrast positional adjacency in
+    * [[InvertedIndex.positionalExport]], which never bridges a dropped
+    * empty). Scale shape: bigram and unigram counts are term-keyed
+    * partial aggs; totals ride 1-row broadcasts; the c_a/c_b joins are
+    * vocabulary-keyed (a bigram table grows with data — never
+    * broadcast, same discipline as t14's LM joins); final top-k is
+    * TakeOrdered + a k-row rank window.
+    */
+  def collocations(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, minCount: Long = 5L,
+                   k: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      filter(split(col(textCol), " ", -1), t => t =!= "").as("ts"))
+    val uni = toks.select(explode(col("ts")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val bg = toks.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2)," +
+          " i -> struct(ts[i] AS a, ts[i + 1] AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    val nBg = bg.agg(sum(col("c_ab")).as("n_bg"))
+    bg.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("term").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("term").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
+      .withColumn("pmi_q", floor(log(
+          (col("c_ab") * col("n_uni") * col("n_uni")).cast("double")
+            / (col("n_bg") * col("c_a") * col("c_b")).cast("double"))
+        * lit(1e6) + lit(1e-4)).cast("long"))
+      .orderBy(col("pmi_q").desc, col("a"), col("b")).limit(k)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("pmi_q").desc, col("a"), col("b"))))
+      .select(col("rn").cast("long").as("rn"), col("a"), col("b"),
+        col("c_ab"), col("pmi_q"))
+  }
+
   // ------------------------------------------------------- DuckDB spellings
 
   /** SQL fragments mirroring the expressions above, used to build

@@ -411,6 +411,15 @@ object TrainingCatalog {
         .orderBy(col("query_id"), col("rn"))
     }),
 
+    // PMI1 — top-k PMI collocations: one double division of two exact
+    // int64 products, t9-quantized ln, count floor at 5 — the phrase-
+    // discovery statistic over adjacent token pairs.
+    "pmi1_collocations" -> ((spark, dir) => {
+      graft.functions.TextAnalysis.collocations(
+        docs(spark, dir), "doc_id", "text", minCount = 5L, k = 20)
+        .orderBy(col("rn"))
+    }),
+
     // MLT1 — sparse more-like-this: top-10 lexically-similar docs per
     // query doc by an exact-integer tf·idf² dot product. The fixture's
     // synthetic vocabulary is near-uniform (31 terms, df ≈ 0.76·n), so
@@ -1298,6 +1307,36 @@ object TrainingCatalog {
         |  doc_id, score_q FROM tot)
         |SELECT query_id, rn, doc_id, score_q FROM rk WHERE rn <= 10
         |ORDER BY query_id, rn""".stripMargin,
+
+    // same exact-integer products, same single division, same nudged
+    // floor; adjacency via per-doc ROW_NUMBER over filtered tokens
+    "pmi1_collocations" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni0 AS (SELECT doc_id, t[u.i] AS tk, u.i AS i FROM tok
+        |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)
+        |  WHERE t[u.i] <> ''),
+        |u2 AS (SELECT doc_id, tk,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS r
+        |  FROM uni0),
+        |ucnt AS (SELECT tk AS term, COUNT(*) AS c FROM u2 GROUP BY tk),
+        |bg AS (SELECT x.tk AS a, y.tk AS b, COUNT(*) AS c_ab
+        |  FROM u2 x JOIN u2 y ON x.doc_id = y.doc_id AND y.r = x.r + 1
+        |  GROUP BY x.tk, y.tk),
+        |st AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ucnt) AS n_uni,
+        |  (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bg) AS n_bg),
+        |sc AS (SELECT a, b, c_ab,
+        |    CAST(floor(ln(CAST(c_ab * n_uni * n_uni AS DOUBLE)
+        |      / CAST(n_bg * ca.c * cb.c AS DOUBLE)) * 1e6 + 1e-4)
+        |      AS BIGINT) AS pmi_q
+        |  FROM bg JOIN ucnt ca ON ca.term = bg.a
+        |  JOIN ucnt cb ON cb.term = bg.b
+        |  CROSS JOIN st WHERE c_ab >= 5),
+        |rk AS (SELECT ROW_NUMBER()
+        |    OVER (ORDER BY pmi_q DESC, a, b) AS rn, a, b, c_ab, pmi_q
+        |  FROM sc)
+        |SELECT rn, a, b, CAST(c_ab AS BIGINT) AS c_ab, pmi_q
+        |FROM rk WHERE rn <= 20
+        |ORDER BY rn""".stripMargin,
 
     // exact-integer tf·idf² dot product with the same relative df cap
     "mlt1_more_like_this" ->

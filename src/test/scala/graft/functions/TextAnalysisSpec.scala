@@ -231,4 +231,41 @@ class TextAnalysisSpec extends SparkSpec {
     val rb = one(TextAnalysis.fingerprint(col("t")), "hello world ")
     assert(a == b && ra != rb)
   }
+
+  test("collocations: planted PMI goldens, count floor, rank order") {
+    import spark.implicits._
+    // unigrams a=5 b=5 c=6 -> N_uni=16; bigrams (a,b)=5 (b,a)=4
+    // (c,c)=5 -> N_bg=14; minCount=5 drops (b,a)
+    val docs = Seq(
+      (1L, "a b a b a b a b a b"),
+      (2L, "c c c c c c")).toDF("doc_id", "text")
+    def pmiQ(cab: Long, ca: Long, cb: Long): Long =
+      math.floor(math.log(
+        (cab * 16L * 16L).toDouble / (14L * ca * cb).toDouble)
+        * 1e6 + 1e-4).toLong
+    val out = TextAnalysis.collocations(docs, "doc_id", "text",
+        minCount = 5L, k = 20)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", "b", 5L, pmiQ(5, 5, 5)),
+      (2L, "c", "c", 5L, pmiQ(5, 6, 6))))
+    // sanity: the planted collocation outranks the self-pair
+    assert(pmiQ(5, 5, 5) > pmiQ(5, 6, 6))
+  }
+
+  test("collocations: adjacency never bridges documents; empty tokens drop") {
+    import spark.implicits._
+    // "x y" at a doc boundary must NOT create a (y, x) bigram; the
+    // doubled space in doc 4 must not create an empty-token pair
+    val docs = Seq(
+      (3L, "x y x y x y x y x y"),
+      (4L, "y  x y x y x y x y x")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "doc_id", "text",
+        minCount = 1L, k = 20)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    val counts = out.map(r => (r._2, r._3) -> r._4).toMap
+    assert(counts(("x", "y")) == 5L + 4L)
+    assert(counts(("y", "x")) == 4L + 5L)
+    assert(out.forall(r => r._2.nonEmpty && r._3.nonEmpty))
+  }
 }
