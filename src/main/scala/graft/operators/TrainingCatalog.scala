@@ -649,6 +649,16 @@ object TrainingCatalog {
       TextDedup.jaccard(pairs, sh, "doc_id").orderBy(col("a_id"), col("b_id"))
     }),
 
+    // SS1 — exact set-similarity self-join (PPJoin prefix filtering):
+    // EVERY pair with trigram Jaccard >= 0.5, provably complete (LSH
+    // can miss a qualifying pair; this path cannot). The
+    // compliance-grade dedup answer — see SetSimJoin's scaladoc for
+    // the prefix-filter theorem and the 100 TB shape.
+    "ss1_ppjoin" -> ((spark, dir) =>
+      graft.dedup.SetSimJoin.ppjoin(docsWithVariants(spark, dir),
+        "doc_id", "text", threshold = 0.5)
+        .orderBy(col("a_id"), col("b_id"))),
+
     // X16 — LSH quality audit: what fraction of the band-join
     // candidates clear the Jaccard threshold the pipeline actually
     // dedups at. The production dial-tuning readout (bands ×
@@ -1555,6 +1565,23 @@ object TrainingCatalog {
          |FROM inter i
          |JOIN sz za ON za.doc_id = i.a_id
          |JOIN sz zb ON zb.doc_id = i.b_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "ss1_ppjoin" ->
+      s"""WITH $docsWithVariantsSql, ${shCte("augv")},
+         |${graft.dedup.SetSimJoin.Sql.candidateCtes("doc_id", 0.5)},
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS n
+         |  FROM ppcand c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id),
+         |j AS (SELECT i.a_id, i.b_id,
+         |    CAST(i.n AS DOUBLE) / CAST(za.sz + zb.sz - i.n AS DOUBLE) AS jacc
+         |  FROM inter i
+         |  JOIN sz za ON za.doc_id = i.a_id
+         |  JOIN sz zb ON zb.doc_id = i.b_id)
+         |SELECT a_id, b_id, jacc FROM j WHERE jacc >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
 
     "x13_containment" ->
