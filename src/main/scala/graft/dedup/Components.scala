@@ -192,6 +192,33 @@ object Components {
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Quality-aware representative selection over a component
+    * assignment (the FineWeb/CCNet refinement of min-id canon): per
+    * near-dup component keep the member with the highest `scoreCol`,
+    * ties broken by lowest id — on a crawl the lowest id is often the
+    * worst copy (truncated first fetch), so "min-id survives" quietly
+    * keeps the junk variant. Input: one row per member with
+    * (idCol, compCol, scoreCol). One comp-keyed window + one
+    * comp-keyed agg — no shuffle wider than the component assignment
+    * itself. Output: comp, n_members, rep_id, rep_quality.
+    */
+  def qualityReps(scored: DataFrame, idCol: String,
+                  compCol: String = "comp",
+                  scoreCol: String = "quality"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(compCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val reps = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(compCol), col(idCol).as("rep_id"),
+        col(scoreCol).as("rep_quality"))
+    scored.groupBy(col(compCol)).agg(count(lit(1)).as("n_members"))
+      .join(reps, compCol)
+      .select(col(compCol), col("n_members"), col("rep_id"),
+        col("rep_quality"))
+  }
+
   // ------------------------------------------------------- DuckDB spelling
 
   object Sql {

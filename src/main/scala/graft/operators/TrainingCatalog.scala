@@ -754,6 +754,24 @@ object TrainingCatalog {
     "x9_dedup_groups" -> ((spark, dir) =>
       dedupComponents(spark, dir).orderBy(col("doc_id"))),
 
+    // X17 — quality-aware representative selection (the FineWeb/CCNet
+    // refinement of x10's min-id canon): within each near-dup
+    // component keep the HIGHEST-QUALITY member (t2's composite score;
+    // doc_id tiebreak), not the arbitrary min-id. On a crawl the
+    // lowest id is often the worst copy (truncated first fetch); rep
+    // choice is one comp-keyed window over the component assignment —
+    // no extra shuffle beyond x9's, and the quality score is a
+    // projection. Both sides walk the identical IEEE score tree, so
+    // DESC-by-quality ordering is cross-engine deterministic.
+    "x17_quality_rep" -> ((spark, dir) => {
+      val scored = docsWithVariants(spark, dir)
+        .join(dedupComponents(spark, dir), "doc_id")
+        .select(col("comp"), col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+      Components.qualityReps(scored, "doc_id")
+        .orderBy(col("comp"))
+    }),
+
     // X14 — incremental component maintenance (the daily-crawl path):
     // an EXISTING assignment (built from the day-0 pair batch)
     // absorbs a new pair batch — including pairs that MERGE two
@@ -1698,6 +1716,19 @@ object TrainingCatalog {
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
          |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")}
          |SELECT id AS doc_id, comp FROM comps ORDER BY doc_id""".stripMargin,
+
+    "x17_quality_rep" ->
+      s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
+         |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")},
+         |q AS (SELECT c.comp, a.doc_id, ${T.qualityScore("a.text")} AS quality
+         |  FROM augv a JOIN comps c ON c.id = a.doc_id),
+         |r AS (SELECT comp, doc_id, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY comp
+         |                       ORDER BY quality DESC, doc_id) AS rn
+         |  FROM q),
+         |sz AS (SELECT comp, COUNT(*) AS n_members FROM q GROUP BY comp)
+         |SELECT r.comp, sz.n_members, r.doc_id AS rep_id, r.quality AS rep_quality
+         |FROM r JOIN sz USING (comp) WHERE rn = 1 ORDER BY comp""".stripMargin,
 
     "x14_incremental_cc" ->
       s"""WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents),

@@ -111,4 +111,21 @@ class ComponentsSpec extends SparkSpec {
     assert(inc(4L) == 1L, "merged component takes the global min label")
     assert(inc(10L) == 5L && inc(9L) == 9L && inc(12L) == 11L)
   }
+
+  test("qualityReps keeps the best-quality member, not the min id") {
+    // comp 1: member 1 (worst quality, lowest id), member 2 (best),
+    // member 3 (middle). comp 10: quality tie -> lowest id wins.
+    // comp 99: singleton keeps itself.
+    val scored = Seq(
+      (1L, 1L, 0.2), (2L, 1L, 0.9), (3L, 1L, 0.5),
+      (10L, 10L, 0.7), (11L, 10L, 0.7),
+      (99L, 99L, 0.1)
+    ).toDF("doc_id", "comp", "quality")
+    val out = Components.qualityReps(scored, "doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((3L, 2L, 0.9)), "argmax quality beats min id")
+    assert(out(10L) == ((2L, 10L, 0.7)), "tie broken by lowest id")
+    assert(out(99L) == ((1L, 99L, 0.1)))
+  }
 }
