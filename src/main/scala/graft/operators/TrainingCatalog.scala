@@ -895,6 +895,16 @@ object TrainingCatalog {
         "vec_id", "embedding", annQueryIds, k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rn"))),
 
+    // HN1 — hard-negative mining over the variant-augmented corpus:
+    // per query, the top-5 most-similar vectors BELOW cos 0.9 — the
+    // planted ≥0.9 variants (and any natural near-dup) are positives a
+    // contrastive batch must exclude, the highest-scoring survivors
+    // are exactly what a bi-encoder's hard-negative sampler feeds it.
+    "hn1_hard_negatives" -> ((spark, dir) =>
+      Similarity.hardNegatives(embWithVariants(spark, dir),
+        "vec_id", "embedding", annQueryIds, k = 5, posThreshold = 0.9)
+        .orderBy(col("query_id"), col("rn"))),
+
     // embedding near-duplicate pairs within LSH buckets (over the
     // variant-augmented corpus — the raw fixture has no near-dups)
     "v3_embed_neardup" -> ((spark, dir) =>
@@ -1818,6 +1828,21 @@ object TrainingCatalog {
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |                       ORDER BY cos_sim DESC, neighbor_id) AS rn
          |  FROM scored)
+         |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    "hn1_hard_negatives" ->
+      s"""WITH $embWithVariantsSql,
+         |q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM emba
+         |      WHERE vec_id IN (${annQueryIds.mkString(",")})),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM emba),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    round(${S.cosine("q_vec", "c_vec")}, 6) AS cos_sim
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM scored WHERE cos_sim < 0.9)
          |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
 

@@ -110,8 +110,30 @@ object Similarity {
     * map-side to k per query. One implementation so the rounding /
     * tiebreak contract the oracles depend on cannot diverge per path.
     */
+  /** Hard-negative mining for contrastive/embedding training: per
+    * query, the top-k most-similar corpus vectors whose similarity
+    * stays BELOW `posThreshold` — near-dups and positives (the planted
+    * ≥ 0.9 variants, the doc itself) are excluded, leaving the
+    * highest-scoring true negatives, which is exactly the batch a
+    * hard-negative sampler feeds a bi-encoder. Identical scoring
+    * contract to [[bruteForceTopK]] (rounded cos, map-side top-k);
+    * the threshold is applied to the 6-dp-rounded score on both
+    * engines so the boundary cannot straddle an ulp. Swap the
+    * brute-force scorer for the IVF/LSH candidate paths at corpus
+    * scale — the filter composes with any of them.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Seq[Long], k: Int,
+                    posThreshold: Double = 0.9): DataFrame =
+    topK(scoreAllPairs(emb.filter(scorable(col(vecCol))), idCol, vecCol,
+      queryIds).filter(col("cos_sim") < lit(posThreshold)), k)
+
   private def scoreAllPairsTopK(emb: DataFrame, idCol: String, vecCol: String,
-                                queryIds: Seq[Long], k: Int): DataFrame = {
+                                queryIds: Seq[Long], k: Int): DataFrame =
+    topK(scoreAllPairs(emb, idCol, vecCol, queryIds), k)
+
+  private def scoreAllPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            queryIds: Seq[Long]): DataFrame = {
     // PRECONDITION: every vector is already scorable — the gate lives
     // at the public entry points where vecCol is a SCAN attribute, so
     // the predicate pushes to the scan and codegen CSE makes it one
@@ -133,7 +155,7 @@ object Similarity {
           size(col("c_vec")) === size(col("q_vec")))
       .withColumn("cos_sim",
         round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6))
-    topK(scored, k)
+    scored
   }
 
   /** LSH-bucketed ANN: identical contract to [[bruteForceTopK]] but

@@ -58,6 +58,21 @@ class SimilaritySpec extends SparkSpec {
     assert(top.toSeq == Seq(4L, 1L, 2L)) // colinear first, near second, orthogonal third
   }
 
+  test("hardNegatives excludes positives above the threshold, ranks the rest") {
+    // vs query 0: vec 4 (cos 1.0) and vec 1 (cos ~0.994) are positives
+    // at threshold 0.9; vec 2 (0.0) and vec 3 (-1.0) are the negatives.
+    val hn = Similarity.hardNegatives(vecs, "vec_id", "embedding",
+      Seq(0L), k = 3, posThreshold = 0.9)
+      .orderBy($"rn").as[(Long, Int, Long, Double)].collect()
+    assert(hn.map(_._3).toSeq == Seq(2L, 3L), "only sub-threshold vectors survive")
+    assert(hn.forall(_._4 < 0.9))
+    // and it is exactly brute-force-then-filter (same scoring contract)
+    val brute = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Seq(0L), k = 5)
+      .filter($"cos_sim" < 0.9).orderBy($"cos_sim".desc, $"neighbor_id")
+      .select($"neighbor_id").as[Long].collect().toSeq
+    assert(hn.map(_._3).toSeq == brute)
+  }
+
   test("signBucket groups colinear vectors; lshTopK stays within bucket") {
     val dims = Seq(0, 1)
     val buckets = vecs.select($"vec_id", Similarity.signBucket($"embedding", dims).as("b"))
