@@ -94,6 +94,9 @@ object CurationCatalog {
   // shape) built the same way on both engines.
   private val LineTokens = 16
   private val PackLen = 512
+  // bb1's fixed batch-shape menu; fixture docs span ~10–300 tokens,
+  // so several buckets carry real mass and the top one exercises clamp
+  private val LengthBucketBounds = Seq(16, 32, 64, 128, 256)
   private val BoilerA = "subscribe to our newsletter for updates today"
   private val BoilerB = "all rights reserved copyright twenty twenty two"
   private val BoilerFreq = 40L
@@ -413,6 +416,21 @@ object CurationCatalog {
         Packing.packSpans(docs(spark, dir), "doc_id", "text",
           seqLen = PackLen, buckets = 256))
         .orderBy(col("pack_id"))),
+
+    // BB1 — length-bucketed batching census (the pad-vs-pack
+    // alternative to pk1): each doc lands in the smallest
+    // power-of-two bucket that holds it (overlong clamps to the max —
+    // the truncation regime), and the census reports what a
+    // fixed-shape batcher at B=32 would pay per bucket: docs, batches,
+    // real tokens, padding waste, waste ratio. The readout that picks
+    // bucket boundaries BEFORE a training run commits to them.
+    "bb1_length_buckets" -> ((spark, dir) =>
+      Packing.lengthBuckets(
+        docs(spark, dir).select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_toks")),
+        "n_toks", boundaries = LengthBucketBounds, batchSize = 32)
+        .orderBy(col("bucket"))),
 
     // per-source token-budget cap: best-quality-first until each
     // source's budget is spent (rounded float rank + doc_id tiebreak)
@@ -775,6 +793,27 @@ object CurationCatalog {
          |FROM lines
          |WHERE line NOT IN (SELECT line FROM freq)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bb1_length_buckets" -> {
+      val bounds = LengthBucketBounds
+      val bucketCase = bounds.init.map(b => s"WHEN n <= $b THEN $b")
+        .mkString("CASE ", " ", s" ELSE ${bounds.last} END")
+      s"""WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |b AS (SELECT $bucketCase AS bucket,
+         |    LEAST(n, ${bounds.last}) AS kept,
+         |    GREATEST(($bucketCase) - n, 0) AS waste
+         |  FROM n),
+         |agg AS (SELECT bucket, COUNT(*) AS n_docs,
+         |    CAST(FLOOR((COUNT(*) + 31) / 32) AS BIGINT) AS n_batches,
+         |    CAST(SUM(kept) AS BIGINT) AS sum_tokens,
+         |    CAST(SUM(waste) AS BIGINT) AS padding_waste
+         |  FROM b GROUP BY bucket)
+         |SELECT bucket, n_docs, n_batches, sum_tokens, padding_waste,
+         |  CAST(padding_waste AS DOUBLE) / CAST(bucket * n_docs AS DOUBLE)
+         |    AS waste_ratio
+         |FROM agg ORDER BY bucket""".stripMargin
+    },
 
     "tb1_token_budget" -> {
       val q = graft.functions.TextAnalysis.Sql.qualityScore("text")

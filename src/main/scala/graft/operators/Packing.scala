@@ -27,6 +27,47 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Length-bucketed batching census — the pad-vs-pack alternative to
+    * [[packSpans]]: instead of concatenating across documents, each
+    * doc is assigned the smallest power-of-two-ish bucket that holds
+    * it (docs beyond the largest boundary clamp to it — the truncation
+    * regime), and the census reports what a fixed-shape batcher would
+    * PAY per bucket: docs, batches at `batchSize`, real tokens, padding
+    * waste (bucket − len, 0 when truncated), and the waste ratio. This
+    * readout is how bucket boundaries are chosen BEFORE a training run
+    * commits to them; it is one projection + one 8-key agg, so it runs
+    * at any corpus size for the cost of a scan.
+    *
+    * Output: bucket, n_docs, n_batches, sum_tokens, padding_waste,
+    * waste_ratio. All integers exact int64; the ratio is one shared
+    * IEEE division.
+    */
+  def lengthBuckets(counts: DataFrame, nTokCol: String,
+                    boundaries: Seq[Int], batchSize: Int): DataFrame = {
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "boundaries must be ascending")
+    val n = col(nTokCol).cast("long")
+    val maxB = boundaries.last.toLong
+    val bucket = boundaries.init.foldRight(lit(maxB)) { (b, rest) =>
+      when(n <= b, lit(b.toLong)).otherwise(rest)
+    }
+    counts
+      .select(bucket.as("bucket"),
+        least(n, lit(maxB)).as("kept"),
+        greatest(bucket - n, lit(0L)).as("waste"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        // ceil-div via floor: counts sit far below 2^53, so the double
+        // round-trip is exact and DuckDB spells it identically
+        floor((count(lit(1)) + batchSize - 1) / batchSize).cast("long").as("n_batches"),
+        sum(col("kept")).as("sum_tokens"),
+        sum(col("waste")).as("padding_waste"))
+      .select(col("bucket"), col("n_docs"), col("n_batches"),
+        col("sum_tokens"), col("padding_waste"),
+        (col("padding_waste").cast("double") /
+          (col("bucket") * col("n_docs")).cast("double")).as("waste_ratio"))
+  }
+
   /** (pack_id, doc_id, doc_off, pack_off, n_toks): `n_toks` tokens
     * starting at token `doc_off` of the document land in pack
     * `pack_id` at position `pack_off`. Every pack except the last has

@@ -175,4 +175,26 @@ class PackingSpec extends graft.SparkSpec {
       .head().getLong(0)
     assert(total == idsFixture.map(_._2.length + 1).sum.toLong)
   }
+
+  test("lengthBuckets: boundary assignment, clamp, batch count, waste") {
+    // lengths: 8 → bucket 16 (waste 8); 16 → 16 (waste 0, boundary is
+    // inclusive); 17 → 32 (waste 15); 300 → clamps to 64 (waste 0,
+    // kept truncates to 64)
+    val counts = Seq((1L, 8L), (2L, 16L), (3L, 17L), (4L, 300L))
+      .toDF("doc_id", "n_toks")
+    val out = Packing.lengthBuckets(counts, "n_toks",
+      boundaries = Seq(16, 32, 64), batchSize = 2)
+      .orderBy($"bucket")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(16L, 32L, 64L))
+    val by = out.map(r => r._1 -> r).toMap
+    assert(by(16L) == ((16L, 2L, 1L, 24L, 8L, 8.0 / 32.0)))
+    assert(by(32L) == ((32L, 1L, 1L, 17L, 15L, 15.0 / 32.0)))
+    assert(by(64L) == ((64L, 1L, 1L, 64L, 0L, 0.0)))
+    // batch ceil-div: 3 docs at batchSize 2 → 2 batches
+    val many = Seq.tabulate(3)(i => (i.toLong, 10L)).toDF("doc_id", "n_toks")
+    val nb = Packing.lengthBuckets(many, "n_toks", Seq(16), batchSize = 2)
+      .select($"n_batches").as[Long].head()
+    assert(nb == 2L)
+  }
 }
