@@ -895,6 +895,20 @@ object TrainingCatalog {
         "vec_id", "embedding", annQueryIds, k = 5, nProbe = 2)
         .orderBy(col("query_id"), col("rn"))),
 
+    // RE1 — retrieval eval of the LSH-ANN path against brute-force
+    // ground truth: per query, hits@5, first-hit rank, and the
+    // lcm-scaled reciprocal rank (rr60 — exact int64, so MRR needs no
+    // order-sensitive float sum). The eval harness the ANN artifact
+    // ships with; cost is O(k·queries), corpus untouched.
+    "re1_retrieval_eval" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.retrievalEval(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", annQueryIds, k = 5),
+        Similarity.lshTopK(emb, "vec_id", "embedding", annQueryIds, k = 5,
+          dims = lshDims))
+        .orderBy(col("query_id"))
+    }),
+
     // HN1 — hard-negative mining over the variant-augmented corpus:
     // per query, the top-5 most-similar vectors BELOW cos 0.9 — the
     // planted ≥0.9 variants (and any natural near-dup) are positives a
@@ -1830,6 +1844,44 @@ object TrainingCatalog {
          |  FROM scored)
          |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked
          |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    "re1_retrieval_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+         |           WHERE vec_id IN (${annQueryIds.mkString(",")})),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+         |bsc AS (SELECT query_id, neighbor_id,
+         |    round(${S.cosine("q_vec", "c_vec")}, 6) AS cos_sim
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |    FROM bsc) r WHERE rn <= 5),
+         |wb AS (SELECT vec_id, embedding,
+         |    ${S.signBucket("embedding", lshDims)} AS bucket FROM embeddings),
+         |lq AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM wb
+         |       WHERE vec_id IN (${annQueryIds.mkString(",")})),
+         |lc AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM wb),
+         |lsc AS (SELECT query_id, neighbor_id,
+         |    round(${S.cosine("q_vec", "c_vec")}, 6) AS cos_sim
+         |  FROM lc JOIN lq USING (bucket) WHERE query_id <> neighbor_id),
+         |sys AS (SELECT query_id, neighbor_id, rn FROM (
+         |    SELECT query_id, neighbor_id, cos_sim,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |    FROM lsc) r WHERE rn <= 5),
+         |hit AS (SELECT s.query_id, COUNT(*) AS n_hits, MIN(s.rn) AS fhr
+         |  FROM sys s JOIN truth t
+         |    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+         |  GROUP BY s.query_id)
+         |SELECT tq.query_id,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.fhr, 0) AS BIGINT) AS first_hit_rank,
+         |  CASE WHEN h.fhr IS NULL THEN 0
+         |       ELSE CAST(60 / h.fhr AS BIGINT) END AS rr60
+         |FROM (SELECT DISTINCT query_id FROM truth) tq
+         |LEFT JOIN hit h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     "hn1_hard_negatives" ->
       s"""WITH $embWithVariantsSql,

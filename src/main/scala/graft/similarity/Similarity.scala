@@ -158,6 +158,36 @@ object Similarity {
     scored
   }
 
+  /** Retrieval-quality evaluation of an approximate top-k result
+    * against exact ground truth — the eval harness every ANN artifact
+    * ships with. Inputs are two (query_id, rn, neighbor_id, …) frames
+    * (e.g. [[bruteForceTopK]] as `truth`, [[lshTopK]]/[[ivfTopKIndexed]]
+    * as `system`). Per query: `n_hits` = |system ∩ truth| (recall@k's
+    * numerator), `first_hit_rank` = the system rank of the first true
+    * neighbor (0 = total miss), and `rr60` = 60/first_hit_rank — the
+    * reciprocal rank scaled by lcm(1..5) so it stays an exact int64
+    * (MRR = avg(rr60)/60; float 1/rank sums would be
+    * partition-order-sensitive, integers are not). Two joins on
+    * (query, neighbor), one agg — eval cost is O(k·queries), nothing
+    * touches the corpus.
+    */
+  def retrievalEval(truth: DataFrame, system: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val s = system.select(col("query_id"), col("rn"), col("neighbor_id"))
+    val perQ = s.join(t, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("rn")).cast("long").as("first_hit_rank"))
+    t.select(col("query_id")).distinct()
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
+        // ranks 1..5 divide 60 exactly, so the double round-trip is exact
+        when(col("first_hit_rank").isNull, lit(0L))
+          .otherwise((lit(60) / col("first_hit_rank")).cast("long")).as("rr60"))
+  }
+
   /** LSH-bucketed ANN: identical contract to [[bruteForceTopK]] but
     * only candidates sharing the query's sign bucket are scored.
     */

@@ -73,6 +73,21 @@ class SimilaritySpec extends SparkSpec {
     assert(hn.map(_._3).toSeq == brute)
   }
 
+  test("retrievalEval: hits, first-hit rank, exact rr60, total-miss row") {
+    val truth = Seq((0L, 1, 10L), (0L, 2, 11L), (0L, 3, 12L),
+      (7L, 1, 20L), (7L, 2, 21L)).toDF("query_id", "rn", "neighbor_id")
+    // q0: system hits truth at ranks 2 (11) and 3 (12) → n_hits 2,
+    // first hit rank 2, rr60 = 30. q7: no overlap → all-zero row.
+    val sys = Seq((0L, 1, 99L), (0L, 2, 11L), (0L, 3, 12L),
+      (7L, 1, 98L), (7L, 2, 97L)).toDF("query_id", "rn", "neighbor_id")
+    val out = Similarity.retrievalEval(truth, sys)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, 2L, 2L, 30L)))
+    assert(out(7L) == ((7L, 0L, 0L, 0L)))
+    // rr60 is exact for every possible rank 1..5
+    assert(Seq(1, 2, 3, 4, 5).map(60 / _) == Seq(60, 30, 20, 15, 12))
+  }
+
   test("signBucket groups colinear vectors; lshTopK stays within bucket") {
     val dims = Seq(0, 1)
     val buckets = vecs.select($"vec_id", Similarity.signBucket($"embedding", dims).as("b"))
