@@ -392,6 +392,18 @@ object CurationCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // CUR1 — curriculum shard order: quality terciles easiest-first
+    // (exact order-stat thresholds — the oracle-able spelling; the
+    // approx path is the 100 TB default), md5-shuffled within band,
+    // addressed as (band, shard, pos) every reader derives identically.
+    "cur1_curriculum" -> ((spark, dir) =>
+      graft.selection.Curriculum.shardOrder(
+        docs(spark, dir).select(col("doc_id"),
+          round(graft.functions.TextAnalysis.qualityScore(col("text")), 6)
+            .as("q")),
+        "doc_id", "q", nShards = 8, exact = true)
+        .orderBy(col("band"), col("shard"), col("pos"))),
+
     // corpus-wide boilerplate line census (lines in >= 40 distinct docs)
     "bl1_line_census" -> ((spark, dir) =>
       Boilerplate.frequentLines(lineRows(spark, dir), "doc_id", "line",
@@ -765,6 +777,28 @@ object CurationCatalog {
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS ord
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "cur1_curriculum" -> {
+      val q = graft.functions.TextAnalysis.Sql.qualityScore("text")
+      s"""WITH s AS (SELECT doc_id, round($q, 6) AS q FROM documents),
+         |r AS (SELECT doc_id, q,
+         |    ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS rn,
+         |    COUNT(*) OVER () AS n
+         |  FROM s),
+         |thr AS (SELECT
+         |    MIN(CASE WHEN rn = (n + 2) // 3 THEN q END) AS u1,
+         |    MIN(CASE WHEN rn = (2 * n + 2) // 3 THEN q END) AS u2
+         |  FROM r),
+         |b AS (SELECT doc_id,
+         |    CASE WHEN q >= u1 THEN 1 WHEN q >= u2 THEN 2 ELSE 3 END AS band,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |      % 8 AS INT) AS shard,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM s, thr)
+         |SELECT doc_id, band, shard,
+         |  ROW_NUMBER() OVER (PARTITION BY band, shard ORDER BY h, doc_id) AS pos
+         |FROM b ORDER BY band, shard, pos""".stripMargin
+    },
 
     "bl1_line_census" ->
       s"""WITH $lineRowsSql,
