@@ -96,7 +96,33 @@ object CurationCatalog {
   private val PackLen = 512
   // bb1's fixed batch-shape menu; fixture docs span ~10–300 tokens,
   // so several buckets carry real mass and the top one exercises clamp
-  private val LengthBucketBounds = Seq(16, 32, 64, 128, 256)
+  private[operators] val LengthBucketBounds = Seq(16, 32, 64, 128, 256)
+  private[operators] val LengthBucketBatch = 32
+
+  /** bb1's oracle, shared verbatim by the streaming e23 gate — the
+    * converged stream census must equal the batch census exactly, so
+    * one SQL statement states both contracts.
+    */
+  private[operators] lazy val LengthBucketsOracleSql: String = {
+    val bounds = LengthBucketBounds
+    val bucketCase = bounds.init.map(b => s"WHEN n <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE ${bounds.last} END")
+    s"""WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |b AS (SELECT $bucketCase AS bucket,
+       |    LEAST(n, ${bounds.last}) AS kept,
+       |    GREATEST(($bucketCase) - n, 0) AS waste
+       |  FROM n),
+       |agg AS (SELECT bucket, COUNT(*) AS n_docs,
+       |    CAST(FLOOR((COUNT(*) + ${LengthBucketBatch - 1}) / $LengthBucketBatch) AS BIGINT) AS n_batches,
+       |    CAST(SUM(kept) AS BIGINT) AS sum_tokens,
+       |    CAST(SUM(waste) AS BIGINT) AS padding_waste
+       |  FROM b GROUP BY bucket)
+       |SELECT bucket, n_docs, n_batches, sum_tokens, padding_waste,
+       |  CAST(padding_waste AS DOUBLE) / CAST(bucket * n_docs AS DOUBLE)
+       |    AS waste_ratio
+       |FROM agg ORDER BY bucket""".stripMargin
+  }
   private val BoilerA = "subscribe to our newsletter for updates today"
   private val BoilerB = "all rights reserved copyright twenty twenty two"
   private val BoilerFreq = 40L
@@ -204,7 +230,50 @@ object CurationCatalog {
        |   ELSE '' END AS text
        | FROM documents)""".stripMargin
 
+  /** Repetition plant: every 13th doc gets a 5-gram slogan appended
+    * TWICE (duplicated-5-gram territory, plus a repeated top bigram),
+    * every (13k+5)th doc gets it ONCE (present but NOT duplicated —
+    * the negative control). Fixed ASCII literal, same text both sides.
+    */
+  private val RepPlant = " lorem ipsum dolor sit amet"
+
+  private[operators] def repPlantText: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(col("doc_id") % 13 === 0, lit(RepPlant + RepPlant))
+        .otherwise(lit("")),
+      when(col("doc_id") % 13 === 5, lit(RepPlant))
+        .otherwise(lit("")))
+
+  private def repDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"), repPlantText.as("text"))
+
+  // NB: no line may START with '|' post-stripMargin — interpolated
+  // into stripMargin oracle templates (same rule as encDocsSql)
+  private val repDocsSql =
+    s"""rdocs AS (SELECT doc_id, text ||
+       | CASE WHEN doc_id % 13 = 0 THEN '$RepPlant$RepPlant' ELSE '' END ||
+       | CASE WHEN doc_id % 13 = 5 THEN '$RepPlant' ELSE '' END AS text
+       | FROM documents)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // REP1 — Gopher top n-gram char fraction (n=2,3,4): characters
+    // claimed by the most frequent n-gram over total non-space chars;
+    // ties break lexicographically (same ORDER BY both sides). All
+    // integer char arithmetic; one IEEE division at emission.
+    "rep1_top_ngram" -> ((spark, dir) =>
+      graft.quality.Repetition.topNgramCharFrac(
+        repDocs(spark, dir), "doc_id", "text", Seq(2, 3, 4))
+        .orderBy(col("doc_id"), col("n"))),
+
+    // REP2 — Gopher duplicated n-gram char coverage (n=5): fraction
+    // of characters inside ANY occurrence of a 5-gram appearing ≥2×
+    // in the doc — interval UNION over token positions, so
+    // overlapping duplicates never double-count a character.
+    "rep2_dup_coverage" -> ((spark, dir) =>
+      graft.quality.Repetition.dupNgramCharCoverage(
+        repDocs(spark, dir), "doc_id", "text", 5)
+        .orderBy(col("doc_id"))),
+
     // EN1 — encoding-artifact census (ftfy-style): replacement chars,
     // stray C0 controls, mojibake pair hits, clean bit — all
     // char-length arithmetic over literal replaces, map-side
@@ -441,7 +510,8 @@ object CurationCatalog {
         docs(spark, dir).select(col("doc_id"),
           graft.functions.TextAnalysis.tokenCount(col("text"))
             .cast("long").as("n_toks")),
-        "n_toks", boundaries = LengthBucketBounds, batchSize = 32)
+        "n_toks", boundaries = LengthBucketBounds,
+        batchSize = LengthBucketBatch)
         .orderBy(col("bucket"))),
 
     // per-source token-budget cap: best-quality-first until each
@@ -523,6 +593,72 @@ object CurationCatalog {
   )
 
   def oracle: Map[String, String] = Map(
+    "rep1_top_ngram" -> {
+      def gramExpr(n: Int) =
+        (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      def block(n: Int) =
+        s"""g$n AS (SELECT doc_id, gram, COUNT(*) AS c FROM (
+           |   SELECT doc_id, ${gramExpr(n)} AS gram FROM tk
+           |   CROSS JOIN LATERAL unnest(generate_series(1, len(t) - ${n - 1})) AS u(i)
+           |   WHERE len(t) >= $n) q GROUP BY doc_id, gram),
+           |r$n AS (SELECT doc_id, gram, c, row_number() OVER (
+           |   PARTITION BY doc_id ORDER BY c DESC, gram) AS rk FROM g$n),
+           |s$n AS (SELECT tt.doc_id, CAST($n AS BIGINT) AS n,
+           |   COALESCE(r.gram, '') AS top_gram,
+           |   CAST(COALESCE(r.c, 0) AS BIGINT) AS top_count,
+           |   CAST(COALESCE(r.c * length(replace(r.gram, ' ', '')), 0) AS BIGINT)
+           |     AS top_chars,
+           |   tt.total_chars,
+           |   CASE WHEN tt.total_chars > 0
+           |     THEN CAST(COALESCE(r.c * length(replace(r.gram, ' ', '')), 0) AS DOUBLE)
+           |          / CAST(tt.total_chars AS DOUBLE)
+           |     ELSE CAST(0.0 AS DOUBLE) END AS top_frac
+           | FROM tot tt LEFT JOIN (SELECT * FROM r$n WHERE rk = 1) r
+           |   ON r.doc_id = tt.doc_id)""".stripMargin
+      s"""WITH $repDocsSql,
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs),
+         |tot AS (SELECT doc_id,
+         |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
+         | FROM rdocs),
+         |${block(2)},
+         |${block(3)},
+         |${block(4)}
+         |SELECT * FROM s2 UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+         |ORDER BY doc_id, n""".stripMargin
+    },
+
+    "rep2_dup_coverage" -> {
+      val gramExpr = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+      s"""WITH $repDocsSql,
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs),
+         |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |   CAST(length(t[i]) AS BIGINT) AS tok_chars
+         | FROM tk CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $gramExpr AS gram
+         | FROM tk CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
+         | WHERE len(t) >= 5),
+         |dup AS (SELECT doc_id, pos FROM (
+         |   SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY doc_id, gram) AS gc
+         |   FROM g) d WHERE gc >= 2),
+         |cov AS (SELECT DISTINCT doc_id, pos + v.o AS cpos
+         | FROM dup CROSS JOIN LATERAL unnest(generate_series(0, 4)) AS v(o)),
+         |cc AS (SELECT c.doc_id, CAST(SUM(k.tok_chars) AS BIGINT) AS covered_chars
+         | FROM cov c JOIN tok k ON k.doc_id = c.doc_id AND k.pos = c.cpos
+         | GROUP BY c.doc_id),
+         |tot AS (SELECT doc_id,
+         |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
+         | FROM rdocs)
+         |SELECT tt.doc_id,
+         |  CAST(COALESCE(cc.covered_chars, 0) AS BIGINT) AS covered_chars,
+         |  tt.total_chars,
+         |  CASE WHEN tt.total_chars > 0
+         |    THEN CAST(COALESCE(cc.covered_chars, 0) AS DOUBLE)
+         |         / CAST(tt.total_chars AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
+         |FROM tot tt LEFT JOIN cc ON cc.doc_id = tt.doc_id
+         |ORDER BY tt.doc_id""".stripMargin
+    },
+
     "en1_encoding_census" -> {
       val E = graft.quality.Encoding.Sql
       s"""WITH $encDocsSql
@@ -828,26 +964,7 @@ object CurationCatalog {
          |WHERE line NOT IN (SELECT line FROM freq)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "bb1_length_buckets" -> {
-      val bounds = LengthBucketBounds
-      val bucketCase = bounds.init.map(b => s"WHEN n <= $b THEN $b")
-        .mkString("CASE ", " ", s" ELSE ${bounds.last} END")
-      s"""WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-         |  FROM documents),
-         |b AS (SELECT $bucketCase AS bucket,
-         |    LEAST(n, ${bounds.last}) AS kept,
-         |    GREATEST(($bucketCase) - n, 0) AS waste
-         |  FROM n),
-         |agg AS (SELECT bucket, COUNT(*) AS n_docs,
-         |    CAST(FLOOR((COUNT(*) + 31) / 32) AS BIGINT) AS n_batches,
-         |    CAST(SUM(kept) AS BIGINT) AS sum_tokens,
-         |    CAST(SUM(waste) AS BIGINT) AS padding_waste
-         |  FROM b GROUP BY bucket)
-         |SELECT bucket, n_docs, n_batches, sum_tokens, padding_waste,
-         |  CAST(padding_waste AS DOUBLE) / CAST(bucket * n_docs AS DOUBLE)
-         |    AS waste_ratio
-         |FROM agg ORDER BY bucket""".stripMargin
-    },
+    "bb1_length_buckets" -> LengthBucketsOracleSql,
 
     "tb1_token_budget" -> {
       val q = graft.functions.TextAnalysis.Sql.qualityScore("text")

@@ -43,7 +43,16 @@ object Packing {
     * IEEE division.
     */
   def lengthBuckets(counts: DataFrame, nTokCol: String,
-                    boundaries: Seq[Int], batchSize: Int): DataFrame = {
+                    boundaries: Seq[Int], batchSize: Int): DataFrame =
+    bucketCensus(bucketAssign(counts, nTokCol, boundaries), batchSize)
+
+  /** The per-row half of [[lengthBuckets]]: (bucket, kept, waste) for
+    * each document — a pure codegen'd projection (no state), so it is
+    * shared verbatim by the streaming face (DocStream.lengthCensus),
+    * which makes batch == converged-stream true by construction.
+    */
+  def bucketAssign(counts: DataFrame, nTokCol: String,
+                   boundaries: Seq[Int]): DataFrame = {
     require(boundaries.nonEmpty && boundaries == boundaries.sorted,
       "boundaries must be ascending")
     val n = col(nTokCol).cast("long")
@@ -51,10 +60,19 @@ object Packing {
     val bucket = boundaries.init.foldRight(lit(maxB)) { (b, rest) =>
       when(n <= b, lit(b.toLong)).otherwise(rest)
     }
-    counts
-      .select(bucket.as("bucket"),
-        least(n, lit(maxB)).as("kept"),
-        greatest(bucket - n, lit(0L)).as("waste"))
+    counts.select(bucket.as("bucket"),
+      least(n, lit(maxB)).as("kept"),
+      greatest(bucket - n, lit(0L)).as("waste"))
+  }
+
+  /** The aggregate half of [[lengthBuckets]] over [[bucketAssign]]'s
+    * output — one 8-key agg, legal as a streaming Complete-mode
+    * aggregation because every column is an algebraic aggregate of the
+    * per-row projection (partial-agg shape; the ratio is a post-agg
+    * row function).
+    */
+  def bucketCensus(assigned: DataFrame, batchSize: Int): DataFrame = {
+    assigned
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         // ceil-div via floor: counts sit far below 2^53, so the double

@@ -607,6 +607,26 @@ object StreamMediaCatalog {
         .orderBy(col("term"), col("block"))
     }),
 
+    // E23 — streaming length-bucket census (bb1's streaming face):
+    // the per-doc bucket projection is stateless and SHARED with the
+    // batch operator (Packing.bucketAssign), and the census is one
+    // bounded-state streaming aggregation (≤5 bucket rows, Complete
+    // mode). Converged result == batch bb1, stated by bb1's own
+    // oracle — the batching plan can be re-read while the corpus is
+    // still arriving.
+    "e23_stream_length_census" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(
+        stageFixtureDir("stream_lencensus", dir, "documents.parquet"))
+      val census = graft.streaming.DocStream.lengthCensus(
+        graft.streaming.DocStream.read(spark, d.toString),
+        CurationCatalog.LengthBucketBounds,
+        CurationCatalog.LengthBucketBatch)
+      EventStream.runToMemory(spark, census,
+        s"stream_lencensus_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("bucket"))
+    }),
+
     // E14 — streaming NEAR-dup against a historical band store: the
     // LSH face of e11. Band keys are pure row functions (computed
     // compiled per doc, no streaming aggregation), kept as columns and
@@ -905,6 +925,9 @@ object StreamMediaCatalog {
     // the batch LSH band-join spelling: docs that share any band with
     // the even-id store are dropped; shingle-less docs are admitted
     "e14_stream_neardup" -> NearDupAdmitSql,
+
+    // the converged stream census must equal batch bb1: its own oracle
+    "e23_stream_length_census" -> CurationCatalog.LengthBucketsOracleSql,
 
     // the folded store must equal the one-shot build: ii1's own oracle
     "e22_stream_index_append" ->

@@ -45,6 +45,26 @@ object DocStream {
   def chunk(docs: DataFrame, size: Int, stride: Int): DataFrame =
     graft.operators.Chunker.chunkByTokens(docs, "doc_id", "text", size, stride)
 
+  /** Streaming face of the length-bucketed batching census (bb1): the
+    * per-row bucket/kept/waste projection is stateless and shared
+    * verbatim with the batch operator (`Packing.bucketAssign`), and
+    * the census is one bounded-cardinality streaming aggregation —
+    * state is ≤|boundaries| bucket rows, Complete mode re-emits the
+    * whole (tiny) census each trigger. The converged result equals
+    * the batch `Packing.lengthBuckets` exactly, so the e23 gate
+    * shares bb1's oracle. This is the continuous-ingestion planning
+    * readout: bucket boundaries can be re-evaluated while the corpus
+    * is still arriving, for the cost of the scan already being paid.
+    */
+  def lengthCensus(docs: DataFrame, boundaries: Seq[Int],
+                   batchSize: Int): DataFrame =
+    graft.operators.Packing.bucketCensus(
+      graft.operators.Packing.bucketAssign(
+        docs.select(TextAnalysis.tokenCount(col("text"))
+          .cast("long").as("n_toks")),
+        "n_toks", boundaries),
+      batchSize)
+
   /** Stateless streaming face of the fused badwords + Gopher quality
     * gate: both verdicts are DOC-LOCAL, so on a stream they collapse
     * to one per-row predicate over the token array — no explode, no

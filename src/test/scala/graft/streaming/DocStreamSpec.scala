@@ -258,4 +258,42 @@ class DocStreamSpec extends graft.SparkSpec {
     assert(rows(folded) == rows(oneShot))
     assert(rows(folded).nonEmpty)
   }
+
+  test("streaming length census converges to the batch census; boundaries and clamp exact") {
+    // token counts straddling the bucket boundaries: 16 (== bound,
+    // stays in 16), 17 (first in 32), 2 (deep inside 16), 300
+    // (overlong: clamps to 256, kept=256, waste=0 — truncation regime)
+    val dir = graft.core.Staging.tmpDir("docstream_census")
+    def doc(id: Long, n: Int) =
+      (id, Seq.fill(n)("w").mkString(" "), "en", "s", n.toLong)
+    Seq(doc(1, 16), doc(2, 17)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq(doc(3, 2), doc(4, 300)).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val bounds = Seq(16, 32, 64, 128, 256)
+    val streamed = EventStream.runToMemory(spark,
+      DocStream.lengthCensus(
+        DocStream.readOneFilePerTrigger(spark, dir), bounds, batchSize = 32),
+      "docstream_census",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"bucket", $"n_docs", $"n_batches", $"sum_tokens",
+        $"padding_waste", $"waste_ratio")
+        .as[(Long, Long, Long, Long, Long, Double)]
+        .collect().sortBy(_._1).toSeq
+    val batch = graft.operators.Packing.lengthBuckets(
+      spark.read.parquet(dir).select($"doc_id",
+        graft.functions.TextAnalysis.tokenCount($"text")
+          .cast("long").as("n_toks")),
+      "n_toks", bounds, batchSize = 32)
+    assert(rows(streamed) == rows(batch),
+      "converged stream census must equal the batch census bit-for-bit")
+    // boundary sides: 16 tokens in bucket 16 with 2-token doc
+    // (waste 0 + 14); 17 in bucket 32 (waste 15); 300 clamped to 256
+    // (kept 256, waste 0)
+    assert(rows(streamed) == Seq(
+      (16L, 2L, 1L, 18L, 14L, 14.0 / 32.0),
+      (32L, 1L, 1L, 17L, 15L, 15.0 / 32.0),
+      (256L, 1L, 1L, 256L, 0L, 0.0)))
+  }
 }
