@@ -237,6 +237,11 @@ object CurationCatalog {
     */
   private val RepPlant = " lorem ipsum dolor sit amet"
 
+  /** dm1's fixed token budget — large enough that every source's
+    * allocation is a multi-digit integer at any sf.
+    */
+  private val MixBudget = 1000000L
+
   private[operators] def repPlantText: org.apache.spark.sql.Column =
     concat(col("text"),
       when(col("doc_id") % 13 === 0, lit(RepPlant + RepPlant))
@@ -273,6 +278,18 @@ object CurationCatalog {
       graft.quality.Repetition.dupNgramCharCoverage(
         repDocs(spark, dir), "doc_id", "text", 5)
         .orderBy(col("doc_id"))),
+
+    // DM1 — training-mixture weights (GPT-3/DoReMi temperature
+    // reweighting at α=1/2): per-source sqrt(token) weights, share of
+    // the mixture, token allocation at a fixed budget, and the
+    // up-sampling factor (epochs). sqrt is IEEE-exact on both engines
+    // so no quantization enters; Σw is the dd2-style ordered fold.
+    "dm1_mixture_weights" -> ((spark, dir) =>
+      graft.selection.Mixture.domainWeights(
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("text"), col("source")),
+        "text", "source", budget = MixBudget)
+        .orderBy(col("source"))),
 
     // EN1 — encoding-artifact census (ftfy-style): replacement chars,
     // stray C0 controls, mojibake pair hits, clean bit — all
@@ -658,6 +675,26 @@ object CurationCatalog {
          |FROM tot tt LEFT JOIN cc ON cc.doc_id = tt.doc_id
          |ORDER BY tt.doc_id""".stripMargin
     },
+
+    "dm1_mixture_weights" ->
+      s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_toks
+         |  FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs, n_toks,
+         |    sqrt(CAST(n_toks AS DOUBLE)) AS w FROM per),
+         |t AS (SELECT list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE),
+         |      array_agg(w ORDER BY source)),
+         |    (a, b) -> a + b) AS tw FROM w),
+         |a AS (SELECT w.source, w.n_docs, w.n_toks, w.w,
+         |    w.w / t.tw AS p,
+         |    CAST(FLOOR(w.w / t.tw * $MixBudget) AS BIGINT) AS alloc_toks
+         |  FROM w CROSS JOIN t)
+         |SELECT source, n_docs, n_toks, w, p, alloc_toks,
+         |  CASE WHEN n_toks > 0
+         |    THEN CAST(alloc_toks AS DOUBLE) / CAST(n_toks AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS epochs
+         |FROM a ORDER BY source""".stripMargin,
 
     "en1_encoding_census" -> {
       val E = graft.quality.Encoding.Sql
