@@ -279,6 +279,15 @@ object CurationCatalog {
         repDocs(spark, dir), "doc_id", "text", 5)
         .orderBy(col("doc_id"))),
 
+    // REP3 — the repetition corpus cut: docs passing ALL Gopher
+    // char-fraction thresholds (top 2/3/4-gram ≤ 20/18/16 %, dup
+    // 5-gram coverage ≤ 15 % — inclusive). Every verdict is a
+    // cross-multiplied int64 comparison; no float enters any rule.
+    "rep3_repetition_filter" -> ((spark, dir) =>
+      graft.quality.Repetition.repetitionFilter(
+        repDocs(spark, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // DM1 — training-mixture weights (GPT-3/DoReMi temperature
     // reweighting at α=1/2): per-source sqrt(token) weights, share of
     // the mixture, token allocation at a fixed budget, and the
@@ -609,17 +618,49 @@ object CurationCatalog {
     })
   )
 
+  // ---- shared repetition-oracle CTE pieces (rep1/rep2/rep3) --------
+  // NB: interpolated into stripMargin templates — post-stripMargin no
+  // line may START with '|' (same rule as encDocsSql)
+
+  private def repGramExpr(n: Int) =
+    (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+
+  private val repTkTotSql =
+    """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs),
+      |tot AS (SELECT doc_id,
+      |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
+      | FROM rdocs)""".stripMargin
+
+  /** gN (per-doc n-gram counts) + rN (count-desc, gram-asc rank). */
+  private def repTopCte(n: Int): String =
+    s"""g$n AS (SELECT doc_id, gram, COUNT(*) AS c FROM (
+       |   SELECT doc_id, ${repGramExpr(n)} AS gram FROM tk
+       |   CROSS JOIN LATERAL unnest(generate_series(1, len(t) - ${n - 1})) AS u(i)
+       |   WHERE len(t) >= $n) q GROUP BY doc_id, gram),
+       |r$n AS (SELECT doc_id, gram, c, row_number() OVER (
+       |   PARTITION BY doc_id ORDER BY c DESC, gram) AS rk FROM g$n)""".stripMargin
+
+  /** tok/g/dup/cov/cc: duplicated-5-gram interval-union coverage. */
+  private val repDupCtes: String =
+    s"""tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |   CAST(length(t[i]) AS BIGINT) AS tok_chars
+       | FROM tk CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+       |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ${repGramExpr(5)} AS gram
+       | FROM tk CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
+       | WHERE len(t) >= 5),
+       |dup AS (SELECT doc_id, pos FROM (
+       |   SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY doc_id, gram) AS gc
+       |   FROM g) d WHERE gc >= 2),
+       |cov AS (SELECT DISTINCT doc_id, pos + v.o AS cpos
+       | FROM dup CROSS JOIN LATERAL unnest(generate_series(0, 4)) AS v(o)),
+       |cc AS (SELECT c.doc_id, CAST(SUM(k.tok_chars) AS BIGINT) AS covered_chars
+       | FROM cov c JOIN tok k ON k.doc_id = c.doc_id AND k.pos = c.cpos
+       | GROUP BY c.doc_id)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "rep1_top_ngram" -> {
-      def gramExpr(n: Int) =
-        (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
       def block(n: Int) =
-        s"""g$n AS (SELECT doc_id, gram, COUNT(*) AS c FROM (
-           |   SELECT doc_id, ${gramExpr(n)} AS gram FROM tk
-           |   CROSS JOIN LATERAL unnest(generate_series(1, len(t) - ${n - 1})) AS u(i)
-           |   WHERE len(t) >= $n) q GROUP BY doc_id, gram),
-           |r$n AS (SELECT doc_id, gram, c, row_number() OVER (
-           |   PARTITION BY doc_id ORDER BY c DESC, gram) AS rk FROM g$n),
+        s"""${repTopCte(n)},
            |s$n AS (SELECT tt.doc_id, CAST($n AS BIGINT) AS n,
            |   COALESCE(r.gram, '') AS top_gram,
            |   CAST(COALESCE(r.c, 0) AS BIGINT) AS top_count,
@@ -633,10 +674,7 @@ object CurationCatalog {
            | FROM tot tt LEFT JOIN (SELECT * FROM r$n WHERE rk = 1) r
            |   ON r.doc_id = tt.doc_id)""".stripMargin
       s"""WITH $repDocsSql,
-         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs),
-         |tot AS (SELECT doc_id,
-         |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
-         | FROM rdocs),
+         |$repTkTotSql,
          |${block(2)},
          |${block(3)},
          |${block(4)}
@@ -644,27 +682,10 @@ object CurationCatalog {
          |ORDER BY doc_id, n""".stripMargin
     },
 
-    "rep2_dup_coverage" -> {
-      val gramExpr = (0 until 5).map(j => s"t[i+$j]").mkString(" || ' ' || ")
+    "rep2_dup_coverage" ->
       s"""WITH $repDocsSql,
-         |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs),
-         |tok AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         |   CAST(length(t[i]) AS BIGINT) AS tok_chars
-         | FROM tk CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)),
-         |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $gramExpr AS gram
-         | FROM tk CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 4)) AS u(i)
-         | WHERE len(t) >= 5),
-         |dup AS (SELECT doc_id, pos FROM (
-         |   SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY doc_id, gram) AS gc
-         |   FROM g) d WHERE gc >= 2),
-         |cov AS (SELECT DISTINCT doc_id, pos + v.o AS cpos
-         | FROM dup CROSS JOIN LATERAL unnest(generate_series(0, 4)) AS v(o)),
-         |cc AS (SELECT c.doc_id, CAST(SUM(k.tok_chars) AS BIGINT) AS covered_chars
-         | FROM cov c JOIN tok k ON k.doc_id = c.doc_id AND k.pos = c.cpos
-         | GROUP BY c.doc_id),
-         |tot AS (SELECT doc_id,
-         |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
-         | FROM rdocs)
+         |$repTkTotSql,
+         |$repDupCtes
          |SELECT tt.doc_id,
          |  CAST(COALESCE(cc.covered_chars, 0) AS BIGINT) AS covered_chars,
          |  tt.total_chars,
@@ -673,6 +694,29 @@ object CurationCatalog {
          |         / CAST(tt.total_chars AS DOUBLE)
          |    ELSE CAST(0.0 AS DOUBLE) END AS dup_frac
          |FROM tot tt LEFT JOIN cc ON cc.doc_id = tt.doc_id
+         |ORDER BY tt.doc_id""".stripMargin,
+
+    "rep3_repetition_filter" -> {
+      def topCond(n: Int, pct: Int) =
+        s"COALESCE(a$n.c * length(replace(a$n.gram, ' ', '')), 0) * 100" +
+          s" <= $pct * tt.total_chars"
+      val lims = graft.quality.Repetition.TopNgramLimitPct
+      s"""WITH $repDocsSql,
+         |$repTkTotSql,
+         |${repTopCte(2)},
+         |${repTopCte(3)},
+         |${repTopCte(4)},
+         |$repDupCtes
+         |SELECT tt.doc_id FROM tot tt
+         |LEFT JOIN (SELECT * FROM r2 WHERE rk = 1) a2 ON a2.doc_id = tt.doc_id
+         |LEFT JOIN (SELECT * FROM r3 WHERE rk = 1) a3 ON a3.doc_id = tt.doc_id
+         |LEFT JOIN (SELECT * FROM r4 WHERE rk = 1) a4 ON a4.doc_id = tt.doc_id
+         |LEFT JOIN cc ON cc.doc_id = tt.doc_id
+         |WHERE ${topCond(2, lims(2))}
+         |  AND ${topCond(3, lims(3))}
+         |  AND ${topCond(4, lims(4))}
+         |  AND COALESCE(cc.covered_chars, 0) * 100 <=
+         |      ${graft.quality.Repetition.DupCoverageLimitPct} * tt.total_chars
          |ORDER BY tt.doc_id""".stripMargin
     },
 

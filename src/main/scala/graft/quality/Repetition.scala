@@ -143,4 +143,38 @@ object Repetition {
             col("total_chars").cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
+
+  /** Gopher's repetition thresholds, percent form (Rae et al. §A1.1):
+    * a doc is removed when the top n-gram claims MORE than 20/18/16 %
+    * of its characters (n = 2/3/4), or duplicated 5-grams cover more
+    * than 15 %. Percent integers so every verdict is cross-multiplied
+    * int64 — no float enters any rule (the gq1 discipline).
+    */
+  val TopNgramLimitPct: Map[Int, Int] = Map(2 -> 20, 3 -> 18, 4 -> 16)
+  val DupCoverageLimitPct: Int = 15
+
+  /** The corpus cut: ids of docs passing ALL repetition rules
+    * (inclusive boundaries — `frac == limit` survives, exactly as in
+    * the profile gates). Composes [[topNgramCharFrac]] and
+    * [[dupNgramCharCoverage]]; both sides of every comparison are
+    * exact int64 char counts, so engine and oracle can never disagree
+    * on a boundary.
+    */
+  def repetitionFilter(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val ns = TopNgramLimitPct.keys.toSeq.sorted
+    val lim = ns.tail.foldLeft(
+      when(col("n") === ns.head, lit(TopNgramLimitPct(ns.head).toLong))) {
+      (acc, n) => acc.when(col("n") === n, lit(TopNgramLimitPct(n).toLong))
+    }.otherwise(lit(-1L))
+    val topPass = topNgramCharFrac(df, idCol, textCol, ns)
+      .groupBy(col(idCol))
+      .agg(min(when(col("top_chars") * 100 <= lim * col("total_chars"),
+        lit(1)).otherwise(lit(0))).as("tp"))
+    val dup = dupNgramCharCoverage(df, idCol, textCol, 5)
+    topPass.join(dup, Seq(idCol))
+      .filter(col("tp") === 1 &&
+        col("covered_chars") * 100 <= col("total_chars") * DupCoverageLimitPct)
+      .select(col(idCol))
+  }
 }

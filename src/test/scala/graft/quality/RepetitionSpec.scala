@@ -74,6 +74,39 @@ class RepetitionSpec extends graft.SparkSpec {
     assert(out(1).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("repetition filter: clean doc survives, repeated-bigram and dup-5-gram docs are cut") {
+    val clean = (0 until 30).map(i => f"w$i%02da").mkString(" ") // 30 unique 4-char tokens
+    // dominant bigram: "xx yy" ×8 → 32 of 152 chars > 20 %
+    val bigramHeavy = (0 until 30).map(i => f"u$i%02da").mkString(" ") +
+      " xx yy xx yy xx yy xx yy xx yy xx yy xx yy xx yy"
+    // duplicated 5-gram: two disjoint copies cover 20 of 100 chars
+    // (> 15 %) while every top-n rule still passes — cut by coverage
+    // alone; unique 2-char base tokens b0..b9, c0..c9, d0..d9, e0..e9
+    val uniq40 = (0 until 40).map(i => s"${('b' + i / 10).toChar}${i % 10}")
+    val dupFive = uniq40.mkString(" ") + " qq ww ee rr tt qq ww ee rr tt"
+    val out = Repetition.repetitionFilter(
+      docsDf((1L, clean), (2L, bigramHeavy), (3L, dupFive)),
+      "doc_id", "text").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L),
+      s"only the clean doc may survive the repetition cut, got $out")
+  }
+
+  test("repetition filter boundaries are inclusive: frac == limit survives each rule") {
+    // 50 tokens × 2 chars = 100 total chars; the duplicated tail makes
+    // top-4-gram chars 2×8 = 16 == 16 % of 100 (inclusive top rule OK)
+    // while dup-5-gram coverage 20 > 15 cuts it — proving the doc
+    // fails ONLY the coverage rule. Trimming the tail to a partial
+    // echo (no repeated 4-gram, no repeated 5-gram) and the doc
+    // survives: the top rules alone pass.
+    val uniq40 = (0 until 40).map(i => s"${('b' + i / 10).toChar}${i % 10}")
+    val atBound = uniq40.mkString(" ") + " qq ww ee rr tt qq ww ee rr tt"
+    val noDup = uniq40.mkString(" ") + " qq ww ee rr tt qq ww ee"
+    val out = Repetition.repetitionFilter(
+      docsDf((1L, atBound), (2L, noDup)), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L), s"expected only the coverage-clean doc, got $out")
+  }
+
   test("empty tokens from double spaces contribute zero chars, totals stay consistent") {
     // "a  b" splits to ["a", "", "b"]: 3 tokens, char sum 2 ==
     // len(replace(text,' ',''))
