@@ -74,6 +74,7 @@ object Bench {
       "tokenized_export" -> (() => Pipelines.tokenizedExport(spark, sfDir)),
       "packed_export" -> (() => Pipelines.packedExport(spark, sfDir)),
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),
+      "repetition_cut" -> (() => Pipelines.repetitionCut(spark, sfDir)),
       "curation_cascade" -> (() => Pipelines.curationCascade(spark, sfDir)),
       "ml_prep_fit" -> (() => Pipelines.mlPrepFit(spark, sfDir)),
       "ml_combo_fit" -> (() => Pipelines.mlComboFit(spark, sfDir))) ++

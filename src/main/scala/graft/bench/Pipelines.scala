@@ -429,6 +429,14 @@ object Pipelines {
   def curationCascade(spark: SparkSession, sfDir: String): DataFrame =
     curationCascadeOn(spark, Tables.documents(spark, sfDir))
 
+  /** Gopher char-fraction repetition cut over the raw corpus — the
+    * rep3 operator as a standalone throughput entry (positioned-gram
+    * flatMap + doc-keyed aggs/windows; no cross-document state).
+    */
+  def repetitionCut(spark: SparkSession, sfDir: String): DataFrame =
+    graft.quality.Repetition.repetitionFilter(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+
   /** Cascade over an explicit documents frame — the ScaleProbe arm
     * multiplies the input through this entry so the flagship's growth
     * curve uses the same methodology as the per-operator probes.
