@@ -754,6 +754,20 @@ object TrainingCatalog {
     "x9_dedup_groups" -> ((spark, dir) =>
       dedupComponents(spark, dir).orderBy(col("doc_id"))),
 
+    // SP1 — leakage-safe corpus split at near-dup-CLUSTER granularity:
+    // the md5 hash-gate keys on the x9 component, so a document and
+    // every near-duplicate of it land in the SAME split — r5's
+    // group-split discipline upgraded from exact keys to the LSH
+    // transitive closure (the split a benchmark-decontamination
+    // reviewer actually requires: row- or fingerprint-level splits
+    // still leak paraphrased copies across the boundary).
+    "sp1_cluster_split" -> ((spark, dir) =>
+      dedupComponents(spark, dir)
+        .withColumn("split",
+          when(Sampling.hashGate(col("comp"), 0.8), "train")
+            .otherwise("eval"))
+        .orderBy(col("doc_id"))),
+
     // X17 — quality-aware representative selection (the FineWeb/CCNet
     // refinement of x10's min-id canon): within each near-dup
     // component keep the HIGHEST-QUALITY member (t2's composite score;
@@ -1740,6 +1754,15 @@ object TrainingCatalog {
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
          |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")}
          |SELECT id AS doc_id, comp FROM comps ORDER BY doc_id""".stripMargin,
+
+    "sp1_cluster_split" ->
+      s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
+         |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")}
+         |SELECT id AS doc_id, comp,
+         |  CASE WHEN substr(md5(CAST(comp AS VARCHAR)), 1, 8)
+         |         < '${Sampling.thresholdToken(0.8)}'
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM comps ORDER BY doc_id""".stripMargin,
 
     "x17_quality_rep" ->
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,

@@ -128,4 +128,42 @@ class ComponentsSpec extends SparkSpec {
     assert(out(10L) == ((2L, 10L, 0.7)), "tie broken by lowest id")
     assert(out(99L) == ((1L, 99L, 0.1)))
   }
+
+  test("cluster split: near-duplicates can never cross the train/eval boundary") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.functions._
+    // docs 1/2 are near-dups (one token changed), 3/4 near-dups, 5 distinct
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again through the quiet field at dawn with no one watching it run"
+    val docs = Seq(
+      (1L, base), (2L, base.replace("dawn", "dusk")),
+      (3L, base.replace("fox", "cat").replace("dog", "bird")),
+      (4L, base.replace("fox", "cat").replace("dog", "bird")
+        .replace("quiet", "windy")),
+      (5L, (0 until 25).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.candidatePairs(
+      TextDedup.bandKeys(
+        TextDedup.minhashSignatures(
+          TextDedup.shingleSets(docs, "doc_id", "text"), "doc_id"),
+        "doc_id"),
+      "doc_id")
+    val comps = Components.connectedComponents(pairs, docs, "doc_id")
+    val split = comps.withColumn("split",
+      when(Sampling.hashGate(col("comp"), 0.8), "train").otherwise("eval"))
+    // the clusters actually formed (else the test proves nothing)
+    val byComp = split.as[(Long, Long, String)].collect()
+      .groupBy(_._2).values.toSeq
+    assert(byComp.exists(_.length >= 2), "expected at least one real cluster")
+    // invariant: one split per component
+    for (members <- byComp)
+      assert(members.map(_._3).distinct.length == 1,
+        s"component split leak: $members")
+    // deterministic under repartitioning
+    val again = Components.connectedComponents(pairs, docs.repartition(7), "doc_id")
+      .withColumn("split",
+        when(Sampling.hashGate(col("comp"), 0.8), "train").otherwise("eval"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(again == split.as[(Long, Long, String)].collect().sortBy(_._1).toSeq)
+  }
 }
