@@ -255,6 +255,30 @@ object TrainingCatalog {
         .orderBy(col("doc_id"), col("seq_id"))
     }),
 
+    // MF1 — shard manifest: per md5-shard row count, token total, id
+    // range, and an ORDER-INDEPENDENT content checksum (sum of 32-bit
+    // md5 ints — partitioning/row-order invariant, exact int64). The
+    // integrity artifact shipped next to every shard export.
+    "mf1_shard_manifest" -> ((spark, dir) =>
+      graft.sources.Manifest.shardManifest(
+        docs(spark, dir), "doc_id", "text", nShards = 8)
+        .orderBy(col("shard"))),
+
+    // MF2 — manifest verification: re-derive the manifest from a copy
+    // with one planted bit-flip class (every 97th doc's text altered)
+    // and diff — ONLY the shards holding a corrupted doc report, with
+    // both sides' counts and checksums.
+    "mf2_manifest_diff" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val corrupt = d.select(col("doc_id"),
+        when(col("doc_id") % 97 === 0, concat(col("text"), lit(" CORRUPTED")))
+          .otherwise(col("text")).as("text"))
+      graft.sources.Manifest.manifestDiff(
+        graft.sources.Manifest.shardManifest(d, "doc_id", "text", 8),
+        graft.sources.Manifest.shardManifest(corrupt, "doc_id", "text", 8))
+        .orderBy(col("shard"))
+    }),
+
     // II1 — sharded inverted-index export: term-partitioned postings
     // with df metadata, block-chunked (blockSize=16 forces multi-block
     // lists on frequent terms at verify scale) — the retrieval
@@ -1250,6 +1274,21 @@ object TrainingCatalog {
         |  FROM sbg g LEFT JOIN bc USING (bigram) LEFT JOIN cc USING (ctx)
         |  LEFT JOIN uc USING (w) CROSS JOIN nn)""".stripMargin
 
+  /** The sh1/sh2 manifest restated over any doc source: md5-nibble
+    * shard key, exact counts, and the order-independent 32-bit-term
+    * checksum (SUM is HUGEINT in DuckDB — CAST at the boundary). NB:
+    * interpolated into stripMargin templates — no post-strip line may
+    * start with '|'.
+    */
+  private def manifestSql(src: String): String =
+    s"""SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       |  CAST(SUM(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 8))::BIGINT) AS BIGINT)
+       |    AS checksum
+       | FROM $src GROUP BY shard""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // the recursive CTE replays the engine's greedy merge loop exactly
     // (leftmost occurrence of the min-rank pair per step) over the
@@ -1324,6 +1363,27 @@ object TrainingCatalog {
       s"""SELECT rank, x, y
          |FROM ${graft.functions.Bpe.learnSql("documents", "text", 8)} q
          |ORDER BY rank""".stripMargin,
+
+    "mf1_shard_manifest" ->
+      s"""${manifestSql("documents")}
+         |ORDER BY shard""".stripMargin,
+
+    "mf2_manifest_diff" ->
+      s"""WITH corrupt AS (SELECT doc_id,
+         |   CASE WHEN doc_id % 97 = 0 THEN text || ' CORRUPTED'
+         |        ELSE text END AS text FROM documents),
+         |ma AS (${manifestSql("documents")}),
+         |mb AS (${manifestSql("corrupt")})
+         |SELECT shard,
+         |  ma.n_docs AS a_docs, ma.n_tokens AS a_tokens,
+         |  ma.checksum AS a_checksum,
+         |  mb.n_docs AS b_docs, mb.n_tokens AS b_tokens,
+         |  mb.checksum AS b_checksum
+         |FROM ma FULL OUTER JOIN mb USING (shard)
+         |WHERE ma.n_docs IS DISTINCT FROM mb.n_docs
+         |   OR ma.n_tokens IS DISTINCT FROM mb.n_tokens
+         |   OR ma.checksum IS DISTINCT FROM mb.checksum
+         |ORDER BY shard""".stripMargin,
 
     "ii1_inverted_index" ->
       s"""SELECT shard, term, df, block, block_df, postings
