@@ -627,6 +627,22 @@ object StreamMediaCatalog {
         .orderBy(col("bucket"))
     }),
 
+    // E24 — continuous shard-manifest maintenance (mf1's streaming
+    // face): count/sum/min/max are all algebraic, so the manifest is
+    // ONE streaming aggregation with ≤8 rows of state (Complete
+    // mode); the converged fold must equal the batch manifest on
+    // mf1's own oracle — integrity is current while the export runs.
+    "e24_stream_manifest" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(
+        stageFixtureDir("stream_manifest", dir, "documents.parquet"))
+      val m = graft.streaming.DocStream.manifestFold(
+        graft.streaming.DocStream.read(spark, d.toString), nShards = 8)
+      EventStream.runToMemory(spark, m,
+        s"stream_manifest_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("shard"))
+    }),
+
     // E14 — streaming NEAR-dup against a historical band store: the
     // LSH face of e11. Band keys are pure row functions (computed
     // compiled per doc, no streaming aggregation), kept as columns and
@@ -928,6 +944,11 @@ object StreamMediaCatalog {
 
     // the converged stream census must equal batch bb1: its own oracle
     "e23_stream_length_census" -> CurationCatalog.LengthBucketsOracleSql,
+
+    // the converged manifest fold must equal batch mf1: its own oracle
+    "e24_stream_manifest" ->
+      s"""${TrainingCatalog.manifestSql("documents")}
+         |ORDER BY shard""".stripMargin,
 
     // the folded store must equal the one-shot build: ii1's own oracle
     "e22_stream_index_append" ->

@@ -1280,7 +1280,7 @@ object TrainingCatalog {
     * interpolated into stripMargin templates — no post-strip line may
     * start with '|'.
     */
-  private def manifestSql(src: String): String =
+  private[operators] def manifestSql(src: String): String =
     s"""SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

@@ -65,6 +65,18 @@ object DocStream {
         "n_toks", boundaries),
       batchSize)
 
+  /** Streaming face of the shard manifest (mf1): every column is an
+    * algebraic aggregate (count/sum/min/max) of a stateless per-row
+    * projection, so the manifest folds as one streaming aggregation
+    * with ≤nShards rows of state (Complete mode). The converged result
+    * equals the batch `Manifest.shardManifest` — the e24 gate shares
+    * mf1's oracle. Continuous export integrity: the manifest is
+    * CURRENT while shards are still being written, instead of a
+    * post-hoc full re-scan.
+    */
+  def manifestFold(docs: DataFrame, nShards: Int): DataFrame =
+    graft.sources.Manifest.shardManifest(docs, "doc_id", "text", nShards)
+
   /** Stateless streaming face of the fused badwords + Gopher quality
     * gate: both verdicts are DOC-LOCAL, so on a stream they collapse
     * to one per-row predicate over the token array — no explode, no

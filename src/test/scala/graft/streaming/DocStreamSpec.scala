@@ -259,6 +259,24 @@ class DocStreamSpec extends graft.SparkSpec {
     assert(rows(folded).nonEmpty)
   }
 
+  test("streaming manifest fold converges to the batch manifest") {
+    val src = stageTwoBatches()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"shard", $"n_docs", $"n_tokens", $"min_id", $"max_id",
+        $"checksum")
+        .as[(Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    val streamed = EventStream.runToMemory(spark,
+      DocStream.manifestFold(
+        DocStream.readOneFilePerTrigger(spark, src), nShards = 4),
+      "docstream_manifest",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val batch = graft.sources.Manifest.shardManifest(
+      spark.read.parquet(src), "doc_id", "text", 4)
+    assert(rows(streamed) == rows(batch))
+    assert(rows(streamed).map(_._2).sum == 3L, "all three docs accounted")
+  }
+
   test("streaming length census converges to the batch census; boundaries and clamp exact") {
     // token counts straddling the bucket boundaries: 16 (== bound,
     // stays in 16), 17 (first in 32), 2 (deep inside 16), 300
