@@ -288,6 +288,33 @@ object CurationCatalog {
         repDocs(spark, dir), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // NV1 — corpus-novelty score (memorization-risk readout): per doc,
+    // the fraction of its DISTINCT 5-gram shingles that appear in at
+    // least one OTHER document — cross-document sharing, where rep2
+    // measures within-doc repetition and x12/x13 pairwise containment.
+    // Two partial-agg shuffles (doc-keyed distinct, gram-keyed df),
+    // exact integer counts, one shared IEEE arithmetic tree; gram-less
+    // docs (shorter than the shingle) read fully novel.
+    "nv1_novelty" -> ((spark, dir) => {
+      import graft.dedup.TextDedup
+      val d = repDocs(spark, dir)
+      val sh = TextDedup.shingleSets(d, "doc_id", "text", k = 5)
+      val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val per = sh.join(dfq, "shingle")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      d.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(coalesce(col("n_grams"), lit(0L)) > 0,
+            lit(1.0) - col("n_shared").cast("double") /
+              col("n_grams").cast("double"))
+            .otherwise(lit(1.0)).as("novelty"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DM1 — training-mixture weights (GPT-3/DoReMi temperature
     // reweighting at α=1/2): per-source sqrt(token) weights, share of
     // the mixture, token allocation at a fixed budget, and the
@@ -719,6 +746,22 @@ object CurationCatalog {
          |      ${graft.quality.Repetition.DupCoverageLimitPct} * tt.total_chars
          |ORDER BY tt.doc_id""".stripMargin
     },
+
+    "nv1_novelty" ->
+      s"""WITH $repDocsSql,
+         |sh AS ${graft.dedup.TextDedup.Sql.shingleSets("rdocs", "doc_id", "text", 5)},
+         |dfq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+         |pd AS (SELECT sh.doc_id, COUNT(*) AS n_grams,
+         |    SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+         |  FROM sh JOIN dfq USING (shingle) GROUP BY sh.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(pd.n_shared, 0) AS BIGINT) AS n_shared,
+         |  CASE WHEN COALESCE(pd.n_grams, 0) > 0
+         |    THEN 1.0 - CAST(pd.n_shared AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
+         |    ELSE CAST(1.0 AS DOUBLE) END AS novelty
+         |FROM rdocs d LEFT JOIN pd ON pd.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dm1_mixture_weights" ->
       s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,

@@ -128,4 +128,25 @@ class TextDedupSpec extends SparkSpec {
     // fully disjoint pairs emit no intersection row at all
     assert(!exact.contains((0L, 2L)))
   }
+
+  test("corpus novelty: shared shingles counted cross-document, short docs fully novel") {
+    import org.apache.spark.sql.functions._
+    // docs 1/2 share their first five tokens (one shared 5-gram);
+    // doc 3 is disjoint; doc 4 is too short for any 5-gram
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon one two three four"),
+      (2L, "alpha beta gamma delta epsilon nine eight seven six"),
+      (3L, "red orange yellow green blue indigo violet"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val sh = TextDedup.shingleSets(docs, "doc_id", "text", k = 5)
+    val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val per = sh.join(dfq, "shingle").groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // 9 tokens -> 5 distinct 5-grams; only the leading one is shared
+    assert(per(1L) == ((5L, 1L)) && per(2L) == ((5L, 1L)))
+    assert(per(3L) == ((3L, 0L)), "disjoint doc shares nothing")
+    assert(!per.contains(4L), "no 5-grams below 5 tokens")
+  }
 }
