@@ -360,6 +360,41 @@ object TextAnalysis {
     * Exactness discipline identical to [[unigramLogProb]] (nudged
     * quantized int64 log fold).
     */
+  /** Vocabulary coverage curve: for each percentage in `pcts`, the
+    * smallest number of distinct terms whose summed frequency covers
+    * that share of all token occurrences — the readout tokenizer
+    * vocab sizing starts from. The single ordered window runs over
+    * the VOCABULARY (bounded by language, not corpus size), never
+    * over token occurrences; the crossing test is cross-multiplied
+    * int64 (cum·100 ≥ total·pct), exact on any engine. Output:
+    * (pct, n_terms, total_tokens), one row per requested pct.
+    */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    pcts: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1,100], got $pcts")
+    import graft.dedup.TextDedup
+    import org.apache.spark.sql.expressions.Window
+    val tf = TextDedup.shingleSets(df, idCol, textCol, k = 1,
+      distinct = false)
+      .groupBy(col("shingle").as("term")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("term"))
+    val ranked = tf.select(col("term"), col("freq"),
+      row_number().over(w).cast("long").as("rank"),
+      sum(col("freq")).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)).as("cum"))
+    val tot = tf.agg(sum(col("freq")).as("total"))
+    val j = ranked.crossJoin(broadcast(tot))
+    pcts.map(p =>
+      j.filter(col("cum") * 100 >= col("total") * p)
+        .agg(min(col("rank")).as("n_terms"),
+          max(col("total")).as("total_tokens"))
+        .select(lit(p.toLong).as("pct"), col("n_terms"),
+          col("total_tokens")))
+      .reduce(_.unionAll(_))
+  }
+
   def bigramLogProb(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     import graft.dedup.TextDedup

@@ -582,6 +582,18 @@ object TrainingCatalog {
         TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"))
         .orderBy(col("doc_id"))),
 
+    // VC1 — vocabulary coverage curve: the smallest number of distinct
+    // terms whose summed frequency covers 50/90/99 % of all token
+    // occurrences (the vocab-sizing readout tokenizer design starts
+    // from). The one ordered window runs over the VOCABULARY (bounded
+    // by language, not corpus size) — never over token occurrences;
+    // thresholds are cross-multiplied int64 (cum·100 ≥ total·pct), so
+    // the crossing rank is exact on both engines.
+    "vc1_vocab_coverage" -> ((spark, dir) =>
+      TextAnalysis.vocabCoverage(docs(spark, dir), "doc_id", "text",
+        Seq(50, 90, 99))
+        .orderBy(col("pct"))),
+
     // quality scoring
     "t2_quality" -> ((spark, dir) =>
       docs(spark, dir).select(
@@ -1590,6 +1602,26 @@ object TrainingCatalog {
          |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_regex_tokens,
          |  ${T.meanTokenLen("text")} AS mean_tok_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "vc1_vocab_coverage" -> {
+      def one(p: Int) =
+        s"""SELECT CAST($p AS BIGINT) AS pct,
+           |  CAST(MIN(rank) AS BIGINT) AS n_terms,
+           |  CAST(MAX(total) AS BIGINT) AS total_tokens
+           | FROM r CROSS JOIN t WHERE cum * 100 >= total * $p""".stripMargin
+      s"""WITH u AS (SELECT v.tk
+         |  FROM (SELECT string_split(text, ' ') AS tks FROM documents) s
+         |  CROSS JOIN LATERAL unnest(tks) AS v(tk)),
+         |tf AS (SELECT tk AS term, COUNT(*) AS freq FROM u GROUP BY tk),
+         |r AS (SELECT term, freq,
+         |   ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank,
+         |   SUM(freq) OVER (ORDER BY freq DESC, term
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM tf),
+         |t AS (SELECT SUM(freq) AS total FROM tf)
+         |${one(50)} UNION ALL ${one(90)} UNION ALL ${one(99)}
+         |ORDER BY pct""".stripMargin
+    },
 
     "t2_quality" ->
       s"""SELECT doc_id, ${T.stopwordRatio("text")} AS stop_ratio,

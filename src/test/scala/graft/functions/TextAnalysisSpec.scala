@@ -268,4 +268,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts(("y", "x")) == 4L + 5L)
     assert(out.forall(r => r._2.nonEmpty && r._3.nonEmpty))
   }
+
+  test("vocab coverage: exact crossing ranks, inclusive boundary, partitioning invariant") {
+    import org.apache.spark.sql.functions.col
+    // freqs a:4, b:2, c:1, d:1 (total 8; order a,b,c,d by freq desc,
+    // term asc). 50 % is an EXACT boundary: cum(a)·100 = 400 = 8·50.
+    val docs = Seq((1L, "a a a a b b"), (2L, "c d"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.vocabCoverage(df, "doc_id", "text", Seq(50, 90, 99))
+        .orderBy(col("pct"))
+        .as[(Long, Long, Long)].collect().toSeq
+    val out = rows(docs)
+    assert(out == Seq((50L, 1L, 8L), (90L, 4L, 8L), (99L, 4L, 8L)),
+      s"got $out")
+    assert(rows(docs.repartition(5)) == out)
+  }
 }
