@@ -174,6 +174,37 @@ object TextDedup {
     * lineage twice. Bucket stats are one partial-combining aggregation
     * on the same (band_id, band_key) key the join shuffles on.
     */
+  /** Containment-threshold admission against a FROZEN gram store: a
+    * document is admitted only when STRICTLY fewer than `num/den` of
+    * its distinct k-gram shingles already exist in the store — the
+    * novelty criterion for growing a corpus incrementally (exact-fp
+    * store-dedup drops only byte-copies; band-LSH drops whole-doc
+    * near-dups; this rejects documents whose CONTENT is mostly
+    * already known even when no single stored doc matches). Gram-less
+    * docs (shorter than k) are admitted. The verdict is
+    * cross-multiplied int64 — no float.
+    *
+    * Scale: the store arrives as grams (gram-keyed layout); probes
+    * shuffle once by gram for the left join, once by doc for the
+    * count — both partial-agg shapes. The store is never broadcast
+    * and never rebuilt per probe batch.
+    */
+  def containmentAdmit(docs: DataFrame, idCol: String, textCol: String,
+                       gramStore: DataFrame, k: Int = DefaultShingle,
+                       num: Int = 1, den: Int = 2): DataFrame = {
+    require(num > 0 && den > 0, s"threshold must be positive: $num/$den")
+    val store = gramStore.select(col("shingle")).distinct()
+      .withColumn("__known", lit(1L))
+    val per = shingleSets(docs, idCol, textCol, k)
+      .join(store, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(coalesce(col("__known"), lit(0L))).as("__k"))
+    docs.join(per, Seq(idCol), "left")
+      .filter(col("__n").isNull || col("__k") * den < col("__n") * num)
+      .drop("__n", "__k")
+  }
+
   def candidatePairs(bands: DataFrame, idCol: String,
                      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(bucketCap >= 2, s"bucketCap=$bucketCap must be >= 2")

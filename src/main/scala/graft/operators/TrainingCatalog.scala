@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
 object TrainingCatalog {
 
   private val VariantOffset = 1000000L
+  private val RevProbeOffset = 3000000L
 
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
@@ -253,6 +254,28 @@ object TrainingCatalog {
           array_join(slice(col("bpe_ids"), col("__s") + 1, lit(128)), ",")
             .as("ids"))
         .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
+    // NV2 — containment-threshold store admission: probes are REJECTED
+    // when ≥ half their distinct 5-grams already exist in the corpus
+    // gram store (TextDedup.containmentAdmit — the novelty criterion
+    // incremental corpus growth runs, between exact-fp dedup and
+    // whole-doc LSH). Probe set has two-sided signal: near-copy
+    // variants (first token dropped — mostly contained, rejected) and
+    // token-REVERSED docs (every 5-gram destroyed — admitted).
+    "nv2_store_admit" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val probes = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + VariantOffset).as("doc_id"),
+          expr("substring(text, locate(' ', text) + 1)").as("text"))
+        .unionAll(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + RevProbeOffset).as("doc_id"),
+            array_join(reverse(split(col("text"), " ", -1)), " ")
+              .as("text")))
+      TextDedup.containmentAdmit(probes, "doc_id", "text",
+        TextDedup.shingleSets(d, "doc_id", "text", k = 5), k = 5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // MF1 — shard manifest: per md5-shard row count, token total, id
@@ -1375,6 +1398,29 @@ object TrainingCatalog {
       s"""SELECT rank, x, y
          |FROM ${graft.functions.Bpe.learnSql("documents", "text", 8)} q
          |ORDER BY rank""".stripMargin,
+
+    "nv2_store_admit" -> {
+      val S = TextDedup.Sql
+      s"""WITH probes AS (
+         |  SELECT doc_id + $VariantOffset AS doc_id,
+         |    substring(text, strpos(text, ' ') + 1) AS text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + $RevProbeOffset,
+         |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |store AS (SELECT DISTINCT shingle
+         |  FROM ${S.shingleSets("documents", "doc_id", "text", 5)} s),
+         |sh AS ${S.shingleSets("probes", "doc_id", "text", 5)},
+         |per AS (SELECT sh.doc_id, COUNT(*) AS n,
+         |    SUM(CASE WHEN st.shingle IS NOT NULL THEN 1 ELSE 0 END) AS k
+         |  FROM sh LEFT JOIN store st ON st.shingle = sh.shingle
+         |  GROUP BY sh.doc_id)
+         |SELECT p.doc_id FROM probes p
+         |LEFT JOIN per ON per.doc_id = p.doc_id
+         |WHERE per.n IS NULL OR per.k * 2 < per.n
+         |ORDER BY p.doc_id""".stripMargin
+    },
 
     "mf1_shard_manifest" ->
       s"""${manifestSql("documents")}

@@ -129,6 +129,22 @@ class TextDedupSpec extends SparkSpec {
     assert(!exact.contains((0L, 2L)))
   }
 
+  test("containment admission: strict threshold, exact-half rejected, gram-less admitted") {
+    import org.apache.spark.sql.functions._
+    val store = TextDedup.shingleSets(
+      Seq((100L, "a b c d e f g h")).toDF("doc_id", "text"),
+      "doc_id", "text", k = 5)
+    val probes = Seq(
+      (1L, "a b c d e f x y z w"),  // 2 of 6 grams known -> admitted
+      (2L, "a b c d e f g x y z"),  // 3 of 6: exactly half -> rejected
+      (3L, "p q r"),                // gram-less -> admitted
+      (4L, "a b c d e f g h"))      // full copy -> rejected
+      .toDF("doc_id", "text")
+    val out = TextDedup.containmentAdmit(probes, "doc_id", "text",
+      store, k = 5).select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L), s"expected strict <1/2 admission, got $out")
+  }
+
   test("corpus novelty: shared shingles counted cross-document, short docs fully novel") {
     import org.apache.spark.sql.functions._
     // docs 1/2 share their first five tokens (one shared 5-gram);
