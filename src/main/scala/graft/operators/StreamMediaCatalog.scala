@@ -627,6 +627,33 @@ object StreamMediaCatalog {
         .orderBy(col("bucket"))
     }),
 
+    // E25 — streaming novelty admission (nv2's face): the probe set
+    // arrives as 3 micro-batches; each batch runs the BATCH
+    // containment admission against the FROZEN corpus gram store via
+    // foreachBatch (per-doc aggregation state is O(batch), not
+    // O(stream)). The drained union must equal the one-shot batch
+    // admission on nv2's own oracle.
+    "e25_stream_novelty" -> ((spark, dir) => {
+      val in = graft.core.Staging.tmpDir("stream_nov_in")
+      val d = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val probes = TrainingCatalog.nv2Probes(d)
+      for (r <- 0 to 2)
+        probes.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val probeStream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.containmentAdmitFold(probeStream,
+        graft.dedup.TextDedup.shingleSets(d, "doc_id", "text", k = 5))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // E24 — continuous shard-manifest maintenance (mf1's streaming
     // face): count/sum/min/max are all algebraic, so the manifest is
     // ONE streaming aggregation with ≤8 rows of state (Complete
@@ -944,6 +971,9 @@ object StreamMediaCatalog {
 
     // the converged stream census must equal batch bb1: its own oracle
     "e23_stream_length_census" -> CurationCatalog.LengthBucketsOracleSql,
+
+    // the drained stream admission must equal batch nv2: its own oracle
+    "e25_stream_novelty" -> TrainingCatalog.oracle("nv2_store_admit"),
 
     // the converged manifest fold must equal batch mf1: its own oracle
     "e24_stream_manifest" ->

@@ -24,6 +24,19 @@ object TrainingCatalog {
   private val VariantOffset = 1000000L
   private val RevProbeOffset = 3000000L
 
+  /** nv2's two-sided probe set, shared with the e25 streaming face:
+    * first-token-dropped near-copies (mostly contained → rejected)
+    * and token-reversed docs (every 5-gram destroyed → admitted).
+    */
+  private[operators] def nv2Probes(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + VariantOffset).as("doc_id"),
+        expr("substring(text, locate(' ', text) + 1)").as("text"))
+      .unionAll(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + RevProbeOffset).as("doc_id"),
+          array_join(reverse(split(col("text"), " ", -1)), " ")
+            .as("text")))
+
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
 
@@ -265,14 +278,7 @@ object TrainingCatalog {
     // token-REVERSED docs (every 5-gram destroyed — admitted).
     "nv2_store_admit" -> ((spark, dir) => {
       val d = docs(spark, dir)
-      val probes = d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + VariantOffset).as("doc_id"),
-          expr("substring(text, locate(' ', text) + 1)").as("text"))
-        .unionAll(d.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + RevProbeOffset).as("doc_id"),
-            array_join(reverse(split(col("text"), " ", -1)), " ")
-              .as("text")))
-      TextDedup.containmentAdmit(probes, "doc_id", "text",
+      TextDedup.containmentAdmit(nv2Probes(d), "doc_id", "text",
         TextDedup.shingleSets(d, "doc_id", "text", k = 5), k = 5)
         .select(col("doc_id"))
         .orderBy(col("doc_id"))

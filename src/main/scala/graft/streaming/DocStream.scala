@@ -361,6 +361,28 @@ object DocStream {
     spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
 
+  /** Streaming containment-threshold admission (nv2's face): each
+    * micro-batch runs the BATCH `TextDedup.containmentAdmit` against
+    * the frozen gram store via foreachBatch — admission is per-doc
+    * (needs a doc-keyed gram count, which as a streaming aggregation
+    * would pin every doc_id in the state store forever; per-batch the
+    * state is O(batch) and dies with it). Admitted docs accumulate
+    * under localCheckpoint so no plan replays prior batches. Converged
+    * output equals the batch admission over the same files — the e25
+    * gate holds it to nv2's own oracle.
+    */
+  def containmentAdmitFold(docStream: DataFrame, store: DataFrame,
+                           k: Int = 5): DataFrame = {
+    var acc: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val adm = graft.dedup.TextDedup.containmentAdmit(
+        batch, "doc_id", "text", store, k)
+      acc = (if (acc == null) adm else acc.unionAll(adm)).localCheckpoint()
+    })
+    require(acc != null, "containmentAdmitFold: stream delivered no batches")
+    acc
+  }
+
   /** Continuous index maintenance — the streaming face of ii6: fold a
     * document stream into a postings store, one
     * [[graft.functions.InvertedIndex.indexAppend]] per micro-batch

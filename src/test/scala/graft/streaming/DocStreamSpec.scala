@@ -259,6 +259,27 @@ class DocStreamSpec extends graft.SparkSpec {
     assert(rows(folded).nonEmpty)
   }
 
+  test("streaming containment admission equals the batch admission over the same files") {
+    val src = stageTwoBatches()
+    import graft.dedup.TextDedup
+    // store = doc 1's grams: doc 1 (byte copy) rejected, doc 2
+    // (gram-less) and doc 3 (novel) admitted — across both batches
+    val store = TextDedup.shingleSets(
+      spark.read.parquet(src).filter($"doc_id" === 1L)
+        .select($"doc_id", $"text"),
+      "doc_id", "text", k = 5)
+    val streamed = DocStream.containmentAdmitFold(
+      DocStream.readOneFilePerTrigger(spark, src)
+        .select($"doc_id", $"text"), store)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val batch = TextDedup.containmentAdmit(
+      spark.read.parquet(src).select($"doc_id", $"text"),
+      "doc_id", "text", store, k = 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(2L, 3L))
+  }
+
   test("streaming manifest fold converges to the batch manifest") {
     val src = stageTwoBatches()
     def rows(df: org.apache.spark.sql.DataFrame) =
