@@ -447,6 +447,21 @@ object CurationCatalog {
         .select(col("doc_id"), Redact.redactPii(piiText).as("redacted"))
         .orderBy(col("doc_id"))),
 
+    // PII2 — per-class PII census (the rate a pipeline tracks before/
+    // after scrubbing): counts follow the redaction chain's precedence
+    // (each class counted on text with earlier classes replaced), so
+    // an email's digits never double-count as a digit run. One
+    // codegen'd projection; clean = all-zero integer test.
+    "pii2_pii_census" -> ((spark, dir) => {
+      val cs = Redact.piiCensus(piiText)
+      val cols = cs.map { case (n, c) => c.as(s"n_$n") }
+      val total = cs.map(_._2).reduce(_ + _)
+      docs(spark, dir).select(
+        (col("doc_id") +: cols :+ total.as("n_pii")
+          :+ (total === 0).cast("int").as("clean")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // epoch-weighted mix: src0 repeated 2.3x, src1 halved, src2 dropped
     "mx1_epoch_mix" -> ((spark, dir) =>
       Sampling.epochMix(
@@ -972,6 +987,17 @@ object CurationCatalog {
     "pii1_redact" ->
       s"""SELECT doc_id, ${Redact.redactSql(s"($piiTextSql)")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pii2_pii_census" -> {
+      val cs = Redact.censusSql(s"($piiTextSql)")
+      val cols = cs.map { case (n, e) => s"$e AS n_$n" }.mkString(",\n  ")
+      val total = cs.map(_._2).mkString(" + ")
+      s"""SELECT doc_id,
+         |  $cols,
+         |  CAST($total AS BIGINT) AS n_pii,
+         |  CAST(($total) = 0 AS INT) AS clean
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "mx2_temperature_mix" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents

@@ -49,4 +49,41 @@ object Redact {
       val quoted = pat.replace("'", "''")
       s"regexp_replace($e, '$quoted', '$rep', 'g')"
     }
+
+  private def className(rep: String): String =
+    rep.replaceAll("[<>]", "").toLowerCase
+
+  /** Per-class PII occurrence counts — the rate-tracking census run
+    * before/after redaction. Each class counts matches on the text
+    * AFTER the earlier classes were replaced (the same precedence the
+    * redaction chain applies: an email's digits never double-count as
+    * a digit run, a dotted quad never recounts as a phone). Returns
+    * (class, count-column) pairs in chain order; still one codegen'd
+    * projection — no shuffle, no UDF.
+    */
+  def piiCensus(text: Column): Seq[(String, Column)] = {
+    val (cols, _) = PiiPatterns.foldLeft(
+      (Seq.empty[(String, Column)], text)) {
+      case ((acc, cur), (pat, rep)) =>
+        val n = size(regexp_extract_all(cur, lit(pat), lit(0)))
+          .cast("long")
+        (acc :+ (className(rep) -> n), regexp_replace(cur, pat, rep))
+    }
+    cols
+  }
+
+  /** The census restated for DuckDB: same progressive chain, same
+    * pattern texts, `len(regexp_extract_all(...))` counts.
+    */
+  def censusSql(textExpr: String): Seq[(String, String)] = {
+    val (cols, _) = PiiPatterns.foldLeft(
+      (Seq.empty[(String, String)], textExpr)) {
+      case ((acc, cur), (pat, rep)) =>
+        val quoted = pat.replace("'", "''")
+        val n = s"CAST(len(regexp_extract_all($cur, '$quoted')) AS BIGINT)"
+        (acc :+ (className(rep) -> n),
+          s"regexp_replace($cur, '$quoted', '$rep', 'g')")
+    }
+    cols
+  }
 }

@@ -28,4 +28,25 @@ class RedactSpec extends graft.SparkSpec {
     assert(redact(clean) == clean)
     assert(redact("short 12345678 run") == "short 12345678 run") // 8 < 9 digits
   }
+
+  test("census: per-class counts follow redaction precedence") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // 2 emails (one with a 10-digit local part that must NOT also
+    // count as a digit run), 1 ip, 1 phone, 1 digit run
+    val s = "a1234567890@x.org and b@y.net, ip 10.0.0.1, " +
+      "call 555-123-4567, acct 987654321 end"
+    val cs = Redact.piiCensus(lit(s))
+    val row = Seq(1).toDF("i")
+      .select(cs.map { case (n, c) => c.as(n) }: _*).collect().head
+    assert(row.getAs[Long]("email") == 2L)
+    assert(row.getAs[Long]("ip") == 1L)
+    assert(row.getAs[Long]("phone") == 1L)
+    assert(row.getAs[Long]("num") == 1L, "email digits must not recount")
+    // clean text censuses to all zeros
+    val zeros = Seq(1).toDF("i")
+      .select(Redact.piiCensus(lit("nothing here 42")).map {
+        case (n, c) => c.as(n) }: _*).collect().head
+    assert((0 until 4).forall(zeros.getLong(_) == 0L))
+  }
 }
