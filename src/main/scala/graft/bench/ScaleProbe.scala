@@ -90,6 +90,49 @@ object ScaleProbe {
         docs.unpersist()
         spark.catalog.clearCache()
       }
+      // Gopher char-fraction repetition cut: per-document work only
+      // (positioned-gram flatMap + doc-keyed aggs/windows), so the
+      // curve must be linear in rows regardless of content; plain
+      // row multiplication is the honest shape.
+      if (enabled("repetition")) {
+        val docs = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", m, 10000000L).repartition(64).cache()
+        docs.count()
+        time(s"repetition_cut x$m") {
+          graft.quality.Repetition.repetitionFilter(docs, "doc_id", "text")
+            .count()
+        }
+        docs.unpersist()
+        spark.catalog.clearCache()
+      }
+      // Containment admission: probes grow m× against a FIXED frozen
+      // gram store (the incremental-ingestion shape the operator
+      // ships). Copy-suffixed words make every copy's grams distinct,
+      // so the store join sees m× probe grams with a realistic miss
+      // rate; expected linear — the store side is built once.
+      if (enabled("novelty")) {
+        val store = graft.dedup.TextDedup.shingleSets(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5).cache()
+        store.count()
+        val probes = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", m, 10000000L)
+          .withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1c"),
+                expr("doc_id div 10000000").cast("string"))))
+          .repartition(64).cache()
+        probes.count()
+        time(s"novelty_admit x$m") {
+          graft.dedup.TextDedup.containmentAdmit(
+            probes, "doc_id", "text", store, k = 5).count()
+        }
+        probes.unpersist()
+        store.unpersist()
+        spark.catalog.clearCache()
+      }
       // PageRank: multiplied events → m disjoint subgraphs (copy-offset
       // node ids), so nodes AND edges grow m× while structure stays
       // comparable. Fixed 8 supersteps — past the every-4 localCheckpoint
