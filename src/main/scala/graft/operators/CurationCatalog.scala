@@ -447,6 +447,28 @@ object CurationCatalog {
         .select(col("doc_id"), Redact.redactPii(piiText).as("redacted"))
         .orderBy(col("doc_id"))),
 
+    // DCARD1 — the dataset card: one-row corpus summary (docs, tokens,
+    // chars, sources, sorted lang set as the a15 string, and mean
+    // quality via the gm1 integer-micros convention — the sum is exact
+    // int64, the mean ONE shared IEEE division). The artifact a corpus
+    // release publishes; one full-scan agg, everything partial.
+    "dcard1_dataset_card" -> ((spark, dir) => {
+      val q = graft.functions.TextAnalysis.qualityScore(col("text"))
+      Tables.documents(spark, dir).agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        concat_ws(",", sort_array(collect_set(col("lang")))).as("langs"),
+        sum(floor(q * 1000000.0).cast("long")).as("q_micros"))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_sources"), col("langs"), col("q_micros"),
+          (col("q_micros").cast("double") /
+            (col("n_docs") * lit(1000000L)).cast("double"))
+            .as("mean_quality"))
+    }),
+
     // PII2 — per-class PII census (the rate a pipeline tracks before/
     // after scrubbing): counts follow the redaction chain's precedence
     // (each class counted on text with earlier classes replaced), so
@@ -987,6 +1009,23 @@ object CurationCatalog {
     "pii1_redact" ->
       s"""SELECT doc_id, ${Redact.redactSql(s"($piiTextSql)")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dcard1_dataset_card" -> {
+      val q = graft.functions.TextAnalysis.Sql.qualityScore("text")
+      s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |  array_to_string(list_sort(list_distinct(array_agg(lang))), ',')
+         |    AS langs,
+         |  CAST(SUM(CAST(FLOOR(($q) * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS q_micros
+         | FROM documents)
+         |SELECT n_docs, n_tokens, n_chars, n_sources, langs, q_micros,
+         |  CAST(q_micros AS DOUBLE) / CAST(n_docs * 1000000 AS DOUBLE)
+         |    AS mean_quality
+         |FROM a""".stripMargin
+    },
 
     "pii2_pii_census" -> {
       val cs = Redact.censusSql(s"($piiTextSql)")
