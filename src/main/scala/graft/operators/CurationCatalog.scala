@@ -447,6 +447,21 @@ object CurationCatalog {
         .select(col("doc_id"), Redact.redactPii(piiText).as("redacted"))
         .orderBy(col("doc_id"))),
 
+    // BB2 — data-driven bucket boundaries (bb1's planning input):
+    // exact token-length sextiles via the value-domain trick — the
+    // cumulative window runs over DISTINCT length values (bounded by
+    // max doc length, not corpus size), and each boundary is the
+    // smallest length whose cumulative count crosses the rank,
+    // decided by cross-multiplied int64 (cum·6 ≥ k·n) so the order
+    // statistic is exact on both engines.
+    "bb2_bucket_suggest" -> ((spark, dir) =>
+      Packing.suggestBoundaries(
+        docs(spark, dir).select(
+          graft.functions.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_toks")),
+        "n_toks", parts = 6)
+        .orderBy(col("k"))),
+
     // DCARD1 — the dataset card: one-row corpus summary (docs, tokens,
     // chars, sources, sorted lang set as the a15 string, and mean
     // quality via the gm1 integer-micros convention — the sum is exact
@@ -1009,6 +1024,22 @@ object CurationCatalog {
     "pii1_redact" ->
       s"""SELECT doc_id, ${Redact.redactSql(s"($piiTextSql)")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "bb2_bucket_suggest" -> {
+      def one(k: Int) =
+        s"""SELECT CAST($k AS BIGINT) AS k, MIN(len) AS boundary
+           | FROM c CROSS JOIN t WHERE cum * 6 >= n * $k""".stripMargin
+      s"""WITH h AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+         |    COUNT(*) AS cnt
+         |  FROM documents GROUP BY 1),
+         |c AS (SELECT len, SUM(cnt) OVER (ORDER BY len
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM h),
+         |t AS (SELECT SUM(cnt) AS n FROM h)
+         |${one(1)} UNION ALL ${one(2)} UNION ALL ${one(3)}
+         |UNION ALL ${one(4)} UNION ALL ${one(5)}
+         |ORDER BY k""".stripMargin
+    },
 
     "dcard1_dataset_card" -> {
       val q = graft.functions.TextAnalysis.Sql.qualityScore("text")

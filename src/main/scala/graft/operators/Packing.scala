@@ -86,6 +86,32 @@ object Packing {
           (col("bucket") * col("n_docs")).cast("double")).as("waste_ratio"))
   }
 
+  /** Data-driven bucket boundaries — [[lengthBuckets]]'s planning
+    * input: exact token-length quantiles at k/parts for k = 1..parts-1
+    * via the value-domain trick. The cumulative window runs over
+    * DISTINCT length values (bounded by max doc length, never corpus
+    * size); each boundary is the smallest length whose cumulative
+    * count crosses the rank, decided by cross-multiplied int64
+    * (cum·parts ≥ k·n) — the order statistic is exact on any engine.
+    */
+  def suggestBoundaries(counts: DataFrame, nTokCol: String,
+                        parts: Int): DataFrame = {
+    require(parts >= 2, s"parts must be >= 2, got $parts")
+    val hist = counts.select(col(nTokCol).cast("long").as("len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+    val cumd = hist.select(col("len"),
+      sum(col("cnt")).over(Window.orderBy(col("len"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"))
+    val tot = hist.agg(sum(col("cnt")).as("n"))
+    val j = cumd.crossJoin(broadcast(tot))
+    (1 until parts).map(k =>
+      j.filter(col("cum") * parts >= col("n") * k)
+        .agg(min(col("len")).as("boundary"))
+        .select(lit(k.toLong).as("k"), col("boundary")))
+      .reduce(_.unionAll(_))
+  }
+
   /** (pack_id, doc_id, doc_off, pack_off, n_toks): `n_toks` tokens
     * starting at token `doc_off` of the document land in pack
     * `pack_id` at position `pack_off`. Every pack except the last has

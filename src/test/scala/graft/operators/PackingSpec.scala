@@ -197,4 +197,18 @@ class PackingSpec extends graft.SparkSpec {
       .select($"n_batches").as[Long].head()
     assert(nb == 2L)
   }
+
+  test("suggestBoundaries: exact rank convention, duplicates, partitioning invariance") {
+    // lengths 1..6, sextiles: boundary k = smallest len with cum*6 >= k*6
+    val six = (1 to 6).map(i => (i.toLong, i.toLong)).toDF("doc_id", "n_toks")
+    def rows(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      Packing.suggestBoundaries(df, "n_toks", parts)
+        .orderBy($"k").as[(Long, Long)].collect().toSeq
+    assert(rows(six, 6) == (1L to 5L).map(k => (k, k)))
+    // duplicates: {2,2,2,10}, quartiles — cum(2)=3 crosses k=1,2,3
+    val dup = Seq(2L, 2L, 2L, 10L).zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n_toks")
+    assert(rows(dup, 4) == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    assert(rows(dup.repartition(7), 4) == rows(dup, 4))
+  }
 }
