@@ -60,4 +60,38 @@ object Chunker {
        |   CAST(LEAST($size, len(t) - s) AS BIGINT) AS chunk_tokens
        | FROM (SELECT $id, string_split($text, ' ') AS t FROM $src) d
        | CROSS JOIN LATERAL unnest(range(0, len(t), $stride)) AS u(s))""".stripMargin
+
+  /** Middle truncation — the long-document strategy that keeps the
+    * head AND the tail (titles/intros and conclusions carry most
+    * signal; the middle is what a context budget drops): documents at
+    * or under `head + tail` tokens pass through UNCHANGED (boundary
+    * inclusive), longer ones keep the first `head` and last `tail`
+    * tokens. One codegen'd projection — split/slice/join, no shuffle,
+    * no fan-out.
+    */
+  def truncateMiddle(df: DataFrame, idCol: String, textCol: String,
+                     head: Int, tail: Int): DataFrame = {
+    require(head > 0 && tail > 0,
+      s"head and tail must be positive, got $head/$tail")
+    val toks: Column = split(col(textCol), " ", -1)
+    val n = array_size(toks).cast("long")
+    df.select(col(idCol), n.as("n_toks"),
+      greatest(n - (head + tail), lit(0L)).as("n_dropped"),
+      when(n <= head + tail, col(textCol))
+        .otherwise(concat(
+          array_join(slice(toks, 1, head), " "), lit(" "),
+          array_join(slice(toks, -tail, tail), " ")))
+        .as("text"))
+  }
+
+  /** DuckDB spelling of [[truncateMiddle]] over `src(id, text)`. */
+  def truncateMiddleSql(src: String, id: String, text: String,
+                        head: Int, tail: Int): String =
+    s"""(SELECT $id, CAST(len(t) AS BIGINT) AS n_toks,
+       |   CAST(GREATEST(len(t) - ${head + tail}, 0) AS BIGINT) AS n_dropped,
+       |   CASE WHEN len(t) <= ${head + tail} THEN $text
+       |     ELSE array_to_string(t[1 : $head], ' ') || ' ' ||
+       |          array_to_string(t[-$tail :], ' ') END AS text
+       | FROM (SELECT $id, $text, string_split($text, ' ') AS t
+       |       FROM $src) d)""".stripMargin
 }

@@ -462,6 +462,15 @@ object CurationCatalog {
         "n_toks", parts = 6)
         .orderBy(col("k"))),
 
+    // TR1 — middle truncation for long documents: keep the first 64
+    // and last 32 tokens (head and tail carry the signal a context
+    // budget can afford); docs at/under 96 tokens pass UNCHANGED —
+    // inclusive boundary, one codegen'd projection.
+    "tr1_truncate_middle" -> ((spark, dir) =>
+      Chunker.truncateMiddle(docs(spark, dir), "doc_id", "text",
+        head = 64, tail = 32)
+        .orderBy(col("doc_id"))),
+
     // DCARD1 — the dataset card: one-row corpus summary (docs, tokens,
     // chars, sources, sorted lang set as the a15 string, and mean
     // quality via the gm1 integer-micros convention — the sum is exact
@@ -482,6 +491,25 @@ object CurationCatalog {
           (col("q_micros").cast("double") /
             (col("n_docs") * lit(1000000L)).cast("double"))
             .as("mean_quality"))
+    }),
+
+    // DCARD2 — the per-source card (release artifacts ship one card
+    // per subset): dcard1's columns keyed by source, one partial agg.
+    "dcard2_source_cards" -> ((spark, dir) => {
+      val q = graft.functions.TextAnalysis.qualityScore(col("text"))
+      Tables.documents(spark, dir).groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextAnalysis.tokenCount(col("text"))
+          .cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        concat_ws(",", sort_array(collect_set(col("lang")))).as("langs"),
+        sum(floor(q * 1000000.0).cast("long")).as("q_micros"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars"), col("langs"), col("q_micros"),
+          (col("q_micros").cast("double") /
+            (col("n_docs") * lit(1000000L)).cast("double"))
+            .as("mean_quality"))
+        .orderBy(col("source"))
     }),
 
     // PII2 — per-class PII census (the rate a pipeline tracks before/
@@ -1041,6 +1069,12 @@ object CurationCatalog {
          |ORDER BY k""".stripMargin
     },
 
+    "tr1_truncate_middle" ->
+      s"""SELECT doc_id, n_toks, n_dropped, text
+         |FROM ${Chunker.truncateMiddleSql("documents", "doc_id", "text",
+             64, 32)} q
+         |ORDER BY doc_id""".stripMargin,
+
     "dcard1_dataset_card" -> {
       val q = graft.functions.TextAnalysis.Sql.qualityScore("text")
       s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1056,6 +1090,22 @@ object CurationCatalog {
          |  CAST(q_micros AS DOUBLE) / CAST(n_docs * 1000000 AS DOUBLE)
          |    AS mean_quality
          |FROM a""".stripMargin
+    },
+
+    "dcard2_source_cards" -> {
+      val q = graft.functions.TextAnalysis.Sql.qualityScore("text")
+      s"""WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |  array_to_string(list_sort(list_distinct(array_agg(lang))), ',')
+         |    AS langs,
+         |  CAST(SUM(CAST(FLOOR(($q) * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS q_micros
+         | FROM documents GROUP BY source)
+         |SELECT source, n_docs, n_tokens, n_chars, langs, q_micros,
+         |  CAST(q_micros AS DOUBLE) / CAST(n_docs * 1000000 AS DOUBLE)
+         |    AS mean_quality
+         |FROM a ORDER BY source""".stripMargin
     },
 
     "pii2_pii_census" -> {

@@ -49,4 +49,20 @@ class ChunkerSpec extends graft.SparkSpec {
     }
     assert(exchanges.isEmpty, s"chunking must not shuffle: $exchanges")
   }
+
+  test("truncateMiddle: inclusive boundary, head+tail kept, byte-exact passthrough") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"t$i").mkString(" ")),  // == head+tail: unchanged
+      (2L, (1 to 8).map(i => s"t$i").mkString(" ")),  // keeps t1..t3 + t7 t8
+      (3L, "a  b"))                                    // double space survives
+      .toDF("doc_id", "text")
+    val out = Chunker.truncateMiddle(docs, "doc_id", "text", head = 3, tail = 2)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((1L, 5L, 0L, "t1 t2 t3 t4 t5")))
+    assert(out(1) == ((2L, 8L, 3L, "t1 t2 t3 t7 t8")))
+    assert(out(2) == ((3L, 3L, 0L, "a  b")),
+      "short docs must pass through byte-exact, empty tokens and all")
+  }
 }
