@@ -462,6 +462,24 @@ object CurationCatalog {
         "n_toks", parts = 6)
         .orderBy(col("k"))),
 
+    // GQ3 — auxiliary Gopher symbol rules (the §A1.1 half gq1 doesn't
+    // carry): symbol-to-word ratio over '#'/ellipsis and numeric-word
+    // fraction, both cross-multiplied int64 with inclusive bounds.
+    // Plants: every 19th doc gets a 30-'#' run (trips r_symbol below
+    // 300 words), every (23k+3)th doc 30 numeric words (trips
+    // r_numeric below 150).
+    "gq3_aux_rules" -> ((spark, dir) => {
+      val planted = docs(spark, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 19 === 0, lit(" " + "#" * 30))
+            .otherwise(lit("")),
+          when(col("doc_id") % 23 === 3,
+            lit(" " + (1 to 30).mkString(" ")))
+            .otherwise(lit(""))).as("text"))
+      graft.quality.GopherRules.auxProfile(planted, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // TR1 — middle truncation for long documents: keep the first 64
     // and last 32 tokens (head and tail carry the signal a context
     // budget can afford); docs at/under 96 tokens pass UNCHANGED —
@@ -1067,6 +1085,38 @@ object CurationCatalog {
          |${one(1)} UNION ALL ${one(2)} UNION ALL ${one(3)}
          |UNION ALL ${one(4)} UNION ALL ${one(5)}
          |ORDER BY k""".stripMargin
+    },
+
+    "gq3_aux_rules" -> {
+      val hashes = "#" * 30
+      val nums = (1 to 30).mkString(" ")
+      s"""WITH qdocs AS (SELECT doc_id, text ||
+         | CASE WHEN doc_id % 19 = 0 THEN ' $hashes' ELSE '' END ||
+         | CASE WHEN doc_id % 23 = 3 THEN ' $nums' ELSE '' END AS text
+         | FROM documents),
+         |tok AS (SELECT doc_id, u.tk FROM
+         |  (SELECT doc_id, string_split(text, ' ') AS t FROM qdocs) s
+         |  CROSS JOIN LATERAL unnest(t) AS u(tk)),
+         |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(CASE WHEN regexp_full_match(tk, '[0-9]+')
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric_words
+         | FROM tok GROUP BY doc_id),
+         |sym AS (SELECT doc_id,
+         |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+         |    AS n_hash,
+         |  CAST((length(text) - length(replace(text, '...', 'x'))) // 2
+         |    + (length(text) - length(replace(text, '…', ''))) AS BIGINT)
+         |    AS n_ellipsis
+         | FROM qdocs)
+         |SELECT s.doc_id, g.n_words, s.n_hash, s.n_ellipsis,
+         |  g.n_numeric_words,
+         |  CAST(10 * (s.n_hash + s.n_ellipsis) <= g.n_words AS INT)
+         |    AS r_symbol,
+         |  CAST(5 * g.n_numeric_words <= g.n_words AS INT) AS r_numeric,
+         |  CAST(10 * (s.n_hash + s.n_ellipsis) <= g.n_words
+         |    AND 5 * g.n_numeric_words <= g.n_words AS INT) AS pass
+         |FROM sym s JOIN g ON g.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
     },
 
     "tr1_truncate_middle" ->

@@ -59,6 +59,40 @@ object GopherRules {
           col("r_alpha") === 1 && col("r_stop") === 1).cast("int"))
   }
 
+  /** The auxiliary symbol rules (Rae et al. §A1.1, the half `profile`
+    * doesn't carry): symbol-to-word ratio over '#' and ellipsis
+    * ('...' and U+2026 — each '...' counted once via the replace-length
+    * trick on the 3-char form), and the fraction of purely numeric
+    * words. Rules: symbols ≤ 10 % of words; numeric words ≤ 20 % —
+    * both cross-multiplied int64, inclusive. All counts are per-row
+    * char/token arithmetic + one doc-keyed agg for the numeric-word
+    * count; no float enters a verdict.
+    */
+  def auxProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextDedup.shingleSets(docs, idCol, textCol, k = 1,
+      distinct = false)
+    val g = toks.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_words"),
+      sum(when(col("shingle").rlike("^[0-9]+$"), 1L).otherwise(0L))
+        .as("n_numeric_words"))
+    val t = col(textCol)
+    val sym = docs.select(col(idCol),
+      (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+        .as("n_hash"),
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", "x"))) / 2 +
+        (length(t) - length(regexp_replace(t, "…", ""))))
+        .cast("long").as("n_ellipsis"))
+    sym.join(g, Seq(idCol))
+      .select(col(idCol), col("n_words"), col("n_hash"),
+        col("n_ellipsis"), col("n_numeric_words"),
+        (lit(10L) * (col("n_hash") + col("n_ellipsis")) <= col("n_words"))
+          .cast("int").as("r_symbol"),
+        (lit(5L) * col("n_numeric_words") <= col("n_words"))
+          .cast("int").as("r_numeric"))
+      .withColumn("pass",
+        (col("r_symbol") === 1 && col("r_numeric") === 1).cast("int"))
+  }
+
   /** The surviving corpus: documents passing all rules, columns
     * intact (semi-join on the passing ids; the profile side aggregates
     * to one row per doc, so the join is id-keyed and

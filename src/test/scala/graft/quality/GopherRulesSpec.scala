@@ -63,4 +63,28 @@ class GopherRulesSpec extends SparkSpec {
     assert(r(0)._3 == 1 && r(1)._3 == 1)
     assert(r(2)._4 == 1)
   }
+
+  test("aux rules: symbol and numeric boundaries inclusive, ellipsis forms counted once each") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      // 10 words, 1 '#': 10*1 <= 10 — exactly AT the symbol bound: pass
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 #"),
+      // 10 words, 2 symbols ('...' once, '…' once): 20 > 10 — trip
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 ... …"),
+      // 5 words, 1 numeric: 5*1 <= 5 exactly AT the numeric bound: pass
+      (3L, "a b c d 42"),
+      // 5 words, 2 numeric: 10 > 5 — trip
+      (4L, "a b c 42 7"))
+      .toDF("doc_id", "text")
+    val r = GopherRules.auxProfile(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+      .select(col("n_hash"), col("n_ellipsis"), col("n_numeric_words"),
+        col("r_symbol"), col("r_numeric"), col("pass"))
+      .as[(Long, Long, Long, Int, Int, Int)].collect().toSeq
+    assert(r(0) == ((1L, 0L, 0L, 1, 1, 1)), s"got ${r(0)}")
+    assert(r(1) == ((0L, 2L, 0L, 0, 1, 0)), s"got ${r(1)}")
+    assert(r(2) == ((0L, 0L, 1L, 1, 1, 1)), s"got ${r(2)}")
+    assert(r(3) == ((0L, 0L, 2L, 1, 0, 0)), s"got ${r(3)}")
+  }
 }
