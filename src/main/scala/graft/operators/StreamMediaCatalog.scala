@@ -627,6 +627,21 @@ object StreamMediaCatalog {
         .orderBy(col("bucket"))
     }),
 
+    // E26 — streaming per-source dataset cards (dcard2's face): all
+    // columns are streaming-legal aggregates (collect_set's state is
+    // the bounded language inventory), Complete mode, ≤|sources| rows
+    // of state; release metadata stays current while ingestion runs.
+    "e26_stream_source_cards" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(
+        stageFixtureDir("stream_cards", dir, "documents.parquet"))
+      EventStream.runToMemory(spark,
+        graft.streaming.DocStream.sourceCards(
+          graft.streaming.DocStream.read(spark, d.toString)),
+        s"stream_cards_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("source"))
+    }),
+
     // E25 — streaming novelty admission (nv2's face): the probe set
     // arrives as 3 micro-batches; each batch runs the BATCH
     // containment admission against the FROZEN corpus gram store via
@@ -974,6 +989,9 @@ object StreamMediaCatalog {
 
     // the drained stream admission must equal batch nv2: its own oracle
     "e25_stream_novelty" -> TrainingCatalog.oracle("nv2_store_admit"),
+
+    // the converged cards must equal batch dcard2: its own oracle
+    "e26_stream_source_cards" -> CurationCatalog.oracle("dcard2_source_cards"),
 
     // the converged manifest fold must equal batch mf1: its own oracle
     "e24_stream_manifest" ->

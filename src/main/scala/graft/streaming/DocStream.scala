@@ -361,6 +361,32 @@ object DocStream {
     spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
 
+  /** Streaming per-source dataset cards (dcard2's face): every column
+    * is a streaming-legal aggregate — count/sum are algebraic,
+    * collect_set carries bounded state (the lang set is a language
+    * inventory, not row data) — so the cards refresh each trigger in
+    * Complete mode with ≤|sources| rows of state. Converged output
+    * equals the batch dcard2 on its own oracle: corpus release
+    * metadata stays current while ingestion runs.
+    */
+  def sourceCards(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(col("text"))
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"),
+      sum(length(col("text")).cast("long")).as("n_chars"),
+      collect_set(col("lang")).as("__langs"),
+      sum(floor(q * 1000000.0).cast("long")).as("q_micros"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        concat_ws(",", sort_array(col("__langs"))).as("langs"),
+        col("q_micros"),
+        (col("q_micros").cast("double") /
+          (col("n_docs") * lit(1000000L)).cast("double"))
+          .as("mean_quality"))
+  }
+
   /** Streaming containment-threshold admission (nv2's face): each
     * micro-batch runs the BATCH `TextDedup.containmentAdmit` against
     * the frozen gram store via foreachBatch — admission is per-doc
