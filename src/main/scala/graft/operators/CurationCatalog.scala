@@ -462,6 +462,18 @@ object CurationCatalog {
         "n_toks", parts = 6)
         .orderBy(col("k"))),
 
+    // LF1 — language-consistency cut (the C4 move: keep only docs the
+    // classifier agrees with the metadata on): langId is one codegen'd
+    // per-row expression, so this is a scan-time filter — docs whose
+    // n-gram language prediction contradicts the declared lang are
+    // exactly the mislabeled/mixed-language rows a corpus drops first.
+    "lf1_lang_filter" -> ((spark, dir) =>
+      Tables.documents(spark, dir)
+        .filter(graft.functions.TextAnalysis.langId(col("text"))
+          === col("lang"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // GQ3 — auxiliary Gopher symbol rules (the §A1.1 half gq1 doesn't
     // carry): symbol-to-word ratio over '#'/ellipsis and numeric-word
     // fraction, both cross-multiplied int64 with inclusive bounds.
@@ -1086,6 +1098,11 @@ object CurationCatalog {
          |UNION ALL ${one(4)} UNION ALL ${one(5)}
          |ORDER BY k""".stripMargin
     },
+
+    "lf1_lang_filter" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${graft.functions.TextAnalysis.Sql.langId("text")} = lang
+         |ORDER BY doc_id""".stripMargin,
 
     "gq3_aux_rules" -> {
       val hashes = "#" * 30
