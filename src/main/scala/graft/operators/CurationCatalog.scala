@@ -249,7 +249,7 @@ object CurationCatalog {
       when(col("doc_id") % 13 === 5, lit(RepPlant))
         .otherwise(lit("")))
 
-  private def repDocs(spark: SparkSession, sfDir: String): DataFrame =
+  private[operators] def repDocs(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir).select(col("doc_id"), repPlantText.as("text"))
 
   // NB: no line may START with '|' post-stripMargin — interpolated

@@ -627,6 +627,28 @@ object StreamMediaCatalog {
         .orderBy(col("bucket"))
     }),
 
+    // E27 — streaming repetition cut (rep3's face): the char-fraction
+    // verdicts are DOC-LOCAL, so per-batch filtering via foreachBatch
+    // IS the global answer — zero cross-batch state; the drained
+    // union must equal batch rep3 on its own oracle.
+    "e27_stream_repetition" -> ((spark, dir) => {
+      val in = graft.core.Staging.tmpDir("stream_rep_in")
+      val planted = CurationCatalog.repDocs(spark, dir)
+      for (r <- 0 to 2)
+        planted.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.repetitionCutFold(stream)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // E26 — streaming per-source dataset cards (dcard2's face): all
     // columns are streaming-legal aggregates (collect_set's state is
     // the bounded language inventory), Complete mode, ≤|sources| rows
@@ -992,6 +1014,9 @@ object StreamMediaCatalog {
 
     // the converged cards must equal batch dcard2: its own oracle
     "e26_stream_source_cards" -> CurationCatalog.oracle("dcard2_source_cards"),
+
+    // the drained repetition cut must equal batch rep3: its own oracle
+    "e27_stream_repetition" -> CurationCatalog.oracle("rep3_repetition_filter"),
 
     // the converged manifest fold must equal batch mf1: its own oracle
     "e24_stream_manifest" ->

@@ -387,6 +387,24 @@ object DocStream {
           .as("mean_quality"))
   }
 
+  /** Streaming repetition cut (rep3's face): the Gopher char-fraction
+    * verdicts are DOC-LOCAL (within-doc gram aggregates), so running
+    * the batch filter per micro-batch via foreachBatch gives exactly
+    * the global answer — no cross-batch state at all, survivor rows
+    * accumulate under localCheckpoint. The e27 gate holds the drained
+    * union to rep3's own oracle.
+    */
+  def repetitionCutFold(docStream: DataFrame): DataFrame = {
+    var acc: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val kept = graft.quality.Repetition.repetitionFilter(
+        batch, "doc_id", "text")
+      acc = (if (acc == null) kept else acc.unionAll(kept)).localCheckpoint()
+    })
+    require(acc != null, "repetitionCutFold: stream delivered no batches")
+    acc
+  }
+
   /** Streaming containment-threshold admission (nv2's face): each
     * micro-batch runs the BATCH `TextDedup.containmentAdmit` against
     * the frozen gram store via foreachBatch — admission is per-doc
