@@ -280,6 +280,30 @@ class DocStreamSpec extends graft.SparkSpec {
     assert(streamed == Seq(2L, 3L))
   }
 
+  test("streaming repetition cut equals the batch cut; repeated doc rejected cross-batch") {
+    val dir = graft.core.Staging.tmpDir("docstream_rep")
+    val clean = (0 until 30).map(i => f"w$i%02da").mkString(" ")
+    val heavy = (0 until 8).map(_ => "spam ham jam flim flam").mkString(" ")
+    Seq((1L, clean)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((2L, heavy)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val streamed = DocStream.repetitionCutFold(stream)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val batch = graft.quality.Repetition.repetitionFilter(
+      spark.read.parquet(dir), "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(1L), "the 8x-repeated doc must be cut")
+  }
+
   test("streaming manifest fold converges to the batch manifest") {
     val src = stageTwoBatches()
     def rows(df: org.apache.spark.sql.DataFrame) =
