@@ -43,6 +43,17 @@ object CurationCatalog {
   private val DecontamN = 5
 
   /** Synthetic PII suffix, same construction both engines. */
+  /** The pii2 output shape, shared with the e28 streaming face: one
+    * per-class count column, the total, and the all-zero clean bit —
+    * a pure codegen'd projection over the planted text.
+    */
+  private[operators] def piiCensusCols: Seq[org.apache.spark.sql.Column] = {
+    val cs = Redact.piiCensus(piiText)
+    val total = cs.map(_._2).reduce(_ + _)
+    col("doc_id") +: cs.map { case (n, c) => c.as(s"n_$n") } :+
+      total.as("n_pii") :+ (total === 0).cast("int").as("clean")
+  }
+
   private[operators] def piiText = concat(col("text"),
     lit(" reach me: user"), col("doc_id").cast("string"),
     lit("@mail.example.org or +1 555-867-5309, ip 192.168."),
@@ -547,15 +558,9 @@ object CurationCatalog {
     // (each class counted on text with earlier classes replaced), so
     // an email's digits never double-count as a digit run. One
     // codegen'd projection; clean = all-zero integer test.
-    "pii2_pii_census" -> ((spark, dir) => {
-      val cs = Redact.piiCensus(piiText)
-      val cols = cs.map { case (n, c) => c.as(s"n_$n") }
-      val total = cs.map(_._2).reduce(_ + _)
-      docs(spark, dir).select(
-        (col("doc_id") +: cols :+ total.as("n_pii")
-          :+ (total === 0).cast("int").as("clean")): _*)
-        .orderBy(col("doc_id"))
-    }),
+    "pii2_pii_census" -> ((spark, dir) =>
+      docs(spark, dir).select(piiCensusCols: _*)
+        .orderBy(col("doc_id"))),
 
     // epoch-weighted mix: src0 repeated 2.3x, src1 halved, src2 dropped
     "mx1_epoch_mix" -> ((spark, dir) =>

@@ -627,6 +627,21 @@ object StreamMediaCatalog {
         .orderBy(col("bucket"))
     }),
 
+    // E28 — streaming PII census (pii2's face): the census is a pure
+    // codegen'd projection (no state, Append mode — the e20 shape);
+    // the drained stream equals batch pii2 on its own oracle, so PII
+    // rates are tracked live during ingestion.
+    "e28_stream_pii_census" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(
+        stageFixtureDir("stream_pii", dir, "documents.parquet"))
+      EventStream.runToMemory(spark,
+        graft.streaming.DocStream.read(spark, d.toString)
+          .select(CurationCatalog.piiCensusCols: _*),
+        s"stream_pii_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     // E27 — streaming repetition cut (rep3's face): the char-fraction
     // verdicts are DOC-LOCAL, so per-batch filtering via foreachBatch
     // IS the global answer — zero cross-batch state; the drained
@@ -1017,6 +1032,9 @@ object StreamMediaCatalog {
 
     // the drained repetition cut must equal batch rep3: its own oracle
     "e27_stream_repetition" -> CurationCatalog.oracle("rep3_repetition_filter"),
+
+    // the drained census must equal batch pii2: its own oracle
+    "e28_stream_pii_census" -> CurationCatalog.oracle("pii2_pii_census"),
 
     // the converged manifest fold must equal batch mf1: its own oracle
     "e24_stream_manifest" ->
