@@ -473,6 +473,26 @@ object CurationCatalog {
         "n_toks", parts = 6)
         .orderBy(col("k"))),
 
+    // QD1 — quality-decile census: how many docs (and how many
+    // tokens) sit in each decile of the quality score — the
+    // calibration readout a pipeline reads BEFORE committing to a
+    // threshold cut. Bucket = floor(q·10) clamped to 9 (q is a
+    // rational IEEE tree, shared both sides; the floor is the gm1
+    // discipline); counts exact int64, mean length one IEEE division.
+    "qd1_quality_deciles" -> ((spark, dir) => {
+      val q = graft.functions.TextAnalysis.qualityScore(col("text"))
+      docs(spark, dir)
+        .select(least(floor(q * 10.0).cast("long"), lit(9L)).as("decile"),
+          graft.functions.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("n_toks"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+        .select(col("decile"), col("n_docs"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("mean_len"))
+        .orderBy(col("decile"))
+    }),
+
     // LF1 — language-consistency cut (the C4 move: keep only docs the
     // classifier agrees with the metadata on): langId is one codegen'd
     // per-row expression, so this is a scan-time filter — docs whose
@@ -1102,6 +1122,20 @@ object CurationCatalog {
          |${one(1)} UNION ALL ${one(2)} UNION ALL ${one(3)}
          |UNION ALL ${one(4)} UNION ALL ${one(5)}
          |ORDER BY k""".stripMargin
+    },
+
+    "qd1_quality_deciles" -> {
+      val q = graft.functions.TextAnalysis.Sql.qualityScore("text")
+      s"""WITH d AS (SELECT
+         |    LEAST(CAST(FLOOR(($q) * 10.0) AS BIGINT), 9) AS decile,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+         |  FROM d GROUP BY decile)
+         |SELECT decile, n_docs, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_len
+         |FROM g ORDER BY decile""".stripMargin
     },
 
     "lf1_lang_filter" ->
