@@ -833,6 +833,39 @@ object TrainingCatalog {
             .otherwise("eval"))
         .orderBy(col("doc_id"))),
 
+    // SP2 — split-leakage audit: count near-dup candidate pairs whose
+    // two ends land in DIFFERENT splits, under sp1's cluster split
+    // (provably zero: the split is a function of the component) vs
+    // the naive per-doc hash split (leaks — the number this gate
+    // exists to show). Exact integer counts on the same pair set.
+    "sp2_split_leakage" -> ((spark, dir) => {
+      val d = docsWithVariants(spark, dir)
+      val pairs = TextDedup.candidatePairs(
+        TextDedup.bandKeys(
+          TextDedup.minhashSignatures(
+            TextDedup.shingleSets(d, "doc_id", "text"), "doc_id"),
+          "doc_id"),
+        "doc_id")
+      val comps = Components.connectedComponents(pairs, d, "doc_id")
+      def crossCount(split: DataFrame, kind: String) = {
+        val a = split.select(col("doc_id").as("a_id"), col("s").as("sa"))
+        val b = split.select(col("doc_id").as("b_id"), col("s").as("sb"))
+        pairs.join(a, "a_id").join(b, "b_id")
+          .filter(col("sa") =!= col("sb"))
+          .agg(count(lit(1)).as("n_cross_pairs"))
+          .select(lit(kind).as("split_kind"), col("n_cross_pairs"))
+      }
+      val cluster = comps.select(col("doc_id"),
+        when(Sampling.hashGate(col("comp"), 0.8), "train")
+          .otherwise("eval").as("s"))
+      val byDoc = comps.select(col("doc_id"),
+        when(Sampling.hashGate(col("doc_id"), 0.8), "train")
+          .otherwise("eval").as("s"))
+      crossCount(cluster, "cluster")
+        .unionAll(crossCount(byDoc, "doc_hash"))
+        .orderBy(col("split_kind"))
+    }),
+
     // X17 — quality-aware representative selection (the FineWeb/CCNet
     // refinement of x10's min-id canon): within each near-dup
     // component keep the HIGHEST-QUALITY member (t2's composite score;
@@ -1898,6 +1931,26 @@ object TrainingCatalog {
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
          |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")}
          |SELECT id AS doc_id, comp FROM comps ORDER BY doc_id""".stripMargin,
+
+    "sp2_split_leakage" -> {
+      val tok = Sampling.thresholdToken(0.8)
+      def splitOf(e: String) =
+        s"CASE WHEN substr(md5(CAST($e AS VARCHAR)), 1, 8) < '$tok' THEN 'train' ELSE 'eval' END"
+      s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
+         |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")},
+         |cs AS (SELECT id, ${splitOf("comp")} AS s FROM comps),
+         |ds AS (SELECT id, ${splitOf("id")} AS s FROM comps),
+         |x1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM pairs p
+         |  JOIN cs a ON a.id = p.a_id JOIN cs b ON b.id = p.b_id
+         |  WHERE a.s <> b.s),
+         |x2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM pairs p
+         |  JOIN ds a ON a.id = p.a_id JOIN ds b ON b.id = p.b_id
+         |  WHERE a.s <> b.s)
+         |SELECT 'cluster' AS split_kind, (SELECT c FROM x1) AS n_cross_pairs
+         |UNION ALL
+         |SELECT 'doc_hash', (SELECT c FROM x2)
+         |ORDER BY split_kind""".stripMargin
+    },
 
     "sp1_cluster_split" ->
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
