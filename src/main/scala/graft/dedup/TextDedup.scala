@@ -256,6 +256,33 @@ object TextDedup {
           (col("a_sz") + col("b_sz") - col("n_inter")).cast("double")).as("jacc"))
   }
 
+  /** Candidate-pair Jaccard histogram — the LSH threshold-calibration
+    * readout (how much of the candidate mass sits above a prospective
+    * similarity cut). The bucket is INTEGER arithmetic end to end:
+    * floor(buckets·|∩|/|∪|) computed as (|∩|·buckets) div |∪| on
+    * exact int64 counts — never through the double ratio, where a
+    * representation error at a bucket boundary could flip the floor.
+    * A perfect pair (|∩|=|∪|) clamps into the top bucket.
+    */
+  def jaccardHistogram(pairs: DataFrame, shingles: DataFrame,
+                       idCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingles.withColumnRenamed(idCol, "a_id"), Seq("a_id"))
+      .join(shingles.withColumnRenamed(idCol, "b_id"), Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "a_id")
+        .withColumnRenamed("sz", "a_sz"), Seq("a_id"))
+      .join(sizes.withColumnRenamed(idCol, "b_id")
+        .withColumnRenamed("sz", "b_sz"), Seq("b_id"))
+      .select(least(
+        expr(s"(n_inter * $buckets) div (a_sz + b_sz - n_inter)"),
+        lit(buckets - 1L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Directional containment for candidate pairs: C(a→b) = |A∩B|/|A|
     * and the reverse — the asymmetric sibling of [[jaccard]]. A short
     * doc quoted wholesale inside a long one has containment ≈ 1 in one

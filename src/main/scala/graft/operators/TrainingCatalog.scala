@@ -714,6 +714,22 @@ object TrainingCatalog {
       TextDedup.jaccard(pairs, sh, "doc_id").orderBy(col("a_id"), col("b_id"))
     }),
 
+    // X18 — candidate-pair Jaccard histogram: the LSH threshold
+    // calibration readout. Buckets are integer end-to-end
+    // ((|∩|·10) div |∪| on exact counts — never through the double
+    // ratio, where a representation error at a boundary could flip
+    // the floor); perfect pairs clamp to the top bucket.
+    "x18_jaccard_histogram" -> ((spark, dir) => {
+      val sh = TextDedup.shingleSets(docsWithVariants(spark, dir),
+        "doc_id", "text")
+      val pairs = TextDedup.candidatePairs(
+        TextDedup.bandKeys(
+          TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
+        "doc_id")
+      TextDedup.jaccardHistogram(pairs, sh, "doc_id")
+        .orderBy(col("bucket"))
+    }),
+
     // SS1 — exact set-similarity self-join (PPJoin prefix filtering):
     // EVERY pair with trigram Jaccard >= 0.5, provably complete (LSH
     // can miss a qualifying pair; this path cannot). The
@@ -1784,6 +1800,22 @@ object TrainingCatalog {
          |  round(CAST(SUM(CASE WHEN jacc >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(COUNT(*) AS DOUBLE), 6) AS precision_at_50
          |FROM j""".stripMargin,
+
+    "x18_jaccard_histogram" ->
+      s"""WITH $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
+         |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS n
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.a_id
+         |  JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY p.a_id, p.b_id),
+         |d AS (SELECT LEAST((i.n * 10) // (za.sz + zb.sz - i.n), 9) AS bucket
+         |  FROM inter i
+         |  JOIN sz za ON za.doc_id = i.a_id
+         |  JOIN sz zb ON zb.doc_id = i.b_id)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM d GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "x5_jaccard" ->
       s"""WITH $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
