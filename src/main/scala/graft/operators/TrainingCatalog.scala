@@ -933,6 +933,20 @@ object TrainingCatalog {
           min(col("doc_id")).as("canonical_id"))
         .orderBy(col("comp"))),
 
+    // X19 — dedup cluster-size histogram: how many components exist
+    // at each size, and the doc/token mass they hold — the headline
+    // chart of every dedup report (a fat tail here means the corpus
+    // is dominated by a few mega-clusters and the star-cap/canonical
+    // policies matter; all-singletons means dedup is done). Exact
+    // integer counts over the x9 assignment; one extra comp-keyed agg.
+    "x19_cluster_sizes" -> ((spark, dir) =>
+      dedupComponents(spark, dir)
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+        .orderBy(col("sz"))),
+
     // simhash bit strings
     "x6_simhash" -> ((spark, dir) =>
       TextDedup.simhash(docs(spark, dir), "doc_id", "text")
@@ -2018,6 +2032,15 @@ object TrainingCatalog {
          |  UNION ALL SELECT * FROM np2),
          |${graft.dedup.Components.Sql.componentsCtes("pairs", "ids", "id")}
          |SELECT id, comp FROM comps ORDER BY id""".stripMargin,
+
+    "x19_cluster_sizes" ->
+      s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
+         |${Components.Sql.componentsCtes("pairs", "augv", "doc_id")},
+         |cz AS (SELECT comp, COUNT(*) AS sz FROM comps GROUP BY comp)
+         |SELECT CAST(sz AS BIGINT) AS sz,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(sz) AS BIGINT) AS n_docs
+         |FROM cz GROUP BY sz ORDER BY sz""".stripMargin,
 
     "x10_canonical_docs" ->
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,
