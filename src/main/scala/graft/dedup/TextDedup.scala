@@ -242,19 +242,27 @@ object TextDedup {
   /** Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B|, computed
     * from integer counts (cross-engine exact).
     */
-  def jaccard(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
+  /** (a_id, b_id, n_inter, a_sz, b_sz) for candidate pairs — the
+    * shared integer core of [[jaccard]] and [[jaccardHistogram]].
+    */
+  private def pairCounts(pairs: DataFrame, shingles: DataFrame,
+                         idCol: String): DataFrame = {
     val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
+    pairs
       .join(shingles.withColumnRenamed(idCol, "a_id"), Seq("a_id"))
       .join(shingles.withColumnRenamed(idCol, "b_id"), Seq("b_id", "shingle"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "a_id").withColumnRenamed("sz", "a_sz"), Seq("a_id"))
-      .join(sizes.withColumnRenamed(idCol, "b_id").withColumnRenamed("sz", "b_sz"), Seq("b_id"))
+      .join(sizes.withColumnRenamed(idCol, "a_id")
+        .withColumnRenamed("sz", "a_sz"), Seq("a_id"))
+      .join(sizes.withColumnRenamed(idCol, "b_id")
+        .withColumnRenamed("sz", "b_sz"), Seq("b_id"))
+  }
+
+  def jaccard(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame =
+    pairCounts(pairs, shingles, idCol)
       .select(col("a_id"), col("b_id"),
         (col("n_inter").cast("double") /
           (col("a_sz") + col("b_sz") - col("n_inter")).cast("double")).as("jacc"))
-  }
 
   /** Candidate-pair Jaccard histogram — the LSH threshold-calibration
     * readout (how much of the candidate mass sits above a prospective
@@ -267,16 +275,7 @@ object TextDedup {
   def jaccardHistogram(pairs: DataFrame, shingles: DataFrame,
                        idCol: String, buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val sizes = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(shingles.withColumnRenamed(idCol, "a_id"), Seq("a_id"))
-      .join(shingles.withColumnRenamed(idCol, "b_id"), Seq("b_id", "shingle"))
-      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed(idCol, "a_id")
-        .withColumnRenamed("sz", "a_sz"), Seq("a_id"))
-      .join(sizes.withColumnRenamed(idCol, "b_id")
-        .withColumnRenamed("sz", "b_sz"), Seq("b_id"))
+    pairCounts(pairs, shingles, idCol)
       .select(least(
         expr(s"(n_inter * $buckets) div (a_sz + b_sz - n_inter)"),
         lit(buckets - 1L)).as("bucket"))

@@ -556,22 +556,11 @@ object CurationCatalog {
 
     // DCARD2 — the per-source card (release artifacts ship one card
     // per subset): dcard1's columns keyed by source, one partial agg.
-    "dcard2_source_cards" -> ((spark, dir) => {
-      val q = graft.functions.TextAnalysis.qualityScore(col("text"))
-      Tables.documents(spark, dir).groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(graft.functions.TextAnalysis.tokenCount(col("text"))
-          .cast("long")).as("n_tokens"),
-        sum(length(col("text")).cast("long")).as("n_chars"),
-        concat_ws(",", sort_array(collect_set(col("lang")))).as("langs"),
-        sum(floor(q * 1000000.0).cast("long")).as("q_micros"))
-        .select(col("source"), col("n_docs"), col("n_tokens"),
-          col("n_chars"), col("langs"), col("q_micros"),
-          (col("q_micros").cast("double") /
-            (col("n_docs") * lit(1000000L)).cast("double"))
-            .as("mean_quality"))
-        .orderBy(col("source"))
-    }),
+    // The expression tree IS DocStream.sourceCards — batch and the
+    // e26 streaming face share one spelling by construction.
+    "dcard2_source_cards" -> ((spark, dir) =>
+      graft.streaming.DocStream.sourceCards(Tables.documents(spark, dir))
+        .orderBy(col("source"))),
 
     // PII2 — per-class PII census (the rate a pipeline tracks before/
     // after scrubbing): counts follow the redaction chain's precedence
@@ -787,10 +776,15 @@ object CurationCatalog {
   private def repGramExpr(n: Int) =
     (0 until n).map(j => s"t[i+$j]").mkString(" || ' ' || ")
 
+  // COALESCE mirrors the engine's null handling (positionedGrams
+  // yields no rows for NULL text; totals coalesce to 0) — without it
+  // a fixture regen containing one NULL text flips rep1/rep2's hash
+  // and makes rep3's NULL predicate drop a doc the engine keeps
   private val repTkTotSql =
     """tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM rdocs),
       |tot AS (SELECT doc_id,
-      |   CAST(length(replace(text, ' ', '')) AS BIGINT) AS total_chars
+      |   CAST(length(replace(COALESCE(text, ''), ' ', '')) AS BIGINT)
+      |     AS total_chars
       | FROM rdocs)""".stripMargin
 
   /** gN (per-doc n-gram counts) + rN (count-desc, gram-asc rank). */

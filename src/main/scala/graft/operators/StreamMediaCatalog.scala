@@ -653,11 +653,7 @@ object StreamMediaCatalog {
         planted.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
           .write.mode("append").parquet(in)
       val stream = spark.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType))))
+        .schema(graft.streaming.DocStream.idTextSchema)
         .option("maxFilesPerTrigger", 1).parquet(in)
       graft.streaming.DocStream.repetitionCutFold(stream)
         .select(col("doc_id"))
@@ -694,11 +690,7 @@ object StreamMediaCatalog {
         probes.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
           .write.mode("append").parquet(in)
       val probeStream = spark.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("doc_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("text",
-            org.apache.spark.sql.types.StringType))))
+        .schema(graft.streaming.DocStream.idTextSchema)
         .option("maxFilesPerTrigger", 1).parquet(in)
       graft.streaming.DocStream.containmentAdmitFold(probeStream,
         graft.dedup.TextDedup.shingleSets(d, "doc_id", "text", k = 5))

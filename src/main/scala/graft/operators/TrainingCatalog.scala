@@ -29,9 +29,7 @@ object TrainingCatalog {
     * and token-reversed docs (every 5-gram destroyed → admitted).
     */
   private[operators] def nv2Probes(d: DataFrame): DataFrame =
-    d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + VariantOffset).as("doc_id"),
-        expr("substring(text, locate(' ', text) + 1)").as("text"))
+    firstTokenDroppedVariants(d)
       .unionAll(d.filter(col("doc_id") % 7 === 0)
         .select((col("doc_id") + RevProbeOffset).as("doc_id"),
           array_join(reverse(split(col("text"), " ", -1)), " ")
@@ -52,17 +50,29 @@ object TrainingCatalog {
        | SELECT doc_id + $VariantOffset, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
   /** Original docs + near-variants (first token dropped) of every 10th. */
+  /** The first-token-dropped near-copy construction — ONE spelling,
+    * consumed by both the x-family variant corpus and nv2/e25's probe
+    * set (a drift between the two would silently desynchronize the
+    * containment gates from the dedup gates).
+    */
+  private def firstTokenDroppedVariants(d: DataFrame): DataFrame =
+    d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + VariantOffset).as("doc_id"),
+        expr("substring(text, locate(' ', text) + 1)").as("text"))
+
+  private[operators] val variantSelectSql =
+    s"""SELECT doc_id + $VariantOffset AS doc_id,
+       |   substring(text, strpos(text, ' ') + 1) AS text
+       | FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
   private def docsWithVariants(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
-    d.union(d.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + VariantOffset).as("doc_id"),
-        expr("substring(text, locate(' ', text) + 1)").as("text")))
+    d.union(firstTokenDroppedVariants(d))
   }
   private val docsWithVariantsSql =
     s"""augv AS (SELECT doc_id, text FROM documents
        | UNION ALL
-       | SELECT doc_id + $VariantOffset, substring(text, strpos(text, ' ') + 1)
-       | FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+       | $variantSelectSql)""".stripMargin
 
   private val lshDims = Seq(0, 8, 16, 24, 32, 40, 48, 56)
 
@@ -1471,9 +1481,7 @@ object TrainingCatalog {
     "nv2_store_admit" -> {
       val S = TextDedup.Sql
       s"""WITH probes AS (
-         |  SELECT doc_id + $VariantOffset AS doc_id,
-         |    substring(text, strpos(text, ' ') + 1) AS text
-         |  FROM documents WHERE doc_id % 10 = 0
+         |  $variantSelectSql
          |  UNION ALL
          |  SELECT doc_id + $RevProbeOffset,
          |    array_to_string(list_reverse(string_split(text, ' ')), ' ')

@@ -27,6 +27,14 @@ object DocStream {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** (doc_id, text) schema for staged probe/doc streams — one
+    * constant shared by every gate that stages a 2-column frame
+    * (e25/e27 and their specs), so a column change is fixed in one
+    * place instead of silently reading nulls through a stale copy.
+    */
+  val idTextSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
   /** File-source stream over a directory of documents parquet. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
@@ -417,10 +425,14 @@ object DocStream {
     */
   def containmentAdmitFold(docStream: DataFrame, store: DataFrame,
                            k: Int = 5): DataFrame = {
+    // materialize the frozen store ONCE — without this every
+    // micro-batch re-executes the store's plan (a full corpus
+    // re-shingle per batch: O(corpus), not O(batch))
+    val frozen = store.localCheckpoint()
     var acc: DataFrame = null
     EventStream.runForeachBatch(docStream, (batch, _) => {
       val adm = graft.dedup.TextDedup.containmentAdmit(
-        batch, "doc_id", "text", store, k)
+        batch, "doc_id", "text", frozen, k)
       acc = (if (acc == null) adm else acc.unionAll(adm)).localCheckpoint()
     })
     require(acc != null, "containmentAdmitFold: stream delivered no batches")

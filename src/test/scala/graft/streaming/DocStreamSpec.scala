@@ -289,11 +289,7 @@ class DocStreamSpec extends graft.SparkSpec {
     Seq((2L, heavy)).toDF("doc_id", "text")
       .coalesce(1).write.mode("append").parquet(dir)
     val stream = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType))))
+      .schema(DocStream.idTextSchema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
     val streamed = DocStream.repetitionCutFold(stream)
       .select($"doc_id").as[Long].collect().sorted.toSeq
