@@ -479,19 +479,11 @@ object CurationCatalog {
     // threshold cut. Bucket = floor(q·10) clamped to 9 (q is a
     // rational IEEE tree, shared both sides; the floor is the gm1
     // discipline); counts exact int64, mean length one IEEE division.
-    "qd1_quality_deciles" -> ((spark, dir) => {
-      val q = graft.functions.TextAnalysis.qualityScore(col("text"))
-      docs(spark, dir)
-        .select(least(floor(q * 10.0).cast("long"), lit(9L)).as("decile"),
-          graft.functions.TextAnalysis.tokenCount(col("text"))
-            .cast("long").as("n_toks"))
-        .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
-        .select(col("decile"), col("n_docs"), col("n_tokens"),
-          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
-            .as("mean_len"))
-        .orderBy(col("decile"))
-    }),
+    // (the expression tree IS DocStream.qualityDeciles — batch and
+    // the e29 streaming face share one spelling by construction)
+    "qd1_quality_deciles" -> ((spark, dir) =>
+      graft.streaming.DocStream.qualityDeciles(docs(spark, dir))
+        .orderBy(col("decile"))),
 
     // LF1 — language-consistency cut (the C4 move: keep only docs the
     // classifier agrees with the metadata on): langId is one codegen'd

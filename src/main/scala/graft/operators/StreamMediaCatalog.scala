@@ -660,6 +660,21 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E29 — streaming quality-decile census (qd1's face): stateless
+    // decile projection + two algebraic aggs, Complete mode, ≤10 rows
+    // of state — the threshold-calibration readout refreshes while
+    // the corpus is still arriving; shares qd1's oracle.
+    "e29_stream_quality_deciles" -> ((spark, dir) => {
+      val d = java.nio.file.Paths.get(
+        stageFixtureDir("stream_qdec", dir, "documents.parquet"))
+      EventStream.runToMemory(spark,
+        graft.streaming.DocStream.qualityDeciles(
+          graft.streaming.DocStream.read(spark, d.toString)),
+        s"stream_qdec_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("decile"))
+    }),
+
     // E26 — streaming per-source dataset cards (dcard2's face): all
     // columns are streaming-legal aggregates (collect_set's state is
     // the bounded language inventory), Complete mode, ≤|sources| rows
@@ -1021,6 +1036,9 @@ object StreamMediaCatalog {
 
     // the converged cards must equal batch dcard2: its own oracle
     "e26_stream_source_cards" -> CurationCatalog.oracle("dcard2_source_cards"),
+
+    // the converged census must equal batch qd1: its own oracle
+    "e29_stream_quality_deciles" -> CurationCatalog.oracle("qd1_quality_deciles"),
 
     // the drained repetition cut must equal batch rep3: its own oracle
     "e27_stream_repetition" -> CurationCatalog.oracle("rep3_repetition_filter"),

@@ -395,6 +395,24 @@ object DocStream {
           .as("mean_quality"))
   }
 
+  /** Streaming quality-decile census (qd1's face): the decile is a
+    * stateless per-row projection and both aggregates are algebraic,
+    * so the census is one Complete-mode streaming agg with ≤10 rows
+    * of state — the threshold-calibration readout refreshes while
+    * the corpus is still arriving.
+    */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScore(col("text"))
+    docs
+      .select(least(floor(q * 10.0).cast("long"), lit(9L)).as("decile"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_len"))
+  }
+
   /** Streaming repetition cut (rep3's face): the Gopher char-fraction
     * verdicts are DOC-LOCAL (within-doc gram aggregates), so running
     * the batch filter per micro-batch via foreachBatch gives exactly
