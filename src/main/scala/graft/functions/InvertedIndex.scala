@@ -195,7 +195,7 @@ object InvertedIndex {
     *
     *  - UNTOUCHED terms (no posting in `newDocs`): their blocked rows
     *    pass through VERBATIM — no parse, no shuffle participation
-    *    beyond the broadcast anti-join probe (pinned by the spec's
+    *    beyond the affected-term anti-join probe (pinned by the spec's
     *    poisoned-cell arm).
     *  - AFFECTED terms: old postings parse back to rows, union the new
     *    docs' (doc, term, tf) rows, and df/rn/block recompute for just
@@ -210,11 +210,15 @@ object InvertedIndex {
                   idCol: String, textCol: String,
                   nShards: Int = 8, blockSize: Int = 16): DataFrame = {
     val newTf = termFreqs(newDocs, idCol, textCol)
+    // NO broadcast hint on the affected-term joins: `affected` is the
+    // incoming batch's distinct vocabulary — a large append makes it
+    // vocabulary-scale, past any safe broadcast budget (the repo-wide
+    // "vocabulary is never broadcast" discipline). AQE picks broadcast
+    // on its own when the batch is small; hinting would force it always.
     val affected = newTf.select(col("term")).distinct()
-    val untouched = index.join(broadcast(affected), Seq("term"),
-      "left_anti")
+    val untouched = index.join(affected, Seq("term"), "left_anti")
     val oldRows = parsePostings(
-        index.join(broadcast(affected), Seq("term"), "left_semi"))
+        index.join(affected, Seq("term"), "left_semi"))
       .select(col("doc_id"), col("term"), col("tf"))
     rebuildBlocks(oldRows.unionByName(newTf), nShards, blockSize)
       .unionByName(untouched.select(untouched.columns.map(col): _*))
@@ -234,13 +238,14 @@ object InvertedIndex {
       .select(col(idCol).cast("long").as("doc_id"),
         explode(split(col(textCol), " ", -1)).as("term"))
       .filter(col("term") =!= "")
+    // same no-hint discipline as indexAppend: a bulk delete's distinct
+    // term/id sets are corpus-scale — let AQE choose the strategy
     val affected = removedTerms.select(col("term")).distinct()
     val removedIds = removedTerms.select(col("doc_id")).distinct()
-    val untouched = index.join(broadcast(affected), Seq("term"),
-      "left_anti")
+    val untouched = index.join(affected, Seq("term"), "left_anti")
     val surviving = parsePostings(
-        index.join(broadcast(affected), Seq("term"), "left_semi"))
-      .join(broadcast(removedIds), Seq("doc_id"), "left_anti")
+        index.join(affected, Seq("term"), "left_semi"))
+      .join(removedIds, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("term"), col("tf"))
     rebuildBlocks(surviving, nShards, blockSize)
       .unionByName(untouched.select(untouched.columns.map(col): _*))

@@ -478,12 +478,18 @@ object TextAnalysis {
     * the classic phrase-discovery statistic a tokenizer/vocab builder
     * runs before committing multi-word units:
     * `pmi = ln( (c_ab/N_bg) / ((c_a/N_uni)·(c_b/N_uni)) )`, computed
-    * as ONE double division of two exact int64 products
-    * (`c_ab·N_uni²` over `N_bg·c_a·c_b` — both < 2^63 at any fixture
-    * scale; long→double casts are IEEE-deterministic, so both engines
-    * divide identical operands) and quantized with the t9 nudged
-    * floor. `minCount` kills the low-count PMI pathology (hapax pairs
-    * score highest) before the join — the standard collocation floor.
+    * as a SUM OF LOGS — `ln(c_ab) + 2·ln(N_uni) − ln(N_bg) − ln(c_a)
+    * − ln(c_b)`, spelled identically (same operand order, same
+    * left-assoc grouping) in the DuckDB oracle — and quantized with
+    * the t9 nudged floor. The earlier single-division spelling formed
+    * `c_ab·N_uni²` in int64 first: `N_uni²` alone exceeds 2^63 past
+    * ~3e9 corpus tokens and the triple product wraps (non-ANSI) near
+    * ~1e9, silently corrupting the ranking at exactly the corpus
+    * scales this operator targets. The log-sum never overflows (each
+    * count casts to double exactly below 2^53, and counts beyond that
+    * lose only sub-ulp precision that the nudge absorbs). `minCount`
+    * kills the low-count PMI pathology (hapax pairs score highest)
+    * before the join — the standard collocation floor.
     *
     * Adjacency is over each document's EMPTY-FILTERED token sequence
     * (the token-stream convention; contrast positional adjacency in
@@ -516,9 +522,12 @@ object TextAnalysis {
       .join(uni.select(col("term").as("a"), col("c").as("c_a")), Seq("a"))
       .join(uni.select(col("term").as("b"), col("c").as("c_b")), Seq("b"))
       .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
-      .withColumn("pmi_q", floor(log(
-          (col("c_ab") * col("n_uni") * col("n_uni")).cast("double")
-            / (col("n_bg") * col("c_a") * col("c_b")).cast("double"))
+      .withColumn("pmi_q", floor(
+        (log(col("c_ab").cast("double"))
+          + lit(2.0) * log(col("n_uni").cast("double"))
+          - log(col("n_bg").cast("double"))
+          - log(col("c_a").cast("double"))
+          - log(col("c_b").cast("double")))
         * lit(1e6) + lit(1e-4)).cast("long"))
       .orderBy(col("pmi_q").desc, col("a"), col("b")).limit(k)
       .withColumn("rn", row_number().over(

@@ -301,10 +301,19 @@ object Catalog {
         .orderBy($"o_orderstatus")
     }),
 
-    // J3 — anti join: customers with no orders
+    // J3 — anti join: customers with no orders. The fixture gives
+    // every customer at least one order, so the raw anti join is
+    // trivially empty (an anti-join bug that also returns empty would
+    // pass). Plant orderless customers deterministically ON BOTH SIDES
+    // (the CurationCatalog convention): every 97th custkey re-enters
+    // offset by 1e8 — guaranteed outside both the customer and the
+    // orders key range, so exactly the planted rows survive.
     "j3_join_anti" -> ((spark, dir) => {
       import spark.implicits._
-      Tables.customer(spark, dir)
+      val cust = Tables.customer(spark, dir).select($"c_custkey")
+      val planted = cust.filter($"c_custkey" % 97 === 0)
+        .select(($"c_custkey" + lit(100000000L)).as("c_custkey"))
+      cust.unionByName(planted)
         .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey").orderBy($"c_custkey")
     }),
@@ -975,7 +984,12 @@ object Catalog {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "j3_join_anti" ->
-      """SELECT c_custkey FROM customer
+      """WITH cust AS (
+        |  SELECT c_custkey FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 100000000 AS c_custkey FROM customer
+        |  WHERE c_custkey % 97 = 0)
+        |SELECT c_custkey FROM cust
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
 

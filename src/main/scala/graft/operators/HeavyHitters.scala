@@ -51,8 +51,16 @@ object HeavyHitters {
       count_min_sketch(col("term"), lit(eps), lit(confidence),
         lit(seed)).as("cms")).head()
     val total = firstPass.getLong(0)
-    val cms = CountMinSketch.readFrom(
-      new ByteArrayInputStream(firstPass.getAs[Array[Byte]](1)))
+    val cmsBytes = firstPass.getAs[Array[Byte]](1)
+    // empty/all-empty-token corpus: count_min_sketch over zero rows
+    // yields a NULL sketch (and total == 0 makes the threshold
+    // vacuous) — return the empty result instead of NPE-ing on the
+    // sketch bytes
+    if (total == 0L || cmsBytes == null) {
+      return terms.groupBy(col("term"))
+        .agg(count(lit(1)).as("cnt")).limit(0)
+    }
+    val cms = CountMinSketch.readFrom(new ByteArrayInputStream(cmsBytes))
     val bcCms = spark.sparkContext.broadcast(cms)
     val d = denom
     val estimateClears = udf((t: String) =>

@@ -474,9 +474,10 @@ object TrainingCatalog {
         .orderBy(col("query_id"), col("rn"))
     }),
 
-    // PMI1 — top-k PMI collocations: one double division of two exact
-    // int64 products, t9-quantized ln, count floor at 5 — the phrase-
-    // discovery statistic over adjacent token pairs.
+    // PMI1 — top-k PMI collocations: overflow-safe ln-sum
+    // (ln c_ab + 2 ln N_uni − ln N_bg − ln c_a − ln c_b), t9-quantized,
+    // count floor at 5 — the phrase-discovery statistic over adjacent
+    // token pairs.
     "pmi1_collocations" -> ((spark, dir) => {
       graft.functions.TextAnalysis.collocations(
         docs(spark, dir), "doc_id", "text", minCount = 5L, k = 20)
@@ -1569,8 +1570,9 @@ object TrainingCatalog {
         |SELECT query_id, rn, doc_id, score_q FROM rk WHERE rn <= 10
         |ORDER BY query_id, rn""".stripMargin,
 
-    // same exact-integer products, same single division, same nudged
-    // floor; adjacency via per-doc ROW_NUMBER over filtered tokens
+    // same overflow-safe ln-sum (identical operand order and grouping,
+    // so both engines sum the same IEEE terms), same nudged floor;
+    // adjacency via per-doc ROW_NUMBER over filtered tokens
     "pmi1_collocations" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |uni0 AS (SELECT doc_id, t[u.i] AS tk, u.i AS i FROM tok
@@ -1586,8 +1588,11 @@ object TrainingCatalog {
         |st AS (SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ucnt) AS n_uni,
         |  (SELECT CAST(SUM(c_ab) AS BIGINT) FROM bg) AS n_bg),
         |sc AS (SELECT a, b, c_ab,
-        |    CAST(floor(ln(CAST(c_ab * n_uni * n_uni AS DOUBLE)
-        |      / CAST(n_bg * ca.c * cb.c AS DOUBLE)) * 1e6 + 1e-4)
+        |    CAST(floor((ln(CAST(c_ab AS DOUBLE))
+        |      + 2.0 * ln(CAST(n_uni AS DOUBLE))
+        |      - ln(CAST(n_bg AS DOUBLE))
+        |      - ln(CAST(ca.c AS DOUBLE))
+        |      - ln(CAST(cb.c AS DOUBLE))) * 1e6 + 1e-4)
         |      AS BIGINT) AS pmi_q
         |  FROM bg JOIN ucnt ca ON ca.term = bg.a
         |  JOIN ucnt cb ON cb.term = bg.b
@@ -2161,7 +2166,7 @@ object TrainingCatalog {
          |  COALESCE(h.n_hits, 0) AS n_hits,
          |  CAST(COALESCE(h.fhr, 0) AS BIGINT) AS first_hit_rank,
          |  CASE WHEN h.fhr IS NULL THEN 0
-         |       ELSE CAST(60 / h.fhr AS BIGINT) END AS rr60
+         |       ELSE CAST(FLOOR(60.0 / h.fhr) AS BIGINT) END AS rr60
          |FROM (SELECT DISTINCT query_id FROM truth) tq
          |LEFT JOIN hit h USING (query_id)
          |ORDER BY query_id""".stripMargin,

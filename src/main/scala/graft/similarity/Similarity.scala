@@ -183,9 +183,15 @@ object Similarity {
       .select(col("query_id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         coalesce(col("first_hit_rank"), lit(0L)).as("first_hit_rank"),
-        // ranks 1..5 divide 60 exactly, so the double round-trip is exact
+        // rr60 = floor(60/rank): exact lcm(1..5) scaling for ranks <= 6
+        // (divisors of 60 divide exactly, floor is identity), explicit
+        // floor beyond — Spark's long cast TRUNCATES while DuckDB's
+        // rounds, so without the floor any k > 6 caller got a silent
+        // cross-engine divergence (60/7 -> 8 vs 9). Floor of a double
+        // quotient of small exact ints is bit-identical on both engines.
         when(col("first_hit_rank").isNull, lit(0L))
-          .otherwise((lit(60) / col("first_hit_rank")).cast("long")).as("rr60"))
+          .otherwise(floor(lit(60.0) / col("first_hit_rank")).cast("long"))
+          .as("rr60"))
   }
 
   /** LSH-bucketed ANN: identical contract to [[bruteForceTopK]] but

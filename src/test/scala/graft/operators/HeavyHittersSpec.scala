@@ -21,6 +21,18 @@ class HeavyHittersSpec extends SparkSpec {
     assert(out == Seq(("hot", 100L)))
   }
 
+  test("empty and all-empty-token corpora return an empty frame, no NPE") {
+    // count_min_sketch over zero rows yields a NULL sketch; the
+    // early-return guard must fire instead of feeding null into
+    // CountMinSketch.readFrom
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(HeavyHitters.frequentTerms(empty, "doc_id", "text").count() == 0L)
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val out = HeavyHitters.frequentTerms(blank, "doc_id", "text")
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("term", "cnt"))
+  }
+
   test("matches the naive exact groupBy at every threshold") {
     val docs = graft.core.Tables.documents(spark, sf001)
     val terms = docs

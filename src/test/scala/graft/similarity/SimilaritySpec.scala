@@ -88,6 +88,21 @@ class SimilaritySpec extends SparkSpec {
     assert(Seq(1, 2, 3, 4, 5).map(60 / _) == Seq(60, 30, 20, 15, 12))
   }
 
+  test("retrievalEval: rr60 floor contract holds past rank 6 (k > 6 callers)") {
+    // rank 7 does not divide 60: Spark's long cast truncates (8) while
+    // DuckDB's rounds (9) — the explicit floor pins BOTH engines to 8.
+    // first hit at system rank 7 of a k=8 result list.
+    val truth = Seq((0L, 1, 10L)).toDF("query_id", "rn", "neighbor_id")
+    val sys = (1 to 8).map(r => (0L, r, if (r == 7) 10L else 90L + r))
+      .toDF("query_id", "rn", "neighbor_id")
+    val out = Similarity.retrievalEval(truth, sys)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 1L, 7L, 8L)))
+    // floor(60/r) for r in 7..10 — the contract the oracle mirrors
+    assert(Seq(7, 8, 9, 10).map(r => math.floor(60.0 / r).toLong) ==
+      Seq(8L, 7L, 6L, 6L))
+  }
+
   test("signBucket groups colinear vectors; lshTopK stays within bucket") {
     val dims = Seq(0, 1)
     val buckets = vecs.select($"vec_id", Similarity.signBucket($"embedding", dims).as("b"))
