@@ -42,17 +42,47 @@ object Bpe {
     * pairs here would silently diverge engine-vs-oracle the moment a
     * corpus carries a non-BMP character (emoji, CJK extensions).
     */
-  def applyWord(word: String, ranks: Map[(String, String), Int]): Vector[String] = {
-    var syms = {
-      val b = Vector.newBuilder[String]
-      var i = 0
-      while (i < word.length) {
-        val n = Character.charCount(word.codePointAt(i))
-        b += word.substring(i, i + n)
-        i += n
-      }
-      b.result()
+  def applyWord(word: String, ranks: Map[(String, String), Int]): Vector[String] =
+    applySyms(codePointSyms(word), ranks)
+
+  /** Unicode-code-point initial split (the char-level symbolization). */
+  private[functions] def codePointSyms(word: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      b += word.substring(i, i + n)
+      i += n
     }
+    b.result()
+  }
+
+  /** UTF-8 byte initial split, each byte a lowercase 2-hex-char symbol
+    * ("c3a9" for é) — the byte-level symbolization. Hex symbols are
+    * regex-inert ([0-9a-f]), so the same recursive-CTE oracle replay
+    * machinery carries over unchanged, and `lower(hex(encode(w)))` on
+    * the DuckDB side produces the identical initial sequence (UTF-8 is
+    * THE cross-engine byte encoding: Spark strings encode to it, DuckDB
+    * VARCHARs are it).
+    */
+  private[functions] def byteSyms(word: String): Vector[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < bytes.length) {
+      b += f"${bytes(i) & 0xff}%02x"
+      i += 1
+    }
+    b.result()
+  }
+
+  /** The greedy merge loop over an already-symbolized word — shared by
+    * the char-level and byte-level paths so the merge semantics (lowest
+    * rank anywhere, leftmost occurrence, re-evaluate) cannot diverge.
+    */
+  def applySyms(syms0: Vector[String],
+                ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = syms0
     var more = syms.length > 1
     while (more) {
       var best = Int.MaxValue
@@ -84,7 +114,20 @@ object Bpe {
     * compiled flatMap + partial-combining sum + a 1-row argmax collect
     * (bounded — the only driver-side value is the winning pair).
     */
-  def train(df: DataFrame, textCol: String, nMerges: Int): Vector[(String, String)] = {
+  def train(df: DataFrame, textCol: String, nMerges: Int): Vector[(String, String)] =
+    trainWith(df, textCol, nMerges, codePointSyms)
+
+  /** Byte-level training — same greedy argmax loop over UTF-8 hex-byte
+    * symbolizations. The base vocabulary is all 256 byte symbols, so
+    * there is no token filter: EVERY word participates (the char-level
+    * trainer's [a-z]+ gate filter exists only for oracle regex
+    * inertness, which hex symbols have by construction).
+    */
+  def trainBytes(df: DataFrame, textCol: String, nMerges: Int): Vector[(String, String)] =
+    trainWith(df, textCol, nMerges, byteSyms)
+
+  private def trainWith(df: DataFrame, textCol: String, nMerges: Int,
+                        symbolize: String => Vector[String]): Vector[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     val spark = df.sparkSession
     import spark.implicits._
@@ -102,7 +145,7 @@ object Bpe {
         val ranks = ranksOf(current) // tiny closure capture, ≤ nMerges
         val best = vocab
           .flatMap { case (w, f) =>
-            val syms = applyWord(w, ranks)
+            val syms = applySyms(symbolize(w), ranks)
             (0 until syms.length - 1).iterator
               .map(i => (syms(i), syms(i + 1), f))
           }
@@ -138,6 +181,25 @@ object Bpe {
     ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
     ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"))
 
+  /** The frozen BYTE-level merge table the tk10–tk12 gates run under:
+    * [[trainBytes]] over sf0.01 `documents` UNION the mixed-script
+    * plants (TrainingCatalog.BytePlants), nMerges=24, frozen like
+    * [[FrozenMerges]] so the gates are deterministic replays at every
+    * sf. Symbols are hex-byte strings — "65"='e', "6572"="er"; the
+    * table largely shadows the char-level one through ASCII hex
+    * because the corpus is ASCII-dominated, diverging where the
+    * plants' multi-byte pairs change the count order (rank 16 on:
+    * ("63","61")="ca" precedes the char table's ("a","n") — BpeSpec
+    * re-derives and pins this).
+    */
+  val FrozenByteMerges: Vector[(String, String)] = Vector(
+    ("65", "72"), ("69", "6e"), ("6f", "77"), ("6f", "72"), ("73", "74"),
+    ("6d", "6572"), ("61", "74"), ("6c", "75"), ("61", "72"), ("70", "6172"),
+    ("6a", "6f"), ("6a6f", "696e"), ("61", "73"), ("6173", "68"),
+    ("68", "617368"), ("72", "6f77"), ("63", "61"), ("6174", "63"),
+    ("617463", "68"), ("62", "61746368"), ("6361", "6e"), ("73", "63616e"),
+    ("63", "6f"), ("63", "75"))
+
   /** The end-of-document separator id for cross-doc sequence packing:
     * the first id past [[vocab]]'s range (base 26 + one per merge —
     * collisions leave holes below but never claim ids above), so it
@@ -164,7 +226,21 @@ object Bpe {
     * the hint and the same plan degrades gracefully to a shuffle join.
     */
   def tokenizeDocs(df: DataFrame, idCol: String, textCol: String,
-                   merges: Seq[(String, String)]): DataFrame = {
+                   merges: Seq[(String, String)]): DataFrame =
+    tokenizeDocsWith(df, idCol, textCol, merges, codePointSyms)
+
+  /** Byte-level [[tokenizeDocs]]: identical output contract, but
+    * `bpe_text` carries hex-byte-symbol tokens ("c3a9" = é before any
+    * merge) and `n_bpe_tokens` counts byte-level tokens. Works on ANY
+    * UTF-8 text — no alphabet restriction, the GPT-2-class guarantee.
+    */
+  def tokenizeDocsBytes(df: DataFrame, idCol: String, textCol: String,
+                        merges: Seq[(String, String)]): DataFrame =
+    tokenizeDocsWith(df, idCol, textCol, merges, byteSyms)
+
+  private def tokenizeDocsWith(df: DataFrame, idCol: String, textCol: String,
+                               merges: Seq[(String, String)],
+                               symbolize: String => Vector[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ranks = ranksOf(merges)
@@ -174,7 +250,7 @@ object Bpe {
       .filter(col("__w") =!= "")
     val vocabTok = words.select(col("__w")).distinct().as[String]
       .map { w =>
-        val t = applyWord(w, ranks)
+        val t = applySyms(symbolize(w), ranks)
         (w, t.mkString(" "), t.length.toLong)
       }
       .toDF("__w", "__toks", "__n")
@@ -205,6 +281,25 @@ object Bpe {
     }
   }
 
+  /** Byte-level token→id table: the 256 byte symbols take ids equal to
+    * their byte VALUE (0–255 — "00"→0, "ff"→255), then each merge
+    * product takes 256+rank, first-id-wins on surface collisions (the
+    * [[vocab]] convention). Because every terminal symbol is either a
+    * base byte or a merge product, lookup can NEVER miss — the
+    * byte-fallback guarantee that makes OOV structurally impossible.
+    */
+  def byteVocab(merges: Seq[(String, String)]): Map[String, Int] = {
+    val base = (0 until 256).map(b => f"$b%02x" -> b).toMap
+    merges.zipWithIndex.foldLeft(base) { case (m, ((x, y), i)) =>
+      if (m.contains(x + y)) m else m + ((x + y) -> (256 + i))
+    }
+  }
+
+  /** End-of-document separator id for the byte-level vocabulary: first
+    * id past [[byteVocab]]'s range (see [[sepId]]).
+    */
+  def byteSepId(merges: Seq[(String, String)]): Int = 256 + merges.size
+
   /** [[tokenizeDocs]] emitting integer token IDS — the artifact a
     * training run actually consumes: (idCol, n_bpe_tokens, bpe_ids)
     * with ids from [[vocab]] in token order (−1 for out-of-vocabulary
@@ -213,18 +308,34 @@ object Bpe {
     * join and one doc-keyed ordered flatten.
     */
   def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
-                    merges: Seq[(String, String)]): DataFrame = {
+                    merges: Seq[(String, String)]): DataFrame =
+    tokenizeToIdsWith(df, idCol, textCol, ranksOf(merges), vocab(merges),
+      codePointSyms)
+
+  /** Byte-level [[tokenizeToIds]]: ids from [[byteVocab]]. By the
+    * byte-fallback guarantee the unk id −1 never appears — asserted
+    * structurally (any symbol is a base byte or a merge product), and
+    * the tk11 gate's mixed-script plants exercise it on multi-byte
+    * UTF-8 (including non-BMP emoji, 4 bytes).
+    */
+  def tokenizeToIdsBytes(df: DataFrame, idCol: String, textCol: String,
+                         merges: Seq[(String, String)]): DataFrame =
+    tokenizeToIdsWith(df, idCol, textCol, ranksOf(merges), byteVocab(merges),
+      byteSyms)
+
+  private def tokenizeToIdsWith(df: DataFrame, idCol: String, textCol: String,
+                                ranks: Map[(String, String), Int],
+                                ids: Map[String, Int],
+                                symbolize: String => Vector[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ranks = ranksOf(merges)
-    val ids = vocab(merges)
     val words = df
       .select(col(idCol),
         posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
       .filter(col("__w") =!= "")
     val vocabIds = words.select(col("__w")).distinct().as[String]
       .map { w =>
-        val t = applyWord(w, ranks).map(s => ids.getOrElse(s, -1))
+        val t = applySyms(symbolize(w), ranks).map(s => ids.getOrElse(s, -1))
         (w, t, t.length.toLong)
       }
       .toDF("__w", "__ids", "__n")
@@ -305,6 +416,78 @@ object Bpe {
        |  string_agg(f.toks, ' ' ORDER BY w0.__pos) AS bpe_text
        |FROM w0 JOIN fin f ON w0.__w = f.word
        |GROUP BY w0.__id)""".stripMargin
+  }
+
+  /** DuckDB spelling of [[tokenizeDocsBytes]]: the [[tokenizeSql]]
+    * recursive replay with the initial split swapped to UTF-8 bytes —
+    * `lower(hex(encode(word)))` chopped into 2-hex-char symbols. Hex
+    * symbols are regex-inert by construction, so the merge-step
+    * `regexp_replace` interpolation is safe for ANY corpus text (the
+    * char-level spelling's [a-z]+ restriction does not apply).
+    */
+  def tokenizeBytesSql(src: String, id: String, text: String,
+                       merges: Seq[(String, String)]): String = {
+    require(merges.nonEmpty, "merges must be non-empty")
+    require(merges.forall { case (x, y) =>
+      val s = x + y
+      s.length % 2 == 0 && s.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')) },
+      "byte-level oracle replay requires even-length [0-9a-f]+ hex merge symbols")
+    val mvals = merges.zipWithIndex
+      .map { case ((x, y), i) => s"($i, '$x', '$y')" }.mkString(", ")
+    s"""(WITH RECURSIVE
+       |m(rank, x, y) AS (SELECT * FROM (VALUES $mvals) v(rank, x, y)),
+       |w0 AS (SELECT $id AS __id, i - 1 AS __pos, t[i] AS __w
+       |  FROM (SELECT $id, string_split($text, ' ') AS t FROM $src) d
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)
+       |  WHERE t[i] <> ''),
+       |vocab AS (SELECT DISTINCT __w AS word FROM w0),
+       |step(word, seq) AS (
+       |  SELECT word,
+       |    ' ' || trim(regexp_replace(lower(hex(encode(word))), '(..)', '\\1 ', 'g')) || ' '
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT word, regexp_replace(seq,
+       |      ' ' || split_part(p, '|', 1) || ' ' || split_part(p, '|', 2) || ' ',
+       |      ' ' || split_part(p, '|', 1) || split_part(p, '|', 2) || ' ')
+       |  FROM (SELECT word, seq,
+       |          (SELECT min_by(x || '|' || y, rank) FROM m
+       |           WHERE position(' ' || x || ' ' || y || ' ' IN s.seq) > 0) AS p
+       |        FROM step s) t
+       |  WHERE p IS NOT NULL),
+       |fin AS (SELECT word, trim(seq) AS toks,
+       |    CAST(len(string_split(trim(seq), ' ')) AS BIGINT) AS n
+       |  FROM step s
+       |  WHERE NOT EXISTS (SELECT 1 FROM m
+       |    WHERE position(' ' || x || ' ' || y || ' ' IN s.seq) > 0))
+       |SELECT w0.__id AS $id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(f.n) AS BIGINT) AS n_bpe_tokens,
+       |  string_agg(f.toks, ' ' ORDER BY w0.__pos) AS bpe_text
+       |FROM w0 JOIN fin f ON w0.__w = f.word
+       |GROUP BY w0.__id)""".stripMargin
+  }
+
+  /** DuckDB spelling of [[tokenizeToIdsBytes]] — [[idsSql]] over the
+    * byte replay, with [[byteVocab]] emitted as the VALUES table.
+    * COALESCE(−1) is spelled for shape parity but structurally dead:
+    * every terminal symbol is a base byte or a merge product.
+    */
+  def idsBytesSql(src: String, id: String, text: String,
+                  merges: Seq[(String, String)]): String = {
+    val vvals = byteVocab(merges).toSeq.sortBy(_._2)
+      .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
+    s"""(WITH bpe AS (SELECT $id, bpe_text
+       |  FROM ${tokenizeBytesSql(src, id, text, merges)} b),
+       |v(tok, tid) AS (SELECT * FROM (VALUES $vvals) x(tok, tid)),
+       |tks AS (SELECT $id, u.i, t[u.i] AS tok
+       |  FROM (SELECT $id, string_split(bpe_text, ' ') AS t FROM bpe) s
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+       |ids AS (SELECT tks.$id, tks.i, CAST(COALESCE(v.tid, -1) AS INT) AS tid
+       |  FROM tks LEFT JOIN v ON tks.tok = v.tok)
+       |SELECT $id, CAST(COUNT(*) AS BIGINT) AS n_bpe_tokens,
+       |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i) AS bpe_ids
+       |FROM ids GROUP BY $id)""".stripMargin
   }
 
   /** DuckDB replay of [[train]] over `src(text)`: the merge-selection

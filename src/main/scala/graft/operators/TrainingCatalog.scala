@@ -38,6 +38,35 @@ object TrainingCatalog {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
 
+  /** Mixed-script plants for the byte-level BPE gates (tk10–tk12): the
+    * fixture corpus is ASCII [a-z ], so multi-byte UTF-8 coverage is
+    * planted — accented Latin (2-byte chars), German eszett, CJK
+    * (3-byte), Cyrillic/Greek (2-byte), and a non-BMP emoji (4 bytes,
+    * a surrogate PAIR in the JVM — the byteSyms/encode parity proof).
+    * Same literals on both engine and oracle sides; ids start at 9e6,
+    * outside every fixture id range.
+    */
+  private[graft] val BytePlants: Seq[(Long, String, String)] = Seq(
+    (9000001L, "fr", "café déjà vu émigré café"),
+    (9000002L, "de", "über größe straße"),
+    (9000003L, "ja", "東京 大阪 東京"),
+    (9000004L, "ru", "москва мир москва"),
+    (9000005L, "el", "αθήνα θάλασσα"),
+    (9000006L, "mix", "naïve 😀 café 東京 mix"))
+
+  private def docsWithBytePlants(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(BytePlants.toDF("doc_id", "lang", "text"))
+  }
+
+  // single-line on purpose: interpolated into stripMargin templates
+  // (the en1 trap — no line of a shared constant may start with '|')
+  private val bytePlantsValuesSql: String = BytePlants
+    .map { case (id, lang, text) => s"($id, '$lang', '$text')" }
+    .mkString("(VALUES ", ", ", ") v(doc_id, lang, text)")
+
   /** Original docs + exact copies of every 10th. */
   private def docsWithCopies(spark: SparkSession, sfDir: String): DataFrame = {
     val d = docs(spark, sfDir)
@@ -603,6 +632,48 @@ object TrainingCatalog {
       val tok = graft.functions.Bpe.tokenizeDocs(docs(spark, dir), "doc_id",
         "text", graft.functions.Bpe.FrozenMerges)
       Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+        .join(tok, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          (sum(col("n_bpe_tokens")).cast("double") /
+            sum(col("n_words")).cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
+    // TK10 — BYTE-level BPE (the GPT-2-class contract: UTF-8 bytes as
+    // the base alphabet, merges over byte pairs, byte fallback — works
+    // on ANY script, no [a-z] restriction). Multi-byte coverage is
+    // planted (BytePlants: 2/3/4-byte UTF-8 incl. a non-BMP emoji);
+    // the frozen byte-merge table replays deterministically at any sf.
+    "tk10_byte_bpe" -> ((spark, dir) =>
+      graft.functions.Bpe.tokenizeDocsBytes(
+        docsWithBytePlants(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", graft.functions.Bpe.FrozenByteMerges)
+        .orderBy(col("doc_id"))),
+
+    // TK11 — byte-level token IDS: base vocab is all 256 byte values
+    // (id = byte value), merge products 256+rank; the unk id −1 is
+    // structurally impossible — the plants prove it on multi-byte text
+    "tk11_byte_ids" -> ((spark, dir) =>
+      graft.functions.Bpe.tokenizeToIdsBytes(
+        docsWithBytePlants(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", graft.functions.Bpe.FrozenByteMerges)
+        .select(col("doc_id"), col("n_bpe_tokens"),
+          array_join(col("bpe_ids"), ",").as("bpe_ids"))
+        .orderBy(col("doc_id"))),
+
+    // TK12 — byte-level fertility per language: the readout tk4 cannot
+    // give beyond ASCII (char-level fertility is encoding-blind; here
+    // a CJK word costs 3 byte-symbols per code point before merging,
+    // so non-Latin plants read meaningfully higher fertility)
+    "tk12_byte_fertility" -> ((spark, dir) => {
+      val d = docsWithBytePlants(spark, dir)
+      val tok = graft.functions.Bpe.tokenizeDocsBytes(
+        d.select(col("doc_id"), col("text")), "doc_id", "text",
+        graft.functions.Bpe.FrozenByteMerges)
+      d.select(col("doc_id"), col("lang"))
         .join(tok, Seq("doc_id"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1718,6 +1789,39 @@ object TrainingCatalog {
                "text", graft.functions.Bpe.FrozenMerges)} b),
          |j AS (SELECT d.lang, bpe.n_words, bpe.n_bpe_tokens
          |  FROM documents d JOIN bpe ON d.doc_id = bpe.doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+         |    AS fertility
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // byte replay: lower(hex(encode(word))) chopped into 2-hex-char
+    // symbols, same recursive merge CTE; plants in a VALUES list
+    "tk10_byte_bpe" ->
+      s"""WITH byteaug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM $bytePlantsValuesSql)
+         |SELECT doc_id, n_words, n_bpe_tokens, bpe_text
+         |FROM ${graft.functions.Bpe.tokenizeBytesSql("byteaug", "doc_id",
+               "text", graft.functions.Bpe.FrozenByteMerges)} b
+         |ORDER BY doc_id""".stripMargin,
+
+    "tk11_byte_ids" ->
+      s"""WITH byteaug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM $bytePlantsValuesSql)
+         |SELECT doc_id, n_bpe_tokens, bpe_ids
+         |FROM ${graft.functions.Bpe.idsBytesSql("byteaug", "doc_id",
+               "text", graft.functions.Bpe.FrozenByteMerges)} b
+         |ORDER BY doc_id""".stripMargin,
+
+    "tk12_byte_fertility" ->
+      s"""WITH byteaug AS (SELECT doc_id, lang, text FROM documents
+         |  UNION ALL SELECT doc_id, lang, text FROM $bytePlantsValuesSql),
+         |bpe AS (SELECT doc_id, n_words, n_bpe_tokens
+         |  FROM ${graft.functions.Bpe.tokenizeBytesSql("byteaug", "doc_id",
+               "text", graft.functions.Bpe.FrozenByteMerges)} b),
+         |j AS (SELECT d.lang, bpe.n_words, bpe.n_bpe_tokens
+         |  FROM byteaug d JOIN bpe ON d.doc_id = bpe.doc_id)
          |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(n_words) AS BIGINT) AS n_words,
          |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,

@@ -81,6 +81,50 @@ class BpeSpec extends SparkSpec {
       s"trainer or fixture drifted:\n$learned\nvs frozen:\n${Bpe.FrozenMerges}")
   }
 
+  test("byteSyms: UTF-8 hex symbolization across 1/2/3/4-byte chars") {
+    assert(Bpe.byteSyms("ab") == Vector("61", "62"))
+    assert(Bpe.byteSyms("é") == Vector("c3", "a9"))
+    assert(Bpe.byteSyms("東") == Vector("e6", "9d", "b1"))
+    // non-BMP emoji: a surrogate PAIR in the JVM, ONE 4-byte UTF-8 char
+    assert(Bpe.byteSyms("😀") == Vector("f0", "9f", "98", "80"))
+    assert(Bpe.byteSyms("") == Vector.empty)
+  }
+
+  test("byte trainer reproduces the frozen byte merges (golden pin)") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select($"doc_id", $"text")
+      .unionByName(graft.operators.TrainingCatalog.BytePlants
+        .toDF("doc_id", "lang", "text").select($"doc_id", $"text"))
+    val learned = Bpe.trainBytes(docs, "text", nMerges = 24)
+    assert(learned == Bpe.FrozenByteMerges,
+      s"byte trainer or fixture drifted:\n$learned\nvs frozen:\n${Bpe.FrozenByteMerges}")
+  }
+
+  test("byteVocab: byte-value ids, merge products 256+rank, no unk possible") {
+    val v = Bpe.byteVocab(Bpe.FrozenByteMerges)
+    assert(v("00") == 0 && v("61") == 0x61 && v("ff") == 255)
+    assert(v("6572") == 256) // first merge product
+    assert(Bpe.byteSepId(Bpe.FrozenByteMerges) > v.values.max)
+    // every terminal symbol of any tokenization is in the vocab: the
+    // byte-fallback guarantee, checked over mixed-script words
+    val r = ranks(Bpe.FrozenByteMerges)
+    for (w <- Seq("customer", "café", "東京", "😀", "naïve", "größe"))
+      assert(Bpe.applySyms(Bpe.byteSyms(w), r).forall(v.contains),
+        s"unk symbol in tokenization of $w")
+  }
+
+  test("byte-level merge application: ASCII shadows char-level through hex") {
+    // on pure [a-z] words the byte merges largely shadow the char
+    // merges through ASCII hex — "customer" merges identically
+    val rc = ranks(Bpe.FrozenMerges)
+    val rb = ranks(Bpe.FrozenByteMerges)
+    val charToks = Bpe.applyWord("customer", rc)
+    val byteToks = Bpe.applySyms(Bpe.byteSyms("customer"), rb)
+    def hexOf(s: String) =
+      s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    assert(byteToks == charToks.map(hexOf))
+  }
+
   test("learned merges are invariant to input partitioning (sf0.001)") {
     // exact-long counts + the lexicographic tie-break make each
     // round's argmax partitioning-independent — the tk9 gate's
