@@ -64,9 +64,20 @@ object SpanMask {
   /** Merged mask spans per document: (id, span_start, span_end,
     * n_tokens), `span_end` exclusive, overlapping/adjacent hit spans
     * coalesced (gaps-and-islands over one doc-keyed window).
+    *
+    * `minSpanTokens` is the Lee-et-al. span-length knob: the paper's
+    * recipe removes only duplicated substrings of ≥ L tokens (50 BPE
+    * tokens in the paper), so that a short shared idiom or named
+    * entity survives while genuine boilerplate blocks are caught. The
+    * default 0 keeps the ds1/ds2 n-gram-granularity behavior (every
+    * merged island masks). The filter runs AFTER island merging — a
+    * 60-token span assembled from overlapping 5-gram hits is one
+    * island of 60 tokens, not twelve short ones — and costs one
+    * predicate on the already-aggregated (doc, island) rows.
     */
   def maskDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                          n: Int, minDocFreq: Long): DataFrame = {
+                          n: Int, minDocFreq: Long,
+                          minSpanTokens: Long = 0L): DataFrame = {
     val grams = positionedGrams(df, idCol, textCol, n)
     val frequent = frequentGrams(grams, idCol, minDocFreq).select(col("gram"))
     val hits = grams.join(broadcast(frequent), Seq("gram"))
@@ -85,6 +96,7 @@ object SpanMask {
       .agg(min(col("pos")).as("span_start"), max(col("__end")).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start")).as("n_tokens"))
+      .filter(col("n_tokens") >= lit(minSpanTokens))
   }
 
   /** Documents with their masked spans REMOVED (tokens outside every
@@ -94,8 +106,10 @@ object SpanMask {
     * contract; documents with no frequent span pass through verbatim.
     */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-                           n: Int, minDocFreq: Long): DataFrame = {
-    val masked = maskDuplicatedSpans(df, idCol, textCol, n, minDocFreq)
+                           n: Int, minDocFreq: Long,
+                           minSpanTokens: Long = 0L): DataFrame = {
+    val masked = maskDuplicatedSpans(df, idCol, textCol, n, minDocFreq,
+        minSpanTokens)
       .select(col(idCol),
         explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
     val toks = df

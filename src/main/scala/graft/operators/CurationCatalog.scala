@@ -91,6 +91,32 @@ object CurationCatalog {
        |      ELSE text END AS text
        | FROM documents)""".stripMargin
 
+  // ---- LONG-span dedup fixtures (ds3) --------------------------------
+  // Lee et al.'s recipe at its published granularity: only duplicated
+  // spans of >= LongSpanMin tokens are removed. Every 13th doc carries
+  // the 10-token slogan (must SURVIVE the threshold), every 17th a
+  // 60-token block (must be caught); a doc divisible by both gets both.
+  // Freq floor 20 clears both plants at every sf (500 docs -> 39 and
+  // 30 carriers).
+  private val LongSpan = (1 to 60).map(i => s"dup$i").mkString(" ")
+  private val LongSpanMin = 50L
+  private val LongSpanFreq = 20L
+
+  private def longSpanDocs(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" " + SpanSlogan))).otherwise(col("text")),
+        when(col("doc_id") % 17 === 0, lit(" " + LongSpan)).otherwise(lit("")))
+        .as("text"))
+
+  // '||' must never START a line here (the en1 double-stripMargin trap)
+  private val longSpanDocsSql =
+    s"""ldocs AS (SELECT doc_id,
+       | (CASE WHEN doc_id % 13 = 0 THEN text || ' $SpanSlogan' ELSE text END) ||
+       | (CASE WHEN doc_id % 17 = 0 THEN ' $LongSpan' ELSE '' END) AS text
+       | FROM documents)""".stripMargin
+
   // token-budget cap per source (~half of each source's ~1.5k tokens
   // at sf0.01, so the trim decision is exercised in both directions)
   private val TokenBudget = 800L
@@ -719,6 +745,24 @@ object CurationCatalog {
     "ds2_strip_spans" -> ((spark, dir) =>
       graft.dedup.SpanMask.stripDuplicatedSpans(
         sloganDocs(spark, dir), "doc_id", "text", SpanN, SpanFreq)
+        .orderBy(col("doc_id"))),
+
+    // DS3 — long-span dedup at Lee et al.'s published granularity:
+    // only merged islands of >= 50 tokens mask. The planted 60-token
+    // block is caught; the 10-token slogan (a shared idiom) SURVIVES —
+    // exactly the length selectivity the paper's recipe requires.
+    "ds3_long_spans" -> ((spark, dir) =>
+      graft.dedup.SpanMask.maskDuplicatedSpans(
+        longSpanDocs(spark, dir), "doc_id", "text", SpanN, LongSpanFreq,
+        minSpanTokens = LongSpanMin)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // DS4 — the corpus stripped at the >=L granularity: long blocks
+    // removed, idiom-bearing docs verbatim (length-selective strip)
+    "ds4_strip_long_spans" -> ((spark, dir) =>
+      graft.dedup.SpanMask.stripDuplicatedSpans(
+        longSpanDocs(spark, dir), "doc_id", "text", SpanN, LongSpanFreq,
+        minSpanTokens = LongSpanMin)
         .orderBy(col("doc_id"))),
 
     // curation-funnel retention census: survivors of each cascading
@@ -1386,6 +1430,28 @@ object CurationCatalog {
          |ORDER BY stage_id""".stripMargin
     },
 
+    "ds3_long_spans" ->
+      s"""WITH $longSpanDocsSql,
+         |${spanCteSqlOn("ldocs", LongSpanFreq, LongSpanMin)}
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start AS n_tokens
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "ds4_strip_long_spans" ->
+      s"""WITH $longSpanDocsSql,
+         |${spanCteSqlOn("ldocs", LongSpanFreq, LongSpanMin)},
+         |mask AS (SELECT DISTINCT doc_id,
+         |    unnest(generate_series(span_start, span_end - 1)) AS pos
+         |  FROM spans),
+         |tp AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ldocs) s
+         |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+         |  FROM tp LEFT JOIN mask ON tp.doc_id = mask.doc_id AND tp.pos = mask.pos
+         |  WHERE mask.pos IS NULL)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "ds2_strip_spans" ->
       s"""WITH $sloganDocsSql,
          |${spanCteSql},
@@ -1432,15 +1498,21 @@ object CurationCatalog {
     * frequent-gram hits → gaps-and-islands merged spans, mirroring
     * [[graft.dedup.SpanMask]] stage for stage.
     */
-  private def spanCteSql: String = {
+  private def spanCteSql: String = spanCteSqlOn("sdocs", SpanFreq, 0L)
+
+  /** Span-CTE chain over `src(doc_id, text)`: doc-freq floor `freq`,
+    * merged islands kept only at >= `minSpan` tokens (the ds3 length
+    * knob; 0 = ds1/ds2 behavior, the HAVING is then vacuous).
+    */
+  private def spanCteSqlOn(src: String, freq: Long, minSpan: Long): String = {
     val gram = (0 until SpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"""grams AS (SELECT doc_id, i - 1 AS pos, $gram AS gram
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM sdocs) s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src) s
        |  CROSS JOIN LATERAL unnest(generate_series(1, len(t) - ${SpanN - 1})) AS u(i)
        |  WHERE len(t) >= $SpanN),
        |freq AS (SELECT gram FROM (
        |    SELECT gram, COUNT(DISTINCT doc_id) AS c FROM grams GROUP BY gram) f
-       |  WHERE c >= $SpanFreq),
+       |  WHERE c >= $freq),
        |hits AS (SELECT doc_id, pos, pos + $SpanN AS e FROM grams
        |  WHERE gram IN (SELECT gram FROM freq)),
        |isl AS (SELECT doc_id, pos, e,
@@ -1453,6 +1525,7 @@ object CurationCatalog {
        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
        |  FROM isl),
        |spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end
-       |  FROM grp GROUP BY doc_id, g)""".stripMargin
+       |  FROM grp GROUP BY doc_id, g
+       |  HAVING MAX(e) - MIN(pos) >= $minSpan)""".stripMargin
   }
 }

@@ -58,6 +58,39 @@ class SpanMaskSpec extends graft.SparkSpec {
     assert(spans.toSeq == Seq((10L, 0L, 8L, 8L)))
   }
 
+  test("minSpanTokens: a 60-token shared block masks, a 10-token idiom survives") {
+    // Lee et al.'s length knob: threshold 50 keeps the short shared
+    // idiom (a merged island of 10 tokens) and catches only the long
+    // block. Both plants clear the doc-freq census (2 docs each).
+    val idiom = "limited time offer click here to claim your reward now"
+    val block = (1 to 60).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $idiom gamma"),
+      (2L, s"$idiom delta epsilon"),
+      (3L, s"zeta $block eta"),
+      (4L, s"theta iota $block")
+    ).toDF("doc_id", "text")
+    val spans = SpanMask.maskDuplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDocFreq = 2, minSpanTokens = 50L)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    // only the block docs carry spans: doc3 tokens 1..60 -> [1, 61),
+    // doc4 tokens 2..61 -> [2, 62)
+    assert(spans == Seq((3L, 1L, 61L, 60L), (4L, 2L, 62L, 60L)))
+    // strip: idiom docs verbatim, block docs lose exactly the block
+    val out = SpanMask.stripDuplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDocFreq = 2, minSpanTokens = 50L)
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, s"alpha beta $idiom gamma"),
+      (2L, s"$idiom delta epsilon"),
+      (3L, "zeta eta"),
+      (4L, "theta iota")))
+    // and threshold 0 reproduces the old behavior (idiom masks too)
+    val all = SpanMask.maskDuplicatedSpans(docs, "doc_id", "text",
+      n = 5, minDocFreq = 2).count()
+    assert(all == 4L)
+  }
+
   test("within-doc repetition alone does not trigger masking (distinct-doc census)") {
     val df = Seq(
       (20L, "p q r s p q r s p q r s"),
