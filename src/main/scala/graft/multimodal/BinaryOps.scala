@@ -221,6 +221,62 @@ object BinaryOps {
       })
   }
 
+  // ===== perceptual image hashing (dHash) =====
+
+  final case class DHashRow(doc_id: Long, dhash: String)
+
+  /** 64-bit perceptual DIFFERENCE hash (dHash) of a decoded image —
+    * the standard cheap near-dup signal for image corpora: resize to a
+    * 9×8 grid (nearest-neighbor, [[resizeNearest]] — pure integer), an
+    * integer luma per cell (`(77·R + 150·G + 29·B) >> 8`, the BT.601
+    * weights scaled to /256 so the division is exact), then bit(r,c) =
+    * luma(c+1,r) > luma(c,r): 8 horizontal comparisons × 8 rows.
+    * Robust to uniform brightness shifts (differences cancel) and to
+    * resampling (the grid is the resample), which is exactly why dHash
+    * beats raw-byte fingerprints for near-dup detection.
+    *
+    * Emitted as a 64-char bit STRING so it plugs straight into the
+    * SimHash pigeonhole banding machinery
+    * ([[graft.dedup.TextDedup.simhashCandidates]] with bits = 64):
+    * hamming ≤ 3 pairs agree on one of 4 16-bit bands, so candidate
+    * generation is an equi-join, never all-pairs — image near-dup at
+    * corpus scale rides the same plan shape as text SimHash.
+    */
+  def dHash(img: BmpImage): String = {
+    val t = resizeNearest(img, 9, 8)
+    def luma(x: Int, y: Int): Int =
+      (77 * t.channel(x, y, 2) + 150 * t.channel(x, y, 1) +
+        29 * t.channel(x, y, 0)) >> 8
+    val sb = new java.lang.StringBuilder(64)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        sb.append(if (luma(c + 1, r) > luma(c, r)) '1' else '0')
+        c += 1
+      }
+      r += 1
+    }
+    sb.toString
+  }
+
+  /** Partition-batched dHash over a (doc_id, payload) binary table:
+    * real BMP decode → [[dHash]]; malformed payloads drop (the
+    * [[decodeBmp]] contract). No shuffle — pure per-row map work, so
+    * the corpus scan IS the cost at any scale; the banding join
+    * downstream is the only exchange in the image-dedup pipeline.
+    */
+  def dHashes(media: DataFrame, idCol: String = "doc_id",
+              payloadCol: String = "payload"): Dataset[DHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeBmp(payload).map(img => DHashRow(id, dHash(img)))
+      })
+  }
+
   // ===== REAL codec: PNG (8-bit RGB, non-interlaced) =====
   // A genuinely COMPRESSED format handled for real: DEFLATE and CRC32
   // come from java.util.zip (JDK-only), chunk framing and the five

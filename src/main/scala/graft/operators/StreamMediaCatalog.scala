@@ -51,6 +51,69 @@ object StreamMediaCatalog {
     * so the batch gate, the stream gate, and the oracle cannot
     * desynchronize.
     */
+  // ---- perceptual-hash fixtures (m13/m14) -----------------------------
+  // One BMP per doc, pixels a nonlinear integer formula of
+  // (src, x, y, c) — nonlinear in x/y so dHashes are near-unique across
+  // docs (a linear gradient collapses to a handful of hash values and
+  // the band join degenerates). Every 7th doc also emits a NEAR-DUP
+  // variant at id+8e6: the same image with one byte perturbed (+64 at
+  // pixel (0,0) channel B), which moves exactly one 9×8 luma cell →
+  // hamming ≤ 1. Same construction on both engines.
+  private val DHashVariantOffset = 8000000L
+
+  private def dhashPixel(src: Long, x: Int, y: Int, c: Int): Int =
+    ((src * 31 + y.toLong * y * 7 + x.toLong * x * 5 + x.toLong * y * 3 + c)
+      % 256).toInt
+
+  private def dhashPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def img(src: Long, pert: Int): Array[Byte] = {
+      val w = 6 + (src % 5).toInt
+      val h = 5 + (src % 4).toInt
+      val px = Array.tabulate(w * h * 3) { i =>
+        val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
+        (((dhashPixel(src, x, y, c) + (if (i == 0) pert else 0)) % 256)).toByte
+      }
+      BinaryOps.encodeBmp(w, h, px)
+    }
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids.map(id => (id, img(id, 0)))
+      .union(ids.filter(_ % 7 == 0)
+        .map(id => (id + DHashVariantOffset, img(id, 64))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** DuckDB replay of the full m13 chain — fixture pixel formula →
+    * nearest-neighbor 9×8 source mapping → integer luma → 64 ordered
+    * comparison bits aggregated to the hash string. The `pert` branch
+    * applies only where the source pixel is (0,0), channel B — exactly
+    * the engine fixture's one perturbed byte.
+    */
+  private def dhashOracleCte: String = {
+    val sx = "((gx.x * w) // 9)"
+    val sy = "((gy.y * h) // 8)"
+    val base = s"(src*31 + $sy*$sy*7 + $sx*$sx*5 + $sx*$sy*3)"
+    s"""d AS (SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $DHashVariantOffset, doc_id AS src, 64 AS pert
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |dm AS (SELECT doc_id, src, pert,
+       |    6 + src % 5 AS w, 5 + src % 4 AS h FROM d),
+       |grid AS (SELECT doc_id, gx.x AS gx, gy.y AS gy,
+       |    (77 * (($base + 2) % 256) + 150 * (($base + 1) % 256)
+       |     + 29 * ((CASE WHEN $sx = 0 AND $sy = 0
+       |              THEN $base + pert ELSE $base END) % 256)) // 256 AS luma
+       |  FROM dm CROSS JOIN LATERAL unnest(range(0, 9)) AS gx(x)
+       |          CROSS JOIN LATERAL unnest(range(0, 8)) AS gy(y)),
+       |bits AS (SELECT a.doc_id, a.gy, a.gx,
+       |    CASE WHEN b.luma > a.luma THEN '1' ELSE '0' END AS bit
+       |  FROM grid a JOIN grid b
+       |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8),
+       |hashes AS (SELECT doc_id, string_agg(bit, '' ORDER BY gy, gx) AS dhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+  }
+
   private def adpcmFixture(id: Long): Array[Byte] = {
     val nBlocks = 1 + (id % 3).toInt
     val blocks = (0 until nBlocks).map { b =>
@@ -194,6 +257,26 @@ object StreamMediaCatalog {
       BinaryOps.resizedStats(payloads, outW = 4, outH = 3)
         .toDF().orderBy(col("doc_id"))
     }),
+
+    // M13 — perceptual dHash over REAL decoded BMPs: decode → 9×8
+    // nearest resize → integer luma → 64-bit difference hash (as a
+    // bit string, the simhash banding convention). The oracle replays
+    // the whole chain arithmetically from the pixel formula.
+    "m13_dhash" -> ((spark, dir) =>
+      BinaryOps.dHashes(dhashPayloads(spark, dir)).toDF()
+        .orderBy(col("doc_id"))),
+
+    // M14 — image NEAR-DUP via dHash banding: hamming ≤ 3 pairs agree
+    // on one of four 16-bit bands (pigeonhole), so candidates come
+    // from an equi-join — the same scale shape as text SimHash; the
+    // planted one-byte-perturbed variants land at hamming ≤ 2 and
+    // must pair with their base image.
+    "m14_dhash_neardup" -> ((spark, dir) =>
+      graft.dedup.TextDedup.simhashCandidates(
+        BinaryOps.dHashes(dhashPayloads(spark, dir)).toDF()
+          .withColumnRenamed("dhash", "simhash"),
+        "doc_id", maxHamming = 3, bits = 64)
+        .orderBy(col("a_id"), col("b_id"))),
 
     // M5 — REAL COMPRESSED codec roundtrip: PNG per doc (JDK DEFLATE +
     // CRC32 + all five scanline filters — heights ≥ 5 so every filter
@@ -1104,6 +1187,28 @@ object StreamMediaCatalog {
         |        + ((3 * src_w) // 4) * 3) % 256 AS INT) AS p_last,
         |  sum_c0
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "m13_dhash" ->
+      s"""WITH $dhashOracleCte
+         |SELECT doc_id, dhash FROM hashes ORDER BY doc_id""".stripMargin,
+
+    "m14_dhash_neardup" -> {
+      val hamming = (1 to 64)
+        .map(i => s"CASE WHEN substr(a.dhash, $i, 1) <> substr(b.dhash, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val bands = (0 until 4)
+        .map(bnd => s"SELECT doc_id, dhash, $bnd AS band, substr(dhash, ${bnd * 16 + 1}, 16) AS key FROM hashes")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $dhashOracleCte,
+         |banded AS (
+         |  $bands),
+         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    $hamming AS hamming
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     // the same (doc_id, x, y, channel) formula restated in SQL; column
     // names carry PNG's RGB order (p00_b here is channel index 0 = R

@@ -80,6 +80,51 @@ class BinaryOpsSpec extends SparkSpec {
       up.channel(x, y, 2) == 9)))
   }
 
+  test("dHash: 64 bits, brightness-shift invariant, one-pixel near-dup") {
+    def img(f: (Int, Int, Int) => Int, w: Int = 12, h: Int = 10) =
+      BinaryOps.BmpImage(w, h, Array.tabulate(w * h * 3) { i =>
+        val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
+        (f(x, y, c) % 256).toByte
+      })
+    val base = img((x, y, c) => x * x * 5 + y * y * 7 + x * y * 3 + c)
+    val h0 = BinaryOps.dHash(base)
+    assert(h0.length == 64 && h0.forall(ch => ch == '0' || ch == '1'))
+    // identical image → identical hash (hamming 0)
+    assert(BinaryOps.dHash(img((x, y, c) => x * x * 5 + y * y * 7 + x * y * 3 + c)) == h0)
+    // uniform +40 brightness on every channel → DIFFERENCES unchanged —
+    // the property that makes dHash a perceptual hash. Needs a
+    // wrap-free fixture (values ≤ 3·11+5·9+2 = 80 < 216, so +40 shifts
+    // every luma by the same amount and every comparison is preserved)
+    val flat = img((x, y, c) => x * 3 + y * 5 + c)
+    val flatBright = img((x, y, c) => x * 3 + y * 5 + c + 40)
+    assert(BinaryOps.dHash(flatBright) == BinaryOps.dHash(flat))
+    // one perturbed pixel → small hamming (near-dup stays near)
+    val pert = img((x, y, c) =>
+      if (x == 0 && y == 0 && c == 0) (x * x * 5 + y * y * 7 + c + 64)
+      else x * x * 5 + y * y * 7 + x * y * 3 + c)
+    val hp = BinaryOps.dHash(pert)
+    val dist = h0.zip(hp).count { case (a, b) => a != b }
+    assert(dist <= 3, s"one-pixel perturbation moved $dist bits")
+    // a structurally different image lands far away
+    val other = img((x, y, c) => 251 * x + 127 * y + 17 * c)
+    val far = h0.zip(BinaryOps.dHash(other)).count { case (a, b) => a != b }
+    assert(far > 3, s"distinct images too close: $far")
+  }
+
+  test("dHashes drops malformed payloads and pairs variants via banding") {
+    val good = BinaryOps.encodeBmp(3, 2, Array.tabulate(18)(i => (i * 40 % 256).toByte))
+    val rows = Seq(
+      (1L, good), (2L, good),
+      (3L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val hashes = BinaryOps.dHashes(rows).toDF()
+    assert(hashes.count() == 2) // malformed dropped, not thrown
+    val pairs = graft.dedup.TextDedup.simhashCandidates(
+      hashes.withColumnRenamed("dhash", "simhash"), "doc_id",
+      maxHamming = 3, bits = 64)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0))) // identical images: hamming 0
+  }
+
   test("PNG roundtrip exercises all five scanline filters") {
     // heights ≥ 5 force filter types 0..4 (encoder assigns row % 5)
     for ((w, h) <- Seq((1, 5), (3, 7), (4, 6))) {
