@@ -690,6 +690,33 @@ object StreamMediaCatalog {
         .orderBy(col("term"), col("block"))
     }),
 
+    // E30 — STREAMING RETRIEVAL: the serving half over the maintained
+    // index. The e22 fold keeps postings current per micro-batch; this
+    // gate SERVES an ii2-style BM25 top-k query against the drained
+    // store — proving the streamed artifact is query-ready without a
+    // rebuild. Query terms derive from the folded index exactly as ii2
+    // derives them from the one-shot build (fold == build, pinned by
+    // e22), so the gate holds to the SAME corpus-side oracle as ii2.
+    "e30_stream_index_topk" -> ((spark, dir) => {
+      import spark.implicits._
+      val in = graft.core.Staging.tmpDir("stream_idx_serve_in")
+      val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      for (r <- 0 to 2)
+        d.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val idx = graft.streaming.DocStream.indexAppendFold(
+        graft.streaming.DocStream.readOneFilePerTrigger(spark, in),
+        "doc_id", "text", nShards = 8, blockSize = 16)
+        .localCheckpoint()
+      val qterms = idx.groupBy(col("term")).agg(max(col("df")).as("df"))
+        .orderBy(col("df").desc, col("term"))
+        .limit(3).select(col("term")).as[String].collect().toSeq
+      graft.functions.InvertedIndex.queryTopK(idx,
+        graft.functions.InvertedIndex.docLengths(d, "doc_id", "text"),
+        qterms, k = 10)
+        .orderBy(col("rn"))
+    }),
+
     // E23 — streaming length-bucket census (bb1's streaming face):
     // the per-doc bucket projection is stateless and SHARED with the
     // batch operator (Packing.bucketAssign), and the census is one
@@ -1135,6 +1162,10 @@ object StreamMediaCatalog {
          |ORDER BY shard""".stripMargin,
 
     // the folded store must equal the one-shot build: ii1's own oracle
+    // serving over the maintained store == serving over a fresh build:
+    // ii2's own corpus-side oracle, unchanged
+    "e30_stream_index_topk" -> TrainingCatalog.indexTopKOracleSql,
+
     "e22_stream_index_append" ->
       s"""SELECT shard, term, df, block, block_df, postings
          |FROM ${graft.functions.InvertedIndex.postingsSql(

@@ -169,7 +169,7 @@ object TrainingCatalog {
     * score sums, (score DESC, doc_id) rank, top 10. A plain literal —
     * never interpolated into another stripMargin template.
     */
-  private val indexTopKOracleSql: String =
+  private[operators] val indexTopKOracleSql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |uni AS (SELECT doc_id, u.tk FROM tok CROSS JOIN LATERAL unnest(t) AS u(tk)
       |  WHERE u.tk <> ''),
