@@ -318,12 +318,19 @@ object Catalog {
         .select($"c_custkey").orderBy($"c_custkey")
     }),
 
-    // J4 — semi join: count of customers with at least one order
+    // J4 — semi join: count of customers with at least one order. Same
+    // planted orderless customers as J3, so the semi join must EXCLUDE
+    // rows (n_active < input count) — without the plant every customer
+    // qualifies and a semi join that degenerates to a pass-through
+    // would still gate green.
     "j4_join_semi" -> ((spark, dir) => {
       import spark.implicits._
-      Tables.customer(spark, dir)
+      val cust = Tables.customer(spark, dir).select($"c_custkey")
+      val planted = cust.filter($"c_custkey" % 97 === 0)
+        .select(($"c_custkey" + lit(100000000L)).as("c_custkey"))
+      cust.unionByName(planted)
         .join(Tables.orders(spark, dir), $"c_custkey" === $"o_custkey", "left_semi")
-        .agg(count(lit(1)).as("n_active"))
+        .agg(count(lit(1)).as("n_active"), sum($"c_custkey").as("key_sum"))
     }),
 
     // E1 — tumbling-hour event rollup (batch face of the streaming op)
@@ -994,7 +1001,14 @@ object Catalog {
         |ORDER BY c_custkey""".stripMargin,
 
     "j4_join_semi" ->
-      """SELECT COUNT(*) AS n_active FROM customer
+      """WITH cust AS (
+        |  SELECT c_custkey FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 100000000 AS c_custkey FROM customer
+        |  WHERE c_custkey % 97 = 0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+        |FROM cust
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
     "e1_event_windows" ->

@@ -33,4 +33,27 @@ class JoinsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(anti == Set(2L, 4L, 5L))
   }
+
+  test("j4 semi join EXCLUDES the planted orderless customers") {
+    // boundary the j4 gate's count can't carry alone: the semi join
+    // must filter — a pass-through would count the plants too
+    val out = Catalog.queries("j4_join_semi")(spark, sf001)
+      .as[(Long, Long)].collect().head
+    val nCust = graft.core.Tables.customer(spark, sf001).count()
+    val nPlanted = (0L until nCust).count(_ % 97 == 0)
+    assert(out._1 == nCust, "every real customer has orders in the fixture")
+    assert(nPlanted > 0 && out._1 < nCust + nPlanted,
+      "plants must be excluded by the semi join")
+    // semi join never duplicates: multi-order customers count once
+    val dupCheck = cust3way(nCust)
+    assert(dupCheck == nCust)
+  }
+
+  private def cust3way(nCust: Long): Long = {
+    import org.apache.spark.sql.functions._
+    graft.core.Tables.customer(spark, sf001).select($"c_custkey")
+      .join(graft.core.Tables.orders(spark, sf001),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .agg(count(lit(1))).as[Long].collect().head
+  }
 }
