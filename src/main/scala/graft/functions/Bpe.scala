@@ -323,16 +323,64 @@ object Bpe {
     tokenizeToIdsWith(df, idCol, textCol, ranksOf(merges), byteVocab(merges),
       byteSyms)
 
+  /** Space-preserving byte-level ids (the GPT-2 Ġ convention, spelled
+    * with a literal space byte): every word after the first carries its
+    * PRECEDING space inside the token stream ("b" in "a b" symbolizes
+    * as 20-62), so concatenating decoded tokens reproduces the exact
+    * original text — see [[detokenizeBytes]]. Merge application and id
+    * lookup are unchanged; the space byte "20" simply participates as
+    * a symbol (it merges only if the table says so).
+    */
+  def tokenizeToIdsBytesLossless(df: DataFrame, idCol: String, textCol: String,
+                                 merges: Seq[(String, String)]): DataFrame =
+    tokenizeToIdsWith(df, idCol, textCol, ranksOf(merges), byteVocab(merges),
+      byteSyms, spacePrefix = true)
+
+  /** Inverse of [[tokenizeToIdsBytesLossless]]: ids → hex symbols (the
+    * id→surface map is injective — first-id-wins means an id maps to
+    * exactly one surface) → UTF-8 bytes → text. With byte fallback
+    * there is no unk to lose, so `detokenize(tokenize(x)) == x` for ANY
+    * single-spaced text, every script — the round-trip property that
+    * makes byte-level the production tokenizer contract (char-level
+    * BPE destroys OOV tokens irrecoverably at −1). Pure per-row map,
+    * no shuffle; the tk13 gate holds the full encode→decode loop to
+    * the identity oracle over the mixed-script corpus.
+    */
+  def detokenizeBytes(df: DataFrame, idCol: String, idsCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rev: Map[Int, String] = byteVocab(merges).map(_.swap)
+    df.select(col(idCol).cast("long"), col(idsCol))
+      .as[(Long, Array[Int])]
+      .map { case (id, ids) =>
+        val hex = ids.iterator.map(i => rev.getOrElse(i, "")).mkString
+        val bytes = new Array[Byte](hex.length / 2)
+        var j = 0
+        while (j < bytes.length) {
+          bytes(j) = ((Character.digit(hex.charAt(2 * j), 16) << 4)
+            | Character.digit(hex.charAt(2 * j + 1), 16)).toByte
+          j += 1
+        }
+        (id, new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      }.toDF(idCol, "text")
+  }
+
   private def tokenizeToIdsWith(df: DataFrame, idCol: String, textCol: String,
                                 ranks: Map[(String, String), Int],
                                 ids: Map[String, Int],
-                                symbolize: String => Vector[String]): DataFrame = {
+                                symbolize: String => Vector[String],
+                                spacePrefix: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val words = df
+    val rawWords = df
       .select(col(idCol),
         posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
       .filter(col("__w") =!= "")
+    val words =
+      if (!spacePrefix) rawWords
+      else rawWords.withColumn("__w",
+        concat(when(col("__pos") > 0, lit(" ")).otherwise(lit("")), col("__w")))
     val vocabIds = words.select(col("__w")).distinct().as[String]
       .map { w =>
         val t = applySyms(symbolize(w), ranks).map(s => ids.getOrElse(s, -1))

@@ -684,6 +684,20 @@ object TrainingCatalog {
         .orderBy(col("lang"))
     }),
 
+    // TK13 — the LOSSLESS round-trip only byte fallback can give:
+    // encode (space-preserving ids) → decode == the original corpus,
+    // mixed scripts included. Held to the IDENTITY oracle — the
+    // engine must reconstruct every document byte-for-byte from token
+    // ids through the whole merge/vocab machinery.
+    "tk13_byte_roundtrip" -> ((spark, dir) => {
+      val d = docsWithBytePlants(spark, dir).select(col("doc_id"), col("text"))
+      graft.functions.Bpe.detokenizeBytes(
+        graft.functions.Bpe.tokenizeToIdsBytesLossless(d, "doc_id", "text",
+          graft.functions.Bpe.FrozenByteMerges),
+        "doc_id", "bpe_ids", graft.functions.Bpe.FrozenByteMerges)
+        .orderBy(col("doc_id"))
+    }),
+
     // token counting + mean token length
     "t1_token_stats" -> ((spark, dir) =>
       docs(spark, dir).select(
@@ -1828,6 +1842,16 @@ object TrainingCatalog {
          |  CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
          |    AS fertility
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the identity: decode(encode(corpus)) must BE the corpus (docs
+    // with no words drop out on the engine side — the tokenizer's
+    // documented join semantics — so the oracle filters the same way)
+    "tk13_byte_roundtrip" ->
+      s"""WITH byteaug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM $bytePlantsValuesSql)
+         |SELECT doc_id, text FROM byteaug
+         |WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+         |ORDER BY doc_id""".stripMargin,
 
     "t1_token_stats" ->
       s"""SELECT doc_id, ${T.tokenCount("text")} AS n_tokens,

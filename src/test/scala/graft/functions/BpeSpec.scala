@@ -113,6 +113,28 @@ class BpeSpec extends SparkSpec {
         s"unk symbol in tokenization of $w")
   }
 
+  test("byte-level lossless round-trip: decode(encode(x)) == x, any script") {
+    val texts = Seq(
+      (1L, "plain ascii words"),
+      (2L, "café déjà vu émigré"),
+      (3L, "東京 大阪 mixed with ascii"),
+      (4L, "emoji 😀 inside 🚀 text"),
+      (5L, "punct! and? digits 42 symbols #@%"),
+      (6L, "singleword"))
+    val df = texts.toDF("doc_id", "text")
+    val ids = Bpe.tokenizeToIdsBytesLossless(df, "doc_id", "text",
+      Bpe.FrozenByteMerges)
+    val back = Bpe.detokenizeBytes(ids, "doc_id", "bpe_ids",
+        Bpe.FrozenByteMerges)
+      .as[(Long, String)].collect().toMap
+    for ((id, t) <- texts) assert(back(id) == t, s"doc $id not lossless")
+    // char-level CANNOT do this: OOV symbols collapse to -1
+    val charIds = Bpe.tokenizeToIds(df.filter($"doc_id" === 2L),
+      "doc_id", "text", Bpe.FrozenMerges)
+    val arr = charIds.select($"bpe_ids").as[Seq[Int]].collect().head
+    assert(arr.contains(-1), "accented chars must be OOV at char level")
+  }
+
   test("byte-level merge application: ASCII shadows char-level through hex") {
     // on pure [a-z] words the byte merges largely shadow the char
     // merges through ASCII hex — "customer" merges identically
