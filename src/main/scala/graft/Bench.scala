@@ -71,6 +71,8 @@ object Bench {
       "compressed_export" -> (() => Pipelines.compressedExport(spark, sfDir)),
       "impact_topk" -> (() => Pipelines.impactTopK(spark, indexDir)),
       "bpe_tokenize" -> (() => Pipelines.bpeTokenize(spark, sfDir)),
+      "byte_bpe_roundtrip" -> (() => Pipelines.byteBpeRoundtrip(spark, sfDir)),
+      "image_neardup" -> (() => Pipelines.imageNearDup(spark, sfDir)),
       "tokenized_export" -> (() => Pipelines.tokenizedExport(spark, sfDir)),
       "packed_export" -> (() => Pipelines.packedExport(spark, sfDir)),
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),

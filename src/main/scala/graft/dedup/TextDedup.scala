@@ -389,10 +389,12 @@ object TextDedup {
     * via `spark.catalog.clearCache()` between pipelines.
     */
   def simhashCandidates(sims: DataFrame, idCol: String,
-                        maxHamming: Int = 1, bits: Int = 16): DataFrame = {
+                        maxHamming: Int = 1, bits: Int = 16,
+                        bucketCap: Int = Int.MaxValue): DataFrame = {
     val nBands = maxHamming + 1
     require(bits % nBands == 0,
       s"bits=$bits must be divisible by maxHamming+1=$nBands bands")
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
     val width = bits / nBands
     val bandStructs = (0 until nBands).map(bnd =>
       struct(lit(bnd).as("band"),
@@ -401,15 +403,37 @@ object TextDedup {
       explode(array(bandStructs: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band"), col("b.key"))
       .cache()
-    val a = banded.select(col(idCol).as("a_id"), col("simhash").as("a_sim"),
-      col("band"), col("key"))
-    val b = banded.select(col(idCol).as("b_id"), col("simhash").as("b_sim"),
-      col("band"), col("key"))
     val hamming = (1 to bits).map(i =>
       when(substring(col("a_sim"), i, 1) =!= substring(col("b_sim"), i, 1), 1).otherwise(0))
       .reduce(_ + _)
-    a.join(b, Seq("band", "key"))
+    // Scale guard (the candidatePairs/cosPairsInBuckets star-cap
+    // discipline): a band bucket of m rows would emit m(m-1)/2 pairs —
+    // quadratic in the duplicate cluster (measured: a 1028-member
+    // 16-bit band bucket on the sf0.1 image corpus put the all-pairs
+    // spelling at 72 s). Buckets past `bucketCap` emit STAR pairs only
+    // (each member vs the bucket's min-id representative, m−1 rows); a
+    // downstream connected-components pass recovers full groups
+    // transitively. The stats agg shares the (band, key) shuffle the
+    // join needs anyway. Default ∞ preserves exact all-pairs semantics
+    // (the x7 gate contract).
+    val withStats = banded.join(
+      banded.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__c"), min(col(idCol)).as("__rep"),
+          min_by(col("simhash"), col(idCol)).as("__repsim")),
+      Seq("band", "key"))
+    val small = withStats.filter(col("__c") <= bucketCap)
+    val allPairs = small
+      .select(col(idCol).as("a_id"), col("simhash").as("a_sim"),
+        col("band"), col("key"))
+      .join(small.select(col(idCol).as("b_id"), col("simhash").as("b_sim"),
+        col("band"), col("key")), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
+    val starPairs = withStats
+      .filter(col("__c") > bucketCap && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as("a_id"), col("__repsim").as("a_sim"),
+        col(idCol).as("b_id"), col("simhash").as("b_sim"))
+    allPairs.select(col("a_id"), col("a_sim"), col("b_id"), col("b_sim"))
+      .unionByName(starPairs)
       .select(col("a_id"), col("b_id"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

@@ -268,14 +268,15 @@ object StreamMediaCatalog {
 
     // M14 — image NEAR-DUP via dHash banding: hamming ≤ 3 pairs agree
     // on one of four 16-bit bands (pigeonhole), so candidates come
-    // from an equi-join — the same scale shape as text SimHash; the
-    // planted one-byte-perturbed variants land at hamming ≤ 2 and
-    // must pair with their base image.
+    // from an equi-join — the same scale shape as text SimHash — and
+    // band buckets past 32 members emit STAR pairs only (the LSH
+    // bucket-cap discipline; a 1028-member bucket at sf0.1 made the
+    // all-pairs spelling quadratic). The oracle replays the cap.
     "m14_dhash_neardup" -> ((spark, dir) =>
       graft.dedup.TextDedup.simhashCandidates(
         BinaryOps.dHashes(dhashPayloads(spark, dir)).toDF()
           .withColumnRenamed("dhash", "simhash"),
-        "doc_id", maxHamming = 3, bits = 64)
+        "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
         .orderBy(col("a_id"), col("b_id"))),
 
     // M5 — REAL COMPRESSED codec roundtrip: PNG per doc (JDK DEFLATE +
@@ -1225,7 +1226,7 @@ object StreamMediaCatalog {
 
     "m14_dhash_neardup" -> {
       val hamming = (1 to 64)
-        .map(i => s"CASE WHEN substr(a.dhash, $i, 1) <> substr(b.dhash, $i, 1) THEN 1 ELSE 0 END")
+        .map(i => s"CASE WHEN substr(ha, $i, 1) <> substr(hb, $i, 1) THEN 1 ELSE 0 END")
         .mkString(" + ")
       val bands = (0 until 4)
         .map(bnd => s"SELECT doc_id, dhash, $bnd AS band, substr(dhash, ${bnd * 16 + 1}, 16) AS key FROM hashes")
@@ -1233,10 +1234,20 @@ object StreamMediaCatalog {
       s"""WITH $dhashOracleCte,
          |banded AS (
          |  $bands),
-         |pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-         |    $hamming AS hamming
+         |bstat AS (SELECT band, key, COUNT(*) AS c, MIN(doc_id) AS rep,
+         |    min_by(dhash, doc_id) AS repsim
+         |  FROM banded GROUP BY band, key),
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, a.dhash AS ha, b.doc_id AS b_id, b.dhash AS hb
          |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |  JOIN bstat s ON s.band = a.band AND s.key = a.key
+         |  WHERE s.c <= 32
+         |  UNION ALL
+         |  SELECT s.rep, s.repsim, x.doc_id, x.dhash
+         |  FROM banded x JOIN bstat s ON s.band = x.band AND s.key = x.key
+         |  WHERE s.c > 32 AND x.doc_id <> s.rep),
+         |pairs AS (SELECT DISTINCT a_id, b_id, $hamming AS hamming FROM cand)
          |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
          |ORDER BY a_id, b_id""".stripMargin
     },

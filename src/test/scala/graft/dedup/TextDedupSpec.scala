@@ -107,6 +107,30 @@ class TextDedupSpec extends SparkSpec {
     assert(sh(1L) != sh(4L))
   }
 
+  test("simhashCandidates bucketCap: oversized buckets emit star pairs only") {
+    // five identical 16-bit hashes: all-pairs = 10, star (cap 3) = 4
+    // (each member vs the min-id rep); one distant hash never pairs
+    val sims = Seq(
+      (1L, "0000000011111111"), (2L, "0000000011111111"),
+      (3L, "0000000011111111"), (4L, "0000000011111111"),
+      (5L, "0000000011111111"), (9L, "1111111100000000"))
+      .toDF("doc_id", "simhash")
+    val all = TextDedup.simhashCandidates(sims, "doc_id",
+      maxHamming = 1, bits = 16)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(all.size == 10 && all.forall(_._3 == 0))
+    val star = TextDedup.simhashCandidates(sims, "doc_id",
+      maxHamming = 1, bits = 16, bucketCap = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(star == Set((1L, 2L, 0), (1L, 3L, 0), (1L, 4L, 0), (1L, 5L, 0)))
+    // a small bucket under the same cap keeps exact all-pairs
+    val smallAll = TextDedup.simhashCandidates(
+      sims.filter($"doc_id" <= 3), "doc_id",
+      maxHamming = 1, bits = 16, bucketCap = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(smallAll.size == 3)
+  }
+
   test("corpusOverlap: identical corpora estimate 1.0; disjoint estimate 0.0; exact twin agrees") {
     // corpus 0 and 1 share every shingle; corpus 2 shares none
     val tagged = Seq(
