@@ -114,6 +114,35 @@ object StreamMediaCatalog {
        |  FROM bits GROUP BY doc_id)""".stripMargin
   }
 
+  /** Banding + star-cap + hamming CTE chain over `hashes` (from
+    * [[dhashOracleCte]]) — ends in `pairs(a_id, b_id, hamming)`.
+    * Replays simhashCandidates' bucketCap=32 star logic exactly.
+    */
+  private def dhashPairsCtes: String = {
+    val hamming = (1 to 64)
+      .map(i => s"CASE WHEN substr(ha, $i, 1) <> substr(hb, $i, 1) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val bands = (0 until 4)
+      .map(bnd => s"SELECT doc_id, dhash, $bnd AS band, substr(dhash, ${bnd * 16 + 1}, 16) AS key FROM hashes")
+      .mkString("\n  UNION ALL\n  ")
+    s"""banded AS (
+       |  $bands),
+       |bstat AS (SELECT band, key, COUNT(*) AS c, MIN(doc_id) AS rep,
+       |    min_by(dhash, doc_id) AS repsim
+       |  FROM banded GROUP BY band, key),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, a.dhash AS ha, b.doc_id AS b_id, b.dhash AS hb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  JOIN bstat s ON s.band = a.band AND s.key = a.key
+       |  WHERE s.c <= 32
+       |  UNION ALL
+       |  SELECT s.rep, s.repsim, x.doc_id, x.dhash
+       |  FROM banded x JOIN bstat s ON s.band = x.band AND s.key = x.key
+       |  WHERE s.c > 32 AND x.doc_id <> s.rep),
+       |pairs AS (SELECT DISTINCT a_id, b_id, $hamming AS hamming FROM cand)""".stripMargin
+  }
+
   private def adpcmFixture(id: Long): Array[Byte] = {
     val nBlocks = 1 + (id % 3).toInt
     val blocks = (0 until nBlocks).map { b =>
@@ -278,6 +307,21 @@ object StreamMediaCatalog {
           .withColumnRenamed("dhash", "simhash"),
         "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
         .orderBy(col("a_id"), col("b_id"))),
+
+    // M15 — the image-dedup loop CLOSED: corpus → dHash → banded
+    // near-dup pairs → connected components (min-label, the x9
+    // machinery) — one component per duplicate-image cluster, the
+    // artifact an image-dedup pass actually keys its canonical pick on.
+    "m15_image_components" -> ((spark, dir) => {
+      val payloads = dhashPayloads(spark, dir)
+      val pairs = graft.dedup.TextDedup.simhashCandidates(
+        BinaryOps.dHashes(payloads).toDF()
+          .withColumnRenamed("dhash", "simhash"),
+        "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
+      graft.dedup.Components.connectedComponents(
+        pairs, payloads.select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
 
     // M5 — REAL COMPRESSED codec roundtrip: PNG per doc (JDK DEFLATE +
     // CRC32 + all five scanline filters — heights ≥ 5 so every filter
@@ -1224,33 +1268,21 @@ object StreamMediaCatalog {
       s"""WITH $dhashOracleCte
          |SELECT doc_id, dhash FROM hashes ORDER BY doc_id""".stripMargin,
 
-    "m14_dhash_neardup" -> {
-      val hamming = (1 to 64)
-        .map(i => s"CASE WHEN substr(ha, $i, 1) <> substr(hb, $i, 1) THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      val bands = (0 until 4)
-        .map(bnd => s"SELECT doc_id, dhash, $bnd AS band, substr(dhash, ${bnd * 16 + 1}, 16) AS key FROM hashes")
-        .mkString("\n  UNION ALL\n  ")
+    "m14_dhash_neardup" ->
       s"""WITH $dhashOracleCte,
-         |banded AS (
-         |  $bands),
-         |bstat AS (SELECT band, key, COUNT(*) AS c, MIN(doc_id) AS rep,
-         |    min_by(dhash, doc_id) AS repsim
-         |  FROM banded GROUP BY band, key),
-         |cand AS (
-         |  SELECT a.doc_id AS a_id, a.dhash AS ha, b.doc_id AS b_id, b.dhash AS hb
-         |  FROM banded a JOIN banded b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |  JOIN bstat s ON s.band = a.band AND s.key = a.key
-         |  WHERE s.c <= 32
-         |  UNION ALL
-         |  SELECT s.rep, s.repsim, x.doc_id, x.dhash
-         |  FROM banded x JOIN bstat s ON s.band = x.band AND s.key = x.key
-         |  WHERE s.c > 32 AND x.doc_id <> s.rep),
-         |pairs AS (SELECT DISTINCT a_id, b_id, $hamming AS hamming FROM cand)
+         |$dhashPairsCtes
          |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // the full image-dedup loop: corpus → dHash → banded near-dup
+    // pairs → connected components (x9's CC spelling over the m14
+    // edges — the star-capped pairs recover full groups transitively)
+    "m15_image_components" ->
+      s"""WITH RECURSIVE $dhashOracleCte,
+         |$dhashPairsCtes,
+         |fp AS (SELECT a_id, b_id FROM pairs WHERE hamming <= 3),
+         |${graft.dedup.Components.Sql.componentsCtes("fp", "d", "doc_id")}
+         |SELECT id AS doc_id, comp FROM comps ORDER BY doc_id""".stripMargin,
 
     // the same (doc_id, x, y, channel) formula restated in SQL; column
     // names carry PNG's RGB order (p00_b here is channel index 0 = R
