@@ -46,7 +46,7 @@ object Bpe {
     applySyms(codePointSyms(word), ranks)
 
   /** Unicode-code-point initial split (the char-level symbolization). */
-  private[functions] def codePointSyms(word: String): Vector[String] = {
+  private[graft] def codePointSyms(word: String): Vector[String] = {
     val b = Vector.newBuilder[String]
     var i = 0
     while (i < word.length) {
@@ -65,7 +65,7 @@ object Bpe {
     * THE cross-engine byte encoding: Spark strings encode to it, DuckDB
     * VARCHARs are it).
     */
-  private[functions] def byteSyms(word: String): Vector[String] = {
+  private[graft] def byteSyms(word: String): Vector[String] = {
     val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = Vector.newBuilder[String]
     var i = 0

@@ -957,6 +957,26 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E31 — BYTE-level BPE on a stream (tk10's streaming face): the
+    // frozen-byte-merge memoized loop per micro-batch, mixed-script
+    // plants included in the staged source. Stream == batch on tk10's
+    // own oracle.
+    "e31_stream_byte_bpe" -> ((spark, dir) => {
+      import spark.implicits._
+      val in = graft.core.Staging.tmpDir("stream_bytebpe_in")
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .unionByName(TrainingCatalog.BytePlants
+          .toDF("doc_id", "lang", "text").select(col("doc_id"), col("text")))
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val toks = graft.streaming.DocStream.bpeTokenizeBytes(
+        graft.streaming.DocStream.read(spark, in),
+        graft.functions.Bpe.FrozenByteMerges)
+      EventStream.runToMemory(spark, toks,
+        s"stream_bytebpe_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     "e10_stream_chunks" -> ((spark, dir) => {
       val d = java.nio.file.Paths.get(stageFixtureDir("stream_ck", dir, "documents.parquet"))
       val chunks = graft.streaming.DocStream.chunk(
@@ -1119,6 +1139,7 @@ object StreamMediaCatalog {
 
     // streaming == batch for the pure-row-function BPE re-tokenization
     "e18_stream_bpe" -> TrainingCatalog.oracle("tk1_bpe_apply"),
+    "e31_stream_byte_bpe" -> TrainingCatalog.oracle("tk10_byte_bpe"),
 
     // streaming == batch for the pure-projection encoding repair
     "e20_stream_encoding" -> CurationCatalog.oracle("en2_encoding_repair"),

@@ -129,7 +129,19 @@ object DocStream {
     * EXACTLY, which is how the e18 gate oracles it.
     */
   def bpeTokenize(docs: DataFrame,
-                  merges: Seq[(String, String)]): DataFrame = {
+                  merges: Seq[(String, String)]): DataFrame =
+    bpeTokenizeWith(docs, merges, graft.functions.Bpe.codePointSyms)
+
+  /** Byte-level streaming face: the same per-partition memoized merge
+    * loop over UTF-8 hex-byte symbols (tk10's tokenization, frozen
+    * merges) — stream == batch on the tk10 oracle. */
+  def bpeTokenizeBytes(docs: DataFrame,
+                       merges: Seq[(String, String)]): DataFrame =
+    bpeTokenizeWith(docs, merges, graft.functions.Bpe.byteSyms)
+
+  private def bpeTokenizeWith(docs: DataFrame,
+                              merges: Seq[(String, String)],
+                              symbolize: String => Vector[String]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranks = merges.zipWithIndex.toMap
@@ -154,7 +166,7 @@ object DocStream {
             if (w.nonEmpty) {
               var hit = memo.get(w)
               if (hit == null) {
-                val toks = graft.functions.Bpe.applyWord(w, ranks)
+                val toks = graft.functions.Bpe.applySyms(symbolize(w), ranks)
                 hit = (toks.mkString(" "), toks.length.toLong)
                 if (memo.size < MemoCap) memo.put(w, hit)
               }
