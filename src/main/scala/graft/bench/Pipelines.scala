@@ -284,32 +284,18 @@ object Pipelines {
       "doc_id", "bpe_ids", graft.functions.Bpe.FrozenByteMerges)
   }
 
-  /** Image near-dup pipeline (m13/m14's plan at corpus scale): encode
-    * a synthetic BMP per doc (fixture cost, same formula as the gate),
-    * decode → dHash (shuffle-free map work) → SimHash banding join →
-    * exact hamming pairs. The only exchange is the band equi-join.
+  /** Image near-dup pipeline (m13/m14's plan at corpus scale): the
+    * gate's OWN fixture generator (one corpus for gate and bench —
+    * tune the formula once, both follow), decode → dHash (shuffle-free
+    * map work) → chain-capped banding join → exact hamming pairs. The
+    * only exchanges are the band window + equi-join.
     */
-  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    def img(src: Long, pert: Int): Array[Byte] = {
-      val w = 6 + (src % 5).toInt
-      val h = 5 + (src % 4).toInt
-      val px = Array.tabulate(w * h * 3) { i =>
-        val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
-        ((((src * 31 + y.toLong * y * 7 + x.toLong * x * 5 + x.toLong * y * 3 + c)
-          % 256).toInt + (if (i == 0) pert else 0)) % 256).toByte
-      }
-      graft.multimodal.BinaryOps.encodeBmp(w, h, px)
-    }
-    val ids = Tables.documents(spark, sfDir).select(col("doc_id")).as[Long]
-    val payloads = ids.map(id => (id, img(id, 0)))
-      .union(ids.filter(_ % 7 == 0).map(id => (id + 8000000L, img(id, 64))))
-      .toDF("doc_id", "payload")
+  def imageNearDup(spark: SparkSession, sfDir: String): DataFrame =
     graft.dedup.TextDedup.simhashCandidates(
-      graft.multimodal.BinaryOps.dHashes(payloads).toDF()
+      graft.multimodal.BinaryOps.dHashes(
+        graft.operators.StreamMediaCatalog.dhashPayloads(spark, sfDir)).toDF()
         .withColumnRenamed("dhash", "simhash"),
       "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
-  }
 
   /** Model-ready token-shard export: quality gate → BPE token IDS →
     * fixed 128-token sequence windows (the shape a dataloader maps

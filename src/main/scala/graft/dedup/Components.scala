@@ -228,7 +228,11 @@ object Components {
       * dedup that guarantees termination.
       */
     def componentsCtes(pairsRel: String, nodesRel: String, id: String): String =
-      s"""edges AS (SELECT a_id AS src, b_id AS dst FROM $pairsRel
+      // edges MUST be MATERIALIZED: the recursive reach CTE scans it
+      // every iteration, and an inlined spelling re-evaluates the whole
+      // upstream pairs pipeline per superstep (the learnSql lesson —
+      // measured >10 min on the m15 sf0.1 stress vs seconds hinted)
+      s"""edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM $pairsRel
          |  UNION SELECT b_id, a_id FROM $pairsRel),
          |reach AS (
          |  SELECT $id AS id, $id AS comp FROM $nodesRel

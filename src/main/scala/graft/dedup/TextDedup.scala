@@ -406,34 +406,66 @@ object TextDedup {
     val hamming = (1 to bits).map(i =>
       when(substring(col("a_sim"), i, 1) =!= substring(col("b_sim"), i, 1), 1).otherwise(0))
       .reduce(_ + _)
-    // Scale guard (the candidatePairs/cosPairsInBuckets star-cap
-    // discipline): a band bucket of m rows would emit m(m-1)/2 pairs —
+    // Scale guard: a band bucket of m rows would emit m(m-1)/2 pairs —
     // quadratic in the duplicate cluster (measured: a 1028-member
     // 16-bit band bucket on the sf0.1 image corpus put the all-pairs
-    // spelling at 72 s). Buckets past `bucketCap` emit STAR pairs only
-    // (each member vs the bucket's min-id representative, m−1 rows); a
-    // downstream connected-components pass recovers full groups
-    // transitively. The stats agg shares the (band, key) shuffle the
-    // join needs anyway. Default ∞ preserves exact all-pairs semantics
-    // (the x7 gate contract).
-    val withStats = banded.join(
-      banded.groupBy(col("band"), col("key"))
-        .agg(count(lit(1)).as("__c"), min(col(idCol)).as("__rep"),
-          min_by(col("simhash"), col(idCol)).as("__repsim")),
-      Seq("band", "key"))
-    val small = withStats.filter(col("__c") <= bucketCap)
-    val allPairs = small
-      .select(col(idCol).as("a_id"), col("simhash").as("a_sim"),
-        col("band"), col("key"))
-      .join(small.select(col(idCol).as("b_id"), col("simhash").as("b_sim"),
-        col("band"), col("key")), Seq("band", "key"))
-      .filter(col("a_id") < col("b_id"))
-    val starPairs = withStats
-      .filter(col("__c") > bucketCap && col(idCol) =!= col("__rep"))
-      .select(col("__rep").as("a_id"), col("__repsim").as("a_sim"),
-        col(idCol).as("b_id"), col("simhash").as("b_sim"))
-    allPairs.select(col("a_id"), col("a_sim"), col("b_id"), col("b_sim"))
-      .unionByName(starPairs)
+    // spelling at 72 s; capped it is ~3 s). Buckets past `bucketCap`
+    // emit m−1 edges in a RUN-STAR + BOUNDARY topology over the
+    // (hash, id) sort order: every member of an EQUAL-hash run links to
+    // the run's min id (hamming 0 — always survives the filter, and the
+    // run collapses at CC diameter 2, so a 1000-copy cluster never
+    // needs 1000 min-label supersteps the way a naive sorted CHAIN
+    // does), plus one edge between sort-adjacent members of DIFFERENT
+    // hashes (the cross-run candidates a bucket-min rep-star provably
+    // loses: the rep can be far from two members that are hamming-close
+    // to each other). Cross-hash pairs separated in sort order inside
+    // an oversized bucket are the documented recall trade for linear
+    // output. The per-bucket window is the candidatePairs annotation
+    // discipline — one (band, key) exchange, no stats-join re-shuffle —
+    // and the default ∞ cap takes the original exact two-reference
+    // self-join plan untouched (the x7 contract).
+    val pairsRaw =
+      if (bucketCap == Int.MaxValue) {
+        val a = banded.select(col(idCol).as("a_id"), col("simhash").as("a_sim"),
+          col("band"), col("key"))
+        val b = banded.select(col(idCol).as("b_id"), col("simhash").as("b_sim"),
+          col("band"), col("key"))
+        a.join(b, Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("a_sim"), col("b_id"), col("b_sim"))
+      } else {
+        import org.apache.spark.sql.expressions.Window
+        val byBucket = Window.partitionBy(col("band"), col("key"))
+        val ordered = byBucket.orderBy(col("simhash"), col(idCol))
+        val annotated = banded.withColumn("__c", count(lit(1)).over(byBucket))
+        val small = annotated.filter(col("__c") <= bucketCap)
+        val allPairs = small
+          .select(col(idCol).as("a_id"), col("simhash").as("a_sim"),
+            col("band"), col("key"))
+          .join(small.select(col(idCol).as("b_id"), col("simhash").as("b_sim"),
+            col("band"), col("key")), Seq("band", "key"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("a_sim"), col("b_id"), col("b_sim"))
+        val byRun = Window.partitionBy(col("band"), col("key"), col("simhash"))
+        val big = annotated.filter(col("__c") > bucketCap)
+          .withColumn("__runmin", min(col(idCol)).over(byRun))
+          .withColumn("__pid", lag(col(idCol), 1).over(ordered))
+          .withColumn("__psim", lag(col("simhash"), 1).over(ordered))
+        val runStar = big.filter(col(idCol) =!= col("__runmin"))
+          .select(col("__runmin").as("a_id"), col("simhash").as("a_sim"),
+            col(idCol).as("b_id"), col("simhash").as("b_sim"))
+        val boundary = big
+          .filter(col("__pid").isNotNull && col("__psim") =!= col("simhash"))
+          .select(
+            least(col("__pid"), col(idCol)).as("a_id"),
+            when(col("__pid") < col(idCol), col("__psim"))
+              .otherwise(col("simhash")).as("a_sim"),
+            greatest(col("__pid"), col(idCol)).as("b_id"),
+            when(col("__pid") < col(idCol), col("simhash"))
+              .otherwise(col("__psim")).as("b_sim"))
+        allPairs.unionByName(runStar).unionByName(boundary)
+      }
+    pairsRaw
       .select(col("a_id"), col("b_id"), hamming.as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

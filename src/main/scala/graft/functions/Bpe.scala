@@ -340,7 +340,8 @@ object Bpe {
     * id→surface map is injective — first-id-wins means an id maps to
     * exactly one surface) → UTF-8 bytes → text. With byte fallback
     * there is no unk to lose, so `detokenize(tokenize(x)) == x` for ANY
-    * single-spaced text, every script — the round-trip property that
+    * text — leading, trailing, and doubled spaces included (empty split
+    * tokens become bare space tokens), every script — the property that
     * makes byte-level the production tokenizer contract (char-level
     * BPE destroys OOV tokens irrecoverably at −1). Pure per-row map,
     * no shuffle; the tk13 gate holds the full encode→decode loop to
@@ -373,14 +374,24 @@ object Bpe {
                                 spacePrefix: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rawWords = df
+    val exploded = df
       .select(col(idCol),
         posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
-      .filter(col("__w") =!= "")
     val words =
-      if (!spacePrefix) rawWords
-      else rawWords.withColumn("__w",
-        concat(when(col("__pos") > 0, lit(" ")).otherwise(lit("")), col("__w")))
+      if (!spacePrefix) exploded.filter(col("__w") =!= "")
+      else
+        // losslessness demands the empty "words" survive too: a split
+        // on ' ' yields an empty token wherever the text has a leading,
+        // trailing, or doubled space, and the space-prefix convention
+        // turns each one (past position 0) into a bare one-byte " "
+        // token — so "a  b", "a ", " a" all round-trip byte-exact. The
+        // position-0 empty (leading space) carries no bytes of its own;
+        // the space it stands for is re-added as word 1's prefix.
+        exploded
+          .withColumn("__w",
+            concat(when(col("__pos") > 0, lit(" ")).otherwise(lit("")),
+              col("__w")))
+          .filter(col("__w") =!= "")
     val vocabIds = words.select(col("__w")).distinct().as[String]
       .map { w =>
         val t = applySyms(symbolize(w), ranks).map(s => ids.getOrElse(s, -1))

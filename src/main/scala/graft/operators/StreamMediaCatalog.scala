@@ -51,21 +51,25 @@ object StreamMediaCatalog {
     * so the batch gate, the stream gate, and the oracle cannot
     * desynchronize.
     */
-  // ---- perceptual-hash fixtures (m13/m14) -----------------------------
+  // ---- perceptual-hash fixtures (m13/m14/m15 + the bench entry) -------
   // One BMP per doc, pixels a nonlinear integer formula of
   // (src, x, y, c) — nonlinear in x/y so dHashes are near-unique across
   // docs (a linear gradient collapses to a handful of hash values and
   // the band join degenerates). Every 7th doc also emits a NEAR-DUP
   // variant at id+8e6: the same image with one byte perturbed (+64 at
-  // pixel (0,0) channel B), which moves exactly one 9×8 luma cell →
-  // hamming ≤ 1. Same construction on both engines.
-  private val DHashVariantOffset = 8000000L
+  // pixel (0,0) channel B). That source pixel covers up to a 2×2 block
+  // of the 9×8 luma grid (for w ≤ 8, gx∈{0,1} both map to source x=0;
+  // likewise gy for h ≤ 7), so up to TWO comparison bits can flip —
+  // hamming ≤ 2, safely inside the gate's ≤ 3 budget but NOT ≤ 1.
+  // Same construction on both engines; shared with the bench entry
+  // (Pipelines.imageNearDup) so gate and bench measure one corpus.
+  private[graft] val DHashVariantOffset = 8000000L
 
   private def dhashPixel(src: Long, x: Int, y: Int, c: Int): Int =
     ((src * 31 + y.toLong * y * 7 + x.toLong * x * 5 + x.toLong * y * 3 + c)
       % 256).toInt
 
-  private def dhashPayloads(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dhashPayloads(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     def img(src: Long, pert: Int): Array[Byte] = {
       val w = 6 + (src % 5).toInt
@@ -114,9 +118,10 @@ object StreamMediaCatalog {
        |  FROM bits GROUP BY doc_id)""".stripMargin
   }
 
-  /** Banding + star-cap + hamming CTE chain over `hashes` (from
+  /** Banding + chain-cap + hamming CTE chain over `hashes` (from
     * [[dhashOracleCte]]) — ends in `pairs(a_id, b_id, hamming)`.
-    * Replays simhashCandidates' bucketCap=32 star logic exactly.
+    * Replays simhashCandidates' bucketCap=32 sorted-adjacency logic
+    * exactly (LAG over (hash, id) order within the bucket).
     */
   private def dhashPairsCtes: String = {
     val hamming = (1 to 64)
@@ -125,21 +130,28 @@ object StreamMediaCatalog {
     val bands = (0 until 4)
       .map(bnd => s"SELECT doc_id, dhash, $bnd AS band, substr(dhash, ${bnd * 16 + 1}, 16) AS key FROM hashes")
       .mkString("\n  UNION ALL\n  ")
-    s"""banded AS (
+    s"""banded AS MATERIALIZED (
        |  $bands),
-       |bstat AS (SELECT band, key, COUNT(*) AS c, MIN(doc_id) AS rep,
-       |    min_by(dhash, doc_id) AS repsim
-       |  FROM banded GROUP BY band, key),
+       |chainw AS MATERIALIZED (SELECT band, key, doc_id, dhash,
+       |    COUNT(*) OVER (PARTITION BY band, key) AS c,
+       |    MIN(doc_id) OVER (PARTITION BY band, key, dhash) AS runmin,
+       |    LAG(doc_id) OVER (PARTITION BY band, key ORDER BY dhash, doc_id) AS pid,
+       |    LAG(dhash) OVER (PARTITION BY band, key ORDER BY dhash, doc_id) AS psim
+       |  FROM banded),
        |cand AS (
        |  SELECT a.doc_id AS a_id, a.dhash AS ha, b.doc_id AS b_id, b.dhash AS hb
-       |  FROM banded a JOIN banded b
+       |  FROM chainw a JOIN chainw b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |  JOIN bstat s ON s.band = a.band AND s.key = a.key
-       |  WHERE s.c <= 32
+       |  WHERE a.c <= 32
        |  UNION ALL
-       |  SELECT s.rep, s.repsim, x.doc_id, x.dhash
-       |  FROM banded x JOIN bstat s ON s.band = x.band AND s.key = x.key
-       |  WHERE s.c > 32 AND x.doc_id <> s.rep),
+       |  SELECT runmin, dhash, doc_id, dhash
+       |  FROM chainw WHERE c > 32 AND doc_id <> runmin
+       |  UNION ALL
+       |  SELECT LEAST(pid, doc_id),
+       |    CASE WHEN pid < doc_id THEN psim ELSE dhash END,
+       |    GREATEST(pid, doc_id),
+       |    CASE WHEN pid < doc_id THEN dhash ELSE psim END
+       |  FROM chainw WHERE c > 32 AND pid IS NOT NULL AND psim <> dhash),
        |pairs AS (SELECT DISTINCT a_id, b_id, $hamming AS hamming FROM cand)""".stripMargin
   }
 

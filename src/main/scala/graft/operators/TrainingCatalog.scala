@@ -1843,14 +1843,16 @@ object TrainingCatalog {
          |    AS fertility
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
-    // the identity: decode(encode(corpus)) must BE the corpus (docs
-    // with no words drop out on the engine side — the tokenizer's
-    // documented join semantics — so the oracle filters the same way)
+    // the identity: decode(encode(corpus)) must BE the corpus. Only a
+    // truly EMPTY text drops on the engine side (every split token of
+    // a non-empty text survives — empties past position 0 become bare
+    // space tokens under the lossless convention), so the oracle
+    // filters exactly that.
     "tk13_byte_roundtrip" ->
       s"""WITH byteaug AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id, text FROM $bytePlantsValuesSql)
          |SELECT doc_id, text FROM byteaug
-         |WHERE len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+         |WHERE text <> ''
          |ORDER BY doc_id""".stripMargin,
 
     "t1_token_stats" ->

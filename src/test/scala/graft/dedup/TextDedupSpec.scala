@@ -107,9 +107,13 @@ class TextDedupSpec extends SparkSpec {
     assert(sh(1L) != sh(4L))
   }
 
-  test("simhashCandidates bucketCap: oversized buckets emit star pairs only") {
-    // five identical 16-bit hashes: all-pairs = 10, star (cap 3) = 4
-    // (each member vs the min-id rep); one distant hash never pairs
+  test("simhashCandidates bucketCap: oversized buckets emit run-stars (CC diameter 2)") {
+    // five identical 16-bit hashes: all-pairs = 10, capped (cap 3) = 4
+    // edges from the equal-hash RUN's min id — the run stays fully
+    // connected at hamming 0 AND collapses in 2 CC supersteps (a
+    // sorted chain would need run-length supersteps — the m15
+    // convergence failure this topology exists to avoid); one distant
+    // hash never pairs
     val sims = Seq(
       (1L, "0000000011111111"), (2L, "0000000011111111"),
       (3L, "0000000011111111"), (4L, "0000000011111111"),
@@ -119,16 +123,33 @@ class TextDedupSpec extends SparkSpec {
       maxHamming = 1, bits = 16)
       .as[(Long, Long, Int)].collect().toSet
     assert(all.size == 10 && all.forall(_._3 == 0))
-    val star = TextDedup.simhashCandidates(sims, "doc_id",
+    val capped = TextDedup.simhashCandidates(sims, "doc_id",
       maxHamming = 1, bits = 16, bucketCap = 3)
       .as[(Long, Long, Int)].collect().toSet
-    assert(star == Set((1L, 2L, 0), (1L, 3L, 0), (1L, 4L, 0), (1L, 5L, 0)))
+    assert(capped == Set((1L, 2L, 0), (1L, 3L, 0), (1L, 4L, 0), (1L, 5L, 0)))
     // a small bucket under the same cap keeps exact all-pairs
     val smallAll = TextDedup.simhashCandidates(
       sims.filter($"doc_id" <= 3), "doc_id",
       maxHamming = 1, bits = 16, bucketCap = 3)
       .as[(Long, Long, Int)].collect().toSet
     assert(smallAll.size == 3)
+  }
+
+  test("boundary edges beat a bucket-min rep-star: close members still pair") {
+    // three distinct hashes in ONE 8-bit band bucket (first band
+    // '00000000'): the bucket's min-id 1 is hamming-4+ from 3 and 4,
+    // but 3 and 4 are hamming-1 of each other AND sort-adjacent — a
+    // bucket-min rep-star under the hamming filter would lose the
+    // (3,4) edge entirely; the boundary edge keeps it
+    val sims = Seq(
+      (1L, "0000000000000000"),
+      (3L, "0000000011101111"),
+      (4L, "0000000011111111"))
+      .toDF("doc_id", "simhash")
+    val out = TextDedup.simhashCandidates(sims, "doc_id",
+      maxHamming = 1, bits = 16, bucketCap = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out.contains((3L, 4L, 1)))
   }
 
   test("corpusOverlap: identical corpora estimate 1.0; disjoint estimate 0.0; exact twin agrees") {

@@ -120,7 +120,12 @@ class BpeSpec extends SparkSpec {
       (3L, "東京 大阪 mixed with ascii"),
       (4L, "emoji 😀 inside 🚀 text"),
       (5L, "punct! and? digits 42 symbols #@%"),
-      (6L, "singleword"))
+      (6L, "singleword"),
+      // irregular spacing: the empty split tokens must survive as bare
+      // space tokens or these silently lose bytes
+      (7L, "trailing space "),
+      (8L, " leading space"),
+      (9L, "double  space and  more"))
     val df = texts.toDF("doc_id", "text")
     val ids = Bpe.tokenizeToIdsBytesLossless(df, "doc_id", "text",
       Bpe.FrozenByteMerges)
