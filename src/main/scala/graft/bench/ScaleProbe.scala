@@ -243,6 +243,7 @@ object ScaleProbe {
       emb.unpersist()
       spark.catalog.clearCache()
 
+
       // secondary-sort folds: multiplying events on event_id keeps the
       // key set fixed, so per-key runs grow m× — the curve shows the
       // fold is linear in run length (O(1) state, spillable sort)
@@ -329,6 +330,32 @@ object ScaleProbe {
       }
       spark.catalog.clearCache()
       } // enabled("core")
+      // image near-dup: the fixture's hash space has period 1280 in
+      // doc_id, so multiplying ids grows every equal-hash run ~m× —
+      // the run-star cap must keep edges (rows=) and time LINEAR in
+      // the duplicate-cluster size (the all-pairs spelling is m² in
+      // the run and measured 72 s at m=1 before the cap)
+      if (enabled("image")) time(s"image_neardup x$m") {
+        val ids = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id")),
+          "doc_id", m, 10000000L)
+        import spark.implicits._
+        val payloads = ids.as[Long].map { id =>
+          val w = 6 + (id % 5).toInt
+          val h = 5 + (id % 4).toInt
+          val px = Array.tabulate(w * h * 3) { i =>
+            val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
+            ((id * 31 + y.toLong * y * 7 + x.toLong * x * 5 +
+              x.toLong * y * 3 + c) % 256).toByte
+          }
+          (id, graft.multimodal.BinaryOps.encodeBmp(w, h, px))
+        }.toDF("doc_id", "payload")
+        TextDedup.simhashCandidates(
+          graft.multimodal.BinaryOps.dHashes(payloads).toDF()
+            .withColumnRenamed("dhash", "simhash"),
+          "doc_id", maxHamming = 3, bits = 64, bucketCap = 32).count()
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -125,6 +125,26 @@ class BinaryOpsSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 0))) // identical images: hamming 0
   }
 
+  test("dHashes is shuffle-free; capped banding joins hash, never nested-loops") {
+    val imgs = (1L to 40L).map { id =>
+      (id, BinaryOps.encodeBmp(3, 2,
+        Array.tabulate(18)(i => ((id * 13 + i * 40) % 256).toByte)))
+    }.toDF("doc_id", "payload")
+    val h = BinaryOps.dHashes(imgs).toDF()
+    h.collect()
+    val hPlan = h.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!hPlan.contains("Exchange"),
+      s"hashing must be pure map work:\n$hPlan")
+    val pairs = graft.dedup.TextDedup.simhashCandidates(
+      h.withColumnRenamed("dhash", "simhash"), "doc_id",
+      maxHamming = 3, bits = 64, bucketCap = 4)
+    pairs.collect()
+    val pPlan = pairs.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!pPlan.contains("CartesianProduct") &&
+      !pPlan.contains("BroadcastNestedLoop"),
+      s"banding must stay an equi-join:\n$pPlan")
+  }
+
   test("PNG roundtrip exercises all five scanline filters") {
     // heights ≥ 5 force filter types 0..4 (encoder assigns row % 5)
     for ((w, h) <- Seq((1, 5), (3, 7), (4, 6))) {
