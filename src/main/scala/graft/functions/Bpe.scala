@@ -578,7 +578,27 @@ object Bpe {
     * re-evaluate the chain O(3^nMerges) times — the unhinted spelling
     * measurably hangs DuckDB at 8 stages.
     */
-  def learnSql(src: String, text: String, nMerges: Int): String = {
+  def learnSql(src: String, text: String, nMerges: Int): String =
+    learnSqlWith(src, text, nMerges,
+      // chosen symbols are interpolated into the recursive stage's
+      // regexp_replace PATTERN, so tokens must be regex-inert
+      wordFilter = " AND regexp_full_match(u.tk, '[a-z]+')",
+      initialSplit = w => s"' ' || trim(regexp_replace($w, '(?s)(.)', '\\1 ', 'g')) || ' '")
+
+  /** DuckDB replay of [[trainBytes]]: the [[learnSql]] unrolled-stage
+    * machinery with the byte initial split (`lower(hex(encode(w)))`
+    * chopped into 2-hex-char symbols) and NO token filter — hex
+    * symbols are regex-inert for any input, so every word trains
+    * (the byte contract).
+    */
+  def learnBytesSql(src: String, text: String, nMerges: Int): String =
+    learnSqlWith(src, text, nMerges, wordFilter = "",
+      initialSplit = w =>
+        s"' ' || trim(regexp_replace(lower(hex(encode($w))), '(..)', '\\1 ', 'g')) || ' '")
+
+  private def learnSqlWith(src: String, text: String, nMerges: Int,
+                           wordFilter: String,
+                           initialSplit: String => String): String = {
     require(nMerges >= 1 && nMerges <= 32,
       s"learnSql unrolls one stage per merge; keep nMerges in [1, 32], got $nMerges")
     val sb = new StringBuilder
@@ -586,10 +606,10 @@ object Bpe {
        | w0 AS MATERIALIZED (SELECT u.tk AS w, CAST(COUNT(*) AS BIGINT) AS f
        |   FROM (SELECT string_split($text, ' ') AS t FROM $src) d
        |   CROSS JOIN LATERAL unnest(t) AS u(tk)
-       |   WHERE u.tk <> '' AND regexp_full_match(u.tk, '[a-z]+')
+       |   WHERE u.tk <> ''$wordFilter
        |   GROUP BY u.tk),
        | s0 AS MATERIALIZED (SELECT w, f,
-       |   ' ' || trim(regexp_replace(w, '(?s)(.)', '\\1 ', 'g')) || ' ' AS seq
+       |   ${initialSplit("w")} AS seq
        |   FROM w0)""".stripMargin
     for (k <- 1 to nMerges) {
       val prev = s"s${k - 1}"

@@ -594,6 +594,20 @@ object TrainingCatalog {
         .toDF("rank", "x", "y").orderBy(col("rank"))
     }),
 
+    // TK14 — the BYTE trainer END-TO-END as an oracle gate (tk9's
+    // byte face): the unrolled per-stage argmax replay over hex-byte
+    // symbolizations, mixed-script plants included, NO token filter —
+    // every word trains, the byte contract
+    "tk14_byte_bpe_learn" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.functions.Bpe.trainBytes(
+          docsWithBytePlants(spark, dir).select(col("doc_id"), col("text")),
+          "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rank", "x", "y").orderBy(col("rank"))
+    }),
+
     // TK8 — dense cross-document packing of the BPE id stream: docs
     // in deterministic md5 order, separator-terminated, cut into
     // 128-id packs — TRAINING BATCHES, not tk6's per-doc padded
@@ -1562,6 +1576,13 @@ object TrainingCatalog {
     "tk9_bpe_learn" ->
       s"""SELECT rank, x, y
          |FROM ${graft.functions.Bpe.learnSql("documents", "text", 8)} q
+         |ORDER BY rank""".stripMargin,
+
+    "tk14_byte_bpe_learn" ->
+      s"""WITH byteaug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM $bytePlantsValuesSql)
+         |SELECT rank, x, y
+         |FROM ${graft.functions.Bpe.learnBytesSql("byteaug", "text", 8)} q
          |ORDER BY rank""".stripMargin,
 
     "nv2_store_admit" -> {
