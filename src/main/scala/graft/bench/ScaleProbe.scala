@@ -340,16 +340,13 @@ object ScaleProbe {
           Tables.documents(spark, sfDir).select(col("doc_id")),
           "doc_id", m, 10000000L)
         import spark.implicits._
-        val payloads = ids.as[Long].map { id =>
-          val w = 6 + (id % 5).toInt
-          val h = 5 + (id % 4).toInt
-          val px = Array.tabulate(w * h * 3) { i =>
-            val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
-            ((id * 31 + y.toLong * y * 7 + x.toLong * x * 5 +
-              x.toLong * y * 3 + c) % 256).toByte
-          }
-          (id, graft.multimodal.BinaryOps.encodeBmp(w, h, px))
-        }.toDF("doc_id", "payload")
+        // the gate fixture's own image builder (one corpus for gate,
+        // bench, and probe — r13 ADVICE); only the id-multiply offset
+        // is probe-local
+        val payloads = ids.as[Long]
+          .map(id => (id,
+            graft.operators.StreamMediaCatalog.dhashImage(id, 0)))
+          .toDF("doc_id", "payload")
         TextDedup.simhashCandidates(
           graft.multimodal.BinaryOps.dHashes(payloads).toDF()
             .withColumnRenamed("dhash", "simhash"),

@@ -223,6 +223,13 @@ object TextDedup {
     // scale.
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("band_id"), col("band_key"))
+    // Cache ownership: the annotated band table is cached so both
+    // self-join sides read the window's (band_id, band_key) hash
+    // partitioning out of the cache (the plan audited below) — the
+    // CALLER releases via spark.catalog.clearCache() once the pairs
+    // are materialized (see simhashCandidates' ownership note: lazy
+    // result ⇒ no in-operator unpersist; eager checkpoint would drop
+    // the partitioning and re-shuffle the join).
     val annotated = bands
       .withColumn("__rep", min(col(idCol)).over(w))
       .withColumn("__bsz", count(lit(1)).over(w))
@@ -384,9 +391,24 @@ object TextDedup {
     * that differ more). Same join-not-cross-product shape as MinHash
     * banding, so it scales the same way. `bits` must match the
     * `simhash(bits = …)` that produced the signatures and be divisible
-    * by the band count. The band table is cached (tiny: ids × bands)
-    * so the self-join doesn't recompute its lineage; callers release it
-    * via `spark.catalog.clearCache()` between pipelines.
+    * by the band count.
+    *
+    * Cache ownership: the band table is cached (tiny: ids × bands) so
+    * the self-join reuses the window's partitioning instead of
+    * recomputing its lineage per side — the CALLER owns the release
+    * (`spark.catalog.clearCache()` once the pairs are materialized;
+    * the batch mains exit, the streaming faces clear per drain). An
+    * in-operator unpersist is impossible because the result is lazy,
+    * and an eager checkpoint would both discard the partitioning
+    * (re-shuffling the self-join) and blind the PlanSpec audits.
+    *
+    * Downstream CC contract: with a finite `bucketCap`, route the
+    * pairs through [[Components.connectedComponentsLogStar]], never
+    * min-label — a capped bucket of DISTINCT hashes has empty run-
+    * stars and its boundary edges form a sorted CHAIN; when sort-
+    * adjacent hashes sit within `maxHamming` the chain survives the
+    * filter, and min-label needs ~chain-length supersteps
+    * (ComponentsSpec pins the pathology; m15 routes accordingly).
     */
   def simhashCandidates(sims: DataFrame, idCol: String,
                         maxHamming: Int = 1, bits: Int = 16,

@@ -69,21 +69,29 @@ object StreamMediaCatalog {
     ((src * 31 + y.toLong * y * 7 + x.toLong * x * 5 + x.toLong * y * 3 + c)
       % 256).toInt
 
+  /** The dHash fixture image for one source id — dims and pixel bytes
+    * pure functions of `src`, one optionally-perturbed byte at (0,0)B.
+    * SINGLE source of truth for the gate/bench/scale-probe corpus (the
+    * r13 review deduplicated Pipelines.imageNearDup onto dhashPayloads;
+    * ScaleProbe's image arm calls this directly so a formula tweak can
+    * never decouple the probe from what the gates measure).
+    */
+  private[graft] def dhashImage(src: Long, pert: Int): Array[Byte] = {
+    val w = 6 + (src % 5).toInt
+    val h = 5 + (src % 4).toInt
+    val px = Array.tabulate(w * h * 3) { i =>
+      val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
+      (((dhashPixel(src, x, y, c) + (if (i == 0) pert else 0)) % 256)).toByte
+    }
+    BinaryOps.encodeBmp(w, h, px)
+  }
+
   private[graft] def dhashPayloads(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    def img(src: Long, pert: Int): Array[Byte] = {
-      val w = 6 + (src % 5).toInt
-      val h = 5 + (src % 4).toInt
-      val px = Array.tabulate(w * h * 3) { i =>
-        val c = i % 3; val x = (i / 3) % w; val y = i / (3 * w)
-        (((dhashPixel(src, x, y, c) + (if (i == 0) pert else 0)) % 256)).toByte
-      }
-      BinaryOps.encodeBmp(w, h, px)
-    }
     val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-    ids.map(id => (id, img(id, 0)))
+    ids.map(id => (id, dhashImage(id, 0)))
       .union(ids.filter(_ % 7 == 0)
-        .map(id => (id + DHashVariantOffset, img(id, 64))))
+        .map(id => (id + DHashVariantOffset, dhashImage(id, 64))))
       .toDF("doc_id", "payload")
   }
 
@@ -321,16 +329,24 @@ object StreamMediaCatalog {
         .orderBy(col("a_id"), col("b_id"))),
 
     // M15 — the image-dedup loop CLOSED: corpus → dHash → banded
-    // near-dup pairs → connected components (min-label, the x9
-    // machinery) — one component per duplicate-image cluster, the
-    // artifact an image-dedup pass actually keys its canonical pick on.
+    // near-dup pairs → connected components — one component per
+    // duplicate-image cluster, the artifact an image-dedup pass
+    // actually keys its canonical pick on. CC goes through LOG-STAR,
+    // not min-label: a capped bucket whose members have DISTINCT
+    // hashes emits its boundary edges as a sorted CHAIN, and if
+    // sort-adjacent hashes are within maxHamming (smooth-gradient /
+    // burst-frame corpora) the chain survives the filter — min-label
+    // needs ~chain-length supersteps and aborts at maxIter, while
+    // log-star converges in O(log n) rounds regardless of diameter
+    // (ComponentsSpec pins the pathology). The fixpoint (min reachable
+    // id) is identical, so the recursive-CTE oracle is unchanged.
     "m15_image_components" -> ((spark, dir) => {
       val payloads = dhashPayloads(spark, dir)
       val pairs = graft.dedup.TextDedup.simhashCandidates(
         BinaryOps.dHashes(payloads).toDF()
           .withColumnRenamed("dhash", "simhash"),
         "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
-      graft.dedup.Components.connectedComponents(
+      graft.dedup.Components.connectedComponentsLogStar(
         pairs, payloads.select(col("doc_id")), "doc_id")
         .orderBy(col("doc_id"))
     }),

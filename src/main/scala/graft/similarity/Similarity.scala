@@ -259,6 +259,11 @@ object Similarity {
       .setFeaturesCol("__fv").fit(withVec)
     val assigned = model.transform(withVec)
       .select(col(idCol), col(vecCol), col("prediction").as("cell"))
+    // the cache served KMeans' iterations; release it here — consumers
+    // of `assigned` pay one map-only re-derivation per materialization
+    // (no shuffle in the lineage), and a long-lived session never
+    // accumulates per-build cached corpora (r13 hygiene item)
+    withVec.unpersist()
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
@@ -514,7 +519,11 @@ object Similarity {
     // bucket stats via one window pass (see TextDedup.candidatePairs:
     // the window's hash-partitioning on the bucket key is the
     // self-join's key and survives the cache, so no extra shuffles;
-    // the sorted pass is the standing price of the O(m) guarantee)
+    // the sorted pass is the standing price of the O(m) guarantee).
+    // Cache ownership: CALLER releases via spark.catalog.clearCache()
+    // once the pairs are materialized — the lazy result rules out an
+    // in-operator unpersist, and an eager checkpoint would drop the
+    // partitioning (TextDedup.simhashCandidates' ownership note).
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
     val annotated = withBucket
       .withColumn("__nrm", l2norm(col(vecCol)))

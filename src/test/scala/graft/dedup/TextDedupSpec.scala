@@ -135,6 +135,41 @@ class TextDedupSpec extends SparkSpec {
     assert(smallAll.size == 3)
   }
 
+  test("capped bucket of DISTINCT hashes: boundary chain needs log-star CC") {
+    // the r13 ADVICE pathology: in an oversized bucket where every
+    // member's hash is DISTINCT, run-stars are empty (each row is its
+    // own run-min) and the boundary edges form a sorted CHAIN; with
+    // sort-adjacent hashes inside maxHamming (smooth-gradient / burst-
+    // frame corpora) the whole chain survives the filter, so min-label
+    // CC needs ~chain-length supersteps — while log-star converges in
+    // O(log n) rounds regardless of diameter. Construct a unary ramp:
+    // hash(i) = 16 zero bits ++ (i ones)(48-i zeros) — all 49 hashes
+    // distinct, lexicographic order == ramp order, consecutive hamming
+    // exactly 1, and every oversized band bucket yields the SAME chain
+    // edges (no all-pairs shortcut exists anywhere).
+    val n = 49
+    val sims = (0 until n).map { i =>
+      (i.toLong, "0" * 16 + "1" * i + "0" * (48 - i))
+    }.toDF("doc_id", "simhash")
+    val pairs = TextDedup.simhashCandidates(sims, "doc_id",
+      maxHamming = 3, bits = 64, bucketCap = 16)
+    val edges = pairs.as[(Long, Long, Int)].collect().toSet
+    assert(edges == (0 until n - 1).map(i => (i.toLong, i + 1L, 1)).toSet,
+      s"expected the 48-edge hamming-1 chain, got ${edges.size} edges")
+    // min-label at its default superstep budget ABORTS on the chain…
+    val nodes = sims.select($"doc_id")
+    val err = intercept[IllegalArgumentException] {
+      Components.connectedComponents(pairs, nodes, "doc_id")
+    }
+    assert(err.getMessage.contains("did not converge"))
+    // …log-star converges and finds the single component (the m15
+    // routing contract)
+    val comps = Components.connectedComponentsLogStar(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(comps.size == n && comps.values.forall(_ == 0L))
+    spark.catalog.clearCache() // simhashCandidates ownership contract
+  }
+
   test("boundary edges beat a bucket-min rep-star: close members still pair") {
     // three distinct hashes in ONE 8-bit band bucket (first band
     // '00000000'): the bucket's min-id 1 is hamming-4+ from 3 and 4,
