@@ -90,6 +90,35 @@ object ScaleProbe {
         docs.unpersist()
         spark.catalog.clearCache()
       }
+      // BPE TRAINER per-round cost: double the merge count at each
+      // corpus multiplier for both trainers. Expected: the incremental
+      // trainer's r16→r32 delta ≈ its r8→r16 delta (per-round cost
+      // FLAT in round number — later rounds fold only affected-word
+      // deltas into the pair census), while the legacy trainer re-
+      // symbolizes and re-applies every accumulated merge to the WHOLE
+      // vocab each round, so its per-round cost grows with both m and
+      // the round number. On gate-scale corpora job-scheduling latency
+      // (~3 jobs/round incremental, 1 heavy job/round legacy) dominates
+      // the constants; the curve, not the constant, is the claim.
+      if (enabled("bpe_train")) {
+        val docs = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", m, 10000000L)
+          .withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1c"),
+                expr("doc_id div 10000000").cast("string"))))
+          .repartition(64).cache()
+        docs.count()
+        for (r <- Seq(8, 16, 32)) time(s"bpe_train_incr r$r x$m") {
+          graft.functions.Bpe.trainBytesIncremental(docs, "text", r).size.toLong
+        }
+        for (r <- Seq(8, 16, 32)) time(s"bpe_train_legacy r$r x$m") {
+          graft.functions.Bpe.trainBytes(docs, "text", r).size.toLong
+        }
+        docs.unpersist()
+        spark.catalog.clearCache()
+      }
       // Gopher char-fraction repetition cut: per-document work only
       // (positioned-gram flatMap + doc-keyed aggs/windows), so the
       // curve must be linear in rows regardless of content; plain

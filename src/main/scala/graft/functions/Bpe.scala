@@ -167,6 +167,116 @@ object Bpe {
     } finally vocab.unpersist()
   }
 
+  /** Incremental-pair-count training — [[train]]'s production-scale
+    * spelling (the r13 verdict's top item): instead of re-symbolizing
+    * every distinct word and re-applying ALL accumulated merges each
+    * round (O(rounds·vocab·wordlen²) total re-derivation work, with
+    * every round's pair-count shuffle carrying the FULL vocabulary's
+    * adjacency stream), maintain two checkpointed frames across
+    * rounds:
+    *
+    *  - `state` — one (syms, freq) row per distinct word, advanced in
+    *    place each round;
+    *  - `counts` — the adjacent-pair census, folded by DELTAS: only
+    *    words that actually contain the just-frozen pair contribute
+    *    (−old adjacencies, +new adjacencies), so the per-round shuffle
+    *    volume is O(affected words), not O(vocab) — at a 32k-merge
+    *    production vocab the late rounds touch a vanishing fraction of
+    *    the vocabulary (ScaleProbe's bpe_train arm measures the curve).
+    *
+    * Exactness contract: byte-for-byte the same merge sequence as
+    * [[train]]/[[trainBytes]] (argmax over exact-long counts, count
+    * desc / lexicographic tie-break). The state advance applies the
+    * FULL rank table to affected words, not just the new pair: greedy
+    * lowest-rank-first application factors through the previous
+    * fixpoint (while any pair of rank < k is present the chosen merge
+    * is identical under both tables, and pair k only fires when no
+    * lower rank is present), so applySyms(applySyms(w, R₍ₖ₋₁₎), Rₖ) ==
+    * applySyms(w, Rₖ) — but merging pair k CAN create a fresh
+    * occurrence of an EARLIER rank when two merge paths share a
+    * surface string (the first-id-wins collision class), which a
+    * merge-only-the-new-pair advance would miss. Unaffected words are
+    * already Rₖ fixpoints (no pair < k present, pair k absent), so the
+    * full-table re-application degenerates to one adjacency scan for
+    * them. BpeSpec pins trainIncremental == train on the gate corpora
+    * and on deep (≥256-merge) runs; the tk15 gate holds the 8-merge
+    * prefix to the same unrolled SQL replay as tk14.
+    *
+    * Per-round cost is FLAT in the round number: one bounded argmax
+    * collect (the winning pair), one map-only state advance
+    * (checkpointed so lineage never accumulates), one delta fold into
+    * the pair census. The O(rounds) job-scheduling latency is inherent
+    * to greedy BPE (each merge depends on the counts after the last).
+    */
+  def trainIncremental(df: DataFrame, textCol: String,
+                       nMerges: Int): Vector[(String, String)] =
+    trainIncrementalWith(df, textCol, nMerges, codePointSyms)
+
+  /** Byte-level [[trainIncremental]] (see [[trainBytes]]). */
+  def trainBytesIncremental(df: DataFrame, textCol: String,
+                            nMerges: Int): Vector[(String, String)] =
+    trainIncrementalWith(df, textCol, nMerges, byteSyms)
+
+  private def trainIncrementalWith(df: DataFrame, textCol: String,
+                                   nMerges: Int,
+                                   symbolize: String => Vector[String]): Vector[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def adjacent(syms: Seq[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    // the symbolized vocabulary — materialized ONCE; every later round
+    // advances this frame instead of re-deriving it from the corpus
+    var state: Dataset[(Seq[String], Long)] = df
+      .select(explode(split(col(textCol), " ", -1)).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) => (symbolize(w): Seq[String], f) }
+      .localCheckpoint()
+    var counts: DataFrame = state
+      .flatMap { case (syms, f) => adjacent(syms).map(p => (p._1, p._2, f)) }
+      .toDF("x", "y", "cnt")
+      .groupBy($"x", $"y").agg(sum($"cnt").as("cnt"))
+      .localCheckpoint()
+    val merges = Vector.newBuilder[(String, String)]
+    var current = Vector.empty[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (rounds < nMerges && !exhausted) {
+      val best = counts.orderBy($"cnt".desc, $"x", $"y").limit(1)
+        .as[(String, String, Long)].collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (bx, by, _) = best.head
+        merges += ((bx, by))
+        current = current :+ ((bx, by))
+        val ranks = ranksOf(current) // tiny closure capture, ≤ nMerges
+        val advanced = state
+          .map { case (syms, f) =>
+            if (adjacent(syms).contains((bx, by)))
+              (syms, applySyms(syms.toVector, ranks): Seq[String], f, true)
+            else (syms, syms, f, false)
+          }
+          .localCheckpoint() // truncate per-round lineage (eager)
+        val deltas = advanced.filter(_._4)
+          .flatMap { case (old, nw, f, _) =>
+            adjacent(old).map(p => (p._1, p._2, -f)) ++
+              adjacent(nw).map(p => (p._1, p._2, f))
+          }
+          .toDF("x", "y", "cnt")
+        counts = counts.unionByName(deltas)
+          .groupBy($"x", $"y").agg(sum($"cnt").as("cnt"))
+          .filter($"cnt" > 0)
+          .localCheckpoint()
+        state = advanced.map { case (_, nw, f, _) => (nw, f) }
+        rounds += 1
+      }
+    }
+    merges.result()
+  }
+
   /** The frozen merge table the tk1/tk2 gates run under: the output of
     * [[train]] over `documents` at sf0.01 with nMerges=24, frozen as a
     * literal (like the ml1 golden cells) so the gates are pure

@@ -61,11 +61,42 @@ object TrainingCatalog {
       .unionByName(BytePlants.toDF("doc_id", "lang", "text"))
   }
 
+  /** Deterministic PLANTED corpus for the deep (≥256-merge) trainer
+    * gate tk17: 160 LCG-derived pseudo-words (lengths 6–13, skewed
+    * frequencies 1–13) — rich enough that 260 byte-level merges never
+    * exhaust, literal enough that the gate is constant at EVERY sf
+    * (the oracle is the frozen 260-row merge table: `learnBytesSql`
+    * unrolls one SQL stage per merge and is capped at 32, so a deep
+    * trainer can only gate against a frozen replay — the verdict-
+    * prescribed discipline; BpeSpec re-derives the frozen table from
+    * BOTH trainers and fails loudly on drift).
+    */
+  private[graft] def deepTrainCorpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    deepTrainRows.toDF("text")
+  }
+
+  private[graft] val deepTrainRows: Seq[String] = (0 until 160).map { i =>
+    val len = 6 + (i % 8)
+    var s = i.toLong * 2654435761L + 12345L
+    val w = new StringBuilder
+    for (_ <- 0 until len) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      w += ('a' + java.lang.Math.floorMod(s >>> 33, 26L).toInt).toChar
+    }
+    Seq.fill(i % 13 + 1)(w.result()).mkString(" ")
+  }
+
   // single-line on purpose: interpolated into stripMargin templates
   // (the en1 trap — no line of a shared constant may start with '|')
   private val bytePlantsValuesSql: String = BytePlants
     .map { case (id, lang, text) => s"($id, '$lang', '$text')" }
     .mkString("(VALUES ", ", ", ") v(doc_id, lang, text)")
+
+  // tk17's frozen replay, derived from the one Scala literal (single
+  // line — the en1 stripMargin trap)
+  private val deepMergesValuesSql: String = DeepMerges.Table.zipWithIndex
+    .map { case ((x, y), i) => s"($i, '$x', '$y')" }.mkString(", ")
 
   /** Original docs + exact copies of every 10th. */
   private def docsWithCopies(spark: SparkSession, sfDir: String): DataFrame = {
@@ -603,6 +634,37 @@ object TrainingCatalog {
       graft.functions.Bpe.trainBytes(
           docsWithBytePlants(spark, dir).select(col("doc_id"), col("text")),
           "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rank", "x", "y").orderBy(col("rank"))
+    }),
+
+    // TK15 — the INCREMENTAL-pair-count trainer held to tk14's own
+    // unrolled per-stage oracle on the same corpus: the production
+    // spelling (delta-folded counts, checkpointed symbolized state —
+    // per-round shuffle ∝ affected words, not vocab) must reproduce
+    // the legacy trainer's merge sequence byte-for-byte
+    "tk15_byte_bpe_incr" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.functions.Bpe.trainBytesIncremental(
+          docsWithBytePlants(spark, dir).select(col("doc_id"), col("text")),
+          "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rank", "x", "y").orderBy(col("rank"))
+    }),
+
+    // TK17 — DEEP training (260 merges, a production-depth prefix):
+    // the incremental trainer runs 260 rounds over the planted LCG
+    // corpus and must reproduce the frozen table exactly. learnBytesSql
+    // unrolls one SQL stage per merge (capped at 32), so depth gates
+    // against the frozen replay — constant at every sf because the
+    // corpus is planted (DeepMerges scaladoc; BpeSpec pins legacy ==
+    // incremental at depth on this corpus).
+    "tk17_bpe_deep_train" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.functions.Bpe.trainBytesIncremental(
+          deepTrainCorpus(spark), "text", nMerges = 260)
         .zipWithIndex
         .map { case ((x, y), i) => (i.toLong, x, y) }
         .toDF("rank", "x", "y").orderBy(col("rank"))
@@ -1583,6 +1645,18 @@ object TrainingCatalog {
          |  UNION ALL SELECT doc_id, text FROM $bytePlantsValuesSql)
          |SELECT rank, x, y
          |FROM ${graft.functions.Bpe.learnBytesSql("byteaug", "text", 8)} q
+         |ORDER BY rank""".stripMargin,
+
+    "tk15_byte_bpe_incr" ->
+      s"""WITH byteaug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM $bytePlantsValuesSql)
+         |SELECT rank, x, y
+         |FROM ${graft.functions.Bpe.learnBytesSql("byteaug", "text", 8)} q
+         |ORDER BY rank""".stripMargin,
+
+    "tk17_bpe_deep_train" ->
+      s"""SELECT CAST(rank AS BIGINT) AS rank, x, y
+         |FROM (VALUES $deepMergesValuesSql) v(rank, x, y)
          |ORDER BY rank""".stripMargin,
 
     "nv2_store_admit" -> {

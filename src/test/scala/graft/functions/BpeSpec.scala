@@ -192,6 +192,57 @@ class BpeSpec extends SparkSpec {
         s"incremental vs re-derived divergence on '$w'")
   }
 
+  test("incremental trainer == legacy trainer (char + byte, gate corpora)") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    assert(Bpe.trainIncremental(docs, "text", 8) == Bpe.train(docs, "text", 8))
+    val withPlants = docs.unionByName(
+      graft.operators.TrainingCatalog.BytePlants
+        .toDF("doc_id", "lang", "text").select($"doc_id", $"text"))
+    assert(Bpe.trainBytesIncremental(withPlants, "text", 8) ==
+      Bpe.trainBytes(withPlants, "text", 8))
+    // partitioning invariance (exact-long counts + lexicographic
+    // tie-break — the tk15 determinism contract)
+    assert(Bpe.trainBytesIncremental(withPlants.repartition(13), "text", 8) ==
+      Bpe.trainBytesIncremental(withPlants, "text", 8))
+  }
+
+  test("incremental == legacy on seeded corpora (surface-collision cover)") {
+    // adversarial mini-corpora: short alphabets force repeated merge
+    // products and surface collisions — exactly the class where a
+    // merge-only-the-new-pair advance diverges from full greedy
+    // re-derivation (the full-rank-table reapply in trainIncremental
+    // exists for this; see its scaladoc)
+    for (seed <- Seq(11L, 23L, 47L)) {
+      var s = seed
+      val words = (0 until 40).map { i =>
+        val len = 3 + (i % 6)
+        val sb = new StringBuilder
+        for (_ <- 0 until len) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          sb += ('a' + java.lang.Math.floorMod(s >>> 33, 4L).toInt).toChar
+        }
+        Seq.fill(i % 5 + 1)(sb.result()).mkString(" ")
+      }
+      val corpus = words.toDF("text")
+      val leg = Bpe.train(corpus, "text", 12)
+      val inc = Bpe.trainIncremental(corpus, "text", 12)
+      assert(inc == leg, s"seed $seed: incremental $inc != legacy $leg")
+    }
+  }
+
+  test("deep trainer: 64-merge prefix of the frozen tk17 table, both trainers") {
+    // greedy BPE has the prefix property (round k's argmax depends only
+    // on merges 1..k−1), so a 64-round run must equal the frozen
+    // 260-round table's prefix — re-derived from BOTH trainers so a
+    // fixture or trainer drift fails loudly here before the gate sees
+    // it (the full 260-round derivation is the tk17 gate itself)
+    val corpus = graft.operators.TrainingCatalog.deepTrainCorpus(spark)
+    val frozen = graft.operators.DeepMerges.Table.take(64)
+    assert(Bpe.trainBytesIncremental(corpus, "text", 64) == frozen)
+    assert(Bpe.trainBytes(corpus, "text", 64) == frozen)
+  }
+
   test("trainer is deterministic and early-stops when pairs run out") {
     val tiny = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
     val m1 = Bpe.train(tiny, "text", nMerges = 8)
@@ -199,6 +250,9 @@ class BpeSpec extends SparkSpec {
     assert(m1 == m2)
     // 2-char words exhaust after 2 merges; count ties break lexicographic
     assert(m1 == Vector(("a", "b"), ("c", "d")))
+    // the incremental trainer early-stops identically (its counts frame
+    // empties instead of the legacy flatMap yielding no rows)
+    assert(Bpe.trainIncremental(tiny, "text", nMerges = 8) == m1)
   }
 
   test("tokenizeDocs invariants at sf0.001: counts agree, chars round-trip") {
