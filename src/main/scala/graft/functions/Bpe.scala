@@ -102,6 +102,72 @@ object Bpe {
   private def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
+  // ------------------------------------------------ category pre-tokenization
+
+  /** The graft category pre-tokenization pattern — GPT-2's published
+    * splitter (contraction suffixes / space-prefixed letter runs /
+    * digit runs / punctuation runs / whitespace) restated WITHOUT the
+    * trailing negative lookahead `\s+(?!\S)`, which RE2 (the DuckDB
+    * oracle's engine) cannot express: whitespace runs therefore stay
+    * whole instead of donating their last space to the following word.
+    * Still a lossless partition of any string (every char falls in
+    * some alternative), and merges can never cross a category
+    * boundary — the property the pre-split exists for. `\p{N}` (not
+    * `[0-9]`) so ٤٢/² classify as digits on both engines; `\s` is
+    * RE2's [\t\n\f\r ] (NOT java's \x0B — the hand lexer below pins
+    * the set so \v lands in the punctuation class on both sides).
+    */
+  private[graft] val PretokPattern: String =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  private val PretokContractions =
+    Array("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+  /** Hand-rolled lexer equivalent of [[PretokPattern]] under RE2's
+    * leftmost-first alternation (verified against DuckDB
+    * `regexp_extract_all` on contractions, leading/doubled/trailing
+    * spaces, tabs/newlines, mixed scripts, ². A compiled per-word loop
+    * instead of a per-row java.util.regex scan — and immune to
+    * regex-engine semantic drift, since the contract is THIS function
+    * and the oracle pattern, pinned equal by the tk16/tk19/tk20
+    * gates). Concatenating the result reproduces `text` byte-for-byte.
+    */
+  private[graft] def pretokenize(text: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val n = text.length
+    def isWsCp(cp: Int): Boolean = // RE2 \s: [\t\n\f\r ]
+      cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
+    def isL(cp: Int): Boolean = Character.isLetter(cp)
+    def isN(cp: Int): Boolean = {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+    def isOther(cp: Int): Boolean = !isL(cp) && !isN(cp) && !isWsCp(cp)
+    def runFrom(start: Int, pred: Int => Boolean): Int = {
+      var i = start
+      while (i < n && pred(text.codePointAt(i))) i += Character.charCount(text.codePointAt(i))
+      i
+    }
+    var p = 0
+    while (p < n) {
+      val contr = PretokContractions.find(s => text.startsWith(s, p))
+      if (contr.isDefined) { out += contr.get; p += contr.get.length }
+      else {
+        val q = if (text.charAt(p) == ' ' && p + 1 < n) p + 1 else p
+        val cp = if (q < n) text.codePointAt(q) else -1
+        val e =
+          if (q < n && isL(cp)) runFrom(q, isL)
+          else if (q < n && isN(cp)) runFrom(q, isN)
+          else if (q < n && isOther(cp)) runFrom(q, isOther)
+          else runFrom(p, isWsCp) // p is whitespace here, by elimination
+        out += text.substring(p, e)
+        p = e
+      }
+    }
+    out.result()
+  }
+
   /** Learn `nMerges` merges from the corpus: each round counts every
     * adjacent symbol pair over the (distinct word, frequency) table —
     * occurrence-weighted, so "aaa" contributes ("a","a") twice — and
@@ -126,14 +192,36 @@ object Bpe {
   def trainBytes(df: DataFrame, textCol: String, nMerges: Int): Vector[(String, String)] =
     trainWith(df, textCol, nMerges, byteSyms)
 
-  private def trainWith(df: DataFrame, textCol: String, nMerges: Int,
-                        symbolize: String => Vector[String]): Vector[(String, String)] = {
-    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+  /** Byte-level training over CATEGORY-pre-tokenized words (tk19): the
+    * vocabulary is [[pretokenize]]'s tokens — leading spaces included
+    * (the Ġ convention as a literal space byte) — so learned merges
+    * never cross a category boundary and space-prefixed word forms get
+    * their own merge paths, the GPT-2-class training contract.
+    */
+  def trainBytesPretok(df: DataFrame, textCol: String,
+                       nMerges: Int): Vector[(String, String)] =
+    trainOnWords(pretokWordsOf(df, textCol), nMerges, byteSyms)
+
+  private def pretokWordsOf(df: DataFrame, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val vocab: Dataset[(String, Long)] = df
-      .select(explode(split(col(textCol), " ", -1)).as("__w"))
-      .filter(col("__w") =!= "")
+    df.select(col(textCol)).filter(col(textCol).isNotNull)
+      .as[String].flatMap(pretokenize).toDF("__w")
+  }
+
+  private def trainWith(df: DataFrame, textCol: String, nMerges: Int,
+                        symbolize: String => Vector[String]): Vector[(String, String)] =
+    trainOnWords(
+      df.select(explode(split(col(textCol), " ", -1)).as("__w"))
+        .filter(col("__w") =!= ""),
+      nMerges, symbolize)
+
+  private def trainOnWords(words: DataFrame, nMerges: Int,
+                           symbolize: String => Vector[String]): Vector[(String, String)] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val vocab: Dataset[(String, Long)] = words
       .groupBy(col("__w")).agg(count(lit(1)).as("f"))
       .as[(String, Long)].persist()
     try {
@@ -310,6 +398,25 @@ object Bpe {
     ("617463", "68"), ("62", "61746368"), ("6361", "6e"), ("73", "63616e"),
     ("63", "6f"), ("63", "75"))
 
+  /** The frozen CATEGORY-pre-tokenized byte-merge table the tk16/tk18/
+    * tk20 gates run under: [[trainBytesPretok]] over sf0.01 `documents`
+    * UNION BytePlants UNION PretokPlants, nMerges = 24, frozen like
+    * [[FrozenByteMerges]] (BpeSpec re-derives; tk19 oracle-gates the
+    * trainer itself). The table is visibly Ġ-shaped: rank 0 is
+    * ("20","73") = " s" — space-prefixed word forms get their own
+    * merge paths, which plain space-split byte BPE structurally cannot
+    * learn.
+    */
+  val FrozenPretokMerges: Vector[(String, String)] = Vector(
+    ("20", "73"), ("65", "72"), ("69", "6e"),
+    ("6f", "77"), ("6f", "72"), ("6d", "6572"),
+    ("61", "74"), ("6c", "75"), ("20", "63"),
+    ("73", "74"), ("20", "62"), ("20", "76"),
+    ("70", "61"), ("7061", "72"), ("20", "66"),
+    ("20", "61"), ("20", "74"), ("6a", "6f"),
+    ("6a6f", "696e"), ("61", "73"), ("6173", "68"),
+    ("68", "617368"), ("20", "6a6f696e"), ("72", "6f77"))
+
   /** The end-of-document separator id for cross-doc sequence packing:
     * the first id past [[vocab]]'s range (base 26 + one per merge —
     * collisions leave holes below but never claim ids above), so it
@@ -348,16 +455,49 @@ object Bpe {
                         merges: Seq[(String, String)]): DataFrame =
     tokenizeDocsWith(df, idCol, textCol, merges, byteSyms)
 
-  private def tokenizeDocsWith(df: DataFrame, idCol: String, textCol: String,
-                               merges: Seq[(String, String)],
-                               symbolize: String => Vector[String]): DataFrame = {
+  /** [[tokenizeDocsBytes]] over CATEGORY-pre-tokenized words (tk16):
+    * each [[pretokenize]] token — leading space included — symbolizes
+    * to UTF-8 hex bytes and merges under `merges`. `n_words` counts
+    * category tokens (whitespace runs included: they are real GPT-2
+    * tokens). Lossless by construction: the category tokens PARTITION
+    * the text, so no space-prefix bookkeeping is needed. `idCol` must
+    * be long-castable (the typed pre-tokenizing flatMap).
+    */
+  def tokenizeDocsBytesPretok(df: DataFrame, idCol: String, textCol: String,
+                              merges: Seq[(String, String)]): DataFrame =
+    tokenizeWordsWith(pretokWordsPos(df, idCol, textCol), idCol,
+      ranksOf(merges), byteSyms)
+
+  /** (id, __pos, __w) via the category lexer — the pretok sibling of
+    * the posexplode(split) word stream.
+    */
+  private def pretokWordsPos(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val ranks = ranksOf(merges)
-    val words = df
-      .select(col(idCol),
-        posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
-      .filter(col("__w") =!= "")
+    df.select(col(idCol).cast("long"), col(textCol))
+      .filter(col(textCol).isNotNull)
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        pretokenize(t).iterator.zipWithIndex.map { case (w, i) => (id, i, w) }
+      }
+      .toDF(idCol, "__pos", "__w")
+  }
+
+  private def tokenizeDocsWith(df: DataFrame, idCol: String, textCol: String,
+                               merges: Seq[(String, String)],
+                               symbolize: String => Vector[String]): DataFrame =
+    tokenizeWordsWith(
+      df.select(col(idCol),
+          posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
+        .filter(col("__w") =!= ""),
+      idCol, ranksOf(merges), symbolize)
+
+  private def tokenizeWordsWith(words: DataFrame, idCol: String,
+                                ranks: Map[(String, String), Int],
+                                symbolize: String => Vector[String]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
     val vocabTok = words.select(col("__w")).distinct().as[String]
       .map { w =>
         val t = applySyms(symbolize(w), ranks)
@@ -477,13 +617,24 @@ object Bpe {
       }.toDF(idCol, "text")
   }
 
+  /** [[tokenizeToIdsBytes]] over CATEGORY-pre-tokenized words: ids
+    * from [[byteVocab]], tokens from [[pretokenize]] (leading spaces
+    * inside the tokens — the Ġ convention), so
+    * [[detokenizeBytes]](this) reproduces the text byte-for-byte
+    * WITHOUT the space-prefix empty-token bookkeeping (the category
+    * tokens partition the text). The tk20 gate holds the loop to the
+    * identity oracle.
+    */
+  def tokenizeToIdsBytesPretok(df: DataFrame, idCol: String, textCol: String,
+                               merges: Seq[(String, String)]): DataFrame =
+    tokenizeIdsOnWords(pretokWordsPos(df, idCol, textCol), idCol,
+      ranksOf(merges), byteVocab(merges), byteSyms)
+
   private def tokenizeToIdsWith(df: DataFrame, idCol: String, textCol: String,
                                 ranks: Map[(String, String), Int],
                                 ids: Map[String, Int],
                                 symbolize: String => Vector[String],
                                 spacePrefix: Boolean = false): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val exploded = df
       .select(col(idCol),
         posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
@@ -502,6 +653,15 @@ object Bpe {
             concat(when(col("__pos") > 0, lit(" ")).otherwise(lit("")),
               col("__w")))
           .filter(col("__w") =!= "")
+    tokenizeIdsOnWords(words, idCol, ranks, ids, symbolize)
+  }
+
+  private def tokenizeIdsOnWords(words: DataFrame, idCol: String,
+                                 ranks: Map[(String, String), Int],
+                                 ids: Map[String, Int],
+                                 symbolize: String => Vector[String]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
     val vocabIds = words.select(col("__w")).distinct().as[String]
       .map { w =>
         val t = applySyms(symbolize(w), ranks).map(s => ids.getOrElse(s, -1))
@@ -594,8 +754,31 @@ object Bpe {
     * `regexp_replace` interpolation is safe for ANY corpus text (the
     * char-level spelling's [a-z]+ restriction does not apply).
     */
+  /** [[PretokPattern]] as a DuckDB string literal (apostrophes doubled;
+    * regular — not E'' — strings pass backslashes to RE2 untouched).
+    */
+  private[graft] def pretokPatternSql: String =
+    PretokPattern.replace("'", "''")
+
   def tokenizeBytesSql(src: String, id: String, text: String,
-                       merges: Seq[(String, String)]): String = {
+                       merges: Seq[(String, String)]): String =
+    tokenizeBytesSqlOver(s"string_split($text, ' ')", "t[i] <> ''",
+      src, id, merges)
+
+  /** DuckDB spelling of [[tokenizeDocsBytesPretok]]: the byte replay
+    * with the initial word stream swapped to the CATEGORY lexer —
+    * `regexp_extract_all` under [[PretokPattern]] (RE2's leftmost-
+    * first alternation == the engine's hand lexer; the pattern
+    * partitions the text, so no empty-token filter exists).
+    */
+  def tokenizeBytesPretokSql(src: String, id: String, text: String,
+                             merges: Seq[(String, String)]): String =
+    tokenizeBytesSqlOver(s"regexp_extract_all($text, '$pretokPatternSql')",
+      "TRUE", src, id, merges)
+
+  private def tokenizeBytesSqlOver(arrExpr: String, keep: String,
+                                   src: String, id: String,
+                                   merges: Seq[(String, String)]): String = {
     require(merges.nonEmpty, "merges must be non-empty")
     require(merges.forall { case (x, y) =>
       val s = x + y
@@ -607,9 +790,9 @@ object Bpe {
     s"""(WITH RECURSIVE
        |m(rank, x, y) AS (SELECT * FROM (VALUES $mvals) v(rank, x, y)),
        |w0 AS (SELECT $id AS __id, i - 1 AS __pos, t[i] AS __w
-       |  FROM (SELECT $id, string_split($text, ' ') AS t FROM $src) d
+       |  FROM (SELECT $id, $arrExpr AS t FROM $src) d
        |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)
-       |  WHERE t[i] <> ''),
+       |  WHERE $keep),
        |vocab AS (SELECT DISTINCT __w AS word FROM w0),
        |step(word, seq) AS (
        |  SELECT word,
@@ -643,11 +826,22 @@ object Bpe {
     * every terminal symbol is a base byte or a merge product.
     */
   def idsBytesSql(src: String, id: String, text: String,
-                  merges: Seq[(String, String)]): String = {
+                  merges: Seq[(String, String)]): String =
+    idsBytesSqlOver(tokenizeBytesSql(src, id, text, merges), id, merges)
+
+  /** DuckDB spelling of [[tokenizeToIdsBytesPretok]] — [[idsBytesSql]]
+    * over the category-lexer replay.
+    */
+  def idsBytesPretokSql(src: String, id: String, text: String,
+                        merges: Seq[(String, String)]): String =
+    idsBytesSqlOver(tokenizeBytesPretokSql(src, id, text, merges), id, merges)
+
+  private def idsBytesSqlOver(bpeSql: String, id: String,
+                              merges: Seq[(String, String)]): String = {
     val vvals = byteVocab(merges).toSeq.sortBy(_._2)
       .map { case (t, i) => s"('$t', $i)" }.mkString(", ")
     s"""(WITH bpe AS (SELECT $id, bpe_text
-       |  FROM ${tokenizeBytesSql(src, id, text, merges)} b),
+       |  FROM $bpeSql b),
        |v(tok, tid) AS (SELECT * FROM (VALUES $vvals) x(tok, tid)),
        |tks AS (SELECT $id, u.i, t[u.i] AS tok
        |  FROM (SELECT $id, string_split(bpe_text, ' ') AS t FROM bpe) s
@@ -706,17 +900,33 @@ object Bpe {
       initialSplit = w =>
         s"' ' || trim(regexp_replace(lower(hex(encode($w))), '(..)', '\\1 ', 'g')) || ' '")
 
+  /** DuckDB replay of [[trainBytesPretok]]: the unrolled-stage trainer
+    * machinery with the vocabulary drawn from the CATEGORY lexer
+    * (`regexp_extract_all` under [[PretokPattern]] — no empty tokens
+    * exist, and hex symbols are regex-inert for any input including
+    * the space byte "20").
+    */
+  def learnBytesPretokSql(src: String, text: String, nMerges: Int): String =
+    learnSqlWith(src, text, nMerges, wordFilter = "",
+      initialSplit = w =>
+        s"' ' || trim(regexp_replace(lower(hex(encode($w))), '(..)', '\\1 ', 'g')) || ' '",
+      arrExpr = t => s"regexp_extract_all($t, '$pretokPatternSql')",
+      baseFilter = "TRUE")
+
   private def learnSqlWith(src: String, text: String, nMerges: Int,
                            wordFilter: String,
-                           initialSplit: String => String): String = {
+                           initialSplit: String => String,
+                           arrExpr: String => String =
+                             t => s"string_split($t, ' ')",
+                           baseFilter: String = "u.tk <> ''"): String = {
     require(nMerges >= 1 && nMerges <= 32,
       s"learnSql unrolls one stage per merge; keep nMerges in [1, 32], got $nMerges")
     val sb = new StringBuilder
     sb ++= s"""(WITH RECURSIVE
        | w0 AS MATERIALIZED (SELECT u.tk AS w, CAST(COUNT(*) AS BIGINT) AS f
-       |   FROM (SELECT string_split($text, ' ') AS t FROM $src) d
+       |   FROM (SELECT ${arrExpr(text)} AS t FROM $src) d
        |   CROSS JOIN LATERAL unnest(t) AS u(tk)
-       |   WHERE u.tk <> ''$wordFilter
+       |   WHERE $baseFilter$wordFilter
        |   GROUP BY u.tk),
        | s0 AS MATERIALIZED (SELECT w, f,
        |   ${initialSplit("w")} AS seq

@@ -61,6 +61,54 @@ object TrainingCatalog {
       .unionByName(BytePlants.toDF("doc_id", "lang", "text"))
   }
 
+  /** Punctuated plants for the CATEGORY-pre-tokenized BPE gates
+    * (tk16/tk18/tk19/tk20): the fixture corpus is [a-z ], so every
+    * category the GPT-2-style splitter distinguishes is planted —
+    * contraction suffixes, punctuation runs, digit runs (incl.
+    * Arabic-Indic ٤٢ and superscript ², which are \p{N} but not
+    * [0-9]), doubled/leading/trailing spaces, tabs/newlines, CJK with
+    * an ideographic period. Ids at 9.2e6, outside every fixture range;
+    * SQL side via E-string literals (apostrophes doubled, \t/\n
+    * escaped).
+    */
+  private[graft] val PretokPlants: Seq[(Long, String, String)] = Seq(
+    (9200001L, "en", "it's a test, isn't it? yes!"),
+    (9200002L, "en", "price: $42.50 (tax 7%) — total's fine"),
+    (9200003L, "en", "don't stop; they'll try... we've won, you're next, i'm 1st"),
+    (9200004L, "mix", "x² plus ٤٢ equals 44"),
+    (9200005L, "de", "die größe ist 3,5 m² (zirka)"),
+    (9200006L, "ja", "東京は2026年です。"),
+    (9200007L, "en", " spaced  out\ttabs\nand newlines "))
+
+  private def docsWithPretokPlants(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsWithBytePlants(spark, sfDir)
+      .unionByName(PretokPlants.toDF("doc_id", "lang", "text"))
+  }
+
+  private def sqlStr(s: String): String =
+    "E'" + s.flatMap {
+      case '\'' => "''"
+      case '\\' => "\\\\"
+      case '\t' => "\\t"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "'"
+
+  // single-line (the en1 stripMargin trap)
+  private val pretokPlantsValuesSql: String = PretokPlants
+    .map { case (id, lang, text) => s"($id, '$lang', ${sqlStr(text)})" }
+    .mkString("(VALUES ", ", ", ") v(doc_id, lang, text)")
+
+  // the tk16-family corpus CTE — documents + byte plants + pretok
+  // plants, shared by all four pretok oracles. A def, not a val: it
+  // reads bytePlantsValuesSql, which is declared LATER in this object
+  // (a val here captures null at init — hit in r14)
+  private def pretokAugSql: String =
+    s"""pretokaug AS (SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT doc_id, lang, text FROM $bytePlantsValuesSql
+       |  UNION ALL SELECT doc_id, lang, text FROM $pretokPlantsValuesSql)""".stripMargin
+
   /** Deterministic PLANTED corpus for the deep (≥256-merge) trainer
     * gate tk17: 160 LCG-derived pseudo-words (lengths 6–13, skewed
     * frequencies 1–13) — rich enough that 260 byte-level merges never
@@ -652,6 +700,68 @@ object TrainingCatalog {
         .zipWithIndex
         .map { case ((x, y), i) => (i.toLong, x, y) }
         .toDF("rank", "x", "y").orderBy(col("rank"))
+    }),
+
+    // TK16 — CATEGORY-pre-tokenized byte BPE (the GPT-2-class split):
+    // words come from the published category pattern (contraction
+    // suffixes / space-prefixed letter / digit / punctuation runs /
+    // whitespace — lookahead-free so RE2 can replay it), each token
+    // carrying its leading space, THEN byte-symbolize and merge.
+    // Merges never cross a category boundary; punctuation un-glues
+    // from words. The oracle replays the identical lexer via
+    // regexp_extract_all + the recursive byte-merge CTE.
+    "tk16_bpe_pretok" -> ((spark, dir) =>
+      graft.functions.Bpe.tokenizeDocsBytesPretok(
+        docsWithPretokPlants(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", graft.functions.Bpe.FrozenPretokMerges)
+        .orderBy(col("doc_id"))),
+
+    // TK18 — fertility under the category split over the punctuated
+    // plants (tk12's readout re-denominated: n_words now counts
+    // category tokens, so contraction- and punctuation-heavy text
+    // reads honestly instead of gluing '?'/'s onto words)
+    "tk18_pretok_fertility" -> ((spark, dir) => {
+      val d = docsWithPretokPlants(spark, dir)
+      val tok = graft.functions.Bpe.tokenizeDocsBytesPretok(
+        d.select(col("doc_id"), col("text")), "doc_id", "text",
+        graft.functions.Bpe.FrozenPretokMerges)
+      d.select(col("doc_id"), col("lang"))
+        .join(tok, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          (sum(col("n_bpe_tokens")).cast("double") /
+            sum(col("n_words")).cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
+    // TK19 — the pretok TRAINER end-to-end (tk14's category face):
+    // the unrolled per-stage argmax replay with the vocabulary drawn
+    // from regexp_extract_all — space-prefixed merges must be learned
+    // identically on both engines
+    "tk19_pretok_learn" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.functions.Bpe.trainBytesPretok(
+          docsWithPretokPlants(spark, dir).select(col("doc_id"), col("text")),
+          "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rank", "x", "y").orderBy(col("rank"))
+    }),
+
+    // TK20 — lossless round-trip under the category split: the
+    // category tokens PARTITION the text (leading spaces ride inside
+    // tokens), so decode(encode(x)) == x with no space-prefix
+    // bookkeeping; held to the identity oracle like tk13
+    "tk20_pretok_roundtrip" -> ((spark, dir) => {
+      val d = docsWithPretokPlants(spark, dir)
+        .select(col("doc_id"), col("text"))
+      graft.functions.Bpe.detokenizeBytes(
+        graft.functions.Bpe.tokenizeToIdsBytesPretok(d, "doc_id", "text",
+          graft.functions.Bpe.FrozenPretokMerges),
+        "doc_id", "bpe_ids", graft.functions.Bpe.FrozenPretokMerges)
+        .orderBy(col("doc_id"))
     }),
 
     // TK17 — DEEP training (260 merges, a production-depth prefix):
@@ -1658,6 +1768,43 @@ object TrainingCatalog {
       s"""SELECT CAST(rank AS BIGINT) AS rank, x, y
          |FROM (VALUES $deepMergesValuesSql) v(rank, x, y)
          |ORDER BY rank""".stripMargin,
+
+    "tk16_bpe_pretok" ->
+      s"""WITH $pretokAugSql
+         |SELECT doc_id, n_words, n_bpe_tokens, bpe_text
+         |FROM ${graft.functions.Bpe.tokenizeBytesPretokSql("pretokaug",
+               "doc_id", "text", graft.functions.Bpe.FrozenPretokMerges)} b
+         |ORDER BY doc_id""".stripMargin,
+
+    "tk18_pretok_fertility" ->
+      s"""WITH $pretokAugSql,
+         |bpe AS (SELECT doc_id, n_words, n_bpe_tokens
+         |  FROM ${graft.functions.Bpe.tokenizeBytesPretokSql("pretokaug",
+               "doc_id", "text", graft.functions.Bpe.FrozenPretokMerges)} b),
+         |j AS (SELECT d.lang, bpe.n_words, bpe.n_bpe_tokens
+         |  FROM pretokaug d JOIN bpe ON d.doc_id = bpe.doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(SUM(n_bpe_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+         |    AS fertility
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "tk19_pretok_learn" ->
+      s"""WITH $pretokAugSql
+         |SELECT rank, x, y
+         |FROM ${graft.functions.Bpe.learnBytesPretokSql("pretokaug",
+               "text", 8)} q
+         |ORDER BY rank""".stripMargin,
+
+    // identity oracle (the tk13 discipline): only a truly EMPTY text
+    // drops engine-side (the category lexer partitions any non-empty
+    // text into ≥1 token)
+    "tk20_pretok_roundtrip" ->
+      s"""WITH $pretokAugSql
+         |SELECT doc_id, text FROM pretokaug
+         |WHERE text <> ''
+         |ORDER BY doc_id""".stripMargin,
 
     "nv2_store_admit" -> {
       val S = TextDedup.Sql

@@ -192,6 +192,75 @@ class BpeSpec extends SparkSpec {
         s"incremental vs re-derived divergence on '$w'")
   }
 
+  test("pretokenize: RE2-verified goldens, lossless partition, category walls") {
+    // goldens copied from a DuckDB regexp_extract_all run of the same
+    // pattern (leftmost-first alternation) — the engine lexer and the
+    // oracle regex must stay in lockstep
+    assert(Bpe.pretokenize("it's a test, isn't it? yes!") ==
+      Vector("it", "'s", " a", " test", ",", " isn", "'t", " it", "?", " yes", "!"))
+    assert(Bpe.pretokenize("price: $42.50 (tax 7%)") ==
+      Vector("price", ":", " $", "42", ".", "50", " (", "tax", " 7", "%)"))
+    assert(Bpe.pretokenize("  double  spaces  ") ==
+      Vector("  ", "double", "  ", "spaces", "  "))
+    assert(Bpe.pretokenize("trailing space ") ==
+      Vector("trailing", " space", " "))
+    assert(Bpe.pretokenize(" leading") == Vector(" leading"))
+    assert(Bpe.pretokenize("tabs\tand\nnewlines") ==
+      Vector("tabs", "\t", "and", "\n", "newlines"))
+    assert(Bpe.pretokenize("naïve 😀 café 東京 mix") ==
+      Vector("naïve", " 😀", " café", " 東京", " mix"))
+    // ² and ٤٢ are \p{N}-but-not-[0-9]; № is Symbol (punct class)
+    assert(Bpe.pretokenize("x² + ٤٢ = №") ==
+      Vector("x", "²", " +", " ٤٢", " =", " №"))
+    assert(Bpe.pretokenize("don't 'sun 'quoted'") ==
+      Vector("don", "'t", " '", "sun", " '", "quoted", "'"))
+    assert(Bpe.pretokenize("'sun") == Vector("'s", "un"))
+    assert(Bpe.pretokenize("") == Vector.empty)
+    assert(Bpe.pretokenize("   ") == Vector("   "))
+    // lossless partition — concatenation is the identity, any input
+    for (t <- Seq("it's a test, isn't it? yes!", " spaced  out\ttabs\nand newlines ",
+      "x² plus ٤٢ equals 44", "東京は2026年です。", "a", " ", "--", "'d'll's"))
+      assert(Bpe.pretokenize(t).mkString == t, s"lossy on '$t'")
+    // category walls: merges can never glue punctuation to a word —
+    // "it's" tokenizes as it | 's however the merge table grows
+    val toks = Seq((1L, "it's over")).toDF("doc_id", "text")
+    val out = Bpe.tokenizeDocsBytesPretok(toks, "doc_id", "text",
+      Bpe.FrozenPretokMerges).select($"bpe_text").as[String].head()
+    // 69 74 = "it", 27 73 = "'s", 20 6f 76 = " ov"... the 'er' merge
+    // applies inside the word token only
+    assert(out.startsWith("69 74 27 73 "), out)
+  }
+
+  test("pretok trainer reproduces the frozen pretok merges (golden pin)") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang", $"text")
+      .unionByName(graft.operators.TrainingCatalog.BytePlants
+        .toDF("doc_id", "lang", "text"))
+      .unionByName(graft.operators.TrainingCatalog.PretokPlants
+        .toDF("doc_id", "lang", "text"))
+      .select($"doc_id", $"text")
+    val learned = Bpe.trainBytesPretok(docs, "text", nMerges = 24)
+    assert(learned == Bpe.FrozenPretokMerges,
+      s"pretok trainer or fixture drifted:\n$learned\nvs frozen:\n${Bpe.FrozenPretokMerges}")
+    // the table is Ġ-shaped: space-prefixed merges are learned
+    assert(learned.head == (("20", "73")))
+  }
+
+  test("pretok round-trip: decode(encode(x)) == x on category-hostile text") {
+    val texts = Seq(
+      (1L, "it's a test, isn't it? yes!"),
+      (2L, " spaced  out\ttabs\nand newlines "),
+      (3L, "x² plus ٤٢ equals 44"),
+      (4L, "東京は2026年です。"),
+      (5L, "emoji 😀 mid-token's edge"))
+    val df = texts.toDF("doc_id", "text")
+    val back = Bpe.detokenizeBytes(
+      Bpe.tokenizeToIdsBytesPretok(df, "doc_id", "text", Bpe.FrozenPretokMerges),
+      "doc_id", "bpe_ids", Bpe.FrozenPretokMerges)
+      .as[(Long, String)].collect().toMap
+    for ((id, t) <- texts) assert(back(id) == t, s"doc $id not lossless")
+  }
+
   test("incremental trainer == legacy trainer (char + byte, gate corpora)") {
     val docs = graft.core.Tables.documents(spark, sf0001)
       .select($"doc_id", $"text")
