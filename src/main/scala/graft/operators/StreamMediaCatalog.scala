@@ -1005,6 +1005,28 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E32 — STREAMING image near-dup (m14's ingestion face, the image
+    // sibling of x15/e14): the dHash payloads stage as 3 disjoint
+    // files → 3 micro-batches; decode→hash folds into a (doc_id,
+    // dhash) store per batch (the expensive map work streams), and the
+    // banded + chain-capped near-dup pass SERVES from the drained
+    // store — fold-then-serve, because the bucket cap needs global
+    // stats. Held to batch m14's own oracle: stream-maintained ==
+    // one-shot, exact.
+    "e32_stream_image_neardup" -> ((spark, dir) => {
+      val in = graft.core.Staging.tmpDir("stream_dhash_in")
+      val payloads = dhashPayloads(spark, dir)
+      for (r <- 0 to 2)
+        payloads.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val hashes = graft.streaming.DocStream.dHashFold(
+        graft.streaming.DocStream.readPayloadsOneFilePerTrigger(spark, in))
+      graft.dedup.TextDedup.simhashCandidates(
+        hashes.withColumnRenamed("dhash", "simhash"),
+        "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "e10_stream_chunks" -> ((spark, dir) => {
       val d = java.nio.file.Paths.get(stageFixtureDir("stream_ck", dir, "documents.parquet"))
       val chunks = graft.streaming.DocStream.chunk(
@@ -1318,6 +1340,13 @@ object StreamMediaCatalog {
          |SELECT doc_id, dhash FROM hashes ORDER BY doc_id""".stripMargin,
 
     "m14_dhash_neardup" ->
+      s"""WITH $dhashOracleCte,
+         |$dhashPairsCtes
+         |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // stream-maintained store == one-shot build, on m14's own oracle
+    "e32_stream_image_neardup" ->
       s"""WITH $dhashOracleCte,
          |$dhashPairsCtes
          |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3

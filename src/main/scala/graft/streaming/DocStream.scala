@@ -502,4 +502,41 @@ object DocStream {
     require(store != null, "indexAppendFold: stream delivered no batches")
     store
   }
+
+  /** One (doc_id, payload) binary file per micro-batch — the media
+    * sibling of [[readOneFilePerTrigger]], the ingestion cadence for
+    * payload-store folds.
+    */
+  def readPayloadsOneFilePerTrigger(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+
+  /** Continuous image-hash store maintenance (m13/m14's ingestion
+    * face): fold arriving binary payloads into a (doc_id, dhash)
+    * store — the expensive decode → 9×8 resize → luma → 64-bit dHash
+    * map work runs per micro-batch as images land, so the near-dup
+    * pass on the drained store (banding + capped pairing, which needs
+    * GLOBAL bucket stats and therefore cannot stream — the e30
+    * fold-then-serve split) starts from precomputed hashes. Same
+    * accumulate-under-localCheckpoint discipline as
+    * [[repetitionCutFold]]: no plan ever replays prior batches, and
+    * checkpoint blocks are ContextCleaner-owned (released on GC), so
+    * repeated folds in a long-lived session do not grow pinned
+    * storage — the r13 cache-hygiene contract, exercised by the spec.
+    */
+  def dHashFold(payloadStream: DataFrame): DataFrame = {
+    var acc: DataFrame = null
+    EventStream.runForeachBatch(payloadStream, (batch, _) => {
+      val hashed = graft.multimodal.BinaryOps.dHashes(batch).toDF()
+      acc = (if (acc == null) hashed else acc.unionAll(hashed))
+        .localCheckpoint()
+    })
+    require(acc != null, "dHashFold: stream delivered no batches")
+    acc
+  }
 }

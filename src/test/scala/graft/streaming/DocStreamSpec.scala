@@ -355,4 +355,49 @@ class DocStreamSpec extends graft.SparkSpec {
       (32L, 1L, 1L, 17L, 15L, 15.0 / 32.0),
       (256L, 1L, 1L, 256L, 0L, 0.0)))
   }
+
+  test("dHash fold == batch hashes; repeated fold+serve keeps cache storage flat") {
+    import graft.operators.StreamMediaCatalog
+    // small payload corpus: 3 exact-duplicate images + 1 distinct,
+    // staged as two files -> two micro-batches
+    def img(src: Long) = StreamMediaCatalog.dhashImage(src, 0)
+    val dir = graft.core.Staging.tmpDir("dhash_fold_src")
+    Seq((1L, img(5)), (2L, img(5))).toDF("doc_id", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, img(5)), (4L, img(900))).toDF("doc_id", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    def serveOnce(): Set[(Long, Long, Int)] = {
+      val hashes = DocStream.dHashFold(
+        DocStream.readPayloadsOneFilePerTrigger(spark, dir))
+      val pairs = graft.dedup.TextDedup.simhashCandidates(
+        hashes.withColumnRenamed("dhash", "simhash"),
+        "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
+        .as[(Long, Long, Int)].collect().toSet
+      // the simhashCandidates cache-ownership contract: the caller
+      // releases once the pairs are materialized
+      spark.catalog.clearCache()
+      pairs
+    }
+    val batch = graft.multimodal.BinaryOps.dHashes(
+      spark.read.parquet(dir)).toDF()
+      .as[(Long, String)].collect().toMap
+    val expected = Set((1L, 2L, 0), (1L, 3L, 0), (2L, 3L, 0))
+    // two full fold+serve cycles in ONE session (the long-lived
+    // ingestion shape): results identical, and the cache manager is
+    // EMPTY after each release — repeated calls pin no storage (the
+    // r13 hygiene contract; localCheckpoint blocks are ContextCleaner-
+    // owned and die with their RDDs, unlike CacheManager entries)
+    for (round <- 1 to 2) {
+      assert(serveOnce() == expected, s"round $round pairs diverged")
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"round $round left cached plans behind")
+    }
+    // folded hashes equal the batch decode on the same files
+    val folded = DocStream.dHashFold(
+      DocStream.readPayloadsOneFilePerTrigger(spark, dir))
+      .as[(Long, String)].collect().toMap
+    assert(folded == batch)
+    assert(folded(1L) == folded(2L) && folded(2L) == folded(3L))
+    assert(folded(1L) != folded(4L))
+  }
 }
