@@ -68,6 +68,7 @@ object Bench {
       "bm25" -> (() => Pipelines.bm25Score(spark, sfDir)),
       "inverted_index" -> (() => Pipelines.invertedIndex(spark, sfDir)),
       "index_topk" -> (() => Pipelines.indexTopK(spark, indexDir)),
+      "index_topk_churned" -> (() => Pipelines.indexTopKChurned(spark, indexDir)),
       "compressed_export" -> (() => Pipelines.compressedExport(spark, sfDir)),
       "impact_topk" -> (() => Pipelines.impactTopK(spark, indexDir)),
       "bpe_tokenize" -> (() => Pipelines.bpeTokenize(spark, sfDir)),

@@ -362,6 +362,27 @@ object Pipelines {
     graft.functions.InvertedIndex.impactExport(
         d, "doc_id", "text", nShards = 8, blockSize = 64)
       .write.mode("overwrite").parquet(s"$dir/impact")
+    // maintained-store sibling: the same artifact pushed through the
+    // full lifecycle (3 append folds → remove a fifth → compact) —
+    // index_topk_churned serves from THIS store, and its ≈index_topk
+    // reading is the "serving stays flat after N appends" claim (ii12)
+    val I = graft.functions.InvertedIndex
+    val folded = (1 to 2).foldLeft(
+      I.postingsExport(d.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", nShards = 8, blockSize = 64).localCheckpoint()) {
+      (st, r) => I.indexAppend(st, d.filter(col("doc_id") % 3 === r),
+        "doc_id", "text", nShards = 8, blockSize = 64).localCheckpoint()
+    }
+    I.compact(
+        I.indexRemove(folded, d.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", nShards = 8, blockSize = 64),
+        nShards = 8, blockSize = 64)
+      .write.mode("overwrite").parquet(s"$dir/postings_churned")
+    val survivors = d.filter(col("doc_id") % 5 =!= 0)
+    val sdls = I.docLengths(survivors, "doc_id", "text").localCheckpoint()
+    sdls.write.mode("overwrite").parquet(s"$dir/doclens_churned")
+    I.blockMax(spark.read.parquet(s"$dir/postings_churned"), sdls)
+      .write.mode("overwrite").parquet(s"$dir/blockmax_churned")
     dir
   }
 
@@ -397,6 +418,21 @@ object Pipelines {
     graft.functions.InvertedIndex.queryTopKPruned(idx,
       spark.read.parquet(s"$indexDir/blockmax"),
       spark.read.parquet(s"$indexDir/doclens"), qterms, k = 10)
+  }
+
+  /** [[indexTopK]] against the LIFECYCLE-CHURNED store (3 appends →
+    * remove → compact, staged untimed like the fresh artifact):
+    * reading ≈ index_topk is the proof that maintenance leaves the
+    * serving path flat — the store carries no debt a query pays for.
+    */
+  def indexTopKChurned(spark: SparkSession, indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(s"$indexDir/postings_churned")
+    val qterms = idx.groupBy(col("term")).agg(max(col("df")).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(3)
+      .select(col("term")).collect().map(_.getString(0)).toSeq
+    graft.functions.InvertedIndex.queryTopKPruned(idx,
+      spark.read.parquet(s"$indexDir/blockmax_churned"),
+      spark.read.parquet(s"$indexDir/doclens_churned"), qterms, k = 10)
   }
 
   def bm25Score(spark: SparkSession, sfDir: String): DataFrame =

@@ -251,6 +251,26 @@ object InvertedIndex {
       .unionByName(untouched.select(untouched.columns.map(col): _*))
   }
 
+  /** Compaction / re-layout from the INDEX ALONE — no forward corpus:
+    * parse every blocked cell back to (doc_id, term, tf) rows and
+    * re-derive df/rn/block/shard under the TARGET parameters through
+    * the shared [[rebuildBlocks]] tail. The lifecycle operator for
+    * serving-layout changes (resize blocks to a new scorer's skip
+    * granularity, re-shard for a different serving fleet) and for
+    * certifying store health after append/remove churn — compaction
+    * must equal a fresh full-corpus build at the target layout, which
+    * is exactly what the ii12 gate holds it to. Cost: one full index
+    * parse + the standard two-shuffle rebuild — O(index), the
+    * unavoidable floor for a global re-block; routine maintenance
+    * stays on the O(affected) [[indexAppend]]/[[indexRemove]] path and
+    * compacts only when the layout itself changes.
+    */
+  def compact(index: DataFrame, nShards: Int = 8,
+              blockSize: Int = 16): DataFrame =
+    rebuildBlocks(
+      parsePostings(index).select(col("doc_id"), col("term"), col("tf")),
+      nShards, blockSize)
+
   /** df/rn/block/shard re-derivation over bare (doc_id, term, tf)
     * rows — the shared tail of [[postingsExport]] and the incremental
     * maintainers (single source of truth for the artifact layout).

@@ -514,6 +514,28 @@ object TrainingCatalog {
         .orderBy(col("term"), col("block"))
     }),
 
+    // II12 — index COMPACTION / RE-LAYOUT from the artifact alone:
+    // churn the store through the full lifecycle (build on 2/3 →
+    // append 1/3 → remove every 5th doc), then re-derive it at a NEW
+    // layout (4 shards, 8-entry blocks) with no forward corpus in
+    // sight; the result must equal a fresh build of the survivors at
+    // the target layout, on ii1's own oracle shape.
+    "ii12_index_compact" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val base = graft.functions.InvertedIndex.postingsExport(
+        d.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        nShards = 8, blockSize = 16).localCheckpoint()
+      val appended = graft.functions.InvertedIndex.indexAppend(
+        base, d.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        nShards = 8, blockSize = 16).localCheckpoint()
+      val churned = graft.functions.InvertedIndex.indexRemove(
+        appended, d.filter(col("doc_id") % 5 === 0), "doc_id", "text",
+        nShards = 8, blockSize = 16).localCheckpoint()
+      graft.functions.InvertedIndex.compact(churned,
+        nShards = 4, blockSize = 8)
+        .orderBy(col("term"), col("block"))
+    }),
+
     // II8 — compressed postings export: ii1's artifact in the wire
     // format real indexes ship (d-gap + LEB128 varint, hex cells).
     // The oracle re-derives every varint byte arithmetically, so the
@@ -1852,6 +1874,15 @@ object TrainingCatalog {
       s"""SELECT shard, term, df, block, block_df, postings
          |FROM ${graft.functions.InvertedIndex.postingsSql(
              "documents", "doc_id", "text", nShards = 8, blockSize = 16)} q
+         |ORDER BY term, block""".stripMargin,
+
+    // compaction == fresh survivor build at the TARGET layout
+    "ii12_index_compact" ->
+      s"""WITH survivors AS (SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 5 <> 0)
+         |SELECT shard, term, df, block, block_df, postings
+         |FROM ${graft.functions.InvertedIndex.postingsSql(
+             "survivors", "doc_id", "text", nShards = 4, blockSize = 8)} q
          |ORDER BY term, block""".stripMargin,
 
     // corpus-side restatement of the index-served ranking: t13's exact

@@ -250,6 +250,46 @@ class InvertedIndexSpec extends SparkSpec {
     assert(!afterRemove.exists(_._2 == "date"), "emptied term survived")
   }
 
+  test("compact: re-layout from the artifact alone equals a fresh build, serving unchanged") {
+    def rows(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Int, String, Long, Long, Long, String)] =
+      df.as[(Int, String, Long, Long, Long, String)]
+        .collect().sortBy(r => (r._2, r._4)).toSeq
+    // planted corpus: build at (4, 2), compact to (2, 1) — every block
+    // recuts and every shard reroutes, with NO forward corpus in sight
+    val built = InvertedIndex.postingsExport(corpus, "doc_id", "text",
+      nShards = 4, blockSize = 2)
+    val compacted = InvertedIndex.compact(built, nShards = 2, blockSize = 1)
+    assert(rows(compacted) == rows(InvertedIndex.postingsExport(
+      corpus, "doc_id", "text", nShards = 2, blockSize = 1)))
+    // real corpus: churn (append + remove) then compact back — equals
+    // the survivor rebuild at the target layout, and SERVES identically
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select($"doc_id", $"text")
+    val churned = InvertedIndex.indexRemove(
+      InvertedIndex.indexAppend(
+        InvertedIndex.postingsExport(docs.filter($"doc_id" % 3 =!= 0),
+          "doc_id", "text", nShards = 8, blockSize = 16),
+        docs.filter($"doc_id" % 3 === 0), "doc_id", "text",
+        nShards = 8, blockSize = 16),
+      docs.filter($"doc_id" % 5 === 0), "doc_id", "text",
+      nShards = 8, blockSize = 16)
+    val survivors = docs.filter($"doc_id" % 5 =!= 0)
+    val comp = InvertedIndex.compact(churned, nShards = 4, blockSize = 8)
+      .localCheckpoint()
+    val fresh = InvertedIndex.postingsExport(survivors, "doc_id", "text",
+      nShards = 4, blockSize = 8).localCheckpoint()
+    assert(rows(comp) == rows(fresh))
+    val dls = InvertedIndex.docLengths(survivors, "doc_id", "text")
+      .localCheckpoint()
+    val qterms = fresh.groupBy($"term").agg(max($"df").as("df"))
+      .orderBy($"df".desc, $"term").limit(3)
+      .select($"term").as[String].collect().toSeq
+    val a = InvertedIndex.queryTopK(comp, dls, qterms, k = 5).collect().toSeq
+    val b = InvertedIndex.queryTopK(fresh, dls, qterms, k = 5).collect().toSeq
+    assert(a == b)
+  }
+
   test("maintenance passes untouched terms through verbatim (poisoned cell)") {
     // poison a term's cell in the base artifact; touch only OTHER
     // terms; the poison must survive both append and remove — proof
