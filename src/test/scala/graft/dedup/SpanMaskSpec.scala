@@ -91,6 +91,48 @@ class SpanMaskSpec extends graft.SparkSpec {
     assert(all == 4L)
   }
 
+  test("adversarial rare-gram gap: the recall contract vs suffix-array exactness") {
+    // A 31-token span duplicated in docs A and B whose FLANKS (15-token
+    // blocks X and Z) also appear in doc C, with one middle token "mid"
+    // present only in A/B: at minDocFreq = 3 every 5-gram containing
+    // "mid" has doc-freq 2 (< 3), so the hit stream has a GAP mid-span
+    // and islands+merge yields TWO 15-token islands, never the 31-token
+    // span. This pins the operator's real contract: it removes ≥L-token
+    // spans every of whose n-grams clears minDocFreq — NOT Lee et al.'s
+    // "≥L-token substring occurring ≥k times". The two COINCIDE at the
+    // paper's k = 2 on exact duplicates (every gram of a span shared by
+    // 2 docs has doc-freq ≥ 2 — gram-cover completeness, asserted
+    // below), and diverge only at k > 2 where the span itself sits
+    // below the threshold; there the per-gram rule is the more
+    // conservative side (under-masks, never over-masks across the gap).
+    val x = (1 to 15).map(i => s"x$i").mkString(" ")
+    val z = (1 to 15).map(i => s"z$i").mkString(" ")
+    val df = Seq(
+      (1L, s"pa1 pa2 pa3 pa4 pa5 $x mid $z ta1 ta2 ta3"), // A: span at [5, 36)
+      (2L, s"pb1 pb2 pb3 pb4 $x mid $z"),                 // B: span at [4, 35)
+      (3L, s"$x qc1 qc2 qc3 qc4 qc5 qc6 $z")              // C: flanks only
+    ).toDF("doc_id", "text")
+    // k = 3, L = 20: the gap splits the span into two 15-token islands,
+    // both below L -> the 31-token A/B duplicate survives UNTOUCHED
+    assert(SpanMask.maskDuplicatedSpans(df, "doc_id", "text",
+      n = 5, minDocFreq = 3, minSpanTokens = 20).count() == 0L)
+    // k = 3, L = 12: both islands mask, the rare-gram middle SURVIVES
+    // (a partial strip — doc A keeps its prefix, "mid", and tail)
+    val partial = SpanMask.stripDuplicatedSpans(df, "doc_id", "text",
+      n = 5, minDocFreq = 3, minSpanTokens = 12)
+      .filter($"doc_id" === 1L).as[(Long, String)].head()
+    assert(partial._2 == "pa1 pa2 pa3 pa4 pa5 mid ta1 ta2 ta3")
+    // k = 2 (the paper's threshold): gram-cover completeness — every
+    // 5-gram of the A/B span clears doc-freq 2, the islands merge, and
+    // the FULL ≥L span masks as one piece in both carriers. Doc C's
+    // junk grams stay doc-freq 1, so its X/Z islands remain split at
+    // 15 tokens each and fall below L — C masks nothing.
+    val spans2 = SpanMask.maskDuplicatedSpans(df, "doc_id", "text",
+      n = 5, minDocFreq = 2, minSpanTokens = 20)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans2 == Seq((1L, 5L, 36L, 31L), (2L, 4L, 35L, 31L)))
+  }
+
   test("within-doc repetition alone does not trigger masking (distinct-doc census)") {
     val df = Seq(
       (20L, "p q r s p q r s p q r s"),
