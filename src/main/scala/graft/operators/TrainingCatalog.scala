@@ -426,6 +426,30 @@ object TrainingCatalog {
         .orderBy(col("shard"))
     }),
 
+    // MF3 — incremental cross-release overlap at manifest granularity:
+    // release B = documents with every 997th doc's text corrupted (a
+    // changed-but-novel doc) and every 499th doc's text replaced by
+    // its doc_id-successor's (a changed-and-DUPLICATE doc). A ships
+    // only its manifest + distinct fingerprint store; scopedOverlap
+    // recomputes just the changed shards and carries the rest, and
+    // must equal the oracle's FULL-corpus recompute.
+    "mf3_scoped_overlap" -> ((spark, dir) => {
+      val d = docs(spark, dir)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      val b = d.withColumn("__nxt", lead(col("text"), 1).over(w))
+        .select(col("doc_id"),
+          when(col("doc_id") % 997 === 0,
+            concat(col("text"), lit(" CORRUPTED")))
+            .when(col("doc_id") % 499 === 0 && col("__nxt").isNotNull,
+              col("__nxt"))
+            .otherwise(col("text")).as("text"))
+      graft.sources.Manifest.scopedOverlap(
+        graft.sources.Manifest.shardManifest(d, "doc_id", "text", 8),
+        d.select(md5(col("text")).as("fp")).distinct(),
+        b, "doc_id", "text", nShards = 8)
+        .orderBy(col("shard"))
+    }),
+
     // II1 — sharded inverted-index export: term-partitioned postings
     // with df metadata, block-chunked (blockSize=16 forces multi-block
     // lists on frequent terms at verify scale) — the retrieval
@@ -1869,6 +1893,23 @@ object TrainingCatalog {
          |   OR ma.n_tokens IS DISTINCT FROM mb.n_tokens
          |   OR ma.checksum IS DISTINCT FROM mb.checksum
          |ORDER BY shard""".stripMargin,
+
+    // FULL recompute over B — the incremental scoped path must match
+    "mf3_scoped_overlap" ->
+      s"""WITH base AS (SELECT doc_id, text,
+         |    LEAD(text) OVER (ORDER BY doc_id) AS nxt FROM documents),
+         |b AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 997 = 0 THEN text || ' CORRUPTED'
+         |         WHEN doc_id % 499 = 0 AND nxt IS NOT NULL THEN nxt
+         |         ELSE text END AS text FROM base),
+         |afp AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+         |p AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard,
+         |    md5(text) AS fp FROM b)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN afp.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_overlap
+         |FROM p LEFT JOIN afp ON p.fp = afp.fp
+         |GROUP BY shard ORDER BY shard""".stripMargin,
 
     "ii1_inverted_index" ->
       s"""SELECT shard, term, df, block, block_df, postings

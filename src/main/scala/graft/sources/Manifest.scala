@@ -50,6 +50,48 @@ object Manifest {
         sum(col("__h")).as("checksum"))
   }
 
+  /** Incremental cross-release overlap at MANIFEST granularity (mf3):
+    * given release A only as its SHIPPED ARTIFACTS — the shard
+    * manifest and the distinct content-fingerprint store (`fp` =
+    * md5(text), the store the e11/x15 dedup path already maintains) —
+    * and release B as data, report per shard how many B documents are
+    * exact content duplicates of A, recomputing ONLY the shards whose
+    * manifest changed:
+    *
+    *  - UNCHANGED shards (manifest row identical): B's docs there are
+    *    byte-for-byte A's docs (the manifest's integrity contract), so
+    *    n_overlap = n_docs with zero document reads — the carry.
+    *  - CHANGED shards: only their B docs probe the A fingerprint
+    *    store (fp-keyed left join — a changed doc can duplicate an A
+    *    doc from ANY shard, so the probe is never shard-local on the
+    *    store side).
+    *
+    * A 100 TB re-release where 2 of 10k shards moved pays two shards
+    * of probes plus the manifest scan it already owed — not a corpus²
+    * recompute. The mf3 gate holds the scoped result to the full-
+    * corpus recompute (the oracle) on a planted delta that exercises
+    * both the carry and a cross-doc duplicate inside a changed shard.
+    * Output: (shard, n_docs, n_overlap), one row per non-empty B shard.
+    */
+  def scopedOverlap(aManifest: DataFrame, aFps: DataFrame, b: DataFrame,
+                    idCol: String, textCol: String,
+                    nShards: Int): DataFrame = {
+    val mb = shardManifest(b, idCol, textCol, nShards)
+    val changed = manifestDiff(aManifest, mb).select(col("shard"))
+    val carried = mb.join(changed, Seq("shard"), "left_anti")
+      .select(col("shard"), col("n_docs"), col("n_docs").as("n_overlap"))
+    val probes = b.select(shardOf(col(idCol), nShards).as("shard"),
+        md5(col(textCol)).as("fp"))
+      .join(changed, Seq("shard"), "left_semi")
+    val store = aFps.select(col("fp")).distinct()
+      .withColumn("__hit", lit(1L))
+    val recomputed = probes.join(store, Seq("fp"), "left")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))
+    carried.unionByName(recomputed)
+  }
+
   /** Shards where two manifests disagree, with both sides' counts and
     * checksums — the receiver's verification readout. A full outer
     * join so a shard missing entirely from one side still reports
