@@ -86,6 +86,7 @@ object DedupAuditApp {
     val li = Tables.lineitem(spark, sf)
     val keys = li.columns.toSeq.filterNot(_ == "l_quantity")
 
+    // batch main: cache scope is the app run (JVM exit releases)
     val numbered = Dedup.withOccurrenceId(li, keys, Seq(col("l_quantity"))).cache()
     val profile = Dedup.occurrenceProfile(numbered)
     println("[dup-profile]"); profile.show(10, truncate = false)
@@ -122,6 +123,7 @@ object MlSearchApp {
       labelCol = "status", categoricalCols = Nil,
       continuousCols = Seq("o_totalprice_norm", "c_acctbal_norm", "order_year_norm"),
       hiddenLayers = Seq(5), numClasses = 3, maxIter = 15)
+    // batch main: cache scope is the app run (JVM exit releases)
     val results = CombinationSearch.search(train.cache(), test.cache(), cfg,
       Seq("o_orderpriority", "c_mktsegment"), maxK = 2, positive = "F")
     results.foreach { r =>

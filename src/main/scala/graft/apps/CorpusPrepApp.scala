@@ -48,6 +48,8 @@ object CorpusPrepApp {
     // wire format a real corpus arrives in
     val staging = graft.core.Staging.tmpDir("corpus")
     Sinks.jsonl(Tables.documents(spark, sf), staging)
+    // batch main: the JVM exits with the run, so the cache dies with
+    // it (the documented app-scope cache ownership)
     val raw = Sources.jsonl(spark, staging).cache()
 
     // observed counts: every stage's row count is collected as a side

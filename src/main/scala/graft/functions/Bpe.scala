@@ -305,20 +305,35 @@ object Bpe {
                             nMerges: Int): Vector[(String, String)] =
     trainIncrementalWith(df, textCol, nMerges, byteSyms)
 
+  /** The production trainer composed end-to-end: incremental pair
+    * counts OVER the category-pre-tokenized vocabulary — the spelling
+    * a real vocab build runs ([[trainBytesPretok]]'s semantics at
+    * [[trainBytesIncremental]]'s cost). tk21 holds it to tk19's own
+    * unrolled SQL replay.
+    */
+  def trainBytesPretokIncremental(df: DataFrame, textCol: String,
+                                  nMerges: Int): Vector[(String, String)] =
+    trainIncrementalOnWords(pretokWordsOf(df, textCol), nMerges, byteSyms)
+
   private def trainIncrementalWith(df: DataFrame, textCol: String,
                                    nMerges: Int,
-                                   symbolize: String => Vector[String]): Vector[(String, String)] = {
+                                   symbolize: String => Vector[String]): Vector[(String, String)] =
+    trainIncrementalOnWords(
+      df.select(explode(split(col(textCol), " ", -1)).as("__w"))
+        .filter(col("__w") =!= ""),
+      nMerges, symbolize)
+
+  private def trainIncrementalOnWords(words: DataFrame, nMerges: Int,
+                                      symbolize: String => Vector[String]): Vector[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val spark = df.sparkSession
+    val spark = words.sparkSession
     import spark.implicits._
     def adjacent(syms: Seq[String]): Iterator[(String, String)] =
       if (syms.length < 2) Iterator.empty
       else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
     // the symbolized vocabulary — materialized ONCE; every later round
     // advances this frame instead of re-deriving it from the corpus
-    var state: Dataset[(Seq[String], Long)] = df
-      .select(explode(split(col(textCol), " ", -1)).as("__w"))
-      .filter(col("__w") =!= "")
+    var state: Dataset[(Seq[String], Long)] = words
       .groupBy(col("__w")).agg(count(lit(1)).as("f"))
       .as[(String, Long)]
       .map { case (w, f) => (symbolize(w): Seq[String], f) }

@@ -1005,6 +1005,28 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E33 — CATEGORY-pre-tokenized byte BPE on a stream (tk16's
+    // streaming face): the per-partition memoized merge loop with the
+    // category lexer replacing the space split; punctuated plants in
+    // the staged source. Stream == batch on tk16's own oracle.
+    "e33_stream_pretok_bpe" -> ((spark, dir) => {
+      import spark.implicits._
+      val in = graft.core.Staging.tmpDir("stream_pretokbpe_in")
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .unionByName(TrainingCatalog.BytePlants
+          .toDF("doc_id", "lang", "text").select(col("doc_id"), col("text")))
+        .unionByName(TrainingCatalog.PretokPlants
+          .toDF("doc_id", "lang", "text").select(col("doc_id"), col("text")))
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val toks = graft.streaming.DocStream.bpeTokenizeBytesPretok(
+        graft.streaming.DocStream.read(spark, in),
+        graft.functions.Bpe.FrozenPretokMerges)
+      EventStream.runToMemory(spark, toks,
+        s"stream_pretokbpe_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     // E32 — STREAMING image near-dup (m14's ingestion face, the image
     // sibling of x15/e14): the dHash payloads stage as 3 disjoint
     // files → 3 micro-batches; decode→hash folds into a (doc_id,
@@ -1190,6 +1212,9 @@ object StreamMediaCatalog {
     // streaming == batch for the pure-row-function BPE re-tokenization
     "e18_stream_bpe" -> TrainingCatalog.oracle("tk1_bpe_apply"),
     "e31_stream_byte_bpe" -> TrainingCatalog.oracle("tk10_byte_bpe"),
+
+    // streaming == batch for the category-pre-tokenized byte BPE
+    "e33_stream_pretok_bpe" -> TrainingCatalog.oracle("tk16_bpe_pretok"),
 
     // streaming == batch for the pure-projection encoding repair
     "e20_stream_encoding" -> CurationCatalog.oracle("en2_encoding_repair"),

@@ -810,6 +810,19 @@ object TrainingCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // TK21 — the production trainer composed end-to-end: INCREMENTAL
+    // pair counts over the CATEGORY-pre-tokenized vocabulary (tk15's
+    // cost at tk19's semantics); held to tk19's own unrolled replay
+    "tk21_pretok_incr" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.functions.Bpe.trainBytesPretokIncremental(
+          docsWithPretokPlants(spark, dir).select(col("doc_id"), col("text")),
+          "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rank", "x", "y").orderBy(col("rank"))
+    }),
+
     // TK17 — DEEP training (260 merges, a production-depth prefix):
     // the incremental trainer runs 260 rounds over the planted LCG
     // corpus and must reproduce the frozen table exactly. learnBytesSql
@@ -1837,6 +1850,14 @@ object TrainingCatalog {
          |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tk19_pretok_learn" ->
+      s"""WITH $pretokAugSql
+         |SELECT rank, x, y
+         |FROM ${graft.functions.Bpe.learnBytesPretokSql("pretokaug",
+               "text", 8)} q
+         |ORDER BY rank""".stripMargin,
+
+    // incremental == legacy on the pretok vocabulary too
+    "tk21_pretok_incr" ->
       s"""WITH $pretokAugSql
          |SELECT rank, x, y
          |FROM ${graft.functions.Bpe.learnBytesPretokSql("pretokaug",

@@ -65,7 +65,10 @@ object Boilerplate {
       } else
         // overflow path: the anti-join would otherwise recompute the
         // census on every execution of the returned plan — persist it
-        // so re-executions (and multi-action consumers) pay it once
+        // so re-executions (and multi-action consumers) pay it once.
+        // Cache ownership: the CALLER releases (clearCache once the
+        // result is materialized) — the lazy result rules out an
+        // in-operator unpersist, the simhashCandidates contract.
         lines.join(frequent.persist(), Seq(lineCol), "left_anti")
     joined
       .groupBy(col(docCol))

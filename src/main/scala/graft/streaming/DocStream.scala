@@ -139,6 +139,46 @@ object DocStream {
                        merges: Seq[(String, String)]): DataFrame =
     bpeTokenizeWith(docs, merges, graft.functions.Bpe.byteSyms)
 
+  /** CATEGORY-pre-tokenized byte-level streaming face (tk16's): the
+    * same per-partition memoized merge loop, with words from
+    * [[graft.functions.Bpe.pretokenize]] instead of the space split —
+    * leading spaces ride inside the tokens, whitespace runs are real
+    * tokens, and only a truly empty text drops (the lexer partitions
+    * any non-empty text). Stream == batch on tk16's own oracle (e33).
+    */
+  def bpeTokenizeBytesPretok(docs: DataFrame,
+                             merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .filter(col("text").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, (String, Long)]()
+        val MemoCap = 1 << 16
+        it.map { case (id, text) =>
+          val words = graft.functions.Bpe.pretokenize(text)
+          var nTok = 0L
+          val sb = new StringBuilder
+          words.foreach { w =>
+            var hit = memo.get(w)
+            if (hit == null) {
+              val toks = graft.functions.Bpe.applySyms(
+                graft.functions.Bpe.byteSyms(w), ranks)
+              hit = (toks.mkString(" "), toks.length.toLong)
+              if (memo.size < MemoCap) memo.put(w, hit)
+            }
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(hit._1)
+            nTok += hit._2
+          }
+          (id, words.length.toLong, nTok, sb.toString)
+        }.filter(_._2 > 0L) // only the empty text drops, matching tk16
+      }
+      .toDF("doc_id", "n_words", "n_bpe_tokens", "bpe_text")
+  }
+
   private def bpeTokenizeWith(docs: DataFrame,
                               merges: Seq[(String, String)],
                               symbolize: String => Vector[String]): DataFrame = {

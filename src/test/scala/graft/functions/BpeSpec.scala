@@ -274,6 +274,10 @@ class BpeSpec extends SparkSpec {
     // tie-break — the tk15 determinism contract)
     assert(Bpe.trainBytesIncremental(withPlants.repartition(13), "text", 8) ==
       Bpe.trainBytesIncremental(withPlants, "text", 8))
+    // the composed production spelling: incremental counts over the
+    // category-pre-tokenized vocabulary == the legacy pretok trainer
+    assert(Bpe.trainBytesPretokIncremental(withPlants, "text", 8) ==
+      Bpe.trainBytesPretok(withPlants, "text", 8))
   }
 
   test("incremental == legacy on seeded corpora (surface-collision cover)") {

@@ -325,6 +325,20 @@ class InvertedIndexSpec extends SparkSpec {
       s"expected exactly 2 shuffles (doc+term agg, term window); got $exchanges:\n$plan")
   }
 
+  test("compact plan: one new exchange — the rebuild's term window; the (term,block) agg reuses it") {
+    val idx = InvertedIndex.postingsExport(
+      graft.core.Tables.documents(spark, sf001), "doc_id", "text")
+      .localCheckpoint() // the artifact arrives materialized (a store read)
+    val df = InvertedIndex.compact(idx, nShards = 4, blockSize = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle over the parsed artifact (term window, " +
+        s"reused by the (term,block) agg); got $exchanges:\n$plan")
+  }
+
   test("varint pack: LEB128 goldens at the byte boundaries") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     def pack(vs: Long*): String =
