@@ -82,6 +82,62 @@ object SpanMask {
     val frequent = frequentGrams(grams, idCol, minDocFreq).select(col("gram"))
     val hits = grams.join(broadcast(frequent), Seq("gram"))
       .select(col(idCol), col("pos"), (col("pos") + n).as("__end"))
+    mergeIslands(hits, idCol, minSpanTokens)
+  }
+
+  /** EXACT Lee-et-al long-span dedup — the suffix-array criterion
+    * ("mask every position inside a substring of ≥ L tokens occurring
+    * ≥ `minCount` times in the corpus") computed relationally, no
+    * suffix array. The identity that makes it exact at token
+    * granularity: a position lies inside SOME ≥L-token substring with
+    * ≥ k corpus occurrences ⇔ it lies inside some L-GRAM with ≥ k
+    * occurrences. (⇐: a frequent L-gram IS such a substring. ⇒: every
+    * occurrence of the long substring contributes an occurrence of
+    * each of its L-grams, so each has count ≥ k; position p of a span
+    * [s, s+m), m ≥ L, is covered by the L-gram starting at
+    * max(s, min(p, s+m−L)).) The paper's suffix array is an
+    * efficiency device for BYTE granularity — the semantics need only
+    * the L-gram occurrence census. Counting is per OCCURRENCE (a doc
+    * repeating its own 50-token block twice masks it), the paper's
+    * corpus-occurrence criterion — contrast ds1/ds3's distinct-doc
+    * census, whose per-gram doc-freq contract is pinned separately
+    * (SpanMaskSpec's rare-gram-gap arm).
+    *
+    * Scale shape: the census shuffle carries (id, pos, md5(gram)) —
+    * 16 bytes of hash, never the L-token string (content equality
+    * modulo md5 collision, the repo's fingerprint convention; the
+    * oracle replays the same md5) — and the frequency filter is ONE
+    * hash-keyed window (no census join-back, the candidatePairs
+    * annotation discipline); island merging is the shared doc-keyed
+    * window. Two shuffles total. The per-position gram build is
+    * O(L) — a rolling hash would make it O(1), but md5-of-string is
+    * the cross-engine-replayable spelling.
+    */
+  def maskDuplicatedSpansExact(df: DataFrame, idCol: String, textCol: String,
+                               spanTokens: Int,
+                               minCount: Long = 2L): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val grams = positionedGrams(df, idCol, textCol, spanTokens)
+    val byHash = Window.partitionBy(col("__h"))
+    val hits = grams
+      .select(col(idCol), col("pos"), md5(col("gram")).as("__h"))
+      .withColumn("__c", count(lit(1)).over(byHash))
+      .filter(col("__c") >= minCount)
+      .select(col(idCol), col("pos"),
+        (col("pos") + spanTokens).as("__end"))
+    // merged islands are ≥ spanTokens by construction (each hit covers
+    // exactly L positions), so no length filter is needed
+    mergeIslands(hits, idCol, minSpanTokens = 0L)
+  }
+
+  /** Gaps-and-islands merge of (id, pos, __end) hit intervals — the
+    * shared tail of the approximate and exact span maskers: one
+    * doc-keyed window (both window functions and the final agg share
+    * the exchange).
+    */
+  private def mergeIslands(hits: DataFrame, idCol: String,
+                           minSpanTokens: Long): DataFrame = {
     val byPos = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     hits
       // a hit starts a new span iff no earlier hit's span reaches it
@@ -107,9 +163,23 @@ object SpanMask {
     */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                            n: Int, minDocFreq: Long,
-                           minSpanTokens: Long = 0L): DataFrame = {
-    val masked = maskDuplicatedSpans(df, idCol, textCol, n, minDocFreq,
-        minSpanTokens)
+                           minSpanTokens: Long = 0L): DataFrame =
+    stripBySpans(df, idCol, textCol,
+      maskDuplicatedSpans(df, idCol, textCol, n, minDocFreq, minSpanTokens))
+
+  /** [[stripDuplicatedSpans]] under the EXACT criterion (see
+    * [[maskDuplicatedSpansExact]]): every position inside a ≥L-token
+    * substring with ≥ `minCount` corpus occurrences is removed.
+    */
+  def stripDuplicatedSpansExact(df: DataFrame, idCol: String, textCol: String,
+                                spanTokens: Int,
+                                minCount: Long = 2L): DataFrame =
+    stripBySpans(df, idCol, textCol,
+      maskDuplicatedSpansExact(df, idCol, textCol, spanTokens, minCount))
+
+  private def stripBySpans(df: DataFrame, idCol: String, textCol: String,
+                           spans: DataFrame): DataFrame = {
+    val masked = spans
       .select(col(idCol),
         explode(sequence(col("span_start"), col("span_end") - 1)).as("pos"))
     val toks = df

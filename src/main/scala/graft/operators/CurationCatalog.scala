@@ -747,6 +747,28 @@ object CurationCatalog {
         sloganDocs(spark, dir), "doc_id", "text", SpanN, SpanFreq)
         .orderBy(col("doc_id"))),
 
+    // DS5 — EXACT Lee-et-al long-span dedup (the suffix-array
+    // criterion, no suffix array): mask every position inside a
+    // ≥50-token substring with ≥2 CORPUS OCCURRENCES, via the L-gram
+    // identity (a position is inside such a substring ⇔ it is inside
+    // a 50-gram occurring ≥2 times — see the operator's scaladoc).
+    // The 60-token block masks; the 10-token slogan survives; docs
+    // carrying BOTH plants (%221) share a 70-token tail, so the mask
+    // correctly extends back across the slogan there — behavior the
+    // doc-freq approximation cannot express, replayed by the oracle.
+    "ds5_exact_long_spans" -> ((spark, dir) =>
+      graft.dedup.SpanMask.maskDuplicatedSpansExact(
+        longSpanDocs(spark, dir), "doc_id", "text",
+        spanTokens = LongSpanMin.toInt, minCount = 2L)
+        .orderBy(col("doc_id"), col("span_start"))),
+
+    // DS6 — the corpus stripped under the exact criterion
+    "ds6_strip_exact_spans" -> ((spark, dir) =>
+      graft.dedup.SpanMask.stripDuplicatedSpansExact(
+        longSpanDocs(spark, dir), "doc_id", "text",
+        spanTokens = LongSpanMin.toInt, minCount = 2L)
+        .orderBy(col("doc_id"))),
+
     // DS3 — long-span dedup at Lee et al.'s published granularity:
     // only merged islands of >= 50 tokens mask. The planted 60-token
     // block is caught; the 10-token slogan (a shared idiom) SURVIVES —
@@ -1437,6 +1459,28 @@ object CurationCatalog {
          |  span_end - span_start AS n_tokens
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
 
+    "ds5_exact_long_spans" ->
+      s"""WITH $longSpanDocsSql,
+         |${exactSpanCteSqlOn("ldocs", LongSpanMin.toInt, 2L)}
+         |SELECT doc_id, span_start, span_end,
+         |  span_end - span_start AS n_tokens
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "ds6_strip_exact_spans" ->
+      s"""WITH $longSpanDocsSql,
+         |${exactSpanCteSqlOn("ldocs", LongSpanMin.toInt, 2L)},
+         |mask AS (SELECT DISTINCT doc_id,
+         |    unnest(generate_series(span_start, span_end - 1)) AS pos
+         |  FROM spans),
+         |tp AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM ldocs) s
+         |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)),
+         |kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+         |  FROM tp LEFT JOIN mask ON tp.doc_id = mask.doc_id AND tp.pos = mask.pos
+         |  WHERE mask.pos IS NULL)
+         |SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "ds4_strip_long_spans" ->
       s"""WITH $longSpanDocsSql,
          |${spanCteSqlOn("ldocs", LongSpanFreq, LongSpanMin)},
@@ -1504,6 +1548,32 @@ object CurationCatalog {
     * merged islands kept only at >= `minSpan` tokens (the ds3 length
     * knob; 0 = ds1/ds2 behavior, the HAVING is then vacuous).
     */
+  /** The EXACT criterion's CTE chain (ds5/ds6): md5'd L-gram
+    * OCCURRENCE census (window count, the engine's one-shuffle
+    * spelling) → coverage islands; ends in `spans`.
+    */
+  private def exactSpanCteSqlOn(src: String, spanTokens: Int,
+                                minCount: Long): String =
+    s"""grams AS (SELECT doc_id, i - 1 AS pos,
+       |    md5(array_to_string(t[i:i+${spanTokens - 1}], ' ')) AS h
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src) s
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(t) - ${spanTokens - 1})) AS u(i)
+       |  WHERE len(t) >= $spanTokens),
+       |hits AS (SELECT doc_id, pos, pos + $spanTokens AS e FROM (
+       |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM grams) f
+       |  WHERE c >= $minCount),
+       |isl AS (SELECT doc_id, pos, e,
+       |    MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxend
+       |  FROM hits),
+       |grp AS (SELECT doc_id, pos, e,
+       |    SUM(CASE WHEN maxend IS NULL OR pos > maxend THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM isl),
+       |spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(e) AS span_end
+       |  FROM grp GROUP BY doc_id, g)""".stripMargin
+
   private def spanCteSqlOn(src: String, freq: Long, minSpan: Long): String = {
     val gram = (0 until SpanN).map(j => s"t[i+$j]").mkString(" || ' ' || ")
     s"""grams AS (SELECT doc_id, i - 1 AS pos, $gram AS gram

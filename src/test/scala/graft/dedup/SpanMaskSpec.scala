@@ -133,6 +133,52 @@ class SpanMaskSpec extends graft.SparkSpec {
     assert(spans2 == Seq((1L, 5L, 36L, 31L), (2L, 4L, 35L, 31L)))
   }
 
+  test("EXACT criterion closes the rare-gram gap: the full span masks at k=2") {
+    // the adversarial corpus from the arm above, under the EXACT
+    // Lee-et-al criterion (L-gram OCCURRENCE census): the 31-token
+    // A/B span — including the rare middle token the doc-freq
+    // approximation gapped on — masks as ONE island in both carriers,
+    // because every 20-gram inside it occurs twice in the corpus
+    val x = (1 to 15).map(i => s"x$i").mkString(" ")
+    val z = (1 to 15).map(i => s"z$i").mkString(" ")
+    val df = Seq(
+      (1L, s"pa1 pa2 pa3 pa4 pa5 $x mid $z ta1 ta2 ta3"),
+      (2L, s"pb1 pb2 pb3 pb4 $x mid $z"),
+      (3L, s"$x qc1 qc2 qc3 qc4 qc5 qc6 $z")
+    ).toDF("doc_id", "text")
+    val spans = SpanMask.maskDuplicatedSpansExact(df, "doc_id", "text",
+      spanTokens = 20, minCount = 2)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 5L, 36L, 31L), (2L, 4L, 35L, 31L)))
+    // and the strip removes exactly the span, middle included
+    val stripped = SpanMask.stripDuplicatedSpansExact(df, "doc_id", "text",
+      spanTokens = 20, minCount = 2)
+      .orderBy($"doc_id").as[(Long, String)].collect().toSeq
+    assert(stripped == Seq(
+      (1L, "pa1 pa2 pa3 pa4 pa5 ta1 ta2 ta3"),
+      (2L, "pb1 pb2 pb3 pb4"),
+      (3L, s"$x qc1 qc2 qc3 qc4 qc5 qc6 $z")))
+  }
+
+  test("EXACT criterion counts OCCURRENCES: a doc repeating its own block masks it") {
+    // the paper's corpus-occurrence semantics — within-doc repeats
+    // count (contrast the distinct-doc census arm below); both copies
+    // of the 20-token block mask, the unique filler survives
+    val block = (1 to 20).map(i => s"b$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$block u1 u2 u3 $block"),
+      (2L, "completely unrelated words in this other document entirely")
+    ).toDF("doc_id", "text")
+    val spans = SpanMask.maskDuplicatedSpansExact(df, "doc_id", "text",
+      spanTokens = 20, minCount = 2)
+      .orderBy($"span_start").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(spans == Seq((1L, 0L, 20L, 20L), (1L, 23L, 43L, 20L)))
+    val stripped = SpanMask.stripDuplicatedSpansExact(df, "doc_id", "text",
+      spanTokens = 20, minCount = 2)
+      .filter($"doc_id" === 1L).as[(Long, String)].head()
+    assert(stripped._2 == "u1 u2 u3")
+  }
+
   test("within-doc repetition alone does not trigger masking (distinct-doc census)") {
     val df = Seq(
       (20L, "p q r s p q r s p q r s"),
