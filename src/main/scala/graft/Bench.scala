@@ -63,6 +63,7 @@ object Bench {
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
       "boilerplate_strip" -> (() => Pipelines.boilerplateStrip(spark, sfDir)),
       "dup_span_strip" -> (() => Pipelines.dupSpanStrip(spark, sfDir)),
+      "exact_span_strip" -> (() => Pipelines.exactSpanStrip(spark, sfDir)),
       "range_join" -> (() => Pipelines.rangeJoinAgg(spark, sfDir)),
       "pagerank" -> (() => Pipelines.pageRank(spark, sfDir)),
       "bm25" -> (() => Pipelines.bm25Score(spark, sfDir)),

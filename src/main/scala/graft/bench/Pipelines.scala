@@ -232,6 +232,21 @@ object Pipelines {
       n = 5, minDocFreq = 40L)
   }
 
+  /** EXACT Lee-et-al span strip (ds5/ds6's plan at corpus scale): the
+    * md5'd 50-gram occurrence census + coverage islands + strip — the
+    * hash-keyed window is the cost center (16 bytes/position through
+    * the shuffle; the O(L) gram build is map-side).
+    */
+  def exactSpanStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val block = (1 to 60).map(i => s"dup$i").mkString(" ")
+    val planted = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 17 === 0, concat(col("text"), lit(" " + block)))
+          .otherwise(col("text")).as("text"))
+    graft.dedup.SpanMask.stripDuplicatedSpansExact(planted, "doc_id", "text",
+      spanTokens = 50, minCount = 2L)
+  }
+
   /** Corpus-frequency boilerplate strip over 16-token line segments —
     * census agg + broadcast anti-join + doc-keyed reassembly.
     */

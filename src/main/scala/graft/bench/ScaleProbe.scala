@@ -119,6 +119,32 @@ object ScaleProbe {
         docs.unpersist()
         spark.catalog.clearCache()
       }
+      // EXACT span dedup: multiplying COPIES the texts, so every
+      // ≥50-token doc becomes fully duplicated m× — the worst-case
+      // duplication regime (measured: output rows collapse to the
+      // sub-50-token survivors, as the criterion demands) — and the
+      // census window + island merge must stay linear in positions
+      // regardless (the md5'd hash shuffle carries 16 bytes/position;
+      // the O(L) gram build is map-side). Measured 6.0/3.1/5.8 s at
+      // 1×/4×/16× — flat-to-linear.
+      if (enabled("span_exact")) {
+        val block = (1 to 60).map(i => s"dup$i").mkString(" ")
+        val docs = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", m, 10000000L)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(17)) === 0,
+              concat(col("text"), lit(" " + block)))
+              .otherwise(col("text")))
+          .repartition(64).cache()
+        docs.count()
+        time(s"exact_span_strip x$m") {
+          graft.dedup.SpanMask.stripDuplicatedSpansExact(docs,
+            "doc_id", "text", spanTokens = 50, minCount = 2L).count()
+        }
+        docs.unpersist()
+        spark.catalog.clearCache()
+      }
       // Gopher char-fraction repetition cut: per-document work only
       // (positioned-gram flatMap + doc-keyed aggs/windows), so the
       // curve must be linear in rows regardless of content; plain
