@@ -126,11 +126,19 @@ object Bpe {
   /** Hand-rolled lexer equivalent of [[PretokPattern]] under RE2's
     * leftmost-first alternation (verified against DuckDB
     * `regexp_extract_all` on contractions, leading/doubled/trailing
-    * spaces, tabs/newlines, mixed scripts, ². A compiled per-word loop
-    * instead of a per-row java.util.regex scan — and immune to
-    * regex-engine semantic drift, since the contract is THIS function
-    * and the oracle pattern, pinned equal by the tk16/tk19/tk20
-    * gates). Concatenating the result reproduces `text` byte-for-byte.
+    * spaces, tabs/newlines, mixed scripts, ²). A compiled per-word
+    * loop instead of a per-row java.util.regex scan, immune to
+    * ALTERNATION-semantics drift between regex engines — but NOT to
+    * Unicode-TABLE skew: letter/digit classification comes from the
+    * JDK's `Character` tables here and from RE2's `\p{L}`/`\p{N}`
+    * tables on the oracle side, so a code point assigned in one
+    * Unicode version and not the other (a newly-added script) would
+    * partition differently. The gates pin equality on the fixture
+    * corpora + plants (which deliberately cover the interesting
+    * classes: \p{N}-not-[0-9], non-BMP, Symbol-class №); that residual
+    * class is the documented contract boundary, same as every other
+    * cross-engine surface. Concatenating the result reproduces `text`
+    * byte-for-byte for ANY input.
     */
   private[graft] def pretokenize(text: String): Vector[String] = {
     val out = Vector.newBuilder[String]
@@ -356,11 +364,16 @@ object Bpe {
         merges += ((bx, by))
         current = current :+ ((bx, by))
         val ranks = ranksOf(current) // tiny closure capture, ≤ nMerges
+        // unaffected rows (the overwhelming majority in late rounds)
+        // store an EMPTY old-syms slot: the old sequence is consumed
+        // only by the affected rows' delta fold, so writing it for
+        // every word would double the dominant per-round checkpoint
+        // volume (r14 review)
         val advanced = state
           .map { case (syms, f) =>
             if (adjacent(syms).contains((bx, by)))
               (syms, applySyms(syms.toVector, ranks): Seq[String], f, true)
-            else (syms, syms, f, false)
+            else (Seq.empty[String], syms, f, false)
           }
           .localCheckpoint() // truncate per-round lineage (eager)
         val deltas = advanced.filter(_._4)

@@ -266,10 +266,30 @@ object InvertedIndex {
     * compacts only when the layout itself changes.
     */
   def compact(index: DataFrame, nShards: Int = 8,
-              blockSize: Int = 16): DataFrame =
-    rebuildBlocks(
-      parsePostings(index).select(col("doc_id"), col("term"), col("tf")),
-      nShards, blockSize)
+              blockSize: Int = 16): DataFrame = {
+    // fail FAST on a foreign cell format: a positionalExport artifact
+    // has the identical column set but 'doc:p1;p2' cells — parsing it
+    // as 'doc:tf' would silently produce a structurally valid index
+    // with garbled tf values (r14 review). Positional artifacts
+    // recompact from the corpus via positionalExport.
+    val guarded = index.withColumn("postings",
+      when(col("postings").contains(";"),
+        raise_error(concat(
+          lit("compact: positional postings cell ('doc:p1;p2') for term '"),
+          col("term"),
+          lit("' — compact serves doc:tf artifacts; rebuild positional " +
+            "artifacts via positionalExport"))).cast("string"))
+        .otherwise(col("postings")))
+    val parsed = parsePostings(guarded)
+      .select(col("doc_id"), col("term"),
+        // a cell that parses to a null tf is malformed — refuse to
+        // emit a plausible-looking index from it
+        when(col("tf").isNotNull, col("tf"))
+          .otherwise(raise_error(lit(
+            "compact: malformed postings cell (null tf)")).cast("long"))
+          .as("tf"))
+    rebuildBlocks(parsed, nShards, blockSize)
+  }
 
   /** df/rn/block/shard re-derivation over bare (doc_id, term, tf)
     * rows — the shared tail of [[postingsExport]] and the incremental

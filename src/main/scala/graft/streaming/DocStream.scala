@@ -35,6 +35,12 @@ object DocStream {
   val idTextSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
+  /** (doc_id, payload) schema for staged binary-media streams — the
+    * media sibling of [[idTextSchema]] (e32 and its specs).
+    */
+  val payloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("payload", BinaryType)))
+
   /** File-source stream over a directory of documents parquet. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(docSchema).parquet(dir)
@@ -548,12 +554,7 @@ object DocStream {
     * payload-store folds.
     */
   def readPayloadsOneFilePerTrigger(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("payload",
-          org.apache.spark.sql.types.BinaryType))))
+    spark.readStream.schema(payloadSchema)
       .option("maxFilesPerTrigger", 1).parquet(dir)
 
   /** Continuous image-hash store maintenance (m13/m14's ingestion

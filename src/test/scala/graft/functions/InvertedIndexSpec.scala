@@ -290,6 +290,21 @@ class InvertedIndexSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("compact refuses a positional artifact loudly (format guard)") {
+    // identical column shape, 'doc:p1;p2' cells — parsing it as
+    // 'doc:tf' would yield a structurally valid but garbled index,
+    // so the guard must throw, not degrade (r14 review finding)
+    val positional = InvertedIndex.positionalExport(corpus, "doc_id",
+      "text", nShards = 4, blockSize = 2)
+    val err = intercept[Exception] {
+      InvertedIndex.compact(positional, nShards = 2, blockSize = 1).collect()
+    }
+    assert(err.getMessage != null &&
+      (err.getMessage.contains("positional") ||
+        Option(err.getCause).exists(_.getMessage.contains("positional"))),
+      s"expected the positional-format guard, got: $err")
+  }
+
   test("maintenance passes untouched terms through verbatim (poisoned cell)") {
     // poison a term's cell in the base artifact; touch only OTHER
     // terms; the poison must survive both append and remove — proof
