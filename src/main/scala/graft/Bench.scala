@@ -74,6 +74,8 @@ object Bench {
       "impact_topk" -> (() => Pipelines.impactTopK(spark, indexDir)),
       "bpe_tokenize" -> (() => Pipelines.bpeTokenize(spark, sfDir)),
       "byte_bpe_roundtrip" -> (() => Pipelines.byteBpeRoundtrip(spark, sfDir)),
+      "unigram_segment" -> (() => Pipelines.unigramSegment(spark, sfDir)),
+      "kmeans_train" -> (() => Pipelines.kmeansTrain(spark, sfDir)),
       "image_neardup" -> (() => Pipelines.imageNearDup(spark, sfDir)),
       "tokenized_export" -> (() => Pipelines.tokenizedExport(spark, sfDir)),
       "packed_export" -> (() => Pipelines.packedExport(spark, sfDir)),

@@ -299,6 +299,27 @@ object Pipelines {
       "doc_id", "bpe_ids", graft.functions.Bpe.FrozenByteMerges)
   }
 
+  /** Unigram-LM Viterbi segmentation (tk23's plan at corpus scale):
+    * distinct-word memoized DP under the frozen piece inventory,
+    * broadcast join + one doc-keyed ordered reassembly — the
+    * [[graft.functions.Bpe.tokenizeDocs]] plan shape, measuring the
+    * second tokenizer family end-to-end.
+    */
+  def unigramSegment(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.Unigram.viterbiSegment(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      "doc_id", "text", graft.functions.Unigram.FrozenVocab)
+
+  /** Distributed Lloyd's k-means over the embedding corpus (km1's
+    * plan): per round one broadcast of k centroids (map work) + one
+    * map-side-combined wide aggregation (k·dim scalars cross the
+    * shuffle) — the oracle-exact IVF trainer end-to-end.
+    */
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame =
+    graft.similarity.Similarity.kmeansTrain(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      k = 8, iters = 3, dim = 64).means
+
   /** Image near-dup pipeline (m13/m14's plan at corpus scale): the
     * gate's OWN fixture generator (one corpus for gate and bench —
     * tune the formula once, both follow), decode → dHash (shuffle-free

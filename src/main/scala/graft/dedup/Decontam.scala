@@ -76,4 +76,40 @@ object Decontam {
       .select(col(idCol))
     corpus.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
+
+  /** SEMANTIC decontamination — the embedding-space sibling of the
+    * n-gram rule: the verbatim-overlap rule misses paraphrases, so
+    * modern pipelines additionally flag training vectors whose cosine
+    * against ANY eval-set embedding clears a threshold (the Phi-class
+    * "fuzzy decontamination"). Returns the per-vector verdict frame
+    * (idCol, max_cos, contaminated 0/1) — the dc1-style census; the
+    * removal face is the same anti-join as [[decontaminate]].
+    *
+    * Exactness contract: cosine is the hn1 device — left-to-right
+    * double dot products, the score ROUNDED to 6 dp on both engines,
+    * the threshold applied to the rounded score, max over identical
+    * doubles. Unembeddable vectors drop ([[Similarity.scorable]]).
+    *
+    * Scale shape: the eval side is tiny and BROADCAST (the corpus is
+    * the 100 TB side); corpus rows stream map-side through the probe
+    * cross and collapse into one per-id partial-aggregated max — one
+    * shuffle, nothing quadratic in the corpus.
+    */
+  def semanticProfile(emb: DataFrame, probes: DataFrame,
+                      idCol: String, vecCol: String,
+                      tau: Double): DataFrame = {
+    import graft.similarity.Similarity.{dot, scorable}
+    emb.filter(scorable(col(vecCol)))
+      .crossJoin(broadcast(
+        probes.filter(scorable(col(vecCol)))
+          .select(col(vecCol).as("__p"))))
+      .withColumn("__cos",
+        round(dot(col(vecCol), col("__p"))
+          / (sqrt(dot(col(vecCol), col(vecCol)))
+            * sqrt(dot(col("__p"), col("__p")))), 6))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_cos"))
+      .withColumn("contaminated",
+        (col("max_cos") >= lit(tau)).cast("long"))
+  }
 }

@@ -1,0 +1,463 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer — the SentencePiece-family alternative to BPE
+  * (Kudo 2018): instead of a learned MERGE sequence, the model is a
+  * PIECE INVENTORY with log-probabilities, and a word's tokenization
+  * is the max-likelihood segmentation (Viterbi over piece scores).
+  * The two families are the production tokenizer duopoly; graft ships
+  * both so token-denominated operators can be driven by either.
+  *
+  * Semantics (the graft unigram contract, identical on engine and
+  * oracle):
+  *
+  *  - Corpus words are space-split tokens filtered to regex-inert
+  *    `^[a-z]+$` with length ≤ [[MaxWordLen]] (the [[Bpe.learnSql]]
+  *    filter discipline, plus a length cap because the DuckDB oracle
+  *    unrolls ONE DP STAGE PER CHARACTER POSITION — the
+  *    [[Bpe.learnSql]] one-stage-per-merge trick turned sideways).
+  *  - Seed vocabulary ([[seedVocab]]): every substring of every
+  *    distinct word up to [[MaxPieceLen]] chars, occurrence-counted
+  *    and frequency-weighted with exact longs; score = cnt·len (the
+  *    SentencePiece seed heuristic). Selection = ALL single-char
+  *    pieces ∪ top-[[TopMulti]] multi-char pieces by (score DESC,
+  *    piece ASC) — count ties broken lexicographically so selection
+  *    is deterministic under any partitioning.
+  *  - Piece log-probs quantize ONCE via the t9 nudged floor —
+  *    lp_q = floor(ln(score/total)·1e6 + 1e-4) as int64 — and every
+  *    downstream comparison is over exact int64 SUMS of lp_q, so
+  *    libm last-ulp drift cannot reorder segmentations cross-engine.
+  *  - Viterbi ([[viterbiSegment]]): best[k] = max over piece lengths
+  *    j of best[k−j] + lp_q(w[k−j..k)), ties broken by the
+  *    lexicographically SMALLEST space-joined piece string. The lex
+  *    tie-break is DP-safe: two tied prefixes end at the same char
+  *    position with identical underlying characters, so their joined
+  *    strings differ first at a space-vs-letter position (' ' < any
+  *    [a-z]) and neither is a prefix of the other — appending a
+  *    common continuation preserves the order, so the locally
+  *    lex-min choice is globally lex-min (UnigramSpec pins this on
+  *    planted ties).
+  *  - A word containing a character absent from the piece inventory
+  *    has NO segmentation path and DROPS on both sides (the join
+  *    semantics); a word longer than [[MaxWordLen]] is excluded by
+  *    the corpus filter on both sides. Both are planted (tk23).
+  *
+  * Scale shape: segmentation is a pure function of the WORD, so the
+  * DP runs once per DISTINCT word (Heaps' law — orders of magnitude
+  * smaller than the corpus) as a compiled typed map; the corpus pays
+  * a broadcast hash join plus one doc-keyed reassembly agg, exactly
+  * the [[Bpe.tokenizeDocs]] plan. Seeding is one substring-explode
+  * aggregation (shuffle volume O(vocab·len·[[MaxPieceLen]]), NOT
+  * corpus-sized) with a TakeOrdered top-K; pruning adds one more
+  * broadcast-joined aggregation. No driver-side corpus work anywhere.
+  */
+object Unigram {
+
+  /** Longest piece the seed inventory admits (SentencePiece's
+    * max_sentencepiece_length spirit; 6 covers every multi-char piece
+    * worth learning on the gate corpora while keeping the substring
+    * explosion O(len·6) per word).
+    */
+  val MaxPieceLen = 6
+
+  /** Longest word the GATES admit — the DuckDB Viterbi replay unrolls
+    * one DP stage per character position, so the oracle is generated
+    * with exactly this many stages and the corpus filter caps word
+    * length SYMMETRICALLY on both sides (fixture max is 8 at every
+    * sf; the 13-char plant pins the exclusion). The engine DP itself
+    * has no length limit.
+    */
+  val MaxWordLen = 12
+
+  /** Multi-char seed pieces kept (single chars are always kept — they
+    * are the fallback that keeps every in-alphabet word segmentable).
+    */
+  val TopMulti = 24
+
+  // ------------------------------------------------------------ engine
+
+  private def wordFreqs(df: DataFrame, textCol: String): Dataset[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(explode(split(col(textCol), " ", -1)).as("__w"))
+      .filter(col("__w").rlike("^[a-z]+$") &&
+        length(col("__w")) <= MaxWordLen)
+      .groupBy(col("__w")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+  }
+
+  /** Seed vocabulary with quantized log-probs:
+    * (piece, cnt, score, lp_q). Substring counting runs over the
+    * DISTINCT-word frame (tiny), then one exact-long aggregation; the
+    * top-K is a TakeOrdered, not a global sort materialization.
+    */
+  def seedVocab(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scored = wordFreqs(df, textCol)
+      .flatMap { case (w, f) =>
+        for {
+          i <- 0 until w.length
+          j <- (i + 1) to math.min(i + MaxPieceLen, w.length)
+        } yield (w.substring(i, j), f)
+      }
+      .toDF("piece", "f")
+      .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      .withColumn("score", col("cnt") * length(col("piece")).cast("long"))
+    val chars = scored.filter(length(col("piece")) === 1)
+    val multi = scored.filter(length(col("piece")) >= 2)
+      .orderBy(col("score").desc, col("piece")).limit(TopMulti)
+    val sel = chars.unionByName(multi)
+    // 1-row scalar: the probability denominator over the SELECTED set
+    val tot = sel.agg(sum(col("score")).as("__tot"))
+    sel.crossJoin(broadcast(tot))
+      .withColumn("lp_q",
+        floor(log(col("score").cast("double") / col("__tot").cast("double"))
+          * lit(1e6) + lit(1e-4)).cast("long"))
+      .select(col("piece"), col("cnt"), col("score"), col("lp_q"))
+  }
+
+  /** Max-likelihood segmentation of one word under quantized piece
+    * scores: returns (space-joined pieces, total lp_q, piece count),
+    * or None when no path covers the word (some character has no
+    * piece). Pure — safe in closures; `lp` is the small inventory.
+    */
+  def viterbiWord(w: String, lp: Map[String, Long]): Option[(String, Long, Int)] = {
+    val n = w.length
+    val sc = Array.fill[Long](n + 1)(Long.MinValue)
+    val seg = new Array[String](n + 1)
+    sc(0) = 0L
+    seg(0) = ""
+    var k = 1
+    while (k <= n) {
+      var bestS = Long.MinValue
+      var bestSeg: String = null
+      var j = 1
+      val jMax = math.min(MaxPieceLen, k)
+      while (j <= jMax) {
+        if (seg(k - j) != null) {
+          lp.get(w.substring(k - j, k)) match {
+            case Some(s) =>
+              val cand = sc(k - j) + s
+              if (cand > bestS) {
+                bestS = cand
+                bestSeg = if (seg(k - j).isEmpty) w.substring(k - j, k)
+                          else seg(k - j) + " " + w.substring(k - j, k)
+              } else if (cand == bestS) {
+                val candSeg = if (seg(k - j).isEmpty) w.substring(k - j, k)
+                              else seg(k - j) + " " + w.substring(k - j, k)
+                if (candSeg.compareTo(bestSeg) < 0) bestSeg = candSeg
+              }
+            case None => ()
+          }
+        }
+        j += 1
+      }
+      if (bestSeg != null) { sc(k) = bestS; seg(k) = bestSeg }
+      k += 1
+    }
+    Option(seg(n)).map { s =>
+      (s, sc(n), s.count(_ == ' ') + 1)
+    }
+  }
+
+  /** Segment every document under a frozen piece inventory:
+    * (idCol, n_words, n_pieces, piece_text). Distinct-word memoized
+    * DP + broadcast join + one doc-keyed ordered reassembly (the
+    * [[Bpe.tokenizeDocs]] plan). Words with no path drop (and so do
+    * docs whose every word drops) — the oracle's join semantics.
+    */
+  def viterbiSegment(df: DataFrame, idCol: String, textCol: String,
+                     vocab: Seq[(String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lp = vocab.toMap
+    val words = df.select(col(idCol),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
+      .filter(col("__w").rlike("^[a-z]+$") &&
+        length(col("__w")) <= MaxWordLen)
+    val segs = words.select(col("__w")).distinct().as[String]
+      .flatMap { w =>
+        viterbiWord(w, lp).map { case (s, _, n) => (w, s, n.toLong) }
+      }
+      .toDF("__w", "__seg", "__n")
+    words.join(broadcast(segs), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("__n")).as("n_pieces"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__seg")))),
+            s => s("__seg")),
+          " ").as("piece_text"))
+  }
+
+  /** One usage-based pruning round (the EM-lite vocabulary shrink):
+    * segment the distinct-word corpus under `vocab`, count each
+    * piece's frequency-weighted usage, and keep ALL single-char
+    * pieces (usage 0 allowed — they are the segmentability floor)
+    * plus the top-`keepMulti` multi-char pieces by (usage DESC,
+    * piece ASC), usage > 0. Returns (piece, usage). Full SentencePiece
+    * prunes by EM loss-increase; usage pruning is the documented
+    * deterministic simplification — unused and rarely-used pieces are
+    * exactly the ones EM assigns vanishing probability.
+    */
+  def pruneByUsage(df: DataFrame, textCol: String,
+                   vocab: Seq[(String, Long)], keepMulti: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lp = vocab.toMap
+    val usage = wordFreqs(df, textCol)
+      .flatMap { case (w, f) =>
+        viterbiWord(w, lp).toSeq.flatMap { case (s, _, _) =>
+          s.split(' ').iterator.map(p => (p, f))
+        }
+      }
+      .toDF("piece", "f")
+      .groupBy(col("piece")).agg(sum(col("f")).as("usage"))
+    val vdf = vocab.toDF("piece", "lp_q").select(col("piece"))
+    val chars = vdf.filter(length(col("piece")) === 1)
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("usage"), lit(0L)).as("usage"))
+    val multi = vdf.filter(length(col("piece")) >= 2)
+      .join(usage, Seq("piece"))
+      .filter(col("usage") > 0)
+      .orderBy(col("usage").desc, col("piece")).limit(keepMulti)
+      .select(col("piece"), col("usage"))
+    chars.unionByName(multi)
+  }
+
+  /** Deterministic piece→id table — the model-ready vocabulary: ids
+    * by (lp_q DESC, piece ASC), i.e. most probable piece gets id 0.
+    * Derived from the frozen inventory on both sides (the oracle
+    * embeds the SAME table as a VALUES list — no SQL-side
+    * re-derivation to drift).
+    */
+  def pieceIds(vocab: Seq[(String, Long)]): Map[String, Int] =
+    vocab.sortBy { case (p, q) => (-q, p) }
+      .zipWithIndex.map { case ((p, _), i) => p -> i }.toMap
+
+  /** [[viterbiSegment]] emitting integer piece IDS — the artifact a
+    * training run consumes: (idCol, n_pieces, piece_ids) with ids
+    * from [[pieceIds]] in (word, piece) order. Same distinct-word
+    * memoized shape.
+    */
+  def segmentToIds(df: DataFrame, idCol: String, textCol: String,
+                   vocab: Seq[(String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lp = vocab.toMap
+    val ids = pieceIds(vocab)
+    val words = df.select(col(idCol),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
+      .filter(col("__w").rlike("^[a-z]+$") &&
+        length(col("__w")) <= MaxWordLen)
+    val segs = words.select(col("__w")).distinct().as[String]
+      .flatMap { w =>
+        viterbiWord(w, lp).map { case (s, _, _) =>
+          val pid = s.split(' ').map(ids(_))
+          (w, pid, pid.length.toLong)
+        }
+      }
+      .toDF("__w", "__ids", "__n")
+    words.join(broadcast(segs), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_pieces"),
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__ids")))),
+            s => s("__ids"))).as("piece_ids"))
+  }
+
+  // ------------------------------------------------------------ oracle
+
+  /** The filtered word stream: (__id, __pos, __w) — space split,
+    * regex-inert [a-z]+ only, length-capped to the unroll depth.
+    */
+  private def w0Sql(src: String, id: String, text: String): String =
+    s"""w0 AS MATERIALIZED (SELECT $id AS __id, i - 1 AS __pos, t[i] AS __w
+       |  FROM (SELECT $id, string_split($text, ' ') AS t FROM $src) d
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i)
+       |  WHERE regexp_full_match(t[i], '[a-z]+') AND len(t[i]) <= $MaxWordLen)""".stripMargin
+
+  /** DuckDB spelling of [[seedVocab]] over `src(text)`: substring
+    * explosion via two lateral generate_series (start × length),
+    * exact BIGINT counts, the same (score DESC, piece ASC) top-K and
+    * the same nudged-floor log-prob quantization. SUMs are CAST to
+    * BIGINT at the emission boundary (the HUGEINT dtype lint).
+    */
+  def seedVocabSql(src: String, text: String): String =
+    s"""(WITH ${w0Sql(src, "0", text)},
+       |wf AS (SELECT __w AS w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM w0 GROUP BY 1),
+       |sub AS (SELECT substr(w, s.i, l.j) AS piece, SUM(f) AS cnt
+       |  FROM wf
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(w))) AS s(i)
+       |  CROSS JOIN LATERAL unnest(generate_series(1,
+       |    LEAST($MaxPieceLen, len(w) - s.i + 1))) AS l(j)
+       |  GROUP BY 1),
+       |scored AS (SELECT piece, CAST(cnt AS BIGINT) AS cnt,
+       |    CAST(cnt * len(piece) AS BIGINT) AS score FROM sub),
+       |chars AS (SELECT piece, cnt, score FROM scored WHERE len(piece) = 1),
+       |multi AS (SELECT piece, cnt, score FROM (
+       |    SELECT piece, cnt, score,
+       |      ROW_NUMBER() OVER (ORDER BY score DESC, piece) AS rn
+       |    FROM scored WHERE len(piece) >= 2) z
+       |  WHERE rn <= $TopMulti),
+       |sel AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+       |tot AS (SELECT CAST(SUM(score) AS BIGINT) AS t FROM sel)
+       |SELECT piece, cnt, score,
+       |  CAST(floor(ln(CAST(score AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 1e-4)
+       |    AS BIGINT) AS lp_q
+       |FROM sel, tot)""".stripMargin
+
+  private def vocabValuesSql(vocab: Seq[(String, Long)]): String = {
+    require(vocab.forall { case (p, _) =>
+      p.nonEmpty && p.forall(c => c >= 'a' && c <= 'z') },
+      "oracle replay requires regex-inert [a-z]+ pieces")
+    vocab.map { case (p, q) => s"('$p', $q)" }.mkString(", ")
+  }
+
+  /** The unrolled Viterbi DP over the distinct-word frame: one
+    * MATERIALIZED stage per character position k (the
+    * [[Bpe.learnSql]] one-stage-per-step discipline — a planner that
+    * inlined them would re-evaluate the chain exponentially), each
+    * stage ranking candidate extensions by (score DESC, seg ASC) via
+    * ROW_NUMBER and keeping row 1 — the engine DP's exact tie-break.
+    * Yields `fin(w, seg, n)` holding every segmentable word's
+    * max-likelihood segmentation.
+    */
+  private def dpStagesSql(vocab: Seq[(String, Long)]): String = {
+    val sb = new StringBuilder
+    sb ++= s"""v(piece, lp) AS (SELECT piece, CAST(lp AS BIGINT) AS lp
+       |  FROM (VALUES ${vocabValuesSql(vocab)}) x(piece, lp)),
+       |words AS MATERIALIZED (SELECT DISTINCT __w AS w FROM w0),
+       |d0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS sc, '' AS seg
+       |  FROM words)""".stripMargin
+    for (k <- 1 to MaxWordLen) {
+      val branches = (1 to math.min(MaxPieceLen, k)).map { j =>
+        s"""SELECT w, sc, seg, substr(w, ${k - j + 1}, $j) AS piece
+           |        FROM d${k - j} WHERE len(w) >= $k""".stripMargin
+      }.mkString("\n        UNION ALL\n        ")
+      sb ++= s""",
+       |d$k AS MATERIALIZED (SELECT w, sc, seg FROM (
+       |    SELECT w, sc, seg,
+       |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY sc DESC, seg) AS rn
+       |    FROM (
+       |      SELECT p.w, p.sc + v.lp AS sc,
+       |        CASE WHEN p.seg = '' THEN v.piece
+       |             ELSE p.seg || ' ' || v.piece END AS seg
+       |      FROM (
+       |        $branches
+       |      ) p JOIN v ON v.piece = p.piece
+       |    ) c) r
+       |  WHERE rn = 1)""".stripMargin
+    }
+    sb ++= s""",
+       |fin AS MATERIALIZED (SELECT w, seg,
+       |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS n
+       |  FROM (
+       |    ${(1 to MaxWordLen).map(k =>
+             s"SELECT w, seg FROM d$k WHERE len(w) = $k")
+             .mkString("\n    UNION ALL\n    ")}
+       |  ) z)""".stripMargin
+    sb.result()
+  }
+
+  /** DuckDB spelling of [[viterbiSegment]] over `src(id, text)` under
+    * a frozen inventory (emitted as a VALUES list — no SQL-side
+    * re-derivation to drift).
+    */
+  def viterbiSql(src: String, id: String, text: String,
+                 vocab: Seq[(String, Long)]): String =
+    s"""(WITH ${w0Sql(src, id, text)},
+       |${dpStagesSql(vocab)}
+       |SELECT w0.__id AS $id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(f.n) AS BIGINT) AS n_pieces,
+       |  string_agg(f.seg, ' ' ORDER BY w0.__pos) AS piece_text
+       |FROM w0 JOIN fin f ON w0.__w = f.w
+       |GROUP BY w0.__id)""".stripMargin
+
+  /** DuckDB spelling of [[pruneByUsage]]: the DP replay feeding a
+    * frequency-weighted usage census, then the same chars ∪ top-K
+    * selection.
+    */
+  def pruneSql(src: String, text: String,
+               vocab: Seq[(String, Long)], keepMulti: Int): String =
+    s"""(WITH ${w0Sql(src, "0", text)},
+       |${dpStagesSql(vocab)},
+       |wf AS (SELECT __w AS w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM w0 GROUP BY 1),
+       |occ AS (SELECT f.w, u.p AS piece
+       |  FROM fin f CROSS JOIN LATERAL unnest(string_split(f.seg, ' ')) AS u(p)),
+       |usage AS (SELECT occ.piece, CAST(SUM(wf.f) AS BIGINT) AS usage
+       |  FROM occ JOIN wf ON occ.w = wf.w GROUP BY 1),
+       |chars AS (SELECT v.piece, COALESCE(u.usage, CAST(0 AS BIGINT)) AS usage
+       |  FROM v LEFT JOIN usage u ON v.piece = u.piece
+       |  WHERE len(v.piece) = 1),
+       |multi AS (SELECT piece, usage FROM (
+       |    SELECT v.piece, u.usage,
+       |      ROW_NUMBER() OVER (ORDER BY u.usage DESC, v.piece) AS rn
+       |    FROM v JOIN usage u ON v.piece = u.piece
+       |    WHERE len(v.piece) >= 2) z
+       |  WHERE rn <= $keepMulti)
+       |SELECT piece, usage FROM (
+       |  SELECT * FROM chars UNION ALL SELECT * FROM multi) s)""".stripMargin
+
+  /** DuckDB spelling of [[segmentToIds]]: the DP replay joined against
+    * the SAME id table ([[pieceIds]] emitted as VALUES), ids in
+    * (word position, piece position) order.
+    */
+  def idsSql(src: String, id: String, text: String,
+             vocab: Seq[(String, Long)]): String = {
+    val idVals = pieceIds(vocab).toSeq.sortBy(_._2)
+      .map { case (p, i) => s"('$p', $i)" }.mkString(", ")
+    s"""(WITH ${w0Sql(src, id, text)},
+       |${dpStagesSql(vocab)},
+       |idv(piece, pid) AS (SELECT * FROM (VALUES $idVals) x(piece, pid)),
+       |occ AS (SELECT w0.__id, w0.__pos, g.i,
+       |    string_split(f.seg, ' ')[g.i] AS piece
+       |  FROM w0 JOIN fin f ON w0.__w = f.w
+       |  CROSS JOIN LATERAL unnest(generate_series(1,
+       |    len(string_split(f.seg, ' ')))) AS g(i))
+       |SELECT occ.__id AS $id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       |  string_agg(CAST(idv.pid AS VARCHAR), ',' ORDER BY occ.__pos, occ.i)
+       |    AS piece_ids
+       |FROM occ JOIN idv ON occ.piece = idv.piece
+       |GROUP BY occ.__id)""".stripMargin
+  }
+
+  /** The frozen piece inventory the tk23/tk24/tk25/e34 gates run
+    * under: [[seedVocab]] over `documents` at sf0.01 (NO plants — the
+    * plants exercise segmentation, not seeding), frozen as a literal
+    * (the [[Bpe.FrozenMerges]] discipline) so the gates are pure
+    * deterministic replays at EVERY sf. 24 single chars (x and z do
+    * not occur in the fixture corpus — their absence is what the
+    * zigzag no-path plant exercises) + 24 multi-char pieces.
+    * UnigramSpec re-derives this from the live seeder and fails
+    * loudly if the fixture or seeder drifts.
+    */
+  val FrozenVocab: Vector[(String, Long)] = Vector(
+    ("a", -2985395L), ("b", -4522053L), ("batch", -3978686L),
+    ("c", -3985540L), ("colum", -3981893L), ("column", -3799572L),
+    ("custo", -3981893L), ("custom", -3799572L), ("d", -4518018L),
+    ("e", -3060306L), ("er", -3310829L), ("f", -4942514L),
+    ("filte", -3982964L), ("filter", -3800643L), ("g", -4024769L),
+    ("h", -4222588L), ("i", -4003758L), ("ilter", -3982964L),
+    ("in", -3814674L), ("j", -5559716L), ("k", -4948689L),
+    ("l", -3527536L), ("m", -3996561L), ("mer", -3808174L),
+    ("n", -3990495L), ("o", -3308970L), ("olumn", -3981893L),
+    ("or", -3838136L), ("ow", -3819396L), ("p", -4543974L),
+    ("par", -3860263L), ("q", -5661165L), ("r", -3060817L),
+    ("s", -3424176L), ("st", -3845582L), ("stome", -3981893L),
+    ("stomer", -3799572L), ("stream", -3850076L), ("t", -3234160L),
+    ("tomer", -3981893L), ("u", -4010125L), ("ustom", -3981893L),
+    ("ustome", -3799572L), ("v", -4930278L), ("vector", -3823408L),
+    ("w", -4232993L), ("window", -3852331L), ("y", -4953769L))
+}

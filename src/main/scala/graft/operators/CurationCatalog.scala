@@ -478,6 +478,21 @@ object CurationCatalog {
         "doc_id", "text", n = DecontamN)
         .orderBy(col("doc_id"))),
 
+    // DC3 — SEMANTIC decontamination (the paraphrase-robust face the
+    // verbatim n-gram rule misses): eval probes are planted PERTURBED
+    // variants (dim-1 zeroed) of every 41st corpus vector, so hits
+    // are genuine near-dup matches at cos 0.9–1.0, not identity
+    // echoes; τ = 0.9 applied to the 6-dp-rounded score (the hn1
+    // contract). Probes broadcast; one per-id max shuffle
+    "dc3_semantic_decontam" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val probes = emb.filter(col("vec_id") % 41 === 0)
+        .select(concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
+          .as("embedding"))
+      Decontam.semanticProfile(emb, probes, "vec_id", "embedding", tau = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // PII scrub over the synthetic-PII corpus
     "pii1_redact" -> ((spark, dir) =>
       docs(spark, dir)
@@ -1159,6 +1174,23 @@ object CurationCatalog {
     "pii1_redact" ->
       s"""SELECT doc_id, ${Redact.redactSql(s"($piiTextSql)")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same perturbed probes, same rounded-cosine max, same τ
+    "dc3_semantic_decontam" -> {
+      val S = graft.similarity.Similarity.Sql
+      s"""WITH probes AS (SELECT list_prepend(CAST(0 AS FLOAT), embedding[2:]) AS p
+         |  FROM embeddings WHERE vec_id % 41 = 0),
+         |x AS (SELECT e.vec_id,
+         |    round(${S.dot("e.embedding", "p.p")}
+         |      / (sqrt(${S.dot("e.embedding", "e.embedding")})
+         |        * sqrt(${S.dot("p.p", "p.p")})), 6) AS c
+         |  FROM embeddings e CROSS JOIN probes p),
+         |m AS (SELECT vec_id, MAX(c) AS max_cos FROM x GROUP BY vec_id)
+         |SELECT vec_id, max_cos,
+         |  CAST(CASE WHEN max_cos >= 0.9 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS contaminated
+         |FROM m ORDER BY vec_id""".stripMargin
+    },
 
     "bb2_bucket_suggest" -> {
       def one(k: Int) =

@@ -1027,6 +1027,26 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E34 — unigram-LM Viterbi segmentation on a stream (tk23's
+    // streaming face): stateless distinct-word-memoized DP per
+    // micro-batch under the frozen inventory; segmentation plants in
+    // the staged source. Stream == batch on tk23's own oracle.
+    "e34_stream_unigram" -> ((spark, dir) => {
+      import spark.implicits._
+      val in = graft.core.Staging.tmpDir("stream_unigram_in")
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+        .unionByName(TrainingCatalog.UnigramPlants
+          .toDF("doc_id", "lang", "text").select(col("doc_id"), col("text")))
+        .coalesce(1).write.mode("overwrite").parquet(in)
+      val segs = graft.streaming.DocStream.unigramSegment(
+        graft.streaming.DocStream.read(spark, in),
+        graft.functions.Unigram.FrozenVocab)
+      EventStream.runToMemory(spark, segs,
+        s"stream_unigram_${streamNo.incrementAndGet()}",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("doc_id"))
+    }),
+
     // E32 — STREAMING image near-dup (m14's ingestion face, the image
     // sibling of x15/e14): the dHash payloads stage as 3 disjoint
     // files → 3 micro-batches; decode→hash folds into a (doc_id,
@@ -1215,6 +1235,9 @@ object StreamMediaCatalog {
 
     // streaming == batch for the category-pre-tokenized byte BPE
     "e33_stream_pretok_bpe" -> TrainingCatalog.oracle("tk16_bpe_pretok"),
+
+    // stream == batch on tk23's own oracle (the e31/e33 discipline)
+    "e34_stream_unigram" -> TrainingCatalog.oracle("tk23_unigram_viterbi"),
 
     // streaming == batch for the pure-projection encoding repair
     "e20_stream_encoding" -> CurationCatalog.oracle("en2_encoding_repair"),

@@ -86,6 +86,43 @@ object TrainingCatalog {
       .unionByName(PretokPlants.toDF("doc_id", "lang", "text"))
   }
 
+  /** Segmentation plants for the unigram-LM gates (tk23/tk24/tk25/
+    * e34): the fixture words all sit IN the frozen inventory, so the
+    * interesting DP boundaries are planted — compound words forcing
+    * genuine multi-piece Viterbi choices (joinhash, customerkey,
+    * mergesort/sortmerge — same pieces, different orders), a 1-char
+    * word, `zigzag` whose 'z' has NO piece (the whole word must drop
+    * on both sides — x/z never occur in the fixture corpus, so the
+    * frozen chars can't cover them), and 13-char `sortmergejoin`
+    * (past [[graft.functions.Unigram.MaxWordLen]] — excluded by the
+    * symmetric corpus cap, NOT segmented). Ids at 9.4e6, outside
+    * every fixture range; corpus = documents ∪ plants, frozen vocab
+    * seeds from documents ONLY.
+    */
+  private[graft] val UnigramPlants: Seq[(Long, String, String)] = Seq(
+    (9400001L, "en", "joinhash batchbatch thequery q sortmergejoin zigzag"),
+    (9400002L, "en", "mergesort sortmerge customerkey keycustomer"),
+    (9400003L, "en", "winwindow rowrow filterscan a"))
+
+  private def docsWithUnigramPlants(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionByName(UnigramPlants.toDF("doc_id", "lang", "text")
+        .select(col("doc_id"), col("text")))
+  }
+
+  // single-line (the en1 stripMargin trap)
+  private val unigramPlantsValuesSql: String = UnigramPlants
+    .map { case (id, _, text) => s"($id, '$text')" }
+    .mkString("(VALUES ", ", ", ") v(doc_id, text)")
+
+  // the tk23-family corpus CTE — documents + unigram plants, shared
+  // by the segmentation oracles (tk23/tk24/tk25 here, e34 in
+  // StreamMediaCatalog)
+  private[operators] def unigramAugSql: String =
+    s"""uniaug AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM $unigramPlantsValuesSql)""".stripMargin
+
   private def sqlStr(s: String): String =
     "E'" + s.flatMap {
       case '\'' => "''"
@@ -823,6 +860,53 @@ object TrainingCatalog {
         .toDF("rank", "x", "y").orderBy(col("rank"))
     }),
 
+    // TK22 — unigram-LM SEED VOCABULARY (the SentencePiece-family
+    // counterpart of tk9's BPE trainer): every ≤6-char substring of
+    // every distinct [a-z]+ word, occurrence-counted with exact longs,
+    // score = cnt·len; all single chars ∪ top-24 multi by (score
+    // DESC, piece ASC); log-probs quantized ONCE by the t9 nudged
+    // floor. The oracle replays the whole derivation — substring
+    // lateral explosion, the same top-K window, the same ln floor
+    "tk22_unigram_seed" -> ((spark, dir) =>
+      graft.functions.Unigram.seedVocab(docs(spark, dir), "text")
+        .orderBy(col("piece"))),
+
+    // TK23 — VITERBI segmentation under the frozen inventory: per
+    // distinct word, max-likelihood split over exact int64 lp_q sums,
+    // ties to the lexicographically smallest piece string; no-path
+    // words (zigzag) and over-length words (sortmergejoin) drop on
+    // both sides. The oracle unrolls one DP stage per character
+    // position (the learnSql one-stage-per-step discipline) with a
+    // (score DESC, seg ASC) ROW_NUMBER at each stage
+    "tk23_unigram_viterbi" -> ((spark, dir) =>
+      graft.functions.Unigram.viterbiSegment(
+        docsWithUnigramPlants(spark, dir), "doc_id", "text",
+        graft.functions.Unigram.FrozenVocab)
+        .orderBy(col("doc_id"))),
+
+    // TK24 — one USAGE-BASED PRUNING round (the EM-lite vocabulary
+    // shrink): frequency-weighted piece usage under the tk23
+    // segmentation, keep all single chars (the segmentability floor,
+    // usage 0 allowed) + top-12 multi-char by (usage DESC, piece ASC)
+    "tk24_unigram_prune" -> ((spark, dir) =>
+      graft.functions.Unigram.pruneByUsage(
+        docsWithUnigramPlants(spark, dir), "text",
+        graft.functions.Unigram.FrozenVocab, keepMulti = 12)
+        .orderBy(col("piece"))),
+
+    // TK25 — piece-ID emission, the artifact a training run consumes:
+    // ids by (lp_q DESC, piece ASC) from the frozen inventory (both
+    // sides embed the SAME table — no re-derivation to drift); the
+    // a15 joined-string convention for the id stream
+    "tk25_unigram_ids" -> ((spark, dir) =>
+      graft.functions.Unigram.segmentToIds(
+        docsWithUnigramPlants(spark, dir), "doc_id", "text",
+        graft.functions.Unigram.FrozenVocab)
+        .select(col("doc_id"), col("n_pieces"),
+          array_join(transform(col("piece_ids"), x => x.cast("string")), ",")
+            .as("piece_ids"))
+        .orderBy(col("doc_id"))),
+
     // TK17 — DEEP training (260 merges, a production-depth prefix):
     // the incremental trainer runs 260 rounds over the planted LCG
     // corpus and must reproduce the frozen table exactly. learnBytesSql
@@ -1169,6 +1253,33 @@ object TrainingCatalog {
       Similarity.groupCentroids(
         Tables.embeddings(spark, dir), "label", "embedding", dim = 64)
         .orderBy(col("label"), col("dim"))),
+
+    // KM1 — distributed LLOYD'S K-MEANS as an oracle gate: hash-keyed
+    // init (the buildIvfHashInit device), then 3 unrolled rounds of
+    // rounded-distance assignment + fixed-point per-(cell,dim) means;
+    // centroids are bit-identical doubles cross-engine by induction,
+    // so the oracle replays the whole iteration chain stage-for-stage.
+    // Closes IVF training's one non-gated rung (MLlib KMeans centers
+    // are init-order-dependent and could never gate)
+    "km1_kmeans" -> ((spark, dir) =>
+      Similarity.kmeansTrain(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64)
+        .means.orderBy(col("cell"), col("dim"))),
+
+    // KM2 — CLUSTER-BALANCED selection (the data-mixing face): assign
+    // the corpus to the trained cells, keep the 4 members with the
+    // smallest md5(vec_id) per cell — a data-keyed deterministic
+    // sample, per-cell windows only (no corpus-wide window)
+    "km2_cluster_sample" -> ((spark, dir) => {
+      val m = Similarity.kmeansTrain(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64)
+      Similarity.clusterBalancedSample(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        m.centroids, perCell = 4)
+        .orderBy(col("cell"), col("vec_id"))
+    }),
 
     // transitive closure of the LSH candidates: dedup GROUPS, not just
     // pairs — every doc (incl. singletons) labeled with its component
@@ -1873,6 +1984,32 @@ object TrainingCatalog {
          |WHERE text <> ''
          |ORDER BY doc_id""".stripMargin,
 
+    "tk22_unigram_seed" ->
+      s"""SELECT piece, cnt, score, lp_q
+         |FROM ${graft.functions.Unigram.seedVocabSql("documents", "text")} q
+         |ORDER BY piece""".stripMargin,
+
+    "tk23_unigram_viterbi" ->
+      s"""WITH $unigramAugSql
+         |SELECT doc_id, n_words, n_pieces, piece_text
+         |FROM ${graft.functions.Unigram.viterbiSql("uniaug", "doc_id",
+               "text", graft.functions.Unigram.FrozenVocab)} q
+         |ORDER BY doc_id""".stripMargin,
+
+    "tk24_unigram_prune" ->
+      s"""WITH $unigramAugSql
+         |SELECT piece, usage
+         |FROM ${graft.functions.Unigram.pruneSql("uniaug", "text",
+               graft.functions.Unigram.FrozenVocab, keepMulti = 12)} q
+         |ORDER BY piece""".stripMargin,
+
+    "tk25_unigram_ids" ->
+      s"""WITH $unigramAugSql
+         |SELECT doc_id, n_pieces, piece_ids
+         |FROM ${graft.functions.Unigram.idsSql("uniaug", "doc_id", "text",
+               graft.functions.Unigram.FrozenVocab)} q
+         |ORDER BY doc_id""".stripMargin,
+
     "nv2_store_admit" -> {
       val S = TextDedup.Sql
       s"""WITH probes AS (
@@ -2450,6 +2587,25 @@ object TrainingCatalog {
     "v7_group_centroids" ->
       s"""${S.groupCentroids("embeddings", "label", "embedding", 64)}
          |ORDER BY label, dim""".stripMargin,
+
+    // the full Lloyd chain unrolled: init == engine seeds, each round's
+    // assignment + fixed-point mean == the engine's, by induction
+    "km1_kmeans" ->
+      s"""WITH ${S.kmeansCtes("embeddings", "vec_id", "embedding",
+             k = 8, iters = 3, dim = 64)}
+         |SELECT cell, dim, centroid, n FROM m3
+         |ORDER BY cell, dim""".stripMargin,
+
+    // final-model assignment + per-cell md5-keyed top-4
+    "km2_cluster_sample" ->
+      s"""WITH ${S.kmeansCtes("embeddings", "vec_id", "embedding",
+             k = 8, iters = 3, dim = 64)},
+         |af AS (${S.kmeansAssign("embeddings", "vec_id", "embedding", "c3")}),
+         |r AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk FROM af)
+         |SELECT CAST(cell AS INTEGER) AS cell, vec_id FROM r
+         |WHERE rnk <= 4
+         |ORDER BY cell, vec_id""".stripMargin,
 
     "x9_dedup_groups" ->
       s"""WITH RECURSIVE $docsWithVariantsSql, ${shCte("augv")}, $sigCte, $bandsCte, $pairsCte,

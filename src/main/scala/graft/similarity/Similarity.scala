@@ -626,6 +626,90 @@ object Similarity {
       .select(col(groupCol), col("dc.dim"), col("dc.centroid"), col("n"))
   }
 
+  /** A trained k-means model: the final per-(cell, dim) means in v7's
+    * long form (hash-friendly) plus the same centroids re-assembled as
+    * arrays (what assignment consumes).
+    */
+  final case class KmeansModel(means: DataFrame, centroids: DataFrame)
+
+  /** Deterministic distributed Lloyd's k-means — the oracle-exact
+    * trainer that closes IVF training's one non-gated rung
+    * ([[buildIvf]] uses MLlib KMeans, whose centers are
+    * init-order-dependent; [[buildIvfHashInit]] never iterates). Init
+    * is the hash-keyed sample (data-keyed — any engine, or any rebuild
+    * after a repartition, derives identical seeds); each Lloyd round is
+    *
+    *  - assign: argmin_cell round(c·c − 2·v·c, 6), cell-id tiebreak
+    *    ([[assignToCentroids]] verbatim);
+    *  - update: per-(cell, dim) fixed-point mean ([[groupCentroids]]'s
+    *    floor(x·1e9) int64 sums — exact and order-independent; the two
+    *    closing divisions are identical IEEE ops on identical operands
+    *    in both engines).
+    *
+    * Updated centroids are bit-identical doubles cross-engine, so the
+    * next round's rounded distances are again identical — the whole
+    * iteration chain is deterministic by induction, and the DuckDB
+    * oracle unrolls it stage-for-stage (the learnSql discipline). A
+    * cell that attracts no vectors in a round VANISHES (its mean is
+    * undefined); both sides mirror this and labels are never
+    * renumbered.
+    *
+    * Scale shape per round: one broadcast of k centroids across the
+    * corpus (map work), one map-side-combined wide aggregation (k·dim
+    * scalars cross the shuffle — NOT rows·dim exploded elements), one
+    * bounded k-row array rebuild; centroid frames are
+    * localCheckpoint'ed so plan lineage never accumulates across
+    * rounds. The O(iters) sequential-job latency is inherent to Lloyd
+    * (each assignment needs the previous round's means).
+    */
+  def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int, dim: Int): KmeansModel = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    val clean = emb.filter(scorable(col(vecCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__h"), col(idCol))
+    def toArrays(means: DataFrame): DataFrame =
+      means.groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("centroid")))),
+          s => s("centroid")).as("centroid"))
+    var cents = clean.select(col(idCol), col(vecCol))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol)).limit(k) // bounded k-row frame
+      .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+      .select(col("cell"),
+        transform(col(vecCol), x => x.cast("double")).as("centroid"))
+      .localCheckpoint()
+    var means: DataFrame = null
+    var t = 0
+    while (t < iters) {
+      means = groupCentroids(
+        assignToCentroids(clean, idCol, vecCol, cents), "cell", vecCol, dim)
+        .localCheckpoint() // truncate per-round lineage (eager)
+      cents = toArrays(means).localCheckpoint()
+      t += 1
+    }
+    KmeansModel(means, cents)
+  }
+
+  /** Cluster-balanced selection — the data-mixing face of k-means:
+    * assign the corpus to a trained model's cells, keep the `perCell`
+    * members with the smallest md5(id) per cell (a data-keyed
+    * deterministic "random" sample, the buildIvfHashInit init device).
+    * The window partitions by cell — at most k partitions, each ranked
+    * independently; no corpus-wide window.
+    */
+  def clusterBalancedSample(emb: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, perCell: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    assignToCentroids(emb, idCol, vecCol, centroids)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= perCell)
+      .select(col("cell"), col(idCol))
+  }
+
   // ------------------------------------------------------- DuckDB spellings
 
   object Sql {
@@ -635,6 +719,44 @@ object Similarity {
       s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
     def signBucket(e: String, dims: Seq[Int]): String =
       dims.map(d => s"CASE WHEN $e[${d + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+    /** One Lloyd assignment stage — [[Similarity.assignToCentroids]]'s
+      * rounded-distance + cell-tiebreak argmin (the v4/v10 spelling,
+      * shared so the k-means unroll and its consumers cannot drift).
+      */
+    def kmeansAssign(src: String, id: String, vec: String,
+                     cents: String): String =
+      s"""SELECT $id, $vec, cell FROM (
+         |    SELECT e.$id, e.$vec, c.cell, ROW_NUMBER() OVER (PARTITION BY e.$id
+         |        ORDER BY round(${dot("c.centroid", "c.centroid")}
+         |          - 2 * ${dot(s"e.$vec", "c.centroid")}, 6), c.cell) AS arn
+         |    FROM $src e CROSS JOIN $cents c) z
+         |  WHERE arn = 1""".stripMargin
+
+    /** DuckDB spelling of [[Similarity.kmeansTrain]]: the hash-keyed
+      * init then `iters` unrolled (assign → fixed-point mean →
+      * re-assemble) stages, every stage MATERIALIZED (the learnSql
+      * discipline). Exposes `m$iters` (the final long-form means) and
+      * `c$iters` (the final centroid arrays) for the composing gate.
+      */
+    def kmeansCtes(src: String, id: String, vec: String,
+                   k: Int, iters: Int, dim: Int): String = {
+      val sb = new StringBuilder
+      sb ++= s"""kcb AS MATERIALIZED (SELECT $id, $vec FROM $src
+         |  ORDER BY md5(CAST($id AS VARCHAR)), $id LIMIT $k),
+         |c0 AS MATERIALIZED (SELECT
+         |    ROW_NUMBER() OVER (ORDER BY md5(CAST($id AS VARCHAR)), $id) - 1 AS cell,
+         |    list_transform($vec, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM kcb)""".stripMargin
+      for (t <- 1 to iters) {
+        sb ++= s""",
+         |a$t AS MATERIALIZED (${kmeansAssign(src, id, vec, s"c${t - 1}")}),
+         |m$t AS MATERIALIZED (${groupCentroids(s"a$t", "cell", vec, dim)}),
+         |c$t AS MATERIALIZED (SELECT cell, list(centroid ORDER BY dim) AS centroid
+         |  FROM m$t GROUP BY cell)""".stripMargin
+      }
+      sb.result()
+    }
 
     /** Same fixed-point centroid as [[Similarity.groupCentroids]] —
       * identical quantization, sum, and division order.

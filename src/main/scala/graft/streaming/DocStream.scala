@@ -185,6 +185,53 @@ object DocStream {
       .toDF("doc_id", "n_words", "n_bpe_tokens", "bpe_text")
   }
 
+  /** Unigram-LM Viterbi streaming face (tk23's): the same per-
+    * partition memoized distinct-word DP under a frozen piece
+    * inventory — stateless map work, so stream == batch on the tk23
+    * oracle (e34). Word filter ([a-z]+, length ≤
+    * [[graft.functions.Unigram.MaxWordLen]]), no-path drops, and
+    * empty-doc drops all mirror the batch join semantics.
+    */
+  def unigramSegment(docs: DataFrame,
+                     vocab: Seq[(String, Long)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lp = vocab.toMap
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .filter(col("text").isNotNull)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new java.util.HashMap[String, (String, Long)]()
+        val MemoCap = 1 << 16
+        val absent = ("", -1L) // memoized no-path marker
+        it.map { case (id, text) =>
+          var nW = 0L
+          var nP = 0L
+          val sb = new StringBuilder
+          text.split(" ", -1).foreach { w =>
+            if (w.nonEmpty && w.length <= graft.functions.Unigram.MaxWordLen &&
+                w.forall(c => c >= 'a' && c <= 'z')) {
+              var hit = memo.get(w)
+              if (hit == null) {
+                hit = graft.functions.Unigram.viterbiWord(w, lp)
+                  .map { case (s, _, n) => (s, n.toLong) }
+                  .getOrElse(absent)
+                if (memo.size < MemoCap) memo.put(w, hit)
+              }
+              if (hit._2 > 0L) {
+                nW += 1L
+                nP += hit._2
+                if (sb.nonEmpty) sb.append(' ')
+                sb.append(hit._1)
+              }
+            }
+          }
+          (id, nW, nP, sb.toString)
+        }.filter(_._2 > 0L) // docs with no segmentable word drop, matching tk23
+      }
+      .toDF("doc_id", "n_words", "n_pieces", "piece_text")
+  }
+
   private def bpeTokenizeWith(docs: DataFrame,
                               merges: Seq[(String, String)],
                               symbolize: String => Vector[String]): DataFrame = {

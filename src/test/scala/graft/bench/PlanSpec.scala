@@ -219,4 +219,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_returnflag"),
       plan)
   }
+
+  test("unigram viterbiSegment: vocab side broadcasts, corpus never sorts for the join") {
+    // the distinct-word DP table is Heaps'-law small — it must ride a
+    // broadcast hash join; a sort-merge here would shuffle the corpus
+    val plan = planOf(Pipelines.unigramSegment(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"),
+      "segmentation must stay a typed map + native expressions")
+  }
+
+  test("kmeans assignment: centroids broadcast; update shuffles k·dim scalars (partial sums)") {
+    val m = graft.similarity.Similarity.kmeansTrain(
+      graft.core.Tables.embeddings(spark, sf0001), "vec_id", "embedding",
+      k = 4, iters = 1, dim = 64)
+    val assigned = graft.similarity.Similarity.assignToCentroids(
+      graft.core.Tables.embeddings(spark, sf0001), "vec_id", "embedding",
+      m.centroids)
+    val plan = planOf(assigned)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    // the mean update is a two-phase aggregation (map-side partial)
+    val upd = planOf(graft.similarity.Similarity.groupCentroids(
+      assigned, "cell", "embedding", dim = 64))
+    assert(upd.linesIterator.filter(_.contains("HashAggregate"))
+      .exists(_.contains("partial_")), s"no partial aggregation:\n$upd")
+  }
+
+  test("dc3 semanticProfile: probes broadcast, one per-id max agg, no corpus sort") {
+    val emb = graft.core.Tables.embeddings(spark, sf0001)
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 41 === 0)
+    val plan = planOf(graft.dedup.Decontam.semanticProfile(
+      emb, probes, "vec_id", "embedding", tau = 0.9))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.linesIterator.filter(_.contains("HashAggregate"))
+      .exists(_.contains("partial_")), s"no partial max aggregation:\n$plan")
+  }
 }

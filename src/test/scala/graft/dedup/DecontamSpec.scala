@@ -60,4 +60,31 @@ class DecontamSpec extends graft.SparkSpec {
       s"expected broadcast hash join, got:\n$plan")
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("semanticProfile: rounded-cosine max, tau verdict, scorable drops") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // == probe → cos 1.0
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // near the probe
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal → cos 0
+      (3L, Array(0.0f, 0.0f, 0.0f))    // zero vector: unembeddable, drops
+    ).toDF("vec_id", "embedding")
+    val probes = Seq(Tuple1(Array(1.0f, 0.0f, 0.0f)))
+      .toDF("embedding")
+    val out = Decontam.semanticProfile(emb, probes, "vec_id", "embedding",
+      tau = 0.9).orderBy("vec_id")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(0L, 1L, 2L), s"zero vector must drop: $out")
+    assert(out(0) == ((0L, 1.0, 1L)))
+    assert(out(1)._2 > 0.9 && out(1)._3 == 1L) // 0.9/|v| ≈ 0.9939
+    assert(out(2) == ((2L, 0.0, 0L)))
+    // the verdict is applied to the ROUNDED score: a cosine that
+    // rounds to exactly tau must flag (>= on the rounded value)
+    val boundary = Decontam.semanticProfile(
+      Seq((7L, Array(0.9f, math.sqrt(1 - 0.81).toFloat, 0.0f)))
+        .toDF("vec_id", "embedding"),
+      probes, "vec_id", "embedding", tau = 0.9)
+      .as[(Long, Double, Long)].collect().head
+    assert(boundary._2 == 0.9 && boundary._3 == 1L, s"boundary: $boundary")
+  }
 }

@@ -1,0 +1,175 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- viterbiWord
+
+  test("viterbiWord picks the max-likelihood split, not the greedy one") {
+    // greedy longest-prefix would take "ab" then be stuck with "c";
+    // the DP weighs full paths: "ab c" = -20-9 = -29 vs "a bc" =
+    // -10-12 = -22 → "a bc" wins
+    val lp = Map("a" -> -10L, "b" -> -15L, "c" -> -9L,
+      "ab" -> -20L, "bc" -> -12L)
+    assert(Unigram.viterbiWord("abc", lp) == Some(("a bc", -22L, 2)))
+  }
+
+  test("viterbiWord tie-break: lexicographically smallest piece string") {
+    // "ab" scores -20 both as the whole piece and as "a b" — the
+    // space (0x20) sorts before any letter, so the SPLIT spelling
+    // wins (the oracle's ORDER BY sc DESC, seg ASC verbatim)
+    val lp = Map("a" -> -10L, "b" -> -10L, "ab" -> -20L)
+    assert(Unigram.viterbiWord("ab", lp) == Some(("a b", -20L, 2)))
+    // and the tie-break composes through later stages (DP-safety):
+    // "aba" ties "a b a" / "ab a" at -30 → lex-min "a b a"
+    val lp2 = Map("a" -> -10L, "b" -> -10L, "ab" -> -20L, "ba" -> -20L)
+    assert(Unigram.viterbiWord("aba", lp2) == Some(("a b a", -30L, 3)))
+  }
+
+  test("viterbiWord: no path when a character has no piece") {
+    val lp = Map("a" -> -10L, "b" -> -10L)
+    assert(Unigram.viterbiWord("axb", lp).isEmpty)
+    assert(Unigram.viterbiWord("x", lp).isEmpty)
+    // a gap mid-word kills longer words that must cross it
+    assert(Unigram.viterbiWord("ax", lp).isEmpty)
+  }
+
+  test("viterbiWord honors MaxPieceLen: a 7-char piece is never used") {
+    val lp = Map("abcdefg" -> -1L, "a" -> -10L, "b" -> -10L, "c" -> -10L,
+      "d" -> -10L, "e" -> -10L, "f" -> -10L, "g" -> -10L)
+    // the 7-char piece would score -1 but MaxPieceLen=6 forbids it
+    assert(Unigram.viterbiWord("abcdefg", lp) ==
+      Some(("a b c d e f g", -70L, 7)))
+  }
+
+  // ------------------------------------------------------ frozen vocab
+
+  test("seeder reproduces the frozen inventory at sf0.01 (golden pin)") {
+    val live = Unigram.seedVocab(
+      graft.core.Tables.documents(spark, sf001)
+        .select(col("doc_id"), col("text")), "text")
+      .select(col("piece"), col("lp_q")).as[(String, Long)]
+      .collect().sortBy(_._1).toVector
+    assert(live == Unigram.FrozenVocab.sortBy(_._1),
+      "FrozenVocab drifted from the live seeder — refreeze or fix the seeder")
+  }
+
+  test("frozen inventory properties the gates lean on") {
+    val pieces = Unigram.FrozenVocab.map(_._1)
+    assert(pieces.distinct.size == pieces.size)
+    // 24 single chars — x and z never occur in the fixture corpus;
+    // their absence is exactly what the zigzag no-path plant exercises
+    val chars = pieces.filter(_.length == 1)
+    assert(chars.size == 24 && !chars.contains("x") && !chars.contains("z"))
+    assert(pieces.count(_.length >= 2) == Unigram.TopMulti)
+    assert(pieces.forall(p => p.nonEmpty && p.length <= Unigram.MaxPieceLen
+      && p.forall(c => c >= 'a' && c <= 'z')))
+    // log-probs are genuinely negative (probabilities < 1)
+    assert(Unigram.FrozenVocab.forall(_._2 < 0L))
+  }
+
+  // ------------------------------------------------- dataframe operators
+
+  private val lpFrozen = Unigram.FrozenVocab.toMap
+
+  test("viterbiSegment: plant semantics (drop, cap, 1-char)") {
+    val df = Seq(
+      (1L, "joinhash zigzag q"),           // zigzag drops (no 'z' piece)
+      (2L, "sortmergejoin"),                // 13 chars > MaxWordLen → doc drops
+      (3L, "zigzag"),                       // only word has no path → doc drops
+      (4L, "Mixed CASE dr0pp3d a")          // non-[a-z]+ words filtered
+    ).toDF("doc_id", "text")
+    val out = Unigram.viterbiSegment(df, "doc_id", "text", Unigram.FrozenVocab)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 4L))
+    val r1 = out(0)
+    assert(r1._2 == 2L, s"doc 1 should keep joinhash + q, got $r1")
+    assert(r1._4.split(' ').forall(p => lpFrozen.contains(p)))
+    assert(out(1) == ((4L, 1L, 1L, "a")))
+  }
+
+  test("viterbiSegment matches per-word viterbiWord on the fixture corpus") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val seg = Unigram.viterbiSegment(docs, "doc_id", "text", Unigram.FrozenVocab)
+    val joined = docs.join(seg, Seq("doc_id"))
+      .select(col("text"), col("n_words"), col("n_pieces"), col("piece_text"))
+      .as[(String, Long, Long, String)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (text, nW, nP, pt) =>
+      val words = text.split(" ").filter(w => w.nonEmpty &&
+        w.length <= Unigram.MaxWordLen && w.forall(c => c >= 'a' && c <= 'z'))
+      val segs = words.flatMap(w => Unigram.viterbiWord(w, lpFrozen))
+      assert(nW == segs.length)
+      assert(nP == segs.map(_._3.toLong).sum)
+      assert(pt == segs.map(_._1).mkString(" "))
+      // segmentation is a partition: removing spaces restores the words
+      assert(pt.replace(" ", "") == words.mkString(""))
+    }
+  }
+
+  test("pruneByUsage: chars survive at zero usage, multi ranks by usage") {
+    val df = Seq(
+      (1L, "customer customer customer"),
+      (2L, "window window"),
+      (3L, "batch")
+    ).toDF("doc_id", "text")
+    val out = Unigram.pruneByUsage(df, "text", Unigram.FrozenVocab, keepMulti = 2)
+      .as[(String, Long)].collect().toMap
+    // all 24 chars present, most at usage 0
+    assert(Unigram.FrozenVocab.map(_._1).filter(_.length == 1)
+      .forall(out.contains))
+    // "customer" segments through multi pieces 3×, "window" 2×,
+    // "batch" 1× — keepMulti=2 keeps the two heaviest multi pieces
+    val multi = out.keys.filter(_.length >= 2).toSeq
+    assert(multi.size == 2, s"expected 2 multi survivors, got $multi")
+    multi.foreach(p => assert(out(p) > 0L))
+  }
+
+  test("pieceIds: ids by (lp_q DESC, piece ASC), dense from 0") {
+    val ids = Unigram.pieceIds(Unigram.FrozenVocab)
+    assert(ids.size == Unigram.FrozenVocab.size)
+    assert(ids.values.toSeq.sorted == (0 until ids.size))
+    // id 0 is the most probable piece: max lp_q, ties → lex-min piece
+    val best = Unigram.FrozenVocab.sortBy { case (p, q) => (-q, p) }.head._1
+    assert(ids(best) == 0)
+    // order is total and deterministic: re-derivation is identical
+    assert(ids == Unigram.pieceIds(scala.util.Random.shuffle(Unigram.FrozenVocab)))
+  }
+
+  test("segmentToIds round-trips through the id table") {
+    val df = Seq((7L, "customer join window")).toDF("doc_id", "text")
+    val out = Unigram.segmentToIds(df, "doc_id", "text", Unigram.FrozenVocab)
+      .as[(Long, Long, Seq[Int])].collect().head
+    val rev = Unigram.pieceIds(Unigram.FrozenVocab).map(_.swap)
+    val pieces = out._3.map(rev(_))
+    assert(out._2 == pieces.length.toLong)
+    assert(pieces.mkString("") == "customerjoinwindow")
+    // and the pieces are the per-word Viterbi splits in word order
+    val expect = Seq("customer", "join", "window")
+      .flatMap(w => Unigram.viterbiWord(w, lpFrozen).get._1.split(' '))
+    assert(pieces == expect)
+  }
+
+  test("streaming face == batch on a staged corpus (e34 semantics)") {
+    // the per-partition memoized stream map must reproduce the batch
+    // join exactly — including no-path and over-length drops
+    val rows = Seq(
+      (1L, "joinhash zigzag q"),
+      (2L, "sortmergejoin"),
+      (3L, "customer join window a"),
+      (4L, "zigzag")
+    )
+    val df = rows.toDF("doc_id", "text")
+    val batch = Unigram.viterbiSegment(df, "doc_id", "text", Unigram.FrozenVocab)
+      .orderBy(col("doc_id")).as[(Long, Long, Long, String)].collect().toSeq
+    val streamShaped = graft.streaming.DocStream.unigramSegment(
+      df, Unigram.FrozenVocab)
+      .orderBy(col("doc_id")).as[(Long, Long, Long, String)].collect().toSeq
+    assert(streamShaped == batch)
+  }
+}

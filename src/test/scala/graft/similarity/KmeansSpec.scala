@@ -1,0 +1,85 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KmeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three well-separated planted clusters in 4-d (float fixture shape)
+  private def planted = {
+    val base = Seq(
+      Array(10.0f, 0.0f, 0.0f, 0.0f),
+      Array(0.0f, 10.0f, 0.0f, 0.0f),
+      Array(0.0f, 0.0f, 10.0f, 0.0f))
+    (0 until 30).map { i =>
+      val c = base(i % 3)
+      // small deterministic jitter on one dim keeps points distinct
+      (i.toLong, c.updated(3, (i / 3) * 0.01f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("kmeansTrain separates planted clusters (k=3, 3 iters)") {
+    val m = Similarity.kmeansTrain(planted, "vec_id", "embedding",
+      k = 3, iters = 3, dim = 4)
+    val means = m.means.as[(Int, Int, Double, Long)].collect()
+    assert(means.map(_._1).distinct.sorted.toSeq == Seq(0, 1, 2))
+    // each surviving cell holds exactly one planted cluster (10 points)
+    assert(means.groupBy(_._1).values.forall(_.forall(_._4 == 10L)))
+    // each cell's dominant dim reads ~10, the others ~0
+    means.groupBy(_._1).values.foreach { rows =>
+      val byDim = rows.map(r => r._2 -> r._3).toMap
+      assert((1 to 3).count(d => math.abs(byDim(d) - 10.0) < 1e-6) == 1)
+    }
+    // assignment under the final centroids is pure: every point lands
+    // with its cluster-mates
+    val assigned = Similarity.assignToCentroids(planted, "vec_id",
+      "embedding", m.centroids)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect()
+    assert(assigned.groupBy(_._1 % 3).values
+      .forall(g => g.map(_._2).distinct.length == 1))
+  }
+
+  test("kmeansTrain is partitioning-invariant (the oracle contract)") {
+    val a = Similarity.kmeansTrain(planted, "vec_id", "embedding",
+      k = 3, iters = 3, dim = 4)
+      .means.orderBy(col("cell"), col("dim"))
+      .as[(Int, Int, Double, Long)].collect().toSeq
+    val b = Similarity.kmeansTrain(planted.repartition(7), "vec_id",
+      "embedding", k = 3, iters = 3, dim = 4)
+      .means.orderBy(col("cell"), col("dim"))
+      .as[(Int, Int, Double, Long)].collect().toSeq
+    assert(a == b, "means must be bit-identical under any partitioning")
+  }
+
+  test("a cell that attracts nothing vanishes, labels unrenumbered") {
+    // two IDENTICAL vectors land among the seeds: all points tie on
+    // distance to both, the smaller cell id wins every tie, so the
+    // duplicate seed's cell attracts nothing and vanishes
+    val dup = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val m = Similarity.kmeansTrain(dup, "vec_id", "embedding",
+      k = 3, iters = 2, dim = 2)
+    val cells = m.means.select(col("cell")).distinct()
+      .as[Int].collect().sorted.toSeq
+    assert(cells.length == 2, s"expected one vanished cell, got $cells")
+    // survivors keep their ORIGINAL labels — no renumbering
+    assert(cells.forall(c => c >= 0 && c <= 2))
+  }
+
+  test("clusterBalancedSample caps per cell and is deterministic") {
+    val m = Similarity.kmeansTrain(planted, "vec_id", "embedding",
+      k = 3, iters = 3, dim = 4)
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Similarity.clusterBalancedSample(df, "vec_id", "embedding",
+        m.centroids, perCell = 2)
+        .orderBy(col("cell"), col("vec_id"))
+        .as[(Int, Long)].collect().toSeq
+    val s = sample(planted)
+    assert(s.groupBy(_._1).values.forall(_.size == 2))
+    assert(s == sample(planted.repartition(5)))
+  }
+}
