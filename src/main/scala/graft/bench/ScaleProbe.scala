@@ -119,6 +119,49 @@ object ScaleProbe {
         docs.unpersist()
         spark.catalog.clearCache()
       }
+      // UNIGRAM Viterbi segmentation: words suffixed per copy with a
+      // LETTER-mapped index (the [a-z]+ gate filter must keep them,
+      // unlike the bpe arm's digit suffix), so the distinct-word DP
+      // table — the part vocab memoization amortizes — grows m× along
+      // with the corpus. Expected: linear (DP per distinct word +
+      // broadcast join + reassembly, the bpe_tokenize shape).
+      if (enabled("unigram")) {
+        val docs = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", m, 10000000L)
+          .withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1c"),
+                translate(expr("doc_id div 10000000").cast("string"),
+                  "0123456789", "abcdefghij"))))
+          .repartition(64).cache()
+        docs.count()
+        time(s"unigram_segment x$m") {
+          graft.functions.Unigram.viterbiSegment(docs, "doc_id", "text",
+            graft.functions.Unigram.FrozenVocab).count()
+        }
+        docs.unpersist()
+        spark.catalog.clearCache()
+      }
+      // LLOYD'S K-MEANS: corpus grows m× (ids offset), model size
+      // fixed (k=8, 3 rounds). Expected: linear — per round one
+      // broadcast of k centroids across the corpus plus one
+      // map-side-combined aggregation where only k·dim scalars cross
+      // the shuffle; nothing concentrates as m grows.
+      if (enabled("kmeans")) {
+        val emb = multiply(
+          Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", m, 10000000L)
+          .repartition(64).cache()
+        emb.count()
+        time(s"kmeans_train x$m") {
+          graft.similarity.Similarity.kmeansTrain(emb, "vec_id",
+            "embedding", k = 8, iters = 3, dim = 64).means.count()
+        }
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
       // EXACT span dedup: multiplying COPIES the texts, so every
       // ≥50-token doc becomes fully duplicated m× — the worst-case
       // duplication regime (measured: output rows collapse to the

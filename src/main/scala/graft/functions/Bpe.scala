@@ -393,6 +393,32 @@ object Bpe {
     merges.result()
   }
 
+  /** Persist a merge table as parquet — the BPE model artifact a
+    * release ships next to its data ((rank, x, y) rows; rank IS the
+    * merge priority, so the file alone reconstructs the tokenizer).
+    */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((x, y), i) => (i, x, y) }
+      .toDF("rank", "x", "y")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a persisted merge table in rank order. The artifact is the
+    * MODEL (bounded: one row per merge) — the driver-side collect is
+    * the intended shape, same contract as every frozen-table closure
+    * capture. Round-trip identity is pinned by BpeSpec.
+    */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Vector[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .orderBy(col("rank"))
+      .select(col("x"), col("y"))
+      .as[(String, String)].collect().toVector
+  }
+
   /** The frozen merge table the tk1/tk2 gates run under: the output of
     * [[train]] over `documents` at sf0.01 with nMerges=24, frozen as a
     * literal (like the ml1 golden cells) so the gates are pure

@@ -273,6 +273,36 @@ object Unigram {
             s => s("__ids"))).as("piece_ids"))
   }
 
+  // ------------------------------------------------------- persistence
+
+  /** Persist the piece inventory as parquet — the model artifact a
+    * release ships next to its data (rank = the [[pieceIds]] id, so
+    * the file alone reconstructs the id table deterministically).
+    */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession,
+                vocab: Seq[(String, Long)], dir: String): Unit = {
+    import spark.implicits._
+    val ids = pieceIds(vocab)
+    vocab.map { case (p, q) => (ids(p), p, q) }
+      .toDF("rank", "piece", "lp_q")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a persisted inventory. The artifact is the MODEL (bounded:
+    * one row per piece), so the driver-side collect is the intended
+    * shape — same contract as every frozen-table closure capture.
+    * Round-trip identity (save → load → segment == segment) is pinned
+    * by UnigramSpec.
+    */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                dir: String): Vector[(String, Long)] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .orderBy(col("rank"))
+      .select(col("piece"), col("lp_q"))
+      .as[(String, Long)].collect().toVector
+  }
+
   // ------------------------------------------------------------ oracle
 
   /** The filtered word stream: (__id, __pos, __w) — space split,

@@ -1047,6 +1047,30 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E35 — STREAMING k-means assignment (the km-family ingestion
+    // face): the model trains batch-side (km1's trainer), then
+    // vectors arrive as 3 micro-batches and score against the FROZEN
+    // centroids per batch via the EXACT batch operator
+    // (assignToCentroids — rounded distance, cell tiebreak), the e32
+    // fold-then-serve discipline. Assignment is a pure row function
+    // of (vector, centroids), so per-batch results ARE the global
+    // answer. Held to the unrolled Lloyd chain's own oracle.
+    "e35_stream_kmeans" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val m = graft.similarity.Similarity.kmeansTrain(
+        emb, "vec_id", "embedding", k = 8, iters = 3, dim = 64)
+      val in = graft.core.Staging.tmpDir("stream_kmeans_in")
+      for (r <- 0 to 2)
+        emb.select(col("vec_id"), col("embedding"))
+          .filter(pmod(col("vec_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      graft.streaming.DocStream.kmeansAssignFold(
+        graft.streaming.DocStream.readEmbeddingsOneFilePerTrigger(spark, in),
+        m.centroids)
+        .select(col("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // E32 — STREAMING image near-dup (m14's ingestion face, the image
     // sibling of x15/e14): the dHash payloads stage as 3 disjoint
     // files → 3 micro-batches; decode→hash folds into a (doc_id,
@@ -1238,6 +1262,17 @@ object StreamMediaCatalog {
 
     // stream == batch on tk23's own oracle (the e31/e33 discipline)
     "e34_stream_unigram" -> TrainingCatalog.oracle("tk23_unigram_viterbi"),
+
+    // the unrolled Lloyd chain + a final full assignment — stream-
+    // maintained assignments must equal the one-shot batch answer
+    "e35_stream_kmeans" -> {
+      val S = graft.similarity.Similarity.Sql
+      s"""WITH ${S.kmeansCtes("embeddings", "vec_id", "embedding",
+             k = 8, iters = 3, dim = 64)},
+         |af AS (${S.kmeansAssign("embeddings", "vec_id", "embedding", "c3")})
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM af
+         |ORDER BY vec_id""".stripMargin
+    },
 
     // streaming == batch for the pure-projection encoding repair
     "e20_stream_encoding" -> CurationCatalog.oracle("en2_encoding_repair"),

@@ -627,4 +627,40 @@ object DocStream {
     require(acc != null, "dHashFold: stream delivered no batches")
     acc
   }
+
+  /** (vec_id, embedding) schema for staged embedding streams — the
+    * vector sibling of [[idTextSchema]] (e35 and its specs).
+    */
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  def readEmbeddingsOneFilePerTrigger(spark: SparkSession,
+                                      dir: String): DataFrame =
+    spark.readStream.schema(embeddingSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+
+  /** Streaming k-means assignment (the km-family ingestion face):
+    * incoming vectors score against a FROZEN centroid table per
+    * micro-batch via [[graft.similarity.Similarity.assignToCentroids]]
+    * — the EXACT batch expression tree (rounded distance, cell
+    * tiebreak), reused per batch instead of re-spelled, so stream and
+    * batch cannot drift (the e32 fold-then-serve discipline).
+    * Assignment is a pure row function of (vector, frozen centroids):
+    * per-batch results ARE the global answer, no cross-batch state;
+    * the fold accumulates (vec_id, cell) under localCheckpoint.
+    */
+  def kmeansAssignFold(embStream: DataFrame,
+                       centroids: DataFrame): DataFrame = {
+    var acc: DataFrame = null
+    EventStream.runForeachBatch(embStream, (batch, _) => {
+      val assigned = graft.similarity.Similarity
+        .assignToCentroids(batch, "vec_id", "embedding", centroids)
+        .select(col("vec_id"), col("cell"))
+      acc = (if (acc == null) assigned else acc.unionAll(assigned))
+        .localCheckpoint()
+    })
+    require(acc != null, "kmeansAssignFold: stream delivered no batches")
+    acc
+  }
 }

@@ -412,4 +412,18 @@ class BpeSpec extends SparkSpec {
       s"corpus->vocab join must broadcast the vocab side:\n$plan")
     assert(!plan.contains("SortMergeJoin"), plan)
   }
+
+  test("merge artifact round-trips: save -> load -> tokenize == tokenize") {
+    val dir = graft.core.Staging.tmpDir("bpe_merges_artifact")
+    Bpe.saveMerges(spark, Bpe.FrozenByteMerges, dir)
+    val loaded = Bpe.loadMerges(spark, dir)
+    assert(loaded == Bpe.FrozenByteMerges,
+      "merge ORDER is the model — rank must reload exactly")
+    val df = Seq((1L, "customer café 😀")).toDF("doc_id", "text")
+    val direct = Bpe.tokenizeDocsBytes(df, "doc_id", "text",
+      Bpe.FrozenByteMerges).as[(Long, Long, Long, String)].collect().toSeq
+    val viaArtifact = Bpe.tokenizeDocsBytes(df, "doc_id", "text", loaded)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaArtifact == direct)
+  }
 }

@@ -155,6 +155,21 @@ class UnigramSpec extends SparkSpec {
     assert(pieces == expect)
   }
 
+  test("vocab artifact round-trips: save -> load -> segment == segment") {
+    val dir = graft.core.Staging.tmpDir("unigram_vocab_artifact")
+    Unigram.saveVocab(spark, Unigram.FrozenVocab, dir)
+    val loaded = Unigram.loadVocab(spark, dir)
+    assert(loaded.toSet == Unigram.FrozenVocab.toSet)
+    // rank column IS the pieceIds id — the file alone rebuilds the id table
+    assert(Unigram.pieceIds(loaded) == Unigram.pieceIds(Unigram.FrozenVocab))
+    val df = Seq((1L, "customer join window")).toDF("doc_id", "text")
+    val direct = Unigram.viterbiSegment(df, "doc_id", "text",
+      Unigram.FrozenVocab).as[(Long, Long, Long, String)].collect().toSeq
+    val viaArtifact = Unigram.viterbiSegment(df, "doc_id", "text", loaded)
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaArtifact == direct)
+  }
+
   test("streaming face == batch on a staged corpus (e34 semantics)") {
     // the per-partition memoized stream map must reproduce the batch
     // join exactly — including no-path and over-length drops
