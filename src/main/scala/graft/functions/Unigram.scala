@@ -273,6 +273,13 @@ object Unigram {
             s => s("__ids"))).as("piece_ids"))
   }
 
+  /** End-of-document separator id for cross-doc sequence packing:
+    * [[pieceIds]] ids are dense 0..size−1, so `size` is the first free
+    * id — derived from the inventory so engine and oracle agree by
+    * construction (the [[Bpe.sepId]] convention).
+    */
+  def sepId(vocab: Seq[(String, Long)]): Int = vocab.size
+
   // ------------------------------------------------------- persistence
 
   /** Persist the piece inventory as parquet — the model artifact a

@@ -106,22 +106,21 @@ object TrainingCatalog {
 
   private def docsWithUnigramPlants(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-      .unionByName(UnigramPlants.toDF("doc_id", "lang", "text")
-        .select(col("doc_id"), col("text")))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"), col("text"))
+      .unionByName(UnigramPlants.toDF("doc_id", "lang", "text"))
   }
 
   // single-line (the en1 stripMargin trap)
   private val unigramPlantsValuesSql: String = UnigramPlants
-    .map { case (id, _, text) => s"($id, '$text')" }
-    .mkString("(VALUES ", ", ", ") v(doc_id, text)")
+    .map { case (id, lang, text) => s"($id, '$lang', '$text')" }
+    .mkString("(VALUES ", ", ", ") v(doc_id, lang, text)")
 
   // the tk23-family corpus CTE — documents + unigram plants, shared
-  // by the segmentation oracles (tk23/tk24/tk25 here, e34 in
-  // StreamMediaCatalog)
+  // by the segmentation oracles (tk23/tk24/tk25/tk26/tk27 here, e34
+  // in StreamMediaCatalog)
   private[operators] def unigramAugSql: String =
-    s"""uniaug AS (SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id, text FROM $unigramPlantsValuesSql)""".stripMargin
+    s"""uniaug AS (SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT doc_id, lang, text FROM $unigramPlantsValuesSql)""".stripMargin
 
   private def sqlStr(s: String): String =
     "E'" + s.flatMap {
@@ -906,6 +905,43 @@ object TrainingCatalog {
           array_join(transform(col("piece_ids"), x => x.cast("string")), ",")
             .as("piece_ids"))
         .orderBy(col("doc_id"))),
+
+    // TK26 — cross-doc packing in UNIGRAM-piece space (tk8's artifact
+    // re-denominated by the second tokenizer family): the packing
+    // operator was tokenizer-agnostic by signature; this supplies
+    // piece ids + the derived separator (first id past the dense
+    // pieceIds range). Same bucketed two-phase prefix sum, same a15
+    // string convention
+    "tk26_unigram_packed" -> ((spark, dir) => {
+      val v = graft.functions.Unigram.FrozenVocab
+      val ids = graft.functions.Unigram.segmentToIds(
+        docsWithUnigramPlants(spark, dir), "doc_id", "text", v)
+      graft.operators.Packing.packSequences(ids, "doc_id", "piece_ids",
+          "n_pieces", seqLen = 128,
+          sepId = graft.functions.Unigram.sepId(v))
+        .select(col("pack_id"), col("n_ids"),
+          array_join(col("ids"), ",").as("ids"))
+        .orderBy(col("pack_id"))
+    }),
+
+    // TK27 — per-language fertility under the unigram segmentation
+    // (tk12/tk18's readout for the second family): pieces-per-word is
+    // THE tokenizer-selection statistic, and dual readouts are what
+    // make the two families comparable on the same corpus
+    "tk27_unigram_fertility" -> ((spark, dir) => {
+      val d = docsWithUnigramPlants(spark, dir)
+      val seg = graft.functions.Unigram.viterbiSegment(
+        d, "doc_id", "text", graft.functions.Unigram.FrozenVocab)
+      d.select(col("doc_id"), col("lang"))
+        .join(seg, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("n_pieces"),
+          (sum(col("n_pieces")).cast("double") /
+            sum(col("n_words")).cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
 
     // TK17 — DEEP training (260 merges, a production-depth prefix):
     // the incremental trainer runs 260 rounds over the planted LCG
@@ -2009,6 +2045,32 @@ object TrainingCatalog {
          |FROM ${graft.functions.Unigram.idsSql("uniaug", "doc_id", "text",
                graft.functions.Unigram.FrozenVocab)} q
          |ORDER BY doc_id""".stripMargin,
+
+    "tk26_unigram_packed" ->
+      s"""WITH $unigramAugSql,
+         |ids AS (SELECT doc_id, n_pieces AS n_bpe_tokens,
+         |    piece_ids AS bpe_ids
+         |  FROM ${graft.functions.Unigram.idsSql("uniaug", "doc_id", "text",
+               graft.functions.Unigram.FrozenVocab)} b)
+         |SELECT pack_id, n_ids, ids
+         |FROM ${graft.operators.Packing.packSequencesSql("ids", "doc_id",
+               128, graft.functions.Unigram.sepId(
+                 graft.functions.Unigram.FrozenVocab))} p
+         |ORDER BY pack_id""".stripMargin,
+
+    "tk27_unigram_fertility" ->
+      s"""WITH $unigramAugSql,
+         |seg AS (SELECT doc_id, n_words, n_pieces
+         |  FROM ${graft.functions.Unigram.viterbiSql("uniaug", "doc_id",
+               "text", graft.functions.Unigram.FrozenVocab)} b),
+         |j AS (SELECT d.lang, seg.n_words, seg.n_pieces
+         |  FROM uniaug d JOIN seg ON d.doc_id = seg.doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(n_pieces) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+         |    AS fertility
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
 
     "nv2_store_admit" -> {
       val S = TextDedup.Sql
