@@ -97,19 +97,47 @@ object Decontam {
     */
   def semanticProfile(emb: DataFrame, probes: DataFrame,
                       idCol: String, vecCol: String,
-                      tau: Double): DataFrame = {
+                      tau: Double,
+                      maxProbes: Int = 100000): DataFrame = {
     import graft.similarity.Similarity.{dot, scorable}
-    emb.filter(scorable(col(vecCol)))
-      .crossJoin(broadcast(
-        probes.filter(scorable(col(vecCol)))
-          .select(col(vecCol).as("__p"))))
+    // the "eval side is tiny" guard, same hazard class as
+    // contaminationProfile's maxBroadcastShingles: an unguarded
+    // broadcast of a caller-supplied frame is how drivers OOM. Unlike
+    // the n-gram rule there is no cheap shuffle fallback — scoring
+    // every corpus vector against a LARGE probe set is inherently
+    // quadratic, and the right tool past the cap is the ANN stack
+    // (IVF/LSH candidate paths), so this fails FAST with that pointer
+    // instead of degrading into an accidental cartesian.
+    val p = probes.filter(scorable(col(vecCol)))
+      // norms are loop-invariant: computed once per side, not once per
+      // (corpus row × probe) pair — identical IEEE operands, so the
+      // 6-dp rounded score is unchanged
+      .select(col(vecCol).as("__p"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__pn"))
+    val nProbes = p.limit(maxProbes + 1).count()
+    require(nProbes <= maxProbes,
+      s"semanticProfile: probe set exceeds maxProbes=$maxProbes — a " +
+        "broadcast this size would OOM the driver; route a large eval " +
+        "set through the ANN candidate paths (Similarity.ivfTopK / " +
+        "lshTopK) instead of the exact cross product")
+    val base = emb.filter(scorable(col(vecCol)))
+      .select(col(idCol), col(vecCol),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__en"))
+    val scored = base
+      .crossJoin(broadcast(p))
       .withColumn("__cos",
         round(dot(col(vecCol), col("__p"))
-          / (sqrt(dot(col(vecCol), col(vecCol)))
-            * sqrt(dot(col("__p"), col("__p")))), 6))
+          / (col("__en") * col("__pn")), 6))
       .groupBy(col(idCol))
       .agg(max(col("__cos")).as("max_cos"))
+    // an EMPTY (or all-unscorable) probe set must not erase the
+    // census: every scorable corpus vector keeps its row (max_cos
+    // null, contaminated 0) — the n-gram profile's left-outer
+    // convention, so "clean corpus" and "no corpus scanned" stay
+    // distinguishable
+    base.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
       .withColumn("contaminated",
-        (col("max_cos") >= lit(tau)).cast("long"))
+        coalesce(col("max_cos") >= lit(tau), lit(false)).cast("long"))
   }
 }

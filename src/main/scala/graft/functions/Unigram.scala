@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM tokenizer — the SentencePiece-family alternative to BPE
@@ -78,12 +78,30 @@ object Unigram {
 
   // ------------------------------------------------------------ engine
 
+  /** The gate word filter, spelled ONCE: regex anchors are \A..\z
+    * (absolute ends — Java's `$` matches BEFORE a final line
+    * terminator, so `^[a-z]+$` would admit a trailing-newline token
+    * the oracle's RE2 `regexp_full_match` and the stream face's
+    * per-char test both reject; fixtures are newline-free today, but
+    * regens have planted surprises before — see the events.ts trap).
+    */
+  private def isGateWord(w: Column): Column =
+    w.rlike("\\A[a-z]+\\z") && length(w) <= MaxWordLen
+
+  /** (idCol, __pos, __w) word stream under [[isGateWord]] — one
+    * spelling shared by every batch face (the Bpe.tokenizeWordsWith
+    * discipline: the filter and join semantics live in one place).
+    */
+  private def wordsOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
+      .filter(isGateWord(col("__w")))
+
   private def wordFreqs(df: DataFrame, textCol: String): Dataset[(String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(explode(split(col(textCol), " ", -1)).as("__w"))
-      .filter(col("__w").rlike("^[a-z]+$") &&
-        length(col("__w")) <= MaxWordLen)
+      .filter(isGateWord(col("__w")))
       .groupBy(col("__w")).agg(count(lit(1)).as("f"))
       .as[(String, Long)]
   }
@@ -174,10 +192,7 @@ object Unigram {
     val spark = df.sparkSession
     import spark.implicits._
     val lp = vocab.toMap
-    val words = df.select(col(idCol),
-        posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
-      .filter(col("__w").rlike("^[a-z]+$") &&
-        length(col("__w")) <= MaxWordLen)
+    val words = wordsOf(df, idCol, textCol)
     val segs = words.select(col("__w")).distinct().as[String]
       .flatMap { w =>
         viterbiWord(w, lp).map { case (s, _, n) => (w, s, n.toLong) }
@@ -251,10 +266,7 @@ object Unigram {
     import spark.implicits._
     val lp = vocab.toMap
     val ids = pieceIds(vocab)
-    val words = df.select(col(idCol),
-        posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
-      .filter(col("__w").rlike("^[a-z]+$") &&
-        length(col("__w")) <= MaxWordLen)
+    val words = wordsOf(df, idCol, textCol)
     val segs = words.select(col("__w")).distinct().as[String]
       .flatMap { w =>
         viterbiWord(w, lp).map { case (s, _, _) =>

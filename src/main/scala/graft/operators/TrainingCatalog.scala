@@ -110,9 +110,11 @@ object TrainingCatalog {
       .unionByName(UnigramPlants.toDF("doc_id", "lang", "text"))
   }
 
-  // single-line (the en1 stripMargin trap)
+  // single-line (the en1 stripMargin trap); text through sqlStr like
+  // the pretok plants — today's plants are [a-z ]-only, but the first
+  // apostrophe-bearing addition must not break six oracles at once
   private val unigramPlantsValuesSql: String = UnigramPlants
-    .map { case (id, lang, text) => s"($id, '$lang', '$text')" }
+    .map { case (id, lang, text) => s"($id, '$lang', ${sqlStr(text)})" }
     .mkString("(VALUES ", ", ", ") v(doc_id, lang, text)")
 
   // the tk23-family corpus CTE — documents + unigram plants, shared

@@ -1,6 +1,6 @@
 package graft.dedup
 
-
+import org.apache.spark.sql.functions.col
 
 class DecontamSpec extends graft.SparkSpec {
   import spark.implicits._
@@ -86,5 +86,33 @@ class DecontamSpec extends graft.SparkSpec {
       probes, "vec_id", "embedding", tau = 0.9)
       .as[(Long, Double, Long)].collect().head
     assert(boundary._2 == 0.9 && boundary._3 == 1L, s"boundary: $boundary")
+  }
+
+  test("semanticProfile: empty probe set keeps the census (left-outer contract)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val noProbes = Seq.empty[Tuple1[Array[Float]]].toDF("embedding")
+    val out = Decontam.semanticProfile(emb, noProbes, "vec_id", "embedding",
+      tau = 0.9).orderBy("vec_id")
+      .select(col("vec_id"), col("max_cos").isNull.as("no_score"),
+        col("contaminated"))
+      .as[(Long, Boolean, Long)].collect().toSeq
+    // clean corpus stays distinguishable from "no corpus scanned"
+    assert(out == Seq((0L, true, 0L), (1L, true, 0L)))
+  }
+
+  test("semanticProfile: probe cap fails fast with the ANN pointer") {
+    import spark.implicits._
+    val emb = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val probes = (0 until 5).map(i => Tuple1(Array(1.0f, i.toFloat)))
+      .toDF("embedding")
+    val e = intercept[IllegalArgumentException] {
+      Decontam.semanticProfile(emb, probes, "vec_id", "embedding",
+        tau = 0.9, maxProbes = 3)
+    }
+    assert(e.getMessage.contains("ANN"), e.getMessage)
   }
 }
