@@ -1305,6 +1305,22 @@ object TrainingCatalog {
         k = 8, iters = 3, dim = 64)
         .means.orderBy(col("cell"), col("dim"))),
 
+    // KM3 — PROTOTYPE pruning (the Sorscher-et-al data-pruning
+    // recipe): within each trained cell drop the 8 members CLOSEST to
+    // the centroid (most prototypical = least informative), ranked by
+    // the FULL rounded squared distance (the +v·v term assignment
+    // drops is load-bearing here — it varies across members), ties by
+    // id. Verdict census (vec_id, cell, kept)
+    "km3_prototype_prune" -> ((spark, dir) => {
+      val m = Similarity.kmeansTrain(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64)
+      Similarity.prototypePrune(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        m.centroids, dropPerCell = 8)
+        .orderBy(col("vec_id"))
+    }),
+
     // KM2 — CLUSTER-BALANCED selection (the data-mixing face): assign
     // the corpus to the trained cells, keep the 4 members with the
     // smallest md5(vec_id) per cell — a data-keyed deterministic
@@ -2659,6 +2675,24 @@ object TrainingCatalog {
              k = 8, iters = 3, dim = 64)}
          |SELECT cell, dim, centroid, n FROM m3
          |ORDER BY cell, dim""".stripMargin,
+
+    // final-model assignment + full-distance per-cell proximity rank
+    "km3_prototype_prune" -> {
+      val S = graft.similarity.Similarity.Sql
+      s"""WITH ${S.kmeansCtes("embeddings", "vec_id", "embedding",
+             k = 8, iters = 3, dim = 64)},
+         |af AS (${S.kmeansAssign("embeddings", "vec_id", "embedding", "c3")}),
+         |d AS (SELECT af.vec_id, af.cell,
+         |    round(${S.dot("c.centroid", "c.centroid")}
+         |      - 2 * ${S.dot("af.embedding", "c.centroid")}
+         |      + ${S.dot("af.embedding", "af.embedding")}, 6) AS dd
+         |  FROM af JOIN c3 c ON c.cell = af.cell),
+         |r AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell
+         |    ORDER BY dd, vec_id) AS rk FROM d)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         |  CAST(CASE WHEN rk > 8 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM r ORDER BY vec_id""".stripMargin
+    },
 
     // final-model assignment + per-cell md5-keyed top-4
     "km2_cluster_sample" ->

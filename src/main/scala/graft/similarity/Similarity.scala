@@ -710,6 +710,40 @@ object Similarity {
       .select(col("cell"), col(idCol))
   }
 
+  /** Prototype pruning (the Sorscher-et-al "beyond neural scaling
+    * laws" recipe, deterministic spelling): within each trained cell,
+    * rank members by FULL rounded squared distance to the centroid
+    * ascending — closest = most prototypical = least informative —
+    * ties by id, and mark the closest `dropPerCell` as dropped,
+    * keeping the hard examples. Note the metric here carries the
+    * +v·v term [[assignToCentroids]] legitimately drops: that term is
+    * constant per VECTOR across cells (so it can't change a vector's
+    * argmin cell) but varies ACROSS members within a cell, and this
+    * ranking is across members. Returns (idCol, cell, kept 0/1) — the
+    * verdict census; the removal face is a `kept = 1` filter.
+    *
+    * Scale shape: one broadcast re-join of k centroids (to recover
+    * the distance) + per-cell windows (at most k partitions). The
+    * drop COUNT is per cell rather than a fraction so the contract
+    * is exact under any corpus size; callers wanting Sorscher's
+    * fraction pass ceil(f·|cell|) per their own census.
+    */
+  def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, dropPerCell: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"))
+      .orderBy(col("__d"), col(idCol))
+    assignToCentroids(emb, idCol, vecCol, centroids)
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("__d",
+        round(dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(col(vecCol), col("centroid"))
+          + dot(col(vecCol), col(vecCol)), 6))
+      .withColumn("__r", row_number().over(w))
+      .select(col(idCol), col("cell"),
+        (col("__r") > dropPerCell).cast("long").as("kept"))
+  }
+
   // ------------------------------------------------------- DuckDB spellings
 
   object Sql {

@@ -70,6 +70,31 @@ class KmeansSpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c <= 2))
   }
 
+  test("prototypePrune drops the CLOSEST members, under the FULL distance") {
+    // one cell, centroid (1,0): v1=(0.9,0) is closer by full squared
+    // distance (0.01 vs 0.09), but the assignment metric cc−2vc that
+    // DROPS the +v·v term would rank v2=(1.3,0) closer (−1.6 < −0.8).
+    // The pruning rank must use the full metric — v1 is the prototype.
+    val cents = Seq((0, Array(1.0, 0.0))).toDF("cell", "centroid")
+    val emb = Seq(
+      (1L, Array(0.9f, 0.0f)),
+      (2L, Array(1.3f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.prototypePrune(emb, "vec_id", "embedding",
+      cents, dropPerCell = 1)
+      .orderBy(col("vec_id")).as[(Long, Int, Long)].collect().toSeq
+    assert(out == Seq((1L, 0, 0L), (2L, 0, 1L)),
+      s"the +v·v term must decide the within-cell rank: $out")
+    // planted clusters: exactly dropPerCell dropped per cell
+    val m = Similarity.kmeansTrain(planted, "vec_id", "embedding",
+      k = 3, iters = 3, dim = 4)
+    val pruned = Similarity.prototypePrune(planted, "vec_id", "embedding",
+      m.centroids, dropPerCell = 2)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(pruned.groupBy(_._2).values
+      .forall(g => g.count(_._3 == 0L) == 2 && g.size == 10))
+  }
+
   test("clusterBalancedSample caps per cell and is deterministic") {
     val m = Similarity.kmeansTrain(planted, "vec_id", "embedding",
       k = 3, iters = 3, dim = 4)
