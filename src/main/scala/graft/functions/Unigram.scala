@@ -285,6 +285,35 @@ object Unigram {
             s => s("__ids"))).as("piece_ids"))
   }
 
+  /** Per-document log-likelihood under the piece LM — the quality
+    * signal an LM-based filter thresholds (low avg log-prob = text the
+    * model finds surprising): ll_q = Σ lp_q over every piece occurrence
+    * (exact int64 — a word's Viterbi score is the sum of its pieces',
+    * so doc ll is the sum of word scores), n_pieces, and
+    * avg_lp = ll_q / n_pieces (ONE IEEE division of two exact int64s —
+    * engine-portable, the dc1 contamination-ratio device). Same
+    * distinct-word memoized shape as [[viterbiSegment]].
+    */
+  def docLogLik(df: DataFrame, idCol: String, textCol: String,
+                vocab: Seq[(String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lp = vocab.toMap
+    val words = wordsOf(df, idCol, textCol)
+    val segs = words.select(col("__w")).distinct().as[String]
+      .flatMap { w =>
+        viterbiWord(w, lp).map { case (_, sc, n) => (w, sc, n.toLong) }
+      }
+      .toDF("__w", "__sc", "__n")
+    words.join(broadcast(segs), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_pieces"),
+        sum(col("__sc")).as("ll_q"),
+        (sum(col("__sc")).cast("double") / sum(col("__n")).cast("double"))
+          .as("avg_lp"))
+  }
+
   /** End-of-document separator id for cross-doc sequence packing:
     * [[pieceIds]] ids are dense 0..size−1, so `size` is the first free
     * id — derived from the inventory so engine and oracle agree by
@@ -481,6 +510,24 @@ object Unigram {
        |FROM occ JOIN idv ON occ.piece = idv.piece
        |GROUP BY occ.__id)""".stripMargin
   }
+
+  /** DuckDB spelling of [[docLogLik]]: the DP replay's piece
+    * occurrences joined back to the inventory's lp_q — exact int64
+    * sums, one closing IEEE division.
+    */
+  def docLogLikSql(src: String, id: String, text: String,
+                   vocab: Seq[(String, Long)]): String =
+    s"""(WITH ${w0Sql(src, id, text)},
+       |${dpStagesSql(vocab)},
+       |occ AS (SELECT w0.__id, u.p AS piece
+       |  FROM w0 JOIN fin f ON w0.__w = f.w
+       |  CROSS JOIN LATERAL unnest(string_split(f.seg, ' ')) AS u(p))
+       |SELECT occ.__id AS $id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(v.lp) AS BIGINT) AS ll_q,
+       |  CAST(SUM(v.lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lp
+       |FROM occ JOIN v ON occ.piece = v.piece
+       |GROUP BY occ.__id)""".stripMargin
 
   /** The frozen piece inventory the tk23/tk24/tk25/e34 gates run
     * under: [[seedVocab]] over `documents` at sf0.01 (NO plants — the

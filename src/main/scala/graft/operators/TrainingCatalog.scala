@@ -945,6 +945,16 @@ object TrainingCatalog {
         .orderBy(col("lang"))
     }),
 
+    // TK28 — per-doc LOG-LIKELIHOOD under the piece LM (the quality
+    // signal an LM-based filter thresholds — cx1's perplexity duty
+    // re-denominated by the unigram tokenizer): exact int64 lp sums,
+    // one IEEE division for the average
+    "tk28_piece_loglik" -> ((spark, dir) =>
+      graft.functions.Unigram.docLogLik(
+        docsWithUnigramPlants(spark, dir), "doc_id", "text",
+        graft.functions.Unigram.FrozenVocab)
+        .orderBy(col("doc_id"))),
+
     // TK17 — DEEP training (260 merges, a production-depth prefix):
     // the incremental trainer runs 260 rounds over the planted LCG
     // corpus and must reproduce the frozen table exactly. learnBytesSql
@@ -2075,6 +2085,13 @@ object TrainingCatalog {
                128, graft.functions.Unigram.sepId(
                  graft.functions.Unigram.FrozenVocab))} p
          |ORDER BY pack_id""".stripMargin,
+
+    "tk28_piece_loglik" ->
+      s"""WITH $unigramAugSql
+         |SELECT doc_id, n_pieces, ll_q, avg_lp
+         |FROM ${graft.functions.Unigram.docLogLikSql("uniaug", "doc_id",
+               "text", graft.functions.Unigram.FrozenVocab)} q
+         |ORDER BY doc_id""".stripMargin,
 
     "tk27_unigram_fertility" ->
       s"""WITH $unigramAugSql,

@@ -155,6 +155,22 @@ class UnigramSpec extends SparkSpec {
     assert(pieces == expect)
   }
 
+  test("docLogLik sums per-word Viterbi scores exactly") {
+    val df = Seq((1L, "customer join zigzag"), (2L, "q")).toDF("doc_id", "text")
+    val out = Unigram.docLogLik(df, "doc_id", "text", Unigram.FrozenVocab)
+      .orderBy(col("doc_id")).as[(Long, Long, Long, Double)].collect().toSeq
+    def w(s: String) = Unigram.viterbiWord(s, lpFrozen).get
+    val exp1 = Seq(w("customer"), w("join")) // zigzag has no path, drops
+    assert(out(0)._2 == exp1.map(_._3.toLong).sum)
+    assert(out(0)._3 == exp1.map(_._2).sum)
+    assert(out(0)._4 == out(0)._3.toDouble / out(0)._2.toDouble)
+    assert(out(1) == ((2L, 1L, w("q")._2, w("q")._2.toDouble)))
+    // and the piece count agrees with the segmentation face
+    val seg = Unigram.viterbiSegment(df, "doc_id", "text", Unigram.FrozenVocab)
+      .orderBy(col("doc_id")).as[(Long, Long, Long, String)].collect()
+    assert(out.map(_._2).toSeq == seg.map(_._3).toSeq)
+  }
+
   test("vocab artifact round-trips: save -> load -> segment == segment") {
     val dir = graft.core.Staging.tmpDir("unigram_vocab_artifact")
     Unigram.saveVocab(spark, Unigram.FrozenVocab, dir)
