@@ -245,6 +245,34 @@ object Unigram {
     chars.unionByName(multi)
   }
 
+  /** One EM-style refinement round — the SentencePiece loop closed
+    * deterministically: prune by usage ([[pruneByUsage]]), then
+    * RE-ESTIMATE piece log-probs from the usage counts (probability ∝
+    * expected count under the current segmentation — Viterbi counts
+    * standing in for forward-backward expectations, the documented
+    * hard-EM simplification). Single-char pieces carry +1 Laplace
+    * smoothing so a zero-usage char keeps a finite log-prob and
+    * coverage never collapses. Returns the round-2 inventory; feed it
+    * back to [[viterbiSegment]] (tk29) or iterate. The collect is
+    * model-sized (bounded — the frozen-table closure contract), and
+    * the nudged floor quantizes ln once, so the round-2 scores are
+    * exact int64s cross-engine like the seed's.
+    */
+  def emRound(df: DataFrame, textCol: String,
+              vocab: Seq[(String, Long)], keepMulti: Int): Vector[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pruned = pruneByUsage(df, textCol, vocab, keepMulti)
+      .as[(String, Long)].collect()
+    val scored = pruned.map { case (p, u) =>
+      (p, if (p.length == 1) u + 1L else u)
+    }
+    val total = scored.map(_._2).sum
+    scored.map { case (p, s) =>
+      (p, math.floor(math.log(s.toDouble / total.toDouble) * 1e6 + 1e-4).toLong)
+    }.sortBy(_._1).toVector
+  }
+
   /** Deterministic piece→id table — the model-ready vocabulary: ids
     * by (lp_q DESC, piece ASC), i.e. most probable piece gets id 0.
     * Derived from the frozen inventory on both sides (the oracle
@@ -409,20 +437,28 @@ object Unigram {
     * Yields `fin(w, seg, n)` holding every segmentable word's
     * max-likelihood segmentation.
     */
-  private def dpStagesSql(vocab: Seq[(String, Long)]): String = {
-    val sb = new StringBuilder
-    sb ++= s"""v(piece, lp) AS (SELECT piece, CAST(lp AS BIGINT) AS lp
+  private def dpStagesSql(vocab: Seq[(String, Long)]): String =
+    s"""v(piece, lp) AS (SELECT piece, CAST(lp AS BIGINT) AS lp
        |  FROM (VALUES ${vocabValuesSql(vocab)}) x(piece, lp)),
-       |words AS MATERIALIZED (SELECT DISTINCT __w AS w FROM w0),
-       |d0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS sc, '' AS seg
-       |  FROM words)""".stripMargin
+       |${dpStagesFrom("v")}""".stripMargin
+
+  /** The unrolled stages against ANY (piece, lp) relation — `vocabCte`
+    * may be the frozen VALUES table or a DATA-DEPENDENT inventory
+    * computed upstream (the tk29 EM round): the stages only ever JOIN
+    * it, so the unroll works unchanged.
+    */
+  private def dpStagesFrom(vocabCte: String, pfx: String = ""): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${pfx}words AS MATERIALIZED (SELECT DISTINCT __w AS w FROM ${pfx}w0),
+       |${pfx}d0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS sc, '' AS seg
+       |  FROM ${pfx}words)""".stripMargin
     for (k <- 1 to MaxWordLen) {
       val branches = (1 to math.min(MaxPieceLen, k)).map { j =>
         s"""SELECT w, sc, seg, substr(w, ${k - j + 1}, $j) AS piece
-           |        FROM d${k - j} WHERE len(w) >= $k""".stripMargin
+           |        FROM ${pfx}d${k - j} WHERE len(w) >= $k""".stripMargin
       }.mkString("\n        UNION ALL\n        ")
       sb ++= s""",
-       |d$k AS MATERIALIZED (SELECT w, sc, seg FROM (
+       |${pfx}d$k AS MATERIALIZED (SELECT w, sc, seg FROM (
        |    SELECT w, sc, seg,
        |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY sc DESC, seg) AS rn
        |    FROM (
@@ -431,16 +467,16 @@ object Unigram {
        |             ELSE p.seg || ' ' || v.piece END AS seg
        |      FROM (
        |        $branches
-       |      ) p JOIN v ON v.piece = p.piece
+       |      ) p JOIN $vocabCte v ON v.piece = p.piece
        |    ) c) r
        |  WHERE rn = 1)""".stripMargin
     }
     sb ++= s""",
-       |fin AS MATERIALIZED (SELECT w, seg,
+       |${pfx}fin AS MATERIALIZED (SELECT w, seg,
        |    CAST(len(string_split(seg, ' ')) AS BIGINT) AS n
        |  FROM (
        |    ${(1 to MaxWordLen).map(k =>
-             s"SELECT w, seg FROM d$k WHERE len(w) = $k")
+             s"SELECT w, seg FROM ${pfx}d$k WHERE len(w) = $k")
              .mkString("\n    UNION ALL\n    ")}
        |  ) z)""".stripMargin
     sb.result()
@@ -460,6 +496,42 @@ object Unigram {
        |  string_agg(f.seg, ' ' ORDER BY w0.__pos) AS piece_text
        |FROM w0 JOIN fin f ON w0.__w = f.w
        |GROUP BY w0.__id)""".stripMargin
+
+  /** DuckDB spelling of [[emRound]]: the prune replay → char-smoothed
+    * usage scores → nudged-floor log-probs, yielding a DATA-DEPENDENT
+    * (piece, lp) inventory the second DP unroll joins instead of a
+    * frozen VALUES table.
+    */
+  def emVocabSql(src: String, text: String,
+                 vocab: Seq[(String, Long)], keepMulti: Int): String =
+    s"""(WITH pr AS (SELECT piece, usage
+       |  FROM ${pruneSql(src, text, vocab, keepMulti)} p),
+       |sc AS (SELECT piece,
+       |    CAST(CASE WHEN len(piece) = 1 THEN usage + 1 ELSE usage END
+       |      AS BIGINT) AS s
+       |  FROM pr),
+       |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM sc)
+       |SELECT piece,
+       |  CAST(floor(ln(CAST(s AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 1e-4)
+       |    AS BIGINT) AS lp
+       |FROM sc, tot)""".stripMargin
+
+  /** [[viterbiSql]] against a (piece, lp) CTE defined UPSTREAM of this
+    * subquery (tk29: the EM round's data-dependent inventory).
+    */
+  def viterbiFromVocabCteSql(src: String, id: String, text: String,
+                             vocabCte: String): String =
+    // e-prefixed stage names: the data-dependent inventory CTE's own
+    // nested replay already binds the unprefixed ones, and DuckDB's
+    // binder rejects the shadowing as "Duplicate alias"
+    s"""(WITH e${w0Sql(src, id, text)},
+       |${dpStagesFrom(vocabCte, pfx = "e")}
+       |SELECT ew0.__id AS $id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(f.n) AS BIGINT) AS n_pieces,
+       |  string_agg(f.seg, ' ' ORDER BY ew0.__pos) AS piece_text
+       |FROM ew0 JOIN efin f ON ew0.__w = f.w
+       |GROUP BY ew0.__id)""".stripMargin
 
   /** DuckDB spelling of [[pruneByUsage]]: the DP replay feeding a
     * frequency-weighted usage census, then the same chars ∪ top-K

@@ -955,6 +955,21 @@ object TrainingCatalog {
         graft.functions.Unigram.FrozenVocab)
         .orderBy(col("doc_id"))),
 
+    // TK29 — one EM-style refinement round then RE-SEGMENTATION (the
+    // SentencePiece loop closed): prune by usage, re-estimate piece
+    // log-probs from usage counts (hard-EM: Viterbi counts stand in
+    // for forward-backward expectations; chars +1 Laplace so coverage
+    // holds), segment again under the round-2 inventory. The oracle
+    // computes the round-2 inventory INLINE (data-dependent — no
+    // frozen table) and joins it through the same unrolled DP stages
+    "tk29_unigram_em" -> ((spark, dir) => {
+      val d = docsWithUnigramPlants(spark, dir)
+      val v2 = graft.functions.Unigram.emRound(d, "text",
+        graft.functions.Unigram.FrozenVocab, keepMulti = 12)
+      graft.functions.Unigram.viterbiSegment(d, "doc_id", "text", v2)
+        .orderBy(col("doc_id"))
+    }),
+
     // TK17 — DEEP training (260 merges, a production-depth prefix):
     // the incremental trainer runs 260 rounds over the planted LCG
     // corpus and must reproduce the frozen table exactly. learnBytesSql
@@ -2085,6 +2100,16 @@ object TrainingCatalog {
                128, graft.functions.Unigram.sepId(
                  graft.functions.Unigram.FrozenVocab))} p
          |ORDER BY pack_id""".stripMargin,
+
+    "tk29_unigram_em" ->
+      s"""WITH $unigramAugSql,
+         |v2 AS (SELECT piece, lp
+         |  FROM ${graft.functions.Unigram.emVocabSql("uniaug", "text",
+               graft.functions.Unigram.FrozenVocab, keepMulti = 12)} e)
+         |SELECT doc_id, n_words, n_pieces, piece_text
+         |FROM ${graft.functions.Unigram.viterbiFromVocabCteSql("uniaug",
+               "doc_id", "text", "v2")} q
+         |ORDER BY doc_id""".stripMargin,
 
     "tk28_piece_loglik" ->
       s"""WITH $unigramAugSql

@@ -171,6 +171,28 @@ class UnigramSpec extends SparkSpec {
     assert(out.map(_._2).toSeq == seg.map(_._3).toSeq)
   }
 
+  test("emRound: coverage floor holds, probs re-estimated from usage") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val v2 = Unigram.emRound(docs, "text", Unigram.FrozenVocab, keepMulti = 12)
+    // all 24 chars survive (the Laplace-smoothed segmentability floor)
+    assert(v2.count(_._1.length == 1) == 24)
+    assert(v2.count(_._1.length >= 2) <= 12)
+    assert(v2.forall(_._2 < 0L))
+    // round-2 pieces are a subset of round-1's; probs genuinely moved
+    val v1 = Unigram.FrozenVocab.toMap
+    assert(v2.forall { case (p, _) => v1.contains(p) })
+    assert(v2.exists { case (p, q) => q != v1(p) },
+      "usage re-estimation must move at least one log-prob")
+    // re-segmentation under v2 keeps the same doc coverage (chars
+    // guarantee every round-1-segmentable word stays segmentable)
+    val ids1 = Unigram.viterbiSegment(docs, "doc_id", "text",
+      Unigram.FrozenVocab).select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Unigram.viterbiSegment(docs, "doc_id", "text", v2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids2 == ids1)
+  }
+
   test("vocab artifact round-trips: save -> load -> segment == segment") {
     val dir = graft.core.Staging.tmpDir("unigram_vocab_artifact")
     Unigram.saveVocab(spark, Unigram.FrozenVocab, dir)
