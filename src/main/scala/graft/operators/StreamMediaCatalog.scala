@@ -1071,6 +1071,28 @@ object StreamMediaCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // E36 — STREAMING semantic decontamination (dc3's ingestion
+    // face): the frozen probe set (dc3's planted perturbed variants,
+    // derived batch-side from the full corpus) screens vectors as
+    // they arrive — per-batch reuse of the exact batch operator, the
+    // fold-then-serve discipline; verdicts are per-vector, so no
+    // cross-batch state. Held to dc3's own oracle.
+    "e36_stream_semantic_decontam" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val probes = emb.filter(col("vec_id") % 41 === 0)
+        .select(concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
+          .as("embedding"))
+      val in = graft.core.Staging.tmpDir("stream_semdc_in")
+      for (r <- 0 to 2)
+        emb.select(col("vec_id"), col("embedding"))
+          .filter(pmod(col("vec_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      graft.streaming.DocStream.semanticDecontamFold(
+        graft.streaming.DocStream.readEmbeddingsOneFilePerTrigger(spark, in),
+        probes, tau = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // E32 — STREAMING image near-dup (m14's ingestion face, the image
     // sibling of x15/e14): the dHash payloads stage as 3 disjoint
     // files → 3 micro-batches; decode→hash folds into a (doc_id,
@@ -1262,6 +1284,9 @@ object StreamMediaCatalog {
 
     // stream == batch on tk23's own oracle (the e31/e33 discipline)
     "e34_stream_unigram" -> TrainingCatalog.oracle("tk23_unigram_viterbi"),
+
+    // stream-screened verdicts == the one-shot batch census
+    "e36_stream_semantic_decontam" -> CurationCatalog.oracle("dc3_semantic_decontam"),
 
     // the unrolled Lloyd chain + a final full assignment — stream-
     // maintained assignments must equal the one-shot batch answer

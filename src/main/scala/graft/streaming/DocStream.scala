@@ -663,4 +663,27 @@ object DocStream {
     require(acc != null, "kmeansAssignFold: stream delivered no batches")
     acc
   }
+
+  /** Streaming semantic decontamination (dc3's ingestion face):
+    * incoming vectors are screened against a FROZEN eval probe set
+    * per micro-batch by reusing the EXACT batch operator
+    * ([[graft.dedup.Decontam.semanticProfile]] — rounded cosine max,
+    * τ verdict, probe cap, census preservation), the fold-then-serve
+    * discipline. A vector's verdict depends only on (vector, probes),
+    * so per-batch results ARE the global answer — zero cross-batch
+    * state; contamination is caught DURING ingestion instead of in a
+    * post-hoc sweep.
+    */
+  def semanticDecontamFold(embStream: DataFrame, probes: DataFrame,
+                           tau: Double): DataFrame = {
+    var acc: DataFrame = null
+    EventStream.runForeachBatch(embStream, (batch, _) => {
+      val prof = graft.dedup.Decontam.semanticProfile(
+        batch, probes, "vec_id", "embedding", tau)
+      acc = (if (acc == null) prof else acc.unionAll(prof))
+        .localCheckpoint()
+    })
+    require(acc != null, "semanticDecontamFold: stream delivered no batches")
+    acc
+  }
 }
