@@ -98,20 +98,28 @@ object Decontam {
   def semanticProfile(emb: DataFrame, probes: DataFrame,
                       idCol: String, vecCol: String,
                       tau: Double,
-                      maxProbes: Int = 100000): DataFrame = {
+                      maxProbes: Int = 100000): DataFrame =
+    semanticProfileWith(emb, preparedProbes(probes, vecCol, maxProbes),
+      idCol, vecCol, tau)
+
+  /** Validate + precompute the probe side ONCE: scorable filter,
+    * per-probe norm (loop-invariant — computed per side, not per
+    * (corpus row × probe) pair; identical IEEE operands, so the 6-dp
+    * rounded score is unchanged), and the "eval side is tiny" guard —
+    * the same hazard class as contaminationProfile's
+    * maxBroadcastShingles: an unguarded broadcast of a caller-supplied
+    * frame is how drivers OOM. Unlike the n-gram rule there is no
+    * cheap shuffle fallback — scoring every corpus vector against a
+    * LARGE probe set is inherently quadratic, and the right tool past
+    * the cap is the ANN stack (IVF/LSH candidate paths), so this fails
+    * FAST with that pointer instead of degrading into an accidental
+    * cartesian. Exposed so a streaming fold validates once, not per
+    * micro-batch.
+    */
+  private[graft] def preparedProbes(probes: DataFrame, vecCol: String,
+                                    maxProbes: Int): DataFrame = {
     import graft.similarity.Similarity.{dot, scorable}
-    // the "eval side is tiny" guard, same hazard class as
-    // contaminationProfile's maxBroadcastShingles: an unguarded
-    // broadcast of a caller-supplied frame is how drivers OOM. Unlike
-    // the n-gram rule there is no cheap shuffle fallback — scoring
-    // every corpus vector against a LARGE probe set is inherently
-    // quadratic, and the right tool past the cap is the ANN stack
-    // (IVF/LSH candidate paths), so this fails FAST with that pointer
-    // instead of degrading into an accidental cartesian.
     val p = probes.filter(scorable(col(vecCol)))
-      // norms are loop-invariant: computed once per side, not once per
-      // (corpus row × probe) pair — identical IEEE operands, so the
-      // 6-dp rounded score is unchanged
       .select(col(vecCol).as("__p"),
         sqrt(dot(col(vecCol), col(vecCol))).as("__pn"))
     val nProbes = p.limit(maxProbes + 1).count()
@@ -120,23 +128,31 @@ object Decontam {
         "broadcast this size would OOM the driver; route a large eval " +
         "set through the ANN candidate paths (Similarity.ivfTopK / " +
         "lshTopK) instead of the exact cross product")
-    val base = emb.filter(scorable(col(vecCol)))
+    p
+  }
+
+  /** The scoring plan over pre-validated probes: ONE corpus pass —
+    * a LEFT-outer broadcast nested-loop join against the probe side
+    * (condition `true`), so an EMPTY (or all-unscorable) probe set
+    * keeps every scorable corpus vector in the census with a null
+    * score (max_cos null, contaminated 0 — the n-gram profile's
+    * left-outer convention: "clean corpus" and "no corpus scanned"
+    * stay distinguishable) — then one per-id partial-combined max.
+    * No second corpus scan, no corpus⇄corpus self-join.
+    */
+  private[graft] def semanticProfileWith(emb: DataFrame, p: DataFrame,
+                                         idCol: String, vecCol: String,
+                                         tau: Double): DataFrame = {
+    import graft.similarity.Similarity.{dot, scorable}
+    emb.filter(scorable(col(vecCol)))
       .select(col(idCol), col(vecCol),
         sqrt(dot(col(vecCol), col(vecCol))).as("__en"))
-    val scored = base
-      .crossJoin(broadcast(p))
+      .join(broadcast(p), lit(true), "left")
       .withColumn("__cos",
         round(dot(col(vecCol), col("__p"))
           / (col("__en") * col("__pn")), 6))
       .groupBy(col(idCol))
       .agg(max(col("__cos")).as("max_cos"))
-    // an EMPTY (or all-unscorable) probe set must not erase the
-    // census: every scorable corpus vector keeps its row (max_cos
-    // null, contaminated 0) — the n-gram profile's left-outer
-    // convention, so "clean corpus" and "no corpus scanned" stay
-    // distinguishable
-    base.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
       .withColumn("contaminated",
         coalesce(col("max_cos") >= lit(tau), lit(false)).cast("long"))
   }

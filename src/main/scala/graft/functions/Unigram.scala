@@ -504,13 +504,17 @@ object Unigram {
     */
   def emVocabSql(src: String, text: String,
                  vocab: Seq[(String, Long)], keepMulti: Int): String =
-    s"""(WITH pr AS (SELECT piece, usage
+    // every stage MATERIALIZED: `sc` is referenced twice (tot + the
+    // final select) and `pr` wraps the whole prune DP replay — DuckDB
+    // inlines un-materialized CTEs at every reference (the m15 /
+    // learnSql re-evaluation trap)
+    s"""(WITH pr AS MATERIALIZED (SELECT piece, usage
        |  FROM ${pruneSql(src, text, vocab, keepMulti)} p),
-       |sc AS (SELECT piece,
+       |sc AS MATERIALIZED (SELECT piece,
        |    CAST(CASE WHEN len(piece) = 1 THEN usage + 1 ELSE usage END
        |      AS BIGINT) AS s
        |  FROM pr),
-       |tot AS (SELECT CAST(SUM(s) AS BIGINT) AS t FROM sc)
+       |tot AS MATERIALIZED (SELECT CAST(SUM(s) AS BIGINT) AS t FROM sc)
        |SELECT piece,
        |  CAST(floor(ln(CAST(s AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 1e-4)
        |    AS BIGINT) AS lp

@@ -35,6 +35,18 @@ object CurationCatalog {
       .select((col("doc_id") + EvalOffset).as("doc_id"),
         expr("substring(text, locate(' ', text) + 1)").as("text"))
 
+  /** dc3's planted eval probes — PERTURBED variants (dim-1 zeroed) of
+    * every 41st vector, so hits are genuine near-dup matches (cos
+    * 0.9–1.0), not identity echoes. ONE definition shared by the
+    * batch gate and its streaming face e36 (which is held to dc3's
+    * oracle): a perturbation tweak that missed a copy would fail e36
+    * for a non-obvious reason.
+    */
+  private[operators] def dc3Probes(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 41 === 0)
+      .select(concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
+        .as("embedding"))
+
   private val evalDocsSql =
     s"""eval AS (SELECT doc_id + $EvalOffset AS doc_id,
        |   substring(text, strpos(text, ' ') + 1) AS text
@@ -486,10 +498,8 @@ object CurationCatalog {
     // contract). Probes broadcast; one per-id max shuffle
     "dc3_semantic_decontam" -> ((spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
-      val probes = emb.filter(col("vec_id") % 41 === 0)
-        .select(concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
-          .as("embedding"))
-      Decontam.semanticProfile(emb, probes, "vec_id", "embedding", tau = 0.9)
+      Decontam.semanticProfile(emb, dc3Probes(emb), "vec_id", "embedding",
+          tau = 0.9)
         .orderBy(col("vec_id"))
     }),
 
@@ -1175,10 +1185,15 @@ object CurationCatalog {
       s"""SELECT doc_id, ${Redact.redactSql(s"($piiTextSql)")} AS redacted
          |FROM documents ORDER BY doc_id""".stripMargin,
 
-    // same perturbed probes, same rounded-cosine max, same τ
+    // same perturbed probes, same rounded-cosine max, same τ — and the
+    // same CENSUS PRESERVATION: the corpus left-joins the scored rows,
+    // so an empty probe set (a regen without vec_id % 41 rows) yields
+    // every vector at max_cos NULL / contaminated 0 on BOTH sides
+    // instead of a vacuous engine-vs-oracle divergence
     "dc3_semantic_decontam" -> {
       val S = graft.similarity.Similarity.Sql
-      s"""WITH probes AS (SELECT list_prepend(CAST(0 AS FLOAT), embedding[2:]) AS p
+      s"""WITH probes AS MATERIALIZED (
+         |  SELECT list_prepend(CAST(0 AS FLOAT), embedding[2:]) AS p
          |  FROM embeddings WHERE vec_id % 41 = 0),
          |x AS (SELECT e.vec_id,
          |    round(${S.dot("e.embedding", "p.p")}
@@ -1186,10 +1201,11 @@ object CurationCatalog {
          |        * sqrt(${S.dot("p.p", "p.p")})), 6) AS c
          |  FROM embeddings e CROSS JOIN probes p),
          |m AS (SELECT vec_id, MAX(c) AS max_cos FROM x GROUP BY vec_id)
-         |SELECT vec_id, max_cos,
-         |  CAST(CASE WHEN max_cos >= 0.9 THEN 1 ELSE 0 END AS BIGINT)
+         |SELECT e.vec_id, m.max_cos,
+         |  CAST(CASE WHEN m.max_cos >= 0.9 THEN 1 ELSE 0 END AS BIGINT)
          |    AS contaminated
-         |FROM m ORDER BY vec_id""".stripMargin
+         |FROM embeddings e LEFT JOIN m ON m.vec_id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
     },
 
     "bb2_bucket_suggest" -> {

@@ -1079,9 +1079,7 @@ object StreamMediaCatalog {
     // cross-batch state. Held to dc3's own oracle.
     "e36_stream_semantic_decontam" -> ((spark, dir) => {
       val emb = Tables.embeddings(spark, dir)
-      val probes = emb.filter(col("vec_id") % 41 === 0)
-        .select(concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
-          .as("embedding"))
+      val probes = CurationCatalog.dc3Probes(emb)
       val in = graft.core.Staging.tmpDir("stream_semdc_in")
       for (r <- 0 to 2)
         emb.select(col("vec_id"), col("embedding"))

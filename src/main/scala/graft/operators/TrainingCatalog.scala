@@ -2101,9 +2101,12 @@ object TrainingCatalog {
                  graft.functions.Unigram.FrozenVocab))} p
          |ORDER BY pack_id""".stripMargin,
 
+    // v2 MATERIALIZED: the second DP unroll joins it in each of its
+    // 12 stages — inlined, the whole prune replay would re-run per
+    // stage (the m15 re-evaluation trap)
     "tk29_unigram_em" ->
       s"""WITH $unigramAugSql,
-         |v2 AS (SELECT piece, lp
+         |v2 AS MATERIALIZED (SELECT piece, lp
          |  FROM ${graft.functions.Unigram.emVocabSql("uniaug", "text",
                graft.functions.Unigram.FrozenVocab, keepMulti = 12)} e)
          |SELECT doc_id, n_words, n_pieces, piece_text

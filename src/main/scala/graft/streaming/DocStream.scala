@@ -675,11 +675,17 @@ object DocStream {
     * post-hoc sweep.
     */
   def semanticDecontamFold(embStream: DataFrame, probes: DataFrame,
-                           tau: Double): DataFrame = {
+                           tau: Double,
+                           maxProbes: Int = 100000): DataFrame = {
+    // validate + precompute the probe side ONCE, not per micro-batch
+    // (the cap check is an eager count job; localCheckpoint pins the
+    // tiny validated frame so triggers don't re-derive it)
+    val p = graft.dedup.Decontam
+      .preparedProbes(probes, "embedding", maxProbes).localCheckpoint()
     var acc: DataFrame = null
     EventStream.runForeachBatch(embStream, (batch, _) => {
-      val prof = graft.dedup.Decontam.semanticProfile(
-        batch, probes, "vec_id", "embedding", tau)
+      val prof = graft.dedup.Decontam.semanticProfileWith(
+        batch, p, "vec_id", "embedding", tau)
       acc = (if (acc == null) prof else acc.unionAll(prof))
         .localCheckpoint()
     })

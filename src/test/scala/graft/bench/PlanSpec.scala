@@ -255,10 +255,9 @@ class PlanSpec extends SparkSpec {
       emb, probes, "vec_id", "embedding", tau = 0.9))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"probes must broadcast:\n$plan")
-    // the census-preserving left join (ids -> scored ids) is
-    // corpus⇄corpus and MAY legitimately sort-merge — only an
-    // unbounded join shape is a failure here
-    assert(!plan.contains("CartesianProduct"), plan)
+    // census preservation rides the SAME left-outer broadcast join —
+    // one corpus pass, no corpus⇄corpus self-join, no sort anywhere
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
     assert(plan.linesIterator.filter(_.contains("HashAggregate"))
       .exists(_.contains("partial_")), s"no partial max aggregation:\n$plan")
   }
