@@ -162,6 +162,28 @@ object ScaleProbe {
         emb.unpersist()
         spark.catalog.clearCache()
       }
+      // SEMANTIC decontamination: corpus grows m×; the probe set
+      // (every 41st vector, perturbed) grows m× WITH it — the honest
+      // shape, since real eval suites grow with releases too.
+      // Expected: the per-row map work is corpus×probes, so the curve
+      // is m² in the worst case BUT the probe side stays broadcast-
+      // small at gate scale; the probe cap is the documented wall
+      // (past it, route through ANN).
+      if (enabled("semdc")) {
+        val emb = multiply(
+          Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", m, 10000000L)
+          .repartition(64).cache()
+        emb.count()
+        val probes = graft.operators.CurationCatalog.dc3Probes(emb)
+        time(s"semantic_decontam x$m") {
+          graft.dedup.Decontam.semanticProfile(emb, probes, "vec_id",
+            "embedding", tau = 0.9).count()
+        }
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
       // EXACT span dedup: multiplying COPIES the texts, so every
       // ≥50-token doc becomes fully duplicated m× — the worst-case
       // duplication regime (measured: output rows collapse to the

@@ -42,7 +42,7 @@ object CurationCatalog {
     * oracle): a perturbation tweak that missed a copy would fail e36
     * for a non-obvious reason.
     */
-  private[operators] def dc3Probes(emb: DataFrame): DataFrame =
+  private[graft] def dc3Probes(emb: DataFrame): DataFrame =
     emb.filter(col("vec_id") % 41 === 0)
       .select(concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
         .as("embedding"))

@@ -1071,6 +1071,29 @@ object StreamMediaCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // E37 — STREAMING prototype pruning (km3's ingestion face):
+    // assignments fold batch-by-batch (the expensive map work
+    // streams — kmeansAssignFold keeps the vector), and the per-cell
+    // prototype RANKS run once on the drained store, because a rank
+    // needs ALL of a cell's members — fold-then-serve, the e32
+    // discipline. Held to km3's own oracle.
+    "e37_stream_prototype_prune" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val m = graft.similarity.Similarity.kmeansTrain(
+        emb, "vec_id", "embedding", k = 8, iters = 3, dim = 64)
+      val in = graft.core.Staging.tmpDir("stream_proto_in")
+      for (r <- 0 to 2)
+        emb.select(col("vec_id"), col("embedding"))
+          .filter(pmod(col("vec_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val folded = graft.streaming.DocStream.kmeansAssignFold(
+        graft.streaming.DocStream.readEmbeddingsOneFilePerTrigger(spark, in),
+        m.centroids)
+      graft.similarity.Similarity.prototypePruneAssigned(
+        folded, "vec_id", "embedding", m.centroids, dropPerCell = 8)
+        .orderBy(col("vec_id"))
+    }),
+
     // E36 — STREAMING semantic decontamination (dc3's ingestion
     // face): the frozen probe set (dc3's planted perturbed variants,
     // derived batch-side from the full corpus) screens vectors as
@@ -1285,6 +1308,9 @@ object StreamMediaCatalog {
 
     // stream-screened verdicts == the one-shot batch census
     "e36_stream_semantic_decontam" -> CurationCatalog.oracle("dc3_semantic_decontam"),
+
+    // stream-folded assignments + drained-store ranks == batch km3
+    "e37_stream_prototype_prune" -> TrainingCatalog.oracle("km3_prototype_prune"),
 
     // the unrolled Lloyd chain + a final full assignment — stream-
     // maintained assignments must equal the one-shot batch answer

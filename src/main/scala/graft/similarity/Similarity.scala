@@ -729,11 +729,24 @@ object Similarity {
     * fraction pass ceil(f·|cell|) per their own census.
     */
   def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,
-                     centroids: DataFrame, dropPerCell: Int): DataFrame = {
+                     centroids: DataFrame, dropPerCell: Int): DataFrame =
+    prototypePruneAssigned(assignToCentroids(emb, idCol, vecCol, centroids),
+      idCol, vecCol, centroids, dropPerCell)
+
+  /** The rank-and-drop phase over an ALREADY-ASSIGNED frame
+    * ((idCol, vecCol, cell) — [[assignToCentroids]]'s output): exposed
+    * so the streaming face can fold assignments batch-by-batch (the
+    * expensive map work streams) and run the global per-cell ranks
+    * once on the drained store — prototype rank needs ALL of a cell's
+    * members, so fold-then-serve is the only stream-shaped spelling.
+    */
+  def prototypePruneAssigned(assigned: DataFrame, idCol: String,
+                             vecCol: String, centroids: DataFrame,
+                             dropPerCell: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cell"))
       .orderBy(col("__d"), col(idCol))
-    assignToCentroids(emb, idCol, vecCol, centroids)
+    assigned
       .join(broadcast(centroids), Seq("cell"))
       .withColumn("__d",
         round(dot(col("centroid"), col("centroid"))

@@ -656,7 +656,9 @@ object DocStream {
     EventStream.runForeachBatch(embStream, (batch, _) => {
       val assigned = graft.similarity.Similarity
         .assignToCentroids(batch, "vec_id", "embedding", centroids)
-        .select(col("vec_id"), col("cell"))
+      // (vec_id, embedding, cell) — the vector rides along so serve
+      // phases that need it (e37's prototype ranks) fold once; e35
+      // projects it away after the drain
       acc = (if (acc == null) assigned else acc.unionAll(assigned))
         .localCheckpoint()
     })
