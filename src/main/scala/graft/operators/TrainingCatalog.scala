@@ -1346,6 +1346,18 @@ object TrainingCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // KM4 — per-cell INERTIA (the elbow criterion's y-axis): Σ of
+    // full squared distances to the centroid, each quantized ONCE by
+    // the nudged floor so the sum is exact int64 and order-free
+    "km4_inertia" -> ((spark, dir) => {
+      val m = Similarity.kmeansTrain(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        k = 8, iters = 3, dim = 64)
+      Similarity.cellInertia(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", m.centroids)
+        .orderBy(col("cell"))
+    }),
+
     // KM2 — CLUSTER-BALANCED selection (the data-mixing face): assign
     // the corpus to the trained cells, keep the 4 members with the
     // smallest md5(vec_id) per cell — a data-keyed deterministic
@@ -2720,6 +2732,24 @@ object TrainingCatalog {
              k = 8, iters = 3, dim = 64)}
          |SELECT cell, dim, centroid, n FROM m3
          |ORDER BY cell, dim""".stripMargin,
+
+    // the Lloyd chain + nudged-floor quantized distance sums
+    "km4_inertia" -> {
+      val S = graft.similarity.Similarity.Sql
+      s"""WITH ${S.kmeansCtes("embeddings", "vec_id", "embedding",
+             k = 8, iters = 3, dim = 64)},
+         |af AS (${S.kmeansAssign("embeddings", "vec_id", "embedding", "c3")}),
+         |d AS (SELECT af.vec_id, af.cell,
+         |    CAST(floor((${S.dot("c.centroid", "c.centroid")}
+         |      - 2 * ${S.dot("af.embedding", "c.centroid")}
+         |      + ${S.dot("af.embedding", "af.embedding")}) * 1e6 + 1e-4)
+         |      AS BIGINT) AS dq
+         |  FROM af JOIN c3 c ON c.cell = af.cell)
+         |SELECT CAST(cell AS INTEGER) AS cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(SUM(dq) AS BIGINT) AS inertia_q
+         |FROM d GROUP BY cell ORDER BY cell""".stripMargin
+    },
 
     // final-model assignment + full-distance per-cell proximity rank
     "km3_prototype_prune" -> {

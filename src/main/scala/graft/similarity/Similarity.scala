@@ -757,6 +757,27 @@ object Similarity {
         (col("__r") > dropPerCell).cast("long").as("kept"))
   }
 
+  /** Per-cell inertia — the k-means model-quality readout (the elbow
+    * criterion's y-axis): Σ of full squared distances to the cell
+    * centroid, each distance quantized ONCE by the nudged floor
+    * (`floor(d·1e6 + 1e-4)` int64 — d is pure IEEE arithmetic on
+    * identical operands both engines, so the quantized value is
+    * deterministic and the SUM is exact and order-independent).
+    * Returns (cell, n_members, inertia_q).
+    */
+  def cellInertia(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: DataFrame): DataFrame =
+    assignToCentroids(emb, idCol, vecCol, centroids)
+      .join(broadcast(centroids), Seq("cell"))
+      .withColumn("__dq",
+        floor((dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(col(vecCol), col("centroid"))
+          + dot(col(vecCol), col(vecCol))) * lit(1e6) + lit(1e-4))
+          .cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__dq")).as("inertia_q"))
+
   // ------------------------------------------------------- DuckDB spellings
 
   object Sql {

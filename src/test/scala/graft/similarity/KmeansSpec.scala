@@ -95,6 +95,26 @@ class KmeansSpec extends SparkSpec {
       .forall(g => g.count(_._3 == 0L) == 2 && g.size == 10))
   }
 
+  test("cellInertia: quantized sums match the hand-computed distances") {
+    // one cell, centroid (1,0): d(v1)=0.01, d(v2)=0.09 → quantized
+    // 10000 + 90000 = 100000 (the nudged floor makes each term exact)
+    val cents = Seq((0, Array(1.0, 0.0))).toDF("cell", "centroid")
+    val emb = Seq(
+      (1L, Array(0.9f, 0.0f)),
+      (2L, Array(1.3f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cellInertia(emb, "vec_id", "embedding", cents)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(out.length == 1 && out.head._1 == 0 && out.head._2 == 2L)
+    // float 0.9f/1.3f widen with tiny ulp error; the quantized sum
+    // must land within one quantum of the real-arithmetic 100000
+    assert(math.abs(out.head._3 - 100000L) <= 2L, s"inertia: $out")
+    // and it is partitioning-invariant (exact int64 sums)
+    val again = Similarity.cellInertia(emb.repartition(5), "vec_id",
+      "embedding", cents).as[(Int, Long, Long)].collect().toSeq
+    assert(again == out)
+  }
+
   test("clusterBalancedSample caps per cell and is deterministic") {
     val m = Similarity.kmeansTrain(planted, "vec_id", "embedding",
       k = 3, iters = 3, dim = 4)
