@@ -123,14 +123,21 @@ object ScaleProbe {
       // LETTER-mapped index (the [a-z]+ gate filter must keep them,
       // unlike the bpe arm's digit suffix), so the distinct-word DP
       // table — the part vocab memoization amortizes — grows m× along
-      // with the corpus. Expected: linear (DP per distinct word +
-      // broadcast join + reassembly, the bpe_tokenize shape).
+      // with the corpus. Only base words of ≤ 10 chars take the 2-char
+      // suffix: an 11–12-char base would cross MaxWordLen=12 and fall
+      // out of the gate filter in EVERY copy, changing the word-length
+      // composition (not just cardinality) vs the gate corpus and
+      // confounding the "DP table grows m×" claim (r14 advice). The
+      // rare 11+-char words stay unsuffixed — shared across copies, a
+      // constant additive term that cannot bend the curve. Expected:
+      // linear (DP per distinct word + broadcast join + reassembly,
+      // the bpe_tokenize shape).
       if (enabled("unigram")) {
         val docs = multiply(
           Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
           "doc_id", m, 10000000L)
           .withColumn("text",
-            regexp_replace(col("text"), lit("(\\S+)"),
+            regexp_replace(col("text"), lit("(?<!\\S)(\\S{1,10})(?!\\S)"),
               concat(lit("$1c"),
                 translate(expr("doc_id div 10000000").cast("string"),
                   "0123456789", "abcdefghij"))))

@@ -43,8 +43,12 @@ object CurationCatalog {
     * for a non-obvious reason.
     */
   private[graft] def dc3Probes(emb: DataFrame): DataFrame =
+    // dim-agnostic tail slice (size-1, not a hard-coded 63): the oracle
+    // writes open-ended embedding[2:], so a fixture-dim growth must not
+    // silently truncate the engine probe into a partial dot product
     emb.filter(col("vec_id") % 41 === 0)
-      .select(concat(array(lit(0.0f)), slice(col("embedding"), 2, 63))
+      .select(concat(array(lit(0.0f)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
         .as("embedding"))
 
   private val evalDocsSql =

@@ -611,12 +611,18 @@ object Similarity {
     * is ≤ 1e-9 per element — documented, deterministic, and 7 orders
     * below the fixture's float precision. Headroom: |x| ≤ 1 ⇒ int64
     * overflows only past ~9e9 rows per group; guard or rescale there.
+    * The floor result is CAST TO LONG before summing — Spark's floor
+    * returns double, and sum(double) keeps partial sums exact only
+    * under 2^53 (~9e6 rows/group at |x| ≤ 1, 1000× tighter than the
+    * documented horizon); the long sum matches the oracle's
+    * CAST(FLOOR(...) AS BIGINT) and restores the int64 guarantee.
     */
   def groupCentroids(emb: DataFrame, groupCol: String, vecCol: String,
                      dim: Int): DataFrame = {
     val scale = 1e9
     val sums = (1 to dim).map(d =>
-      sum(floor(element_at(col(vecCol), d).cast("double") * lit(scale))).as(s"s_$d"))
+      sum(floor(element_at(col(vecCol), d).cast("double") * lit(scale))
+        .cast("long")).as(s"s_$d"))
     val aggs = sums :+ count(lit(1)).as("n")
     val agg = emb.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     val unpivot = (1 to dim).map(d => struct(

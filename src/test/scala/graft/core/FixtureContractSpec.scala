@@ -89,6 +89,26 @@ class FixtureContractSpec extends SparkSpec {
         "ml5_text_clf) and update valueCanary:\n" + diffs.mkString("\n"))
   }
 
+  /** Census-parity tripwire (r15, from the r14 advice): the kmeans-
+    * family and dc3 oracles score every raw `embeddings` row, while
+    * the engine drops unscorable vectors (null/empty/NaN/zero-norm)
+    * via Similarity.scorable. Today the two sets coincide because the
+    * fixture has no unscorable vectors — this pin makes the NEXT
+    * regen that plants one fail HERE, one readable assertion, instead
+    * of as six correlated gate hash mismatches.
+    */
+  test("all fixture embedding vectors are scorable (km/dc3 oracle census parity)") {
+    for (dir <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val bad = emb.filter(!graft.similarity.Similarity.scorable(col("embedding")))
+        .count()
+      assert(bad == 0L,
+        s"$dir embeddings has $bad unscorable vector(s) — the km1–km4/" +
+          "e35/dc3 oracles now diverge from the engine's scorable " +
+          "filter; mirror the predicate in those oracles before green")
+    }
+  }
+
   test("sf0.01 and sf0.1 events agree with sf0.001 on the ts encoding") {
     val base = Tables.load(spark, sf0001, "events").schema("ts").dataType
     for (dir <- Seq(sf001, "/root/testdata/sf0.1")) {
