@@ -1763,6 +1763,87 @@ object TrainingCatalog {
             >= 0.5).cast("int").as("recall_ge_50"))
     }),
 
+    // V16 — IVF top-k over the LLOYD-TRAINED quantizer, oracle-EXACT
+    // end-to-end (the FAISS recipe's quantizer-training rung closed):
+    // kmeansTrain's centroids (bit-identical cross-engine by the km1
+    // induction) replace the hash-init seed pick, and the v4
+    // probe/score contract runs over the trained cells — the oracle
+    // replays init → 2 Lloyd rounds → assign → probe → rank
+    // stage-for-stage
+    "v16_ivf_trained" -> ((spark, dir) =>
+      Similarity.ivfTopKIndexed(
+        Similarity.buildIvfTrained(Tables.embeddings(spark, dir),
+          "vec_id", "embedding", nCentroids = 8, iters = 2, dim = 64),
+        "vec_id", "embedding", annQueryIds, k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("rn"))),
+
+    // V17 — per-subspace LLOYD-TRAINED PQ codebooks, code assignment
+    // oracle-EXACT (v11's contract with trained codewords): subspace
+    // j's codewords are kmeansTrain centroids over the corpus's j-th
+    // 16-dim slices; the oracle runs four prefixed kmeans unrolls
+    // (p0..p3 — the r14 CTE-namespace device) over SQL-mirrored
+    // scorable slices, then the same rounded-distance first-index
+    // argmin
+    "v17_pq_trained_codes" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cb = graft.similarity.ProductQuant.buildCodebookTrained(
+        emb, "vec_id", "embedding", m = 4, ks = 8, iters = 2, dim = 64)
+      graft.similarity.ProductQuant.encode(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id"), posexplode(col("codes")))
+        .select(col("vec_id"), col("pos").cast("int").as("subspace"),
+          col("col").as("code"))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    // V18 — v6's recall flag re-measured over the TRAINED quantizer
+    // (same nCentroids=16/nProbe=4/k=5 dials): Lloyd iterations
+    // reshape the hash-init sample toward inertia-minimizing cells —
+    // measured recall@5 at sf0.01 0.58 trained vs 0.56 hash-init
+    // (SimilaritySpec asserts trained >= hash-init; the weakly
+    // structured synthetic vectors cap how much ANY quantizer can
+    // gain). Flag keeps v6's 0.5 floor so the gate is sf-stable
+    "v18_ivf_trained_recall" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val ivf = Similarity.ivfTopKIndexed(
+        Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+          nCentroids = 16, iters = 2, dim = 64),
+        "vec_id", "embedding", annQueryIds, k = 5, nProbe = 4)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(ivf.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.5).cast("int").as("recall_ge_50"))
+    }),
+
+    // V19 — v12's recall flag re-measured over TRAINED PQ codebooks
+    // (same m=8/ks=16/two-stage dials, candidates ~N/5): trained
+    // codewords cut quantization error vs the md5 seed pick —
+    // measured recall@5 at sf0.01 0.80 trained vs 0.68 seed-pick
+    // (ProductQuantSpec asserts trained >= seed-pick)
+    "v19_pq_trained_recall" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cb = graft.similarity.ProductQuant.buildCodebookTrained(
+        emb, "vec_id", "embedding", m = 8, ks = 16, iters = 2, dim = 64)
+      val candidates = math.max(100L, emb.count() / 5).toInt
+      val pq = graft.similarity.ProductQuant.pqRerankTopK(emb, "vec_id",
+        "embedding", annQueryIds, k = 5, cb, candidateK = candidates)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(pq.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.5).cast("int").as("recall_ge_50"))
+    }),
+
     // T13 — Okapi BM25 term scoring (retrieval-grade tf-idf upgrade:
     // tf saturation + document-length normalization), the
     // query-relevance signal for targeted corpus selection
@@ -3136,6 +3217,81 @@ object TrainingCatalog {
 
     "v15_ivfpq_remove" ->
       s"""SELECT count(*) AS n_queries, CAST(0 AS BIGINT) AS n_mismatch
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    // the km1 Lloyd chain (k=8, 2 rounds) then v4's probe/score
+    // spelling over the TRAINED centroids (c2) — assignment, probe
+    // metric, rounding, and rank tiebreaks all shared with v4
+    "v16_ivf_trained" ->
+      s"""WITH ${S.kmeansCtes("embeddings", "vec_id", "embedding",
+             k = 8, iters = 2, dim = 64)},
+         |assigned AS MATERIALIZED (
+         |  ${S.kmeansAssign("embeddings", "vec_id", "embedding", "c2")}),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM assigned
+         |      WHERE vec_id IN (${annQueryIds.mkString(",")})),
+         |probes AS (
+         |  SELECT query_id, q_vec, cell, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY round(${S.dot("centroid", "centroid")}
+         |        - 2 * ${S.dot("q_vec", "centroid")}, 6), cell) AS pr
+         |  FROM q CROSS JOIN c2),
+         |probeset AS (SELECT query_id, q_vec, cell FROM probes WHERE pr <= 2),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, round(${S.cosine("q_vec", "c_vec")}, 6) AS cos_sim
+         |  FROM (SELECT vec_id AS neighbor_id, embedding AS c_vec, cell FROM assigned) c
+         |  JOIN probeset USING (cell) WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, rn, neighbor_id, cos_sim FROM ranked
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    // four prefixed kmeans unrolls (p0..p3), one per 16-dim subspace,
+    // over SQL-mirrored scorable slices (a subvector can be zero-norm
+    // even when the full fixture vector is scorable — the engine's
+    // kmeansTrain filter, mirrored rather than pinned); codewords =
+    // trained c2 centroids, then v11's rounded-distance (d, c)-ranked
+    // argmin
+    "v17_pq_trained_codes" -> {
+      val slices = (0 until 4).map { j =>
+        val lo = j * 16 + 1
+        val hi = j * 16 + 16
+        s"""s$j AS MATERIALIZED (SELECT vec_id, sv FROM (
+           |    SELECT vec_id,
+           |      list_transform(embedding[$lo:$hi], x -> CAST(x AS DOUBLE)) AS sv
+           |    FROM embeddings) z
+           |  WHERE ${S.scorable("sv")})""".stripMargin
+      }.mkString(",\n")
+      val unrolls = (0 until 4).map { j =>
+        S.kmeansCtes(s"s$j", "vec_id", "sv", k = 8, iters = 2, dim = 16,
+          pfx = s"p$j")
+      }.mkString(",\n")
+      val cwUnion = (0 until 4).map { j =>
+        s"SELECT $j AS j, cell AS c, centroid AS w FROM p${j}c2"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $slices,
+         |$unrolls,
+         |cw AS MATERIALIZED (
+         |  $cwUnion),
+         |dists AS (
+         |  SELECT e.vec_id, cw.j, cw.c,
+         |    round(${S.dot("cw.w", "cw.w")}
+         |      - 2 * ${S.dot("e.embedding[cw.j * 16 + 1 : cw.j * 16 + 16]", "cw.w")}, 6) AS d
+         |  FROM embeddings e CROSS JOIN cw),
+         |ranked AS (
+         |  SELECT vec_id, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |    ORDER BY d, c) AS rn
+         |  FROM dists)
+         |SELECT vec_id, CAST(j AS INTEGER) AS subspace, CAST(c AS INTEGER) AS code
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+    },
+
+    "v18_ivf_trained_recall" ->
+      s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    "v19_pq_trained_recall" ->
+      s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 
     "t8_stopword_filter" -> {

@@ -65,6 +65,54 @@ object ProductQuant {
     PqCodebook(rows, m)
   }
 
+  /** Lloyd-TRAINED per-subspace codebooks — the FAISS-recipe upgrade
+    * of [[buildCodebook]]'s md5 seed pick: subspace j's codewords are
+    * the centroids of [[Similarity.kmeansTrain]] run over the corpus's
+    * j-th subvector slices (same hash-keyed init, same fixed-point
+    * means — bit-identical doubles cross-engine by induction, so the
+    * code assignment gates oracle-EXACTLY like the seed-pick path,
+    * v17). The per-subspace centroid sets are re-packed as full-dim
+    * "seeds" (seed c = concat over j of subspace-j centroid c) so the
+    * existing [[PqCodebook]] slicing, persistence, and every ADC
+    * scorer work unchanged.
+    *
+    * Training filters each SLICED frame by [[Similarity.scorable]]
+    * (inside kmeansTrain): a subvector can be zero-norm even when the
+    * full vector is scorable, so the oracle mirrors the predicate on
+    * the sliced CTE ([[Similarity.Sql.scorable]]) rather than relying
+    * on the fixture pin. A Lloyd cell that ends a round empty VANISHES
+    * (kmeansTrain contract); a vanished cell would leave subspace
+    * codeword c undefined, so this REQUIRES all ks cells survive —
+    * deterministic for a given corpus, and loud when ks is set too
+    * close to the scorable row count.
+    *
+    * Scale shape: m independent kmeansTrain runs over 1/m-width
+    * slices — the per-round cost is the same one broadcast + one
+    * k·(dim/m) shuffle as full-dim training, and the m runs share the
+    * corpus scan shape; collects are model-sized (ks rows each).
+    */
+  def buildCodebookTrained(emb: DataFrame, idCol: String, vecCol: String,
+                           m: Int, ks: Int, iters: Int, dim: Int): PqCodebook = {
+    require(ks >= 2 && ks <= 256, s"ks must be in [2,256]: $ks")
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val perSub: Seq[Map[Int, Seq[Double]]] = (0 until m).map { j =>
+      val sliced = emb.filter(Similarity.scorable(col(vecCol)))
+        .select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sv"))
+      val model = Similarity.kmeansTrain(sliced, idCol, "__sv",
+        k = ks, iters = iters, dim = sub)
+      val cents = model.centroids.collect().map { r =>
+        r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("centroid")).toSeq
+      }.toMap
+      require(cents.size == ks,
+        s"subspace $j: ${cents.size} of $ks Lloyd cells survived training " +
+          "— a cell emptied mid-iteration; lower ks (or iters)")
+      cents
+    }
+    val seeds = (0 until ks).map(c => (0 until m).flatMap(j => perSub(j)(c)))
+    PqCodebook(seeds, m)
+  }
+
   /** Map-side encoding: (id, codes array<int> of length m). Per
     * subspace, distances to all `ks` codewords unroll to a literal
     * array of `round(||c||² − 2·v_j·c, 6)` (the ||v_j||² term is

@@ -698,6 +698,23 @@ object Similarity {
     KmeansModel(means, cents)
   }
 
+  /** IVF over the Lloyd-TRAINED deterministic quantizer — the rung
+    * that closes the FAISS recipe's quantizer-training step while
+    * keeping the whole chain oracle-exact: [[kmeansTrain]]'s centroids
+    * (bit-identical doubles cross-engine by induction) replace the
+    * seed pick of [[buildIvfHashInit]], so cluster quality comes from
+    * Lloyd iterations (inertia non-increasing per round) instead of a
+    * random sample, and the resulting index still gates exactly
+    * (v16 — the v4 probe/score contract over the trained cells).
+    * [[buildIvf]]'s MLlib path remains only as the
+    * non-reproducible-centers comparison point (v6's recall flag).
+    */
+  def buildIvfTrained(emb: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int, iters: Int, dim: Int): IvfIndex = {
+    val m = kmeansTrain(emb, idCol, vecCol, nCentroids, iters, dim)
+    IvfIndex(assignToCentroids(emb, idCol, vecCol, m.centroids), m.centroids)
+  }
+
   /** Cluster-balanced selection — the data-mixing face of k-means:
     * assign the corpus to a trained model's cells, keep the `perCell`
     * members with the smallest md5(id) per cell (a data-keyed
@@ -794,6 +811,16 @@ object Similarity {
     def signBucket(e: String, dims: Seq[Int]): String =
       dims.map(d => s"CASE WHEN $e[${d + 1}] >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
+    /** SQL mirror of [[Similarity.scorable]] — needed wherever an
+      * oracle replays a pipeline stage that the engine gates on
+      * scorability of a COMPUTED vector (e.g. a PQ subspace slice,
+      * which can be zero-norm even when the full fixture vector is
+      * scorable, so the FixtureContractSpec pin does not cover it).
+      */
+    def scorable(vec: String): String =
+      s"($vec IS NOT NULL AND len($vec) > 0" +
+        s" AND NOT isnan(${dot(vec, vec)}) AND ${dot(vec, vec)} > 0)"
+
     /** One Lloyd assignment stage — [[Similarity.assignToCentroids]]'s
       * rounded-distance + cell-tiebreak argmin (the v4/v10 spelling,
       * shared so the k-means unroll and its consumers cannot drift).
@@ -810,24 +837,28 @@ object Similarity {
     /** DuckDB spelling of [[Similarity.kmeansTrain]]: the hash-keyed
       * init then `iters` unrolled (assign → fixed-point mean →
       * re-assemble) stages, every stage MATERIALIZED (the learnSql
-      * discipline). Exposes `m$iters` (the final long-form means) and
-      * `c$iters` (the final centroid arrays) for the composing gate.
+      * discipline). Exposes `${pfx}m$iters` (the final long-form
+      * means) and `${pfx}c$iters` (the final centroid arrays) for the
+      * composing gate. `pfx` namespaces the stage CTEs so several
+      * unrolls (one per PQ subspace — v17) can share one WITH clause:
+      * DuckDB's binder rejects re-declared CTE names (the r14
+      * Duplicate-alias trap).
       */
     def kmeansCtes(src: String, id: String, vec: String,
-                   k: Int, iters: Int, dim: Int): String = {
+                   k: Int, iters: Int, dim: Int, pfx: String = ""): String = {
       val sb = new StringBuilder
-      sb ++= s"""kcb AS MATERIALIZED (SELECT $id, $vec FROM $src
+      sb ++= s"""${pfx}kcb AS MATERIALIZED (SELECT $id, $vec FROM $src
          |  ORDER BY md5(CAST($id AS VARCHAR)), $id LIMIT $k),
-         |c0 AS MATERIALIZED (SELECT
+         |${pfx}c0 AS MATERIALIZED (SELECT
          |    ROW_NUMBER() OVER (ORDER BY md5(CAST($id AS VARCHAR)), $id) - 1 AS cell,
          |    list_transform($vec, x -> CAST(x AS DOUBLE)) AS centroid
-         |  FROM kcb)""".stripMargin
+         |  FROM ${pfx}kcb)""".stripMargin
       for (t <- 1 to iters) {
         sb ++= s""",
-         |a$t AS MATERIALIZED (${kmeansAssign(src, id, vec, s"c${t - 1}")}),
-         |m$t AS MATERIALIZED (${groupCentroids(s"a$t", "cell", vec, dim)}),
-         |c$t AS MATERIALIZED (SELECT cell, list(centroid ORDER BY dim) AS centroid
-         |  FROM m$t GROUP BY cell)""".stripMargin
+         |${pfx}a$t AS MATERIALIZED (${kmeansAssign(src, id, vec, s"${pfx}c${t - 1}")}),
+         |${pfx}m$t AS MATERIALIZED (${groupCentroids(s"${pfx}a$t", "cell", vec, dim)}),
+         |${pfx}c$t AS MATERIALIZED (SELECT cell, list(centroid ORDER BY dim) AS centroid
+         |  FROM ${pfx}m$t GROUP BY cell)""".stripMargin
       }
       sb.result()
     }

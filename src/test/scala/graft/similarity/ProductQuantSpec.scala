@@ -192,4 +192,39 @@ class ProductQuantSpec extends graft.SparkSpec {
       .as[(Long, Int, Long, Double)].collect().toSet
     assert(disk == mem)
   }
+
+  test("trained codebook: ks full-dim seeds whose slices are the subspace centroids") {
+    val tcb = ProductQuant.buildCodebookTrained(emb, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2, dim = 64)
+    assert(tcb.ks == 8 && tcb.m == 4 && tcb.dim == 64 && tcb.sub == 16)
+    // slice(j, c) must equal the subspace-j kmeans centroid for cell c
+    val m0 = Similarity.kmeansTrain(
+      emb.select($"vec_id", slice($"embedding", 1, 16).as("__sv")),
+      "vec_id", "__sv", k = 8, iters = 2, dim = 16)
+    val c3 = m0.centroids.filter($"cell" === 3)
+      .select($"centroid").as[Seq[Double]].head()
+    assert(tcb.slice(0, 3) == c3)
+  }
+
+  test("trained PQ recall@5 >= seed-pick recall@5 (the v19 re-measure)") {
+    val ids = (0L until 10L).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", ids, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val candidates = math.max(100L, emb.count() / 5).toInt
+    def recallOf(book: ProductQuant.PqCodebook): Long =
+      brute.intersect(
+        ProductQuant.pqRerankTopK(emb, "vec_id", "embedding", ids, k = 5,
+          book, candidateK = candidates)
+          .select($"query_id", $"neighbor_id")).count()
+    val seedPick = recallOf(cb)
+    val trained = recallOf(ProductQuant.buildCodebookTrained(
+      emb, "vec_id", "embedding", m = 8, ks = 16, iters = 2, dim = 64))
+    info(s"recall@5 x50: seed-pick=$seedPick trained=$trained")
+    // trained codewords are inertia-minimizing per subspace; the seed
+    // pick is their own init, so training should never lose recall on
+    // a fixed candidate budget. Floor mirrors the v19 gate's 0.5.
+    assert(trained >= seedPick,
+      s"training lost recall: trained=$trained < seedPick=$seedPick")
+    assert(trained >= 25, s"trained recall@5 below the 0.5 gate floor: $trained/50")
+  }
 }

@@ -241,6 +241,31 @@ class SimilaritySpec extends SparkSpec {
     assert(kept(cap = 64) == Set(1L))
   }
 
+  test("trained-quantizer IVF recall@5 >= hash-init recall@5 (the v18 re-measure)") {
+    val emb = graft.core.Tables.embeddings(spark, sf001).cache()
+    val ids = (0L until 10L).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", ids, k = 5)
+      .select($"query_id", $"neighbor_id")
+    def recallOf(idx: Similarity.IvfIndex): Long =
+      brute.intersect(
+        Similarity.ivfTopKIndexed(idx, "vec_id", "embedding", ids,
+          k = 5, nProbe = 4)
+          .select($"query_id", $"neighbor_id")).count()
+    val hashInit = recallOf(
+      Similarity.buildIvfHashInit(emb, "vec_id", "embedding", nCentroids = 16))
+    val trained = recallOf(
+      Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+        nCentroids = 16, iters = 2, dim = 64))
+    info(s"recall@5 x50: hash-init=$hashInit trained=$trained")
+    // Lloyd rounds only ever lower inertia from the hash-init seeds,
+    // so trained cells should never probe WORSE than the seeds they
+    // started from; the absolute floor mirrors the v18 gate's 0.5
+    assert(trained >= hashInit,
+      s"training lost recall: trained=$trained < hashInit=$hashInit")
+    assert(trained >= 25, s"trained recall@5 below the 0.5 gate floor: $trained/50")
+    emb.unpersist()
+  }
+
   test("int8TopK recall@5 vs float brute force is high") {
     val emb = graft.core.Tables.embeddings(spark, sf0001).cache()
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
