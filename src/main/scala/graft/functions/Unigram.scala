@@ -85,23 +85,33 @@ object Unigram {
     * per-char test both reject; fixtures are newline-free today, but
     * regens have planted surprises before — see the events.ts trap).
     */
-  private def isGateWord(w: Column): Column =
-    w.rlike("\\A[a-z]+\\z") && length(w) <= MaxWordLen
+  private def isGateWord(w: Column, maxWordLen: Int): Column = {
+    val base = w.rlike("\\A[a-z]+\\z")
+    if (maxWordLen == Int.MaxValue) base else base && length(w) <= maxWordLen
+  }
 
   /** (idCol, __pos, __w) word stream under [[isGateWord]] — one
     * spelling shared by every batch face (the Bpe.tokenizeWordsWith
     * discipline: the filter and join semantics live in one place).
+    * `maxWordLen` is the ORACLE-UNROLL cap, not an engine limit — the
+    * DP itself segments any length ([[viterbiWord]]); pass
+    * `Int.MaxValue` for the uncapped production path (r15: the cap
+    * was a silent data cut on 13+-char words; gates keep the capped
+    * fixture contract because the DuckDB replay unrolls one stage per
+    * character position).
     */
-  private def wordsOf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  private def wordsOf(df: DataFrame, idCol: String, textCol: String,
+                      maxWordLen: Int = MaxWordLen): DataFrame =
     df.select(col(idCol),
         posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
-      .filter(isGateWord(col("__w")))
+      .filter(isGateWord(col("__w"), maxWordLen))
 
-  private def wordFreqs(df: DataFrame, textCol: String): Dataset[(String, Long)] = {
+  private def wordFreqs(df: DataFrame, textCol: String,
+                        maxWordLen: Int = MaxWordLen): Dataset[(String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(explode(split(col(textCol), " ", -1)).as("__w"))
-      .filter(isGateWord(col("__w")))
+      .filter(isGateWord(col("__w"), maxWordLen))
       .groupBy(col("__w")).agg(count(lit(1)).as("f"))
       .as[(String, Long)]
   }
@@ -188,11 +198,12 @@ object Unigram {
     * docs whose every word drops) — the oracle's join semantics.
     */
   def viterbiSegment(df: DataFrame, idCol: String, textCol: String,
-                     vocab: Seq[(String, Long)]): DataFrame = {
+                     vocab: Seq[(String, Long)],
+                     maxWordLen: Int = MaxWordLen): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val lp = vocab.toMap
-    val words = wordsOf(df, idCol, textCol)
+    val words = wordsOf(df, idCol, textCol, maxWordLen)
     val segs = words.select(col("__w")).distinct().as[String]
       .flatMap { w =>
         viterbiWord(w, lp).map { case (s, _, n) => (w, s, n.toLong) }
@@ -289,12 +300,13 @@ object Unigram {
     * memoized shape.
     */
   def segmentToIds(df: DataFrame, idCol: String, textCol: String,
-                   vocab: Seq[(String, Long)]): DataFrame = {
+                   vocab: Seq[(String, Long)],
+                   maxWordLen: Int = MaxWordLen): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val lp = vocab.toMap
     val ids = pieceIds(vocab)
-    val words = wordsOf(df, idCol, textCol)
+    val words = wordsOf(df, idCol, textCol, maxWordLen)
     val segs = words.select(col("__w")).distinct().as[String]
       .flatMap { w =>
         viterbiWord(w, lp).map { case (s, _, _) =>
@@ -323,11 +335,12 @@ object Unigram {
     * distinct-word memoized shape as [[viterbiSegment]].
     */
   def docLogLik(df: DataFrame, idCol: String, textCol: String,
-                vocab: Seq[(String, Long)]): DataFrame = {
+                vocab: Seq[(String, Long)],
+                maxWordLen: Int = MaxWordLen): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val lp = vocab.toMap
-    val words = wordsOf(df, idCol, textCol)
+    val words = wordsOf(df, idCol, textCol, maxWordLen)
     val segs = words.select(col("__w")).distinct().as[String]
       .flatMap { w =>
         viterbiWord(w, lp).map { case (_, sc, n) => (w, sc, n.toLong) }
@@ -519,6 +532,56 @@ object Unigram {
        |  CAST(floor(ln(CAST(s AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 1e-4)
        |    AS BIGINT) AS lp
        |FROM sc, tot)""".stripMargin
+
+  /** [[pruneSql]] against a DATA-DEPENDENT (piece, lp) CTE defined
+    * upstream (the tk30 second EM round: the inventory to prune is
+    * itself the previous round's output, not a frozen VALUES table).
+    * Every internal stage takes `pfx` — each nesting level of a
+    * chained-EM oracle needs its own namespace (the r14
+    * Duplicate-alias trap), and the vocab reference in chars/multi
+    * joins `vocabCte` where the frozen spelling joins `v`.
+    */
+  def pruneFromVocabCteSql(src: String, text: String, vocabCte: String,
+                           keepMulti: Int, pfx: String): String =
+    s"""(WITH $pfx${w0Sql(src, "0", text)},
+       |${dpStagesFrom(vocabCte, pfx)},
+       |${pfx}wf AS (SELECT __w AS w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM ${pfx}w0 GROUP BY 1),
+       |${pfx}occ AS (SELECT f.w, u.p AS piece
+       |  FROM ${pfx}fin f CROSS JOIN LATERAL unnest(string_split(f.seg, ' ')) AS u(p)),
+       |${pfx}usage AS (SELECT o.piece, CAST(SUM(w.f) AS BIGINT) AS usage
+       |  FROM ${pfx}occ o JOIN ${pfx}wf w ON o.w = w.w GROUP BY 1),
+       |${pfx}chars AS (SELECT vv.piece, COALESCE(u.usage, CAST(0 AS BIGINT)) AS usage
+       |  FROM $vocabCte vv LEFT JOIN ${pfx}usage u ON vv.piece = u.piece
+       |  WHERE len(vv.piece) = 1),
+       |${pfx}multi AS (SELECT piece, usage FROM (
+       |    SELECT vv.piece, u.usage,
+       |      ROW_NUMBER() OVER (ORDER BY u.usage DESC, vv.piece) AS rn
+       |    FROM $vocabCte vv JOIN ${pfx}usage u ON vv.piece = u.piece
+       |    WHERE len(vv.piece) >= 2) z
+       |  WHERE rn <= $keepMulti)
+       |SELECT piece, usage FROM (
+       |  SELECT * FROM ${pfx}chars UNION ALL SELECT * FROM ${pfx}multi) s)""".stripMargin
+
+  /** [[emVocabSql]] against a data-dependent upstream inventory — the
+    * second (and any later) round of a chained EM oracle: prune replay
+    * under `vocabCte`, char-smoothed usage scores, nudged-floor
+    * log-probs. Yields another (piece, lp) relation, so rounds compose
+    * by alternating prefixes.
+    */
+  def emVocabFromCteSql(src: String, text: String, vocabCte: String,
+                        keepMulti: Int, pfx: String): String =
+    s"""(WITH ${pfx}pr AS MATERIALIZED (SELECT piece, usage
+       |  FROM ${pruneFromVocabCteSql(src, text, vocabCte, keepMulti, pfx)} p),
+       |${pfx}sc AS MATERIALIZED (SELECT piece,
+       |    CAST(CASE WHEN len(piece) = 1 THEN usage + 1 ELSE usage END
+       |      AS BIGINT) AS s
+       |  FROM ${pfx}pr),
+       |${pfx}tot AS MATERIALIZED (SELECT CAST(SUM(s) AS BIGINT) AS t FROM ${pfx}sc)
+       |SELECT piece,
+       |  CAST(floor(ln(CAST(s AS DOUBLE) / CAST(t AS DOUBLE)) * 1e6 + 1e-4)
+       |    AS BIGINT) AS lp
+       |FROM ${pfx}sc, ${pfx}tot)""".stripMargin
 
   /** [[viterbiSql]] against a (piece, lp) CTE defined UPSTREAM of this
     * subquery (tk29: the EM round's data-dependent inventory).

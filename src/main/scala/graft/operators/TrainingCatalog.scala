@@ -970,6 +970,26 @@ object TrainingCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // TK30 — the EM loop ITERATED (tk29's stated next rung): two
+    // chained emRounds then re-segmentation. Round 2 prunes and
+    // re-estimates the ROUND-1 inventory — a data-dependent input, so
+    // the oracle chains emVocabSql → emVocabFromCteSql (a second full
+    // prune-DP replay joining v2 instead of a frozen VALUES table,
+    // g-prefixed stage names — each nesting level of the chain gets
+    // its own namespace, the r14 CTE-alias discipline) → a third DP
+    // unroll for the final segmentation. UnigramSpec asserts the
+    // Viterbi corpus log-likelihood is non-decreasing round 1 → 2
+    // (hard-EM re-estimation maximizes the complete-data objective
+    // the segmentation then re-maximizes)
+    "tk30_unigram_em2" -> ((spark, dir) => {
+      val d = docsWithUnigramPlants(spark, dir)
+      val u = graft.functions.Unigram
+      val v2 = u.emRound(d, "text", u.FrozenVocab, keepMulti = 12)
+      val v3 = u.emRound(d, "text", v2, keepMulti = 12)
+      u.viterbiSegment(d, "doc_id", "text", v3)
+        .orderBy(col("doc_id"))
+    }),
+
     // TK17 — DEEP training (260 merges, a production-depth prefix):
     // the incremental trainer runs 260 rounds over the planted LCG
     // corpus and must reproduce the frozen table exactly. learnBytesSql
@@ -2212,6 +2232,24 @@ object TrainingCatalog {
          |SELECT doc_id, n_pieces, ll_q, avg_lp
          |FROM ${graft.functions.Unigram.docLogLikSql("uniaug", "doc_id",
                "text", graft.functions.Unigram.FrozenVocab)} q
+         |ORDER BY doc_id""".stripMargin,
+
+    // two chained EM rounds: v2 = emVocabSql under the frozen seed,
+    // v3 = emVocabFromCteSql joining v2 (g-prefixed stages), final
+    // segmentation = the e-prefixed third unroll joining v3. All
+    // three MATERIALIZED — each is referenced from every stage of the
+    // next replay (the m15 re-evaluation trap)
+    "tk30_unigram_em2" ->
+      s"""WITH $unigramAugSql,
+         |v2 AS MATERIALIZED (SELECT piece, lp
+         |  FROM ${graft.functions.Unigram.emVocabSql("uniaug", "text",
+               graft.functions.Unigram.FrozenVocab, keepMulti = 12)} e),
+         |v3 AS MATERIALIZED (SELECT piece, lp
+         |  FROM ${graft.functions.Unigram.emVocabFromCteSql("uniaug", "text",
+               "v2", keepMulti = 12, pfx = "g")} e2)
+         |SELECT doc_id, n_words, n_pieces, piece_text
+         |FROM ${graft.functions.Unigram.viterbiFromVocabCteSql("uniaug",
+               "doc_id", "text", "v3")} q
          |ORDER BY doc_id""".stripMargin,
 
     "tk27_unigram_fertility" ->

@@ -193,6 +193,60 @@ class UnigramSpec extends SparkSpec {
     assert(ids2 == ids1)
   }
 
+  test("iterated EM (tk30): corpus Viterbi log-likelihood non-decreasing round 1 -> 2") {
+    val docs = graft.core.Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text"))
+    val v2 = Unigram.emRound(docs, "text", Unigram.FrozenVocab, keepMulti = 12)
+    val v3 = Unigram.emRound(docs, "text", v2, keepMulti = 12)
+    // same drop rules both rounds (chars always kept, keepMulti fixed)
+    // ⇒ word coverage identical, so the summed ll_q is comparable;
+    // hard-EM re-estimation maximizes the complete-data objective the
+    // re-segmentation then re-maximizes, so LL must not fall
+    def corpusLl(v: Seq[(String, Long)]): Long =
+      Unigram.docLogLik(docs, "doc_id", "text", v)
+        .agg(sum(col("ll_q"))).as[Long].head()
+    val ll2 = corpusLl(v2)
+    val ll3 = corpusLl(v3)
+    info(s"corpus ll_q: round1=$ll2 round2=$ll3")
+    assert(ll3 >= ll2, s"EM round 2 decreased corpus log-likelihood: $ll3 < $ll2")
+    // and the round-2 inventory still covers every round-1 doc
+    assert(Unigram.viterbiSegment(docs, "doc_id", "text", v3).count() ==
+      Unigram.viterbiSegment(docs, "doc_id", "text", v2).count())
+  }
+
+  test("maxWordLen lift: 13-25-char words segment on the uncapped path, drop on the gate path") {
+    // letters drawn from the frozen single-char inventory (no x/z), so
+    // every word HAS a path; lengths straddle and exceed MaxWordLen
+    val longWords = Seq(
+      "customerjoins",            // 13
+      "filterwindowsort",         // 16
+      "mergesortcustomerjoin",    // 21
+      "windowcustomerfilterjoin") // 24
+    longWords.foreach(w => assert(w.length > Unigram.MaxWordLen))
+    val df = longWords.zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    // gate path (oracle-unroll cap): every word drops
+    assert(Unigram.viterbiSegment(df, "doc_id", "text",
+      Unigram.FrozenVocab).count() == 0)
+    // uncapped production path: every word segments, and each doc's
+    // result equals the pure DP on its word
+    val out = Unigram.viterbiSegment(df, "doc_id", "text",
+      Unigram.FrozenVocab, maxWordLen = Int.MaxValue)
+      .orderBy(col("doc_id"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.size == longWords.size)
+    val lp = Unigram.FrozenVocab.toMap
+    longWords.zipWithIndex.foreach { case (w, i) =>
+      val (seg, _, n) = Unigram.viterbiWord(w, lp).get
+      assert(out(i) == ((i.toLong, 1L, n.toLong, seg)), s"word $w")
+    }
+    // ids and log-lik faces honor the same lift
+    assert(Unigram.segmentToIds(df, "doc_id", "text", Unigram.FrozenVocab,
+      maxWordLen = Int.MaxValue).count() == longWords.size)
+    assert(Unigram.docLogLik(df, "doc_id", "text", Unigram.FrozenVocab,
+      maxWordLen = Int.MaxValue).count() == longWords.size)
+  }
+
   test("vocab artifact round-trips: save -> load -> segment == segment") {
     val dir = graft.core.Staging.tmpDir("unigram_vocab_artifact")
     Unigram.saveVocab(spark, Unigram.FrozenVocab, dir)
