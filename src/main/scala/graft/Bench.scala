@@ -77,6 +77,7 @@ object Bench {
       "unigram_segment" -> (() => Pipelines.unigramSegment(spark, sfDir)),
       "kmeans_train" -> (() => Pipelines.kmeansTrain(spark, sfDir)),
       "image_neardup" -> (() => Pipelines.imageNearDup(spark, sfDir)),
+      "audio_neardup" -> (() => Pipelines.audioNearDup(spark, sfDir)),
       "tokenized_export" -> (() => Pipelines.tokenizedExport(spark, sfDir)),
       "packed_export" -> (() => Pipelines.packedExport(spark, sfDir)),
       "corpus_export" -> (() => Pipelines.corpusExport(spark, sfDir)),

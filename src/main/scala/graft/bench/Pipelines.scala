@@ -333,6 +333,19 @@ object Pipelines {
         .withColumnRenamed("dhash", "simhash"),
       "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
 
+  /** Audio near-dup candidate pipeline (m16/m17's cost shape) over the
+    * gate's OWN fixture generator: WAV decode → frame-energy sign hash
+    * (shuffle-free map work) → chain-capped banding join → exact
+    * hamming pairs. Same plan skeleton as [[imageNearDup]] — the third
+    * modality of the one dedup recipe.
+    */
+  def audioNearDup(spark: SparkSession, sfDir: String): DataFrame =
+    graft.dedup.TextDedup.simhashCandidates(
+      graft.multimodal.BinaryOps.audioHashes(
+        graft.operators.StreamMediaCatalog.audioPayloads(spark, sfDir)).toDF()
+        .withColumnRenamed("ahash", "simhash"),
+      "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
+
   /** Model-ready token-shard export: quality gate → BPE token IDS →
     * fixed 128-token sequence windows (the shape a dataloader maps
     * straight into a training batch). The window fan-out is a map-side

@@ -277,6 +277,73 @@ object BinaryOps {
       })
   }
 
+  // ===== perceptual audio hashing (frame-energy sign hash) =====
+
+  final case class AudioHashRow(doc_id: Long, ahash: String)
+
+  /** 64-bit frame-energy DIFFERENCE hash of decoded PCM — [[dHash]]'s
+    * recipe turned to audio (the m13–m15 dedup matrix closing its
+    * third modality): the first 65·`frameLen` samples split into 65
+    * frames, per-frame energy = Σ s² as an exact int64 (|s| ≤ 32768 ⇒
+    * s² ≤ 2³⁰; a frame sum is orders of magnitude under 2⁶³), and
+    * bit i = energy(i+1) > energy(i) — 64 ordered comparisons.
+    * Uniform GAIN cancels exactly like brightness does for dHash:
+    * scaling every sample by g scales every energy by g², and
+    * g²e₁ > g²e₀ ⇔ e₁ > e₀ — which is why energy-difference signs
+    * beat raw-byte fingerprints for re-encoded/normalized audio.
+    * Clips shorter than 65·frameLen pad with silence (zero samples);
+    * multi-channel audio hashes the interleaved stream (per-channel
+    * variants are a caller-side `samples` slice). All arithmetic is
+    * integer-exact, so the hash is SQL-replayable — the m16 oracle
+    * restates the fixture's sample formula and this fold verbatim.
+    *
+    * Emitted as a 64-char bit STRING so it plugs straight into the
+    * SimHash pigeonhole banding machinery
+    * ([[graft.dedup.TextDedup.simhashCandidates]], bits = 64) — audio
+    * near-dup at corpus scale rides the same equi-join plan shape as
+    * text SimHash and image dHash.
+    */
+  def audioHash(audio: WavAudio, frameLen: Int = 4): String = {
+    require(frameLen > 0, s"frameLen must be positive: $frameLen")
+    def energy(f: Int): Long = {
+      var e = 0L
+      var j = f * frameLen
+      val end = (f + 1) * frameLen
+      while (j < end) {
+        val s = if (j < audio.samples.length) audio.samples(j).toLong else 0L
+        e += s * s
+        j += 1
+      }
+      e
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var prev = energy(0)
+    var i = 1
+    while (i <= 64) {
+      val cur = energy(i)
+      sb.append(if (cur > prev) '1' else '0')
+      prev = cur
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Partition-batched [[audioHash]] over a (doc_id, payload) binary
+    * table: real WAV decode → hash; malformed payloads drop (the
+    * [[decodeWav]] contract). Pure per-row map work like [[dHashes]] —
+    * the banding join downstream is the pipeline's only exchange.
+    */
+  def audioHashes(media: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload"): Dataset[AudioHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWav(payload).map(a => AudioHashRow(id, audioHash(a)))
+      })
+  }
+
   // ===== REAL codec: PNG (8-bit RGB, non-interlaced) =====
   // A genuinely COMPRESSED format handled for real: DEFLATE and CRC32
   // come from java.util.zip (JDK-only), chunk framing and the five

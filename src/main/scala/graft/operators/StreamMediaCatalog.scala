@@ -163,6 +163,65 @@ object StreamMediaCatalog {
        |pairs AS (SELECT DISTINCT a_id, b_id, $hamming AS hamming FROM cand)""".stripMargin
   }
 
+  // ---- audio perceptual-hash fixtures (m16/m17 + the bench entry) ----
+  // One mono 16-bit PCM WAV per doc, 260 samples (65 frames × 4), each
+  // sample a nonlinear integer formula of (src, j) — nonlinear in j so
+  // frame energies (and hence hashes) are near-unique across docs.
+  // Every 7th doc also emits a NEAR-DUP variant at id+8.5e6: the same
+  // clip with samples 0 and 9 perturbed (+40000 pre-mod). Sample 0
+  // lives in frame 0 (flips at most comparison bit 0), sample 9 in
+  // frame 2 (bits 1 and 2) — hamming ≤ 3, inside the gate's band
+  // budget, and all flips land in band 0 so bands 1–3 still match.
+  // Same construction on both engines; shared with the bench entry.
+  private[graft] val AudioVariantOffset = 8500000L
+
+  private def audioSample(src: Long, j: Int, pert: Boolean): Short = {
+    val bump = if (pert && (j == 0 || j == 9)) 40000L else 0L
+    (((src * 31 + j.toLong * j * 7 + j.toLong * 13 + bump) % 65536L)
+      - 32768L).toShort
+  }
+
+  /** The m16 fixture clip for one source id — the single source of
+    * truth for the gate/bench corpus (the dhashImage discipline).
+    */
+  private[graft] def audioClip(src: Long, pert: Boolean): Array[Byte] =
+    BinaryOps.encodeWav(8000, 1,
+      Array.tabulate(260)(j => audioSample(src, j, pert)))
+
+  private[graft] def audioPayloads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    ids.map(id => (id, audioClip(id, pert = false)))
+      .union(ids.filter(_ % 7 == 0)
+        .map(id => (id + AudioVariantOffset, audioClip(id, pert = true))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** DuckDB replay of the full m16 chain — fixture sample formula →
+    * per-frame int64 energy sums → 64 ordered comparison bits. Ends in
+    * `hashes(doc_id, dhash)` so [[dhashPairsCtes]] (banding + chain
+    * cap + hamming) composes verbatim, and `ad` is the id universe for
+    * the components CTE.
+    */
+  private def audioHashOracleCte: String =
+    s"""ad AS (SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $AudioVariantOffset, doc_id AS src, 1 AS pert
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |asam AS (SELECT doc_id, j.j // 4 AS f,
+       |    ((src * 31 + j.j * j.j * 7 + j.j * 13
+       |      + CASE WHEN pert = 1 AND (j.j = 0 OR j.j = 9)
+       |             THEN 40000 ELSE 0 END) % 65536) - 32768 AS s
+       |  FROM ad CROSS JOIN LATERAL unnest(range(0, 260)) AS j(j)),
+       |aen AS (SELECT doc_id, f, CAST(SUM(s * s) AS BIGINT) AS e
+       |  FROM asam GROUP BY doc_id, f),
+       |hashes AS (SELECT a.doc_id,
+       |    string_agg(CASE WHEN b.e > a.e THEN '1' ELSE '0' END, ''
+       |               ORDER BY a.f) AS dhash
+       |  FROM aen a JOIN aen b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+       |  WHERE a.f < 64
+       |  GROUP BY a.doc_id)""".stripMargin
+
   private def adpcmFixture(id: Long): Array[Byte] = {
     val nBlocks = 1 + (id % 3).toInt
     val blocks = (0 until nBlocks).map { b =>
@@ -345,6 +404,32 @@ object StreamMediaCatalog {
       val pairs = graft.dedup.TextDedup.simhashCandidates(
         BinaryOps.dHashes(payloads).toDF()
           .withColumnRenamed("dhash", "simhash"),
+        "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
+      graft.dedup.Components.connectedComponentsLogStar(
+        pairs, payloads.select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // M16 — frame-energy sign hash over REAL decoded WAV PCM: decode →
+    // 65 frames × 4 samples → exact int64 energy sums → 64 comparison
+    // bits (dHash's recipe turned to audio; gain-invariant because a
+    // uniform g scales every energy by g²). The oracle replays the
+    // whole chain arithmetically from the sample formula.
+    "m16_audio_hash" -> ((spark, dir) =>
+      BinaryOps.audioHashes(audioPayloads(spark, dir)).toDF()
+        .orderBy(col("doc_id"))),
+
+    // M17 — the audio-dedup loop CLOSED (text ✓ image ✓ audio ✓): WAV
+    // corpus → energy hash → banded near-dup pairs (the m14 pigeonhole
+    // + bucket-cap machinery, verbatim — the hash is a 64-bit string
+    // by construction) → LOG-STAR connected components (the m15
+    // routing rule: capped-bucket boundary edges can chain, min-label
+    // cannot be trusted with the diameter)
+    "m17_audio_components" -> ((spark, dir) => {
+      val payloads = audioPayloads(spark, dir)
+      val pairs = graft.dedup.TextDedup.simhashCandidates(
+        BinaryOps.audioHashes(payloads).toDF()
+          .withColumnRenamed("ahash", "simhash"),
         "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
       graft.dedup.Components.connectedComponentsLogStar(
         pairs, payloads.select(col("doc_id")), "doc_id")
@@ -1492,6 +1577,23 @@ object StreamMediaCatalog {
          |$dhashPairsCtes,
          |fp AS (SELECT a_id, b_id FROM pairs WHERE hamming <= 3),
          |${graft.dedup.Components.Sql.componentsCtes("fp", "d", "doc_id")}
+         |SELECT id AS doc_id, comp FROM comps ORDER BY doc_id""".stripMargin,
+
+    // the m16 sample formula replayed end-to-end; bit-string column
+    // emitted as `ahash` to match the engine's AudioHashRow
+    "m16_audio_hash" ->
+      s"""WITH $audioHashOracleCte
+         |SELECT doc_id, dhash AS ahash FROM hashes ORDER BY doc_id""".stripMargin,
+
+    // the full audio-dedup loop: energy hashes → the SHARED banding /
+    // chain-cap / hamming CTEs (dhashPairsCtes reads `hashes(doc_id,
+    // dhash)` — the audio CTE ends in exactly that shape) → the
+    // recursive-CTE components fixpoint over the `ad` universe
+    "m17_audio_components" ->
+      s"""WITH RECURSIVE $audioHashOracleCte,
+         |$dhashPairsCtes,
+         |fp AS (SELECT a_id, b_id FROM pairs WHERE hamming <= 3),
+         |${graft.dedup.Components.Sql.componentsCtes("fp", "ad", "doc_id")}
          |SELECT id AS doc_id, comp FROM comps ORDER BY doc_id""".stripMargin,
 
     // the same (doc_id, x, y, channel) formula restated in SQL; column

@@ -552,4 +552,33 @@ class BinaryOpsSpec extends SparkSpec {
     badIdx(62) = 120.toByte // block 0 header stepIndex > 88
     assert(BinaryOps.decodeWavIma(badIdx).isEmpty)
   }
+
+  test("audioHash: 64 bits, gain-invariant, silence-padded, hamming-local perturbation") {
+    def clip(f: Int => Short, n: Int = 260) =
+      BinaryOps.WavAudio(8000, 1, Array.tabulate(n)(f))
+    val base = clip(j => ((j * j * 7 + j * 13) % 65536 - 32768).toShort)
+    val h = BinaryOps.audioHash(base)
+    assert(h.length == 64 && h.forall(c => c == '0' || c == '1'))
+    // uniform gain cancels: g² scales every frame energy equally
+    // (int division truncates, so build the pair as x vs 2x exactly)
+    val half = clip(j => (base.samples(j) / 4).toShort)
+    val twice = clip(j => (half.samples(j) * 2).toShort)
+    assert(BinaryOps.audioHash(half) == BinaryOps.audioHash(twice))
+    // a short clip pads with silence: explicit zeros == implicit pad
+    val short = clip(j => base.samples(j), n = 100)
+    val padded = clip(j => if (j < 100) base.samples(j) else 0.toShort)
+    assert(BinaryOps.audioHash(short) == BinaryOps.audioHash(padded))
+    // perturbing one sample in frame k can flip only bits k-1 and k
+    val pert = clip(j => if (j == 9) 12345.toShort else base.samples(j))
+    val hp = BinaryOps.audioHash(pert)
+    val flipped = h.zip(hp).zipWithIndex.collect { case ((a, b), i) if a != b => i }
+    assert(flipped.forall(i => i == 1 || i == 2), s"flipped bits $flipped")
+    // malformed payloads drop from the batched face (decodeWav contract)
+    import spark.implicits._
+    val media = Seq(
+      (1L, BinaryOps.encodeWav(8000, 1, base.samples)),
+      (2L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val out = BinaryOps.audioHashes(media).collect()
+    assert(out.length == 1 && out.head.doc_id == 1L && out.head.ahash == h)
+  }
 }
