@@ -848,6 +848,27 @@ object StreamMediaCatalog {
         .orderBy(col("term"), col("block"))
     }),
 
+    // E38 — STREAMING INDEX REMOVAL (ii7's face, e22's other
+    // direction): the full-corpus store bootstraps one-shot, then the
+    // takedown set (every 3rd doc) arrives as 3 disjoint files → 3
+    // removal micro-batches folding via indexRemove (untouched terms
+    // pass through verbatim each fold). The churned final store must
+    // equal a clean rebuild on the SURVIVORS — ii7's own oracle.
+    "e38_stream_index_remove" -> ((spark, dir) => {
+      val in = graft.core.Staging.tmpDir("stream_idx_rm_in")
+      val d = Tables.documents(spark, dir)
+      val store = graft.functions.InvertedIndex.postingsExport(
+        d, "doc_id", "text", nShards = 8, blockSize = 16)
+      val removals = d.filter(col("doc_id") % 3 === 0)
+      for (r <- Seq(0, 3, 6))
+        removals.filter(pmod(col("doc_id"), lit(9)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      graft.streaming.DocStream.indexRemoveFold(store,
+        graft.streaming.DocStream.readOneFilePerTrigger(spark, in),
+        "doc_id", "text", nShards = 8, blockSize = 16)
+        .orderBy(col("term"), col("block"))
+    }),
+
     // E30 — STREAMING RETRIEVAL: the serving half over the maintained
     // index. The e22 fold keeps postings current per micro-batch; this
     // gate SERVES an ii2-style BM25 top-k query against the drained
@@ -1503,6 +1524,15 @@ object StreamMediaCatalog {
       s"""SELECT shard, term, df, block, block_df, postings
          |FROM ${graft.functions.InvertedIndex.postingsSql(
              "documents", "doc_id", "text", nShards = 8, blockSize = 16)} q
+         |ORDER BY term, block""".stripMargin,
+
+    // streamed takedowns must reproduce a clean SURVIVOR rebuild —
+    // ii7's oracle, unchanged
+    "e38_stream_index_remove" ->
+      s"""SELECT shard, term, df, block, block_df, postings
+         |FROM ${graft.functions.InvertedIndex.postingsSql(
+             "(SELECT * FROM documents WHERE doc_id % 3 <> 0) dsrc",
+             "doc_id", "text", nShards = 8, blockSize = 16)} q
          |ORDER BY term, block""".stripMargin,
 
     // identical admission semantics through the PERSISTED, APPENDED

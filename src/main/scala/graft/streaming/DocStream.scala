@@ -596,6 +596,32 @@ object DocStream {
     store
   }
 
+  /** Streaming TAKEDOWNS — ii7's face, [[indexAppendFold]]'s other
+    * direction (e38): removal batches arrive as the removed documents'
+    * (id, text) forward records — the store's deletion contract — and
+    * fold through [[graft.functions.InvertedIndex.indexRemove]] one
+    * micro-batch at a time. Each fold touches only the arriving docs'
+    * terms (untouched postings pass through verbatim, the same
+    * O(affected) proof as the batch path); `localCheckpoint` truncates
+    * lineage so the plan never replays prior batches. An empty stream
+    * legitimately returns the store unchanged (no removals arrived).
+    *
+    * Returns the FINAL store after the stream drains; the e38 gate
+    * holds it to a clean survivor rebuild on ii1's oracle — takedowns
+    * during ingestion must equal a from-scratch build without the
+    * removed docs.
+    */
+  def indexRemoveFold(store: DataFrame, removalStream: DataFrame,
+                      idCol: String, textCol: String,
+                      nShards: Int = 8, blockSize: Int = 16): DataFrame = {
+    var acc = store.localCheckpoint()
+    EventStream.runForeachBatch(removalStream, (batch, _) => {
+      acc = graft.functions.InvertedIndex.indexRemove(
+        acc, batch, idCol, textCol, nShards, blockSize).localCheckpoint()
+    })
+    acc
+  }
+
   /** One (doc_id, payload) binary file per micro-batch — the media
     * sibling of [[readOneFilePerTrigger]], the ingestion cadence for
     * payload-store folds.

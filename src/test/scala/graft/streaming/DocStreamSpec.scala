@@ -259,6 +259,85 @@ class DocStreamSpec extends graft.SparkSpec {
     assert(rows(folded).nonEmpty)
   }
 
+  test("streaming index removal fold equals a clean survivor rebuild (e38 semantics)") {
+    val src = stageTwoBatches()
+    val all = spark.read.parquet(src).select($"doc_id", $"text")
+    val store = graft.functions.InvertedIndex.postingsExport(
+      all, "doc_id", "text", nShards = 4, blockSize = 2)
+    // remove docs 1 and 3 — one per file, so BOTH micro-batches do
+    // real removal work and shared terms ("the") recut twice
+    val churned = DocStream.indexRemoveFold(store,
+      DocStream.readOneFilePerTrigger(spark, src)
+        .filter($"doc_id" =!= 2L),
+      "doc_id", "text", nShards = 4, blockSize = 2)
+    val survivors = graft.functions.InvertedIndex.postingsExport(
+      all.filter($"doc_id" === 2L), "doc_id", "text",
+      nShards = 4, blockSize = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"term", $"df", $"block", $"block_df", $"postings")
+        .as[(String, Long, Long, Long, String)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows(churned) == rows(survivors))
+    assert(rows(churned).nonEmpty)
+  }
+
+  test("index fold survives a kill-and-restart from its checkpoint (exactly-once)") {
+    // the r15 crash-restart proof: process batch 0, STOP the query
+    // (the crash), land more files, restart a NEW query on the SAME
+    // checkpoint — the resumed stream must deliver only the unseen
+    // files (no batch-0 replay: a re-delivered file would double-fold
+    // through indexAppend's disjoint-id contract and break equality
+    // with the one-shot build).
+    val in = graft.core.Staging.tmpDir("docstream_ckpt_in")
+    val ckpt = graft.core.Staging.tmpDir("docstream_ckpt")
+    def file(id: Long, text: String) =
+      Seq((id, text, "en", "src0", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(in)
+    file(1L, "the quick brown fox jumps over the lazy dog")
+    var store: org.apache.spark.sql.DataFrame = null
+    val seenBatches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = {
+      val q = DocStream.readOneFilePerTrigger(spark, in)
+        .select($"doc_id", $"text")
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!batch.isEmpty) {
+            seenBatches += id
+            store = (if (store == null)
+              graft.functions.InvertedIndex.postingsExport(
+                batch, "doc_id", "text", nShards = 4, blockSize = 2)
+            else
+              graft.functions.InvertedIndex.indexAppend(
+                store, batch, "doc_id", "text", nShards = 4, blockSize = 2))
+              .localCheckpoint()
+          }
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run() // batch 0 only
+    assert(seenBatches.toSeq == Seq(0L))
+    // crash window: two more files land while the query is down
+    file(2L, "a fine day for training data with the usual tokens")
+    file(3L, "the market of brown tokens and lazy data")
+    run() // restart from the checkpoint — must resume at the new files
+    assert(seenBatches.toSeq == Seq(0L, 1L, 2L),
+      s"checkpoint replayed or skipped batches: $seenBatches")
+    val oneShot = graft.functions.InvertedIndex.postingsExport(
+      spark.read.parquet(in).select($"doc_id", $"text"),
+      "doc_id", "text", nShards = 4, blockSize = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"term", $"df", $"block", $"block_df", $"postings")
+        .as[(String, Long, Long, Long, String)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows(store) == rows(oneShot))
+    assert(rows(store).nonEmpty)
+  }
+
   test("streaming containment admission equals the batch admission over the same files") {
     val src = stageTwoBatches()
     import graft.dedup.TextDedup
