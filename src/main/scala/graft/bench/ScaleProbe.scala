@@ -150,6 +150,75 @@ object ScaleProbe {
         docs.unpersist()
         spark.catalog.clearCache()
       }
+      // UNIGRAM EM ROUND (r15): same multiplied corpus recipe as the
+      // segment arm (≤10-char bases suffixed, distinct-word table
+      // grows m×). One emRound = one prune-usage census over the
+      // distinct-word DP + a model-sized collect; expected linear in
+      // m (the DP memoization + one agg, the segment arm's shape).
+      if (enabled("unigram_em")) {
+        val docs = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", m, 10000000L)
+          .withColumn("text",
+            regexp_replace(col("text"), lit("(?<!\\S)(\\S{1,10})(?!\\S)"),
+              concat(lit("$1c"),
+                translate(expr("doc_id div 10000000").cast("string"),
+                  "0123456789", "abcdefghij"))))
+          .repartition(64).cache()
+        docs.count()
+        time(s"unigram_em x$m") {
+          graft.functions.Unigram.emRound(docs, "text",
+            graft.functions.Unigram.FrozenVocab, keepMulti = 12).size.toLong
+        }
+        docs.unpersist()
+        spark.catalog.clearCache()
+      }
+      // SEMANTIC DECONTAMINATION (dc3's engine face, r15): corpus
+      // grows m× against a FROZEN probe set (the novelty_admit shape —
+      // the eval set is fixed at release time, the corpus is the
+      // 100 TB side). Probes broadcast once; corpus rows stream
+      // map-side through the probe cross into one per-id max.
+      // Expected: linear in m, flat in everything else.
+      if (enabled("semdecon")) {
+        val probes = Tables.embeddings(spark, sfDir)
+          .filter(col("vec_id") % 41 === 0)
+          .select(col("embedding")).cache()
+        probes.count()
+        val emb = multiply(
+          Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", m, 10000000L)
+          .repartition(64).cache()
+        emb.count()
+        time(s"semantic_decontam x$m") {
+          graft.dedup.Decontam.semanticProfile(emb, probes,
+            "vec_id", "embedding", tau = 0.995).count()
+        }
+        probes.unpersist()
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
+      // BATCHED BPE merge selection (r15): rounds-per-merge is the
+      // claim — the batched trainer must take strictly fewer census
+      // snapshots than merges (the sequential trainers pay exactly
+      // one). rows= prints the ROUND count for the curve.
+      if (enabled("bpe_batched")) {
+        val docs = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", m, 10000000L)
+          .withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1c"),
+                expr("doc_id div 10000000").cast("string"))))
+          .repartition(64).cache()
+        docs.count()
+        for (r <- Seq(32, 64)) time(s"bpe_batched r$r x$m (rows=rounds)") {
+          graft.functions.Bpe.trainBytesBatchedWithStats(
+            docs, "text", r, batchCap = 32)._2.toLong
+        }
+        docs.unpersist()
+        spark.catalog.clearCache()
+      }
       // LLOYD'S K-MEANS: corpus grows m× (ids offset), model size
       // fixed (k=8, 3 rounds). Expected: linear — per round one
       // broadcast of k centroids across the corpus plus one

@@ -393,6 +393,165 @@ object Bpe {
     merges.result()
   }
 
+  /** Batched merge selection — [[trainIncremental]]'s job-LATENCY fix
+    * (the r14 verdict's #3): greedy BPE pays one sequential Spark job
+    * per merge because each pick depends on the census after the last;
+    * a 32k-merge production vocab is ~32k sequential jobs even though
+    * each is cheap. This trainer selects UP TO `batchCap` merges from
+    * ONE census snapshot per round and folds their deltas together —
+    * byte-for-byte the same merge sequence as [[train]] (BpeSpec pins
+    * char/byte/deep parity), because the batch is only ever a prefix
+    * of the rank order that is PROVABLY order-equivalent to sequential
+    * picks:
+    *
+    *  - the batch is the maximal safe PREFIX of the (cnt DESC, x, y)
+    *    sorted census — never skip-and-continue: a skipped row would
+    *    still outrank later picks sequentially unless its count
+    *    actually fell, which a snapshot cannot know;
+    *  - picks are pairwise SYMBOL-DISJOINT, so no pick's count moves
+    *    before its turn (an occurrence of (u,v) is consumed only by a
+    *    merge whose pair shares u or v);
+    *  - every pick's created string x+y must be FRESH — not equal to
+    *    any symbol the vocabulary can contain (initial symbols are
+    *    single units, every multi-unit symbol is the concatenation of
+    *    some accepted merge, so the driver-side created-strings set is
+    *    the complete inventory) and distinct within the batch: fresh
+    *    creations mean additions only ever land on NEW pairs
+    *    containing the fresh symbol, never on existing census rows
+    *    (the first-id-wins collision class that breaks naive
+    *    batching);
+    *  - each created occurrence of a fresh pair maps to an original
+    *    adjacency touching the pick's symbols — a NON-pick census row
+    *    (symbol-sharing rows can't be picks), so its count is ≤ the
+    *    first non-batched row's count; trimming the batch to a STRICT
+    *    count boundary (c_N > c_tail) makes every pick outrank every
+    *    possible creation. When the guard-walk consumed the whole
+    *    collected census (no tail), symbol-sharing rows don't exist,
+    *    so there is nothing to preempt and no trim is needed.
+    *
+    * Under those guards, at step l the true census argmax is exactly
+    * pick l: rows above it are the already-merged picks (count 0),
+    * non-pick rows only ever lose count, and fresh-pair rows sit
+    * strictly below. Worst case the batch is a single pick — the
+    * plain sequential argmax — so progress and exactness never
+    * degrade; ties at the snapshot edge just shrink the batch.
+    * ScaleProbe's `bpe_batched` arm measures rounds/merge (< 1 from
+    * the early, heavy-tailed rounds where batching pays).
+    */
+  def trainIncrementalBatched(df: DataFrame, textCol: String, nMerges: Int,
+                              batchCap: Int = 32): Vector[(String, String)] =
+    trainBatchedOnWords(wordsOfCol(df, textCol), nMerges, codePointSyms,
+      batchCap)._1
+
+  /** Byte-level [[trainIncrementalBatched]]. */
+  def trainBytesIncrementalBatched(df: DataFrame, textCol: String,
+                                   nMerges: Int,
+                                   batchCap: Int = 32): Vector[(String, String)] =
+    trainBatchedOnWords(wordsOfCol(df, textCol), nMerges, byteSyms,
+      batchCap)._1
+
+  /** [[trainBytesIncrementalBatched]] exposing the ROUND count — the
+    * ScaleProbe readout for the jobs-per-merge claim.
+    */
+  private[graft] def trainBytesBatchedWithStats(df: DataFrame, textCol: String,
+                                                nMerges: Int, batchCap: Int): (Vector[(String, String)], Int) =
+    trainBatchedOnWords(wordsOfCol(df, textCol), nMerges, byteSyms, batchCap)
+
+  private def wordsOfCol(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ", -1)).as("__w"))
+      .filter(col("__w") =!= "")
+
+  private def trainBatchedOnWords(words: DataFrame, nMerges: Int,
+                                  symbolize: String => Vector[String],
+                                  batchCap: Int): (Vector[(String, String)], Int) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(batchCap >= 1, s"batchCap must be >= 1, got $batchCap")
+    val spark = words.sparkSession
+    import spark.implicits._
+    def adjacent(syms: Seq[String]): Iterator[(String, String)] =
+      if (syms.length < 2) Iterator.empty
+      else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    var state: Dataset[(Seq[String], Long)] = words
+      .groupBy(col("__w")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) => (symbolize(w): Seq[String], f) }
+      .localCheckpoint()
+    var counts: DataFrame = state
+      .flatMap { case (syms, f) => adjacent(syms).map(p => (p._1, p._2, f)) }
+      .toDF("x", "y", "cnt")
+      .groupBy($"x", $"y").agg(sum($"cnt").as("cnt"))
+      .localCheckpoint()
+    val createdStrings = scala.collection.mutable.Set.empty[String]
+    val merges = Vector.newBuilder[(String, String)]
+    var nMerged = 0
+    var current = Vector.empty[(String, String)]
+    var rounds = 0
+    var exhausted = false
+    while (nMerged < nMerges && !exhausted) {
+      val m = math.min(batchCap, nMerges - nMerged) + 1
+      val top = counts.orderBy($"cnt".desc, $"x", $"y").limit(m)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        // guard-walk: maximal safe prefix (see scaladoc for the proof)
+        val used = scala.collection.mutable.Set.empty[String]
+        val createdBatch = scala.collection.mutable.Set.empty[String]
+        val maxPicks = if (top.length < m) top.length else m - 1
+        var k = 0
+        var batchFresh = true // every accepted pick's creation is fresh
+        var stop = false
+        while (!stop && k < maxPicks) {
+          val (x, y, _) = top(k)
+          val s = x + y
+          if (k == 0) {
+            used += x; used += y
+            batchFresh = !createdStrings(s)
+            createdBatch += s
+            k = 1
+          } else if (batchFresh && !used(x) && !used(y) &&
+            !createdStrings(s) && !createdBatch(s)) {
+            used += x; used += y
+            createdBatch += s
+            k += 1
+          } else stop = true
+        }
+        // trim to a strict count boundary against the first non-pick
+        // row; a fully-consumed census has no preemption sources
+        var n = k
+        if (n < top.length) {
+          while (n > 1 && top(n - 1)._3 <= top(n)._3) n -= 1
+        }
+        val picks = top.take(n).map { case (x, y, _) => (x, y) }.toVector
+        merges ++= picks
+        current = current ++ picks
+        createdStrings ++= picks.map { case (x, y) => x + y }
+        nMerged += n
+        val batchSet = picks.toSet
+        val ranks = ranksOf(current) // tiny closure capture, ≤ nMerges
+        val advanced = state
+          .map { case (syms, f) =>
+            if (adjacent(syms).exists(batchSet.contains))
+              (syms, applySyms(syms.toVector, ranks): Seq[String], f, true)
+            else (Seq.empty[String], syms, f, false)
+          }
+          .localCheckpoint()
+        val deltas = advanced.filter(_._4)
+          .flatMap { case (old, nw, f, _) =>
+            adjacent(old).map(p => (p._1, p._2, -f)) ++
+              adjacent(nw).map(p => (p._1, p._2, f))
+          }
+          .toDF("x", "y", "cnt")
+        counts = counts.unionByName(deltas)
+          .groupBy($"x", $"y").agg(sum($"cnt").as("cnt"))
+          .filter($"cnt" > 0)
+          .localCheckpoint()
+        state = advanced.map { case (_, nw, f, _) => (nw, f) }
+        rounds += 1
+      }
+    }
+    (merges.result(), rounds)
+  }
+
   /** Persist a merge table as parquet — the BPE model artifact a
     * release ships next to its data ((rank, x, y) rows; rank IS the
     * merge priority, so the file alone reconstructs the tokenizer).

@@ -786,6 +786,24 @@ object TrainingCatalog {
         .toDF("rank", "x", "y").orderBy(col("rank"))
     }),
 
+    // TK31 — BATCHED merge selection (r15, the per-merge job-latency
+    // fix): up to batchCap merges accepted from ONE census snapshot
+    // per round — only ever a maximal pairwise-disjoint prefix of the
+    // rank order whose created strings are fresh and whose weakest
+    // pick strictly outranks the first non-pick row (provably
+    // order-equivalent to sequential greedy; Bpe scaladoc has the
+    // argument, BpeSpec the collision-seeded parity). Must equal
+    // tk15's sequence on tk15's own oracle.
+    "tk31_bpe_batched" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.functions.Bpe.trainBytesIncrementalBatched(
+          docsWithBytePlants(spark, dir).select(col("doc_id"), col("text")),
+          "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rank", "x", "y").orderBy(col("rank"))
+    }),
+
     // TK16 — CATEGORY-pre-tokenized byte BPE (the GPT-2-class split):
     // words come from the published category pattern (contraction
     // suffixes / space-prefixed letter / digit / punctuation runs /
@@ -2120,6 +2138,14 @@ object TrainingCatalog {
          |ORDER BY rank""".stripMargin,
 
     "tk15_byte_bpe_incr" ->
+      s"""WITH byteaug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id, text FROM $bytePlantsValuesSql)
+         |SELECT rank, x, y
+         |FROM ${graft.functions.Bpe.learnBytesSql("byteaug", "text", 8)} q
+         |ORDER BY rank""".stripMargin,
+
+    // batched selection must reproduce the SEQUENTIAL replay exactly
+    "tk31_bpe_batched" ->
       s"""WITH byteaug AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id, text FROM $bytePlantsValuesSql)
          |SELECT rank, x, y

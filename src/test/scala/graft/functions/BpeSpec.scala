@@ -316,6 +316,44 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.trainBytes(corpus, "text", 64) == frozen)
   }
 
+  test("batched trainer == legacy sequence (char, byte, seeded collisions, deep) in fewer rounds") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    assert(Bpe.trainIncrementalBatched(docs, "text", 8) ==
+      Bpe.train(docs, "text", 8))
+    val withPlants = docs.unionByName(
+      graft.operators.TrainingCatalog.BytePlants
+        .toDF("doc_id", "lang", "text").select($"doc_id", $"text"))
+    assert(Bpe.trainBytesIncrementalBatched(withPlants, "text", 8) ==
+      Bpe.trainBytes(withPlants, "text", 8))
+    // the adversarial seeded corpora: short alphabets force surface
+    // collisions — exactly what the created-strings freshness guard
+    // exists for (a collision shrinks the batch, never the exactness)
+    for (seed <- Seq(11L, 23L, 47L)) {
+      var s = seed
+      val words = (0 until 40).map { i =>
+        val len = 3 + (i % 6)
+        val sb = new StringBuilder
+        for (_ <- 0 until len) {
+          s = s * 6364136223846793005L + 1442695040888963407L
+          sb += ('a' + java.lang.Math.floorMod(s >>> 33, 4L).toInt).toChar
+        }
+        Seq.fill(i % 5 + 1)(sb.result()).mkString(" ")
+      }
+      val corpus = words.toDF("text")
+      assert(Bpe.trainIncrementalBatched(corpus, "text", 12) ==
+        Bpe.train(corpus, "text", 12), s"seed $seed")
+    }
+    // deep run: the 64-merge frozen prefix, and the latency claim —
+    // strictly fewer census snapshots than merges (jobs/merge < 1)
+    val corpus = graft.operators.TrainingCatalog.deepTrainCorpus(spark)
+    val (deep, rounds) = Bpe.trainBytesBatchedWithStats(corpus, "text",
+      nMerges = 64, batchCap = 32)
+    assert(deep == graft.operators.DeepMerges.Table.take(64))
+    info(s"64 merges in $rounds batched rounds")
+    assert(rounds < 64, s"batching never amortized: $rounds rounds for 64 merges")
+  }
+
   test("trainer is deterministic and early-stops when pairs run out") {
     val tiny = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
     val m1 = Bpe.train(tiny, "text", nMerges = 8)
