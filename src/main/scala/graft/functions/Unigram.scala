@@ -284,6 +284,26 @@ object Unigram {
     }.sortBy(_._1).toVector
   }
 
+  /** The EM loop run to a fixed round budget — [[emRound]] chained
+    * `rounds` times (tk29 is one round, tk30 gates two; this is the
+    * production wrapper). Same drop rules every round (chars always
+    * kept, keepMulti fixed), so word coverage is constant and the
+    * corpus Viterbi log-likelihood is comparable — and non-decreasing
+    * — across rounds (UnigramSpec pins monotonicity per consecutive
+    * pair over a 3-round run).
+    */
+  def emTrain(df: DataFrame, textCol: String, seed: Seq[(String, Long)],
+              rounds: Int, keepMulti: Int): Vector[(String, Long)] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var v = seed.toVector
+    var t = 0
+    while (t < rounds) {
+      v = emRound(df, textCol, v, keepMulti)
+      t += 1
+    }
+    v
+  }
+
   /** Deterministic piece→id table — the model-ready vocabulary: ids
     * by (lp_q DESC, piece ASC), i.e. most probable piece gets id 0.
     * Derived from the frozen inventory on both sides (the oracle

@@ -1242,6 +1242,25 @@ object StreamMediaCatalog {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // E39 — streaming AUDIO near-dup (m16/m17's ingestion face, the
+    // e32 recipe on WAV): clips land as 3 micro-batches, the decode →
+    // energy-hash map work folds per batch, and the banded near-dup
+    // pass (global bucket stats — fold-then-serve) runs on the
+    // drained store. Stream == batch on the audio pairs oracle.
+    "e39_stream_audio_neardup" -> ((spark, dir) => {
+      val in = graft.core.Staging.tmpDir("stream_ahash_in")
+      val payloads = audioPayloads(spark, dir)
+      for (r <- 0 to 2)
+        payloads.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val hashes = graft.streaming.DocStream.audioHashFold(
+        graft.streaming.DocStream.readPayloadsOneFilePerTrigger(spark, in))
+      graft.dedup.TextDedup.simhashCandidates(
+        hashes.withColumnRenamed("ahash", "simhash"),
+        "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     "e10_stream_chunks" -> ((spark, dir) => {
       val d = java.nio.file.Paths.get(stageFixtureDir("stream_ck", dir, "documents.parquet"))
       val chunks = graft.streaming.DocStream.chunk(
@@ -1608,6 +1627,14 @@ object StreamMediaCatalog {
          |fp AS (SELECT a_id, b_id FROM pairs WHERE hamming <= 3),
          |${graft.dedup.Components.Sql.componentsCtes("fp", "d", "doc_id")}
          |SELECT id AS doc_id, comp FROM comps ORDER BY doc_id""".stripMargin,
+
+    // stream-maintained audio-hash store == one-shot, on the audio
+    // pairs replay (the e32 discipline on the m16 chain)
+    "e39_stream_audio_neardup" ->
+      s"""WITH $audioHashOracleCte,
+         |$dhashPairsCtes
+         |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // the m16 sample formula replayed end-to-end; bit-string column
     // emitted as `ahash` to match the engine's AudioHashRow

@@ -654,6 +654,25 @@ object DocStream {
     acc
   }
 
+  /** Continuous AUDIO-hash store maintenance (m16/m17's ingestion
+    * face, e39) — [[dHashFold]] with the WAV decode → frame-energy
+    * hash map work: the expensive per-clip decode runs per micro-batch
+    * as audio lands; the near-dup pass on the drained store (banding +
+    * capped pairing — GLOBAL bucket stats, so it cannot stream) starts
+    * from precomputed hashes. Same accumulate-under-localCheckpoint
+    * discipline.
+    */
+  def audioHashFold(payloadStream: DataFrame): DataFrame = {
+    var acc: DataFrame = null
+    EventStream.runForeachBatch(payloadStream, (batch, _) => {
+      val hashed = graft.multimodal.BinaryOps.audioHashes(batch).toDF()
+      acc = (if (acc == null) hashed else acc.unionAll(hashed))
+        .localCheckpoint()
+    })
+    require(acc != null, "audioHashFold: stream delivered no batches")
+    acc
+  }
+
   /** (vec_id, embedding) schema for staged embedding streams — the
     * vector sibling of [[idTextSchema]] (e35 and its specs).
     */

@@ -212,6 +212,14 @@ class UnigramSpec extends SparkSpec {
     // and the round-2 inventory still covers every round-1 doc
     assert(Unigram.viterbiSegment(docs, "doc_id", "text", v3).count() ==
       Unigram.viterbiSegment(docs, "doc_id", "text", v2).count())
+    // emTrain is exactly the chained rounds, and a third round keeps
+    // the monotone trend
+    assert(Unigram.emTrain(docs, "text", Unigram.FrozenVocab,
+      rounds = 2, keepMulti = 12) == v3)
+    val v4 = Unigram.emRound(docs, "text", v3, keepMulti = 12)
+    val ll4 = corpusLl(v4)
+    info(s"corpus ll_q: round3=$ll4")
+    assert(ll4 >= ll3, s"EM round 3 decreased corpus log-likelihood: $ll4 < $ll3")
   }
 
   test("maxWordLen lift: 13-25-char words segment on the uncapped path, drop on the gate path") {
