@@ -301,8 +301,12 @@ object Bpe {
     * Per-round cost is FLAT in the round number: one bounded argmax
     * collect (the winning pair), one map-only state advance
     * (checkpointed so lineage never accumulates), one delta fold into
-    * the pair census. The O(rounds) job-scheduling latency is inherent
-    * to greedy BPE (each merge depends on the counts after the last).
+    * the pair census. The O(rounds) job-scheduling latency of the
+    * one-merge-per-round loop is lifted by
+    * [[trainIncrementalBatched]], which accepts a provably
+    * order-equivalent PREFIX of merges per census snapshot (r15) —
+    * this sequential spelling remains the reference the batched gate
+    * is held to.
     */
   def trainIncremental(df: DataFrame, textCol: String,
                        nMerges: Int): Vector[(String, String)] =
@@ -448,6 +452,17 @@ object Bpe {
                                    nMerges: Int,
                                    batchCap: Int = 32): Vector[(String, String)] =
     trainBatchedOnWords(wordsOfCol(df, textCol), nMerges, byteSyms,
+      batchCap)._1
+
+  /** The full production trainer: BATCHED selection over the
+    * category-pre-tokenized vocabulary — [[trainBytesPretokIncremental]]'s
+    * semantics at [[trainIncrementalBatched]]'s latency (tk32 holds it
+    * to tk19's own sequential replay).
+    */
+  def trainBytesPretokIncrementalBatched(df: DataFrame, textCol: String,
+                                         nMerges: Int,
+                                         batchCap: Int = 32): Vector[(String, String)] =
+    trainBatchedOnWords(pretokWordsOf(df, textCol), nMerges, byteSyms,
       batchCap)._1
 
   /** [[trainBytesIncrementalBatched]] exposing the ROUND count — the

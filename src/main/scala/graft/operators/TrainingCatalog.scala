@@ -879,6 +879,19 @@ object TrainingCatalog {
         .toDF("rank", "x", "y").orderBy(col("rank"))
     }),
 
+    // TK32 — the FULL production trainer: batched selection over the
+    // category-pre-tokenized vocabulary (tk21's semantics at tk31's
+    // latency). Must equal the sequential pretok replay exactly.
+    "tk32_pretok_batched" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.functions.Bpe.trainBytesPretokIncrementalBatched(
+          docsWithPretokPlants(spark, dir).select(col("doc_id"), col("text")),
+          "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rank", "x", "y").orderBy(col("rank"))
+    }),
+
     // TK22 — unigram-LM SEED VOCABULARY (the SentencePiece-family
     // counterpart of tk9's BPE trainer): every ≤6-char substring of
     // every distinct [a-z]+ word, occurrence-counted with exact longs,
@@ -2187,6 +2200,14 @@ object TrainingCatalog {
 
     // incremental == legacy on the pretok vocabulary too
     "tk21_pretok_incr" ->
+      s"""WITH $pretokAugSql
+         |SELECT rank, x, y
+         |FROM ${graft.functions.Bpe.learnBytesPretokSql("pretokaug",
+               "text", 8)} q
+         |ORDER BY rank""".stripMargin,
+
+    // batched + pre-tokenized must reproduce the sequential replay
+    "tk32_pretok_batched" ->
       s"""WITH $pretokAugSql
          |SELECT rank, x, y
          |FROM ${graft.functions.Bpe.learnBytesPretokSql("pretokaug",

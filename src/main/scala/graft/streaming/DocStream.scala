@@ -191,9 +191,13 @@ object DocStream {
     * oracle (e34). Word filter ([a-z]+, length ≤
     * [[graft.functions.Unigram.MaxWordLen]]), no-path drops, and
     * empty-doc drops all mirror the batch join semantics.
+    * `maxWordLen` mirrors the batch face's r15 lift: the gate default
+    * is the oracle-unroll cap; pass `Int.MaxValue` for the uncapped
+    * production path (the per-partition DP has no length limit).
     */
   def unigramSegment(docs: DataFrame,
-                     vocab: Seq[(String, Long)]): DataFrame = {
+                     vocab: Seq[(String, Long)],
+                     maxWordLen: Int = graft.functions.Unigram.MaxWordLen): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val lp = vocab.toMap
@@ -209,7 +213,7 @@ object DocStream {
           var nP = 0L
           val sb = new StringBuilder
           text.split(" ", -1).foreach { w =>
-            if (w.nonEmpty && w.length <= graft.functions.Unigram.MaxWordLen &&
+            if (w.nonEmpty && w.length <= maxWordLen &&
                 w.forall(c => c >= 'a' && c <= 'z')) {
               var hit = memo.get(w)
               if (hit == null) {

@@ -344,6 +344,10 @@ class BpeSpec extends SparkSpec {
       assert(Bpe.trainIncrementalBatched(corpus, "text", 12) ==
         Bpe.train(corpus, "text", 12), s"seed $seed")
     }
+    // the composed production spelling: batched selection over the
+    // category-pre-tokenized vocabulary == the sequential pretok trainer
+    assert(Bpe.trainBytesPretokIncrementalBatched(withPlants, "text", 8) ==
+      Bpe.trainBytesPretok(withPlants, "text", 8))
     // deep run: the 64-merge frozen prefix, and the latency claim —
     // strictly fewer census snapshots than merges (jobs/merge < 1)
     val corpus = graft.operators.TrainingCatalog.deepTrainCorpus(spark)

@@ -253,6 +253,14 @@ class UnigramSpec extends SparkSpec {
       maxWordLen = Int.MaxValue).count() == longWords.size)
     assert(Unigram.docLogLik(df, "doc_id", "text", Unigram.FrozenVocab,
       maxWordLen = Int.MaxValue).count() == longWords.size)
+    // the streaming face mirrors the lift: uncapped stream-shaped ==
+    // uncapped batch, and the gate default still drops every long word
+    val streamUncapped = graft.streaming.DocStream.unigramSegment(
+      df, Unigram.FrozenVocab, maxWordLen = Int.MaxValue)
+      .orderBy(col("doc_id")).as[(Long, Long, Long, String)].collect().toSeq
+    assert(streamUncapped == out)
+    assert(graft.streaming.DocStream.unigramSegment(
+      df, Unigram.FrozenVocab).count() == 0)
   }
 
   test("vocab artifact round-trips: save -> load -> segment == segment") {
