@@ -1895,6 +1895,31 @@ object TrainingCatalog {
             >= 0.5).cast("int").as("recall_ge_50"))
     }),
 
+    // V20 — v13's IVF-PQ recall flag re-measured over the FULLY
+    // TRAINED composition: Lloyd-trained coarse cells × Lloyd-trained
+    // per-subspace codebooks × exact re-rank (every quantizer in the
+    // FAISS stack trained, none seed-picked). Same dials as v13
+    // (nProbe=8/16 cells, N/5 pool, 0.5 floor).
+    "v20_ivfpq_trained_recall" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cb = graft.similarity.ProductQuant.buildCodebookTrained(
+        emb, "vec_id", "embedding", m = 8, ks = 16, iters = 2, dim = 64)
+      val candidates = math.max(100L, emb.count() / 5).toInt
+      val ivfpq = graft.similarity.ProductQuant.ivfPqTopKTrained(emb,
+        "vec_id", "embedding", annQueryIds, k = 5, nCells = 16, nProbe = 8,
+        cb, candidateK = candidates, iters = 2, dim = 64)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(ivfpq.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.5).cast("int").as("recall_ge_50"))
+    }),
+
     // T13 — Okapi BM25 term scoring (retrieval-grade tf-idf upgrade:
     // tf saturation + document-length normalization), the
     // query-relevance signal for targeted corpus selection
@@ -3376,6 +3401,10 @@ object TrainingCatalog {
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 
     "v19_pq_trained_recall" ->
+      s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    "v20_ivfpq_trained_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 

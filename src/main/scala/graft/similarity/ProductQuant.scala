@@ -201,9 +201,35 @@ object ProductQuant {
     */
   def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String,
                 queryIds: Seq[Long], k: Int, nCells: Int, nProbe: Int,
-                cb: PqCodebook, candidateK: Int): DataFrame = {
+                cb: PqCodebook, candidateK: Int): DataFrame =
+    ivfPqTopKWithIndex(emb, idCol, vecCol,
+      Similarity.buildIvfHashInit(emb, idCol, vecCol, nCells),
+      queryIds, k, nProbe, cb, candidateK)
+
+  /** The FULLY-TRAINED FAISS composition (r15): Lloyd-trained coarse
+    * cells ([[Similarity.buildIvfTrained]]) × Lloyd-trained PQ
+    * codebooks ([[buildCodebookTrained]]) × exact re-rank — every
+    * quantizer in the stack trained rather than seed-picked, and
+    * still deterministic end-to-end (both trainings are oracle-exact
+    * by the km1 induction). The v20 recall flag re-measures v13 over
+    * this composition.
+    */
+  def ivfPqTopKTrained(emb: DataFrame, idCol: String, vecCol: String,
+                       queryIds: Seq[Long], k: Int, nCells: Int,
+                       nProbe: Int, cb: PqCodebook, candidateK: Int,
+                       iters: Int, dim: Int): DataFrame =
+    ivfPqTopKWithIndex(emb, idCol, vecCol,
+      Similarity.buildIvfTrained(emb, idCol, vecCol, nCells, iters, dim),
+      queryIds, k, nProbe, cb, candidateK)
+
+  /** [[ivfPqTopK]] over a CALLER-built coarse index — the shared tail
+    * of the hash-init and trained compositions.
+    */
+  def ivfPqTopKWithIndex(emb: DataFrame, idCol: String, vecCol: String,
+                         idx: Similarity.IvfIndex,
+                         queryIds: Seq[Long], k: Int, nProbe: Int,
+                         cb: PqCodebook, candidateK: Int): DataFrame = {
     require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
-    val idx = Similarity.buildIvfHashInit(emb, idCol, vecCol, nCells)
     val codes = encode(emb, idCol, vecCol, cb)
       .join(idx.assigned.select(col(idCol), col("cell")), idCol)
     // probe selection: nProbe nearest cells per query (rounded +
