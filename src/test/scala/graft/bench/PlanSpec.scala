@@ -184,6 +184,41 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("audio near-dup: hashing is shuffle-free map work up to the banding exchange") {
+    import org.apache.spark.sql.functions._
+    // the m16/m17 scale claim: WAV decode → frame energies → hash is
+    // pure per-row work (a corpus scan), so the ONLY exchanges in the
+    // whole candidate pipeline belong to the banding window + distinct
+    // — nothing corpus-shaped shuffles before the hash exists
+    val hashes = graft.multimodal.BinaryOps.audioHashes(
+      graft.operators.StreamMediaCatalog.audioPayloads(spark, sf0001)).toDF()
+    val hashPlan = hashes.queryExecution.executedPlan.toString
+    assert(!hashPlan.toLowerCase.contains("exchange"),
+      s"audio hashing should be map-only:\n$hashPlan")
+    val pairs = graft.dedup.TextDedup.simhashCandidates(
+      hashes.withColumnRenamed("ahash", "simhash"),
+      "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      pairs.collect()
+      val adaptive = pairs.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
+      val shuffles = adaptive.executedPlan
+        .collect { case s: ShuffleQueryStageExec => s }
+      // the banded table's window partitioning feeds the self-join out
+      // of the cache (the candidatePairs discipline): the only
+      // top-level shuffle is the closing distinct
+      assert(shuffles.size <= 1,
+        s"banded table re-shuffled (${shuffles.size} top-level shuffles):\n" +
+          adaptive.executedPlan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("curation cascade: end-to-end composes, stays UDF-free, produces packed sequences") {
     val out = Pipelines.curationCascade(spark, sf0001)
     val n = out.count()
