@@ -206,6 +206,32 @@ class ProductQuantSpec extends graft.SparkSpec {
     assert(tcb.slice(0, 3) == c3)
   }
 
+  test("trained artifacts ride the full index lifecycle: save -> append == frozen rebuild") {
+    // the v14 invariance holds for ANY frozen quantizer; this arm
+    // proves it with LLOYD-TRAINED centroids and codebooks, closing
+    // the loop between v16/v17 (trained artifacts) and v14 (lifecycle)
+    val tcb = ProductQuant.buildCodebookTrained(emb, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2, dim = 64)
+    val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64).centroids.localCheckpoint()
+    val base = emb.filter($"vec_id" % 3 =!= 0)
+    val extra = emb.filter($"vec_id" % 3 === 0)
+    val incDir = graft.core.Staging.tmpDir("ivfpq_trained_inc")
+    ProductQuant.saveIvfPqFrozen(base, "vec_id", "embedding", cents, tcb, incDir)
+    ProductQuant.appendToIvfPq(spark, incDir, extra, "vec_id", "embedding")
+    val fullDir = graft.core.Staging.tmpDir("ivfpq_trained_full")
+    ProductQuant.saveIvfPqFrozen(emb, "vec_id", "embedding", cents, tcb, fullDir)
+    def codes(d: String) = spark.read.parquet(s"$d/pq/codes")
+      .select($"vec_id", $"cell", $"codes".cast("array<int>"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(codes(incDir) == codes(fullDir))
+    assert(codes(incDir).nonEmpty)
+    def q(d: String) = ProductQuant.ivfPqTopKIndexed(spark, d, "vec_id",
+      "embedding", Seq(1L, 2L), 5, nProbe = 4, candidateK = 50)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(q(incDir) == q(fullDir))
+  }
+
   test("trained PQ recall@5 >= seed-pick recall@5 (the v19 re-measure)") {
     val ids = (0L until 10L).toSeq
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", ids, k = 5)
