@@ -549,6 +549,24 @@ object ScaleProbe {
           "doc_id", maxHamming = 3, bits = 64, bucketCap = 32).count()
       }
       spark.catalog.clearCache()
+      // audio near-dup (r15): same recipe over the m16 clip builder —
+      // decode + energy hashing is map-only (PlanSpec pins it), so the
+      // curve should track the banding join like the image arm's
+      if (enabled("audio")) time(s"audio_neardup x$m") {
+        val ids = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id")),
+          "doc_id", m, 10000000L)
+        import spark.implicits._
+        val payloads = ids.as[Long]
+          .map(id => (id,
+            graft.operators.StreamMediaCatalog.audioClip(id, pert = false)))
+          .toDF("doc_id", "payload")
+        TextDedup.simhashCandidates(
+          graft.multimodal.BinaryOps.audioHashes(payloads).toDF()
+            .withColumnRenamed("ahash", "simhash"),
+          "doc_id", maxHamming = 3, bits = 64, bucketCap = 32).count()
+      }
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
