@@ -1676,6 +1676,21 @@ object TrainingCatalog {
           sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
         .orderBy(col("cell"))),
 
+    // V21 — SemDeDup over LLOYD-TRAINED cells (v10 with a trained
+    // quantizer — r15): tighter cells put more true duplicates where
+    // the within-cell pair search can see them, and the km1 induction
+    // keeps the whole pass oracle-exact (trained cells replayed in
+    // SQL, then v10's pair + min-id-keep census verbatim)
+    "v21_semdedup_trained" -> ((spark, dir) =>
+      Similarity.semDedupTrained(embWithVariants(spark, dir), "vec_id",
+        "embedding", threshold = 0.9, nCentroids = 16, iters = 2,
+        dim = 64, bucketCap = 128)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("keep"), 0).otherwise(1)).as("n_dropped"),
+          sum(when(col("keep"), 1).otherwise(0)).as("n_kept"))
+        .orderBy(col("cell"))),
+
     // IVF recall audit — promotes v4's rows-only check to an oracle
     // gate: mean recall@5 of IVF probe-4 vs exact brute force must
     // clear 0.5 (measured 0.72 at sf0.01 / 0.64 at sf0.001; the margin
@@ -3214,6 +3229,37 @@ object TrainingCatalog {
          |        - 2 * ${S.dot("embedding", "centroid")}, 6), cell) AS arn
          |  FROM emba CROSS JOIN cent),
          |assigned AS (SELECT vec_id, embedding, cell FROM acell WHERE arn = 1),
+         |bs AS (SELECT cell, MIN(vec_id) AS rep_id, COUNT(*) AS bsz
+         |  FROM assigned GROUP BY cell),
+         |up AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(${S.cosine("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  JOIN bs s ON s.cell = a.cell
+         |  WHERE s.bsz <= 128
+         |  UNION ALL
+         |  SELECT LEAST(s.rep_id, m.vec_id), GREATEST(s.rep_id, m.vec_id),
+         |    round(${S.cosine("r.embedding", "m.embedding")}, 6)
+         |  FROM assigned m
+         |  JOIN bs s ON s.cell = m.cell
+         |  JOIN assigned r ON r.vec_id = s.rep_id
+         |  WHERE s.bsz > 128 AND m.vec_id <> s.rep_id),
+         |dropped AS (SELECT DISTINCT b_id FROM up WHERE cos_sim >= 0.9)
+         |SELECT CAST(cell AS INTEGER) AS cell, COUNT(*) AS n_members,
+         |  CAST(SUM(CASE WHEN d.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(CASE WHEN d.b_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM assigned LEFT JOIN dropped d ON d.b_id = assigned.vec_id
+         |GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // trained cells (the km chain over the variant corpus) + v10's
+    // star-capped pair spelling and min-id-keep census, verbatim
+    "v21_semdedup_trained" ->
+      s"""WITH $embWithVariantsSql,
+         |${S.kmeansCtes("emba", "vec_id", "embedding",
+             k = 16, iters = 2, dim = 64)},
+         |assigned AS MATERIALIZED (
+         |  ${S.kmeansAssign("emba", "vec_id", "embedding", "c2")}),
          |bs AS (SELECT cell, MIN(vec_id) AS rep_id, COUNT(*) AS bsz
          |  FROM assigned GROUP BY cell),
          |up AS (

@@ -577,8 +577,31 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nCentroids: Int,
-               bucketCap: Int = graft.dedup.TextDedup.DefaultBucketCap): DataFrame = {
-    val assigned = buildIvfHashInit(emb, idCol, vecCol, nCentroids).assigned
+               bucketCap: Int = graft.dedup.TextDedup.DefaultBucketCap): DataFrame =
+    semDedupAssigned(buildIvfHashInit(emb, idCol, vecCol, nCentroids).assigned,
+      idCol, vecCol, threshold, bucketCap)
+
+  /** [[semDedup]] over LLOYD-TRAINED cells (r15): tighter clusters put
+    * more true semantic duplicates in the SAME cell, which is the only
+    * place the within-cell pair search can see them — cluster quality
+    * is semantic-dedup RECALL here, not just speed. Same min-id keep
+    * rule, same star cap, and still oracle-exact end-to-end (the km1
+    * induction makes the trained cells SQL-replayable; v21).
+    */
+  def semDedupTrained(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nCentroids: Int, iters: Int,
+                      dim: Int,
+                      bucketCap: Int = graft.dedup.TextDedup.DefaultBucketCap): DataFrame =
+    semDedupAssigned(
+      buildIvfTrained(emb, idCol, vecCol, nCentroids, iters, dim).assigned,
+      idCol, vecCol, threshold, bucketCap)
+
+  /** The drop phase over an ALREADY-ASSIGNED corpus — shared by the
+    * hash-init and trained faces.
+    */
+  private def semDedupAssigned(assigned: DataFrame, idCol: String,
+                               vecCol: String, threshold: Double,
+                               bucketCap: Int): DataFrame = {
     val pairs = cosPairsInBuckets(assigned.withColumn("bucket", col("cell")),
       idCol, vecCol, threshold, bucketCap)
     val dropped = pairs.select(col("b_id").as(idCol)).distinct()
