@@ -156,4 +156,62 @@ object Decontam {
       .withColumn("contaminated",
         coalesce(col("max_cos") >= lit(tau), lit(false)).cast("long"))
   }
+
+  /** IVF-ROUTED semantic decontamination — the scale path past
+    * [[semanticProfile]]'s probe cap that its fail-fast message points
+    * to (r15): instead of scoring every corpus vector against every
+    * probe, the corpus is assigned ONCE to a frozen centroid table
+    * (Lloyd-trained — the km1 induction keeps the whole route
+    * SQL-replayable) and each probe scores only the vectors in its
+    * `nProbe` nearest cells. Cost: corpus × nProbe/nCells scored pairs
+    * instead of corpus × probes — the probe set can now be
+    * benchmark-sized. The trade is bounded recall (a contaminated
+    * vector hiding outside every probed cell is missed — near-dup
+    * probes assign next to their sources, which is exactly the case
+    * that matters); the exact [[semanticProfile]] stays the reference
+    * for cap-sized eval sets.
+    *
+    * Census preservation: the ASSIGNED corpus left-joins the scores,
+    * so unprobed cells and empty probe sets yield (max_cos null,
+    * contaminated 0) — dc3's convention, and the dc4 oracle replays
+    * it. Probes carry their own id column (`probeIdCol`) — per-probe
+    * cell ranking needs an identity, and real eval sets have one.
+    *
+    * Scale shape: one broadcast of k centroids for assignment, one
+    * probes×k ranking (tiny), one equi-join on the cell key with the
+    * probe side broadcast, one per-id partial-combined max.
+    */
+  def semanticProfileIvf(emb: DataFrame, probes: DataFrame,
+                         idCol: String, vecCol: String, tau: Double,
+                         centroids: DataFrame, nProbe: Int,
+                         probeIdCol: String = "probe_id"): DataFrame = {
+    import graft.similarity.Similarity.{dot, scorable}
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val assigned = graft.similarity.Similarity.assignToCentroids(
+      emb, idCol, vecCol, centroids)
+    val p = probes.filter(scorable(col(vecCol)))
+      .select(col(probeIdCol).as("__pid"), col(vecCol).as("__p"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("__pn"))
+    // probe→cell selection: the ivfTopKIndexed rule (rounded distance,
+    // cell tiebreak) so the probed-cell set is cross-engine exact
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__d"), col("cell"))
+    val probeCells = p.crossJoin(broadcast(centroids))
+      .withColumn("__d", round(dot(col("centroid"), col("centroid"))
+        - lit(2.0) * dot(col("__p"), col("centroid")), 6))
+      .withColumn("__pr", row_number().over(w))
+      .filter(col("__pr") <= nProbe)
+      .select(col("__pid"), col("__p"), col("__pn"), col("cell"))
+    val scored = assigned
+      .join(broadcast(probeCells), Seq("cell"))
+      .withColumn("__cos",
+        round(dot(col(vecCol), col("__p"))
+          / (sqrt(dot(col(vecCol), col(vecCol))) * col("__pn")), 6))
+      .groupBy(col(idCol))
+      .agg(max(col("__cos")).as("max_cos"))
+    assigned.select(col(idCol), col("cell"))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("contaminated",
+        coalesce(col("max_cos") >= lit(tau), lit(false)).cast("long"))
+  }
 }

@@ -507,6 +507,28 @@ object CurationCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // DC4 — IVF-ROUTED semantic decontamination (dc3's scale path —
+    // the route its fail-fast message points to past the probe cap):
+    // the corpus assigns once to Lloyd-trained cells; each probe
+    // (carrying its source vec_id as probe_id) scores only its 2
+    // nearest cells. Bounded recall is the documented trade; the
+    // oracle replays the identical bounded scan (trained cells by the
+    // km1 induction), and census preservation keeps unprobed cells at
+    // (max_cos null, contaminated 0)
+    "dc4_semantic_decontam_ivf" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cents = graft.similarity.Similarity.kmeansTrain(
+        emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64).centroids
+      val probes = emb.filter(col("vec_id") % 41 === 0)
+        .select(col("vec_id").as("probe_id"),
+          concat(array(lit(0.0f)),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+            .as("embedding"))
+      Decontam.semanticProfileIvf(emb, probes, "vec_id", "embedding",
+          tau = 0.9, cents, nProbe = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // PII scrub over the synthetic-PII corpus
     "pii1_redact" -> ((spark, dir) =>
       docs(spark, dir)
@@ -1210,6 +1232,38 @@ object CurationCatalog {
          |    AS contaminated
          |FROM embeddings e LEFT JOIN m ON m.vec_id = e.vec_id
          |ORDER BY e.vec_id""".stripMargin
+    },
+
+    // the trained-cell route replayed: km chain → assignment → probe
+    // cell ranking (rounded + cell tiebreak) → within-cell scoring →
+    // census-preserving left join
+    "dc4_semantic_decontam_ivf" -> {
+      val S = graft.similarity.Similarity.Sql
+      s"""WITH ${S.kmeansCtes("embeddings", "vec_id", "embedding",
+             k = 8, iters = 2, dim = 64)},
+         |assigned AS MATERIALIZED (
+         |  ${S.kmeansAssign("embeddings", "vec_id", "embedding", "c2")}),
+         |dprobes AS MATERIALIZED (SELECT vec_id AS pid,
+         |    list_prepend(CAST(0 AS FLOAT), embedding[2:]) AS p
+         |  FROM embeddings WHERE vec_id % 41 = 0),
+         |pcells AS (SELECT pid, p, cell FROM (
+         |    SELECT d.pid, d.p, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY d.pid
+         |        ORDER BY round(${S.dot("c.centroid", "c.centroid")}
+         |          - 2 * ${S.dot("d.p", "c.centroid")}, 6), c.cell) AS pr
+         |    FROM dprobes d CROSS JOIN c2 c) z
+         |  WHERE pr <= 2),
+         |x AS (SELECT a.vec_id,
+         |    round(${S.dot("a.embedding", "pc.p")}
+         |      / (sqrt(${S.dot("a.embedding", "a.embedding")})
+         |        * sqrt(${S.dot("pc.p", "pc.p")})), 6) AS c
+         |  FROM assigned a JOIN pcells pc ON pc.cell = a.cell),
+         |m AS (SELECT vec_id, MAX(c) AS max_cos FROM x GROUP BY vec_id)
+         |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell, m.max_cos,
+         |  CAST(CASE WHEN m.max_cos >= 0.9 THEN 1 ELSE 0 END AS BIGINT)
+         |    AS contaminated
+         |FROM assigned a LEFT JOIN m ON m.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin
     },
 
     "bb2_bucket_suggest" -> {

@@ -115,4 +115,34 @@ class DecontamSpec extends graft.SparkSpec {
     }
     assert(e.getMessage.contains("ANN"), e.getMessage)
   }
+
+  test("semanticProfileIvf: bounded scan is a subset of exact, catches the planted sources") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, sf001)
+    val cents = graft.similarity.Similarity.kmeansTrain(
+      emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64).centroids
+    val probes = emb.filter($"vec_id" % 41 === 0)
+      .select($"vec_id".as("probe_id"),
+        concat(array(lit(0.0f)),
+          slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+    def contaminatedOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter($"contaminated" === 1L).select($"vec_id")
+        .as[Long].collect().toSet
+    val exact = contaminatedOf(Decontam.semanticProfile(emb,
+      probes.select($"embedding"), "vec_id", "embedding", tau = 0.9))
+    val routed = contaminatedOf(Decontam.semanticProfileIvf(emb, probes,
+      "vec_id", "embedding", tau = 0.9, cents, nProbe = 2))
+    // the bounded scan can only MISS (scores a subset of pairs), never
+    // fabricate: identical rounding, fewer candidates
+    assert(routed.subsetOf(exact), s"routed fabricated: ${routed -- exact}")
+    // a probe is a near-copy of its source vector, which assigns to
+    // (essentially) the probe's own nearest cell — the routed scan
+    // must catch every planted source
+    val sources = emb.filter($"vec_id" % 41 === 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(sources.subsetOf(routed),
+      s"routed missed planted sources: ${sources -- routed}")
+    assert(routed.nonEmpty)
+  }
 }
