@@ -1220,6 +1220,32 @@ object StreamMediaCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // E40 — STREAMING IVF-routed semantic decontamination (dc4's
+    // face): trained centroids + the id-carrying probe set freeze
+    // BEFORE the stream starts; arriving vectors assign to their
+    // cells and score against the probes' 2 nearest cells per
+    // micro-batch (pure row functions ⇒ per-batch == global).
+    // Stream == batch on dc4's own oracle.
+    "e40_stream_semantic_ivf" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val cents = graft.similarity.Similarity.kmeansTrain(
+        emb, "vec_id", "embedding", k = 8, iters = 2, dim = 64).centroids
+      val probes = emb.filter(col("vec_id") % 41 === 0)
+        .select(col("vec_id").as("probe_id"),
+          concat(array(lit(0.0f)),
+            slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+            .as("embedding"))
+      val in = graft.core.Staging.tmpDir("stream_semivf_in")
+      for (r <- 0 to 2)
+        emb.select(col("vec_id"), col("embedding"))
+          .filter(pmod(col("vec_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      graft.streaming.DocStream.semanticDecontamIvfFold(
+        graft.streaming.DocStream.readEmbeddingsOneFilePerTrigger(spark, in),
+        probes, tau = 0.9, cents, nProbe = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // E32 — STREAMING image near-dup (m14's ingestion face, the image
     // sibling of x15/e14): the dHash payloads stage as 3 disjoint
     // files → 3 micro-batches; decode→hash folds into a (doc_id,
@@ -1433,6 +1459,9 @@ object StreamMediaCatalog {
 
     // stream-screened verdicts == the one-shot batch census
     "e36_stream_semantic_decontam" -> CurationCatalog.oracle("dc3_semantic_decontam"),
+
+    // stream == batch on dc4's own trained-cell bounded-scan oracle
+    "e40_stream_semantic_ivf" -> CurationCatalog.oracle("dc4_semantic_decontam_ivf"),
 
     // stream-folded assignments + drained-store ranks == batch km3
     "e37_stream_prototype_prune" -> TrainingCatalog.oracle("km3_prototype_prune"),

@@ -743,4 +743,29 @@ object DocStream {
     require(acc != null, "semanticDecontamFold: stream delivered no batches")
     acc
   }
+
+  /** Streaming face of the IVF-ROUTED semantic decontamination (dc4,
+    * e40): incoming vectors assign to the FROZEN trained cells and
+    * score against only their probes' cells, per micro-batch, by
+    * reusing the exact batch operator — a vector's verdict depends
+    * only on (vector, centroids, probes), so per-batch results ARE
+    * the global answer, zero cross-batch state. Caller freezes the
+    * artifacts (localCheckpoint'ed centroids from `kmeansTrain`, a
+    * checkpointed probe frame) so no trigger re-derives them.
+    */
+  def semanticDecontamIvfFold(embStream: DataFrame, probes: DataFrame,
+                              tau: Double, centroids: DataFrame,
+                              nProbe: Int): DataFrame = {
+    val p = probes.localCheckpoint()
+    val cents = centroids.localCheckpoint()
+    var acc: DataFrame = null
+    EventStream.runForeachBatch(embStream, (batch, _) => {
+      val prof = graft.dedup.Decontam.semanticProfileIvf(
+        batch, p, "vec_id", "embedding", tau, cents, nProbe)
+      acc = (if (acc == null) prof else acc.unionAll(prof))
+        .localCheckpoint()
+    })
+    require(acc != null, "semanticDecontamIvfFold: stream delivered no batches")
+    acc
+  }
 }
