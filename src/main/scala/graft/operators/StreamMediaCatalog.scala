@@ -234,6 +234,33 @@ object StreamMediaCatalog {
     BinaryOps.encodeWavIma(8000, blocks)
   }
 
+  /** Stage parts as separate files with STRICTLY INCREASING pinned
+    * mtimes — the file source orders micro-batches by modification
+    * time with arbitrary tie-break, so any ORDER-SENSITIVE fold (e41's
+    * mini-batch training; unlike the order-free e22/e32/e36 folds)
+    * must pin the delivery order explicitly (the DocStreamSpec
+    * token-budget lesson).
+    */
+  private def stageOrderedBatches(name: String,
+                                  parts: Seq[DataFrame]): String = {
+    val base = graft.core.Staging.tmpDir(name + "_stage")
+    val out = graft.core.Staging.tmpDir(name)
+    val t0 = System.currentTimeMillis() - 600000L
+    parts.zipWithIndex.foreach { case (df, i) =>
+      df.coalesce(1).write.parquet(s"$base/b$i")
+      val src = java.nio.file.Paths.get(base, s"b$i")
+      java.nio.file.Files.list(src)
+        .filter(_.toString.endsWith(".parquet"))
+        .forEach { q =>
+          val dst = java.nio.file.Paths.get(out, s"b${i}_${q.getFileName}")
+          java.nio.file.Files.copy(q, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+        }
+    }
+    out
+  }
+
   /** Stage one fixture parquet behind a fresh symlink directory (file
     * sources want a directory); shared by every file-source stream
     * gate so the staging convention lives in one place.
@@ -1246,6 +1273,26 @@ object StreamMediaCatalog {
         .orderBy(col("vec_id"))
     }),
 
+    // E41 — STREAMING MINI-BATCH K-MEANS TRAINING: the model itself
+    // learns as vectors arrive (e35 froze the centroids; this one
+    // updates them per batch). Batch 0 seeds (hash-keyed pick over
+    // batch 0) and updates once; each later batch assigns ITS vectors
+    // to the current centroids and merges the batch means in (missing
+    // cells keep their centroid — the mini-batch convention). Every
+    // half is the proven exact fixed-point device, so the streamed
+    // 3-batch chain replays stage-for-stage in the oracle. Staged with
+    // PINNED mtimes — the chain is order-sensitive.
+    "e41_stream_kmeans_minibatch" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val in = stageOrderedBatches("stream_mbkm_in",
+        (0 to 2).map(r => emb.filter(pmod(col("vec_id"), lit(3)) === r)))
+      graft.streaming.DocStream.kmeansMiniBatchFold(
+        graft.streaming.DocStream.readEmbeddingsOneFilePerTrigger(spark, in),
+        k = 8, dim = 64)
+        .orderBy(col("cell"), col("dim"))
+    }),
+
     // E32 — STREAMING image near-dup (m14's ingestion face, the image
     // sibling of x15/e14): the dHash payloads stage as 3 disjoint
     // files → 3 micro-batches; decode→hash folds into a (doc_id,
@@ -1462,6 +1509,39 @@ object StreamMediaCatalog {
 
     // stream == batch on dc4's own trained-cell bounded-scan oracle
     "e40_stream_semantic_ivf" -> CurationCatalog.oracle("dc4_semantic_decontam_ivf"),
+
+    // the streamed mini-batch chain replayed batch-for-batch: init
+    // from batch 0's hash pick, then per batch assign → batch means →
+    // COALESCE merge (missing cells keep their centroid)
+    "e41_stream_kmeans_minibatch" -> {
+      val S = graft.similarity.Similarity.Sql
+      val batches = (0 to 2).map(r =>
+        s"b$r AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = $r)")
+        .mkString(",\n")
+      val steps = (0 to 2).map { r =>
+        s"""a${r + 1} AS MATERIALIZED (
+           |  ${S.kmeansAssign(s"b$r", "vec_id", "embedding", s"c$r")}),
+           |m${r + 1} AS MATERIALIZED (
+           |  ${S.groupCentroids(s"a${r + 1}", "cell", "embedding", 64)}),
+           |n${r + 1} AS MATERIALIZED (SELECT cell, list(centroid ORDER BY dim) AS centroid
+           |  FROM m${r + 1} GROUP BY cell),
+           |c${r + 1} AS MATERIALIZED (SELECT o.cell,
+           |    COALESCE(n.centroid, o.centroid) AS centroid
+           |  FROM c$r o LEFT JOIN n${r + 1} n ON n.cell = o.cell)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $batches,
+         |kcb AS MATERIALIZED (SELECT vec_id, embedding FROM b0
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |c0 AS MATERIALIZED (SELECT
+         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM kcb),
+         |$steps
+         |SELECT CAST(cell AS INTEGER) AS cell, CAST(d.i AS INTEGER) AS dim,
+         |  centroid[d.i] AS centroid
+         |FROM c3 CROSS JOIN LATERAL unnest(generate_series(1, 64)) AS d(i)
+         |ORDER BY cell, dim""".stripMargin
+    },
 
     // stream-folded assignments + drained-store ranks == batch km3
     "e37_stream_prototype_prune" -> TrainingCatalog.oracle("km3_prototype_prune"),

@@ -697,11 +697,7 @@ object Similarity {
     val clean = emb.filter(scorable(col(vecCol)))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__h"), col(idCol))
-    def toArrays(means: DataFrame): DataFrame =
-      means.groupBy(col("cell"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("centroid")))),
-          s => s("centroid")).as("centroid"))
+    def toArrays(means: DataFrame): DataFrame = toCentroidArrays(means)
     var cents = clean.select(col(idCol), col(vecCol))
       .withColumn("__h", md5(col(idCol).cast("string")))
       .orderBy(col("__h"), col(idCol)).limit(k) // bounded k-row frame
@@ -736,6 +732,37 @@ object Similarity {
                       nCentroids: Int, iters: Int, dim: Int): IvfIndex = {
     val m = kmeansTrain(emb, idCol, vecCol, nCentroids, iters, dim)
     IvfIndex(assignToCentroids(emb, idCol, vecCol, m.centroids), m.centroids)
+  }
+
+  /** Re-assemble [[groupCentroids]]' long form back into (cell,
+    * centroid array) — shared by [[kmeansTrain]]'s rounds and the
+    * mini-batch streaming trainer's per-batch merge.
+    */
+  private[graft] def toCentroidArrays(means: DataFrame): DataFrame =
+    means.groupBy(col("cell"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("centroid")))),
+        s => s("centroid")).as("centroid"))
+
+  /** One MINI-BATCH k-means step — the streaming trainer's per-batch
+    * update (e41): assign only THIS batch's vectors to the current
+    * centroids, take the fixed-point mean over this batch's
+    * assignment, and merge — a cell that attracted no vectors in the
+    * batch KEEPS its previous centroid (the mini-batch convention;
+    * unlike [[kmeansTrain]], cells never vanish). Both halves are the
+    * proven exact devices, so the merged centroids are bit-identical
+    * doubles cross-engine and a chain of steps is deterministic by
+    * the km1 induction — which is what lets the STREAMED training run
+    * gate exactly.
+    */
+  def kmeansMiniBatchStep(batch: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame, dim: Int): DataFrame = {
+    val upd = toCentroidArrays(groupCentroids(
+        assignToCentroids(batch, idCol, vecCol, cents), "cell", vecCol, dim))
+      .withColumnRenamed("centroid", "__nc")
+    cents.join(upd, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("__nc"), col("centroid")).as("centroid"))
   }
 
   /** Cluster-balanced selection — the data-mixing face of k-means:

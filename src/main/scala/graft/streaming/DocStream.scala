@@ -768,4 +768,44 @@ object DocStream {
     require(acc != null, "semanticDecontamIvfFold: stream delivered no batches")
     acc
   }
+
+  /** Streaming MINI-BATCH k-means TRAINING (e41) — the model itself
+    * learns as data arrives, unlike e35's frozen-centroid assignment:
+    * the FIRST micro-batch seeds the centroids (the hash-keyed
+    * deterministic pick, over that batch's vectors) and takes one
+    * update; every later batch assigns ITS vectors to the current
+    * centroids and merges the batch means in
+    * ([[graft.similarity.Similarity.kmeansMiniBatchStep]] — a cell
+    * missing from the batch keeps its centroid, the mini-batch
+    * convention). Every half is the proven exact fixed-point device,
+    * so the whole streamed chain is deterministic given the batch
+    * SPLIT — which the e41 gate stages explicitly (vec_id mod 3), and
+    * the oracle replays batch-for-batch. localCheckpoint per fold:
+    * lineage never replays prior batches. Returns the final model in
+    * v7's long form (cell, dim, centroid).
+    */
+  def kmeansMiniBatchFold(embStream: DataFrame, k: Int, dim: Int): DataFrame = {
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.expressions.Window
+    var cents: DataFrame = null
+    EventStream.runForeachBatch(embStream, (batch, _) => {
+      if (cents == null) {
+        val w = Window.orderBy(col("__h"), col("vec_id"))
+        cents = batch.filter(Similarity.scorable(col("embedding")))
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("__h", md5(col("vec_id").cast("string")))
+          .orderBy(col("__h"), col("vec_id")).limit(k)
+          .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+          .select(col("cell"),
+            transform(col("embedding"), x => x.cast("double")).as("centroid"))
+          .localCheckpoint()
+      }
+      cents = Similarity.kmeansMiniBatchStep(batch, "vec_id", "embedding",
+        cents, dim).localCheckpoint()
+    })
+    require(cents != null, "kmeansMiniBatchFold: stream delivered no batches")
+    cents.select(col("cell"), posexplode(col("centroid")))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
+        col("col").as("centroid"))
+  }
 }
