@@ -127,4 +127,31 @@ class KmeansSpec extends SparkSpec {
     assert(s.groupBy(_._1).values.forall(_.size == 2))
     assert(s == sample(planted.repartition(5)))
   }
+
+  test("kmeansMiniBatchStep: batch means merge in, missing cells keep their centroid") {
+    // centroids at x=0 (cell 0) and x=10 (cell 1); the batch carries
+    // only cell-0-side vectors, so cell 1 must pass through verbatim
+    val cents = Seq(
+      (0, Seq(0.0, 0.0)),
+      (1, Seq(10.0, 0.0))).toDF("cell", "centroid")
+    val batch = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansMiniBatchStep(batch, "vec_id", "embedding",
+      cents, dim = 2)
+      .orderBy(col("cell")).as[(Int, Seq[Double])].collect().toSeq
+    assert(out.map(_._1) == Seq(0, 1))
+    // cell 0 = fixed-point mean of (1,0) and (3,0) = (2, 0)
+    assert(out(0)._2 == Seq(2.0, 0.0))
+    // cell 1 untouched (no member in the batch)
+    assert(out(1)._2 == Seq(10.0, 0.0))
+    // chaining steps over a 2-way split is deterministic and moves
+    // BOTH cells once both sides arrive
+    val b2 = Seq((3L, Array(9.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out2 = Similarity.kmeansMiniBatchStep(b2, "vec_id", "embedding",
+      Similarity.kmeansMiniBatchStep(batch, "vec_id", "embedding", cents, 2),
+      dim = 2)
+      .orderBy(col("cell")).as[(Int, Seq[Double])].collect().toSeq
+    assert(out2(0)._2 == Seq(2.0, 0.0) && out2(1)._2 == Seq(9.0, 0.0))
+  }
 }
