@@ -358,6 +358,53 @@ class BpeSpec extends SparkSpec {
     assert(rounds < 64, s"batching never amortized: $rounds rounds for 64 merges")
   }
 
+  test("batched trainer == a pure in-memory greedy reference on 10 random corpora") {
+    // an INDEPENDENT oracle for the batched selection guards: plain
+    // driver-side greedy BPE (argmax by count desc / lex tiebreak,
+    // full-rank fixpoint application via the shared applySyms) — no
+    // Spark, no shared selection code. Short alphabets make ties,
+    // collisions, and boundary trims constant occurrences.
+    def refTrain(words: Seq[(String, Long)], n: Int): Vector[(String, String)] = {
+      var state = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      var merges = Vector.empty[(String, String)]
+      var done = false
+      while (merges.size < n && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- state; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        if (counts.isEmpty) done = true
+        else {
+          val best = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+          merges = merges :+ best
+          val ranks = merges.zipWithIndex.toMap
+          state = state.map { case (s, f) => (Bpe.applySyms(s, ranks), f) }
+        }
+      }
+      merges
+    }
+    for (seed <- Seq(5L, 13L, 29L, 41L, 59L, 71L, 89L, 107L, 131L, 151L)) {
+      var s = seed
+      def next(mod: Int): Int = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        java.lang.Math.floorMod(s >>> 33, mod.toLong).toInt
+      }
+      val words = (0 until 30).map { _ =>
+        val len = 2 + next(6)
+        (0 until len).map(_ => ('a' + next(3)).toChar).mkString
+      }
+      val freqs = words.groupBy(identity).view
+        .mapValues(v => v.size.toLong * (1 + next(3))).toSeq
+      val corpus = freqs.flatMap { case (w, f) =>
+        Seq.fill(f.toInt)(w) }.mkString(" ")
+      val df = Seq(corpus).toDF("text")
+      val expected = refTrain(
+        freqs.map { case (w, f) => (w, f) }, 10)
+      val got = Bpe.trainIncrementalBatched(df, "text", 10, batchCap = 4)
+      assert(got == expected, s"seed $seed: batched $got != reference $expected")
+    }
+  }
+
   test("trainer is deterministic and early-stops when pairs run out") {
     val tiny = Seq((0L, "ab ab cd"), (1L, "ab cd cd")).toDF("doc_id", "text")
     val m1 = Bpe.train(tiny, "text", nMerges = 8)
