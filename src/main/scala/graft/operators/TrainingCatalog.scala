@@ -1645,6 +1645,22 @@ object TrainingCatalog {
         .orderBy(col("query_id"))
     }),
 
+    // RE2 — the eval harness over the TRAINED IVF path (re1's recipe
+    // with v16's system side): hits@5 / first-hit rank / exact rr60 of
+    // the Lloyd-trained probe-2 index against brute-force truth —
+    // oracle-exact because BOTH sides are (the km1 induction makes the
+    // trained system side replayable, which re1's LSH side always was)
+    "re2_retrieval_eval_trained" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.retrievalEval(
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding", annQueryIds, k = 5),
+        Similarity.ivfTopKIndexed(
+          Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+            nCentroids = 8, iters = 2, dim = 64),
+          "vec_id", "embedding", annQueryIds, k = 5, nProbe = 2))
+        .orderBy(col("query_id"))
+    }),
+
     // HN1 — hard-negative mining over the variant-augmented corpus:
     // per query, the top-5 most-similar vectors BELOW cos 0.9 — the
     // planted ≥0.9 variants (and any natural near-dup) are positives a
@@ -3158,6 +3174,54 @@ object TrainingCatalog {
          |      ROW_NUMBER() OVER (PARTITION BY query_id
          |                         ORDER BY cos_sim DESC, neighbor_id) AS rn
          |    FROM lsc) r WHERE rn <= 5),
+         |hit AS (SELECT s.query_id, COUNT(*) AS n_hits, MIN(s.rn) AS fhr
+         |  FROM sys s JOIN truth t
+         |    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+         |  GROUP BY s.query_id)
+         |SELECT tq.query_id,
+         |  COALESCE(h.n_hits, 0) AS n_hits,
+         |  CAST(COALESCE(h.fhr, 0) AS BIGINT) AS first_hit_rank,
+         |  CASE WHEN h.fhr IS NULL THEN 0
+         |       ELSE CAST(FLOOR(60.0 / h.fhr) AS BIGINT) END AS rr60
+         |FROM (SELECT DISTINCT query_id FROM truth) tq
+         |LEFT JOIN hit h USING (query_id)
+         |ORDER BY query_id""".stripMargin,
+
+    // truth = re1's brute-force CTEs; system = v16's trained-cell
+    // probe/score chain; the closing eval join is re1's verbatim
+    "re2_retrieval_eval_trained" ->
+      s"""WITH ${S.kmeansCtes("embeddings", "vec_id", "embedding",
+             k = 8, iters = 2, dim = 64)},
+         |assigned AS MATERIALIZED (
+         |  ${S.kmeansAssign("embeddings", "vec_id", "embedding", "c2")}),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+         |           WHERE vec_id IN (${annQueryIds.mkString(",")})),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+         |bsc AS (SELECT query_id, neighbor_id,
+         |    round(${S.cosine("q_vec", "c_vec")}, 6) AS cos_sim
+         |  FROM q, c WHERE query_id <> neighbor_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |    FROM bsc) r WHERE rn <= 5),
+         |iq AS (SELECT vec_id AS query_id, embedding AS iq_vec FROM assigned
+         |       WHERE vec_id IN (${annQueryIds.mkString(",")})),
+         |iprobes AS (
+         |  SELECT query_id, iq_vec, cell, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY round(${S.dot("centroid", "centroid")}
+         |        - 2 * ${S.dot("iq_vec", "centroid")}, 6), cell) AS pr
+         |  FROM iq CROSS JOIN c2),
+         |iprobeset AS (SELECT query_id, iq_vec, cell FROM iprobes WHERE pr <= 2),
+         |isc AS (
+         |  SELECT query_id, neighbor_id, round(${S.cosine("iq_vec", "ic_vec")}, 6) AS cos_sim
+         |  FROM (SELECT vec_id AS neighbor_id, embedding AS ic_vec, cell FROM assigned) ic
+         |  JOIN iprobeset USING (cell) WHERE query_id <> neighbor_id),
+         |sys AS (SELECT query_id, neighbor_id, rn FROM (
+         |    SELECT query_id, neighbor_id, cos_sim,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |    FROM isc) r WHERE rn <= 5),
          |hit AS (SELECT s.query_id, COUNT(*) AS n_hits, MIN(s.rn) AS fhr
          |  FROM sys s JOIN truth t
          |    ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
