@@ -1218,9 +1218,16 @@ object CurationCatalog {
     // instead of a vacuous engine-vs-oracle divergence
     "dc3_semantic_decontam" -> {
       val S = graft.similarity.Similarity.Sql
-      s"""WITH probes AS MATERIALIZED (
+      // the probe is a COMPUTED vector (zeroed-first-dim tail slice) —
+      // it can be zero-norm even when the full fixture vector is
+      // scorable, so the engine's probe-side scorable filter
+      // (Decontam.probesLocal) must be mirrored here rather than
+      // relying on the FixtureContractSpec pin (which covers only
+      // full vectors; r15 ADVICE)
+      s"""WITH probes AS MATERIALIZED (SELECT p FROM (
          |  SELECT list_prepend(CAST(0 AS FLOAT), embedding[2:]) AS p
-         |  FROM embeddings WHERE vec_id % 41 = 0),
+         |  FROM embeddings WHERE vec_id % 41 = 0) zp
+         |  WHERE ${S.scorable("p")}),
          |x AS (SELECT e.vec_id,
          |    round(${S.dot("e.embedding", "p.p")}
          |      / (sqrt(${S.dot("e.embedding", "e.embedding")})
@@ -1243,9 +1250,11 @@ object CurationCatalog {
              k = 8, iters = 2, dim = 64)},
          |assigned AS MATERIALIZED (
          |  ${S.kmeansAssign("embeddings", "vec_id", "embedding", "c2")}),
-         |dprobes AS MATERIALIZED (SELECT vec_id AS pid,
-         |    list_prepend(CAST(0 AS FLOAT), embedding[2:]) AS p
-         |  FROM embeddings WHERE vec_id % 41 = 0),
+         |dprobes AS MATERIALIZED (SELECT pid, p FROM (
+         |    SELECT vec_id AS pid,
+         |      list_prepend(CAST(0 AS FLOAT), embedding[2:]) AS p
+         |    FROM embeddings WHERE vec_id % 41 = 0) zp
+         |  WHERE ${S.scorable("p")}),
          |pcells AS (SELECT pid, p, cell FROM (
          |    SELECT d.pid, d.p, c.cell,
          |      ROW_NUMBER() OVER (PARTITION BY d.pid

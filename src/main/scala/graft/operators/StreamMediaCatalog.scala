@@ -249,14 +249,19 @@ object StreamMediaCatalog {
     parts.zipWithIndex.foreach { case (df, i) =>
       df.coalesce(1).write.parquet(s"$base/b$i")
       val src = java.nio.file.Paths.get(base, s"b$i")
-      java.nio.file.Files.list(src)
-        .filter(_.toString.endsWith(".parquet"))
-        .forEach { q =>
-          val dst = java.nio.file.Paths.get(out, s"b${i}_${q.getFileName}")
-          java.nio.file.Files.copy(q, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
-        }
+      // close the directory stream (Files.list holds a handle open
+      // until closed — one leaked per staged micro-batch otherwise,
+      // the Staging.deleteRecursively walk.close() discipline)
+      val listing = java.nio.file.Files.list(src)
+      try {
+        listing.filter(_.toString.endsWith(".parquet"))
+          .forEach { q =>
+            val dst = java.nio.file.Paths.get(out, s"b${i}_${q.getFileName}")
+            java.nio.file.Files.copy(q, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+          }
+      } finally listing.close()
     }
     out
   }

@@ -6,6 +6,25 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM, one session). */
 object TestSpark {
   lazy val spark: SparkSession = graft.core.Sessions.local(4)
+
+  /** Run `body` with the given session confs set, restoring the prior
+    * values after — SERIALIZED under one lock, because the session is
+    * shared across suites and a concurrent test could otherwise
+    * observe the mutated window (e.g. autoBroadcastJoinThreshold=-1)
+    * under full-suite parallelism. Every conf-mutating plan audit goes
+    * through here rather than hand-rolling set/restore.
+    */
+  def withConfs[T](confs: (String, String)*)(body: => T): T =
+    confLock.synchronized {
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  private object confLock
 }
 
 trait SparkSpec extends AnyFunSuite {

@@ -167,20 +167,17 @@ class PlanSpec extends SparkSpec {
     // window shuffle lives inside the InMemoryRelation, which collect
     // does not descend into.)
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      df.collect()
-      val adaptive = df.queryExecution.executedPlan
-        .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
-      val shuffles = adaptive.executedPlan
-        .collect { case s: ShuffleQueryStageExec => s }
-      assert(shuffles.size <= 1,
-        s"band table re-shuffled for the self-join (${shuffles.size} top-level shuffles):\n" +
-          adaptive.executedPlan)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.catalog.clearCache()
+    graft.TestSpark.withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      try {
+        df.collect()
+        val adaptive = df.queryExecution.executedPlan
+          .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
+        val shuffles = adaptive.executedPlan
+          .collect { case s: ShuffleQueryStageExec => s }
+        assert(shuffles.size <= 1,
+          s"band table re-shuffled for the self-join (${shuffles.size} top-level shuffles):\n" +
+            adaptive.executedPlan)
+      } finally spark.catalog.clearCache()
     }
   }
 
@@ -199,23 +196,20 @@ class PlanSpec extends SparkSpec {
       hashes.withColumnRenamed("ahash", "simhash"),
       "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      pairs.collect()
-      val adaptive = pairs.queryExecution.executedPlan
-        .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
-      val shuffles = adaptive.executedPlan
-        .collect { case s: ShuffleQueryStageExec => s }
-      // the banded table's window partitioning feeds the self-join out
-      // of the cache (the candidatePairs discipline): the only
-      // top-level shuffle is the closing distinct
-      assert(shuffles.size <= 1,
-        s"banded table re-shuffled (${shuffles.size} top-level shuffles):\n" +
-          adaptive.executedPlan)
-    } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-      spark.catalog.clearCache()
+    graft.TestSpark.withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      try {
+        pairs.collect()
+        val adaptive = pairs.queryExecution.executedPlan
+          .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
+        val shuffles = adaptive.executedPlan
+          .collect { case s: ShuffleQueryStageExec => s }
+        // the banded table's window partitioning feeds the self-join out
+        // of the cache (the candidatePairs discipline): the only
+        // top-level shuffle is the closing distinct
+        assert(shuffles.size <= 1,
+          s"banded table re-shuffled (${shuffles.size} top-level shuffles):\n" +
+            adaptive.executedPlan)
+      } finally spark.catalog.clearCache()
     }
   }
 

@@ -24,9 +24,7 @@ class RuntimeFilterSpec extends SparkSpec {
       // fixture-size forcing only: broadcast joins don't need a runtime
       // filter (at fact scale both sides shuffle and injection is automatic)
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
+    graft.TestSpark.withConfs(confs: _*) {
       val orders = graft.core.Tables.orders(spark, sf001)
         .filter($"o_orderpriority" === "1-URGENT")
         .select($"o_orderkey")
@@ -42,9 +40,6 @@ class RuntimeFilterSpec extends SparkSpec {
           graft.core.Tables.orders(spark, sf001)
             .filter($"o_orderpriority" === "1-URGENT"),
           $"l_orderkey" === $"o_orderkey").count())
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
     }
   }
 }
