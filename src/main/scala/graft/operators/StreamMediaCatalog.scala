@@ -1298,6 +1298,24 @@ object StreamMediaCatalog {
         .orderBy(col("cell"), col("dim"))
     }),
 
+    // E42 — COUNT-WEIGHTED streaming mini-batch k-means (Sculley's
+    // update, closing e41's plain-merge caveat): per cell the state
+    // carries cumulative int64 fixed-point sums + counts, so the
+    // merged centroid is the exact mean of everything the cell ever
+    // absorbed — c ← (n·c + Σbatch)/(n + m) with n·c held exactly as
+    // the running sum. Same 3 pinned-mtime batches as e41; the oracle
+    // replays the weighted chain batch-for-batch in long-form state.
+    "e42_stream_kmeans_weighted" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val in = stageOrderedBatches("stream_mbkmw_in",
+        (0 to 2).map(r => emb.filter(pmod(col("vec_id"), lit(3)) === r)))
+      graft.streaming.DocStream.kmeansMiniBatchWeightedFold(
+        graft.streaming.DocStream.readEmbeddingsOneFilePerTrigger(spark, in),
+        k = 8, dim = 64)
+        .orderBy(col("cell"), col("dim"))
+    }),
+
     // E32 — STREAMING image near-dup (m14's ingestion face, the image
     // sibling of x15/e14): the dHash payloads stage as 3 disjoint
     // files → 3 micro-batches; decode→hash folds into a (doc_id,
@@ -1545,6 +1563,53 @@ object StreamMediaCatalog {
          |SELECT CAST(cell AS INTEGER) AS cell, CAST(d.i AS INTEGER) AS dim,
          |  centroid[d.i] AS centroid
          |FROM c3 CROSS JOIN LATERAL unnest(generate_series(1, 64)) AS d(i)
+         |ORDER BY cell, dim""".stripMargin
+    },
+
+    // the Sculley-weighted chain replayed batch-for-batch in
+    // long-form state: init (sums 0, n 0) from batch 0's hash pick,
+    // then per batch derive current centroids (cumulative fixed-point
+    // mean, seed where n=0) → assign → accumulate int64 sums + counts
+    "e42_stream_kmeans_weighted" -> {
+      val S = graft.similarity.Similarity.Sql
+      val batches = (0 to 2).map(r =>
+        s"b$r AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = $r)")
+        .mkString(",\n")
+      val steps = (0 to 2).map { r =>
+        s"""w$r AS MATERIALIZED (SELECT st.cell,
+           |    list(CASE WHEN st.n > 0
+           |      THEN CAST(st.s AS DOUBLE) / 1000000000.0 / CAST(st.n AS DOUBLE)
+           |      ELSE c0.centroid[st.dim] END ORDER BY st.dim) AS centroid
+           |  FROM s$r st JOIN c0 ON c0.cell = st.cell GROUP BY st.cell),
+           |a${r + 1} AS MATERIALIZED (
+           |  ${S.kmeansAssign(s"b$r", "vec_id", "embedding", s"w$r")}),
+           |bs${r + 1} AS MATERIALIZED (SELECT cell, d.dim,
+           |    CAST(SUM(CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s,
+           |    COUNT(*) AS n
+           |  FROM a${r + 1} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d
+           |  GROUP BY cell, d.dim),
+           |s${r + 1} AS MATERIALIZED (SELECT p.cell, p.dim,
+           |    CAST(p.s + COALESCE(b.s, 0) AS BIGINT) AS s,
+           |    CAST(p.n + COALESCE(b.n, 0) AS BIGINT) AS n
+           |  FROM s$r p LEFT JOIN bs${r + 1} b ON b.cell = p.cell AND b.dim = p.dim)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $batches,
+         |kcb AS MATERIALIZED (SELECT vec_id, embedding FROM b0
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         |c0 AS MATERIALIZED (SELECT
+         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+         |  FROM kcb),
+         |s0 AS MATERIALIZED (SELECT cell, d.dim,
+         |    CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS n
+         |  FROM c0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d),
+         |$steps
+         |SELECT CAST(st.cell AS INTEGER) AS cell, CAST(st.dim AS INTEGER) AS dim,
+         |  CASE WHEN st.n > 0
+         |    THEN CAST(st.s AS DOUBLE) / 1000000000.0 / CAST(st.n AS DOUBLE)
+         |    ELSE c0.centroid[st.dim] END AS centroid,
+         |  CAST(st.n AS BIGINT) AS n
+         |FROM s3 st JOIN c0 ON c0.cell = st.cell
          |ORDER BY cell, dim""".stripMargin
     },
 

@@ -765,6 +765,66 @@ object Similarity {
         coalesce(col("__nc"), col("centroid")).as("centroid"))
   }
 
+  /** COUNT-WEIGHTED mini-batch k-means state (Sculley's web-scale
+    * k-means update, the canonical form [[kmeansMiniBatchStep]]'s
+    * plain replace-merge approximates badly): per cell, the SEED
+    * centroid plus cumulative per-dim fixed-point sums (int64, the
+    * groupCentroids device) and a cumulative member count. The
+    * Sculley update c ← (n·c + Σ_batch x)/(n + m) is EXACTLY the
+    * cumulative-sum mean when n·c is carried as the int64 sum instead
+    * of being recomputed from the rounded double — so the whole
+    * training chain stays exact and order-deterministic (gate e42),
+    * and history is never forgotten: a later batch moves a centroid
+    * in proportion to its weight, not wholesale (the plain merge's
+    * last-batch dominance — see KmeansSpec's planted-drift arm).
+    */
+  def kmeansWeightedInit(cents: DataFrame, dim: Int): DataFrame =
+    cents.select(col("cell"), col("centroid").as("seed"),
+      array((0 until dim).map(_ => lit(0L)): _*).as("sums"),
+      lit(0L).as("n"))
+
+  /** The state's CURRENT centroids: cumulative fixed-point mean when
+    * the cell has absorbed any vectors, else the seed — two IEEE
+    * divisions on exact int64-derived doubles (identical on both
+    * engines), so the next step's rounded assignment distances are
+    * deterministic by the km1 induction.
+    */
+  def kmeansWeightedCentroids(state: DataFrame): DataFrame =
+    state.select(col("cell"),
+      when(col("n") > 0,
+        transform(col("sums"),
+          s => s.cast("double") / lit(1e9) / col("n").cast("double")))
+        .otherwise(col("seed")).as("centroid"))
+
+  /** One Sculley step: assign THIS batch to the state's current
+    * centroids, accumulate the batch's per-(cell, dim) fixed-point
+    * sums and counts into the state. Scale shape per step matches
+    * [[kmeansMiniBatchStep]]: one k-row broadcast across the batch,
+    * one map-side-combined wide aggregation (k·dim int64 scalars
+    * cross the shuffle), one k-row merge join.
+    */
+  def kmeansMiniBatchStepWeighted(batch: DataFrame, idCol: String,
+                                  vecCol: String, state: DataFrame,
+                                  dim: Int): DataFrame = {
+    val assigned = assignToCentroids(batch, idCol, vecCol,
+      kmeansWeightedCentroids(state))
+    val scale = 1e9
+    val sums = (1 to dim).map(d =>
+      sum(floor(element_at(col(vecCol), d).cast("double") * lit(scale))
+        .cast("long")).as(s"__s_$d"))
+    val aggs = sums :+ count(lit(1)).as("__bn")
+    val bs = assigned.groupBy(col("cell")).agg(aggs.head, aggs.tail: _*)
+      .select(col("cell"),
+        array((1 to dim).map(d => col(s"__s_$d")): _*).as("__bs"),
+        col("__bn"))
+    state.join(bs, Seq("cell"), "left")
+      .select(col("cell"), col("seed"),
+        when(col("__bs").isNull, col("sums"))
+          .otherwise(zip_with(col("sums"), col("__bs"), (a, b) => a + b))
+          .as("sums"),
+        (col("n") + coalesce(col("__bn"), lit(0L))).as("n"))
+  }
+
   /** Cluster-balanced selection — the data-mixing face of k-means:
     * assign the corpus to a trained model's cells, keep the `perCell`
     * members with the smallest md5(id) per cell (a data-keyed

@@ -808,4 +808,45 @@ object DocStream {
       .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
         col("col").as("centroid"))
   }
+
+  /** [[kmeansMiniBatchFold]]'s COUNT-WEIGHTED sibling (e42) — the
+    * Sculley update via [[graft.similarity.Similarity.kmeansMiniBatchStepWeighted]]:
+    * batch 0 seeds (hash-keyed pick, count 0) and every batch folds
+    * its fixed-point sums and counts into the cumulative state, so a
+    * cell's centroid is the exact mean of EVERYTHING it ever absorbed
+    * rather than the last batch's mean. Emits the final
+    * (cell, dim, centroid, n) — n witnesses the weighting. The chain
+    * is order-sensitive: sources must stage with pinned mtimes.
+    */
+  def kmeansMiniBatchWeightedFold(embStream: DataFrame, k: Int,
+                                  dim: Int): DataFrame = {
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.expressions.Window
+    var state: DataFrame = null
+    EventStream.runForeachBatch(embStream, (batch, _) => {
+      if (state == null) {
+        val w = Window.orderBy(col("__h"), col("vec_id"))
+        val seeds = batch.filter(Similarity.scorable(col("embedding")))
+          .select(col("vec_id"), col("embedding"))
+          .withColumn("__h", md5(col("vec_id").cast("string")))
+          .orderBy(col("__h"), col("vec_id")).limit(k)
+          .withColumn("cell", (row_number().over(w) - 1).cast("int"))
+          .select(col("cell"),
+            transform(col("embedding"), x => x.cast("double")).as("centroid"))
+        state = Similarity.kmeansWeightedInit(seeds, dim).localCheckpoint()
+      }
+      state = Similarity.kmeansMiniBatchStepWeighted(batch, "vec_id",
+        "embedding", state, dim).localCheckpoint()
+    })
+    require(state != null,
+      "kmeansMiniBatchWeightedFold: stream delivered no batches")
+    state
+      .select(col("cell"), col("n"), posexplode(
+        when(col("n") > 0,
+          transform(col("sums"),
+            s => s.cast("double") / lit(1e9) / col("n").cast("double")))
+          .otherwise(col("seed"))))
+      .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
+        col("col").as("centroid"), col("n"))
+  }
 }

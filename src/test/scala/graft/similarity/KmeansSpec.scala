@@ -154,4 +154,50 @@ class KmeansSpec extends SparkSpec {
       .orderBy(col("cell")).as[(Int, Seq[Double])].collect().toSeq
     assert(out2(0)._2 == Seq(2.0, 0.0) && out2(1)._2 == Seq(9.0, 0.0))
   }
+
+  test("weighted mini-batch: Sculley update resists the plain merge's last-batch dominance") {
+    // one cell, planted drift: batch A = three vectors at x=1, batch
+    // B = one vector at x=9. The plain merge REPLACES the centroid
+    // with each batch's mean — history forgotten, final = 9. The
+    // count-weighted update folds B in at weight 1 against A's 3:
+    // (1+1+1+9)/4 = 3.
+    val cents = Seq((0, Seq(1.0, 0.0))).toDF("cell", "centroid")
+    val bA = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val bB = Seq((4L, Array(9.0f, 0.0f))).toDF("vec_id", "embedding")
+    val plain = Similarity.kmeansMiniBatchStep(bB, "vec_id", "embedding",
+      Similarity.kmeansMiniBatchStep(bA, "vec_id", "embedding", cents, 2),
+      dim = 2).as[(Int, Seq[Double])].collect().head
+    assert(plain._2 == Seq(9.0, 0.0), "plain merge = last batch's mean")
+    val st = Similarity.kmeansMiniBatchStepWeighted(bB, "vec_id", "embedding",
+      Similarity.kmeansMiniBatchStepWeighted(bA, "vec_id", "embedding",
+        Similarity.kmeansWeightedInit(cents, 2), dim = 2),
+      dim = 2)
+    val weighted = Similarity.kmeansWeightedCentroids(st)
+      .as[(Int, Seq[Double])].collect().head
+    assert(weighted._2 == Seq(3.0, 0.0),
+      "Sculley update = exact mean of all absorbed vectors")
+    assert(st.select(col("n")).as[Long].collect().head == 4L)
+  }
+
+  test("weighted mini-batch: untouched cells keep their seed, count stays 0") {
+    val cents = Seq(
+      (0, Seq(0.5, 0.0)),
+      (1, Seq(10.0, 0.0))).toDF("cell", "centroid")
+    val batch = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val st = Similarity.kmeansMiniBatchStepWeighted(batch, "vec_id",
+      "embedding", Similarity.kmeansWeightedInit(cents, 2), dim = 2)
+    val out = Similarity.kmeansWeightedCentroids(st)
+      .orderBy(col("cell")).as[(Int, Seq[Double])].collect().toSeq
+    // cell 0 absorbed both vectors (batch mean 2); cell 1 untouched —
+    // seed passes through, and a FIRST batch equals the plain step
+    assert(out(0)._2 == Seq(2.0, 0.0))
+    assert(out(1)._2 == Seq(10.0, 0.0))
+    val ns = st.orderBy(col("cell")).select(col("n")).as[Long].collect().toSeq
+    assert(ns == Seq(2L, 0L))
+  }
 }
