@@ -1951,6 +1951,52 @@ object TrainingCatalog {
             >= 0.5).cast("int").as("recall_ge_50"))
     }),
 
+    // V22 — RESIDUAL-encoded PQ codes, oracle-EXACT (IVFADC's encoding
+    // rung — the one the r15 verdict called the last canonical gap):
+    // codewords are Lloyd centroids of x − coarse_centroid(x) slices,
+    // so the code bits describe within-cell variance only. The oracle
+    // replays coarse chain → assignment → exact residual subtraction →
+    // four prefixed residual-slice kmeans unrolls → the rounded-
+    // distance first-index argmin, stage-for-stage
+    "v22_pq_residual_codes" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+        nCentroids = 8, iters = 2, dim = 64)
+      val cb = graft.similarity.ProductQuant.buildCodebookResidual(
+        idx, "vec_id", "embedding", m = 4, ks = 8, iters = 2, dim = 64)
+      graft.similarity.ProductQuant.encodeResidual(idx, "vec_id",
+        "embedding", cb)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          posexplode(col("codes")))
+        .select(col("vec_id"), col("cell"),
+          col("pos").cast("int").as("subspace"), col("col").as("code"))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    // V23 — IVFADC recall flag: v20's fully-trained composition with
+    // RESIDUAL codebooks + residual ADC (same nProbe=8/16 cells, N/5
+    // pool, 0.5 floor). Residual codes spend the same m·log2(ks) bits
+    // on within-cell variance — ProductQuantSpec asserts the measured
+    // recall does not fall below the raw-code trained path's.
+    "v23_ivfadc_recall" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val candidates = math.max(100L, emb.count() / 5).toInt
+      val adc = graft.similarity.ProductQuant.ivfPqResidualTopKTrained(
+        emb, "vec_id", "embedding", annQueryIds, k = 5, nCells = 16,
+        nProbe = 8, m = 8, ks = 16, candidateK = candidates, iters = 2,
+        dim = 64)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(adc.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.5).cast("int").as("recall_ge_50"))
+    }),
+
     // T13 — Okapi BM25 term scoring (retrieval-grade tf-idf upgrade:
     // tf saturation + document-length normalization), the
     // query-relevance signal for targeted corpus selection
@@ -3515,6 +3561,60 @@ object TrainingCatalog {
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 
     "v20_ivfpq_trained_recall" ->
+      s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    // coarse km chain (k=8) → assignment → EXACT residual subtraction
+    // (one IEEE op on identical operands) → four prefixed residual-
+    // slice kmeans unrolls (q0..q3, scorable mirrored on the computed
+    // residual AND its slices — the v17 discipline) → v11's rounded-
+    // distance (d, c)-ranked argmin over residual slices. Encoding
+    // side deliberately does NOT re-filter scorability: a residual may
+    // be zero-norm (vector on its centroid) yet must still be indexed
+    "v22_pq_residual_codes" -> {
+      val resExpr = "list_transform(list_zip(a.embedding, c.centroid), " +
+        "p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+      val slices = (0 until 4).map { j =>
+        val lo = j * 16 + 1
+        val hi = j * 16 + 16
+        s"""rs$j AS MATERIALIZED (SELECT vec_id, sv FROM (
+           |    SELECT vec_id, rv[$lo:$hi] AS sv FROM rtrain) z
+           |  WHERE ${S.scorable("sv")})""".stripMargin
+      }.mkString(",\n")
+      val unrolls = (0 until 4).map { j =>
+        S.kmeansCtes(s"rs$j", "vec_id", "sv", k = 8, iters = 2, dim = 16,
+          pfx = s"q$j")
+      }.mkString(",\n")
+      val cwUnion = (0 until 4).map { j =>
+        s"SELECT $j AS j, cell AS c, centroid AS w FROM q${j}c2"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${S.kmeansCtes("embeddings", "vec_id", "embedding",
+             k = 8, iters = 2, dim = 64)},
+         |assigned AS MATERIALIZED (
+         |  ${S.kmeansAssign("embeddings", "vec_id", "embedding", "c2")}),
+         |res AS MATERIALIZED (SELECT a.vec_id, a.cell, $resExpr AS rv
+         |  FROM assigned a JOIN c2 c ON c.cell = a.cell),
+         |rtrain AS MATERIALIZED (SELECT vec_id, rv FROM res
+         |  WHERE ${S.scorable("rv")}),
+         |$slices,
+         |$unrolls,
+         |cw AS MATERIALIZED (
+         |  $cwUnion),
+         |dists AS (
+         |  SELECT r.vec_id, r.cell, cw.j, cw.c,
+         |    round(${S.dot("cw.w", "cw.w")}
+         |      - 2 * ${S.dot("r.rv[cw.j * 16 + 1 : cw.j * 16 + 16]", "cw.w")}, 6) AS d
+         |  FROM res r CROSS JOIN cw),
+         |ranked AS (
+         |  SELECT vec_id, cell, j, c, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |    ORDER BY d, c) AS rn
+         |  FROM dists)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell,
+         |  CAST(j AS INTEGER) AS subspace, CAST(c AS INTEGER) AS code
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin
+    },
+
+    "v23_ivfadc_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 

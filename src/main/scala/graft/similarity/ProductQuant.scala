@@ -113,6 +113,61 @@ object ProductQuant {
     PqCodebook(seeds, m)
   }
 
+  /** Per-row coarse RESIDUALS — the IVFADC ingredient: r = x − c(x),
+    * where c(x) is the centroid of x's assigned cell. Computed as one
+    * broadcast join of the k-row centroid table + a zip_with
+    * subtraction (map-side, exact double arithmetic: CAST(x) − c is
+    * one IEEE op on identical operands in both engines, so everything
+    * downstream of the residual can still gate exactly). Emits
+    * (idCol, cell, __res) — `assigned` is [[Similarity.assignToCentroids]]
+    * output, already scorable-filtered.
+    */
+  def residualFrame(assigned: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame): DataFrame =
+    assigned.join(broadcast(centroids), Seq("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol), col("centroid"),
+          (x, c) => x.cast("double") - c).as("__res"))
+
+  /** RESIDUAL-trained per-subspace codebooks — the canonical FAISS
+    * IVFADC recipe [[buildCodebookTrained]] stops one rung short of:
+    * codewords are Lloyd centroids of `x − coarse_centroid(x)` slices,
+    * so the m·log2(ks) code bits spend on WITHIN-cell variance instead
+    * of re-describing the coarse structure the cell id already
+    * carries. Same exactness argument as the raw-vector trainer: the
+    * residual is one exact subtraction, kmeansTrain is bit-identical
+    * cross-engine by the km1 induction, so residual CODES gate
+    * oracle-exactly (v22). Same scale shape too — the residual is a
+    * map-side zip over the already-assigned corpus.
+    */
+  def buildCodebookResidual(idx: Similarity.IvfIndex, idCol: String,
+                            vecCol: String, m: Int, ks: Int, iters: Int,
+                            dim: Int): PqCodebook =
+    buildCodebookTrained(
+      residualFrame(idx.assigned, idCol, vecCol, idx.centroids),
+      idCol, "__res", m, ks, iters, dim)
+
+  /** Encode residuals against a residual codebook: (id, cell, codes).
+    * Unlike [[encode]] there is NO scorable re-filter — the input is
+    * the assigned corpus (already scorable), and a residual may be
+    * legitimately zero-norm (a vector sitting ON its centroid) yet
+    * must still be indexed; the argmin is well-defined on any finite
+    * vector. Rounded-distance + first-index tiebreak as everywhere.
+    */
+  def encodeResidual(idx: Similarity.IvfIndex, idCol: String,
+                     vecCol: String, cb: PqCodebook): DataFrame = {
+    val res = residualFrame(idx.assigned, idCol, vecCol, idx.centroids)
+    val codes = (0 until cb.m).map { j =>
+      val subv = slice(col("__res"), j * cb.sub + 1, cb.sub)
+      val dists = array((0 until cb.ks).map { c =>
+        round(lit(cb.sliceNorm2(j, c)) -
+          lit(2.0) * Similarity.dot(subv, lit(cb.slice(j, c).toArray)), 6)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    res.select(col(idCol), col("cell"), array(codes: _*).as("codes"))
+  }
+
   /** Map-side encoding: (id, codes array<int> of length m). Per
     * subspace, distances to all `ks` codewords unroll to a literal
     * array of `round(||c||² − 2·v_j·c, 6)` (the ||v_j||² term is
@@ -274,6 +329,105 @@ object ProductQuant {
         round(Similarity.dot(col("q_vec"), col("c_vec")) /
           (col("q_nrm") * col("c_nrm")), 6))
     Similarity.topK(scored, k)
+  }
+
+  /** IVFADC proper — the residual composition of [[ivfPqTopKWithIndex]]:
+    * probe the coarse cells, ADC-score RESIDUAL codes, exact-rerank
+    * the survivors. The reconstruction is v̂ = c_cell + r̂(codes), so
+    * the approximate cosine decomposes exactly:
+    *
+    *   q·v̂   = q·c_cell + Σ_j lut[j][code_j]        (lut from RAW q —
+    *            an inner product needs no query-side residual)
+    *   ‖v̂‖²  = ‖c‖² + 2·Σ_j (c_j · w_{j,code_j}) + Σ_j ‖w_{j,code_j}‖²
+    *
+    * The centroid/codeword cross-term table (nCells·m·ks doubles) is
+    * built driver-side from the BOUNDED collected centroid table and
+    * joined onto the tiny probe set; ‖c‖² and q·c ride the probe rows.
+    * Per-candidate cost stays m `element_at` lookups + adds — the
+    * adcTopK shape — while the codes now describe within-cell variance
+    * only, which is what lifts recall at the same m·log2(ks) bit
+    * budget (v23 vs v20). Scale shape identical to the raw path: one
+    * cell-key equi join prunes the scan, map-side LUT scoring, bounded
+    * top-k, broadcast candidate join back.
+    */
+  def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
+                        idx: Similarity.IvfIndex, queryIds: Seq[Long],
+                        k: Int, nProbe: Int, cb: PqCodebook,
+                        candidateK: Int): DataFrame = {
+    require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val codes = encodeResidual(idx, idCol, vecCol, cb)
+    // bounded collect: nCells rows, the codebook-build contract
+    val cents = idx.centroids.select(col("cell"), col("centroid"))
+      .collect().map(r => r.getAs[Int]("cell") ->
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val xt = cents.toSeq.map { case (cell, cent) =>
+      (cell, (0 until cb.m).map { j =>
+        (0 until cb.ks).map { c =>
+          val cs = cent.slice(j * cb.sub, (j + 1) * cb.sub)
+          cs.zip(cb.slice(j, c)).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        }
+      })
+    }.toDF("cell", "__xt")
+    val q = idx.assigned.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probes = q.crossJoin(broadcast(idx.centroids))
+      .withColumn("d2", round(Similarity.dot(col("centroid"), col("centroid"))
+        - lit(2.0) * Similarity.dot(col("q_vec"), col("centroid")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val probeSet = probes.withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        lutFor(col("q_vec"), cb).as("__lut"),
+        Similarity.dot(col("q_vec"), col("centroid")).as("__qc"),
+        Similarity.dot(col("centroid"), col("centroid")).as("__cn2"))
+      .join(broadcast(xt), "cell")
+    val normLut = array((0 until cb.m).map { j =>
+      array((0 until cb.ks).map(c => lit(cb.sliceNorm2(j, c))): _*)
+    }: _*)
+    def lk(tbl: Column, j: Int): Column =
+      element_at(element_at(tbl, j + 1), element_at(col("codes"), j + 1) + 1)
+    val ip = col("__qc") +
+      (0 until cb.m).map(j => lk(col("__lut"), j)).reduce(_ + _)
+    val n2 = col("__cn2") +
+      lit(2.0) * (0 until cb.m).map(j => lk(col("__xt"), j)).reduce(_ + _) +
+      (0 until cb.m).map(j => lk(normLut, j)).reduce(_ + _)
+    val cands = codes.select(col(idCol).as("neighbor_id"), col("codes"), col("cell"))
+      .join(broadcast(probeSet), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(when(n2 > 0, ip / sqrt(n2)).otherwise(lit(0.0)), 6))
+    val picked = Similarity.topK(cands, candidateK)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank of the candidates only (the shared IVF-PQ tail)
+    val clean = emb.filter(Similarity.scorable(col(vecCol)))
+    val qv = clean.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        Similarity.l2norm(col(vecCol)).as("q_nrm"))
+    val cv = clean.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      Similarity.l2norm(col(vecCol)).as("c_nrm"))
+    val scored = cv.join(broadcast(picked.join(qv, "query_id")), "neighbor_id")
+      .withColumn("cos_sim",
+        round(Similarity.dot(col("q_vec"), col("c_vec")) /
+          (col("q_nrm") * col("c_nrm")), 6))
+    Similarity.topK(scored, k)
+  }
+
+  /** The fully-trained IVFADC: Lloyd-trained coarse cells, Lloyd-
+    * trained RESIDUAL codebooks, residual ADC, exact re-rank — every
+    * rung of the FAISS recipe, all deterministic.
+    */
+  def ivfPqResidualTopKTrained(emb: DataFrame, idCol: String, vecCol: String,
+                               queryIds: Seq[Long], k: Int, nCells: Int,
+                               nProbe: Int, m: Int, ks: Int,
+                               candidateK: Int, iters: Int,
+                               dim: Int): DataFrame = {
+    val idx = Similarity.buildIvfTrained(emb, idCol, vecCol, nCells, iters, dim)
+    val cb = buildCodebookResidual(idx, idCol, vecCol, m, ks, iters, dim)
+    ivfPqResidualTopK(emb, idCol, vecCol, idx, queryIds, k, nProbe, cb,
+      candidateK)
   }
 
   /** Persist the FULL IVF-PQ index: the coarse index (cell-assigned

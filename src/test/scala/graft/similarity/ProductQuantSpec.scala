@@ -253,4 +253,72 @@ class ProductQuantSpec extends graft.SparkSpec {
       s"training lost recall: trained=$trained < seedPick=$seedPick")
     assert(trained >= 25, s"trained recall@5 below the 0.5 gate floor: $trained/50")
   }
+
+  test("residual ADC recall@5 >= raw-code trained recall@5 (v23 vs v20)") {
+    val ids = (0L until 10L).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", ids, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val candidates = math.max(100L, emb.count() / 5).toInt
+    val raw = brute.intersect(
+      ProductQuant.ivfPqTopKTrained(emb, "vec_id", "embedding", ids, k = 5,
+        nCells = 16, nProbe = 8, ProductQuant.buildCodebookTrained(
+          emb, "vec_id", "embedding", m = 8, ks = 16, iters = 2, dim = 64),
+        candidateK = candidates, iters = 2, dim = 64)
+        .select($"query_id", $"neighbor_id")).count()
+    val residual = brute.intersect(
+      ProductQuant.ivfPqResidualTopKTrained(emb, "vec_id", "embedding", ids,
+        k = 5, nCells = 16, nProbe = 8, m = 8, ks = 16,
+        candidateK = candidates, iters = 2, dim = 64)
+        .select($"query_id", $"neighbor_id")).count()
+    info(s"recall@5 x50: raw-code=$raw residual=$residual")
+    // residual codes spend the same bit budget on within-cell variance
+    // only — the IVFADC claim: never worse than raw codes at the same
+    // dials, and above the v23 gate's 0.5 floor
+    assert(residual >= raw,
+      s"residual encoding lost recall: residual=$residual < raw=$raw")
+    assert(residual >= 25,
+      s"residual recall@5 below the 0.5 gate floor: $residual/50")
+  }
+
+  test("residual codes are layout-invariant and never drop assigned rows") {
+    val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 2, dim = 64)
+    val rcb = ProductQuant.buildCodebookResidual(idx, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2, dim = 64)
+    val a = ProductQuant.encodeResidual(idx, "vec_id", "embedding", rcb)
+      .select($"vec_id", $"cell", $"codes".cast("array<int>"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val shuffled = Similarity.IvfIndex(idx.assigned.repartition(13),
+      idx.centroids)
+    val b = ProductQuant.encodeResidual(shuffled, "vec_id", "embedding", rcb)
+      .select($"vec_id", $"cell", $"codes".cast("array<int>"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(a == b, "residual encoding must be a pure function of the row")
+    // every assigned row is encoded — the index never loses a vector
+    assert(a.size == idx.assigned.count())
+    assert(a.forall { case (_, _, codes) =>
+      codes.size == 4 && codes.forall(c => c >= 0 && c < 8) })
+  }
+
+  test("a vector ON its centroid (zero residual) is excluded from training but still encoded") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 1.0f)),   // == centroid: residual (0, 0)
+      (1L, Array(3.0f, 1.0f)),   // residual (2, 0)
+      (2L, Array(5.0f, 7.0f))).toDF("vec_id", "embedding") // residual (4, 6)
+    val cents = Seq((0, Seq(1.0, 1.0))).toDF("cell", "centroid")
+    val idx = Similarity.IvfIndex(
+      Similarity.assignToCentroids(corpus, "vec_id", "embedding", cents),
+      cents)
+    val rcb = ProductQuant.buildCodebookResidual(idx, "vec_id", "embedding",
+      m = 1, ks = 2, iters = 1, dim = 2)
+    val coded = ProductQuant.encodeResidual(idx, "vec_id", "embedding", rcb)
+      .select($"vec_id", $"codes".cast("array<int>"))
+      .as[(Long, Seq[Int])].collect().toMap
+    // the zero-residual row cannot train a codeword (scorable filter)
+    // but MUST still be indexed — encodeResidual has no re-filter
+    assert(coded.keySet == Set(0L, 1L, 2L))
+    assert(coded(0L).size == 1 && coded(1L).size == 1 && coded(2L).size == 1)
+    // zero residual sits nearer the (2,0)-side codeword than (4,6)'s
+    assert(coded(0L) == coded(1L) && coded(0L) != coded(2L))
+  }
 }
