@@ -473,6 +473,76 @@ object TextAnalysis {
           / count(lit(1)).cast("double")).as("mean_logscore"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring — the REAL smoothed LM
+    * behind CCNet-style perplexity filtering, upgrading
+    * [[backoffLogProb]]'s stupid backoff (which is not a probability
+    * distribution) to the canonical absolute-discount interpolation:
+    *
+    *   P(w|c) = max(c(c,w) − D, 0)/c(c,·)
+    *          + (D · N1+(c,·)/c(c,·)) · P_cont(w)
+    *   P_cont(w) = N1+(·,w) / N1+(·,·)
+    *
+    * with D = 0.75 (= 3/4, EXACT in binary — products/quotients with
+    * it stay pure IEEE ops). N1+(c,·) counts distinct continuations of
+    * c, N1+(·,w) distinct contexts preceding w, N1+(·,·) distinct
+    * bigram types — all exact integer aggregates of the train corpus.
+    * An UNSEEN context falls through to P_cont(w) alone; a word never
+    * seen as a continuation takes the half-type floor 0.5/N1+(·,·)
+    * (t14's half-count convention lifted to type space — P_cont is
+    * zero there and ln needs mass). ln is quantized once per position
+    * by the t9 nudged floor; everything upstream is identical
+    * arithmetic on identical operands in both engines, so the gate is
+    * exact (t15).
+    *
+    * Emits (idCol, n_positions, n_unseen_bigrams, mean_logscore).
+    * Scale shape = t14's: counts partial-aggregate map-side, model
+    * joins are vocabulary-keyed shuffles (a bigram table grows with
+    * data — never broadcast), the 1-row type total broadcasts.
+    */
+  def kneserNeyLogProb(score: org.apache.spark.sql.DataFrame,
+                       train: org.apache.spark.sql.DataFrame,
+                       idCol: String, textCol: String,
+                       discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.TextDedup
+    val scale = 1e6
+    val bgTrain = TextDedup.shingleSets(train, idCol, textCol, k = 2,
+        distinct = false)
+      .select(col("shingle").as("bigram"),
+        substring_index(col("shingle"), " ", 1).as("ctx"),
+        substring_index(col("shingle"), " ", -1).as("w"))
+    val bgCnt = bgTrain.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+    val ctxCnt = bgTrain.groupBy(col("ctx"))
+      .agg(count(lit(1)).as("c_ctx"), countDistinct(col("w")).as("n1c"))
+    val contCnt = bgTrain.select(col("ctx"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+    val n1tot = bgTrain.select(col("bigram")).distinct()
+      .agg(count(lit(1)).as("n1_total"))
+    val pos = TextDedup.shingleSets(score, idCol, textCol, k = 2,
+        distinct = false)
+      .select(col(idCol), col("shingle").as("bigram"),
+        substring_index(col("shingle"), " ", 1).as("ctx"),
+        substring_index(col("shingle"), " ", -1).as("w"))
+    val pcont = coalesce(col("n1w").cast("double"), lit(0.5)) /
+      col("n1_total").cast("double")
+    pos
+      .join(bgCnt, Seq("bigram"), "left")
+      .join(ctxCnt, Seq("ctx"), "left")
+      .join(contCnt, Seq("w"), "left")
+      .crossJoin(broadcast(n1tot))
+      .withColumn("lp_q", floor(log(
+        when(col("c_ctx").isNotNull,
+          greatest(coalesce(col("c_bg"), lit(0L)).cast("double")
+            - lit(discount), lit(0.0)) / col("c_ctx").cast("double")
+          + (lit(discount) * col("n1c").cast("double")
+            / col("c_ctx").cast("double")) * pcont)
+        .otherwise(pcont)) * lit(scale) + lit(1e-4)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(col("c_bg").isNull.cast("long")).as("n_unseen_bigrams"),
+        (sum(col("lp_q")).cast("double") / lit(scale)
+          / count(lit(1)).cast("double")).as("mean_logscore"))
+  }
+
   /** Top-k PMI collocations — corpus-level association mining (Church
     * & Hanks' pointwise mutual information over adjacent token pairs),
     * the classic phrase-discovery statistic a tokenizer/vocab builder

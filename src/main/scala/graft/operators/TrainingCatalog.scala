@@ -2040,6 +2040,40 @@ object TrainingCatalog {
         .orderBy(col("bucket"))
     }),
 
+    // T15 — interpolated KNESER-NEY bigram scoring (t14's stupid
+    // backoff upgraded to the canonical smoothed LM CCNet-style
+    // perplexity filters actually use): absolute discount D=3/4
+    // (exact), continuation-count P_cont, half-type OOV floor — every
+    // branch an exact rational of train counts, ln quantized once
+    // (t9 nudged floor). Same even-train/odd-score split as t14.
+    "t15_kneser_ney" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      TextAnalysis.kneserNeyLogProb(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // CX3 — selection by KN-smoothed LM score (cx2 with a real
+    // probability model): t15's scores tercile the held-out corpus,
+    // rounded float-rank + doc_id tiebreak, NTILE(3)
+    "cx3_kn_buckets" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val scored = TextAnalysis.kneserNeyLogProb(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(round(col("mean_logscore"), 6).desc, col("doc_id"))
+      scored.withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("mean_logscore")), 6).as("min_score"),
+          round(max(col("mean_logscore")), 6).as("max_score"))
+        .orderBy(col("bucket"))
+    }),
+
     // V14 — incremental IVF-PQ maintenance: build the index over 3/4
     // of the corpus, APPEND the held-out quarter against the persisted
     // (frozen) quantizer, and query the appended index. The gate
@@ -2154,6 +2188,47 @@ object TrainingCatalog {
         |      END) * 1000000.0 + 0.0001) AS BIGINT) AS lp_q
         |  FROM sbg g LEFT JOIN bc USING (bigram) LEFT JOIN cc USING (ctx)
         |  LEFT JOIN uc USING (w) CROSS JOIN nn)""".stripMargin
+
+  /** The t15/cx3 Kneser–Ney position scorer: train CTEs over even
+    * docs' bigrams (token counts, per-context continuation fan-out,
+    * continuation counts over DISTINCT bigram types), scored positions
+    * LEFT-join the model and interpolate with D = 0.75 — the exact
+    * mirror of [[TextAnalysis.kneserNeyLogProb]]'s expression tree
+    * (same operand order, same GREATEST/COALESCE branches, same
+    * half-type OOV floor, one nudged-floor ln quantization).
+    */
+  private val KneserNeyLpCtes: String = {
+    val pcont =
+      "COALESCE(CAST(kcw.n1w AS DOUBLE), 0.5) / CAST(ktot.n1_total AS DOUBLE)"
+    s"""ktok AS (SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |ktbg AS (SELECT t[i] AS ctx, t[i+1] AS w, t[i] || ' ' || t[i+1] AS bigram
+        |  FROM ktok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |kbc AS (SELECT bigram, COUNT(*) AS c_bg FROM ktbg GROUP BY bigram),
+        |kcc AS (SELECT ctx, COUNT(*) AS c_ctx, COUNT(DISTINCT w) AS n1c
+        |  FROM ktbg GROUP BY ctx),
+        |kcw AS (SELECT w, COUNT(*) AS n1w
+        |  FROM (SELECT DISTINCT ctx, w FROM ktbg) z GROUP BY w),
+        |ktot AS (SELECT COUNT(DISTINCT bigram) AS n1_total FROM ktbg),
+        |kstok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |ksbg AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS w,
+        |    t[i] || ' ' || t[i+1] AS bigram
+        |  FROM kstok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |klp AS (SELECT g.doc_id, kbc.c_bg,
+        |    CAST(FLOOR(ln(
+        |      CASE WHEN kcc.c_ctx IS NOT NULL
+        |        THEN GREATEST(CAST(COALESCE(kbc.c_bg, 0) AS DOUBLE) - 0.75, 0.0)
+        |            / CAST(kcc.c_ctx AS DOUBLE)
+        |          + (0.75 * CAST(kcc.n1c AS DOUBLE) / CAST(kcc.c_ctx AS DOUBLE))
+        |            * ($pcont)
+        |        ELSE $pcont
+        |      END) * 1000000.0 + 0.0001) AS BIGINT) AS lp_q
+        |  FROM ksbg g LEFT JOIN kbc USING (bigram) LEFT JOIN kcc USING (ctx)
+        |  LEFT JOIN kcw USING (w) CROSS JOIN ktot)""".stripMargin
+  }
 
   /** The sh1/sh2 manifest restated over any doc source: md5-nibble
     * shard key, exact counts, and the order-independent 32-bit-term
@@ -2930,6 +3005,31 @@ object TrainingCatalog {
          |agg AS (SELECT doc_id,
          |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
          |  FROM lp GROUP BY doc_id),
+         |b AS (SELECT mean_logscore, CAST(NTILE(3) OVER (
+         |    ORDER BY round(mean_logscore, 6) DESC, doc_id) AS INT) AS bucket
+         |  FROM agg)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  round(MIN(mean_logscore), 6) AS min_score,
+         |  round(MAX(mean_logscore), 6) AS max_score
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the interpolated-KN ladder: seen-context positions discount and
+    // interpolate, unseen contexts fall to P_cont, never-seen
+    // continuations take the half-type floor — same quantized-ln
+    "t15_kneser_ney" ->
+      s"""WITH $KneserNeyLpCtes,
+         |agg AS (SELECT doc_id, COUNT(*) AS n_positions,
+         |    CAST(SUM(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_bigrams,
+         |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
+         |  FROM klp GROUP BY doc_id)
+         |SELECT doc_id, n_positions, n_unseen_bigrams, mean_logscore
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "cx3_kn_buckets" ->
+      s"""WITH $KneserNeyLpCtes,
+         |agg AS (SELECT doc_id,
+         |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
+         |  FROM klp GROUP BY doc_id),
          |b AS (SELECT mean_logscore, CAST(NTILE(3) OVER (
          |    ORDER BY round(mean_logscore, 6) DESC, doc_id) AS INT) AS bucket
          |  FROM agg)

@@ -196,6 +196,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r == ((1L, 5L, 4L, golden)), s"got $r expected mean $golden")
   }
 
+  test("Kneser-Ney golden: discounted seen, interpolated unseen, OOV floor") {
+    // train "a b a b a c": bigram counts {ab:2, ba:2, ac:1};
+    // ctx counts a:3 (n1c 2: b,c), b:2 (n1c 1: a);
+    // continuation types (a,b)(b,a)(a,c) -> n1w a:1 b:1 c:1; N1+ = 3
+    val train = Seq((0L, "a b a b a c")).toDF("doc_id", "text")
+    // score "a b c d": positions and their interpolation branches:
+    //   a b -> seen:      (2-.75)/3 + (.75*2/3)*(1/3)
+    //   b c -> unseen bg: 0         + (.75*1/2)*(1/3)
+    //   c d -> unseen ctx, d OOV:     (0.5/3)  (half-type floor)
+    val scoreD = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.kneserNeyLogProb(scoreD, train, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().head
+    def q(v: Double): Long = math.floor(v * 1e6 + 1e-4).toLong
+    val pAb = (2.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)
+    val pBc = 0.0 / 2.0 + (0.75 * 1.0 / 2.0) * (1.0 / 3.0)
+    val pCd = 0.5 / 3.0
+    val golden =
+      Seq(pAb, pBc, pCd).map(p => q(math.log(p))).sum.toDouble / 1e6 / 3.0
+    assert(r == ((1L, 3L, 2L, golden)), s"got $r expected mean $golden")
+    // interpolated KN is a PROPER conditional distribution over the
+    // train vocab for a seen context (what stupid backoff is not):
+    // sum over {a,b,c} of P(.|a) = 1 exactly
+    val pAa = math.max(0.0 - 0.75, 0.0) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)
+    val pAc = (1.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (1.0 / 3.0)
+    assert(pAa + pAb + pAc == 1.0, s"KN mass != 1: ${pAa + pAb + pAc}")
+    // and the engine reproduces those per-position values
+    val perW = TextAnalysis.kneserNeyLogProb(
+      Seq((1L, "a a"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text"),
+      train, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val expect = Seq(pAa, pAb, pAc).map(p => q(math.log(p)).toDouble / 1e6)
+    assert(perW.map(_._4) == expect, s"got ${perW.map(_._4)} expected $expect")
+  }
+
   test("unigramLogProb golden values (quantized mean token log-prob)") {
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // corpus: a,a,b,b,c → N=5; p(a)=p(b)=0.4, p(c)=0.2
