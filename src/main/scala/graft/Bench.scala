@@ -59,6 +59,7 @@ object Bench {
       "fuzzy_pairs" -> (() => Pipelines.fuzzyPairs(spark, sfDir)),
       "dsir_select" -> (() => Pipelines.dsirSelect(spark, sfDir)),
       "semdedup" -> (() => Pipelines.semDedup(spark, sfDir)),
+      "semantic_decontam_ivf" -> (() => Pipelines.semanticDecontamIvf(spark, sfDir)),
       "ppl_buckets" -> (() => Pipelines.pplBuckets(spark, sfDir)),
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
       "boilerplate_strip" -> (() => Pipelines.boilerplateStrip(spark, sfDir)),

@@ -689,6 +689,27 @@ object Pipelines {
       "embedding", threshold = 0.9, nCentroids = 16)
       .filter(col("keep"))
 
+  /** IVF-routed semantic decontamination (dc4's shape, the bounded-
+    * scan path past dc3's broadcast-probe cap): train the coarse
+    * quantizer once, assign the corpus once, route each probe to its
+    * 2 nearest cells and score only those cells' members.
+    */
+  def semanticDecontamIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+      k = 8, iters = 2, dim = 64).centroids
+    val probes = emb.filter(col("vec_id") % 41 === 0)
+      .select(col("vec_id").as("probe_id"),
+        concat(array(lit(0.0f)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    // the verdict filter keeps the benched terminal honest: Bench's
+    // count() would otherwise prune max_cos and every pair cosine
+    graft.dedup.Decontam.semanticProfileIvf(emb, probes, "vec_id",
+      "embedding", tau = 0.9, cents, nProbe = 2)
+      .filter(col("contaminated") === 1)
+  }
+
   /** CCNet perplexity bucketing, approx-threshold scale path. */
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame =
     graft.quality.Perplexity.buckets(

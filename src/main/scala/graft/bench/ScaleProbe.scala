@@ -260,6 +260,51 @@ object ScaleProbe {
         emb.unpersist()
         spark.catalog.clearCache()
       }
+      // dc3-vs-dc4 CROSSOVER (r16): FROZEN 64×-enlarged corpus, probe
+      // set grows m× (eval suites accrete across releases; the corpus
+      // side is what the other semdc arms grow). dc3's exact path
+      // scores corpus × probes — cost linear in m with the FULL corpus
+      // as the slope. dc4 pays a fixed routing cost (train + assign
+      // once, amortized over every release's probes) and then
+      // corpus·nProbe/nCells per probe — the same linear m at a ~1/8
+      // slope (nProbe=2 of 16 cells), so past the training constant
+      // the exact line crosses it and keeps diverging. The corpus is
+      // enlarged 64× so the corpus-sized slope is visible over
+      // scheduling noise; rows= pins both censuses to that size.
+      if (enabled("semdc_xover")) {
+        val base = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val emb = multiply(base, "vec_id", 64, 100000000L)
+          .repartition(64).cache()
+        emb.count()
+        val probes = multiply(
+          base.filter(col("vec_id") % 41 === 0), "vec_id", m, 10000000L)
+          .select(col("vec_id").as("probe_id"),
+            concat(array(lit(0.0f)),
+              slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+              .as("embedding"))
+          .repartition(8).cache()
+        probes.count()
+        // sum(contaminated) as the terminal: a bare count() lets the
+        // optimizer PRUNE max_cos and with it every pair cosine — the
+        // probe would time join bookkeeping, not the scoring work
+        time(s"semdc_exact_probes x$m") {
+          graft.dedup.Decontam.semanticProfile(emb,
+            probes.select(col("embedding")), "vec_id", "embedding",
+            tau = 0.9)
+            .agg(sum(col("contaminated"))).head().getLong(0)
+        }
+        time(s"semdc_ivf_probes x$m") {
+          val cents = Similarity.kmeansTrain(emb, "vec_id", "embedding",
+            k = 16, iters = 2, dim = 64).centroids
+          graft.dedup.Decontam.semanticProfileIvf(emb, probes, "vec_id",
+            "embedding", tau = 0.9, cents, nProbe = 2)
+            .agg(sum(col("contaminated"))).head().getLong(0)
+        }
+        probes.unpersist()
+        emb.unpersist()
+        spark.catalog.clearCache()
+      }
       // EXACT span dedup: multiplying COPIES the texts, so every
       // ≥50-token doc becomes fully duplicated m× — the worst-case
       // duplication regime (measured: output rows collapse to the

@@ -476,18 +476,35 @@ object Bpe {
     df.select(explode(split(col(textCol), " ", -1)).as("__w"))
       .filter(col("__w") =!= "")
 
+  /** Batched trainer over a PRE-AGGREGATED byte-level (word, count)
+    * census — the streaming trainer's serve step (e43): the fold
+    * accumulates exact per-word counts micro-batch by micro-batch
+    * (order-free int64 sums), so training over the drained census is
+    * merge-for-merge identical to [[trainBytesIncrementalBatched]]
+    * over the same corpus. Columns: (__w string, f long).
+    */
+  def trainBytesBatchedOnCounts(wordCounts: DataFrame, nMerges: Int,
+                                batchCap: Int = 32): Vector[(String, String)] =
+    trainBatchedOnWordCounts(wordCounts, nMerges, byteSyms, batchCap)._1
+
   private def trainBatchedOnWords(words: DataFrame, nMerges: Int,
                                   symbolize: String => Vector[String],
-                                  batchCap: Int): (Vector[(String, String)], Int) = {
+                                  batchCap: Int): (Vector[(String, String)], Int) =
+    trainBatchedOnWordCounts(
+      words.groupBy(col("__w")).agg(count(lit(1)).as("f")),
+      nMerges, symbolize, batchCap)
+
+  private def trainBatchedOnWordCounts(wordCounts: DataFrame, nMerges: Int,
+                                       symbolize: String => Vector[String],
+                                       batchCap: Int): (Vector[(String, String)], Int) = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(batchCap >= 1, s"batchCap must be >= 1, got $batchCap")
-    val spark = words.sparkSession
+    val spark = wordCounts.sparkSession
     import spark.implicits._
     def adjacent(syms: Seq[String]): Iterator[(String, String)] =
       if (syms.length < 2) Iterator.empty
       else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
-    var state: Dataset[(Seq[String], Long)] = words
-      .groupBy(col("__w")).agg(count(lit(1)).as("f"))
+    var state: Dataset[(Seq[String], Long)] = wordCounts
       .as[(String, Long)]
       .map { case (w, f) => (symbolize(w): Seq[String], f) }
       .localCheckpoint()

@@ -1316,6 +1316,29 @@ object StreamMediaCatalog {
         .orderBy(col("cell"), col("dim"))
     }),
 
+    // E43 — STREAMING BPE vocabulary TRAINING (tk31's ingestion face;
+    // e31/e33 only tokenize under frozen merges): the word census
+    // folds per micro-batch (order-free exact sums — 3 unpinned
+    // batches), the BATCHED merge selector serves from the drained
+    // census at tk31's rounds-per-merge latency. Stream == batch on
+    // tk31's own oracle (same corpus incl. byte plants, same merges).
+    "e43_stream_bpe_train" -> ((spark, dir) => {
+      import spark.implicits._
+      val in = graft.core.Staging.tmpDir("stream_bpetrain_in")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .unionByName(TrainingCatalog.BytePlants
+          .toDF("doc_id", "lang", "text").select(col("doc_id"), col("text")))
+      for (r <- 0 to 2)
+        docs.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema(graft.streaming.DocStream.idTextSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.bpeTrainBatchedFold(src, nMerges = 8)
+        .orderBy(col("rank"))
+    }),
+
     // E32 — STREAMING image near-dup (m14's ingestion face, the image
     // sibling of x15/e14): the dHash payloads stage as 3 disjoint
     // files → 3 micro-batches; decode→hash folds into a (doc_id,
@@ -1520,6 +1543,10 @@ object StreamMediaCatalog {
     // streaming == batch for the pure-row-function BPE re-tokenization
     "e18_stream_bpe" -> TrainingCatalog.oracle("tk1_bpe_apply"),
     "e31_stream_byte_bpe" -> TrainingCatalog.oracle("tk10_byte_bpe"),
+
+    // the stream-folded word census == the one-shot census exactly, so
+    // the batched merge sequence replays on tk31's own oracle
+    "e43_stream_bpe_train" -> TrainingCatalog.oracle("tk31_bpe_batched"),
 
     // streaming == batch for the category-pre-tokenized byte BPE
     "e33_stream_pretok_bpe" -> TrainingCatalog.oracle("tk16_bpe_pretok"),

@@ -809,6 +809,40 @@ object DocStream {
         col("col").as("centroid"))
   }
 
+  /** STREAMING BPE vocabulary training (e43) — the batched trainer's
+    * ingestion face: per micro-batch the expensive corpus work (token
+    * explode + word census) folds into an exact (word, count) store
+    * (order-free int64 sums — no pinned mtimes needed, the e22/e32
+    * discipline), and the BATCHED merge-selection trainer
+    * ([[graft.functions.Bpe.trainBytesBatchedOnCounts]] — tk31's
+    * maximal-safe-prefix rule, so the streamed build gets tk31's
+    * rounds-per-merge latency, not one census job per merge) serves
+    * from the drained census. Fold-then-serve because merge selection
+    * is a global argmax over the whole vocabulary; the drained census
+    * equals the one-shot batch census exactly, so the merge sequence
+    * is byte-identical to tk31's own (the gate borrows tk31's oracle).
+    * Emits (rank, x, y).
+    */
+  def bpeTrainBatchedFold(docStream: DataFrame, nMerges: Int,
+                          batchCap: Int = 32): DataFrame = {
+    var store: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val wc = batch.select(explode(split(col("text"), " ", -1)).as("__w"))
+        .filter(col("__w") =!= "")
+        .groupBy(col("__w")).agg(count(lit(1)).as("f"))
+      store = (if (store == null) wc
+               else store.unionByName(wc)
+                 .groupBy(col("__w")).agg(sum(col("f")).as("f")))
+        .localCheckpoint()
+    })
+    require(store != null, "bpeTrainBatchedFold: stream delivered no batches")
+    val spark = store.sparkSession
+    import spark.implicits._
+    graft.functions.Bpe.trainBytesBatchedOnCounts(store, nMerges, batchCap)
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("rank", "x", "y")
+  }
+
   /** [[kmeansMiniBatchFold]]'s COUNT-WEIGHTED sibling (e42) — the
     * Sculley update via [[graft.similarity.Similarity.kmeansMiniBatchStepWeighted]]:
     * batch 0 seeds (hash-keyed pick, count 0) and every batch folds

@@ -266,6 +266,33 @@ class SimilaritySpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("trained IVF recall@5 is monotone non-decreasing in nProbe (1,2,4,8)") {
+    val emb = graft.core.Tables.embeddings(spark, sf001).cache()
+    val ids = (0L until 10L).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", ids, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+      nCentroids = 16, iters = 2, dim = 64)
+    val curve = Seq(1, 2, 4, 8).map { p =>
+      p -> brute.intersect(
+        Similarity.ivfTopKIndexed(idx, "vec_id", "embedding", ids,
+          k = 5, nProbe = p)
+          .select($"query_id", $"neighbor_id")).count()
+    }
+    info(s"recall@5 x50 vs nProbe: ${curve.map { case (p, r) => s"$p->$r" }.mkString(" ")}")
+    // probing MORE cells can only add candidates, never remove them:
+    // the probe set at nProbe p is a prefix of the set at p' > p
+    // (same rounded-distance + cell-tiebreak ranking), so recall is
+    // monotone — the curve the documented nProbe default reads from
+    curve.sliding(2).foreach { case Seq((pa, ra), (pb, rb)) =>
+      assert(rb >= ra, s"recall fell from nProbe=$pa ($ra) to nProbe=$pb ($rb)")
+    }
+    // nProbe=4 (the v18 dial) must clear the gate floor
+    assert(curve.toMap.apply(4) >= 25,
+      s"nProbe=4 recall below the 0.5 floor: ${curve.toMap.apply(4)}/50")
+    emb.unpersist()
+  }
+
   test("int8TopK recall@5 vs float brute force is high") {
     val emb = graft.core.Tables.embeddings(spark, sf0001).cache()
     val ids = Seq(0L, 1L, 2L, 3L, 4L)
