@@ -304,6 +304,119 @@ object Unigram {
     v
   }
 
+  /** SOFT-EM expectations for one word — SentencePiece's forward–
+    * backward E-step, the piece [[emRound]]'s hard (Viterbi-count)
+    * simplification stands in for: expected piece counts over ALL
+    * segmentations weighted by path probability, plus the word's
+    * marginal log-likelihood ln Σ_paths Π p(piece).
+    *
+    * Computed in LINEAR probability space: with words capped at
+    * [[MaxWordLen]] chars and per-piece probabilities far above
+    * e^-700/12, no path mass can underflow a double, so the usual
+    * log-sum-exp machinery (the reason the soft E-step is not
+    * oracle-able — DuckDB has no stable lse) is unnecessary ENGINE-
+    * side. Spec-level properties cover it instead of a gate
+    * (UnigramSpec: per-char coverage identity, hard-EM as the
+    * temperature→0 limit, non-decreasing corpus marginal under
+    * [[emRoundSoft]]); the oracle-exact training path stays hard-EM.
+    * Returns None when no piece path covers the word (same drop rule
+    * as [[viterbiWord]]).
+    */
+  def softExpectations(w: String,
+                       lp: Map[String, Long]): Option[(Map[String, Double], Double)] = {
+    val n = w.length
+    def p(piece: String): Option[Double] =
+      lp.get(piece).map(q => math.exp(q.toDouble / 1e6))
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    for (k <- 1 to n; j <- 1 to math.min(MaxPieceLen, k))
+      p(w.substring(k - j, k)).foreach(pp => alpha(k) += alpha(k - j) * pp)
+    if (alpha(n) == 0.0) None
+    else {
+      val beta = new Array[Double](n + 1)
+      beta(n) = 1.0
+      for (k <- (n - 1) to 0 by -1; j <- 1 to math.min(MaxPieceLen, n - k))
+        p(w.substring(k, k + j)).foreach(pp => beta(k) += pp * beta(k + j))
+      val e = scala.collection.mutable.Map.empty[String, Double]
+      for (i <- 0 until n; j <- 1 to math.min(MaxPieceLen, n - i)) {
+        val piece = w.substring(i, i + j)
+        p(piece).foreach { pp =>
+          val post = alpha(i) * pp * beta(i + j) / alpha(n)
+          if (post > 0.0) e(piece) = e.getOrElse(piece, 0.0) + post
+        }
+      }
+      Some((e.toMap, math.log(alpha(n))))
+    }
+  }
+
+  /** Corpus EXPECTED piece usage under the soft E-step — the
+    * forward–backward sibling of [[pruneByUsage]]'s Viterbi census:
+    * Σ_words freq(w) · E[count of piece in w]. Double-valued and
+    * therefore order-sensitive across partitions — a SPEC/analysis
+    * surface, deliberately not a gate (see [[softExpectations]]).
+    */
+  def softUsage(df: DataFrame, textCol: String,
+                vocab: Seq[(String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lp = vocab.toMap
+    wordFreqs(df, textCol)
+      .flatMap { case (w, f) =>
+        softExpectations(w, lp).toSeq.flatMap(_._1.iterator
+          .map { case (piece, e) => (piece, e * f) })
+      }
+      .toDF("piece", "eu")
+      .groupBy(col("piece")).agg(sum(col("eu")).as("usage"))
+  }
+
+  /** Corpus marginal log-likelihood Σ_words freq · ln Σ_paths — the
+    * quantity true EM is guaranteed to not decrease (the spec's
+    * monotonicity readout for [[emRoundSoft]]).
+    */
+  def corpusMarginalLogLik(df: DataFrame, textCol: String,
+                           vocab: Seq[(String, Long)]): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lp = vocab.toMap
+    wordFreqs(df, textCol)
+      .flatMap { case (w, f) =>
+        softExpectations(w, lp).map { case (_, ll) => ll * f }
+      }
+      .toDF("ll").agg(sum(col("ll"))).as[Double].head()
+  }
+
+  /** One SOFT-EM round: [[emRound]] with forward–backward expected
+    * usage replacing the Viterbi census (prune multi pieces to the
+    * top keepMulti by 6-dp-rounded expected usage, chars always kept
+    * with +1 Laplace, re-estimate lp ∝ usage, quantize at emission).
+    * Spec-level surface — double usage makes ranking ties float-
+    * sensitive, so the GATED trainer stays [[emRound]]'s hard-EM.
+    */
+  def emRoundSoft(df: DataFrame, textCol: String,
+                  vocab: Seq[(String, Long)],
+                  keepMulti: Int): Vector[(String, Long)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val usage = softUsage(df, textCol, vocab)
+    val vdf = vocab.toDF("piece", "lp_q").select(col("piece"))
+    val chars = vdf.filter(length(col("piece")) === 1)
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("usage"), lit(0.0)).as("usage"))
+    val multi = vdf.filter(length(col("piece")) >= 2)
+      .join(usage, Seq("piece"))
+      .filter(col("usage") > 0.0)
+      .orderBy(round(col("usage"), 6).desc, col("piece")).limit(keepMulti)
+      .select(col("piece"), col("usage"))
+    val pruned = chars.unionByName(multi).as[(String, Double)].collect()
+    val scored = pruned.map { case (p, u) =>
+      (p, if (p.length == 1) u + 1.0 else u)
+    }
+    val total = scored.map(_._2).sum
+    scored.map { case (p, s) =>
+      (p, math.floor(math.log(s / total) * 1e6 + 1e-4).toLong)
+    }.sortBy(_._1).toVector
+  }
+
   /** Deterministic piece→id table — the model-ready vocabulary: ids
     * by (lp_q DESC, piece ASC), i.e. most probable piece gets id 0.
     * Derived from the frozen inventory on both sides (the oracle

@@ -295,4 +295,54 @@ class UnigramSpec extends SparkSpec {
       .orderBy(col("doc_id")).as[(Long, Long, Long, String)].collect().toSeq
     assert(streamShaped == batch)
   }
+
+  test("softExpectations: posterior mass splits by path probability, chars covered once") {
+    def q(p: Double): Long = math.floor(math.log(p) * 1e6 + 1e-4).toLong
+    val lp = Map("a" -> q(0.3), "b" -> q(0.3), "ab" -> q(0.4))
+    val (e, ll) = Unigram.softExpectations("ab", lp).get
+    // paths: [ab] mass 0.4, [a b] mass 0.09 -> marginal 0.49
+    assert(math.abs(ll - math.log(0.49)) < 1e-4)
+    assert(math.abs(e("ab") - 0.4 / 0.49) < 1e-4)
+    assert(math.abs(e("a") - 0.09 / 0.49) < 1e-4)
+    assert(math.abs(e("b") - 0.09 / 0.49) < 1e-4)
+    // every character is covered exactly once in every segmentation,
+    // so expected char coverage equals the word length EXACTLY-ish
+    val coverage = e.map { case (p, c) => p.length * c }.sum
+    assert(math.abs(coverage - 2.0) < 1e-9)
+    // the drop rule matches viterbiWord's
+    assert(Unigram.softExpectations("ax", lp).isEmpty)
+  }
+
+  test("softExpectations: hard EM recovered as the temperature->0 limit") {
+    def q(p: Double): Long = math.floor(math.log(p) * 1e6 + 1e-4).toLong
+    val lp = Map("a" -> q(0.3), "b" -> q(0.3), "ab" -> q(0.4))
+    // scaling all log-probs by T sharpens the posterior exponentially
+    // toward the argmax path — the Viterbi segmentation [ab]
+    val sharp = lp.map { case (k, v) => (k, v * 8) }
+    val (e, _) = Unigram.softExpectations("ab", sharp).get
+    val viterbi = Unigram.viterbiWord("ab", lp).get._1
+    assert(viterbi == "ab")
+    assert(e("ab") > 0.999, s"soft posterior should concentrate: ${e("ab")}")
+    assert(e.getOrElse("a", 0.0) < 1e-3)
+  }
+
+  test("soft EM: corpus marginal log-likelihood non-decreasing over 3 rounds") {
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    import spark.implicits._
+    val seed = Unigram.seedVocab(docs, "text")
+      .select($"piece", $"lp_q").as[(String, Long)].collect().toSeq
+    var v = seed.toVector
+    var prev = Unigram.corpusMarginalLogLik(docs, "text", v)
+    for (r <- 1 to 3) {
+      v = Unigram.emRoundSoft(docs, "text", v, keepMulti = 24)
+      val ll = Unigram.corpusMarginalLogLik(docs, "text", v)
+      info(f"soft-EM round $r: marginal ll $prev%.2f -> $ll%.2f")
+      // true EM guarantees monotonicity; pruning + Laplace smoothing
+      // are the two deviations, so pin it empirically (the tk30
+      // discipline) with a quantization-sized slack
+      assert(ll >= prev - 1e-3,
+        s"marginal ll fell at round $r: $prev -> $ll")
+      prev = ll
+    }
+  }
 }
