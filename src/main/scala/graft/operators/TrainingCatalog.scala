@@ -1997,6 +1997,41 @@ object TrainingCatalog {
             >= 0.5).cast("int").as("recall_ge_50"))
     }),
 
+    // V24 — IVFADC index LIFECYCLE: append against the persisted
+    // FROZEN trained quantizer pair (coarse centroids + residual
+    // codebook) must equal a frozen rebuild over the union, compared
+    // on the ARTIFACT itself — the cell-partitioned residual-code
+    // table (stronger than answer equality: assignment and residual
+    // encoding are pure row functions, so every row must match).
+    // Codes stringify for the compare (the a15 array convention).
+    "v24_ivfadc_append" -> ((spark, dir) => {
+      import graft.similarity.ProductQuant
+      val emb = Tables.embeddings(spark, dir)
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val delta = emb.filter(col("vec_id") % 4 === 0)
+      val idx = Similarity.buildIvfTrained(base, "vec_id", "embedding",
+        nCentroids = 8, iters = 2, dim = 64)
+      val cb = ProductQuant.buildCodebookResidual(idx, "vec_id",
+        "embedding", m = 4, ks = 8, iters = 2, dim = 64)
+      val dirA = graft.core.Staging.tmpDir("ivfadc_append")
+      ProductQuant.saveIvfPqResidualFrozen(base, "vec_id", "embedding",
+        idx.centroids, cb, dirA)
+      ProductQuant.appendToIvfPqResidual(spark, dirA, delta, "vec_id",
+        "embedding")
+      val dirB = graft.core.Staging.tmpDir("ivfadc_union")
+      ProductQuant.saveIvfPqResidualFrozen(emb, "vec_id", "embedding",
+        spark.read.parquet(s"$dirA/ivf/centroids"), cb, dirB)
+      def codes(d: String) = spark.read.parquet(s"$d/pq/codes")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          concat_ws(",", col("codes")).as("cs"))
+      codes(dirA).withColumn("__a", lit(1))
+        .join(codes(dirB).withColumn("__b", lit(1)),
+          Seq("vec_id", "cell", "cs"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("__a").isNull || col("__b").isNull).cast("long"))
+            .as("n_mismatch"))
+    }),
+
     // T13 — Okapi BM25 term scoring (retrieval-grade tf-idf upgrade:
     // tf saturation + document-length normalization), the
     // query-relevance signal for targeted corpus selection
@@ -3717,6 +3752,13 @@ object TrainingCatalog {
     "v23_ivfadc_recall" ->
       s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
          |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
+
+    // every scorable vector lands exactly once in both artifacts; the
+    // fixture pin guarantees all vectors scorable, so the joined row
+    // count is the corpus and mismatches are zero
+    "v24_ivfadc_append" ->
+      """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM embeddings""".stripMargin,
 
     "t8_stopword_filter" -> {
       val en = TextAnalysis.stopwords.toMap.apply("en")

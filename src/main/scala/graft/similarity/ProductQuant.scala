@@ -463,6 +463,43 @@ object ProductQuant {
     savePq(codes, cb, s"$dir/pq")
   }
 
+  /** Persist an IVFADC index with a FROZEN quantizer pair (coarse
+    * centroids + RESIDUAL codebook): assign, residual-encode, write
+    * cell-partitioned — [[saveIvfPqFrozen]] with residual codes. The
+    * invariant carries over verbatim: assignment and residual
+    * encoding are pure row functions of the frozen quantizers, so
+    * append(base, new) must equal a frozen rebuild over the union
+    * EXACTLY (v24, ProductQuantSpec).
+    */
+  def saveIvfPqResidualFrozen(emb: DataFrame, idCol: String, vecCol: String,
+                              centroids: DataFrame, cb: PqCodebook,
+                              dir: String): Unit = {
+    val idx = Similarity.IvfIndex(
+      Similarity.assignToCentroids(emb, idCol, vecCol, centroids), centroids)
+    Similarity.saveIvf(idx, s"$dir/ivf")
+    savePq(encodeResidual(idx, idCol, vecCol, cb), cb, s"$dir/pq")
+  }
+
+  /** [[appendToIvfPq]] for an IVFADC index: new vectors assign to the
+    * PERSISTED centroids and residual-encode against the persisted
+    * codebook — O(|new|), the base corpus never re-read. Removal needs
+    * no sibling: [[removeFromIvfPq]] prunes by (id, cell) and never
+    * looks at code semantics.
+    */
+  def appendToIvfPqResidual(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, newRows: DataFrame, idCol: String,
+                            vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$dir/ivf/centroids")
+    val (_, cb) = loadPq(spark, s"$dir/pq")
+    val idx = Similarity.IvfIndex(
+      Similarity.assignToCentroids(newRows, idCol, vecCol, centroids),
+      centroids)
+    idx.assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/ivf/assigned")
+    encodeResidual(idx, idCol, vecCol, cb)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/pq/codes")
+  }
+
   /** Incremental index maintenance — the daily-crawl story for
     * similarity search, the ANN sibling of dedup's incremental
     * connected components: encode NEW vectors against the PERSISTED

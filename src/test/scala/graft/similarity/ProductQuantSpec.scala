@@ -300,6 +300,36 @@ class ProductQuantSpec extends graft.SparkSpec {
       codes.size == 4 && codes.forall(c => c >= 0 && c < 8) })
   }
 
+  test("IVFADC lifecycle: append == frozen rebuild; remove == rebuild over survivors") {
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val delta = emb.filter($"vec_id" % 4 === 0)
+    val idx = Similarity.buildIvfTrained(base, "vec_id", "embedding",
+      nCentroids = 8, iters = 2, dim = 64)
+    val rcb = ProductQuant.buildCodebookResidual(idx, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2, dim = 64)
+    val incDir = graft.core.Staging.tmpDir("spec_ivfadc_inc")
+    ProductQuant.saveIvfPqResidualFrozen(base, "vec_id", "embedding",
+      idx.centroids, rcb, incDir)
+    ProductQuant.appendToIvfPqResidual(spark, incDir, delta, "vec_id",
+      "embedding")
+    def codes(d: String) = spark.read.parquet(s"$d/pq/codes")
+      .select($"vec_id", $"cell".cast("int"), $"codes".cast("array<int>"))
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val fullDir = graft.core.Staging.tmpDir("spec_ivfadc_full")
+    ProductQuant.saveIvfPqResidualFrozen(emb, "vec_id", "embedding",
+      spark.read.parquet(s"$incDir/ivf/centroids"), rcb, fullDir)
+    assert(codes(incDir) == codes(fullDir))
+    assert(codes(incDir).nonEmpty)
+    // removal is code-agnostic (prunes by id within affected cells):
+    // remove the delta again == the base-only frozen artifact
+    ProductQuant.removeFromIvfPq(spark, incDir,
+      delta.select($"vec_id"), "vec_id")
+    val baseDir = graft.core.Staging.tmpDir("spec_ivfadc_base")
+    ProductQuant.saveIvfPqResidualFrozen(base, "vec_id", "embedding",
+      spark.read.parquet(s"$fullDir/ivf/centroids"), rcb, baseDir)
+    assert(codes(incDir) == codes(baseDir))
+  }
+
   test("a vector ON its centroid (zero residual) is excluded from training but still encoded") {
     val corpus = Seq(
       (0L, Array(1.0f, 1.0f)),   // == centroid: residual (0, 0)
