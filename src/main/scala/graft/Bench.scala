@@ -27,6 +27,7 @@ object Bench {
     val csvDir = Pipelines.stageLoanCsv(spark, sfDir)
     val int8Dir = Pipelines.stageInt8(spark, sfDir)
     val indexDir = Pipelines.stageIndex(spark, sfDir)
+    val ivfAdcDir = Pipelines.stageIvfAdc(spark, sfDir)
     Pipelines.q1(spark, sfDir).count()
 
     val sinkDir = graft.core.Staging.tmpDir("bench_sink")
@@ -52,6 +53,7 @@ object Bench {
       "ann_lsh" -> (() => Pipelines.lshTopK(spark, sfDir)),
       "ann_rp" -> (() => Pipelines.annRpTopK(spark, sfDir)),
       "ann_pq" -> (() => Pipelines.annPqTopK(spark, sfDir)),
+      "ann_ivfadc" -> (() => Pipelines.annIvfAdc(spark, ivfAdcDir)),
       "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)),
       "asof_join" -> (() => Pipelines.asofEnrich(spark, sfDir)),
       "ewma_fold" -> (() => Pipelines.ewmaFold(spark, sfDir)),

@@ -144,6 +144,29 @@ object Pipelines {
   /** Two-stage PQ ANN (32×-compressed ADC candidate scan + exact
     * re-rank) — the memory-bandwidth rung of the ANN ladder.
     */
+  /** Build + persist the IVFADC index (untimed setup, the stageInt8
+    * convention — index construction is paid once at ingest).
+    */
+  def stageIvfAdc(spark: SparkSession, sfDir: String): String = {
+    val dir = graft.core.Staging.tmpDir("bench_ivfadc")
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+      nCentroids = 16, iters = 2, dim = 64)
+    val cb = graft.similarity.ProductQuant.buildCodebookResidual(
+      idx, "vec_id", "embedding", m = 8, ks = 16, iters = 2, dim = 64)
+    graft.similarity.ProductQuant.saveIvfPqResidualFrozen(
+      emb, "vec_id", "embedding", idx.centroids, cb, dir)
+    dir
+  }
+
+  /** IVFADC serving from the staged index: probe 4 of 16 cells,
+    * residual-ADC the probed partitions, exact-rerank candidates.
+    */
+  def annIvfAdc(spark: SparkSession, ivfAdcDir: String): DataFrame =
+    graft.similarity.ProductQuant.ivfPqResidualTopKIndexed(spark,
+      ivfAdcDir, "vec_id", "embedding", AnnQueryIds, AnnK,
+      nProbe = 4, candidateK = 50)
+
   def annPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val cb = graft.similarity.ProductQuant.buildCodebook(

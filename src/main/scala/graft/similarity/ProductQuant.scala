@@ -353,11 +353,40 @@ object ProductQuant {
   def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
                         idx: Similarity.IvfIndex, queryIds: Seq[Long],
                         k: Int, nProbe: Int, cb: PqCodebook,
-                        candidateK: Int): DataFrame = {
+                        candidateK: Int): DataFrame =
+    residualAdcCore(idx, encodeResidual(idx, idCol, vecCol, cb),
+      idCol, vecCol, queryIds, k, nProbe, cb, candidateK)
+
+  /** Query a [[saveIvfPqResidualFrozen]] IVFADC index from disk —
+    * the residual sibling of [[ivfPqTopKIndexed]], completing the
+    * serving story: probe against the persisted centroids, residual-
+    * ADC over ONLY the probed cells' code partitions (partition
+    * pruning does the candidate selection on disk), exact-rerank
+    * against the persisted vectors. Answers identical to the
+    * in-memory [[ivfPqResidualTopK]] over the same corpus
+    * (ProductQuantSpec) — build cost is paid once, not per session.
+    */
+  def ivfPqResidualTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, idCol: String, vecCol: String,
+                               queryIds: Seq[Long], k: Int, nProbe: Int,
+                               candidateK: Int): DataFrame = {
+    val idx = Similarity.loadIvf(spark, s"$dir/ivf")
+    val (codes, cb) = loadPq(spark, s"$dir/pq")
+    residualAdcCore(idx, codes, idCol, vecCol, queryIds, k, nProbe, cb,
+      candidateK)
+  }
+
+  /** The shared residual-ADC query core (see [[ivfPqResidualTopK]]
+    * for the decomposition): probes, LUTs, cross terms, bounded
+    * top-candidateK, exact re-rank against the index's own vectors.
+    */
+  private def residualAdcCore(idx: Similarity.IvfIndex, codes: DataFrame,
+                              idCol: String, vecCol: String,
+                              queryIds: Seq[Long], k: Int, nProbe: Int,
+                              cb: PqCodebook, candidateK: Int): DataFrame = {
     require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
-    val spark = emb.sparkSession
+    val spark = idx.assigned.sparkSession
     import spark.implicits._
-    val codes = encodeResidual(idx, idCol, vecCol, cb)
     // bounded collect: nCells rows, the codebook-build contract
     val cents = idx.centroids.select(col("cell"), col("centroid"))
       .collect().map(r => r.getAs[Int]("cell") ->
@@ -401,16 +430,17 @@ object ProductQuant {
         round(when(n2 > 0, ip / sqrt(n2)).otherwise(lit(0.0)), 6))
     val picked = Similarity.topK(cands, candidateK)
       .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank of the candidates only (the shared IVF-PQ tail)
-    val clean = emb.filter(Similarity.scorable(col(vecCol)))
-    val qv = clean.filter(col(idCol).isInCollection(queryIds))
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+    // exact re-rank of the candidates only, against the index's OWN
+    // vectors (idx.assigned carries them — already scorable-filtered,
+    // and the disk path must never need the original corpus frame)
+    val qv = idx.assigned.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec2"),
         Similarity.l2norm(col(vecCol)).as("q_nrm"))
-    val cv = clean.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-      Similarity.l2norm(col(vecCol)).as("c_nrm"))
+    val cv = idx.assigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_vec"), Similarity.l2norm(col(vecCol)).as("c_nrm"))
     val scored = cv.join(broadcast(picked.join(qv, "query_id")), "neighbor_id")
       .withColumn("cos_sim",
-        round(Similarity.dot(col("q_vec"), col("c_vec")) /
+        round(Similarity.dot(col("q_vec2"), col("c_vec")) /
           (col("q_nrm") * col("c_nrm")), 6))
     Similarity.topK(scored, k)
   }

@@ -330,6 +330,25 @@ class ProductQuantSpec extends graft.SparkSpec {
     assert(codes(incDir) == codes(baseDir))
   }
 
+  test("persisted IVFADC index answers identically to the in-memory residual path") {
+    val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 2, dim = 64)
+    val rcb = ProductQuant.buildCodebookResidual(idx, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2, dim = 64)
+    val dir = graft.core.Staging.tmpDir("spec_ivfadc_idx")
+    ProductQuant.saveIvfPqResidualFrozen(emb, "vec_id", "embedding",
+      idx.centroids, rcb, dir)
+    val ids = Seq(1L, 2L, 3L)
+    val mem = ProductQuant.ivfPqResidualTopK(emb, "vec_id", "embedding",
+      idx, ids, k = 5, nProbe = 4, rcb, candidateK = 50)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val disk = ProductQuant.ivfPqResidualTopKIndexed(spark, dir,
+      "vec_id", "embedding", ids, k = 5, nProbe = 4, candidateK = 50)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(mem == disk, "disk-served IVFADC must equal the in-memory path")
+    assert(mem.nonEmpty)
+  }
+
   test("a vector ON its centroid (zero residual) is excluded from training but still encoded") {
     val corpus = Seq(
       (0L, Array(1.0f, 1.0f)),   // == centroid: residual (0, 0)
