@@ -502,21 +502,55 @@ object TextAnalysis {
   def kneserNeyLogProb(score: org.apache.spark.sql.DataFrame,
                        train: org.apache.spark.sql.DataFrame,
                        idCol: String, textCol: String,
-                       discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+                       discount: Double = 0.75): org.apache.spark.sql.DataFrame =
+    kneserNeyScore(score, idCol, textCol,
+      kneserNeyModel(train, idCol, textCol, discount))
+
+  /** The frozen KN MODEL — the four count frames [[kneserNeyScore]]
+    * joins against, materialized eagerly (localCheckpoint) so a
+    * streaming face scoring many micro-batches pays the train-corpus
+    * scan ONCE, not per batch (the e36 frozen-artifact discipline).
+    */
+  final case class KnModel(bgCnt: org.apache.spark.sql.DataFrame,
+                           ctxCnt: org.apache.spark.sql.DataFrame,
+                           contCnt: org.apache.spark.sql.DataFrame,
+                           n1tot: org.apache.spark.sql.DataFrame,
+                           discount: Double)
+
+  def kneserNeyModel(train: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     discount: Double = 0.75): KnModel = {
     import graft.dedup.TextDedup
-    val scale = 1e6
     val bgTrain = TextDedup.shingleSets(train, idCol, textCol, k = 2,
         distinct = false)
       .select(col("shingle").as("bigram"),
         substring_index(col("shingle"), " ", 1).as("ctx"),
         substring_index(col("shingle"), " ", -1).as("w"))
-    val bgCnt = bgTrain.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
-    val ctxCnt = bgTrain.groupBy(col("ctx"))
-      .agg(count(lit(1)).as("c_ctx"), countDistinct(col("w")).as("n1c"))
-    val contCnt = bgTrain.select(col("ctx"), col("w")).distinct()
-      .groupBy(col("w")).agg(count(lit(1)).as("n1w"))
-    val n1tot = bgTrain.select(col("bigram")).distinct()
-      .agg(count(lit(1)).as("n1_total"))
+    KnModel(
+      bgTrain.groupBy(col("bigram")).agg(count(lit(1)).as("c_bg"))
+        .localCheckpoint(),
+      bgTrain.groupBy(col("ctx"))
+        .agg(count(lit(1)).as("c_ctx"), countDistinct(col("w")).as("n1c"))
+        .localCheckpoint(),
+      bgTrain.select(col("ctx"), col("w")).distinct()
+        .groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+        .localCheckpoint(),
+      bgTrain.select(col("bigram")).distinct()
+        .agg(count(lit(1)).as("n1_total"))
+        .localCheckpoint(),
+      discount)
+  }
+
+  /** Score a corpus against a FROZEN [[KnModel]] — a pure per-doc
+    * function of (doc, model), which is what makes the streaming
+    * face (e44) exact: per-batch scores ARE the global scores.
+    */
+  def kneserNeyScore(score: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String,
+                     m: KnModel): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.TextDedup
+    val scale = 1e6
+    val discount = m.discount
     val pos = TextDedup.shingleSets(score, idCol, textCol, k = 2,
         distinct = false)
       .select(col(idCol), col("shingle").as("bigram"),
@@ -525,10 +559,10 @@ object TextAnalysis {
     val pcont = coalesce(col("n1w").cast("double"), lit(0.5)) /
       col("n1_total").cast("double")
     pos
-      .join(bgCnt, Seq("bigram"), "left")
-      .join(ctxCnt, Seq("ctx"), "left")
-      .join(contCnt, Seq("w"), "left")
-      .crossJoin(broadcast(n1tot))
+      .join(m.bgCnt, Seq("bigram"), "left")
+      .join(m.ctxCnt, Seq("ctx"), "left")
+      .join(m.contCnt, Seq("w"), "left")
+      .crossJoin(broadcast(m.n1tot))
       .withColumn("lp_q", floor(log(
         when(col("c_ctx").isNotNull,
           greatest(coalesce(col("c_bg"), lit(0L)).cast("double")

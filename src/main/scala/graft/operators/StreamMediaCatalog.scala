@@ -1316,6 +1316,29 @@ object StreamMediaCatalog {
         .orderBy(col("cell"), col("dim"))
     }),
 
+    // E44 — STREAMING Kneser–Ney LM scoring (t15's ingestion face,
+    // extending the every-batch-family-has-a-streaming-face claim to
+    // the smoothed-LM family): the KN model freezes from the even
+    // docs before the stream; odd docs arrive as 3 micro-batches and
+    // score per batch with the exact batch operator (pure per-doc
+    // function). Stream == batch on t15's own oracle.
+    "e44_stream_kneser_ney" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val model = graft.functions.TextAnalysis.kneserNeyModel(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val in = graft.core.Staging.tmpDir("stream_kn_in")
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      for (r <- 0 to 2)
+        odd.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema(graft.streaming.DocStream.idTextSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.kneserNeyScoreFold(src, model)
+        .orderBy(col("doc_id"))
+    }),
+
     // E43 — STREAMING BPE vocabulary TRAINING (tk31's ingestion face;
     // e31/e33 only tokenize under frozen merges): the word census
     // folds per micro-batch (order-free exact sums — 3 unpinned
@@ -1547,6 +1570,9 @@ object StreamMediaCatalog {
     // the stream-folded word census == the one-shot census exactly, so
     // the batched merge sequence replays on tk31's own oracle
     "e43_stream_bpe_train" -> TrainingCatalog.oracle("tk31_bpe_batched"),
+
+    // frozen-model per-batch scoring == the one-shot batch scores
+    "e44_stream_kneser_ney" -> TrainingCatalog.oracle("t15_kneser_ney"),
 
     // streaming == batch for the category-pre-tokenized byte BPE
     "e33_stream_pretok_bpe" -> TrainingCatalog.oracle("tk16_bpe_pretok"),

@@ -809,6 +809,27 @@ object DocStream {
         col("col").as("centroid"))
   }
 
+  /** STREAMING Kneser–Ney scoring (e44) — the LM family's ingestion
+    * face: the KN model (four count frames) freezes BEFORE the stream
+    * (materialized once — [[graft.functions.TextAnalysis.kneserNeyModel]]);
+    * each arriving micro-batch scores against it with the exact batch
+    * operator. Scoring is a pure per-doc function of (doc, model), so
+    * per-batch results ARE the global answer — the union folds with
+    * no cross-batch state and the gate is held to t15's own oracle.
+    */
+  def kneserNeyScoreFold(docStream: DataFrame,
+                         model: graft.functions.TextAnalysis.KnModel): DataFrame = {
+    var store: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val scored = graft.functions.TextAnalysis.kneserNeyScore(
+        batch, "doc_id", "text", model)
+      store = (if (store == null) scored else store.unionByName(scored))
+        .localCheckpoint()
+    })
+    require(store != null, "kneserNeyScoreFold: stream delivered no batches")
+    store
+  }
+
   /** STREAMING BPE vocabulary training (e43) — the batched trainer's
     * ingestion face: per micro-batch the expensive corpus work (token
     * explode + word census) folds into an exact (word, count) store
