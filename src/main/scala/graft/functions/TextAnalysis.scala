@@ -577,6 +577,84 @@ object TextAnalysis {
           / count(lit(1)).cast("double")).as("mean_logscore"))
   }
 
+  /** Interpolated Kneser–Ney TRIGRAM scoring — the Chen–Goodman
+    * higher-order recursion over [[kneserNeyLogProb]]'s bigram model:
+    *
+    *   P3(w|u,v) = max(c(uvw) − D, 0)/c(uv·) + (D·N1+(uv·)/c(uv·))·P2(w|v)
+    *   P2(w|v)   = max(c'(vw) − D, 0)/N1+(·v·) + (D·N1+(v·*)/N1+(·v·))·P1(w)
+    *   P1(w)     = c''(w) / N1+(·,·)
+    *
+    * with the canonical count-from-the-level-above discipline:
+    * c'(vw) = N1+(·vw) (distinct u over trigram TYPES), N1+(·v·) =
+    * Σ_w c'(vw), N1+(v·*) = distinct w over trigram types with middle
+    * v, c''(w) = distinct v over trigram-type suffixes, N1+(·,·) =
+    * count of distinct type suffixes. Ladder: an unseen (u,v) context
+    * falls to P2; an unseen middle v falls to P1; a never-seen
+    * continuation takes the t15 half-type floor 0.5/N1+(·,·).
+    * D = 3/4 exact; all counts exact integer aggregates; ln quantized
+    * once per position (t9 nudged floor) — oracle-exact (t16). Docs
+    * under 3 tokens produce no positions and drop (the n-gram rule's
+    * own convention, as in t15's 2-token floor).
+    *
+    * Scale shape: five vocabulary-keyed count tables (trigram/context
+    * tables grow with data — shuffled joins, never broadcast), the
+    * 1-row type total broadcast, one per-doc agg.
+    */
+  def kneserNeyTrigramLogProb(score: org.apache.spark.sql.DataFrame,
+                              train: org.apache.spark.sql.DataFrame,
+                              idCol: String, textCol: String,
+                              discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.TextDedup
+    val scale = 1e6
+    def parts(df: org.apache.spark.sql.DataFrame) =
+      TextDedup.shingleSets(df, idCol, textCol, k = 3, distinct = false)
+        .select(col(idCol), col("shingle").as("tg"),
+          substring_index(col("shingle"), " ", 2).as("uv"),
+          substring_index(substring_index(col("shingle"), " ", 2), " ", -1)
+            .as("v"),
+          substring_index(col("shingle"), " ", -1).as("w"))
+    val tri = parts(train)
+    val tcnt = tri.groupBy(col("tg")).agg(count(lit(1)).as("c_tg"))
+    val tctx = tri.groupBy(col("uv"))
+      .agg(count(lit(1)).as("c_uv"), countDistinct(col("w")).as("n1_uv"))
+    val types = tri.select(col("uv"), col("v"), col("w")).distinct()
+    val cprime = types.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("cp"))
+    val midden = types.groupBy(col("v"))
+      .agg(count(lit(1)).as("n1mid"), countDistinct(col("w")).as("n1fw"))
+    val suffixes = types.select(col("v"), col("w")).distinct()
+    val cdd = suffixes.groupBy(col("w")).agg(count(lit(1)).as("cdd"))
+    val n1tot = suffixes.agg(count(lit(1)).as("n1_total"))
+    val pos = parts(score)
+    val p1 = coalesce(col("cdd").cast("double"), lit(0.5)) /
+      col("n1_total").cast("double")
+    val p2 = when(col("n1mid").isNotNull,
+      greatest(coalesce(col("cp"), lit(0L)).cast("double")
+        - lit(discount), lit(0.0)) / col("n1mid").cast("double")
+      + (lit(discount) * col("n1fw").cast("double")
+        / col("n1mid").cast("double")) * p1)
+      .otherwise(p1)
+    val p3 = when(col("c_uv").isNotNull,
+      greatest(coalesce(col("c_tg"), lit(0L)).cast("double")
+        - lit(discount), lit(0.0)) / col("c_uv").cast("double")
+      + (lit(discount) * col("n1_uv").cast("double")
+        / col("c_uv").cast("double")) * p2)
+      .otherwise(p2)
+    pos
+      .join(tcnt, Seq("tg"), "left")
+      .join(tctx, Seq("uv"), "left")
+      .join(cprime, Seq("v", "w"), "left")
+      .join(midden, Seq("v"), "left")
+      .join(cdd, Seq("w"), "left")
+      .crossJoin(broadcast(n1tot))
+      .withColumn("lp_q", floor(log(p3) * lit(scale) + lit(1e-4)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(col("c_tg").isNull.cast("long")).as("n_unseen_trigrams"),
+        (sum(col("lp_q")).cast("double") / lit(scale)
+          / count(lit(1)).cast("double")).as("mean_logscore"))
+  }
+
   /** Top-k PMI collocations — corpus-level association mining (Church
     * & Hanks' pointwise mutual information over adjacent token pairs),
     * the classic phrase-discovery statistic a tokenizer/vocab builder

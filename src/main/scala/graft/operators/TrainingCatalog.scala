@@ -2109,6 +2109,21 @@ object TrainingCatalog {
         .orderBy(col("bucket"))
     }),
 
+    // T16 — interpolated Kneser–Ney TRIGRAM scoring (the Chen–Goodman
+    // recursion over t15: counts at each level come from the level
+    // above — c'(vw) = distinct u over trigram types, c''(w) =
+    // distinct v over type suffixes). Ladder: unseen (u,v) → P2,
+    // unseen middle v → P1, never-seen continuation → half-type
+    // floor. Same even/odd split; docs under 3 tokens drop.
+    "t16_kn_trigram" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      TextAnalysis.kneserNeyTrigramLogProb(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // V14 — incremental IVF-PQ maintenance: build the index over 3/4
     // of the corpus, APPEND the held-out quarter against the persisted
     // (frozen) quantizer, and query the appended index. The gate
@@ -3059,6 +3074,63 @@ object TrainingCatalog {
          |  FROM klp GROUP BY doc_id)
          |SELECT doc_id, n_positions, n_unseen_bigrams, mean_logscore
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // the trigram KN recursion replayed: trigram counts, type-derived
+    // continuation tables, and the nested CASE ladder with the exact
+    // expression tree the engine evaluates (GREATEST/COALESCE, D=0.75
+    // exact, one nudged-floor ln)
+    "t16_kn_trigram" -> {
+      val p1 =
+        "COALESCE(CAST(t3d.cdd AS DOUBLE), 0.5) / CAST(t3t.n1_total AS DOUBLE)"
+      val p2 =
+        s"""CASE WHEN t3m.n1mid IS NOT NULL
+           |  THEN GREATEST(CAST(COALESCE(t3p.cp, 0) AS DOUBLE) - 0.75, 0.0)
+           |      / CAST(t3m.n1mid AS DOUBLE)
+           |    + (0.75 * CAST(t3m.n1fw AS DOUBLE) / CAST(t3m.n1mid AS DOUBLE))
+           |      * ($p1)
+           |  ELSE $p1 END""".stripMargin
+      val p3 =
+        s"""CASE WHEN t3x.c_uv IS NOT NULL
+           |  THEN GREATEST(CAST(COALESCE(t3c.c_tg, 0) AS DOUBLE) - 0.75, 0.0)
+           |      / CAST(t3x.c_uv AS DOUBLE)
+           |    + (0.75 * CAST(t3x.n1_uv AS DOUBLE) / CAST(t3x.c_uv AS DOUBLE))
+           |      * ($p2)
+           |  ELSE $p2 END""".stripMargin
+      s"""WITH ktok3 AS (SELECT string_split(text, ' ') AS t FROM documents
+         |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+         |ttri AS (SELECT t[i] AS u, t[i+1] AS v, t[i+2] AS w,
+         |    t[i] || ' ' || t[i+1] AS uv,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tg
+         |  FROM ktok3 CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+         |  WHERE len(t) >= 3),
+         |t3c AS (SELECT tg, COUNT(*) AS c_tg FROM ttri GROUP BY tg),
+         |t3x AS (SELECT uv, COUNT(*) AS c_uv, COUNT(DISTINCT w) AS n1_uv
+         |  FROM ttri GROUP BY uv),
+         |ttyp AS (SELECT DISTINCT u, v, w FROM ttri),
+         |t3p AS (SELECT v, w, COUNT(*) AS cp FROM ttyp GROUP BY v, w),
+         |t3m AS (SELECT v, COUNT(*) AS n1mid, COUNT(DISTINCT w) AS n1fw
+         |  FROM ttyp GROUP BY v),
+         |t3s AS (SELECT DISTINCT v, w FROM ttyp),
+         |t3d AS (SELECT w, COUNT(*) AS cdd FROM t3s GROUP BY w),
+         |t3t AS (SELECT COUNT(*) AS n1_total FROM t3s),
+         |stok3 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+         |stri AS (SELECT doc_id, t[i+1] AS v, t[i+2] AS w,
+         |    t[i] || ' ' || t[i+1] AS uv,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tg
+         |  FROM stok3 CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+         |  WHERE len(t) >= 3),
+         |t3lp AS (SELECT g.doc_id, t3c.c_tg,
+         |    CAST(FLOOR(ln(
+         |      $p3) * 1000000.0 + 0.0001) AS BIGINT) AS lp_q
+         |  FROM stri g LEFT JOIN t3c USING (tg) LEFT JOIN t3x USING (uv)
+         |  LEFT JOIN t3p USING (v, w) LEFT JOIN t3m USING (v)
+         |  LEFT JOIN t3d USING (w) CROSS JOIN t3t)
+         |SELECT doc_id, COUNT(*) AS n_positions,
+         |  CAST(SUM(CASE WHEN c_tg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_trigrams,
+         |  CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
+         |FROM t3lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "cx3_kn_buckets" ->
       s"""WITH $KneserNeyLpCtes,

@@ -230,6 +230,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(perW.map(_._4) == expect, s"got ${perW.map(_._4)} expected $expect")
   }
 
+  test("trigram KN golden: full ladder (seen tri, unseen tri, unseen middle)") {
+    // train "a b c a b c": trigrams abc(2), bca(1), cab(1); c(ab·)=2
+    // with 1 continuation; types {(a,b,c),(b,c,a),(c,a,b)} give
+    // c'(v,w)=1 each, n1mid=n1fw=1 per middle, c''=1 per w, N1+=3
+    val train = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    // score "a b c d": positions abc (seen) and bcd (unseen trigram,
+    // seen context bc, unseen suffix (c,d), OOV continuation d)
+    val scoreD = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.kneserNeyTrigramLogProb(scoreD, train,
+      "doc_id", "text").as[(Long, Long, Long, Double)].collect().head
+    def q(v: Double): Long = math.floor(v * 1e6 + 1e-4).toLong
+    // abc: p2(c|b) = (1-.75)/1 + (.75*1/1)*(1/3) = 0.5
+    //      p3 = (2-.75)/2 + (.75*1/2)*0.5 = 0.8125
+    val pAbc = (2.0 - 0.75) / 2.0 + (0.75 * 1.0 / 2.0) *
+      ((1.0 - 0.75) / 1.0 + (0.75 * 1.0 / 1.0) * (1.0 / 3.0))
+    // bcd: p1(d) = 0.5/3 (OOV floor); p2(d|c) = 0 + (.75*1/1)*p1;
+    //      p3 = 0 + (.75*1/1... c(bc·)=1, n1(bc·)=1) -> (.75*1/1)*p2
+    val pBcd = math.max(0.0 - 0.75, 0.0) / 1.0 + (0.75 * 1.0 / 1.0) *
+      (math.max(0.0 - 0.75, 0.0) / 1.0 + (0.75 * 1.0 / 1.0) * (0.5 / 3.0))
+    val golden =
+      Seq(pAbc, pBcd).map(p => q(math.log(p))).sum.toDouble / 1e6 / 2.0
+    assert(r == ((1L, 2L, 1L, golden)), s"got $r expected mean $golden")
+  }
+
   test("unigramLogProb golden values (quantized mean token log-prob)") {
     val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     // corpus: a,a,b,b,c → N=5; p(a)=p(b)=0.4, p(c)=0.2
