@@ -1316,6 +1316,45 @@ object StreamMediaCatalog {
         .orderBy(col("cell"), col("dim"))
     }),
 
+    // E45 — STREAMING IVFADC index ingestion (v24's invariant,
+    // streamed): the frozen quantizer pair persists over an EMPTY
+    // corpus before the stream; vectors arrive as 3 micro-batches and
+    // append O(batch) into the cell partitions. Drained index ==
+    // one-shot frozen build over the union, compared on the residual-
+    // code artifact (codes stringified, the a15 convention).
+    "e45_stream_ivfadc_ingest" -> ((spark, dir) => {
+      import graft.similarity.{ProductQuant, Similarity}
+      val emb = Tables.embeddings(spark, dir)
+      val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+        nCentroids = 8, iters = 2, dim = 64)
+      val cb = ProductQuant.buildCodebookResidual(idx, "vec_id",
+        "embedding", m = 4, ks = 8, iters = 2, dim = 64)
+      val ixDir = graft.core.Staging.tmpDir("stream_ivfadc_ix")
+      ProductQuant.saveIvfPqResidualFrozen(emb.filter(lit(false)),
+        "vec_id", "embedding", idx.centroids, cb, ixDir)
+      val in = graft.core.Staging.tmpDir("stream_ivfadc_in")
+      for (r <- 0 to 2)
+        emb.select(col("vec_id"), col("embedding"))
+          .filter(pmod(col("vec_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val streamed = graft.streaming.DocStream.ivfAdcAppendFold(
+        graft.streaming.DocStream.readEmbeddingsOneFilePerTrigger(spark, in),
+        ixDir)
+      val oneDir = graft.core.Staging.tmpDir("stream_ivfadc_oneshot")
+      ProductQuant.saveIvfPqResidualFrozen(emb, "vec_id", "embedding",
+        idx.centroids, cb, oneDir)
+      def cs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("vec_id"), col("cell").cast("int").as("cell"),
+          concat_ws(",", col("codes")).as("cs"))
+      cs(streamed).withColumn("__a", lit(1))
+        .join(cs(spark.read.parquet(s"$oneDir/pq/codes"))
+          .withColumn("__b", lit(1)),
+          Seq("vec_id", "cell", "cs"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("__a").isNull || col("__b").isNull).cast("long"))
+            .as("n_mismatch"))
+    }),
+
     // E44 — STREAMING Kneser–Ney LM scoring (t15's ingestion face,
     // extending the every-batch-family-has-a-streaming-face claim to
     // the smoothed-LM family): the KN model freezes from the even
@@ -1573,6 +1612,12 @@ object StreamMediaCatalog {
 
     // frozen-model per-batch scoring == the one-shot batch scores
     "e44_stream_kneser_ney" -> TrainingCatalog.oracle("t15_kneser_ney"),
+
+    // every scorable vector lands exactly once; appends against the
+    // frozen quantizers == the one-shot frozen build (v24, streamed)
+    "e45_stream_ivfadc_ingest" ->
+      """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch
+        |FROM embeddings""".stripMargin,
 
     // streaming == batch for the category-pre-tokenized byte BPE
     "e33_stream_pretok_bpe" -> TrainingCatalog.oracle("tk16_bpe_pretok"),

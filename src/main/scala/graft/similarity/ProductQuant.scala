@@ -520,7 +520,7 @@ object ProductQuant {
                             dir: String, newRows: DataFrame, idCol: String,
                             vecCol: String): Unit = {
     val centroids = spark.read.parquet(s"$dir/ivf/centroids")
-    val (_, cb) = loadPq(spark, s"$dir/pq")
+    val cb = loadPqCodebook(spark, s"$dir/pq")
     val idx = Similarity.IvfIndex(
       Similarity.assignToCentroids(newRows, idCol, vecCol, centroids),
       centroids)
@@ -700,14 +700,24 @@ object ProductQuant {
     * bit-identical to the building session's.
     */
   def loadPq(spark: org.apache.spark.sql.SparkSession,
-             dir: String): (DataFrame, PqCodebook) = {
+             dir: String): (DataFrame, PqCodebook) =
+    (spark.read.parquet(s"$dir/codes"), loadPqCodebook(spark, dir))
+
+  /** Load ONLY the codebook + meta (no codes scan) — what append-side
+    * maintenance needs: an index freshly initialized over an EMPTY
+    * corpus (the streaming-ingestion bootstrap, e45) has no code
+    * files yet, and parquet schema inference over the empty dir
+    * would fail.
+    */
+  def loadPqCodebook(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): PqCodebook = {
     import spark.implicits._
     val m = spark.read.parquet(s"$dir/meta")
       .select(col("m")).as[Int].head()
     val seeds = spark.read.parquet(s"$dir/codebook")
       .orderBy(col("c")).select(col("seed"))
       .as[Seq[Double]].collect().toSeq
-    (spark.read.parquet(s"$dir/codes"), PqCodebook(seeds, m))
+    PqCodebook(seeds, m)
   }
 
   /** Two-stage PQ: ADC candidate generation (`candidateK` per query

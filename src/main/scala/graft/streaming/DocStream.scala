@@ -809,6 +809,26 @@ object DocStream {
         col("col").as("centroid"))
   }
 
+  /** STREAMING IVFADC ingestion (e45) — the ANN index-maintenance
+    * face: vectors arrive as micro-batches and APPEND into the
+    * persisted index against its FROZEN quantizer pair
+    * ([[graft.similarity.ProductQuant.appendToIvfPqResidual]]) —
+    * O(batch) per trigger, cell partitions of the base corpus never
+    * re-read (e38's O(affected) discipline on the vector side).
+    * Assignment and residual encoding are pure row functions of the
+    * frozen quantizers, so the drained index equals a ONE-SHOT frozen
+    * build over everything that arrived — v24's invariant, streamed.
+    * Returns the drained codes table.
+    */
+  def ivfAdcAppendFold(embStream: DataFrame, indexDir: String): DataFrame = {
+    val spark = embStream.sparkSession
+    EventStream.runForeachBatch(embStream, (batch, _) => {
+      graft.similarity.ProductQuant.appendToIvfPqResidual(
+        spark, indexDir, batch, "vec_id", "embedding")
+    })
+    spark.read.parquet(s"$indexDir/pq/codes")
+  }
+
   /** STREAMING Kneser–Ney scoring (e44) — the LM family's ingestion
     * face: the KN model (four count frames) freezes BEFORE the stream
     * (materialized once — [[graft.functions.TextAnalysis.kneserNeyModel]]);
