@@ -349,6 +349,42 @@ class ProductQuantSpec extends graft.SparkSpec {
     assert(mem.nonEmpty)
   }
 
+  test("IVFADC bits dial: recall@5 non-decreasing from m=4/ks=8 to m=8/ks=16") {
+    val ids = (0L until 10L).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", ids, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val candidates = math.max(100L, emb.count() / 5).toInt
+    def recallAt(m: Int, ks: Int): Long = brute.intersect(
+      ProductQuant.ivfPqResidualTopKTrained(emb, "vec_id", "embedding", ids,
+        k = 5, nCells = 16, nProbe = 8, m = m, ks = ks,
+        candidateK = candidates, iters = 2, dim = 64)
+        .select($"query_id", $"neighbor_id")).count()
+    val low = recallAt(4, 8)    // 12 code bits
+    val high = recallAt(8, 16)  // 32 code bits
+    info(s"recall@5 x50: m4/ks8=$low m8/ks16=$high")
+    // more code bits describe within-cell variance more finely — the
+    // dial a deployment turns when recall at a given probe budget is
+    // short; pinned empirically like every recall arm
+    assert(high >= low, s"more bits lost recall: $high < $low")
+  }
+
+  test("IVFADC serving plan: no sort-merge join — the corpus never reshuffles per query") {
+    val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 2, dim = 64)
+    val rcb = ProductQuant.buildCodebookResidual(idx, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2, dim = 64)
+    val dir = graft.core.Staging.tmpDir("spec_ivfadc_plan")
+    ProductQuant.saveIvfPqResidualFrozen(emb, "vec_id", "embedding",
+      idx.centroids, rcb, dir)
+    val q = ProductQuant.ivfPqResidualTopKIndexed(spark, dir,
+      "vec_id", "embedding", Seq(1L, 2L), k = 5, nProbe = 4,
+      candidateK = 50)
+    q.collect() // audit the FINAL adaptive plan (CLAUDE.md trap)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"IVFADC serving must keep every join broadcast-shaped:\n$plan")
+  }
+
   test("a vector ON its centroid (zero residual) is excluded from training but still encoded") {
     val corpus = Seq(
       (0L, Array(1.0f, 1.0f)),   // == centroid: residual (0, 0)
