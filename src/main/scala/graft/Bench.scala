@@ -62,6 +62,7 @@ object Bench {
       "dsir_select" -> (() => Pipelines.dsirSelect(spark, sfDir)),
       "semdedup" -> (() => Pipelines.semDedup(spark, sfDir)),
       "semantic_decontam_ivf" -> (() => Pipelines.semanticDecontamIvf(spark, sfDir)),
+      "embedding_cascade" -> (() => Pipelines.embeddingCascade(spark, sfDir)),
       "ppl_buckets" -> (() => Pipelines.pplBuckets(spark, sfDir)),
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
       "boilerplate_strip" -> (() => Pipelines.boilerplateStrip(spark, sfDir)),

@@ -733,6 +733,57 @@ object Pipelines {
       .filter(col("contaminated") === 1)
   }
 
+  /** The EMBEDDING-side curation flagship — curation_cascade's sibling
+    * for the vector corpus, composed the way a production run spends
+    * it: exact dedup → ONE Lloyd training shared by every semantic
+    * stage → SemDeDup (trained cells) → IVF-routed decontamination →
+    * cluster-balanced selection → IVFADC artifact build. Every stage
+    * is individually oracle-gated (x1-class, v21, dc4, km2, v22/v24);
+    * the composition is benched end-to-end (`embedding_cascade`).
+    * Returns the built index's residual-code table — counting it
+    * forces the whole cascade plus the artifact write.
+    */
+  def embeddingCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.similarity.ProductQuant
+    val emb = Tables.embeddings(spark, sfDir)
+    // stage boundaries MATERIALIZE (localCheckpoint): the downstream
+    // trainers iterate, and every Lloyd round re-executing the whole
+    // upstream cascade lineage is the difference between 4 s and 47 s
+    // at sf0.1 (measured) — at 100 TB each stage lands in storage
+    val exact = emb.select(col("vec_id"), col("embedding"))
+      .dropDuplicates("embedding").localCheckpoint()
+    val model = Similarity.kmeansTrain(exact, "vec_id", "embedding",
+      k = 16, iters = 2, dim = 64)
+    val idx = Similarity.IvfIndex(
+      Similarity.assignToCentroids(exact, "vec_id", "embedding",
+        model.centroids), model.centroids)
+    val kept = Similarity.semDedupWithIndex(idx, "vec_id", "embedding",
+      threshold = 0.9, bucketCap = 128)
+      .filter(col("keep")).select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val probes = emb.filter(col("vec_id") % 41 === 0)
+      .select(col("vec_id").as("probe_id"),
+        concat(array(lit(0.0f)),
+          slice(col("embedding"), lit(2), size(col("embedding")) - 1))
+          .as("embedding"))
+    val survivors = graft.dedup.Decontam.semanticProfileIvf(kept, probes,
+        "vec_id", "embedding", tau = 0.9, model.centroids, nProbe = 2)
+      .filter(col("contaminated") === 0).select(col("vec_id"))
+      .join(kept, "vec_id").localCheckpoint()
+    val picked = Similarity.clusterBalancedSample(survivors, "vec_id",
+        "embedding", model.centroids, perCell = 24)
+      .select(col("vec_id")).join(survivors, "vec_id").localCheckpoint()
+    val pIdx = Similarity.IvfIndex(
+      Similarity.assignToCentroids(picked, "vec_id", "embedding",
+        model.centroids), model.centroids)
+    val cb = ProductQuant.buildCodebookResidual(pIdx, "vec_id",
+      "embedding", m = 4, ks = 8, iters = 2, dim = 64)
+    val outDir = graft.core.Staging.tmpDir("bench_emb_cascade")
+    ProductQuant.saveIvfPqResidualFrozen(picked, "vec_id", "embedding",
+      model.centroids, cb, outDir)
+    spark.read.parquet(s"$outDir/pq/codes")
+  }
+
   /** CCNet perplexity bucketing, approx-threshold scale path. */
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame =
     graft.quality.Perplexity.buckets(

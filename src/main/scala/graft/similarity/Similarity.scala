@@ -596,6 +596,18 @@ object Similarity {
       buildIvfTrained(emb, idCol, vecCol, nCentroids, iters, dim).assigned,
       idCol, vecCol, threshold, bucketCap)
 
+  /** [[semDedupTrained]] over a CALLER-built index — lets a composed
+    * pipeline train the quantizer ONCE and share it across SemDeDup,
+    * IVF-routed decontamination, cluster-balanced sampling, and the
+    * IVFADC build (the embedding_cascade shape: one Lloyd training
+    * amortized over four consumers, the way a production curation run
+    * actually spends it).
+    */
+  def semDedupWithIndex(idx: IvfIndex, idCol: String, vecCol: String,
+                        threshold: Double,
+                        bucketCap: Int = graft.dedup.TextDedup.DefaultBucketCap): DataFrame =
+    semDedupAssigned(idx.assigned, idCol, vecCol, threshold, bucketCap)
+
   /** The drop phase over an ALREADY-ASSIGNED corpus — shared by the
     * hash-init and trained faces.
     */

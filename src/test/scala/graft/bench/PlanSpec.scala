@@ -213,6 +213,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embedding cascade: composes end-to-end into a queryable IVFADC artifact") {
+    val codes = Pipelines.embeddingCascade(spark, sf0001)
+    val n = codes.count()
+    assert(n > 0, "cascade must keep vectors end-to-end")
+    // the artifact is a REAL index: every surviving vector carries an
+    // m=4 residual code with in-range entries
+    import org.apache.spark.sql.functions._
+    val bad = codes.filter(size(col("codes")) =!= 4 ||
+      exists(col("codes"), c => c < 0 || c >= 8)).count()
+    assert(bad == 0, "malformed residual codes in the built artifact")
+    // and the cascade SHRANK the corpus (dedup/decontam/sample did work)
+    val corpus = graft.core.Tables.embeddings(spark, sf0001).count()
+    assert(n <= corpus)
+  }
+
   test("curation cascade: end-to-end composes, stays UDF-free, produces packed sequences") {
     val out = Pipelines.curationCascade(spark, sf0001)
     val n = out.count()
