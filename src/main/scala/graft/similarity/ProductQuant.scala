@@ -96,19 +96,33 @@ object ProductQuant {
     require(ks >= 2 && ks <= 256, s"ks must be in [2,256]: $ks")
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val perSub: Seq[Map[Int, Seq[Double]]] = (0 until m).map { j =>
-      val sliced = emb.filter(Similarity.scorable(col(vecCol)))
-        .select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sv"))
-      val model = Similarity.kmeansTrain(sliced, idCol, "__sv",
-        k = ks, iters = iters, dim = sub)
-      val cents = model.centroids.collect().map { r =>
-        r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("centroid")).toSeq
-      }.toMap
-      require(cents.size == ks,
-        s"subspace $j: ${cents.size} of $ks Lloyd cells survived training " +
-          "— a cell emptied mid-iteration; lower ks (or iters)")
-      cents
-    }
+    // the m per-subspace trainings are INDEPENDENT (each a pure
+    // function of its own slice frame), so they submit CONCURRENTLY —
+    // Lloyd's per-round latency is job-scheduling-bound at index-build
+    // scale, and sequential subspaces pay that floor m times
+    // (the CombinationSearch concurrent-fit idiom; results are
+    // bit-identical either way, pinned by v17's exact gate)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val perSub: Seq[Map[Int, Seq[Double]]] =
+      try Await.result(Future.sequence((0 until m).map { j =>
+        Future {
+          val sliced = emb.filter(Similarity.scorable(col(vecCol)))
+            .select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sv"))
+          val model = Similarity.kmeansTrain(sliced, idCol, "__sv",
+            k = ks, iters = iters, dim = sub)
+          val cents = model.centroids.collect().map { r =>
+            r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("centroid")).toSeq
+          }.toMap
+          require(cents.size == ks,
+            s"subspace $j: ${cents.size} of $ks Lloyd cells survived training " +
+              "— a cell emptied mid-iteration; lower ks (or iters)")
+          cents
+        }
+      }), Duration.Inf)
+      finally pool.shutdown()
     val seeds = (0 until ks).map(c => (0 until m).flatMap(j => perSub(j)(c)))
     PqCodebook(seeds, m)
   }
