@@ -743,9 +743,16 @@ object Pipelines {
     * Returns the built index's residual-code table — counting it
     * forces the whole cascade plus the artifact write.
     */
-  def embeddingCascade(spark: SparkSession, sfDir: String): DataFrame = {
+  def embeddingCascade(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingCascadeOn(spark, Tables.embeddings(spark, sfDir),
+      graft.core.Staging.tmpDir("bench_emb_cascade"))
+
+  /** [[embeddingCascade]] over a caller-supplied corpus (the
+    * ScaleProbe entry point).
+    */
+  def embeddingCascadeOn(spark: SparkSession, emb: DataFrame,
+                         outDir: String): DataFrame = {
     import graft.similarity.ProductQuant
-    val emb = Tables.embeddings(spark, sfDir)
     // stage boundaries MATERIALIZE (localCheckpoint): the downstream
     // trainers iterate, and every Lloyd round re-executing the whole
     // upstream cascade lineage is the difference between 4 s and 47 s
@@ -778,7 +785,6 @@ object Pipelines {
         model.centroids), model.centroids)
     val cb = ProductQuant.buildCodebookResidual(pIdx, "vec_id",
       "embedding", m = 4, ks = 8, iters = 2, dim = 64)
-    val outDir = graft.core.Staging.tmpDir("bench_emb_cascade")
     ProductQuant.saveIvfPqResidualFrozen(picked, "vec_id", "embedding",
       model.centroids, cb, outDir)
     spark.read.parquet(s"$outDir/pq/codes")

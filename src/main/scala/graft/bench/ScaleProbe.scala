@@ -219,6 +219,59 @@ object ScaleProbe {
         docs.unpersist()
         spark.catalog.clearCache()
       }
+      // EMBEDDING cascade (r16 flagship): corpus ×m with a per-copy
+      // nudge on dim 1 so exact dedup keeps all m copies and the
+      // semantic stages see m-sized near-dup clusters (cos ≈ 1 —
+      // the text cascade's worst-case-honest shape transposed).
+      // Expected: ~linear — every stage is assign/window/bounded-pair
+      // work over materialized stage boundaries.
+      if (enabled("embcascade")) {
+        // per-copy SCALING (cosine-preserving): copies stay cos ≈ 1
+        // near-dup clusters for SemDeDup while every residual slice
+        // differs per copy — a dim-1-only nudge left the other
+        // subspaces' residuals IDENTICAL across copies, emptying
+        // Lloyd cells in the residual codebook at 16× (the loud
+        // buildCodebookResidual guard, tripped honestly)
+        val copyScale = lit(1.0f) +
+          expr("vec_id div 10000000").cast("float") / lit(1000.0f)
+        val embm = multiply(
+          Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", m, 10000000L)
+          .withColumn("embedding",
+            transform(col("embedding"), x => (x * copyScale).cast("float")))
+          .repartition(64).cache()
+        embm.count()
+        val dirn = graft.core.Staging.tmpDir(s"scale_embcascade_x$m")
+        time(s"embedding_cascade x$m") {
+          Pipelines.embeddingCascadeOn(spark, embm, dirn).count()
+        }
+        embm.unpersist()
+        spark.catalog.clearCache()
+      }
+      // WEIGHTED mini-batch k-means step (e42's engine): one Sculley
+      // step over an m× batch against a fixed k=8 state. Expected
+      // linear — one k-row broadcast assign + one map-side-combined
+      // wide agg (k·dim int64 scalars cross the shuffle) + a k-row
+      // merge; nothing concentrates as m grows.
+      if (enabled("kmeans_weighted")) {
+        val embm = multiply(
+          Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", m, 10000000L)
+          .repartition(64).cache()
+        embm.count()
+        val seeds = Similarity.buildIvfHashInit(
+          Tables.embeddings(spark, sfDir), "vec_id", "embedding", 8)
+          .centroids
+        time(s"kmeans_weighted_step x$m") {
+          Similarity.kmeansMiniBatchStepWeighted(embm, "vec_id",
+            "embedding", Similarity.kmeansWeightedInit(seeds, 64),
+            dim = 64).count()
+        }
+        embm.unpersist()
+        spark.catalog.clearCache()
+      }
       // LLOYD'S K-MEANS: corpus grows m× (ids offset), model size
       // fixed (k=8, 3 rounds). Expected: linear — per round one
       // broadcast of k centroids across the corpus plus one
