@@ -266,6 +266,48 @@ object StreamMediaCatalog {
     out
   }
 
+  /** The e42/e46 Sculley-weighted mini-batch chain in long-form state
+    * (batches → hash-pick init → per-batch derive/assign/accumulate),
+    * WITHOUT a final SELECT — e42 reads the final state, e46 serves a
+    * full assignment under it, and sharing the CTE body keeps the two
+    * spellings from drifting.
+    */
+  private lazy val weightedKmeansCtes: String = {
+    val S = graft.similarity.Similarity.Sql
+    val batches = (0 to 2).map(r =>
+      s"b$r AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = $r)")
+      .mkString(",\n")
+    val steps = (0 to 2).map { r =>
+      s"""w$r AS MATERIALIZED (SELECT st.cell,
+         |    list(CASE WHEN st.n > 0
+         |      THEN CAST(st.s AS DOUBLE) / 1000000000.0 / CAST(st.n AS DOUBLE)
+         |      ELSE c0.centroid[st.dim] END ORDER BY st.dim) AS centroid
+         |  FROM s$r st JOIN c0 ON c0.cell = st.cell GROUP BY st.cell),
+         |a${r + 1} AS MATERIALIZED (
+         |  ${S.kmeansAssign(s"b$r", "vec_id", "embedding", s"w$r")}),
+         |bs${r + 1} AS MATERIALIZED (SELECT cell, d.dim,
+         |    CAST(SUM(CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s,
+         |    COUNT(*) AS n
+         |  FROM a${r + 1} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d
+         |  GROUP BY cell, d.dim),
+         |s${r + 1} AS MATERIALIZED (SELECT p.cell, p.dim,
+         |    CAST(p.s + COALESCE(b.s, 0) AS BIGINT) AS s,
+         |    CAST(p.n + COALESCE(b.n, 0) AS BIGINT) AS n
+         |  FROM s$r p LEFT JOIN bs${r + 1} b ON b.cell = p.cell AND b.dim = p.dim)""".stripMargin
+    }.mkString(",\n")
+    s"""$batches,
+       |kcb AS MATERIALIZED (SELECT vec_id, embedding FROM b0
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+       |c0 AS MATERIALIZED (SELECT
+       |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+       |  FROM kcb),
+       |s0 AS MATERIALIZED (SELECT cell, d.dim,
+       |    CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS n
+       |  FROM c0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d),
+       |$steps""".stripMargin
+  }
+
   /** Stage one fixture parquet behind a fresh symlink directory (file
     * sources want a directory); shared by every file-source stream
     * gate so the staging convention lives in one place.
@@ -1316,6 +1358,26 @@ object StreamMediaCatalog {
         .orderBy(col("cell"), col("dim"))
     }),
 
+    // E46 — the weighted trainer's SERVE face (e35's pairing for the
+    // Sculley model): stream-train on the 3 pinned batches, then
+    // assign the FULL corpus under the final cumulative-mean
+    // centroids. Oracle = the e42 chain + one kmeansAssign.
+    "e46_stream_kmeans_weighted_serve" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val in = stageOrderedBatches("stream_mbkmw_serve_in",
+        (0 to 2).map(r => emb.filter(pmod(col("vec_id"), lit(3)) === r)))
+      val folded = graft.streaming.DocStream.kmeansMiniBatchWeightedFold(
+        graft.streaming.DocStream.readEmbeddingsOneFilePerTrigger(spark, in),
+        k = 8, dim = 64)
+      val cents = graft.similarity.Similarity.toCentroidArrays(
+        folded.select(col("cell"), col("dim"), col("centroid")))
+      graft.similarity.Similarity.assignToCentroids(emb, "vec_id",
+          "embedding", cents)
+        .select(col("vec_id"), col("cell").cast("int").as("cell"))
+        .orderBy(col("vec_id"))
+    }),
+
     // E45 — STREAMING IVFADC index ingestion (v24's invariant,
     // streamed): the frozen quantizer pair persists over an EMPTY
     // corpus before the stream; vectors arrive as 3 micro-batches and
@@ -1668,47 +1730,30 @@ object StreamMediaCatalog {
     // long-form state: init (sums 0, n 0) from batch 0's hash pick,
     // then per batch derive current centroids (cumulative fixed-point
     // mean, seed where n=0) → assign → accumulate int64 sums + counts
-    "e42_stream_kmeans_weighted" -> {
-      val S = graft.similarity.Similarity.Sql
-      val batches = (0 to 2).map(r =>
-        s"b$r AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = $r)")
-        .mkString(",\n")
-      val steps = (0 to 2).map { r =>
-        s"""w$r AS MATERIALIZED (SELECT st.cell,
-           |    list(CASE WHEN st.n > 0
-           |      THEN CAST(st.s AS DOUBLE) / 1000000000.0 / CAST(st.n AS DOUBLE)
-           |      ELSE c0.centroid[st.dim] END ORDER BY st.dim) AS centroid
-           |  FROM s$r st JOIN c0 ON c0.cell = st.cell GROUP BY st.cell),
-           |a${r + 1} AS MATERIALIZED (
-           |  ${S.kmeansAssign(s"b$r", "vec_id", "embedding", s"w$r")}),
-           |bs${r + 1} AS MATERIALIZED (SELECT cell, d.dim,
-           |    CAST(SUM(CAST(FLOOR(CAST(embedding[d.dim] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS BIGINT) AS s,
-           |    COUNT(*) AS n
-           |  FROM a${r + 1} CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d
-           |  GROUP BY cell, d.dim),
-           |s${r + 1} AS MATERIALIZED (SELECT p.cell, p.dim,
-           |    CAST(p.s + COALESCE(b.s, 0) AS BIGINT) AS s,
-           |    CAST(p.n + COALESCE(b.n, 0) AS BIGINT) AS n
-           |  FROM s$r p LEFT JOIN bs${r + 1} b ON b.cell = p.cell AND b.dim = p.dim)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $batches,
-         |kcb AS MATERIALIZED (SELECT vec_id, embedding FROM b0
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
-         |c0 AS MATERIALIZED (SELECT
-         |    ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
-         |  FROM kcb),
-         |s0 AS MATERIALIZED (SELECT cell, d.dim,
-         |    CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS n
-         |  FROM c0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS dim) d),
-         |$steps
+    "e42_stream_kmeans_weighted" ->
+      s"""WITH $weightedKmeansCtes
          |SELECT CAST(st.cell AS INTEGER) AS cell, CAST(st.dim AS INTEGER) AS dim,
          |  CASE WHEN st.n > 0
          |    THEN CAST(st.s AS DOUBLE) / 1000000000.0 / CAST(st.n AS DOUBLE)
          |    ELSE c0.centroid[st.dim] END AS centroid,
          |  CAST(st.n AS BIGINT) AS n
          |FROM s3 st JOIN c0 ON c0.cell = st.cell
-         |ORDER BY cell, dim""".stripMargin
+         |ORDER BY cell, dim""".stripMargin,
+
+    // the weighted chain's SERVE face: the final cumulative-mean
+    // centroids re-assemble and the FULL corpus assigns under them
+    // (e35's pairing for the Sculley trainer)
+    "e46_stream_kmeans_weighted_serve" -> {
+      val S = graft.similarity.Similarity.Sql
+      s"""WITH $weightedKmeansCtes,
+         |wf AS MATERIALIZED (SELECT st.cell,
+         |    list(CASE WHEN st.n > 0
+         |      THEN CAST(st.s AS DOUBLE) / 1000000000.0 / CAST(st.n AS DOUBLE)
+         |      ELSE c0.centroid[st.dim] END ORDER BY st.dim) AS centroid
+         |  FROM s3 st JOIN c0 ON c0.cell = st.cell GROUP BY st.cell),
+         |af AS (${S.kmeansAssign("embeddings", "vec_id", "embedding", "wf")})
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM af
+         |ORDER BY vec_id""".stripMargin
     },
 
     // stream-folded assignments + drained-store ranks == batch km3
