@@ -472,6 +472,17 @@ object Bpe {
                                                 nMerges: Int, batchCap: Int): (Vector[(String, String)], Int) =
     trainBatchedOnWords(wordsOfCol(df, textCol), nMerges, byteSyms, batchCap)
 
+  /** The trainer's word census over a text column — (`__w`, f) exact
+    * counts. Exposed package-wide so the STREAMING census fold (e43)
+    * shares this spelling instead of re-implementing the split: the
+    * streamed gate borrows tk31's oracle, so two independently-spelled
+    * censuses drifting apart would surface only after a tokenization
+    * tweak shipped (the dc3 hides-until-regen class).
+    */
+  private[graft] def wordCountsOfCol(df: DataFrame,
+                                     textCol: String): DataFrame =
+    wordsOfCol(df, textCol).groupBy(col("__w")).agg(count(lit(1)).as("f"))
+
   private def wordsOfCol(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(col(textCol), " ", -1)).as("__w"))
       .filter(col("__w") =!= "")

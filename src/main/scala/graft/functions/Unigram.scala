@@ -382,7 +382,10 @@ object Unigram {
       .flatMap { case (w, f) =>
         softExpectations(w, lp).map { case (_, ll) => ll * f }
       }
-      .toDF("ll").agg(sum(col("ll"))).as[Double].head()
+      // sum over an EMPTY frame is NULL (no covered word at all) —
+      // coalesce to 0.0 rather than crash the typed head()
+      .toDF("ll").agg(coalesce(sum(col("ll")), lit(0.0)))
+      .as[Double].head()
   }
 
   /** One SOFT-EM round: [[emRound]] with forward–backward expected

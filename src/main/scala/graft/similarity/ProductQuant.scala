@@ -122,7 +122,9 @@ object ProductQuant {
           cents
         }
       }), Duration.Inf)
-      finally pool.shutdown()
+      // shutdownNow: on a failed subspace (emptied cell), don't let the
+      // surviving trainings keep burning jobs for a discarded result
+      finally { pool.shutdownNow(); () }
     val seeds = (0 until ks).map(c => (0 until m).flatMap(j => perSub(j)(c)))
     PqCodebook(seeds, m)
   }
@@ -364,8 +366,8 @@ object ProductQuant {
     * cell-key equi join prunes the scan, map-side LUT scoring, bounded
     * top-k, broadcast candidate join back.
     */
-  def ivfPqResidualTopK(emb: DataFrame, idCol: String, vecCol: String,
-                        idx: Similarity.IvfIndex, queryIds: Seq[Long],
+  def ivfPqResidualTopK(idx: Similarity.IvfIndex, idCol: String,
+                        vecCol: String, queryIds: Seq[Long],
                         k: Int, nProbe: Int, cb: PqCodebook,
                         candidateK: Int): DataFrame =
     residualAdcCore(idx, encodeResidual(idx, idCol, vecCol, cb),
@@ -470,7 +472,7 @@ object ProductQuant {
                                dim: Int): DataFrame = {
     val idx = Similarity.buildIvfTrained(emb, idCol, vecCol, nCells, iters, dim)
     val cb = buildCodebookResidual(idx, idCol, vecCol, m, ks, iters, dim)
-    ivfPqResidualTopK(emb, idCol, vecCol, idx, queryIds, k, nProbe, cb,
+    ivfPqResidualTopK(idx, idCol, vecCol, queryIds, k, nProbe, cb,
       candidateK)
   }
 
@@ -532,9 +534,21 @@ object ProductQuant {
     */
   def appendToIvfPqResidual(spark: org.apache.spark.sql.SparkSession,
                             dir: String, newRows: DataFrame, idCol: String,
-                            vecCol: String): Unit = {
-    val centroids = spark.read.parquet(s"$dir/ivf/centroids")
-    val cb = loadPqCodebook(spark, s"$dir/pq")
+                            vecCol: String): Unit =
+    appendToIvfPqResidualWith(dir, newRows, idCol, vecCol,
+      spark.read.parquet(s"$dir/ivf/centroids"),
+      loadPqCodebook(spark, s"$dir/pq"))
+
+  /** [[appendToIvfPqResidual]] against CALLER-loaded quantizers — the
+    * streaming-ingestion entry (e45): the centroids and codebook are
+    * frozen by construction, so a long-running stream loads them ONCE
+    * instead of paying two parquet reads + a codebook collect per
+    * micro-batch.
+    */
+  def appendToIvfPqResidualWith(dir: String, newRows: DataFrame,
+                                idCol: String, vecCol: String,
+                                centroids: DataFrame,
+                                cb: PqCodebook): Unit = {
     val idx = Similarity.IvfIndex(
       Similarity.assignToCentroids(newRows, idCol, vecCol, centroids),
       centroids)

@@ -822,9 +822,16 @@ object DocStream {
     */
   def ivfAdcAppendFold(embStream: DataFrame, indexDir: String): DataFrame = {
     val spark = embStream.sparkSession
+    // the quantizer pair is frozen by construction — load it ONCE
+    // before the stream instead of two parquet reads + a codebook
+    // collect per micro-batch
+    val centroids = spark.read
+      .parquet(s"$indexDir/ivf/centroids").localCheckpoint()
+    val cb = graft.similarity.ProductQuant.loadPqCodebook(
+      spark, s"$indexDir/pq")
     EventStream.runForeachBatch(embStream, (batch, _) => {
-      graft.similarity.ProductQuant.appendToIvfPqResidual(
-        spark, indexDir, batch, "vec_id", "embedding")
+      graft.similarity.ProductQuant.appendToIvfPqResidualWith(
+        indexDir, batch, "vec_id", "embedding", centroids, cb)
     })
     spark.read.parquet(s"$indexDir/pq/codes")
   }
@@ -868,9 +875,10 @@ object DocStream {
                           batchCap: Int = 32): DataFrame = {
     var store: DataFrame = null
     EventStream.runForeachBatch(docStream, (batch, _) => {
-      val wc = batch.select(explode(split(col("text"), " ", -1)).as("__w"))
-        .filter(col("__w") =!= "")
-        .groupBy(col("__w")).agg(count(lit(1)).as("f"))
+      // the BATCH trainer's own census spelling (Bpe.wordCountsOfCol)
+      // — never re-implemented here, so the stream cannot drift from
+      // the tk31 oracle it is held to
+      val wc = graft.functions.Bpe.wordCountsOfCol(batch, "text")
       store = (if (store == null) wc
                else store.unionByName(wc)
                  .groupBy(col("__w")).agg(sum(col("f")).as("f")))
@@ -915,12 +923,12 @@ object DocStream {
     })
     require(state != null,
       "kmeansMiniBatchWeightedFold: stream delivered no batches")
-    state
-      .select(col("cell"), col("n"), posexplode(
-        when(col("n") > 0,
-          transform(col("sums"),
-            s => s.cast("double") / lit(1e9) / col("n").cast("double")))
-          .otherwise(col("seed"))))
+    // emission derives from the SAME expression the chain assigned
+    // against (kmeansWeightedCentroids) — never a re-inlined copy
+    // that could drift from it
+    Similarity.kmeansWeightedCentroids(state)
+      .join(state.select(col("cell"), col("n")), Seq("cell"))
+      .select(col("cell"), col("n"), posexplode(col("centroid")))
       .select(col("cell"), (col("pos") + 1).cast("int").as("dim"),
         col("col").as("centroid"), col("n"))
   }

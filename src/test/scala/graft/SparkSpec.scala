@@ -8,11 +8,14 @@ object TestSpark {
   lazy val spark: SparkSession = graft.core.Sessions.local(4)
 
   /** Run `body` with the given session confs set, restoring the prior
-    * values after — SERIALIZED under one lock, because the session is
-    * shared across suites and a concurrent test could otherwise
-    * observe the mutated window (e.g. autoBroadcastJoinThreshold=-1)
-    * under full-suite parallelism. Every conf-mutating plan audit goes
-    * through here rather than hand-rolling set/restore.
+    * values after — SERIALIZED under one lock so conf-MUTATING arms
+    * never interleave with each other. NOTE the residual race the
+    * lock does NOT close (see the project memory note): a concurrent
+    * suite that merely READS the shared session's conf (any plan
+    * audit relying on defaults) is unsynchronized and can still
+    * observe the mutated window; fully closing that needs a dedicated
+    * session per conf-mutating arm. Every conf-mutating plan audit
+    * goes through here rather than hand-rolling set/restore.
     */
   def withConfs[T](confs: (String, String)*)(body: => T): T =
     confLock.synchronized {

@@ -339,8 +339,8 @@ class ProductQuantSpec extends graft.SparkSpec {
     ProductQuant.saveIvfPqResidualFrozen(emb, "vec_id", "embedding",
       idx.centroids, rcb, dir)
     val ids = Seq(1L, 2L, 3L)
-    val mem = ProductQuant.ivfPqResidualTopK(emb, "vec_id", "embedding",
-      idx, ids, k = 5, nProbe = 4, rcb, candidateK = 50)
+    val mem = ProductQuant.ivfPqResidualTopK(idx, "vec_id", "embedding",
+      ids, k = 5, nProbe = 4, rcb, candidateK = 50)
       .as[(Long, Int, Long, Double)].collect().toSet
     val disk = ProductQuant.ivfPqResidualTopKIndexed(spark, dir,
       "vec_id", "embedding", ids, k = 5, nProbe = 4, candidateK = 50)
