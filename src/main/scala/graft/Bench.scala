@@ -64,6 +64,7 @@ object Bench {
       "semantic_decontam_ivf" -> (() => Pipelines.semanticDecontamIvf(spark, sfDir)),
       "embedding_cascade" -> (() => Pipelines.embeddingCascade(spark, sfDir)),
       "ppl_buckets" -> (() => Pipelines.pplBuckets(spark, sfDir)),
+      "ppl_buckets_kn" -> (() => Pipelines.pplBucketsKn(spark, sfDir)),
       "stream_rollup" -> (() => Pipelines.streamRollup(spark, sfDir)),
       "boilerplate_strip" -> (() => Pipelines.boilerplateStrip(spark, sfDir)),
       "dup_span_strip" -> (() => Pipelines.dupSpanStrip(spark, sfDir)),

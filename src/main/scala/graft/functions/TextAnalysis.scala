@@ -603,29 +603,75 @@ object TextAnalysis {
   def kneserNeyTrigramLogProb(score: org.apache.spark.sql.DataFrame,
                               train: org.apache.spark.sql.DataFrame,
                               idCol: String, textCol: String,
-                              discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+                              discount: Double = 0.75): org.apache.spark.sql.DataFrame =
+    kneserNeyTrigramScore(score, idCol, textCol,
+      kneserNeyTrigramModel(train, idCol, textCol, discount))
+
+  /** The frozen trigram-KN MODEL — the six count frames
+    * [[kneserNeyTrigramScore]] joins against, materialized eagerly
+    * (localCheckpoint) so a streaming face scoring many micro-batches
+    * pays the train-corpus scan ONCE, not per batch (the e44/e36
+    * frozen-artifact discipline).
+    */
+  final case class KnTrigramModel(tcnt: org.apache.spark.sql.DataFrame,
+                                  tctx: org.apache.spark.sql.DataFrame,
+                                  cprime: org.apache.spark.sql.DataFrame,
+                                  midden: org.apache.spark.sql.DataFrame,
+                                  cdd: org.apache.spark.sql.DataFrame,
+                                  n1tot: org.apache.spark.sql.DataFrame,
+                                  discount: Double)
+
+  /** The (idCol, tg, uv, v, w) trigram-position projection shared by
+    * training and scoring so the two spellings cannot drift.
+    */
+  private def knTrigramParts(df: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     import graft.dedup.TextDedup
-    val scale = 1e6
-    def parts(df: org.apache.spark.sql.DataFrame) =
-      TextDedup.shingleSets(df, idCol, textCol, k = 3, distinct = false)
-        .select(col(idCol), col("shingle").as("tg"),
-          substring_index(col("shingle"), " ", 2).as("uv"),
-          substring_index(substring_index(col("shingle"), " ", 2), " ", -1)
-            .as("v"),
-          substring_index(col("shingle"), " ", -1).as("w"))
-    val tri = parts(train)
-    val tcnt = tri.groupBy(col("tg")).agg(count(lit(1)).as("c_tg"))
-    val tctx = tri.groupBy(col("uv"))
-      .agg(count(lit(1)).as("c_uv"), countDistinct(col("w")).as("n1_uv"))
+    TextDedup.shingleSets(df, idCol, textCol, k = 3, distinct = false)
+      .select(col(idCol), col("shingle").as("tg"),
+        substring_index(col("shingle"), " ", 2).as("uv"),
+        substring_index(substring_index(col("shingle"), " ", 2), " ", -1)
+          .as("v"),
+        substring_index(col("shingle"), " ", -1).as("w"))
+  }
+
+  def kneserNeyTrigramModel(train: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            discount: Double = 0.75): KnTrigramModel = {
+    val tri = knTrigramParts(train, idCol, textCol)
     val types = tri.select(col("uv"), col("v"), col("w")).distinct()
-    val cprime = types.groupBy(col("v"), col("w"))
-      .agg(count(lit(1)).as("cp"))
-    val midden = types.groupBy(col("v"))
-      .agg(count(lit(1)).as("n1mid"), countDistinct(col("w")).as("n1fw"))
+      .localCheckpoint()
     val suffixes = types.select(col("v"), col("w")).distinct()
-    val cdd = suffixes.groupBy(col("w")).agg(count(lit(1)).as("cdd"))
-    val n1tot = suffixes.agg(count(lit(1)).as("n1_total"))
-    val pos = parts(score)
+      .localCheckpoint()
+    KnTrigramModel(
+      tri.groupBy(col("tg")).agg(count(lit(1)).as("c_tg"))
+        .localCheckpoint(),
+      tri.groupBy(col("uv"))
+        .agg(count(lit(1)).as("c_uv"), countDistinct(col("w")).as("n1_uv"))
+        .localCheckpoint(),
+      types.groupBy(col("v"), col("w")).agg(count(lit(1)).as("cp"))
+        .localCheckpoint(),
+      types.groupBy(col("v"))
+        .agg(count(lit(1)).as("n1mid"), countDistinct(col("w")).as("n1fw"))
+        .localCheckpoint(),
+      suffixes.groupBy(col("w")).agg(count(lit(1)).as("cdd"))
+        .localCheckpoint(),
+      suffixes.agg(count(lit(1)).as("n1_total"))
+        .localCheckpoint(),
+      discount)
+  }
+
+  /** Score a corpus against a FROZEN [[KnTrigramModel]] — a pure
+    * per-doc function of (doc, model), which is what makes the
+    * streaming face (e47) exact: per-batch scores ARE the global
+    * scores (the e44 argument, one n-gram order up).
+    */
+  def kneserNeyTrigramScore(score: org.apache.spark.sql.DataFrame,
+                            idCol: String, textCol: String,
+                            m: KnTrigramModel): org.apache.spark.sql.DataFrame = {
+    val scale = 1e6
+    val discount = m.discount
+    val pos = knTrigramParts(score, idCol, textCol)
     val p1 = coalesce(col("cdd").cast("double"), lit(0.5)) /
       col("n1_total").cast("double")
     val p2 = when(col("n1mid").isNotNull,
@@ -641,12 +687,12 @@ object TextAnalysis {
         / col("c_uv").cast("double")) * p2)
       .otherwise(p2)
     pos
-      .join(tcnt, Seq("tg"), "left")
-      .join(tctx, Seq("uv"), "left")
-      .join(cprime, Seq("v", "w"), "left")
-      .join(midden, Seq("v"), "left")
-      .join(cdd, Seq("w"), "left")
-      .crossJoin(broadcast(n1tot))
+      .join(m.tcnt, Seq("tg"), "left")
+      .join(m.tctx, Seq("uv"), "left")
+      .join(m.cprime, Seq("v", "w"), "left")
+      .join(m.midden, Seq("v"), "left")
+      .join(m.cdd, Seq("w"), "left")
+      .crossJoin(broadcast(m.n1tot))
       .withColumn("lp_q", floor(log(p3) * lit(scale) + lit(1e-4)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_positions"),

@@ -274,8 +274,15 @@ object StreamMediaCatalog {
     */
   private lazy val weightedKmeansCtes: String = {
     val S = graft.similarity.Similarity.Sql
+    // scorable mirrored on every batch CTE (and hence the kcb seed
+    // pick, which selects from b0): the engine filters both the seed
+    // frame and each step's assignToCentroids input, so the oracle
+    // must not lean on the all-vectors-scorable fixture pin — a regen
+    // with a defective embedding would otherwise diverge instead of
+    // failing loudly (the dc3 computed-probe lesson, r16 advice)
     val batches = (0 to 2).map(r =>
-      s"b$r AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = $r)")
+      s"""b$r AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 3 = $r AND ${S.scorable("embedding")})""".stripMargin)
       .mkString(",\n")
     val steps = (0 to 2).map { r =>
       s"""w$r AS MATERIALIZED (SELECT st.cell,
@@ -1440,6 +1447,30 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E47 — STREAMING trigram-KN scoring (e44 one n-gram order up,
+    // closing the r16 verdict's gap: t16's five-frame model had no
+    // ingestion face): the trigram count frames freeze from the even
+    // docs before the stream; odd docs arrive as 3 micro-batches and
+    // score per batch with the exact batch operator (pure per-doc
+    // function of the frozen frames). Stream == batch on t16's own
+    // oracle.
+    "e47_stream_kn_trigram" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val model = graft.functions.TextAnalysis.kneserNeyTrigramModel(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val in = graft.core.Staging.tmpDir("stream_kn3_in")
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      for (r <- 0 to 2)
+        odd.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema(graft.streaming.DocStream.idTextSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.kneserNeyTrigramScoreFold(src, model)
+        .orderBy(col("doc_id"))
+    }),
+
     // E43 — STREAMING BPE vocabulary TRAINING (tk31's ingestion face;
     // e31/e33 only tokenize under frozen merges): the word census
     // folds per micro-batch (order-free exact sums — 3 unpinned
@@ -1675,6 +1706,10 @@ object StreamMediaCatalog {
     // frozen-model per-batch scoring == the one-shot batch scores
     "e44_stream_kneser_ney" -> TrainingCatalog.oracle("t15_kneser_ney"),
 
+    // stream-scored == batch t16 (the frozen trigram frames are the
+    // same count tables; scoring is a pure per-doc function of them)
+    "e47_stream_kn_trigram" -> TrainingCatalog.oracle("t16_kn_trigram"),
+
     // every scorable vector lands exactly once; appends against the
     // frozen quantizers == the one-shot frozen build (v24, streamed)
     "e45_stream_ivfadc_ingest" ->
@@ -1751,7 +1786,9 @@ object StreamMediaCatalog {
          |      THEN CAST(st.s AS DOUBLE) / 1000000000.0 / CAST(st.n AS DOUBLE)
          |      ELSE c0.centroid[st.dim] END ORDER BY st.dim) AS centroid
          |  FROM s3 st JOIN c0 ON c0.cell = st.cell GROUP BY st.cell),
-         |af AS (${S.kmeansAssign("embeddings", "vec_id", "embedding", "wf")})
+         |scemb AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE ${S.scorable("embedding")}),
+         |af AS (${S.kmeansAssign("scemb", "vec_id", "embedding", "wf")})
          |SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM af
          |ORDER BY vec_id""".stripMargin
     },

@@ -2109,6 +2109,26 @@ object TrainingCatalog {
         .orderBy(col("bucket"))
     }),
 
+    // CX4 — the REUSABLE perplexity-bucketing operator under the KN
+    // tier (cx3 terciled t15's scores inline; this gate drives the
+    // production consumer — Perplexity.bucketsKn over the frozen
+    // KnModel, per-LANGUAGE terciles like cx1): even docs train the
+    // model, odd docs score and bucket within their language, census
+    // + rounded score range per (lang, bucket)
+    "cx4_kn_ppl_buckets" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val model = TextAnalysis.kneserNeyModel(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.quality.Perplexity.bucketsKn(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "lang",
+        model, exact = true)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("mean_logscore")), 6).as("min_score"),
+          round(max(col("mean_logscore")), 6).as("max_score"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // T16 — interpolated Kneser–Ney TRIGRAM scoring (the Chen–Goodman
     // recursion over t15: counts at each level come from the level
     // above — c'(vw) = distinct u over trigram types, c''(w) =
@@ -3144,6 +3164,35 @@ object TrainingCatalog {
          |  round(MIN(mean_logscore), 6) AS min_score,
          |  round(MAX(mean_logscore), 6) AS max_score
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the t15 scoring chain + cx1's per-language discrete-rank tercile
+    // machinery (value-at-rank is tie-permutation-invariant; the raw
+    // mean_logscore orders identically on both engines because every
+    // operand is bit-identical by t15's exactness argument)
+    "cx4_kn_ppl_buckets" ->
+      s"""WITH $KneserNeyLpCtes,
+         |agg AS (SELECT doc_id,
+         |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
+         |  FROM klp GROUP BY doc_id),
+         |sc4 AS (SELECT a.doc_id, d.lang, a.mean_logscore
+         |  FROM agg a JOIN documents d USING (doc_id)),
+         |rk4 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY mean_logscore, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n FROM sc4),
+         |thr4 AS (SELECT lang,
+         |    MIN(CASE WHEN rn = (n + 2) // 3 THEN mean_logscore END) AS t1,
+         |    MIN(CASE WHEN rn = (2 * n + 2) // 3 THEN mean_logscore END) AS t2
+         |  FROM rk4 WHERE rn = (n + 2) // 3 OR rn = (2 * n + 2) // 3
+         |  GROUP BY lang),
+         |b4 AS (SELECT s.lang, s.mean_logscore,
+         |    CASE WHEN s.mean_logscore <= t1 THEN 'tail'
+         |         WHEN s.mean_logscore <= t2 THEN 'middle'
+         |         ELSE 'head' END AS bucket
+         |  FROM sc4 s JOIN thr4 USING (lang))
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |  round(MIN(mean_logscore), 6) AS min_score,
+         |  round(MAX(mean_logscore), 6) AS max_score
+         |FROM b4 GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
 
     // the corpus tag rides through the same md5 universal-hash twin the

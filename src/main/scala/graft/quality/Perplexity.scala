@@ -36,30 +36,68 @@ object Perplexity {
               langCol: String, exact: Boolean = false): DataFrame = {
     val scores = TextAnalysis.unigramLogProb(df, idCol, textCol)
       .join(df.select(col(idCol), col(langCol)), Seq(idCol))
-    val thr = if (exact) exactTerciles(scores, idCol, langCol)
-              else approxTerciles(scores, langCol)
+    bucketize(scores, "mean_logprob", idCol, langCol, exact)
+  }
+
+  /** [[buckets]] scored by the REAL smoothed LM — the frozen
+    * interpolated Kneser–Ney bigram model ([[TextAnalysis.KnModel]],
+    * t15) instead of the in-corpus unigram tier. This is the CCNet
+    * recipe proper: the model trains on a held-out/reference corpus
+    * ([[TextAnalysis.kneserNeyModel]]; CCNet uses Wikipedia), every
+    * document scores against it ([[TextAnalysis.kneserNeyScore]] —
+    * pure per-doc function of the frozen count frames), and each
+    * language's score distribution terciles into head/middle/tail.
+    * Output: (id, lang, n_positions, n_unseen_bigrams, mean_logscore,
+    * bucket). Docs under 2 tokens have no scoring positions and drop
+    * (the t15 convention).
+    *
+    * Scale shape = t15's scoring joins (vocabulary-keyed shuffles for
+    * the bigram/context/continuation frames — a bigram table grows
+    * with data, never broadcast; the 1-row type total broadcasts)
+    * plus [[bucketize]]'s threshold machinery (approx path: one
+    * partial-combining percentile agg + a languages×2 broadcast back
+    * — no corpus window).
+    */
+  def bucketsKn(df: DataFrame, idCol: String, textCol: String,
+                langCol: String, m: TextAnalysis.KnModel,
+                exact: Boolean = false): DataFrame = {
+    val scores = TextAnalysis.kneserNeyScore(df, idCol, textCol, m)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    bucketize(scores, "mean_logscore", idCol, langCol, exact)
+  }
+
+  /** The shared tercile-tagging machinery over any per-doc score
+    * frame (scoreCol is bit-identical cross-engine by the caller's
+    * exactness discipline, so the EXACT path's order statistics
+    * reproduce on both engines).
+    */
+  private def bucketize(scores: DataFrame, scoreCol: String, idCol: String,
+                        langCol: String, exact: Boolean): DataFrame = {
+    val thr = if (exact) exactTerciles(scores, scoreCol, idCol, langCol)
+              else approxTerciles(scores, scoreCol, langCol)
     scores.join(broadcast(thr), Seq(langCol))
       .withColumn("bucket",
-        when(col("mean_logprob") <= col("t1"), lit("tail"))
-          .when(col("mean_logprob") <= col("t2"), lit("middle"))
+        when(col(scoreCol) <= col("t1"), lit("tail"))
+          .when(col(scoreCol) <= col("t2"), lit("middle"))
           .otherwise(lit("head")))
       .drop("t1", "t2")
   }
 
   /** One agg, map-side combinable, no window — the 100 TB path. */
-  private def approxTerciles(scores: DataFrame, langCol: String): DataFrame =
+  private def approxTerciles(scores: DataFrame, scoreCol: String,
+                             langCol: String): DataFrame =
     scores.groupBy(col(langCol))
-      .agg(percentile_approx(col("mean_logprob"),
+      .agg(percentile_approx(col(scoreCol),
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("t"))
       .select(col(langCol), col("t")(0).as("t1"), col("t")(1).as("t2"))
 
   /** Discrete order statistics at ranks ceil(n/3), ceil(2n/3) — the
     * groupQuartiles rank spelling, integer arithmetic on both engines.
     */
-  private def exactTerciles(scores: DataFrame, idCol: String,
-                            langCol: String): DataFrame = {
+  private def exactTerciles(scores: DataFrame, scoreCol: String,
+                            idCol: String, langCol: String): DataFrame = {
     val ranked = Window.partitionBy(col(langCol))
-      .orderBy(col("mean_logprob"), col(idCol))
+      .orderBy(col(scoreCol), col(idCol))
     val whole = Window.partitionBy(col(langCol))
     scores
       .withColumn("__rn", row_number().over(ranked))
@@ -69,8 +107,8 @@ object Perplexity {
       .groupBy(col(langCol))
       .agg(
         min(when(col("__rn") === expr("(__n + 2) div 3"),
-          col("mean_logprob"))).as("t1"),
+          col(scoreCol))).as("t1"),
         min(when(col("__rn") === expr("(2 * __n + 2) div 3"),
-          col("mean_logprob"))).as("t2"))
+          col(scoreCol))).as("t2"))
   }
 }

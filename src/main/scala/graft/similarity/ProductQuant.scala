@@ -106,22 +106,36 @@ object ProductQuant {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // siblings train under one JOB GROUP so a failed subspace cancels
+    // the others' in-flight Spark jobs cleanly (cancelJobGroup) before
+    // the pool is torn down — a bare shutdownNow interrupts a sibling
+    // mid-collect and the shared context logs it as a noisy
+    // cancelled-job stack trace (r16 advice)
+    val sc = emb.sparkSession.sparkContext
+    val group = s"graft_pq_train_${java.lang.Long.toHexString(System.nanoTime())}"
     val perSub: Seq[Map[Int, Seq[Double]]] =
       try Await.result(Future.sequence((0 until m).map { j =>
         Future {
-          val sliced = emb.filter(Similarity.scorable(col(vecCol)))
-            .select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sv"))
-          val model = Similarity.kmeansTrain(sliced, idCol, "__sv",
-            k = ks, iters = iters, dim = sub)
-          val cents = model.centroids.collect().map { r =>
-            r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("centroid")).toSeq
-          }.toMap
-          require(cents.size == ks,
-            s"subspace $j: ${cents.size} of $ks Lloyd cells survived training " +
-              "— a cell emptied mid-iteration; lower ks (or iters)")
-          cents
+          sc.setJobGroup(group, s"PQ subspace $j Lloyd training",
+            interruptOnCancel = false)
+          try {
+            val sliced = emb.filter(Similarity.scorable(col(vecCol)))
+              .select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("__sv"))
+            val model = Similarity.kmeansTrain(sliced, idCol, "__sv",
+              k = ks, iters = iters, dim = sub)
+            val cents = model.centroids.collect().map { r =>
+              r.getAs[Int]("cell") -> r.getSeq[Double](r.fieldIndex("centroid")).toSeq
+            }.toMap
+            require(cents.size == ks,
+              s"subspace $j: ${cents.size} of $ks Lloyd cells survived training " +
+                "— a cell emptied mid-iteration; lower ks (or iters)")
+            cents
+          } finally sc.clearJobGroup()
         }
       }), Duration.Inf)
+      catch {
+        case t: Throwable => sc.cancelJobGroup(group); throw t
+      }
       // shutdownNow: on a failed subspace (emptied cell), don't let the
       // surviving trainings keep burning jobs for a discarded result
       finally { pool.shutdownNow(); () }

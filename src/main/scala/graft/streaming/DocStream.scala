@@ -857,6 +857,29 @@ object DocStream {
     store
   }
 
+  /** STREAMING trigram-KN scoring (e47) — [[kneserNeyScoreFold]] one
+    * n-gram order up: the six count frames freeze BEFORE the stream
+    * (localCheckpoint inside [[graft.functions.TextAnalysis
+    * .kneserNeyTrigramModel]] — the train corpus is scanned once, not
+    * per micro-batch), and each batch scores with the exact batch
+    * operator. Scoring is a pure per-doc function of (doc, model), so
+    * per-batch scores ARE the global scores — held to t16's own
+    * oracle.
+    */
+  def kneserNeyTrigramScoreFold(docStream: DataFrame,
+                                model: graft.functions.TextAnalysis.KnTrigramModel): DataFrame = {
+    var store: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val scored = graft.functions.TextAnalysis.kneserNeyTrigramScore(
+        batch, "doc_id", "text", model)
+      store = (if (store == null) scored else store.unionByName(scored))
+        .localCheckpoint()
+    })
+    require(store != null,
+      "kneserNeyTrigramScoreFold: stream delivered no batches")
+    store
+  }
+
   /** STREAMING BPE vocabulary training (e43) — the batched trainer's
     * ingestion face: per micro-batch the expensive corpus work (token
     * explode + word census) folds into an exact (word, count) store

@@ -7,27 +7,23 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = graft.core.Sessions.local(4)
 
-  /** Run `body` with the given session confs set, restoring the prior
-    * values after — SERIALIZED under one lock so conf-MUTATING arms
-    * never interleave with each other. NOTE the residual race the
-    * lock does NOT close (see the project memory note): a concurrent
-    * suite that merely READS the shared session's conf (any plan
-    * audit relying on defaults) is unsynchronized and can still
-    * observe the mutated window; fully closing that needs a dedicated
-    * session per conf-mutating arm. Every conf-mutating plan audit
-    * goes through here rather than hand-rolling set/restore.
+  /** Run `body` against a DEDICATED derived session (`newSession()` —
+    * own SQLConf, shared SparkContext and cache manager) carrying the
+    * given confs. The previous spelling mutated the SHARED session's
+    * conf under a lock, which serialized mutators but left a racy
+    * window open for concurrent suites that merely READ the shared
+    * conf (a plan audit relying on defaults could observe
+    * autoBroadcastJoinThreshold=-1 mid-flight); a derived session
+    * closes that class entirely — nothing is ever restored because
+    * nothing shared is ever touched. Frames built from the SHARED
+    * session must be re-bound with `SessionBridge.inSession` before
+    * planning, or the override won't reach their planner.
     */
-  def withConfs[T](confs: (String, String)*)(body: => T): T =
-    confLock.synchronized {
-      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-      confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try body
-      finally saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
-      }
-    }
-  private object confLock
+  def withConfs[T](confs: (String, String)*)(body: SparkSession => T): T = {
+    val s = spark.newSession()
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    body(s)
+  }
 }
 
 trait SparkSpec extends AnyFunSuite {

@@ -22,6 +22,28 @@ class PlanSpec extends SparkSpec {
       !plan.contains("l_extendedprice,l_discount"), "projection not pruned")
   }
 
+  test("bucketsKn approx path: partial percentile agg, no corpus window, thresholds broadcast back") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val model = graft.functions.TextAnalysis.kneserNeyModel(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val df = graft.quality.Perplexity.bucketsKn(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "lang", model)
+    val plan = planOf(df)
+    // the t15 scale shape at bench scale: per-language thresholds come
+    // from ONE partial-combining percentile_approx aggregation (a
+    // dominant language never funnels into one window partition) and
+    // ride back as a broadcast; the only Window is absent entirely
+    assert(plan.contains("percentile_approx"),
+      s"approx terciles missing:\n$plan")
+    assert(plan.linesIterator.count(_.contains("partial_percentile_approx")) >= 1,
+      s"threshold agg not map-side combined:\n$plan")
+    assert(!plan.contains("Window"),
+      s"approx path must not rank the corpus in a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"threshold table should broadcast back:\n$plan")
+  }
+
   test("w5_share: one window exchange, no extra sort beyond the window's own") {
     val plan = planOf(graft.operators.StatsCatalog.queries("w5_share")(spark, sf0001))
     // partition-total window: one hash exchange for the window, one
@@ -167,10 +189,13 @@ class PlanSpec extends SparkSpec {
     // window shuffle lives inside the InMemoryRelation, which collect
     // does not descend into.)
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
-    graft.TestSpark.withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+    graft.TestSpark.withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") { ds =>
+      // re-bind to the derived session so the no-broadcast override
+      // reaches the planner (the withConfs contract)
+      val bound = org.apache.spark.sql.graftbridge.SessionBridge.inSession(df, ds)
       try {
-        df.collect()
-        val adaptive = df.queryExecution.executedPlan
+        bound.collect()
+        val adaptive = bound.queryExecution.executedPlan
           .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
         val shuffles = adaptive.executedPlan
           .collect { case s: ShuffleQueryStageExec => s }
@@ -196,10 +221,11 @@ class PlanSpec extends SparkSpec {
       hashes.withColumnRenamed("ahash", "simhash"),
       "doc_id", maxHamming = 3, bits = 64, bucketCap = 32)
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
-    graft.TestSpark.withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+    graft.TestSpark.withConfs("spark.sql.autoBroadcastJoinThreshold" -> "-1") { ds =>
+      val bound = org.apache.spark.sql.graftbridge.SessionBridge.inSession(pairs, ds)
       try {
-        pairs.collect()
-        val adaptive = pairs.queryExecution.executedPlan
+        bound.collect()
+        val adaptive = bound.queryExecution.executedPlan
           .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
         val shuffles = adaptive.executedPlan
           .collect { case s: ShuffleQueryStageExec => s }

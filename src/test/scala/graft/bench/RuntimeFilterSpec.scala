@@ -24,11 +24,13 @@ class RuntimeFilterSpec extends SparkSpec {
       // fixture-size forcing only: broadcast joins don't need a runtime
       // filter (at fact scale both sides shuffle and injection is automatic)
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    graft.TestSpark.withConfs(confs: _*) {
-      val orders = graft.core.Tables.orders(spark, sf001)
+    graft.TestSpark.withConfs(confs: _*) { s =>
+      // frames built from the DERIVED session so the overrides reach
+      // their planner (the withConfs contract)
+      val orders = graft.core.Tables.orders(s, sf001)
         .filter($"o_orderpriority" === "1-URGENT")
         .select($"o_orderkey")
-      val li = graft.core.Tables.lineitem(spark, sf001)
+      val li = graft.core.Tables.lineitem(s, sf001)
         .select($"l_orderkey", $"l_quantity")
       val joined = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
       val plan = joined.queryExecution.optimizedPlan.toString

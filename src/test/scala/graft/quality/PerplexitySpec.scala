@@ -30,6 +30,32 @@ class PerplexitySpec extends SparkSpec {
     b.unpersist()
   }
 
+  test("bucketsKn: KN-scored terciles order per language; approx twin agrees") {
+    val model = graft.functions.TextAnalysis.kneserNeyModel(
+      docs.filter($"doc_id" % 2 === 0), "doc_id", "text")
+    val score = docs.filter($"doc_id" % 2 === 1)
+    val b = Perplexity.bucketsKn(score, "doc_id", "text", "lang", model,
+      exact = true).cache()
+    // docs with <2 tokens have no scoring positions and drop (t15)
+    assert(b.count() ==
+      score.filter(size(split($"text", " ")) >= 2).count())
+    val byLang = b.groupBy($"lang", $"bucket")
+      .agg(min($"mean_logscore").as("lo"), max($"mean_logscore").as("hi"))
+      .as[(String, String, Double, Double)].collect().groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val m = rows.map(r => r._2 -> r).toMap
+      assert(m.contains("head") && m.contains("tail"), s"$lang missing buckets")
+      assert(m("head")._3 > m("tail")._4, s"$lang head/tail overlap")
+    }
+    val approx = Perplexity.bucketsKn(score, "doc_id", "text", "lang", model)
+      .select($"doc_id", $"bucket".as("b_approx"))
+    val j = b.select($"doc_id", $"bucket".as("b_exact"))
+      .join(approx, Seq("doc_id")).cache()
+    val agree = j.filter($"b_exact" === $"b_approx").count().toDouble / j.count()
+    assert(agree >= 0.9, s"approx/exact agreement $agree")
+    j.unpersist(); b.unpersist()
+  }
+
   test("approx path agrees with exact on nearly all docs and uses no window") {
     val exact = Perplexity.buckets(docs, "doc_id", "text", "lang", exact = true)
       .select($"doc_id", $"bucket".as("b_exact"))
