@@ -892,6 +892,32 @@ object TrainingCatalog {
         .toDF("rank", "x", "y").orderBy(col("rank"))
     }),
 
+    // TK33 — WORDPIECE encoding (the BERT-family member of the
+    // tokenizer trio, closing the r16 verdict's gap): greedy
+    // longest-match-first under the frozen vocabulary, word-initial
+    // pieces bare, continuations ##-prefixed, whole-word [UNK] when
+    // any position has no match. Deterministic (longest match is
+    // unique per position), so the oracle replays it with a
+    // one-match-per-row recursive CTE — substr equality, max_by(len)
+    "tk33_wordpiece_encode" -> ((spark, dir) =>
+      graft.functions.WordPiece.tokenizeDocs(Tables.documents(spark, dir),
+        "doc_id", "text", graft.functions.WordPiece.FrozenVocab)
+        .orderBy(col("doc_id"))),
+
+    // TK35 — WORDPIECE vocabulary TRAINING: per round, pairs score
+    // count(xy)/(count(x)·count(y)) — exact-long censuses, ONE IEEE
+    // division spelled identically on both engines — argmax by
+    // (score DESC, x, y), merge product strips the continuation ##.
+    // The oracle unrolls one stage per merge (the learnSql device)
+    "tk35_wordpiece_train" -> ((spark, dir) => {
+      import spark.implicits._
+      graft.functions.WordPiece.train(Tables.documents(spark, dir),
+          "text", nMerges = 8)
+        .zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("rank", "x", "y").orderBy(col("rank"))
+    }),
+
     // TK22 — unigram-LM SEED VOCABULARY (the SentencePiece-family
     // counterpart of tk9's BPE trainer): every ≤6-char substring of
     // every distinct [a-z]+ word, occurrence-counted with exact longs,
@@ -2469,6 +2495,17 @@ object TrainingCatalog {
          |SELECT doc_id, text FROM pretokaug
          |WHERE text <> ''
          |ORDER BY doc_id""".stripMargin,
+
+    "tk33_wordpiece_encode" ->
+      s"""SELECT doc_id, n_words, n_wp_tokens, wp_text
+         |FROM ${graft.functions.WordPiece.tokenizeSql("documents",
+               "doc_id", "text", graft.functions.WordPiece.FrozenVocab)} b
+         |ORDER BY doc_id""".stripMargin,
+
+    "tk35_wordpiece_train" ->
+      s"""SELECT rank, x, y
+         |FROM ${graft.functions.WordPiece.learnSql("documents", "text", 8)} q
+         |ORDER BY rank""".stripMargin,
 
     "tk22_unigram_seed" ->
       s"""SELECT piece, cnt, score, lp_q
