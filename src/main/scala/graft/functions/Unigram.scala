@@ -369,6 +369,89 @@ object Unigram {
       .groupBy(col("piece")).agg(sum(col("eu")).as("usage"))
   }
 
+  /** Piece probability QUANTIZED for the oracle-able soft census
+    * (tk34): p_q = floor(exp(lp_q/1e6)·1e9 + 1e-4)/1e9. exp is the
+    * one transcendental — its last-ulp drift on the ·1e9 scale is
+    * ≤ 1e-7 quantized units against the 1e-4 nudge, so the floor is
+    * cross-engine stable; everything downstream (forward–backward
+    * products and sums) is then pure IEEE arithmetic on identical
+    * operands. A piece whose probability floors to 0 contributes zero
+    * path mass — deterministically on both engines.
+    */
+  private[graft] def quantProb(q: Long): Double =
+    math.floor(math.exp(q.toDouble / 1e6) * 1e9 + 1e-4) / 1e9
+
+  /** [[softExpectations]] under QUANTIZED piece probabilities, with
+    * the word's expected counts themselves quantized at emission —
+    * eq(piece) = floor(E[count]·1e9 + 1e-4) as int64. This is the t9
+    * discipline applied at the per-word boundary (the r16 verdict's
+    * route to gating the soft E-step): E is a pure IEEE function of
+    * the quantized probabilities (alpha/beta accumulate in fixed
+    * (i, j) ascending order; absent pieces contribute +0.0, an IEEE
+    * identity on the non-negative masses here), so eq is bit-stable
+    * cross-engine, and the corpus census becomes an EXACT int64 sum —
+    * order-free, unlike [[softUsage]]'s double fold. Returns None
+    * when no piece path covers the word (the [[viterbiWord]] drop).
+    */
+  def softExpectationsQuantized(w: String,
+                                pq: Map[String, Double]): Option[Map[String, Long]] = {
+    val n = w.length
+    def p(piece: String): Option[Double] = pq.get(piece)
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    for (k <- 1 to n; j <- 1 to math.min(MaxPieceLen, k))
+      p(w.substring(k - j, k)).foreach(pp => alpha(k) += alpha(k - j) * pp)
+    if (alpha(n) == 0.0) None
+    else {
+      val beta = new Array[Double](n + 1)
+      beta(n) = 1.0
+      for (k <- (n - 1) to 0 by -1; j <- 1 to math.min(MaxPieceLen, n - k))
+        p(w.substring(k, k + j)).foreach(pp => beta(k) += pp * beta(k + j))
+      // accumulate per piece in (i, j) ascending order — the oracle's
+      // list(post ORDER BY i, j) left fold replays exactly this
+      val e = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      for (i <- 0 until n; j <- 1 to math.min(MaxPieceLen, n - i)) {
+        val piece = w.substring(i, i + j)
+        p(piece).foreach { pp =>
+          val post = alpha(i) * pp * beta(i + j) / alpha(n)
+          e.update(piece, e.getOrElse(piece, 0.0) + post)
+        }
+      }
+      Some(e.iterator.map { case (piece, v) =>
+        piece -> math.floor(v * 1e9 + 1e-4).toLong
+      }.toMap)
+    }
+  }
+
+  /** The GATED soft-EM census (tk34): per vocab piece,
+    * usage_q = Σ_words freq(w) · eq(w, piece) — exact int64 products
+    * and sums of the per-word quantized expectations, so the corpus
+    * fold is order-free and the whole census oracle-exact (the
+    * quantity [[softUsage]] computes as an ungatable double).
+    * Emits EVERY vocab piece (0 when unused) so the output set is
+    * partition-independent. Int64 headroom: eq ≤ wordlen·1e9 ≈ 1.2e10,
+    * so freq beyond ~7.7e8 occurrences of one word would overflow the
+    * per-word product — at that corpus scale drop the census to a
+    * wider fixed point. Scale shape: the DP runs once per DISTINCT
+    * word in a compiled flatMap; one vocabulary-keyed partial-agg sum.
+    */
+  def softUsageCensusQuantized(df: DataFrame, textCol: String,
+                               vocab: Seq[(String, Long)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pq = vocab.map { case (p, q) => p -> quantProb(q) }.toMap
+    val census = wordFreqs(df, textCol)
+      .flatMap { case (w, f) =>
+        softExpectationsQuantized(w, pq).toSeq
+          .flatMap(_.iterator.map { case (piece, eq) => (piece, eq * f) })
+      }
+      .toDF("piece", "uq")
+      .groupBy(col("piece")).agg(sum(col("uq")).as("usage_q"))
+    vocab.map(_._1).toDF("piece")
+      .join(census, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("usage_q"), lit(0L)).as("usage_q"))
+  }
+
   /** Corpus marginal log-likelihood Σ_words freq · ln Σ_paths — the
     * quantity true EM is guaranteed to not decrease (the spec's
     * monotonicity readout for [[emRoundSoft]]).
@@ -803,6 +886,105 @@ object Unigram {
        |  CAST(SUM(v.lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lp
        |FROM occ JOIN v ON occ.piece = v.piece
        |GROUP BY occ.__id)""".stripMargin
+
+  /** DuckDB spelling of [[softUsageCensusQuantized]] — the tk29 DP
+    * unroll turned from Viterbi max into forward–backward SUMS: one
+    * MATERIALIZED alpha stage per character position (alpha_k = the
+    * j-ascending left-assoc sum of alpha_{k−j}·p over quantized piece
+    * probabilities; absent pieces COALESCE to +0.0, an IEEE identity
+    * on these non-negative masses), one beta stage per position from
+    * the top down, then every (i, j) occurrence's posterior
+    * `alpha_i·p·beta_{i+j} / alpha_n` — the engine's exact expression
+    * tree — folded per (word, piece) with `list_reduce(list(post
+    * ORDER BY i, j))` to replay the engine's accumulation order, and
+    * quantized per word (floor(E·1e9 + 1e-4)) before the exact
+    * integer corpus sum. Words with alpha_n = 0 drop (no covering
+    * path), matching the engine's None.
+    */
+  def softCensusSql(src: String, text: String,
+                    vocab: Seq[(String, Long)]): String = {
+    val sb = new StringBuilder
+    sb ++= s"""(WITH sx${w0Sql(src, "0", text)},
+       |sxwf AS MATERIALIZED (SELECT __w AS w, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM sxw0 GROUP BY 1),
+       |sxv(piece, lp) AS (SELECT piece, CAST(lp AS BIGINT) AS lp
+       |  FROM (VALUES ${vocabValuesSql(vocab)}) x(piece, lp)),
+       |sxp AS MATERIALIZED (SELECT piece,
+       |  floor(exp(CAST(lp AS DOUBLE) / 1000000.0) * 1000000000.0 + 0.0001)
+       |    / 1000000000.0 AS p
+       |  FROM sxv),
+       |sxa0 AS MATERIALIZED (SELECT w, CAST(1.0 AS DOUBLE) AS a FROM sxwf)""".stripMargin
+    // alpha stages: one per character position, j-ascending sum
+    for (k <- 1 to MaxWordLen) {
+      val terms = (1 to math.min(MaxPieceLen, k)).map { j =>
+        s"COALESCE(a$j.a * p$j.p, 0.0)"
+      }.mkString("\n       |    + ")
+      val joins = (1 to math.min(MaxPieceLen, k)).map { j =>
+        s"""JOIN sxa${k - j} a$j ON a$j.w = w.w
+           |  LEFT JOIN sxp p$j ON p$j.piece = substr(w.w, ${k - j + 1}, $j)""".stripMargin
+      }.mkString("\n       |  ")
+      sb ++= s""",
+       |sxa$k AS MATERIALIZED (SELECT w.w,
+       |    $terms AS a
+       |  FROM sxwf w
+       |  $joins
+       |  WHERE len(w.w) >= $k)""".stripMargin
+    }
+    // beta stages, top down: beta_n = 1; beta_k = Σ_j p·beta_{k+j}
+    for (k <- MaxWordLen to 0 by -1) {
+      val js = (1 to math.min(MaxPieceLen, MaxWordLen - k))
+      val terms =
+        if (js.isEmpty) "0.0"
+        else js.map(j => s"COALESCE(p$j.p * b$j.b, 0.0)")
+          .mkString("\n       |    + ")
+      val joins = js.map { j =>
+        s"""LEFT JOIN sxbt${k + j} b$j ON b$j.w = w.w
+           |  LEFT JOIN sxp p$j ON p$j.piece = substr(w.w, ${k + 1}, $j)""".stripMargin
+      }.mkString("\n       |  ")
+      sb ++= s""",
+       |sxbt$k AS MATERIALIZED (SELECT w.w,
+       |    CASE WHEN len(w.w) = $k THEN 1.0 ELSE
+       |    $terms END AS b
+       |  FROM sxwf w
+       |  $joins
+       |  WHERE len(w.w) >= $k)""".stripMargin
+    }
+    // alpha at the word's own length
+    sb ++= (1 to MaxWordLen)
+      .map(k => s"SELECT w, a FROM sxa$k WHERE len(w) = $k")
+      .mkString(",\n       |sxan AS MATERIALIZED (\n       |  ",
+        "\n       |  UNION ALL ", ")")
+      .stripMargin
+    // every (i, j) occurrence with its posterior, engine expression tree
+    val occ = (for {
+      i <- 0 until MaxWordLen
+      j <- 1 to math.min(MaxPieceLen, MaxWordLen - i)
+    } yield
+      s"""SELECT w.w, $i AS i, $j AS j, p.piece,
+         |    (a.a * p.p * b.b) / an.a AS post
+         |  FROM sxwf w
+         |  JOIN sxa$i a ON a.w = w.w
+         |  JOIN sxbt${i + j} b ON b.w = w.w
+         |  JOIN sxan an ON an.w = w.w
+         |  JOIN sxp p ON p.piece = substr(w.w, ${i + 1}, $j)
+         |  WHERE len(w.w) >= ${i + j} AND an.a > 0""".stripMargin)
+      .mkString("SELECT * FROM (\n       |  ", "\n       |  UNION ALL ",
+        "\n       |) zz")
+    sb ++= s""",
+       |sxocc AS MATERIALIZED (
+       |  $occ),
+       |sxe AS MATERIALIZED (SELECT w, piece,
+       |    list_reduce(list(post ORDER BY i, j), (x, y) -> x + y) AS e
+       |  FROM sxocc GROUP BY w, piece),
+       |sxeq AS (SELECT w, piece,
+       |    CAST(floor(e * 1000000000.0 + 0.0001) AS BIGINT) AS eq
+       |  FROM sxe),
+       |sxus AS (SELECT q.piece, CAST(SUM(q.eq * f.f) AS BIGINT) AS usage_q
+       |  FROM sxeq q JOIN sxwf f ON f.w = q.w GROUP BY q.piece)
+       |SELECT v.piece, COALESCE(u.usage_q, CAST(0 AS BIGINT)) AS usage_q
+       |FROM sxv v LEFT JOIN sxus u ON u.piece = v.piece)""".stripMargin
+    sb.result()
+  }
 
   /** The frozen piece inventory the tk23/tk24/tk25/e34 gates run
     * under: [[seedVocab]] over `documents` at sf0.01 (NO plants — the

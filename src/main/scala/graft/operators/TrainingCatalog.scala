@@ -952,6 +952,21 @@ object TrainingCatalog {
         graft.functions.Unigram.FrozenVocab, keepMulti = 12)
         .orderBy(col("piece"))),
 
+    // TK34 — the SOFT-EM census, GATED (r16 verdict #3: softUsage was
+    // spec-only because double expectations sum order-sensitively):
+    // piece probabilities quantize once (floor(exp·1e9 + 1e-4)/1e9 —
+    // the one transcendental), forward–backward runs in pure IEEE
+    // arithmetic, each word's E[count] quantizes to int64 at the
+    // per-word boundary, and the corpus sum is exact — order-free.
+    // The oracle unrolls alpha/beta one stage per position (the tk29
+    // device turned from max into sums) and replays the engine's
+    // accumulation order with an (i, j)-ordered list fold
+    "tk34_unigram_soft_census" -> ((spark, dir) =>
+      graft.functions.Unigram.softUsageCensusQuantized(
+        docsWithUnigramPlants(spark, dir), "text",
+        graft.functions.Unigram.FrozenVocab)
+        .orderBy(col("piece"))),
+
     // TK25 — piece-ID emission, the artifact a training run consumes:
     // ids by (lp_q DESC, piece ASC) from the frozen inventory (both
     // sides embed the SAME table — no re-derivation to drift); the
@@ -2518,6 +2533,13 @@ object TrainingCatalog {
          |FROM ${graft.functions.Unigram.viterbiSql("uniaug", "doc_id",
                "text", graft.functions.Unigram.FrozenVocab)} q
          |ORDER BY doc_id""".stripMargin,
+
+    "tk34_unigram_soft_census" ->
+      s"""WITH $unigramAugSql
+         |SELECT piece, usage_q
+         |FROM ${graft.functions.Unigram.softCensusSql("uniaug", "text",
+               graft.functions.Unigram.FrozenVocab)} q
+         |ORDER BY piece""".stripMargin,
 
     "tk24_unigram_prune" ->
       s"""WITH $unigramAugSql

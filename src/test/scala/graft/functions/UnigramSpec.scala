@@ -326,6 +326,38 @@ class UnigramSpec extends SparkSpec {
     assert(e.getOrElse("a", 0.0) < 1e-3)
   }
 
+  test("quantized soft census tracks the unquantized fold and keeps the coverage identity") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val gated = Unigram.softUsageCensusQuantized(docs, "text",
+      Unigram.FrozenVocab)
+      .as[(String, Long)].collect().toMap
+    val free = Unigram.softUsage(docs, "text", Unigram.FrozenVocab)
+      .as[(String, Double)].collect().toMap
+    // the gate emits every vocab piece; the free fold only used ones
+    assert(gated.keySet == Unigram.FrozenVocab.map(_._1).toSet)
+    free.foreach { case (p, u) =>
+      val g = gated(p).toDouble / 1e9
+      // per-word quantization bias is ≤ ~1e-9·freq; probability
+      // quantization adds ~1e-9 relative — generous combined slack
+      assert(math.abs(g - u) <= math.max(1e-4, u * 1e-4),
+        s"$p: quantized $g vs free $u")
+    }
+    // coverage identity, census level: every covered character is
+    // covered by exactly one piece in every path, so
+    // Σ usage·len(piece) = total covered word-chars (×1e9, quantized)
+    val pieceLen = Unigram.FrozenVocab.map { case (p, _) => p -> p.length }.toMap
+    val lhs = gated.map { case (p, u) => u.toDouble / 1e9 * pieceLen(p) }.sum
+    val pq = Unigram.FrozenVocab.map { case (p, q) => p -> Unigram.quantProb(q) }.toMap
+    val rhs = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("\\A[a-z]+\\z") && length(col("w")) <= 12)
+      .as[String].collect()
+      .filter(w => Unigram.softExpectationsQuantized(w, pq).isDefined)
+      .map(_.length.toLong).sum
+    assert(math.abs(lhs - rhs) <= math.max(1.0, rhs * 1e-6),
+      s"coverage identity broke: $lhs vs $rhs")
+  }
+
   test("soft EM: corpus marginal log-likelihood non-decreasing over 3 rounds") {
     val docs = graft.core.Tables.documents(spark, sf0001)
     import spark.implicits._
