@@ -2073,6 +2073,52 @@ object TrainingCatalog {
             .as("n_mismatch"))
     }),
 
+    // V25 — the int8 REFINE table an IVFADC index stores beside its
+    // residual codes (FAISS's refine flag, SQ8 layer): per assigned
+    // vector, symmetric per-vector int8 quantization — scale =
+    // max|x|/127, q = round(x/scale) — a pure row function of the
+    // trained assignment, oracle-EXACT (both engines round half away
+    // from zero on bit-identical quotients). Codes stringify (a15)
+    "v25_int8_refine_table" -> ((spark, dir) => {
+      val emb = Tables.embeddings(spark, dir)
+      val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+        nCentroids = 8, iters = 2, dim = 64)
+      graft.similarity.ProductQuant.int8RefineTable(idx, "vec_id",
+        "embedding")
+        .select(col("vec_id"), col("cell").cast("int").as("cell"),
+          col("qscale"), concat_ws(",", col("qvec")).as("q8"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // V26 — IVFADC + int8 refine recall flag (v23's dials with the
+    // refine rung inserted: ADC keeps N/5 candidates, the int8 layer
+    // halves them, only the survivors touch full-precision vectors).
+    // ProductQuantSpec asserts the refine path does not fall below
+    // the plain residual path at equal candidateK.
+    "v26_ivfadc_refine_recall" -> ((spark, dir) => {
+      import graft.similarity.ProductQuant
+      val emb = Tables.embeddings(spark, dir)
+      val candidates = math.max(100L, emb.count() / 5).toInt
+      val refineK = math.max(50, candidates / 2)
+      val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+        nCentroids = 16, iters = 2, dim = 64)
+      val cb = ProductQuant.buildCodebookResidual(idx, "vec_id",
+        "embedding", m = 8, ks = 16, iters = 2, dim = 64)
+      val refined = ProductQuant.ivfPqResidualRefineTopK(idx, "vec_id",
+        "embedding", annQueryIds, k = 5, nProbe = 8, cb,
+        candidateK = candidates, refineK = refineK)
+      val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        annQueryIds, k = 5)
+      brute.select(col("query_id"), col("neighbor_id"))
+        .join(refined.select(col("query_id"), col("neighbor_id"))
+          .withColumn("__hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(
+          countDistinct(col("query_id")).as("n_queries"),
+          (sum(coalesce(col("__hit"), lit(0))).cast("double") / count(lit(1))
+            >= 0.5).cast("int").as("recall_ge_50"))
+    }),
+
     // T13 — Okapi BM25 term scoring (retrieval-grade tf-idf upgrade:
     // tf saturation + document-length normalization), the
     // query-relevance signal for targeted corpus selection
@@ -3939,6 +3985,33 @@ object TrainingCatalog {
     "v24_ivfadc_append" ->
       """SELECT count(*) AS n_rows, CAST(0 AS BIGINT) AS n_mismatch
         |FROM embeddings""".stripMargin,
+
+    // coarse km chain → assignment → the engine's quantization
+    // spelling verbatim: maxabs via abs-transform list_max, scale =
+    // CASE maxabs>0 THEN maxabs/127.0 ELSE 1.0, q = round(x/scale)
+    // (both engines round half away from zero on bit-identical
+    // quotients; CAST of the integer-valued double is exact)
+    "v25_int8_refine_table" -> {
+      val S5 = graft.similarity.Similarity.Sql
+      s"""WITH ${S5.kmeansCtes("embeddings", "vec_id", "embedding",
+             k = 8, iters = 2, dim = 64)},
+         |assigned AS MATERIALIZED (
+         |  ${S5.kmeansAssign("embeddings", "vec_id", "embedding", "c2")}),
+         |mx AS (SELECT vec_id, cell, embedding,
+         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+         |  FROM assigned),
+         |qz AS (SELECT vec_id, cell, embedding,
+         |    CASE WHEN maxabs > 0 THEN maxabs / 127.0 ELSE 1.0 END AS qscale
+         |  FROM mx)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cell, qscale,
+         |  array_to_string(list_transform(embedding,
+         |    x -> CAST(round(CAST(x AS DOUBLE) / qscale) AS INTEGER)), ',') AS q8
+         |FROM qz ORDER BY vec_id""".stripMargin
+    },
+
+    "v26_ivfadc_refine_recall" ->
+      s"""SELECT count(*) AS n_queries, 1 AS recall_ge_50
+         |FROM embeddings WHERE vec_id IN (${annQueryIds.mkString(",")})""".stripMargin,
 
     "t8_stopword_filter" -> {
       val en = TextAnalysis.stopwords.toMap.apply("en")

@@ -415,6 +415,19 @@ object ProductQuant {
                               queryIds: Seq[Long], k: Int, nProbe: Int,
                               cb: PqCodebook, candidateK: Int): DataFrame = {
     require(candidateK >= k, s"candidateK=$candidateK must be >= k=$k")
+    exactRerankOnIndex(idx, idCol, vecCol, queryIds,
+      residualAdcCandidates(idx, codes, idCol, vecCol, queryIds, nProbe,
+        cb, candidateK), k)
+  }
+
+  /** The residual-ADC candidate stage alone: (query_id, neighbor_id),
+    * candidateK per query — shared by the plain path (ADC → exact)
+    * and the refine path (ADC → int8 → exact).
+    */
+  private def residualAdcCandidates(idx: Similarity.IvfIndex, codes: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    queryIds: Seq[Long], nProbe: Int,
+                                    cb: PqCodebook, candidateK: Int): DataFrame = {
     val spark = idx.assigned.sparkSession
     import spark.implicits._
     // bounded collect: nCells rows, the codebook-build contract
@@ -458,21 +471,89 @@ object ProductQuant {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos_sim",
         round(when(n2 > 0, ip / sqrt(n2)).otherwise(lit(0.0)), 6))
-    val picked = Similarity.topK(cands, candidateK)
+    Similarity.topK(cands, candidateK)
       .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank of the candidates only, against the index's OWN
-    // vectors (idx.assigned carries them — already scorable-filtered,
-    // and the disk path must never need the original corpus frame)
+  }
+
+  /** Exact full-precision re-rank of a (query_id, neighbor_id)
+    * candidate list against the index's OWN vectors (idx.assigned
+    * carries them — already scorable-filtered, and the disk path must
+    * never need the original corpus frame). The candidate list is
+    * queries×candidateK rows — always the broadcast side.
+    */
+  private def exactRerankOnIndex(idx: Similarity.IvfIndex, idCol: String,
+                                 vecCol: String, queryIds: Seq[Long],
+                                 picked: DataFrame, k: Int): DataFrame = {
     val qv = idx.assigned.filter(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec2"),
         Similarity.l2norm(col(vecCol)).as("q_nrm"))
     val cv = idx.assigned.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("c_vec"), Similarity.l2norm(col(vecCol)).as("c_nrm"))
-    val scored = cv.join(broadcast(picked.join(qv, "query_id")), "neighbor_id")
+    // the candidate list is queries×candidateK rows — hint BOTH joins
+    // (plan-size estimates over computed array columns can balloon
+    // past the auto threshold and flip the inner join to SMJ)
+    val scored = cv.join(broadcast(broadcast(picked).join(qv, "query_id")),
+        "neighbor_id")
       .withColumn("cos_sim",
         round(Similarity.dot(col("q_vec2"), col("c_vec")) /
           (col("q_nrm") * col("c_nrm")), 6))
     Similarity.topK(scored, k)
+  }
+
+  /** The int8 REFINE table an IVFADC index stores beside its residual
+    * codes (FAISS's refine flag with an SQ8 layer): every assigned
+    * vector's symmetric per-vector int8 quantization
+    * ([[Similarity.quantizeInt8]] — v8's device), keyed by (id, cell).
+    * 4 bytes/dim → 1, so the refine pass streams a quarter of the
+    * full-precision bytes; cosine needs no de-quantization (the
+    * per-vector scales cancel in the ratio — the scale column rides
+    * along for raw-dot consumers). Pure row function of the index →
+    * oracle-EXACT (v25).
+    */
+  def int8RefineTable(idx: Similarity.IvfIndex, idCol: String,
+                      vecCol: String): DataFrame =
+    Similarity.quantizeInt8(idx.assigned, vecCol)
+      .select(col(idCol), col("cell"), col("qvec"), col("qscale"))
+
+  /** IVFADC with an int8 REFINE rung between the ADC scan and the
+    * exact re-rank (FAISS's IndexRefine recipe): ADC keeps the top
+    * `candidateK` per query from the m-byte codes, the int8 layer
+    * re-ranks those to `refineK` survivors at 1 byte/dim, and only
+    * the survivors touch full-precision vectors — so candidateK (the
+    * ADC recall dial) can grow without growing the expensive exact
+    * stage. Scale shape: the candidate list is always the broadcast
+    * side of both refine joins; the corpus-sized int8 table is
+    * scanned in place, never shuffled (ProductQuantSpec plan audit).
+    * Deterministic end-to-end: quantization is a pure row function,
+    * int8 cosines round to 6 dp with the id tiebreak (the v8
+    * contract).
+    */
+  def ivfPqResidualRefineTopK(idx: Similarity.IvfIndex, idCol: String,
+                              vecCol: String, queryIds: Seq[Long],
+                              k: Int, nProbe: Int, cb: PqCodebook,
+                              candidateK: Int, refineK: Int,
+                              refine: Option[DataFrame] = None): DataFrame = {
+    require(candidateK >= refineK && refineK >= k,
+      s"need candidateK=$candidateK >= refineK=$refineK >= k=$k")
+    val cands = residualAdcCandidates(idx,
+      encodeResidual(idx, idCol, vecCol, cb),
+      idCol, vecCol, queryIds, nProbe, cb, candidateK)
+    val ref = refine.getOrElse(int8RefineTable(idx, idCol, vecCol))
+    // per-vector scales cancel in the cosine ratio — score on the raw
+    // int8 arrays (DotProduct reads bytes natively, the v8 path)
+    val q8 = ref.filter(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col("qvec").as("q8"),
+        Similarity.l2norm(col("qvec")).as("q8n"))
+    val c8 = ref.select(col(idCol).as("neighbor_id"), col("qvec").as("c8"),
+      Similarity.l2norm(col("qvec")).as("c8n"))
+    val scored8 = c8.join(broadcast(broadcast(cands).join(q8, "query_id")),
+        "neighbor_id")
+      .withColumn("cos_sim",
+        round(Similarity.dot(col("q8"), col("c8")) /
+          (col("q8n") * col("c8n")), 6))
+    val picked = Similarity.topK(scored8, refineK)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerankOnIndex(idx, idCol, vecCol, queryIds, picked, k)
   }
 
   /** The fully-trained IVFADC: Lloyd-trained coarse cells, Lloyd-

@@ -280,6 +280,48 @@ class ProductQuantSpec extends graft.SparkSpec {
       s"residual recall@5 below the 0.5 gate floor: $residual/50")
   }
 
+  test("int8 refine rung holds recall at half the exact-rerank budget (v26 vs v23 dials)") {
+    val ids = (0L until 10L).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", ids, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val candidates = math.max(100L, emb.count() / 5).toInt
+    val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+      nCentroids = 16, iters = 2, dim = 64)
+    val rcb = ProductQuant.buildCodebookResidual(idx, "vec_id", "embedding",
+      m = 8, ks = 16, iters = 2, dim = 64)
+    val plain = brute.intersect(
+      ProductQuant.ivfPqResidualTopK(idx, "vec_id", "embedding", ids,
+        k = 5, nProbe = 8, rcb, candidateK = candidates)
+        .select($"query_id", $"neighbor_id")).count()
+    val refined = brute.intersect(
+      ProductQuant.ivfPqResidualRefineTopK(idx, "vec_id", "embedding", ids,
+        k = 5, nProbe = 8, rcb, candidateK = candidates,
+        refineK = math.max(50, candidates / 2))
+        .select($"query_id", $"neighbor_id")).count()
+    info(s"recall@5 x50: plain-residual=$plain int8-refined=$refined")
+    // the FAISS refine claim: int8 cosines track float closely enough
+    // that halving the exact-rerank budget through the int8 layer
+    // loses nothing — so candidateK can grow without growing the
+    // full-precision stage
+    assert(refined >= plain,
+      s"int8 refine lost recall: refined=$refined < plain=$plain")
+    assert(refined >= 25,
+      s"refined recall@5 below the 0.5 gate floor: $refined/50")
+  }
+
+  test("refine query plan: every join broadcast-shaped (int8 table scanned in place)") {
+    val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 2, dim = 64)
+    val rcb = ProductQuant.buildCodebookResidual(idx, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2, dim = 64)
+    val q = ProductQuant.ivfPqResidualRefineTopK(idx, "vec_id", "embedding",
+      Seq(1L, 2L), k = 5, nProbe = 4, rcb, candidateK = 50, refineK = 20)
+    q.collect() // audit the FINAL adaptive plan (CLAUDE.md trap)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"refine serving must keep every join broadcast-shaped:\n$plan")
+  }
+
   test("residual codes are layout-invariant and never drop assigned rows") {
     val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
       nCentroids = 8, iters = 2, dim = 64)
