@@ -613,7 +613,7 @@ object Pipelines {
     val keepIds = tk.groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_words"),
         sum(length(col("shingle"))).as("sum_len"),
-        sum(when(col("shingle").rlike("^[A-Za-z]+$"), 1L).otherwise(0L))
+        sum(when(col("shingle").rlike("\\A[A-Za-z]+\\z"), 1L).otherwise(0L))
           .as("n_alpha"),
         sum(when(col("__tok").isin(
           graft.quality.GopherRules.GopherStopwords: _*), 1L).otherwise(0L))

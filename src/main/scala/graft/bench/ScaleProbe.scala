@@ -90,6 +90,36 @@ object ScaleProbe {
         docs.unpersist()
         spark.catalog.clearCache()
       }
+      // Trigram Kneser–Ney scoring: five vocabulary-keyed shuffled
+      // joins (tcnt/tctx/cprime/midden/cdd) — the only join-heavy r16
+      // operator without a measured curve. The word-suffix
+      // perturbation grows the trigram/context/type tables WITH the
+      // corpus (the honest Heaps shape — verbatim copies would let
+      // the count tables collapse m-fold). Expected ~linear in m:
+      // every join is shuffle-keyed on n-gram vocabulary; anything
+      // superlinear means a join sprouted a broadcast of a growing
+      // table. The filter terminal consumes mean_logscore so count()
+      // cannot prune the score tree (the r16 semdc_xover trap).
+      if (enabled("kn_trigram")) {
+        val docs = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", m, 10000000L)
+          .withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1c"),
+                expr("doc_id div 10000000").cast("string"))))
+          .repartition(64).cache()
+        docs.count()
+        time(s"kn_trigram x$m") {
+          graft.functions.TextAnalysis.kneserNeyTrigramLogProb(
+            docs.filter(col("doc_id") % 2 === 1),
+            docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text")
+            .filter(col("mean_logscore") < 0.0).count()
+        }
+        docs.unpersist()
+        spark.catalog.clearCache()
+      }
       // BPE TRAINER per-round cost: double the merge count at each
       // corpus multiplier for both trainers. Expected: the incremental
       // trainer's r16→r32 delta ≈ its r8→r16 delta (per-round cost

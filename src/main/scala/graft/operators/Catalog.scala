@@ -80,7 +80,7 @@ object Catalog {
       import spark.implicits._
       Tables.documents(spark, dir)
         .withColumn("lang_flag",
-          when($"lang".rlike("^(en|fr)$"), "valid").otherwise("invalid"))
+          when($"lang".rlike("\\A(en|fr)\\z"), "valid").otherwise("invalid"))
         .groupBy($"lang", $"lang_flag").agg(count(lit(1)).as("cnt"))
         .orderBy($"lang")
     }),

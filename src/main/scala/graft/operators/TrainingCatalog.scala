@@ -750,7 +750,7 @@ object TrainingCatalog {
       import spark.implicits._
       val corpus = docs(spark, dir).select(
         array_join(filter(split(col("text"), " ", -1),
-          w => w.rlike("^[a-z]+$")), " ").as("text"))
+          w => w.rlike("\\A[a-z]+\\z")), " ").as("text"))
       graft.functions.Bpe.train(corpus, "text", nMerges = 8)
         .zipWithIndex
         .map { case ((x, y), i) => (i.toLong, x, y) }

@@ -38,7 +38,7 @@ object GopherRules {
     val g = toks.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_words"),
       sum(length(col("shingle"))).as("sum_len"),
-      sum(when(col("shingle").rlike("^[A-Za-z]+$"), 1L).otherwise(0L))
+      sum(when(col("shingle").rlike("\\A[A-Za-z]+\\z"), 1L).otherwise(0L))
         .as("n_alpha_words"),
       sum(when(lower(col("shingle")).isin(GopherStopwords: _*), 1L)
         .otherwise(0L)).as("n_stop_hits"))
@@ -73,7 +73,7 @@ object GopherRules {
       distinct = false)
     val g = toks.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_words"),
-      sum(when(col("shingle").rlike("^[0-9]+$"), 1L).otherwise(0L))
+      sum(when(col("shingle").rlike("\\A[0-9]+\\z"), 1L).otherwise(0L))
         .as("n_numeric_words"))
     val t = col(textCol)
     val sym = docs.select(col(idCol),

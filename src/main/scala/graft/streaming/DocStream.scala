@@ -111,7 +111,7 @@ object DocStream {
     val bw = array(badwords.map(_.toLowerCase).distinct.sorted.map(lit): _*)
     val nWords = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (a, w) => a + length(w).cast("long"))
-    val nAlpha = size(filter(toks, w => w.rlike("^[A-Za-z]+$"))).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("\\A[A-Za-z]+\\z"))).cast("long")
     val nStop = size(filter(toks,
       w => lower(w).isin(graft.quality.GopherRules.GopherStopwords: _*)))
       .cast("long")
