@@ -54,6 +54,7 @@ object Bench {
       "ann_rp" -> (() => Pipelines.annRpTopK(spark, sfDir)),
       "ann_pq" -> (() => Pipelines.annPqTopK(spark, sfDir)),
       "ann_ivfadc" -> (() => Pipelines.annIvfAdc(spark, ivfAdcDir)),
+      "ann_refine" -> (() => Pipelines.annRefine(spark, ivfAdcDir)),
       "text_quality" -> (() => Pipelines.textQuality(spark, sfDir)),
       "asof_join" -> (() => Pipelines.asofEnrich(spark, sfDir)),
       "ewma_fold" -> (() => Pipelines.ewmaFold(spark, sfDir)),

@@ -154,7 +154,9 @@ object Pipelines {
       nCentroids = 16, iters = 2, dim = 64)
     val cb = graft.similarity.ProductQuant.buildCodebookResidual(
       idx, "vec_id", "embedding", m = 8, ks = 16, iters = 2, dim = 64)
-    graft.similarity.ProductQuant.saveIvfPqResidualFrozen(
+    // the refine layout is a superset of the plain residual layout,
+    // so ann_ivfadc and ann_refine serve from the same staged index
+    graft.similarity.ProductQuant.saveIvfPqResidualRefineFrozen(
       emb, "vec_id", "embedding", idx.centroids, cb, dir)
     dir
   }
@@ -166,6 +168,16 @@ object Pipelines {
     graft.similarity.ProductQuant.ivfPqResidualTopKIndexed(spark,
       ivfAdcDir, "vec_id", "embedding", AnnQueryIds, AnnK,
       nProbe = 4, candidateK = 50)
+
+  /** Refine-rung serving from the same staged index: a 4× larger ADC
+    * candidate pool than [[annIvfAdc]], narrowed through the int8
+    * layer so the exact stage still touches only 50 rows per query —
+    * the dial the refine layer exists to turn.
+    */
+  def annRefine(spark: SparkSession, ivfAdcDir: String): DataFrame =
+    graft.similarity.ProductQuant.ivfPqResidualRefineTopKIndexed(spark,
+      ivfAdcDir, "vec_id", "embedding", AnnQueryIds, AnnK,
+      nProbe = 4, candidateK = 200, refineK = 50)
 
   def annPqTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)

@@ -1471,6 +1471,26 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E48 — STREAMING WordPiece encoding (tk33's ingestion face,
+    // extending the every-tokenizer-has-a-streaming-face claim to the
+    // BERT family): docs arrive as 3 micro-batches, each encodes with
+    // the exact batch operator under the frozen vocabulary (pure
+    // per-doc function). Stream == batch on tk33's own oracle.
+    "e48_stream_wordpiece" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val in = graft.core.Staging.tmpDir("stream_wp_in")
+      for (r <- 0 to 2)
+        docs.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema(graft.streaming.DocStream.idTextSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.wordPieceFold(src,
+        graft.functions.WordPiece.FrozenVocab)
+        .orderBy(col("doc_id"))
+    }),
+
     // E43 — STREAMING BPE vocabulary TRAINING (tk31's ingestion face;
     // e31/e33 only tokenize under frozen merges): the word census
     // folds per micro-batch (order-free exact sums — 3 unpinned
@@ -1709,6 +1729,10 @@ object StreamMediaCatalog {
     // stream-scored == batch t16 (the frozen trigram frames are the
     // same count tables; scoring is a pure per-doc function of them)
     "e47_stream_kn_trigram" -> TrainingCatalog.oracle("t16_kn_trigram"),
+
+    // stream-encoded == batch tk33 (frozen-vocab encoding is a pure
+    // per-doc function)
+    "e48_stream_wordpiece" -> TrainingCatalog.oracle("tk33_wordpiece_encode"),
 
     // every scorable vector lands exactly once; appends against the
     // frozen quantizers == the one-shot frozen build (v24, streamed)

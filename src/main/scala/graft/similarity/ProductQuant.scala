@@ -538,7 +538,17 @@ object ProductQuant {
     val cands = residualAdcCandidates(idx,
       encodeResidual(idx, idCol, vecCol, cb),
       idCol, vecCol, queryIds, nProbe, cb, candidateK)
-    val ref = refine.getOrElse(int8RefineTable(idx, idCol, vecCol))
+    refineRerank(idx, idCol, vecCol, queryIds, cands,
+      refine.getOrElse(int8RefineTable(idx, idCol, vecCol)), refineK, k)
+  }
+
+  /** The int8 → exact refine tail over a candidate list — shared by
+    * the in-memory and disk-serving refine paths.
+    */
+  private def refineRerank(idx: Similarity.IvfIndex, idCol: String,
+                           vecCol: String, queryIds: Seq[Long],
+                           cands: DataFrame, ref: DataFrame,
+                           refineK: Int, k: Int): DataFrame = {
     // per-vector scales cancel in the cosine ratio — score on the raw
     // int8 arrays (DotProduct reads bytes natively, the v8 path)
     val q8 = ref.filter(col(idCol).isInCollection(queryIds))
@@ -554,6 +564,44 @@ object ProductQuant {
     val picked = Similarity.topK(scored8, refineK)
       .select(col("query_id"), col("neighbor_id"))
     exactRerankOnIndex(idx, idCol, vecCol, queryIds, picked, k)
+  }
+
+  /** Persist an IVFADC index WITH its refine layer: the frozen
+    * residual index ([[saveIvfPqResidualFrozen]]'s layout) plus the
+    * cell-partitioned int8 table under `refine/`. One assignment pass
+    * feeds all three artifacts.
+    */
+  def saveIvfPqResidualRefineFrozen(emb: DataFrame, idCol: String,
+                                    vecCol: String, centroids: DataFrame,
+                                    cb: PqCodebook, dir: String): Unit = {
+    val idx = Similarity.IvfIndex(
+      Similarity.assignToCentroids(emb, idCol, vecCol, centroids), centroids)
+    Similarity.saveIvf(idx, s"$dir/ivf")
+    savePq(encodeResidual(idx, idCol, vecCol, cb), cb, s"$dir/pq")
+    int8RefineTable(idx, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/refine")
+  }
+
+  /** Query a [[saveIvfPqResidualRefineFrozen]] index from disk:
+    * residual-ADC candidates from the persisted codes, int8 re-rank
+    * from the persisted refine table, exact re-rank from the persisted
+    * vectors — answers identical to the in-memory
+    * [[ivfPqResidualRefineTopK]] over the same corpus
+    * (ProductQuantSpec disk==memory).
+    */
+  def ivfPqResidualRefineTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, idCol: String,
+                                     vecCol: String, queryIds: Seq[Long],
+                                     k: Int, nProbe: Int, candidateK: Int,
+                                     refineK: Int): DataFrame = {
+    require(candidateK >= refineK && refineK >= k,
+      s"need candidateK=$candidateK >= refineK=$refineK >= k=$k")
+    val idx = Similarity.loadIvf(spark, s"$dir/ivf")
+    val (codes, cb) = loadPq(spark, s"$dir/pq")
+    val cands = residualAdcCandidates(idx, codes, idCol, vecCol, queryIds,
+      nProbe, cb, candidateK)
+    refineRerank(idx, idCol, vecCol, queryIds, cands,
+      spark.read.parquet(s"$dir/refine"), refineK, k)
   }
 
   /** The fully-trained IVFADC: Lloyd-trained coarse cells, Lloyd-

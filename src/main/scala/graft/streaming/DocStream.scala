@@ -857,6 +857,25 @@ object DocStream {
     store
   }
 
+  /** STREAMING WordPiece encoding (e48): tokenization under a frozen
+    * vocabulary is a pure per-doc function (the greedy longest-match
+    * loop memoizes per distinct word WITHIN each batch), so per-batch
+    * outputs union to exactly the batch answer — held to tk33's own
+    * oracle. The e18/e44 fold shape.
+    */
+  def wordPieceFold(docStream: DataFrame,
+                    vocab: Seq[String]): DataFrame = {
+    var store: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val enc = graft.functions.WordPiece.tokenizeDocs(
+        batch, "doc_id", "text", vocab)
+      store = (if (store == null) enc else store.unionByName(enc))
+        .localCheckpoint()
+    })
+    require(store != null, "wordPieceFold: stream delivered no batches")
+    store
+  }
+
   /** STREAMING trigram-KN scoring (e47) — [[kneserNeyScoreFold]] one
     * n-gram order up: the six count frames freeze BEFORE the stream
     * (localCheckpoint inside [[graft.functions.TextAnalysis

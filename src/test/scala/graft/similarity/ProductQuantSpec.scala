@@ -322,6 +322,25 @@ class ProductQuantSpec extends graft.SparkSpec {
       s"refine serving must keep every join broadcast-shaped:\n$plan")
   }
 
+  test("refine serving from disk == in-memory refine over the same corpus") {
+    val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
+      nCentroids = 8, iters = 2, dim = 64)
+    val rcb = ProductQuant.buildCodebookResidual(idx, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2, dim = 64)
+    val dir = graft.core.Staging.tmpDir("spec_refine_disk")
+    ProductQuant.saveIvfPqResidualRefineFrozen(emb, "vec_id", "embedding",
+      idx.centroids, rcb, dir)
+    val mem = ProductQuant.ivfPqResidualRefineTopK(idx, "vec_id",
+      "embedding", Seq(1L, 2L), k = 5, nProbe = 4, rcb,
+      candidateK = 50, refineK = 20)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val disk = ProductQuant.ivfPqResidualRefineTopKIndexed(spark, dir,
+      "vec_id", "embedding", Seq(1L, 2L), k = 5, nProbe = 4,
+      candidateK = 50, refineK = 20)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(mem.nonEmpty && mem == disk)
+  }
+
   test("residual codes are layout-invariant and never drop assigned rows") {
     val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
       nCentroids = 8, iters = 2, dim = 64)
