@@ -145,25 +145,43 @@ object WordPiece {
     b.result()
   }
 
+  /** The trainer's word census — (`__w`, f) exact counts under the
+    * gate word filter (training symbols interpolate into the oracle's
+    * regexp_replace — the learnSql regex-inertness contract). ONE
+    * spelling shared with the streaming census fold (e49) so the two
+    * cannot drift (the e43/dc3 lesson).
+    */
+  private[graft] def wordCountsOfCol(df: DataFrame,
+                                     textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ", -1)).as("__w"))
+      .filter(col("__w").rlike("\\A[a-z]+\\z"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("f"))
+
   /** Learn `nMerges` merges from the corpus (see object scaladoc for
     * the objective and tie-break). Returns (x, y) pairs in rank order;
     * the merge PRODUCT is x + strip##(y). Stops early when no adjacent
     * pair remains or every remaining pair's count is 0 (cannot happen
     * with exact longs, spelled for shape parity with [[Bpe.train]]).
     */
-  def train(df: DataFrame, textCol: String, nMerges: Int): Vector[(String, String)] = {
+  def train(df: DataFrame, textCol: String, nMerges: Int): Vector[(String, String)] =
+    trainOnWordCounts(wordCountsOfCol(df, textCol), nMerges)
+
+  /** [[train]] over a PRE-AGGREGATED (word, count) census — the
+    * streaming trainer's serve step (e49, the e43 shape): the fold
+    * accumulates exact per-word counts micro-batch by micro-batch
+    * (order-free int64 sums), so training over the drained census is
+    * merge-for-merge identical to [[train]] over the same corpus.
+    * Columns: (__w string, f long).
+    */
+  def trainOnWordCounts(wordCounts: DataFrame,
+                        nMerges: Int): Vector[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val spark = df.sparkSession
+    val spark = wordCounts.sparkSession
     import spark.implicits._
     def adjacent(syms: Seq[String]): Iterator[(String, String)] =
       if (syms.length < 2) Iterator.empty
       else (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
-    // the gate word filter (training symbols interpolate into the
-    // oracle's regexp_replace — the learnSql regex-inertness contract)
-    var state: Dataset[(Seq[String], Long)] = df
-      .select(explode(split(col(textCol), " ", -1)).as("__w"))
-      .filter(col("__w").rlike("\\A[a-z]+\\z"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("f"))
+    var state: Dataset[(Seq[String], Long)] = wordCounts
       .as[(String, Long)]
       .map { case (w, f) => (wpSyms(w): Seq[String], f) }
       .localCheckpoint()
@@ -216,6 +234,46 @@ object WordPiece {
     val base = ('a' to 'z').map(_.toString) ++ ('a' to 'z').map("##" + _)
     val products = merges.map { case (x, y) => x + stripCont(y) }
     (base ++ products).distinct.toVector
+  }
+
+  /** Deterministic piece→id table — the model-ready vocabulary:
+    * [UNK] takes id 0 (the BERT convention), then the pieces in
+    * [[vocabOf]] order (alphabet both forms, then merge products).
+    * Lookup can never miss: every emitted token is a vocab piece or
+    * [UNK].
+    */
+  def pieceIds(vocab: Seq[String]): Map[String, Int] =
+    ((Unk +: vocab.toVector).distinct.zipWithIndex).toMap
+
+  /** [[tokenizeDocs]] emitting integer token IDS — the artifact a
+    * training run consumes: (idCol, n_wp_tokens, wp_ids) with ids
+    * from [[pieceIds]] in token order. Same distinct-word memoized
+    * shape; [UNK] carries id 0, so OOV words survive as trainable
+    * positions rather than dropping.
+    */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vset = vocab.toSet
+    val ids = pieceIds(vocab)
+    val words = df.select(col(idCol),
+        posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
+      .filter(col("__w") =!= "")
+    val vocabIds = words.select(col("__w")).distinct().as[String]
+      .map { w =>
+        val t = encodeWord(w, vset).map(ids(_))
+        (w, t, t.length.toLong)
+      }
+      .toDF("__w", "__ids", "__n")
+    words.join(broadcast(vocabIds), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_wp_tokens"),
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__ids")))),
+            s => s("__ids"))).as("wp_ids"))
   }
 
   // ------------------------------------------------------------ oracle
@@ -337,6 +395,28 @@ object WordPiece {
       .map(k => s"SELECT CAST(${k - 1} AS BIGINT) AS rank, x, y FROM wlb$k")
       .mkString("\n ", "\n UNION ALL\n ", ")")
     sb.result()
+  }
+
+  /** DuckDB spelling of [[tokenizeToIds]]: the [[tokenizeSql]] replay
+    * joined against the SAME id table ([[pieceIds]] emitted as a
+    * VALUES list — no SQL-side re-derivation to drift); the join can
+    * never miss ([UNK] is in the table).
+    */
+  def idsSql(src: String, id: String, text: String,
+             vocab: Seq[String]): String = {
+    val idVals = pieceIds(vocab).toSeq.sortBy(_._2)
+      .map { case (p, i) => s"('${p.replace("'", "''")}', $i)" }
+      .mkString(", ")
+    s"""(WITH wpenc AS (SELECT $id, wp_text
+       |  FROM ${tokenizeSql(src, id, text, vocab)} b),
+       |wpidv(tok, tid) AS (SELECT * FROM (VALUES $idVals) x(tok, tid)),
+       |wptks AS (SELECT $id, u.i, t[u.i] AS tok
+       |  FROM (SELECT $id, string_split(wp_text, ' ') AS t FROM wpenc) s
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(t))) AS u(i))
+       |SELECT $id, CAST(COUNT(*) AS BIGINT) AS n_wp_tokens,
+       |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i) AS wp_ids
+       |FROM wptks JOIN wpidv v ON wptks.tok = v.tok
+       |GROUP BY $id)""".stripMargin
   }
 
   /** The frozen WordPiece vocabulary the tk33 gate runs under:

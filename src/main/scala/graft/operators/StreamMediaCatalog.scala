@@ -1491,6 +1491,25 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E49 — STREAMING WordPiece vocabulary TRAINING (tk35's ingestion
+    // face, the e43 recipe on the WordPiece score objective): the
+    // word census folds per micro-batch (order-free exact sums), the
+    // trainer serves from the drained census. Stream == batch on
+    // tk35's own oracle (same corpus, same merges).
+    "e49_stream_wordpiece_train" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+      val in = graft.core.Staging.tmpDir("stream_wptrain_in")
+      for (r <- 0 to 2)
+        docs.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema(graft.streaming.DocStream.idTextSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.wordPieceTrainFold(src, nMerges = 8)
+        .orderBy(col("rank"))
+    }),
+
     // E43 — STREAMING BPE vocabulary TRAINING (tk31's ingestion face;
     // e31/e33 only tokenize under frozen merges): the word census
     // folds per micro-batch (order-free exact sums — 3 unpinned
@@ -1733,6 +1752,10 @@ object StreamMediaCatalog {
     // stream-encoded == batch tk33 (frozen-vocab encoding is a pure
     // per-doc function)
     "e48_stream_wordpiece" -> TrainingCatalog.oracle("tk33_wordpiece_encode"),
+
+    // stream-trained == batch tk35 (the drained census equals the
+    // one-shot census exactly, so the merge sequence is identical)
+    "e49_stream_wordpiece_train" -> TrainingCatalog.oracle("tk35_wordpiece_train"),
 
     // every scorable vector lands exactly once; appends against the
     // frozen quantizers == the one-shot frozen build (v24, streamed)

@@ -918,6 +918,40 @@ object TrainingCatalog {
         .toDF("rank", "x", "y").orderBy(col("rank"))
     }),
 
+    // TK36 — WordPiece piece-ID emission (the artifact a training run
+    // consumes): ids by [UNK]=0 then vocabOf order, both sides embed
+    // the SAME table; [UNK] positions survive as id 0
+    "tk36_wordpiece_ids" -> ((spark, dir) =>
+      graft.functions.WordPiece.tokenizeToIds(Tables.documents(spark, dir),
+        "doc_id", "text", graft.functions.WordPiece.FrozenVocab)
+        .select(col("doc_id"), col("n_wp_tokens"),
+          concat_ws(",", col("wp_ids")).as("wp_ids"))
+        .orderBy(col("doc_id"))),
+
+    // TK37 — WordPiece fertility per language (the tokenizer-selection
+    // readout, tk18/tk27's duty for the third family — [UNK] counts
+    // as one token, so OOV-heavy languages read LOW fertility but
+    // high [UNK] share; both columns emitted)
+    "tk37_wordpiece_fertility" -> ((spark, dir) => {
+      val enc = graft.functions.WordPiece.tokenizeDocs(
+        Tables.documents(spark, dir), "doc_id", "text",
+        graft.functions.WordPiece.FrozenVocab)
+      val unk = size(filter(split(col("wp_text"), " "),
+        t => t === graft.functions.WordPiece.Unk)).cast("long")
+      enc.join(Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("lang"), col("n_words"), col("n_wp_tokens"),
+          unk.as("n_unk"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_wp_tokens")).as("n_wp_tokens"),
+          sum(col("n_unk")).as("n_unk"),
+          (sum(col("n_wp_tokens")).cast("double")
+            / sum(col("n_words")).cast("double")).as("fertility"))
+        .orderBy(col("lang"))
+    }),
+
     // TK22 — unigram-LM SEED VOCABULARY (the SentencePiece-family
     // counterpart of tk9's BPE trainer): every ≤6-char substring of
     // every distinct [a-z]+ word, occurrence-counted with exact longs,
@@ -2567,6 +2601,28 @@ object TrainingCatalog {
       s"""SELECT rank, x, y
          |FROM ${graft.functions.WordPiece.learnSql("documents", "text", 8)} q
          |ORDER BY rank""".stripMargin,
+
+    "tk36_wordpiece_ids" ->
+      s"""SELECT doc_id, n_wp_tokens, wp_ids
+         |FROM ${graft.functions.WordPiece.idsSql("documents", "doc_id",
+               "text", graft.functions.WordPiece.FrozenVocab)} b
+         |ORDER BY doc_id""".stripMargin,
+
+    "tk37_wordpiece_fertility" ->
+      s"""WITH wpenc2 AS (SELECT doc_id, n_words, n_wp_tokens, wp_text
+         |  FROM ${graft.functions.WordPiece.tokenizeSql("documents",
+               "doc_id", "text", graft.functions.WordPiece.FrozenVocab)} b),
+         |wpj AS (SELECT d.lang, e.n_words, e.n_wp_tokens,
+         |    len(list_filter(string_split(e.wp_text, ' '),
+         |      t -> t = '[UNK]')) AS n_unk
+         |  FROM wpenc2 e JOIN documents d ON d.doc_id = e.doc_id)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_wp_tokens) AS BIGINT) AS n_wp_tokens,
+         |  CAST(SUM(n_unk) AS BIGINT) AS n_unk,
+         |  CAST(SUM(n_wp_tokens) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE)
+         |    AS fertility
+         |FROM wpj GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tk22_unigram_seed" ->
       s"""SELECT piece, cnt, score, lp_q

@@ -582,6 +582,40 @@ object ProductQuant {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/refine")
   }
 
+  /** [[appendToIvfPqResidual]] for a REFINE-carrying index: new rows
+    * also land in the cell-partitioned int8 table, so the refine
+    * layer never goes stale under maintenance (quantization is a
+    * pure row function of the new vectors — append == frozen rebuild
+    * holds for all THREE artifacts; ProductQuantSpec). O(|new|), the
+    * base partitions never re-read. [[removeFromIvfPq]] callers with
+    * a refine layer must prune it too — see [[removeFromIvfPqRefine]].
+    */
+  def appendToIvfPqResidualRefine(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, newRows: DataFrame,
+                                  idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$dir/ivf/centroids")
+    val cb = loadPqCodebook(spark, s"$dir/pq")
+    val idx = Similarity.IvfIndex(
+      Similarity.assignToCentroids(newRows, idCol, vecCol, centroids),
+      centroids)
+    idx.assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/ivf/assigned")
+    encodeResidual(idx, idCol, vecCol, cb)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/pq/codes")
+    int8RefineTable(idx, idCol, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/refine")
+  }
+
+  /** [[removeFromIvfPq]] extended to the refine layer: prunes
+    * ivf/assigned, pq/codes AND refine by (id, cell) — all three
+    * artifacts stay mutually consistent under takedowns.
+    */
+  def removeFromIvfPqRefine(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, removeIds: DataFrame,
+                            idCol: String): Unit =
+    removeFromIvfPq(spark, dir, removeIds, idCol,
+      tables = Seq("ivf/assigned", "pq/codes", "refine"))
+
   /** Query a [[saveIvfPqResidualRefineFrozen]] index from disk:
     * residual-ADC candidates from the persisted codes, int8 re-rank
     * from the persisted refine table, exact re-rank from the persisted
@@ -804,7 +838,8 @@ object ProductQuant {
     * claim.
     */
   def removeFromIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      removeIds: DataFrame, idCol: String): Unit = {
+                      removeIds: DataFrame, idCol: String,
+                      tables: Seq[String] = Seq("ivf/assigned", "pq/codes")): Unit = {
     import org.apache.spark.sql.graftbridge.SessionBridge
     val s = spark.newSession()
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -842,8 +877,7 @@ object ProductQuant {
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$table/cell=$c"), true)
       }
     }
-    prune("ivf/assigned")
-    prune("pq/codes")
+    tables.foreach(prune)
   }
 
   /** Persist a PQ index: the codes table (cell-partitioned when a

@@ -876,6 +876,36 @@ object DocStream {
     store
   }
 
+  /** STREAMING WordPiece vocabulary TRAINING (e49) — the e43 recipe
+    * on the WordPiece objective: the word census folds per
+    * micro-batch into an exact (word, count) store (order-free int64
+    * sums; the census spelling is [[graft.functions.WordPiece
+    * .wordCountsOfCol]], shared with the batch trainer so the two
+    * cannot drift), and [[graft.functions.WordPiece
+    * .trainOnWordCounts]] serves from the drained census —
+    * fold-then-serve because the score argmax is a global vocabulary
+    * statistic. The drained census equals the one-shot census
+    * exactly, so the merge sequence is byte-identical to tk35's.
+    * Emits (rank, x, y).
+    */
+  def wordPieceTrainFold(docStream: DataFrame, nMerges: Int): DataFrame = {
+    var store: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val wc = graft.functions.WordPiece.wordCountsOfCol(batch, "text")
+      store = (if (store == null) wc
+               else store.unionByName(wc)
+                 .groupBy(col("__w")).agg(sum(col("f")).as("f")))
+        .localCheckpoint()
+    })
+    require(store != null,
+      "wordPieceTrainFold: stream delivered no batches")
+    val spark = store.sparkSession
+    import spark.implicits._
+    graft.functions.WordPiece.trainOnWordCounts(store, nMerges)
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("rank", "x", "y")
+  }
+
   /** STREAMING trigram-KN scoring (e47) — [[kneserNeyScoreFold]] one
     * n-gram order up: the six count frames freeze BEFORE the stream
     * (localCheckpoint inside [[graft.functions.TextAnalysis

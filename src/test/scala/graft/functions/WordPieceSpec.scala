@@ -56,6 +56,24 @@ class WordPieceSpec extends SparkSpec {
       s"frozen WordPiece merge table drifted:\n$live")
   }
 
+  test("tokenizeToIds: [UNK] takes id 0, ids mirror the encode face") {
+    val ids = WordPiece.pieceIds(WordPiece.FrozenVocab)
+    assert(ids(WordPiece.Unk) == 0)
+    assert(ids.values.toSeq.sorted == (0 until ids.size))
+    val docs = Tables.documents(spark, sf0001).limit(30)
+    val enc = WordPiece.tokenizeDocs(docs, "doc_id", "text",
+      WordPiece.FrozenVocab)
+      .select($"doc_id", $"wp_text").as[(Long, String)].collect().toMap
+    WordPiece.tokenizeToIds(docs, "doc_id", "text", WordPiece.FrozenVocab)
+      .select($"doc_id", $"n_wp_tokens", $"wp_ids")
+      .as[(Long, Long, Seq[Int])].collect().foreach {
+        case (id, n, wpIds) =>
+          val toks = enc(id).split(' ').toSeq
+          assert(wpIds.length.toLong == n)
+          assert(wpIds == toks.map(ids(_)), s"doc $id ids diverge")
+      }
+  }
+
   test("vocabOf: alphabet floor + deduped merge products") {
     val v = WordPiece.vocabOf(Vector(("a", "##b"), ("ab", "##c"), ("a", "##b")))
     assert(v.count(_ == "ab") == 1 && v.contains("abc"))

@@ -341,6 +341,39 @@ class ProductQuantSpec extends graft.SparkSpec {
     assert(mem.nonEmpty && mem == disk)
   }
 
+  test("refine lifecycle: append + remove keep the int8 layer == frozen rebuilds") {
+    val base = emb.filter($"vec_id" % 4 =!= 0)
+    val delta = emb.filter($"vec_id" % 4 === 0)
+    val idx = Similarity.buildIvfTrained(base, "vec_id", "embedding",
+      nCentroids = 8, iters = 2, dim = 64)
+    val rcb = ProductQuant.buildCodebookResidual(idx, "vec_id", "embedding",
+      m = 4, ks = 8, iters = 2, dim = 64)
+    val incDir = graft.core.Staging.tmpDir("spec_refine_inc")
+    ProductQuant.saveIvfPqResidualRefineFrozen(base, "vec_id", "embedding",
+      idx.centroids, rcb, incDir)
+    ProductQuant.appendToIvfPqResidualRefine(spark, incDir, delta,
+      "vec_id", "embedding")
+    def ref(d: String) = spark.read.parquet(s"$d/refine")
+      .select($"vec_id", $"cell".cast("int"), concat_ws(",", $"qvec"))
+      .as[(Long, Int, String)].collect().toSet
+    def codes(d: String) = spark.read.parquet(s"$d/pq/codes")
+      .select($"vec_id", $"cell".cast("int"), concat_ws(",", $"codes"))
+      .as[(Long, Int, String)].collect().toSet
+    val fullDir = graft.core.Staging.tmpDir("spec_refine_full")
+    ProductQuant.saveIvfPqResidualRefineFrozen(emb, "vec_id", "embedding",
+      spark.read.parquet(s"$incDir/ivf/centroids"), rcb, fullDir)
+    assert(ref(incDir).nonEmpty && ref(incDir) == ref(fullDir))
+    assert(codes(incDir) == codes(fullDir))
+    // removal prunes all THREE artifacts by (id, cell)
+    ProductQuant.removeFromIvfPqRefine(spark, incDir,
+      delta.select($"vec_id"), "vec_id")
+    val baseDir = graft.core.Staging.tmpDir("spec_refine_base")
+    ProductQuant.saveIvfPqResidualRefineFrozen(base, "vec_id", "embedding",
+      spark.read.parquet(s"$fullDir/ivf/centroids"), rcb, baseDir)
+    assert(ref(incDir) == ref(baseDir))
+    assert(codes(incDir) == codes(baseDir))
+  }
+
   test("residual codes are layout-invariant and never drop assigned rows") {
     val idx = Similarity.buildIvfTrained(emb, "vec_id", "embedding",
       nCentroids = 8, iters = 2, dim = 64)
