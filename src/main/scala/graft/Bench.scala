@@ -81,6 +81,7 @@ object Bench {
       "bpe_tokenize" -> (() => Pipelines.bpeTokenize(spark, sfDir)),
       "byte_bpe_roundtrip" -> (() => Pipelines.byteBpeRoundtrip(spark, sfDir)),
       "unigram_segment" -> (() => Pipelines.unigramSegment(spark, sfDir)),
+      "wordpiece_tokenize" -> (() => Pipelines.wordPieceTokenize(spark, sfDir)),
       "kmeans_train" -> (() => Pipelines.kmeansTrain(spark, sfDir)),
       "image_neardup" -> (() => Pipelines.imageNearDup(spark, sfDir)),
       "audio_neardup" -> (() => Pipelines.audioNearDup(spark, sfDir)),

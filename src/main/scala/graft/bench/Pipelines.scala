@@ -811,6 +811,16 @@ object Pipelines {
     spark.read.parquet(s"$outDir/pq/codes")
   }
 
+  /** WordPiece re-tokenization throughput (tk33's operator at bench
+    * scale — the third tokenizer family's sibling of bpe_tokenize /
+    * unigram_segment; the distinct-word memoized encode + broadcast
+    * join dominates, same plan shape).
+    */
+  def wordPieceTokenize(spark: SparkSession, sfDir: String): DataFrame =
+    graft.functions.WordPiece.tokenizeDocs(
+      Tables.documents(spark, sfDir), "doc_id", "text",
+      graft.functions.WordPiece.FrozenVocab)
+
   /** CCNet perplexity bucketing, approx-threshold scale path. */
   def pplBuckets(spark: SparkSession, sfDir: String): DataFrame =
     graft.quality.Perplexity.buckets(

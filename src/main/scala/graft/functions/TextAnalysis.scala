@@ -577,6 +577,139 @@ object TextAnalysis {
           / count(lit(1)).cast("double")).as("mean_logscore"))
   }
 
+  /** MODIFIED Kneser–Ney bigram scoring — Chen–Goodman's
+    * three-discount refinement of [[kneserNeyLogProb]] (the KenLM
+    * default): instead of one fixed D, counts 1 / 2 / ≥3 each get a
+    * discount ESTIMATED from the train corpus's counts-of-counts
+    *
+    *   Y  = n1/(n1 + 2·n2)      D1 = 1 − 2·Y·n2/n1
+    *   D2 = 2 − 3·Y·n3/n2       D3+ = 3 − 4·Y·n4/n3
+    *
+    * (n_k = number of bigram TYPES with count exactly k; each D
+    * clamps at 0, and a zero-denominator class falls back to k/2 —
+    * deterministic, spelled identically in the oracle). The
+    * interpolation weight becomes the mass actually discounted,
+    *
+    *   γ(c) = (D1·T1(c) + D2·T2(c) + D3+·T3+(c)) / c(c,·)
+    *
+    * with T_k(c) the per-context continuation-type counts by class, so
+    * P(w|c) = (c(c,w) − D(c(c,w)))/c(c,·) + γ(c)·P_cont(w) still sums
+    * to 1 over seen continuations plus the P_cont tail. P_cont and the
+    * OOV half-type floor are t15's. All counts are exact integer
+    * aggregates; the discounts are IEEE quotients of those integers
+    * spelled in the same operand order on both engines; ln quantizes
+    * once per position (t9 nudged floor) — oracle-exact (t17).
+    *
+    * Emits (idCol, n_positions, n_unseen_bigrams, mean_logscore).
+    * Scale shape = t15's: one (ctx, w)-type count frame feeds every
+    * model table (vocabulary-keyed shuffles, never broadcast); the
+    * 1-row type total and 1-row counts-of-counts broadcast.
+    */
+  def kneserNeyModifiedLogProb(score: org.apache.spark.sql.DataFrame,
+                               train: org.apache.spark.sql.DataFrame,
+                               idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    kneserNeyModifiedScore(score, idCol, textCol,
+      kneserNeyModifiedModel(train, idCol, textCol))
+
+  /** The frozen modified-KN model: per-(ctx, w) type counts, the
+    * per-context totals + count-class type censuses, continuation
+    * counts, the 1-row type total, and the 1-row counts-of-counts —
+    * all derived from ONE type-count frame and materialized eagerly
+    * (localCheckpoint) so a streaming face pays the train scan once.
+    */
+  final case class KnModifiedModel(tyCnt: org.apache.spark.sql.DataFrame,
+                                   ctxCnt: org.apache.spark.sql.DataFrame,
+                                   contCnt: org.apache.spark.sql.DataFrame,
+                                   n1tot: org.apache.spark.sql.DataFrame,
+                                   coc: org.apache.spark.sql.DataFrame)
+
+  def kneserNeyModifiedModel(train: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String): KnModifiedModel = {
+    import graft.dedup.TextDedup
+    val bgTrain = TextDedup.shingleSets(train, idCol, textCol, k = 2,
+        distinct = false)
+      .select(substring_index(col("shingle"), " ", 1).as("ctx"),
+        substring_index(col("shingle"), " ", -1).as("w"))
+    val tyCnt = bgTrain.groupBy(col("ctx"), col("w"))
+      .agg(count(lit(1)).as("c_bg")).localCheckpoint()
+    KnModifiedModel(
+      tyCnt,
+      tyCnt.groupBy(col("ctx"))
+        .agg(sum(col("c_bg")).as("c_ctx"),
+          sum((col("c_bg") === 1).cast("long")).as("t1"),
+          sum((col("c_bg") === 2).cast("long")).as("t2"),
+          sum((col("c_bg") >= 3).cast("long")).as("t3p"))
+        .localCheckpoint(),
+      tyCnt.groupBy(col("w")).agg(count(lit(1)).as("n1w"))
+        .localCheckpoint(),
+      tyCnt.agg(count(lit(1)).as("n1_total")).localCheckpoint(),
+      tyCnt.agg(sum((col("c_bg") === 1).cast("long")).as("n1"),
+          sum((col("c_bg") === 2).cast("long")).as("n2"),
+          sum((col("c_bg") === 3).cast("long")).as("n3"),
+          sum((col("c_bg") === 4).cast("long")).as("n4"))
+        .localCheckpoint())
+  }
+
+  /** The three Chen–Goodman discount COLUMNS over a frame carrying the
+    * counts-of-counts (n1..n4) — shared by the score path and the
+    * spec readout so the spelling cannot drift. Operand order mirrors
+    * [[graft.operators.TrainingCatalog]]'s SQL twin exactly.
+    */
+  private[graft] def cgDiscounts: (Column, Column, Column) = {
+    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
+    val n3d = col("n3").cast("double"); val n4d = col("n4").cast("double")
+    val yv = when(col("n1") + lit(2L) * col("n2") > 0,
+      n1d / (n1d + lit(2.0) * n2d)).otherwise(lit(0.5))
+    val d1 = greatest(when(col("n1") > 0,
+      lit(1.0) - lit(2.0) * yv * n2d / n1d).otherwise(lit(0.5)), lit(0.0))
+    val d2 = greatest(when(col("n2") > 0,
+      lit(2.0) - lit(3.0) * yv * n3d / n2d).otherwise(lit(1.0)), lit(0.0))
+    val d3 = greatest(when(col("n3") > 0,
+      lit(3.0) - lit(4.0) * yv * n4d / n3d).otherwise(lit(1.5)), lit(0.0))
+    (d1, d2, d3)
+  }
+
+  /** Score a corpus against a frozen [[KnModifiedModel]] — a pure
+    * per-doc function of (doc, model), so the streaming face (e51) is
+    * exact per batch.
+    */
+  def kneserNeyModifiedScore(score: org.apache.spark.sql.DataFrame,
+                             idCol: String, textCol: String,
+                             m: KnModifiedModel): org.apache.spark.sql.DataFrame = {
+    import graft.dedup.TextDedup
+    val scale = 1e6
+    val pos = TextDedup.shingleSets(score, idCol, textCol, k = 2,
+        distinct = false)
+      .select(col(idCol),
+        substring_index(col("shingle"), " ", 1).as("ctx"),
+        substring_index(col("shingle"), " ", -1).as("w"))
+    val (d1, d2, d3) = cgDiscounts
+    val pcont = coalesce(col("n1w").cast("double"), lit(0.5)) /
+      col("n1_total").cast("double")
+    val disc = when(col("c_bg") === 1, d1)
+      .when(col("c_bg") === 2, d2).otherwise(d3)
+    val num = when(col("c_bg").isNull, lit(0.0))
+      .otherwise(greatest(col("c_bg").cast("double") - disc, lit(0.0)))
+    val gamma = (d1 * col("t1").cast("double")
+      + d2 * col("t2").cast("double")
+      + d3 * col("t3p").cast("double")) / col("c_ctx").cast("double")
+    pos
+      .join(m.tyCnt, Seq("ctx", "w"), "left")
+      .join(m.ctxCnt, Seq("ctx"), "left")
+      .join(m.contCnt, Seq("w"), "left")
+      .crossJoin(broadcast(m.n1tot))
+      .crossJoin(broadcast(m.coc))
+      .withColumn("lp_q", floor(log(
+        when(col("c_ctx").isNotNull,
+          num / col("c_ctx").cast("double") + gamma * pcont)
+        .otherwise(pcont)) * lit(scale) + lit(1e-4)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(col("c_bg").isNull.cast("long")).as("n_unseen_bigrams"),
+        (sum(col("lp_q")).cast("double") / lit(scale)
+          / count(lit(1)).cast("double")).as("mean_logscore"))
+  }
+
   /** Interpolated Kneser–Ney TRIGRAM scoring — the Chen–Goodman
     * higher-order recursion over [[kneserNeyLogProb]]'s bigram model:
     *

@@ -106,8 +106,8 @@ object Unigram {
         posexplode(split(col(textCol), " ", -1)).as(Seq("__pos", "__w")))
       .filter(isGateWord(col("__w"), maxWordLen))
 
-  private def wordFreqs(df: DataFrame, textCol: String,
-                        maxWordLen: Int = MaxWordLen): Dataset[(String, Long)] = {
+  private[graft] def wordFreqs(df: DataFrame, textCol: String,
+                               maxWordLen: Int = MaxWordLen): Dataset[(String, Long)] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(explode(split(col(textCol), " ", -1)).as("__w"))
@@ -436,11 +436,23 @@ object Unigram {
     * word in a compiled flatMap; one vocabulary-keyed partial-agg sum.
     */
   def softUsageCensusQuantized(df: DataFrame, textCol: String,
-                               vocab: Seq[(String, Long)]): DataFrame = {
-    val spark = df.sparkSession
+                               vocab: Seq[(String, Long)]): DataFrame =
+    softCensusOnWordFreqs(wordFreqs(df, textCol).toDF("__w", "f"), vocab)
+
+  /** [[softUsageCensusQuantized]] over an ALREADY-BUILT word census
+    * (`__w`, `f` exact longs) — the serve half of the streaming
+    * fold-then-serve split (e50): because the per-word quantized
+    * expectation eq is a pure function of the word string and the
+    * frozen vocab, a census drained from micro-batch folds feeds this
+    * identically to the one-shot census. Shared with the batch face
+    * so the two spellings cannot drift (the e43/e49 discipline).
+    */
+  def softCensusOnWordFreqs(wordCensus: DataFrame,
+                            vocab: Seq[(String, Long)]): DataFrame = {
+    val spark = wordCensus.sparkSession
     import spark.implicits._
     val pq = vocab.map { case (p, q) => p -> quantProb(q) }.toMap
-    val census = wordFreqs(df, textCol)
+    val census = wordCensus.as[(String, Long)]
       .flatMap { case (w, f) =>
         softExpectationsQuantized(w, pq).toSeq
           .flatMap(_.iterator.map { case (piece, eq) => (piece, eq * f) })

@@ -397,6 +397,13 @@ object WordPiece {
     sb.result()
   }
 
+  /** End-of-document separator id for cross-doc sequence packing:
+    * the first id past [[pieceIds]]'s dense range — derived from the
+    * inventory so engine and oracle agree by construction (the
+    * [[Bpe.sepId]]/[[Unigram.sepId]] convention).
+    */
+  def sepId(vocab: Seq[String]): Int = pieceIds(vocab).size
+
   /** DuckDB spelling of [[tokenizeToIds]]: the [[tokenizeSql]] replay
     * joined against the SAME id table ([[pieceIds]] emitted as a
     * VALUES list — no SQL-side re-derivation to drift); the join can

@@ -1471,6 +1471,28 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E51 — STREAMING modified-KN scoring (e44 under the Chen–Goodman
+    // three-discount model): the count frames AND the 1-row counts-of-
+    // counts freeze from the even docs before the stream; odd docs
+    // score per batch with the exact batch operator. Stream == batch
+    // on t17's own oracle.
+    "e51_stream_kn_modified" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val model = graft.functions.TextAnalysis.kneserNeyModifiedModel(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val in = graft.core.Staging.tmpDir("stream_knmod_in")
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      for (r <- 0 to 2)
+        odd.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema(graft.streaming.DocStream.idTextSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.kneserNeyModifiedScoreFold(src, model)
+        .orderBy(col("doc_id"))
+    }),
+
     // E48 — STREAMING WordPiece encoding (tk33's ingestion face,
     // extending the every-tokenizer-has-a-streaming-face claim to the
     // BERT family): docs arrive as 3 micro-batches, each encodes with
@@ -1508,6 +1530,29 @@ object StreamMediaCatalog {
         .option("maxFilesPerTrigger", 1).parquet(in)
       graft.streaming.DocStream.wordPieceTrainFold(src, nMerges = 8)
         .orderBy(col("rank"))
+    }),
+
+    // E50 — STREAMING soft-EM census (tk34's ingestion face): the
+    // word census folds per micro-batch (order-free exact sums over
+    // the SAME corpus-with-plants frame tk34 reads), and the
+    // forward–backward quantized-expectation census serves from the
+    // drained store. Stream == batch on tk34's own oracle.
+    "e50_stream_soft_census" -> ((spark, dir) => {
+      import spark.implicits._
+      val in = graft.core.Staging.tmpDir("stream_softcensus_in")
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"))
+        .unionByName(TrainingCatalog.UnigramPlants
+          .toDF("doc_id", "lang", "text").select(col("doc_id"), col("text")))
+      for (r <- 0 to 2)
+        docs.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema(graft.streaming.DocStream.idTextSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.softCensusFold(src,
+        graft.functions.Unigram.FrozenVocab)
+        .orderBy(col("piece"))
     }),
 
     // E43 — STREAMING BPE vocabulary TRAINING (tk31's ingestion face;
@@ -1756,6 +1801,8 @@ object StreamMediaCatalog {
     // stream-trained == batch tk35 (the drained census equals the
     // one-shot census exactly, so the merge sequence is identical)
     "e49_stream_wordpiece_train" -> TrainingCatalog.oracle("tk35_wordpiece_train"),
+    "e50_stream_soft_census" -> TrainingCatalog.oracle("tk34_unigram_soft_census"),
+    "e51_stream_kn_modified" -> TrainingCatalog.oracle("t17_kn_modified"),
 
     // every scorable vector lands exactly once; appends against the
     // frozen quantizers == the one-shot frozen build (v24, streamed)

@@ -952,6 +952,22 @@ object TrainingCatalog {
         .orderBy(col("lang"))
     }),
 
+    // TK38 — WordPiece-denominated packed sequences (the packing
+    // operator's third tokenizer family: tk8 BPE, tk26 unigram, this
+    // one WordPiece — packSequences was tokenizer-agnostic by
+    // signature; [UNK]=0 positions pack like any other id)
+    "tk38_wordpiece_packed" -> ((spark, dir) => {
+      val v = graft.functions.WordPiece.FrozenVocab
+      val ids = graft.functions.WordPiece.tokenizeToIds(
+        Tables.documents(spark, dir), "doc_id", "text", v)
+      graft.operators.Packing.packSequences(ids, "doc_id", "wp_ids",
+          "n_wp_tokens", seqLen = 128,
+          sepId = graft.functions.WordPiece.sepId(v))
+        .select(col("pack_id"), col("n_ids"),
+          array_join(col("ids"), ",").as("ids"))
+        .orderBy(col("pack_id"))
+    }),
+
     // TK22 — unigram-LM SEED VOCABULARY (the SentencePiece-family
     // counterpart of tk9's BPE trainer): every ≤6-char substring of
     // every distinct [a-z]+ word, occurrence-counted with exact longs,
@@ -2265,6 +2281,20 @@ object TrainingCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // T17 — MODIFIED Kneser–Ney bigram scoring (Chen–Goodman's
+    // three-discount refinement, the KenLM default): D1/D2/D3+
+    // estimated from the train corpus's counts-of-counts (exact
+    // integer censuses; one identically-spelled IEEE quotient chain),
+    // γ = discounted mass per context. Same even/odd split as t15.
+    "t17_kn_modified" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      TextAnalysis.kneserNeyModifiedLogProb(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // V14 — incremental IVF-PQ maintenance: build the index over 3/4
     // of the corpus, APPEND the held-out quarter against the persisted
     // (frozen) quantizer, and query the appended index. The gate
@@ -2419,6 +2449,55 @@ object TrainingCatalog {
         |      END) * 1000000.0 + 0.0001) AS BIGINT) AS lp_q
         |  FROM ksbg g LEFT JOIN kbc USING (bigram) LEFT JOIN kcc USING (ctx)
         |  LEFT JOIN kcw USING (w) CROSS JOIN ktot)""".stripMargin
+  }
+
+  /** The t17 MODIFIED Kneser–Ney scorer: one (ctx, w) type-count CTE
+    * feeds every model table; the Chen–Goodman discounts are
+    * single-line fragments substituted wherever the engine evaluates
+    * them (same operand order as [[TextAnalysis.cgDiscounts]]; a CASE
+    * re-evaluates per reference but is deterministic). Zero-
+    * denominator classes fall back to k/2, clamped at 0 — both sides.
+    * NB: fragments are single-line ON PURPOSE — an interpolated
+    * constant's lines must never start with '|' (the en1 trap).
+    */
+  private val ModKneserNeyLpCtes: String = {
+    val yv = "CASE WHEN mcn.n1 + 2 * mcn.n2 > 0 THEN CAST(mcn.n1 AS DOUBLE) / (CAST(mcn.n1 AS DOUBLE) + 2.0 * CAST(mcn.n2 AS DOUBLE)) ELSE 0.5 END"
+    val d1 = s"GREATEST(CASE WHEN mcn.n1 > 0 THEN 1.0 - 2.0 * ($yv) * CAST(mcn.n2 AS DOUBLE) / CAST(mcn.n1 AS DOUBLE) ELSE 0.5 END, 0.0)"
+    val d2 = s"GREATEST(CASE WHEN mcn.n2 > 0 THEN 2.0 - 3.0 * ($yv) * CAST(mcn.n3 AS DOUBLE) / CAST(mcn.n2 AS DOUBLE) ELSE 1.0 END, 0.0)"
+    val d3 = s"GREATEST(CASE WHEN mcn.n3 > 0 THEN 3.0 - 4.0 * ($yv) * CAST(mcn.n4 AS DOUBLE) / CAST(mcn.n3 AS DOUBLE) ELSE 1.5 END, 0.0)"
+    val disc = s"CASE WHEN mty.c_bg = 1 THEN $d1 WHEN mty.c_bg = 2 THEN $d2 ELSE $d3 END"
+    val num = s"CASE WHEN mty.c_bg IS NULL THEN 0.0 ELSE GREATEST(CAST(mty.c_bg AS DOUBLE) - ($disc), 0.0) END"
+    val gamma = s"(($d1) * CAST(mcc.t1 AS DOUBLE) + ($d2) * CAST(mcc.t2 AS DOUBLE) + ($d3) * CAST(mcc.t3p AS DOUBLE)) / CAST(mcc.c_ctx AS DOUBLE)"
+    val pcont = "COALESCE(CAST(mcw.n1w AS DOUBLE), 0.5) / CAST(mtot.n1_total AS DOUBLE)"
+    val p = s"CASE WHEN mcc.c_ctx IS NOT NULL THEN ($num) / CAST(mcc.c_ctx AS DOUBLE) + ($gamma) * ($pcont) ELSE $pcont END"
+    s"""mtok AS (SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |mty0 AS (SELECT t[i] AS ctx, t[i+1] AS w
+        |  FROM mtok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |mty AS (SELECT ctx, w, COUNT(*) AS c_bg FROM mty0 GROUP BY ctx, w),
+        |mcc AS (SELECT ctx, SUM(c_bg) AS c_ctx,
+        |    SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS t1,
+        |    SUM(CASE WHEN c_bg = 2 THEN 1 ELSE 0 END) AS t2,
+        |    SUM(CASE WHEN c_bg >= 3 THEN 1 ELSE 0 END) AS t3p
+        |  FROM mty GROUP BY ctx),
+        |mcw AS (SELECT w, COUNT(*) AS n1w FROM mty GROUP BY w),
+        |mtot AS (SELECT COUNT(*) AS n1_total FROM mty),
+        |mcn AS (SELECT SUM(CASE WHEN c_bg = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN c_bg = 2 THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN c_bg = 3 THEN 1 ELSE 0 END) AS n3,
+        |    SUM(CASE WHEN c_bg = 4 THEN 1 ELSE 0 END) AS n4
+        |  FROM mty),
+        |mstok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |msbg AS (SELECT doc_id, t[i] AS ctx, t[i+1] AS w
+        |  FROM mstok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 1)) AS u(i)
+        |  WHERE len(t) >= 2),
+        |mlp AS (SELECT g.doc_id, mty.c_bg,
+        |    CAST(FLOOR(ln(
+        |      $p) * 1000000.0 + 0.0001) AS BIGINT) AS lp_q
+        |  FROM msbg g LEFT JOIN mty USING (ctx, w) LEFT JOIN mcc USING (ctx)
+        |  LEFT JOIN mcw USING (w) CROSS JOIN mtot CROSS JOIN mcn)""".stripMargin
   }
 
   /** The sh1/sh2 manifest restated over any doc source: md5-nibble
@@ -2607,6 +2686,17 @@ object TrainingCatalog {
          |FROM ${graft.functions.WordPiece.idsSql("documents", "doc_id",
                "text", graft.functions.WordPiece.FrozenVocab)} b
          |ORDER BY doc_id""".stripMargin,
+
+    "tk38_wordpiece_packed" ->
+      s"""WITH ids AS (SELECT doc_id, n_wp_tokens AS n_bpe_tokens,
+         |    wp_ids AS bpe_ids
+         |  FROM ${graft.functions.WordPiece.idsSql("documents", "doc_id",
+               "text", graft.functions.WordPiece.FrozenVocab)} b)
+         |SELECT pack_id, n_ids, ids
+         |FROM ${graft.operators.Packing.packSequencesSql("ids", "doc_id",
+               128, graft.functions.WordPiece.sepId(
+                 graft.functions.WordPiece.FrozenVocab))} p
+         |ORDER BY pack_id""".stripMargin,
 
     "tk37_wordpiece_fertility" ->
       s"""WITH wpenc2 AS (SELECT doc_id, n_words, n_wp_tokens, wp_text
@@ -3255,6 +3345,15 @@ object TrainingCatalog {
          |  FROM klp GROUP BY doc_id)
          |SELECT doc_id, n_positions, n_unseen_bigrams, mean_logscore
          |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "t17_kn_modified" ->
+      s"""WITH $ModKneserNeyLpCtes,
+         |magg AS (SELECT doc_id, COUNT(*) AS n_positions,
+         |    CAST(SUM(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_bigrams,
+         |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
+         |  FROM mlp GROUP BY doc_id)
+         |SELECT doc_id, n_positions, n_unseen_bigrams, mean_logscore
+         |FROM magg ORDER BY doc_id""".stripMargin,
 
     // the trigram KN recursion replayed: trigram counts, type-derived
     // continuation tables, and the nested CASE ladder with the exact

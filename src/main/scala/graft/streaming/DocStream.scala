@@ -906,6 +906,33 @@ object DocStream {
       .toDF("rank", "x", "y")
   }
 
+  /** STREAMING soft-EM census (e50) — tk34's ingestion face, the
+    * e43/e49 fold-then-serve recipe on the forward–backward census:
+    * the word census folds per micro-batch into an exact
+    * (word, count) store (order-free int64 sums; the census spelling
+    * is [[graft.functions.Unigram.wordFreqs]], SHARED with the batch
+    * face so the two cannot drift), and [[graft.functions.Unigram
+    * .softCensusOnWordFreqs]] serves from the drained store. The
+    * per-word quantized expectation is a pure function of (word,
+    * frozen vocab), so the drained census yields the one-shot census
+    * exactly — fold-then-serve because the census spans the whole
+    * corpus vocabulary.
+    */
+  def softCensusFold(docStream: DataFrame,
+                     vocab: Seq[(String, Long)]): DataFrame = {
+    var store: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val wc = graft.functions.Unigram.wordFreqs(batch, "text")
+        .toDF("__w", "f")
+      store = (if (store == null) wc
+               else store.unionByName(wc)
+                 .groupBy(col("__w")).agg(sum(col("f")).as("f")))
+        .localCheckpoint()
+    })
+    require(store != null, "softCensusFold: stream delivered no batches")
+    graft.functions.Unigram.softCensusOnWordFreqs(store, vocab)
+  }
+
   /** STREAMING trigram-KN scoring (e47) — [[kneserNeyScoreFold]] one
     * n-gram order up: the six count frames freeze BEFORE the stream
     * (localCheckpoint inside [[graft.functions.TextAnalysis
@@ -926,6 +953,27 @@ object DocStream {
     })
     require(store != null,
       "kneserNeyTrigramScoreFold: stream delivered no batches")
+    store
+  }
+
+  /** STREAMING modified-KN scoring (e51) — [[kneserNeyScoreFold]]
+    * under the Chen–Goodman three-discount model: the five count
+    * frames (incl. the 1-row counts-of-counts the discounts derive
+    * from) freeze BEFORE the stream; each batch scores with the exact
+    * batch operator, a pure per-doc function of (doc, model) — held
+    * to t17's own oracle.
+    */
+  def kneserNeyModifiedScoreFold(docStream: DataFrame,
+                                 model: graft.functions.TextAnalysis.KnModifiedModel): DataFrame = {
+    var store: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val scored = graft.functions.TextAnalysis.kneserNeyModifiedScore(
+        batch, "doc_id", "text", model)
+      store = (if (store == null) scored else store.unionByName(scored))
+        .localCheckpoint()
+    })
+    require(store != null,
+      "kneserNeyModifiedScoreFold: stream delivered no batches")
     store
   }
 

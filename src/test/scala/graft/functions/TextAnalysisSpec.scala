@@ -230,6 +230,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(perW.map(_._4) == expect, s"got ${perW.map(_._4)} expected $expect")
   }
 
+  test("modified KN golden: estimated discounts, per-class numerators, mass 1") {
+    // bigrams never cross docs, so single-bigram docs control the
+    // type counts exactly: ab:3, ba:2, ac:1, ef:4, fe:4 ->
+    // counts-of-counts n1..n4 = 1,1,1,2 -> Y=1/3, D1=1/3, D2=1, D3+=1/3
+    val train = (Seq.fill(3)("a b") ++ Seq.fill(2)("b a") ++ Seq("a c")
+      ++ Seq.fill(4)("e f") ++ Seq.fill(4)("f e"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.kneserNeyModifiedModel(train, "doc_id", "text")
+    val (d1c, d2c, d3c) = TextAnalysis.cgDiscounts
+    val ds = m.coc.select(d1c.as("d1"), d2c.as("d2"), d3c.as("d3"))
+      .as[(Double, Double, Double)].collect().head
+    val y = 1.0 / 3.0
+    val (d1, d2, d3) = (1.0 - 2.0 * y * 1.0 / 1.0,
+      2.0 - 3.0 * y * 1.0 / 1.0, 3.0 - 4.0 * y * 2.0 / 1.0)
+    assert(ds == ((d1, d2, d3)), s"discounts $ds != ${(d1, d2, d3)}")
+    // ctx a: c=4, classes t1=1 (ac), t3p=1 (ab) -> gamma = (d1+d3)/4;
+    // N1+ = 5 types, pcont(seen w) = 1/5, OOV floor 0.5/5
+    def q(v: Double): Long = math.floor(v * 1e6 + 1e-4).toLong
+    val gA = (d1 * 1.0 + d2 * 0.0 + d3 * 1.0) / 4.0
+    val pAb = (3.0 - d3) / 4.0 + gA * (1.0 / 5.0)  // count-3 class
+    val pAc = (1.0 - d1) / 4.0 + gA * (1.0 / 5.0)  // count-1 class
+    val pAa = 0.0 / 4.0 + gA * (1.0 / 5.0)         // unseen in seen ctx
+    val gB = (d2 * 1.0) / 2.0
+    val pBa = (2.0 - d2) / 2.0 + gB * (1.0 / 5.0)  // count-2 class
+    val pZq = 0.5 / 5.0                            // unseen ctx, OOV w
+    val got = TextAnalysis.kneserNeyModifiedLogProb(
+      Seq((1L, "a b"), (3L, "a c"), (5L, "a a"), (7L, "b a"),
+        (9L, "z q")).toDF("doc_id", "text"),
+      train, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    val expect = Seq((1L, pAb, 0L), (3L, pAc, 0L), (5L, pAa, 1L),
+      (7L, pBa, 0L), (9L, pZq, 1L))
+    assert(got == expect.map { case (id, p, u) =>
+      (id, 1L, u, q(math.log(p)).toDouble / 1e6) },
+      s"got $got")
+    // the discounted mass identity: over the seen vocab, P(.|a) sums
+    // to exactly the mass removed plus the mass kept
+    val vocabMass = pAb + pAc + pAa * 3.0 // e, f, a all unseen after ctx a
+    assert(math.abs(vocabMass - 1.0) < 1e-12, s"mass $vocabMass")
+    // degenerate counts-of-counts: all-singleton train forces the
+    // D2/D3+ fallback branches (n2 = n3 = 0) and D1 = 1 exactly
+    val m2 = TextAnalysis.kneserNeyModifiedModel(
+      Seq((0L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text")
+    val ds2 = m2.coc.select(d1c.as("d1"), d2c.as("d2"), d3c.as("d3"))
+      .as[(Double, Double, Double)].collect().head
+    assert(ds2 == ((1.0, 1.0, 1.5)), s"fallback discounts $ds2")
+    val one = TextAnalysis.kneserNeyModifiedScore(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", m2)
+      .as[(Long, Long, Long, Double)].collect().head
+    // c(ab)=1, D1=1 -> numerator 0; gamma(a)=1 -> P = pcont(b) = 1/4
+    assert(one == ((1L, 1L, 0L, q(math.log(0.25)).toDouble / 1e6)))
+  }
+
   test("trigram KN golden: full ladder (seen tri, unseen tri, unseen middle)") {
     // train "a b c a b c": trigrams abc(2), bca(1), cab(1); c(ab·)=2
     // with 1 continuation; types {(a,b,c),(b,c,a),(c,a,b)} give

@@ -479,4 +479,32 @@ class DocStreamSpec extends graft.SparkSpec {
     assert(folded(1L) == folded(2L) && folded(2L) == folded(3L))
     assert(folded(1L) != folded(4L))
   }
+
+  test("soft-EM census fold == batch census; repeated words sum across batches") {
+    val dir = graft.core.Staging.tmpDir("softcensus_src")
+    // "data" recurs in both files so the drained census must SUM its
+    // counts, not union rows; junk words exercise the gate-word drop
+    val b1 = Seq((1L, "data and training data"), (2L, "x@y !!! data"))
+    val b2 = Seq((3L, "training corpora and data"))
+    b1.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f1")
+    b2.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/f2")
+    val out = graft.core.Staging.tmpDir("softcensus_flat")
+    val fs = java.nio.file.Paths.get(out)
+    for (b <- Seq("f1", "f2")) {
+      val src = java.nio.file.Paths.get(dir, b)
+      java.nio.file.Files.list(src).filter(_.toString.endsWith(".parquet"))
+        .forEach(p => java.nio.file.Files.copy(p, fs.resolve(s"${b}_${p.getFileName}")))
+    }
+    val vocab = graft.functions.Unigram.FrozenVocab
+    val streamed = DocStream.softCensusFold(
+      spark.readStream.schema(DocStream.idTextSchema)
+        .option("maxFilesPerTrigger", 1).parquet(out), vocab)
+      .as[(String, Long)].collect().toMap
+    val batch = graft.functions.Unigram.softUsageCensusQuantized(
+      (b1 ++ b2).toDF("doc_id", "text"), "text", vocab)
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+    // the census is non-trivial on this corpus (some piece got usage)
+    assert(batch.values.exists(_ > 0L))
+  }
 }
