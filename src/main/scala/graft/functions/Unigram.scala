@@ -85,7 +85,7 @@ object Unigram {
     * per-char test both reject; fixtures are newline-free today, but
     * regens have planted surprises before — see the events.ts trap).
     */
-  private def isGateWord(w: Column, maxWordLen: Int): Column = {
+  private[graft] def isGateWord(w: Column, maxWordLen: Int): Column = {
     val base = w.rlike("\\A[a-z]+\\z")
     if (maxWordLen == Int.MaxValue) base else base && length(w) <= maxWordLen
   }
@@ -556,6 +556,49 @@ object Unigram {
             s => s("__ids"))).as("piece_ids"))
   }
 
+  /** [[segmentToIds]] with BYTE FALLBACK — SentencePiece's
+    * `byte_fallback=true` (the Llama-family config): a word with NO
+    * piece path (a character absent from the inventory) decomposes
+    * into its UTF-8 bytes, one reserved id per byte value
+    * (`vocab.size + b`, the 256-slot block SentencePiece appends as
+    * `<0x00>`..`<0xFF>`), instead of dropping. The id stream is then
+    * total — every gate word emits ids — which is what a no-[UNK]
+    * training pipeline needs. Packing under this id space must use
+    * `vocab.size + 256` as the separator, not [[sepId]]. Gate words
+    * are [a-z]+ (ASCII), so byte == code point on both engines.
+    */
+  def segmentToIdsByteFallback(df: DataFrame, idCol: String, textCol: String,
+                               vocab: Seq[(String, Long)],
+                               maxWordLen: Int = MaxWordLen): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lp = vocab.toMap
+    val ids = pieceIds(vocab)
+    val base = vocab.size
+    val words = wordsOf(df, idCol, textCol, maxWordLen)
+    val segs = words.select(col("__w")).distinct().as[String]
+      .map { w =>
+        viterbiWord(w, lp) match {
+          case Some((s, _, _)) =>
+            val pid = s.split(' ').map(ids(_))
+            (w, pid, pid.length.toLong)
+          case None =>
+            val pid = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              .map(b => base + (b & 0xFF))
+            (w, pid, pid.length.toLong)
+        }
+      }
+      .toDF("__w", "__ids", "__n")
+    words.join(broadcast(segs), Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_pieces"),
+        flatten(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__ids")))),
+            s => s("__ids"))).as("piece_ids"))
+  }
+
   /** Per-document log-likelihood under the piece LM — the quality
     * signal an LM-based filter thresholds (low avg log-prob = text the
     * model finds surprising): ll_q = Σ lp_q over every piece occurrence
@@ -879,6 +922,43 @@ object Unigram {
        |    AS piece_ids
        |FROM occ JOIN idv ON occ.piece = idv.piece
        |GROUP BY occ.__id)""".stripMargin
+  }
+
+  /** DuckDB spelling of [[segmentToIdsByteFallback]]: the [[idsSql]]
+    * replay plus a fallback branch — words the DP cannot reach (no
+    * `fin` row) explode per character with id `vocab.size +
+    * ascii(char)` (gate words are ASCII, so ascii == the UTF-8 byte
+    * the engine emits). The union re-sorts by (word position, piece
+    * position), so fallback ids interleave exactly as the engine's
+    * doc-ordered flatten.
+    */
+  def idsByteFallbackSql(src: String, id: String, text: String,
+                         vocab: Seq[(String, Long)]): String = {
+    val idVals = pieceIds(vocab).toSeq.sortBy(_._2)
+      .map { case (p, i) => s"('$p', $i)" }.mkString(", ")
+    val base = vocab.size
+    s"""(WITH ${w0Sql(src, id, text)},
+       |${dpStagesSql(vocab)},
+       |idv(piece, pid) AS (SELECT * FROM (VALUES $idVals) x(piece, pid)),
+       |occ AS (SELECT w0.__id, w0.__pos, g.i,
+       |    string_split(f.seg, ' ')[g.i] AS piece
+       |  FROM w0 JOIN fin f ON w0.__w = f.w
+       |  CROSS JOIN LATERAL unnest(generate_series(1,
+       |    len(string_split(f.seg, ' ')))) AS g(i)),
+       |occb AS (SELECT w0.__id, w0.__pos, g.i,
+       |    $base + ascii(substr(w0.__w, g.i, 1)) AS pid
+       |  FROM w0 LEFT JOIN fin f ON w0.__w = f.w
+       |  CROSS JOIN LATERAL unnest(generate_series(1, len(w0.__w))) AS g(i)
+       |  WHERE f.w IS NULL),
+       |uni AS (SELECT occ.__id, occ.__pos, occ.i, idv.pid
+       |    FROM occ JOIN idv ON occ.piece = idv.piece
+       |  UNION ALL SELECT __id, __pos, i, pid FROM occb)
+       |SELECT uni.__id AS $id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pieces,
+       |  string_agg(CAST(uni.pid AS VARCHAR), ',' ORDER BY uni.__pos, uni.i)
+       |    AS piece_ids
+       |FROM uni
+       |GROUP BY uni.__id)""".stripMargin
   }
 
   /** DuckDB spelling of [[docLogLik]]: the DP replay's piece

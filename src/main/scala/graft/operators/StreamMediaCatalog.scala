@@ -1493,6 +1493,32 @@ object StreamMediaCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // E52 — STREAMING perplexity bucketing (cx5's ingestion face, the
+    // CCNet quality tagger as a pipeline): scores fold per micro-batch
+    // under the frozen modified-KN model; the per-language terciles
+    // serve from the drained store (global order statistics —
+    // fold-then-serve). Stream == batch on cx5's own oracle.
+    "e52_stream_ppl_buckets" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val model = graft.functions.TextAnalysis.kneserNeyModifiedModel(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val in = graft.core.Staging.tmpDir("stream_pplb_in")
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"))
+      for (r <- 0 to 2)
+        odd.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema(graft.streaming.DocStream.idTextLangSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.pplBucketsFold(src, model)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("mean_logscore")), 6).as("min_score"),
+          round(max(col("mean_logscore")), 6).as("max_score"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // E48 — STREAMING WordPiece encoding (tk33's ingestion face,
     // extending the every-tokenizer-has-a-streaming-face claim to the
     // BERT family): docs arrive as 3 micro-batches, each encodes with
@@ -1803,6 +1829,7 @@ object StreamMediaCatalog {
     "e49_stream_wordpiece_train" -> TrainingCatalog.oracle("tk35_wordpiece_train"),
     "e50_stream_soft_census" -> TrainingCatalog.oracle("tk34_unigram_soft_census"),
     "e51_stream_kn_modified" -> TrainingCatalog.oracle("t17_kn_modified"),
+    "e52_stream_ppl_buckets" -> TrainingCatalog.oracle("cx5_knmod_ppl_buckets"),
 
     // every scorable vector lands exactly once; appends against the
     // frozen quantizers == the one-shot frozen build (v24, streamed)

@@ -1030,6 +1030,20 @@ object TrainingCatalog {
             .as("piece_ids"))
         .orderBy(col("doc_id"))),
 
+    // TK39 — tk25 with BYTE FALLBACK (SentencePiece byte_fallback=true,
+    // the Llama-family config): no-path words decompose into reserved
+    // per-byte ids (vocab.size + byte) instead of dropping — the
+    // no-[UNK] total id stream; the tk23 'zigzag' plant lands in the
+    // fallback class so it is provably non-empty
+    "tk39_unigram_byte_fallback" -> ((spark, dir) =>
+      graft.functions.Unigram.segmentToIdsByteFallback(
+        docsWithUnigramPlants(spark, dir), "doc_id", "text",
+        graft.functions.Unigram.FrozenVocab)
+        .select(col("doc_id"), col("n_pieces"),
+          array_join(transform(col("piece_ids"), x => x.cast("string")), ",")
+            .as("piece_ids"))
+        .orderBy(col("doc_id"))),
+
     // TK26 — cross-doc packing in UNIGRAM-piece space (tk8's artifact
     // re-denominated by the second tokenizer family): the packing
     // operator was tokenizer-agnostic by signature; this supplies
@@ -2266,6 +2280,23 @@ object TrainingCatalog {
         .orderBy(col("lang"), col("bucket"))
     }),
 
+    // CX5 — perplexity bucketing under the MODIFIED-KN tier (cx4 with
+    // t17's estimated-discount model — the scorer a production CCNet
+    // deployment uses): even docs train, odd docs tercile per language
+    "cx5_knmod_ppl_buckets" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val model = TextAnalysis.kneserNeyModifiedModel(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      graft.quality.Perplexity.bucketsKnModified(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "lang",
+        model, exact = true)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("mean_logscore")), 6).as("min_score"),
+          round(max(col("mean_logscore")), 6).as("max_score"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // T16 — interpolated Kneser–Ney TRIGRAM scoring (the Chen–Goodman
     // recursion over t15: counts at each level come from the level
     // above — c'(vw) = distinct u over trigram types, c''(w) =
@@ -2745,6 +2776,13 @@ object TrainingCatalog {
          |SELECT doc_id, n_pieces, piece_ids
          |FROM ${graft.functions.Unigram.idsSql("uniaug", "doc_id", "text",
                graft.functions.Unigram.FrozenVocab)} q
+         |ORDER BY doc_id""".stripMargin,
+
+    "tk39_unigram_byte_fallback" ->
+      s"""WITH $unigramAugSql
+         |SELECT doc_id, n_pieces, piece_ids
+         |FROM ${graft.functions.Unigram.idsByteFallbackSql("uniaug",
+               "doc_id", "text", graft.functions.Unigram.FrozenVocab)} q
          |ORDER BY doc_id""".stripMargin,
 
     "tk26_unigram_packed" ->
@@ -3354,6 +3392,31 @@ object TrainingCatalog {
          |  FROM mlp GROUP BY doc_id)
          |SELECT doc_id, n_positions, n_unseen_bigrams, mean_logscore
          |FROM magg ORDER BY doc_id""".stripMargin,
+
+    "cx5_knmod_ppl_buckets" ->
+      s"""WITH $ModKneserNeyLpCtes,
+         |agg5 AS (SELECT doc_id,
+         |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
+         |  FROM mlp GROUP BY doc_id),
+         |sc5 AS (SELECT a.doc_id, d.lang, a.mean_logscore
+         |  FROM agg5 a JOIN documents d USING (doc_id)),
+         |rk5 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY mean_logscore, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n FROM sc5),
+         |thr5 AS (SELECT lang,
+         |    MIN(CASE WHEN rn = (n + 2) // 3 THEN mean_logscore END) AS t1,
+         |    MIN(CASE WHEN rn = (2 * n + 2) // 3 THEN mean_logscore END) AS t2
+         |  FROM rk5 WHERE rn = (n + 2) // 3 OR rn = (2 * n + 2) // 3
+         |  GROUP BY lang),
+         |b5 AS (SELECT s.lang, s.mean_logscore,
+         |    CASE WHEN s.mean_logscore <= t1 THEN 'tail'
+         |         WHEN s.mean_logscore <= t2 THEN 'middle'
+         |         ELSE 'head' END AS bucket
+         |  FROM sc5 s JOIN thr5 USING (lang))
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |  round(MIN(mean_logscore), 6) AS min_score,
+         |  round(MAX(mean_logscore), 6) AS max_score
+         |FROM b5 GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
 
     // the trigram KN recursion replayed: trigram counts, type-derived
     // continuation tables, and the nested CASE ladder with the exact

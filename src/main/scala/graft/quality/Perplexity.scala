@@ -66,13 +66,28 @@ object Perplexity {
     bucketize(scores, "mean_logscore", idCol, langCol, exact)
   }
 
+  /** [[bucketsKn]] under the MODIFIED Kneser–Ney model
+    * ([[TextAnalysis.KnModifiedModel]], t17 — Chen–Goodman's
+    * estimated three-discount refinement, the KenLM default): what a
+    * production CCNet deployment actually scores with. Same output
+    * shape and scale posture as [[bucketsKn]]; the only additional
+    * model state is the 1-row counts-of-counts broadcast.
+    */
+  def bucketsKnModified(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String, m: TextAnalysis.KnModifiedModel,
+                        exact: Boolean = false): DataFrame = {
+    val scores = TextAnalysis.kneserNeyModifiedScore(df, idCol, textCol, m)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    bucketize(scores, "mean_logscore", idCol, langCol, exact)
+  }
+
   /** The shared tercile-tagging machinery over any per-doc score
     * frame (scoreCol is bit-identical cross-engine by the caller's
     * exactness discipline, so the EXACT path's order statistics
     * reproduce on both engines).
     */
-  private def bucketize(scores: DataFrame, scoreCol: String, idCol: String,
-                        langCol: String, exact: Boolean): DataFrame = {
+  private[graft] def bucketize(scores: DataFrame, scoreCol: String, idCol: String,
+                               langCol: String, exact: Boolean): DataFrame = {
     val thr = if (exact) exactTerciles(scores, scoreCol, idCol, langCol)
               else approxTerciles(scores, scoreCol, langCol)
     scores.join(broadcast(thr), Seq(langCol))

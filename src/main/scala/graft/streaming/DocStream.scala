@@ -35,6 +35,13 @@ object DocStream {
   val idTextSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType)))
 
+  /** (doc_id, text, lang) schema for staged doc streams whose serve
+    * step is language-keyed (e52) — [[idTextSchema]] plus the lang tag.
+    */
+  val idTextLangSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType)))
+
   /** (doc_id, payload) schema for staged binary-media streams — the
     * media sibling of [[idTextSchema]] (e32 and its specs).
     */
@@ -975,6 +982,30 @@ object DocStream {
     require(store != null,
       "kneserNeyModifiedScoreFold: stream delivered no batches")
     store
+  }
+
+  /** STREAMING perplexity bucketing (e52) — the CCNet quality tagger
+    * as an ingestion pipeline: each micro-batch scores against the
+    * frozen modified-KN model (pure per-doc — the e51 fold), scores
+    * fold into a store, and the per-language TERCILE tagging serves
+    * from the drained store — fold-then-serve because the thresholds
+    * are global order statistics of the whole corpus's score
+    * distribution (a per-batch tercile would tag against a drifting
+    * threshold). Held to cx5's own oracle.
+    */
+  def pplBucketsFold(docStream: DataFrame,
+                     model: graft.functions.TextAnalysis.KnModifiedModel): DataFrame = {
+    var store: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val scored = graft.functions.TextAnalysis.kneserNeyModifiedScore(
+        batch, "doc_id", "text", model)
+        .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      store = (if (store == null) scored else store.unionByName(scored))
+        .localCheckpoint()
+    })
+    require(store != null, "pplBucketsFold: stream delivered no batches")
+    graft.quality.Perplexity.bucketize(store, "mean_logscore",
+      "doc_id", "lang", exact = true)
   }
 
   /** STREAMING BPE vocabulary training (e43) — the batched trainer's

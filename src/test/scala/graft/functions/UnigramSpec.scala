@@ -155,6 +155,37 @@ class UnigramSpec extends SparkSpec {
     assert(pieces == expect)
   }
 
+  test("byte fallback: path words keep their ids, no-path words emit byte ids, stream is total") {
+    val df = Seq((1L, "customer zigzag join")).toDF("doc_id", "text")
+    val v = Unigram.FrozenVocab
+    val base = v.size
+    val out = Unigram.segmentToIdsByteFallback(df, "doc_id", "text", v)
+      .as[(Long, Long, Seq[Int])].collect().head
+    // path words carry the EXACT segmentToIds ids; zigzag (no 'z'
+    // piece) interleaves as one reserved byte id per char, in place
+    val pathIds = Unigram.segmentToIds(
+      Seq((1L, "customer"), (2L, "join")).toDF("doc_id", "text"),
+      "doc_id", "text", v)
+      .orderBy(col("doc_id")).as[(Long, Long, Seq[Int])].collect()
+    val zz = "zigzag".getBytes("UTF-8").map(b => base + (b & 0xFF)).toSeq
+    assert(out._3 == pathIds(0)._3 ++ zz ++ pathIds(1)._3)
+    assert(out._2 == out._3.length.toLong)
+    // byte ids live strictly above the piece-id range
+    assert(zz.forall(i => i >= base && i < base + 256))
+    // totality: every gate word of the plants corpus emits ids (the
+    // plain face drops no-path words; the fallback face never does)
+    val docs = graft.core.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"))
+    val nWords = docs.select(
+        explode(split(col("text"), " ", -1)).as("w"))
+      .filter(Unigram.isGateWord(col("w"), Unigram.MaxWordLen))
+      .count()
+    val nPieces = Unigram.segmentToIdsByteFallback(
+        docs, "doc_id", "text", v)
+      .agg(sum(col("n_pieces"))).as[Long].collect().head
+    assert(nPieces >= nWords, "every gate word must emit >= 1 id")
+  }
+
   test("docLogLik sums per-word Viterbi scores exactly") {
     val df = Seq((1L, "customer join zigzag"), (2L, "q")).toDF("doc_id", "text")
     val out = Unigram.docLogLik(df, "doc_id", "text", Unigram.FrozenVocab)
