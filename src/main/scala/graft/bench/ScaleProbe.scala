@@ -120,6 +120,33 @@ object ScaleProbe {
         docs.unpersist()
         spark.catalog.clearCache()
       }
+      // Modified-KN scoring (t17): the t15-shaped joins PLUS the two
+      // 1-row broadcasts (type total, counts-of-counts). Same
+      // word-suffix perturbation so the (ctx, w) type table and the
+      // counts-of-counts grow with the corpus. Expected ~linear; the
+      // probe's point is that the per-context class censuses (t1/t2/
+      // t3p) stay inside the one ctx-keyed aggregation — a second
+      // shuffle or a growing broadcast would bend the curve.
+      if (enabled("kn_modified")) {
+        val docs = multiply(
+          Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+          "doc_id", m, 10000000L)
+          .withColumn("text",
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("$1c"),
+                expr("doc_id div 10000000").cast("string"))))
+          .repartition(64).cache()
+        docs.count()
+        time(s"kn_modified x$m") {
+          graft.functions.TextAnalysis.kneserNeyModifiedLogProb(
+            docs.filter(col("doc_id") % 2 === 1),
+            docs.filter(col("doc_id") % 2 === 0),
+            "doc_id", "text")
+            .filter(col("mean_logscore") < 0.0).count()
+        }
+        docs.unpersist()
+        spark.catalog.clearCache()
+      }
       // BPE TRAINER per-round cost: double the merge count at each
       // corpus multiplier for both trainers. Expected: the incremental
       // trainer's r16→r32 delta ≈ its r8→r16 delta (per-round cost
