@@ -655,17 +655,35 @@ object TextAnalysis {
     * spec readout so the spelling cannot drift. Operand order mirrors
     * [[graft.operators.TrainingCatalog]]'s SQL twin exactly.
     */
-  private[graft] def cgDiscounts: (Column, Column, Column) = {
-    val n1d = col("n1").cast("double"); val n2d = col("n2").cast("double")
-    val n3d = col("n3").cast("double"); val n4d = col("n4").cast("double")
-    val yv = when(col("n1") + lit(2L) * col("n2") > 0,
+  private[graft] def cgDiscounts: (Column, Column, Column) =
+    cgDiscountsSuffixed("")
+
+  /** [[cgDiscounts]] over suffixed counts-of-counts columns
+    * (`n1_3`..`n4_3` etc.) — the trigram ladder (t18) joins TWO
+    * counts-of-counts rows into one plan, one per n-gram order, so
+    * the column names must not collide.
+    */
+  private[graft] def cgDiscountsSuffixed(sfx: String): (Column, Column, Column) = {
+    val n1d = col(s"n1$sfx").cast("double"); val n2d = col(s"n2$sfx").cast("double")
+    val n3d = col(s"n3$sfx").cast("double"); val n4d = col(s"n4$sfx").cast("double")
+    val yv = when(col(s"n1$sfx") + lit(2L) * col(s"n2$sfx") > 0,
       n1d / (n1d + lit(2.0) * n2d)).otherwise(lit(0.5))
-    val d1 = greatest(when(col("n1") > 0,
-      lit(1.0) - lit(2.0) * yv * n2d / n1d).otherwise(lit(0.5)), lit(0.0))
-    val d2 = greatest(when(col("n2") > 0,
-      lit(2.0) - lit(3.0) * yv * n3d / n2d).otherwise(lit(1.0)), lit(0.0))
-    val d3 = greatest(when(col("n3") > 0,
-      lit(3.0) - lit(4.0) * yv * n4d / n3d).otherwise(lit(1.5)), lit(0.0))
+    // a zero-denominator class OR a non-positive estimate falls back
+    // to k/2 (KenLM's --discount_fallback convention): every discount
+    // is then STRICTLY positive, so γ > 0 for any context with a seen
+    // type and no position can reach ln(0) — a clamp-at-zero here
+    // zeroed whole γs on skewed counts-of-counts (t18 found it: all
+    // of a context's types in one count class whose discount clamped)
+    def fb(nk: Column, est: Column, fallback: Double): Column =
+      when(nk > 0,
+        when(est > lit(0.0), est).otherwise(lit(fallback)))
+        .otherwise(lit(fallback))
+    val d1 = fb(col(s"n1$sfx"),
+      lit(1.0) - lit(2.0) * yv * n2d / n1d, 0.5)
+    val d2 = fb(col(s"n2$sfx"),
+      lit(2.0) - lit(3.0) * yv * n3d / n2d, 1.0)
+    val d3 = fb(col(s"n3$sfx"),
+      lit(3.0) - lit(4.0) * yv * n4d / n3d, 1.5)
     (d1, d2, d3)
   }
 
@@ -826,6 +844,138 @@ object TextAnalysis {
       .join(m.midden, Seq("v"), "left")
       .join(m.cdd, Seq("w"), "left")
       .crossJoin(broadcast(m.n1tot))
+      .withColumn("lp_q", floor(log(p3) * lit(scale) + lit(1e-4)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_positions"),
+        sum(col("c_tg").isNull.cast("long")).as("n_unseen_trigrams"),
+        (sum(col("lp_q")).cast("double") / lit(scale)
+          / count(lit(1)).cast("double")).as("mean_logscore"))
+  }
+
+  /** MODIFIED Kneser–Ney TRIGRAM scoring — the full KenLM default:
+    * the t16 Chen–Goodman ladder with PER-ORDER estimated discounts.
+    * Order 3 estimates D1/D2/D3+ from the trigram type counts'
+    * counts-of-counts; order 2 estimates its own triple from the
+    * type-derived continuation counts c'(vw) (counts at each level
+    * come from the level above, so the discounts at each level are
+    * estimated from THAT level's count distribution — Chen & Goodman
+    * §5.1); order 1 is the unchanged continuation unigram with the
+    * half-type OOV floor. γ at each level is the mass actually
+    * discounted ((D1·T1 + D2·T2 + D3+·T3+)/denominator with T_k the
+    * per-context count-class type censuses), so every conditional
+    * still sums to 1. Same fallback (k/2, clamp 0) and spelling
+    * discipline as t17; ln quantized once per position — oracle-exact
+    * (t18).
+    *
+    * Scale shape = t16's: every count table keys on n-gram vocabulary
+    * (shuffled joins, never broadcast); the class censuses ride
+    * INSIDE the existing per-context aggregations; the only new model
+    * state is two 1-row counts-of-counts broadcasts.
+    */
+  def kneserNeyModTrigramLogProb(score: org.apache.spark.sql.DataFrame,
+                                 train: org.apache.spark.sql.DataFrame,
+                                 idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    kneserNeyModTrigramScore(score, idCol, textCol,
+      kneserNeyModTrigramModel(train, idCol, textCol))
+
+  /** The frozen modified-trigram-KN model: the order-3 (uv, w) type
+    * counts, the per-(uv) totals + count-class censuses, the order-2
+    * continuation counts + per-v censuses, the continuation unigram,
+    * the 1-row type total, and the two 1-row counts-of-counts —
+    * materialized eagerly (the e44/e47 streaming discipline).
+    */
+  final case class KnModTrigramModel(ty3: org.apache.spark.sql.DataFrame,
+                                     ctx3: org.apache.spark.sql.DataFrame,
+                                     cprime: org.apache.spark.sql.DataFrame,
+                                     mid2: org.apache.spark.sql.DataFrame,
+                                     cdd: org.apache.spark.sql.DataFrame,
+                                     n1tot: org.apache.spark.sql.DataFrame,
+                                     coc3: org.apache.spark.sql.DataFrame,
+                                     coc2: org.apache.spark.sql.DataFrame)
+
+  def kneserNeyModTrigramModel(train: org.apache.spark.sql.DataFrame,
+                               idCol: String, textCol: String): KnModTrigramModel = {
+    val tri = knTrigramParts(train, idCol, textCol)
+    val ty3 = tri.groupBy(col("uv"), col("w"))
+      .agg(count(lit(1)).as("c_tg")).localCheckpoint()
+    val types = tri.select(col("uv"), col("v"), col("w")).distinct()
+      .localCheckpoint()
+    val cprime = types.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("cp")).localCheckpoint()
+    val suffixes = types.select(col("v"), col("w")).distinct()
+      .localCheckpoint()
+    KnModTrigramModel(
+      ty3,
+      ty3.groupBy(col("uv"))
+        .agg(sum(col("c_tg")).as("c_uv"),
+          sum((col("c_tg") === 1).cast("long")).as("u1"),
+          sum((col("c_tg") === 2).cast("long")).as("u2"),
+          sum((col("c_tg") >= 3).cast("long")).as("u3p"))
+        .localCheckpoint(),
+      cprime,
+      cprime.groupBy(col("v"))
+        .agg(sum(col("cp")).as("n1mid"),
+          sum((col("cp") === 1).cast("long")).as("m1"),
+          sum((col("cp") === 2).cast("long")).as("m2"),
+          sum((col("cp") >= 3).cast("long")).as("m3p"))
+        .localCheckpoint(),
+      suffixes.groupBy(col("w")).agg(count(lit(1)).as("cdd"))
+        .localCheckpoint(),
+      suffixes.agg(count(lit(1)).as("n1_total")).localCheckpoint(),
+      ty3.agg(sum((col("c_tg") === 1).cast("long")).as("n1_3"),
+          sum((col("c_tg") === 2).cast("long")).as("n2_3"),
+          sum((col("c_tg") === 3).cast("long")).as("n3_3"),
+          sum((col("c_tg") === 4).cast("long")).as("n4_3"))
+        .localCheckpoint(),
+      cprime.agg(sum((col("cp") === 1).cast("long")).as("n1_2"),
+          sum((col("cp") === 2).cast("long")).as("n2_2"),
+          sum((col("cp") === 3).cast("long")).as("n3_2"),
+          sum((col("cp") === 4).cast("long")).as("n4_2"))
+        .localCheckpoint())
+  }
+
+  /** Score a corpus against a frozen [[KnModTrigramModel]] — a pure
+    * per-doc function of (doc, model); the streaming face (e53) is
+    * exact per batch.
+    */
+  def kneserNeyModTrigramScore(score: org.apache.spark.sql.DataFrame,
+                               idCol: String, textCol: String,
+                               m: KnModTrigramModel): org.apache.spark.sql.DataFrame = {
+    val scale = 1e6
+    val pos = knTrigramParts(score, idCol, textCol)
+    val (d1_3, d2_3, d3_3) = cgDiscountsSuffixed("_3")
+    val (d1_2, d2_2, d3_2) = cgDiscountsSuffixed("_2")
+    val p1 = coalesce(col("cdd").cast("double"), lit(0.5)) /
+      col("n1_total").cast("double")
+    val disc2 = when(col("cp") === 1, d1_2)
+      .when(col("cp") === 2, d2_2).otherwise(d3_2)
+    val num2 = when(col("cp").isNull, lit(0.0))
+      .otherwise(greatest(col("cp").cast("double") - disc2, lit(0.0)))
+    val gamma2 = (d1_2 * col("m1").cast("double")
+      + d2_2 * col("m2").cast("double")
+      + d3_2 * col("m3p").cast("double")) / col("n1mid").cast("double")
+    val p2 = when(col("n1mid").isNotNull,
+      num2 / col("n1mid").cast("double") + gamma2 * p1)
+      .otherwise(p1)
+    val disc3 = when(col("c_tg") === 1, d1_3)
+      .when(col("c_tg") === 2, d2_3).otherwise(d3_3)
+    val num3 = when(col("c_tg").isNull, lit(0.0))
+      .otherwise(greatest(col("c_tg").cast("double") - disc3, lit(0.0)))
+    val gamma3 = (d1_3 * col("u1").cast("double")
+      + d2_3 * col("u2").cast("double")
+      + d3_3 * col("u3p").cast("double")) / col("c_uv").cast("double")
+    val p3 = when(col("c_uv").isNotNull,
+      num3 / col("c_uv").cast("double") + gamma3 * p2)
+      .otherwise(p2)
+    pos
+      .join(m.ty3, Seq("uv", "w"), "left")
+      .join(m.ctx3, Seq("uv"), "left")
+      .join(m.cprime, Seq("v", "w"), "left")
+      .join(m.mid2, Seq("v"), "left")
+      .join(m.cdd, Seq("w"), "left")
+      .crossJoin(broadcast(m.n1tot))
+      .crossJoin(broadcast(m.coc3))
+      .crossJoin(broadcast(m.coc2))
       .withColumn("lp_q", floor(log(p3) * lit(scale) + lit(1e-4)))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_positions"),

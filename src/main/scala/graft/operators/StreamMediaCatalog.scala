@@ -1519,6 +1519,27 @@ object StreamMediaCatalog {
         .orderBy(col("lang"), col("bucket"))
     }),
 
+    // E53 — STREAMING modified-trigram-KN scoring (e51 one order up,
+    // t18's ingestion face): all eight frames freeze from the even
+    // docs; odd docs score per batch. Stream == batch on t18's own
+    // oracle.
+    "e53_stream_kn_mod_trigram" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      val model = graft.functions.TextAnalysis.kneserNeyModTrigramModel(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val in = graft.core.Staging.tmpDir("stream_knmod3_in")
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"))
+      for (r <- 0 to 2)
+        odd.filter(pmod(col("doc_id"), lit(3)) === r).coalesce(1)
+          .write.mode("append").parquet(in)
+      val src = spark.readStream
+        .schema(graft.streaming.DocStream.idTextSchema)
+        .option("maxFilesPerTrigger", 1).parquet(in)
+      graft.streaming.DocStream.kneserNeyModTrigramScoreFold(src, model)
+        .orderBy(col("doc_id"))
+    }),
+
     // E48 — STREAMING WordPiece encoding (tk33's ingestion face,
     // extending the every-tokenizer-has-a-streaming-face claim to the
     // BERT family): docs arrive as 3 micro-batches, each encodes with
@@ -1830,6 +1851,7 @@ object StreamMediaCatalog {
     "e50_stream_soft_census" -> TrainingCatalog.oracle("tk34_unigram_soft_census"),
     "e51_stream_kn_modified" -> TrainingCatalog.oracle("t17_kn_modified"),
     "e52_stream_ppl_buckets" -> TrainingCatalog.oracle("cx5_knmod_ppl_buckets"),
+    "e53_stream_kn_mod_trigram" -> TrainingCatalog.oracle("t18_kn_mod_trigram"),
 
     // every scorable vector lands exactly once; appends against the
     // frozen quantizers == the one-shot frozen build (v24, streamed)

@@ -2326,6 +2326,19 @@ object TrainingCatalog {
         .orderBy(col("doc_id"))
     }),
 
+    // T18 — MODIFIED Kneser–Ney TRIGRAM (the full KenLM default: t16's
+    // Chen–Goodman ladder with PER-ORDER estimated discounts — order 3
+    // from the trigram type counts' counts-of-counts, order 2 from the
+    // continuation counts'). Same even/odd split; <3-token docs drop.
+    "t18_kn_mod_trigram" -> ((spark, dir) => {
+      val docs = Tables.documents(spark, dir)
+      TextAnalysis.kneserNeyModTrigramLogProb(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // V14 — incremental IVF-PQ maintenance: build the index over 3/4
     // of the corpus, APPEND the held-out quarter against the persisted
     // (frozen) quantizer, and query the appended index. The gate
@@ -2491,11 +2504,30 @@ object TrainingCatalog {
     * NB: fragments are single-line ON PURPOSE — an interpolated
     * constant's lines must never start with '|' (the en1 trap).
     */
+  /** The Chen–Goodman discount triple as single-line SQL fragments
+    * over a counts-of-counts CTE alias `q` (columns n1..n4) — shared
+    * by the t17 bigram and t18 trigram oracles so the spelling (and
+    * hence IEEE operand order vs [[graft.functions.TextAnalysis
+    * .cgDiscountsSuffixed]]) is written once.
+    */
+  private def cgDiscountSql(q: String): (String, String, String) = {
+    val yv = s"CASE WHEN $q.n1 + 2 * $q.n2 > 0 THEN CAST($q.n1 AS DOUBLE) / (CAST($q.n1 AS DOUBLE) + 2.0 * CAST($q.n2 AS DOUBLE)) ELSE 0.5 END"
+    // non-positive estimates fall back to k/2 (strictly positive
+    // discounts — the engine's fb spelling; est only evaluated under
+    // n_k > 0 so no division by zero either engine)
+    def fb(nk: String, est: String, fallback: String): String =
+      s"CASE WHEN $q.$nk > 0 THEN (CASE WHEN ($est) > 0.0 THEN $est ELSE $fallback END) ELSE $fallback END"
+    val d1 = fb("n1",
+      s"1.0 - 2.0 * ($yv) * CAST($q.n2 AS DOUBLE) / CAST($q.n1 AS DOUBLE)", "0.5")
+    val d2 = fb("n2",
+      s"2.0 - 3.0 * ($yv) * CAST($q.n3 AS DOUBLE) / CAST($q.n2 AS DOUBLE)", "1.0")
+    val d3 = fb("n3",
+      s"3.0 - 4.0 * ($yv) * CAST($q.n4 AS DOUBLE) / CAST($q.n3 AS DOUBLE)", "1.5")
+    (d1, d2, d3)
+  }
+
   private val ModKneserNeyLpCtes: String = {
-    val yv = "CASE WHEN mcn.n1 + 2 * mcn.n2 > 0 THEN CAST(mcn.n1 AS DOUBLE) / (CAST(mcn.n1 AS DOUBLE) + 2.0 * CAST(mcn.n2 AS DOUBLE)) ELSE 0.5 END"
-    val d1 = s"GREATEST(CASE WHEN mcn.n1 > 0 THEN 1.0 - 2.0 * ($yv) * CAST(mcn.n2 AS DOUBLE) / CAST(mcn.n1 AS DOUBLE) ELSE 0.5 END, 0.0)"
-    val d2 = s"GREATEST(CASE WHEN mcn.n2 > 0 THEN 2.0 - 3.0 * ($yv) * CAST(mcn.n3 AS DOUBLE) / CAST(mcn.n2 AS DOUBLE) ELSE 1.0 END, 0.0)"
-    val d3 = s"GREATEST(CASE WHEN mcn.n3 > 0 THEN 3.0 - 4.0 * ($yv) * CAST(mcn.n4 AS DOUBLE) / CAST(mcn.n3 AS DOUBLE) ELSE 1.5 END, 0.0)"
+    val (d1, d2, d3) = cgDiscountSql("mcn")
     val disc = s"CASE WHEN mty.c_bg = 1 THEN $d1 WHEN mty.c_bg = 2 THEN $d2 ELSE $d3 END"
     val num = s"CASE WHEN mty.c_bg IS NULL THEN 0.0 ELSE GREATEST(CAST(mty.c_bg AS DOUBLE) - ($disc), 0.0) END"
     val gamma = s"(($d1) * CAST(mcc.t1 AS DOUBLE) + ($d2) * CAST(mcc.t2 AS DOUBLE) + ($d3) * CAST(mcc.t3p AS DOUBLE)) / CAST(mcc.c_ctx AS DOUBLE)"
@@ -2529,6 +2561,73 @@ object TrainingCatalog {
         |      $p) * 1000000.0 + 0.0001) AS BIGINT) AS lp_q
         |  FROM msbg g LEFT JOIN mty USING (ctx, w) LEFT JOIN mcc USING (ctx)
         |  LEFT JOIN mcw USING (w) CROSS JOIN mtot CROSS JOIN mcn)""".stripMargin
+  }
+
+  /** The t18 MODIFIED-trigram-KN scorer: t16's type-derived ladder
+    * with per-order estimated discounts — order 3's triple from the
+    * trigram type counts' counts-of-counts (hcn3), order 2's from the
+    * continuation counts' (hcn2), each via [[cgDiscountSql]]; the
+    * per-context count-class censuses ride inside the existing
+    * context aggregations (hctx/hmid). Same fallbacks, same one
+    * nudged-floor ln.
+    */
+  private val ModKnTrigramLpCtes: String = {
+    val (d13, d23, d33) = cgDiscountSql("hcn3")
+    val (d12, d22, d32) = cgDiscountSql("hcn2")
+    val p1 =
+      "COALESCE(CAST(hcdd.cdd AS DOUBLE), 0.5) / CAST(htot.n1_total AS DOUBLE)"
+    val disc2 = s"CASE WHEN hcp.cp = 1 THEN $d12 WHEN hcp.cp = 2 THEN $d22 ELSE $d32 END"
+    val num2 = s"CASE WHEN hcp.cp IS NULL THEN 0.0 ELSE GREATEST(CAST(hcp.cp AS DOUBLE) - ($disc2), 0.0) END"
+    val gamma2 = s"(($d12) * CAST(hmid.m1 AS DOUBLE) + ($d22) * CAST(hmid.m2 AS DOUBLE) + ($d32) * CAST(hmid.m3p AS DOUBLE)) / CAST(hmid.n1mid AS DOUBLE)"
+    val p2 = s"CASE WHEN hmid.n1mid IS NOT NULL THEN ($num2) / CAST(hmid.n1mid AS DOUBLE) + ($gamma2) * ($p1) ELSE $p1 END"
+    val disc3 = s"CASE WHEN hty3.c_tg = 1 THEN $d13 WHEN hty3.c_tg = 2 THEN $d23 ELSE $d33 END"
+    val num3 = s"CASE WHEN hty3.c_tg IS NULL THEN 0.0 ELSE GREATEST(CAST(hty3.c_tg AS DOUBLE) - ($disc3), 0.0) END"
+    val gamma3 = s"(($d13) * CAST(hctx.u1 AS DOUBLE) + ($d23) * CAST(hctx.u2 AS DOUBLE) + ($d33) * CAST(hctx.u3p AS DOUBLE)) / CAST(hctx.c_uv AS DOUBLE)"
+    val p3 = s"CASE WHEN hctx.c_uv IS NOT NULL THEN ($num3) / CAST(hctx.c_uv AS DOUBLE) + ($gamma3) * ($p2) ELSE $p2 END"
+    s"""htok AS (SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+        |htri AS (SELECT t[i+1] AS v, t[i+2] AS w,
+        |    t[i] || ' ' || t[i+1] AS uv
+        |  FROM htok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+        |  WHERE len(t) >= 3),
+        |hty3 AS (SELECT uv, w, COUNT(*) AS c_tg FROM htri GROUP BY uv, w),
+        |hctx AS (SELECT uv, SUM(c_tg) AS c_uv,
+        |    SUM(CASE WHEN c_tg = 1 THEN 1 ELSE 0 END) AS u1,
+        |    SUM(CASE WHEN c_tg = 2 THEN 1 ELSE 0 END) AS u2,
+        |    SUM(CASE WHEN c_tg >= 3 THEN 1 ELSE 0 END) AS u3p
+        |  FROM hty3 GROUP BY uv),
+        |htyp AS (SELECT DISTINCT uv, v, w FROM htri),
+        |hcp AS (SELECT v, w, COUNT(*) AS cp FROM htyp GROUP BY v, w),
+        |hmid AS (SELECT v, SUM(cp) AS n1mid,
+        |    SUM(CASE WHEN cp = 1 THEN 1 ELSE 0 END) AS m1,
+        |    SUM(CASE WHEN cp = 2 THEN 1 ELSE 0 END) AS m2,
+        |    SUM(CASE WHEN cp >= 3 THEN 1 ELSE 0 END) AS m3p
+        |  FROM hcp GROUP BY v),
+        |hsfx AS (SELECT DISTINCT v, w FROM htyp),
+        |hcdd AS (SELECT w, COUNT(*) AS cdd FROM hsfx GROUP BY w),
+        |htot AS (SELECT COUNT(*) AS n1_total FROM hsfx),
+        |hcn3 AS (SELECT SUM(CASE WHEN c_tg = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN c_tg = 2 THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN c_tg = 3 THEN 1 ELSE 0 END) AS n3,
+        |    SUM(CASE WHEN c_tg = 4 THEN 1 ELSE 0 END) AS n4
+        |  FROM hty3),
+        |hcn2 AS (SELECT SUM(CASE WHEN cp = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN cp = 2 THEN 1 ELSE 0 END) AS n2,
+        |    SUM(CASE WHEN cp = 3 THEN 1 ELSE 0 END) AS n3,
+        |    SUM(CASE WHEN cp = 4 THEN 1 ELSE 0 END) AS n4
+        |  FROM hcp),
+        |hstok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+        |hstri AS (SELECT doc_id, t[i+1] AS v, t[i+2] AS w,
+        |    t[i] || ' ' || t[i+1] AS uv
+        |  FROM hstok CROSS JOIN LATERAL unnest(generate_series(1, len(t) - 2)) AS g(i)
+        |  WHERE len(t) >= 3),
+        |hlp AS (SELECT g.doc_id, hty3.c_tg,
+        |    CAST(FLOOR(ln(
+        |      $p3) * 1000000.0 + 0.0001) AS BIGINT) AS lp_q
+        |  FROM hstri g LEFT JOIN hty3 USING (uv, w) LEFT JOIN hctx USING (uv)
+        |  LEFT JOIN hcp USING (v, w) LEFT JOIN hmid USING (v)
+        |  LEFT JOIN hcdd USING (w) CROSS JOIN htot CROSS JOIN hcn3 CROSS JOIN hcn2)""".stripMargin
   }
 
   /** The sh1/sh2 manifest restated over any doc source: md5-nibble
@@ -3417,6 +3516,15 @@ object TrainingCatalog {
          |  round(MIN(mean_logscore), 6) AS min_score,
          |  round(MAX(mean_logscore), 6) AS max_score
          |FROM b5 GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
+
+    "t18_kn_mod_trigram" ->
+      s"""WITH $ModKnTrigramLpCtes,
+         |hagg AS (SELECT doc_id, COUNT(*) AS n_positions,
+         |    CAST(SUM(CASE WHEN c_tg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen_trigrams,
+         |    CAST(SUM(lp_q) AS DOUBLE) / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS mean_logscore
+         |  FROM hlp GROUP BY doc_id)
+         |SELECT doc_id, n_positions, n_unseen_trigrams, mean_logscore
+         |FROM hagg ORDER BY doc_id""".stripMargin,
 
     // the trigram KN recursion replayed: trigram counts, type-derived
     // continuation tables, and the nested CASE ladder with the exact

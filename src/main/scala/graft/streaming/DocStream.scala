@@ -1008,6 +1008,26 @@ object DocStream {
       "doc_id", "lang", exact = true)
   }
 
+  /** STREAMING modified-trigram-KN scoring (e53) — [[
+    * kneserNeyModifiedScoreFold]] one n-gram order up: the eight
+    * frames (incl. both counts-of-counts rows) freeze before the
+    * stream; each batch scores with the exact batch operator (pure
+    * per-doc) — held to t18's own oracle.
+    */
+  def kneserNeyModTrigramScoreFold(docStream: DataFrame,
+                                   model: graft.functions.TextAnalysis.KnModTrigramModel): DataFrame = {
+    var store: DataFrame = null
+    EventStream.runForeachBatch(docStream, (batch, _) => {
+      val scored = graft.functions.TextAnalysis.kneserNeyModTrigramScore(
+        batch, "doc_id", "text", model)
+      store = (if (store == null) scored else store.unionByName(scored))
+        .localCheckpoint()
+    })
+    require(store != null,
+      "kneserNeyModTrigramScoreFold: stream delivered no batches")
+    store
+  }
+
   /** STREAMING BPE vocabulary training (e43) — the batched trainer's
     * ingestion face: per micro-batch the expensive corpus work (token
     * explode + word census) folds into an exact (word, count) store

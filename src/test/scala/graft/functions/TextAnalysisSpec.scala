@@ -284,6 +284,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(one == ((1L, 1L, 0L, q(math.log(0.25)).toDouble / 1e6)))
   }
 
+  test("modified trigram KN: per-order discounts, fallback positivity, finite scores") {
+    // trigrams never cross docs: single-trigram docs plant the order-3
+    // type counts {3,2,1,4} -> coc3 n1..n4 = 1,1,1,1 -> Y=1/3,
+    // D=(1/3, 1, 5/3); every (v,w) continuation is single-context ->
+    // coc2 = (4,0,0,0) -> order 2 falls back to (1.0, 1.0, 1.5)
+    val train = (Seq.fill(3)("a b c") ++ Seq.fill(2)("b c a")
+      ++ Seq("a b d") ++ Seq.fill(4)("e f g"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.kneserNeyModTrigramModel(train, "doc_id", "text")
+    val (d13, d23, d33) = TextAnalysis.cgDiscountsSuffixed("_3")
+    val ds3 = m.coc3.select(d13.as("d1"), d23.as("d2"), d33.as("d3"))
+      .as[(Double, Double, Double)].collect().head
+    val y = 1.0 / 3.0
+    assert(ds3 == ((1.0 - 2.0 * y * 1.0 / 1.0, 2.0 - 3.0 * y * 1.0 / 1.0,
+      3.0 - 4.0 * y * 1.0 / 1.0)), s"order-3 discounts $ds3")
+    val (d12, d22, d32) = TextAnalysis.cgDiscountsSuffixed("_2")
+    val ds2 = m.coc2.select(d12.as("d1"), d22.as("d2"), d32.as("d3"))
+      .as[(Double, Double, Double)].collect().head
+    assert(ds2 == ((1.0, 1.0, 1.5)), s"order-2 fallback discounts $ds2")
+    // strictly-positive discounts mean no position can hit ln(0):
+    // every fixture doc's mean_logscore is finite (the clamp-at-zero
+    // regression t18's oracle caught as "logarithm of zero")
+    val docs = graft.core.Tables.documents(spark, sf0001)
+    val scores = TextAnalysis.kneserNeyModTrigramLogProb(
+      docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text")
+      .select(col("mean_logscore")).as[Double].collect()
+    assert(scores.nonEmpty && scores.forall(s => !s.isInfinite && !s.isNaN),
+      "non-finite trigram score")
+  }
+
   test("trigram KN golden: full ladder (seen tri, unseen tri, unseen middle)") {
     // train "a b c a b c": trigrams abc(2), bca(1), cab(1); c(ab·)=2
     // with 1 continuation; types {(a,b,c),(b,c,a),(c,a,b)} give
