@@ -541,8 +541,21 @@ object Pipelines {
   }
 
   def rangeJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    // Exact-sum spelling, optimized for the 35M-pair multiplicity
+    // (guide §1.2 "per-task work" + §2.3 narrower types): Exact.dsum's
+    // decimal route evaluates a BigDecimal-allocating double→decimal
+    // cast per JOINED pair and sums into a non-compact decimal(28,2)
+    // buffer (measured ~18 s of this entry at sf0.1). Prices are exact
+    // 2-decimal money values (the fixture contract Exact.dec relies
+    // on), so floor(x·100 + 0.5) recovers the exact integer cents once
+    // per POINT row — a codegen'd Math.floor, no allocation — and the
+    // aggregate becomes an exact int64 add. The emitted double is
+    // bit-identical to the decimal route's: both produce the correctly
+    // rounded double of (Σcents)/100 (Σcents < 2^53 per group).
     val pts = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_extendedprice"))
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+          .as("l_cents"))
     val iv = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice").as("lo"),
         (col("o_totalprice") + 200.0).as("hi"))
@@ -550,7 +563,7 @@ object Pipelines {
       .pointInInterval(pts, "l_extendedprice", iv, "lo", "hi", 200.0)
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_points"),
-        Exact.dsum(col("l_extendedprice")).as("sum_price"))
+        (sum(col("l_cents")).cast("double") / 100.0).as("sum_price"))
   }
 
   def corpusExport(spark: SparkSession, sfDir: String): DataFrame = {
@@ -601,9 +614,18 @@ object Pipelines {
     val mended = graft.quality.Encoding.repair(text, "text")
     val allowed = graft.quality.Urls.blocklistFilter(
       mended, "url", Seq("src3.org"))
+    // Stage boundary MATERIALIZES (localCheckpoint — the r16
+    // embedding_cascade lesson applied to the text flagship): `gated`
+    // has two consumers (the fused token census and the semi-join back)
+    // and sits on a pure map-side lineage (html strip + encoding repair
+    // + two regex-heavy quality scores) that would otherwise execute
+    // once per consumer — the regex work is the cascade's single most
+    // expensive per-row stage, so paying it twice is measurable
+    // (~0.9 s at sf0.1). At 100 TB each stage lands in storage anyway.
     val gated = allowed.filter(
       TextAnalysis.qualityScore(col("text")) >= 0.2 &&
         TextAnalysis.tokenCount(col("text")) >= 10)
+      .localCheckpoint()
     // doc-level badwords cut (C4) + Gopher rule gate before the
     // expensive near-dedup stages — every doc they drop is LSH work
     // saved. FUSED into ONE token explode + one doc-keyed agg + one
@@ -640,9 +662,15 @@ object Pipelines {
         col("n_stop") >= 2L)
       .select(col("doc_id"))
     val ruled = gated.join(keepIds, Seq("doc_id"), "left_semi")
+    // Second boundary: `exact` feeds THREE consumers — the LSH shingle
+    // pipeline, the component-node universe, and the canonical-keep
+    // join — and the CC loop below is EAGER (per-round count jobs), so
+    // without materialization the dedup agg + upstream lineage execute
+    // once for the pair build and again for the final kept join.
     val exact = Dedup.dropExactDuplicates(
       ruled.withColumn("fp", TextAnalysis.normalizedFingerprint(col("text"))),
       Seq("fp"))
+      .localCheckpoint()
     val sh = TextDedup.shingleSets(exact, "doc_id", "text", distinct = false,
       parallelism = Some(spark.sparkContext.defaultParallelism))
     val comps = graft.dedup.Components.connectedComponentsLogStar(

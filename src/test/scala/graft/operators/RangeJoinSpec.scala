@@ -137,6 +137,32 @@ class RangeJoinSpec extends graft.SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("integer-cents exact sum is bit-identical to the decimal route " +
+    "(the r17 range_join bench optimization)") {
+    // the bench's rangeJoinAgg replaced Exact.dsum (per-pair BigDecimal
+    // cast + non-compact decimal agg buffer) with an exact int64 cents
+    // sum; this arm holds the two spellings to bit equality over the
+    // real fixture prices at every aggregation group
+    val joined = RangeJoin.pointInInterval(
+      graft.core.Tables.lineitem(spark, sf0001)
+        .select($"l_orderkey", $"l_extendedprice",
+          floor($"l_extendedprice" * 100.0 + 0.5).cast("long").as("cents")),
+      "l_extendedprice",
+      graft.core.Tables.orders(spark, sf0001)
+        .select($"o_orderkey", $"o_totalprice".as("lo"),
+          ($"o_totalprice" + 200.0).as("hi")),
+      "lo", "hi", 200.0)
+    val both = joined.groupBy($"o_orderkey")
+      .agg(Exact.dsum($"l_extendedprice").as("dec_sum"),
+        (sum($"cents").cast("double") / 100.0).as("cents_sum"))
+      .select($"dec_sum", $"cents_sum").as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (d, c) =>
+      assert(java.lang.Double.doubleToRawLongBits(d) ==
+        java.lang.Double.doubleToRawLongBits(c), s"$d != $c")
+    }
+  }
+
   test("plans as an equi join, not a nested-loop/cartesian") {
     val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 4.0)
     got.collect()
