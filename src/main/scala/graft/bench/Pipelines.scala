@@ -27,6 +27,31 @@ import org.apache.spark.sql.types._
   */
 object Pipelines {
 
+  /** The one-file-fixture spread (guide §2.5 input skew): each sf
+    * fixture is a single small parquet file — below maxPartitionBytes
+    * and holding one row group — so it scans as ONE partition, and
+    * every per-row stage between the scan and the first exchange runs
+    * on one core of the session. A round-robin repartition to the
+    * session parallelism (adaptive — follows SPARK_GRAFT_CPUS, never a
+    * constant) parallelizes the map-heavy head for one extra shuffle
+    * of the raw rows.
+    *
+    * Applied SELECTIVELY, on same-session A/B measurements (r17):
+    * the spread pays only where the pre-exchange per-row work is large
+    * — range_join (the 35M-pair single-core probe: 6.1 s → 1.4 s),
+    * text_quality (three regex scores/row, no exchange at all:
+    * 0.40 s → 0.19 s), dsir_select (three feature-extraction scans).
+    * Everywhere else (tokenizer explodes, window heads, Lloyd assign,
+    * doc regex gates feeding an imminent exchange) the added exchange
+    * plus the round-robin's sort-before-repartition cost MORE than the
+    * parallelism recovered — measured 1.2–2× slower on pagerank,
+    * repetition_cut, kmeans_train, bm25, boilerplate_strip,
+    * ppl_buckets, dedup_exact — so those entries keep the single-scan
+    * plan and the session's first exchange does the spreading.
+    */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Loan-like CSV staging (setup). */
   def stageLoanCsv(spark: SparkSession, sfDir: String): String = {
     import spark.implicits._
@@ -188,7 +213,7 @@ object Pipelines {
   }
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir).select(
+    spread(Tables.documents(spark, sfDir)).select(
       col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"),
       TextAnalysis.langId(col("text")).as("lang_pred"),
@@ -196,12 +221,24 @@ object Pipelines {
 
   def joinAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    // exact discounted revenue in integer hundredths-of-cents (the
+    // range_join cents discipline): dec(p)·(1−dec(d)) at scale 2 each
+    // is exactly pc·(100−dc)/10⁴, so summing the int64 numerator and
+    // dividing once is bit-identical to the decimal route (both emit
+    // the correctly rounded double of Σ/10⁴; Σ < 2^53 by orders of
+    // magnitude at any fixture sf) while the per-row work drops from
+    // two BigDecimal casts + a scale-4 decimal multiply to two
+    // codegen'd floors and a long multiply. RangeJoinSpec pins the
+    // cents↔decimal bit identity; the q-gates keep the decimal route
+    // (their exactness contract is unbounded scale).
+    val cents = (c: org.apache.spark.sql.Column) =>
+      floor(c * 100.0 + 0.5).cast("long")
     Tables.lineitem(spark, sfDir)
       .join(Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderstatus")
       .agg(count(lit(1)).as("n"),
-        sum(Exact.dec($"l_extendedprice") * (lit(1) - Exact.dec($"l_discount")))
-          .cast("double").as("revenue"))
+        (sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+          .cast("double") / 10000.0).as("revenue"))
   }
 
   def q1(spark: SparkSession, sfDir: String): DataFrame =
@@ -552,10 +589,10 @@ object Pipelines {
     // aggregate becomes an exact int64 add. The emitted double is
     // bit-identical to the decimal route's: both produce the correctly
     // rounded double of (Σcents)/100 (Σcents < 2^53 per group).
-    val pts = Tables.lineitem(spark, sfDir)
+    val pts = spread(Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"),
         floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
-          .as("l_cents"))
+          .as("l_cents")))
     val iv = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice").as("lo"),
         (col("o_totalprice") + 200.0).as("hi"))
@@ -735,7 +772,7 @@ object Pipelines {
     * selection.
     */
   def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+    val d = spread(Tables.documents(spark, sfDir))
     val w = graft.selection.Dsir.importanceWeights(
       d.select(col("doc_id"), col("text")),
       d.filter(col("lang") === "en").select(col("doc_id"), col("text")),
@@ -802,21 +839,27 @@ object Pipelines {
   def embeddingCascadeOn(spark: SparkSession, emb: DataFrame,
                          outDir: String): DataFrame = {
     import graft.similarity.ProductQuant
+    def mark(l: String): Unit = if (sys.env.contains("GRAFT_CASCADE_DEBUG"))
+      System.err.println(f"[cascade] $l at ${System.nanoTime() / 1e9}%.3f")
+    mark("start")
     // stage boundaries MATERIALIZE (localCheckpoint): the downstream
     // trainers iterate, and every Lloyd round re-executing the whole
     // upstream cascade lineage is the difference between 4 s and 47 s
     // at sf0.1 (measured) — at 100 TB each stage lands in storage
     val exact = emb.select(col("vec_id"), col("embedding"))
       .dropDuplicates("embedding").localCheckpoint()
+    mark("exact-dedup done")
     val model = Similarity.kmeansTrain(exact, "vec_id", "embedding",
       k = 16, iters = 2, dim = 64)
     val idx = Similarity.IvfIndex(
       Similarity.assignToCentroids(exact, "vec_id", "embedding",
         model.centroids), model.centroids)
+    mark("kmeans+assign done")
     val kept = Similarity.semDedupWithIndex(idx, "vec_id", "embedding",
       threshold = 0.9, bucketCap = 128)
       .filter(col("keep")).select(col("vec_id"), col("embedding"))
       .localCheckpoint()
+    mark("semdedup done")
     val probes = emb.filter(col("vec_id") % 41 === 0)
       .select(col("vec_id").as("probe_id"),
         concat(array(lit(0.0f)),
@@ -826,16 +869,21 @@ object Pipelines {
         "vec_id", "embedding", tau = 0.9, model.centroids, nProbe = 2)
       .filter(col("contaminated") === 0).select(col("vec_id"))
       .join(kept, "vec_id").localCheckpoint()
+    mark("decontam done")
     val picked = Similarity.clusterBalancedSample(survivors, "vec_id",
         "embedding", model.centroids, perCell = 24)
       .select(col("vec_id")).join(survivors, "vec_id").localCheckpoint()
+    mark("balanced-sample done")
     val pIdx = Similarity.IvfIndex(
       Similarity.assignToCentroids(picked, "vec_id", "embedding",
         model.centroids), model.centroids)
+    mark("assign2 done")
     val cb = ProductQuant.buildCodebookResidual(pIdx, "vec_id",
       "embedding", m = 4, ks = 8, iters = 2, dim = 64)
+    mark("codebook done")
     ProductQuant.saveIvfPqResidualFrozen(picked, "vec_id", "embedding",
       model.centroids, cb, outDir)
+    mark("artifact written")
     spark.read.parquet(s"$outDir/pq/codes")
   }
 

@@ -425,9 +425,22 @@ object TextDedup {
       explode(array(bandStructs: _*)).as("b"))
       .select(col(idCol), col("simhash"), col("b.band"), col("b.key"))
       .cache()
-    val hamming = (1 to bits).map(i =>
-      when(substring(col("a_sim"), i, 1) =!= substring(col("b_sim"), i, 1), 1).otherwise(0))
-      .reduce(_ + _)
+    // Hamming distance via bit arithmetic, not per-bit substrings
+    // (r17): the old spelling evaluated `bits` substring comparisons
+    // per candidate pair — 64 string ops × every pair the bands emit
+    // (a duplicate-heavy corpus emits hundreds of thousands) was the
+    // dominant per-pair cost of the image/audio neardup bench entries.
+    // Each side's bit string is parsed into ≤32-bit chunks (conv
+    // returns a decimal STRING; a full 64-bit parse would overflow the
+    // long cast when the top bit is set) and the distance is
+    // Σ bit_count(aᵢ XOR bᵢ) — identical by definition: differing
+    // substring positions ARE the set bits of the XOR.
+    val hamming = (0 until bits by 32).map { off =>
+      val len = math.min(32, bits - off)
+      def chunk(c: Column): Column =
+        conv(substring(c, off + 1, len), 2, 10).cast("long")
+      bit_count(chunk(col("a_sim")).bitwiseXOR(chunk(col("b_sim"))))
+    }.reduce(_ + _).cast("int")
     // Scale guard: a band bucket of m rows would emit m(m-1)/2 pairs —
     // quadratic in the duplicate cluster (measured: a 1028-member
     // 16-bit band bucket on the sf0.1 image corpus put the all-pairs
@@ -487,10 +500,15 @@ object TextDedup {
               .otherwise(col("__psim")).as("b_sim"))
         allPairs.unionByName(runStar).unionByName(boundary)
       }
+    // filter BEFORE the distinct (r17): a pair's hamming is the same
+    // value from whichever band it surfaced, so filter∘distinct ≡
+    // distinct∘filter — but filtering first keeps every over-budget
+    // collision out of the distinct's exchange (shuffle fewer bytes,
+    // guide §2.3)
     pairsRaw
       .select(col("a_id"), col("b_id"), hamming.as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // ------------------------------------------------------- DuckDB spellings
