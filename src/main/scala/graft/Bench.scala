@@ -106,7 +106,12 @@ object Bench {
           val out = Pipelines.etlUpstream(spark, csvDir)
           graft.sources.Sinks.jdbc(out,
             Map("url" -> s"jdbc:derby:$db;create=true",
-              "dbtable" -> s"loans_${jdbcN.incrementAndGet()}"))
+              "dbtable" -> s"loans_${jdbcN.incrementAndGet()}",
+              // 10× the writer's default 1000-row executeBatch unit:
+              // fewer JDBC round trips into the single-connection
+              // Derby stream (same rows, same table — writer tuning
+              // only; guide §1.2 step 2)
+              "batchsize" -> "10000"))
           spark.range(1).toDF("ok")
         }))
       })

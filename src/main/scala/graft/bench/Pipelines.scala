@@ -34,7 +34,12 @@ object Pipelines {
     * on one core of the session. A round-robin repartition to the
     * session parallelism (adaptive — follows SPARK_GRAFT_CPUS, never a
     * constant) parallelizes the map-heavy head for one extra shuffle
-    * of the raw rows.
+    * of the raw rows. HASH-keyed on a unique row id, not round-robin:
+    * a keyless repartition locally sorts its input by ALL columns
+    * first (sortBeforeRepartition retry determinism) — lexicographic
+    * comparisons over full text bodies that can cost more than the
+    * parallelism recovers on document frames (measured on
+    * curation_cascade).
     *
     * Applied SELECTIVELY, on same-session A/B measurements (r17):
     * the spread pays only where the pre-exchange per-row work is large
@@ -49,8 +54,9 @@ object Pipelines {
     * ppl_buckets, dedup_exact — so those entries keep the single-scan
     * plan and the session's first exchange does the spreading.
     */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      col(key))
 
   /** Loan-like CSV staging (setup). */
   def stageLoanCsv(spark: SparkSession, sfDir: String): String = {
@@ -213,7 +219,7 @@ object Pipelines {
   }
 
   def textQuality(spark: SparkSession, sfDir: String): DataFrame =
-    spread(Tables.documents(spark, sfDir)).select(
+    spread(Tables.documents(spark, sfDir), "doc_id").select(
       col("doc_id"),
       TextAnalysis.qualityScore(col("text")).as("quality"),
       TextAnalysis.langId(col("text")).as("lang_pred"),
@@ -592,7 +598,7 @@ object Pipelines {
     val pts = spread(Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"),
         floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
-          .as("l_cents")))
+          .as("l_cents")), "l_orderkey")
     val iv = Tables.orders(spark, sfDir)
       .select(col("o_orderkey"), col("o_totalprice").as("lo"),
         (col("o_totalprice") + 200.0).as("hi"))
@@ -638,6 +644,9 @@ object Pipelines {
     * curve uses the same methodology as the per-operator probes.
     */
   def curationCascadeOn(spark: SparkSession, raw: DataFrame): DataFrame = {
+    def mark(l: String): Unit = if (sys.env.contains("GRAFT_CASCADE_DEBUG"))
+      System.err.println(f"[curation] $l at ${System.nanoTime() / 1e9}%.3f")
+    mark("start")
     // synthetic crawl facade over the plain-text fixture: html + url
     val crawl = raw.select(col("doc_id"), col("lang"), col("n_chars"),
       concat(lit("<html><head><style>p{color:red}</style></head><body><p>"),
@@ -698,6 +707,7 @@ object Pipelines {
         lit(10L) * col("n_alpha") >= lit(8L) * col("n_words") &&
         col("n_stop") >= 2L)
       .select(col("doc_id"))
+    mark("gated ckpt done")
     val ruled = gated.join(keepIds, Seq("doc_id"), "left_semi")
     // Second boundary: `exact` feeds THREE consumers — the LSH shingle
     // pipeline, the component-node universe, and the canonical-keep
@@ -708,6 +718,7 @@ object Pipelines {
       ruled.withColumn("fp", TextAnalysis.normalizedFingerprint(col("text"))),
       Seq("fp"))
       .localCheckpoint()
+    mark("exact ckpt done")
     val sh = TextDedup.shingleSets(exact, "doc_id", "text", distinct = false,
       parallelism = Some(spark.sparkContext.defaultParallelism))
     val comps = graft.dedup.Components.connectedComponentsLogStar(
@@ -715,10 +726,12 @@ object Pipelines {
         TextDedup.bandKeys(TextDedup.minhashSignatures(sh, "doc_id"), "doc_id"),
         "doc_id"),
       exact.select(col("doc_id")), "doc_id")
+    mark("cc done")
     val canonical = comps.groupBy(col("comp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val kept = exact.join(canonical, Seq("doc_id"))
+    mark("kept join built")
     val sampled = graft.operators.Sampling.weightedTopKPerStratum(
       kept, "doc_id", "lang", "n_chars", k = 80, seed = "cascade")
     graft.operators.Packing.packFill(
@@ -772,7 +785,7 @@ object Pipelines {
     * selection.
     */
   def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = spread(Tables.documents(spark, sfDir))
+    val d = spread(Tables.documents(spark, sfDir), "doc_id")
     val w = graft.selection.Dsir.importanceWeights(
       d.select(col("doc_id"), col("text")),
       d.filter(col("lang") === "en").select(col("doc_id"), col("text")),

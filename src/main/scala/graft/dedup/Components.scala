@@ -184,6 +184,8 @@ object Components {
     }
     require(changed == 0,
       s"log-star components did not converge in $maxIter rounds")
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] log-star converged in $iter rounds")
     // fixpoint edges are stars rooted at component minima
     val rooted = edges.select(col("hi").as("id"), col("lo").as("comp"))
       .groupBy("id").agg(min(col("comp")).as("comp"))

@@ -86,8 +86,17 @@ object Perplexity {
     * exactness discipline, so the EXACT path's order statistics
     * reproduce on both engines).
     */
-  private[graft] def bucketize(scores: DataFrame, scoreCol: String, idCol: String,
+  private[graft] def bucketize(scoresIn: DataFrame, scoreCol: String, idCol: String,
                                langCol: String, exact: Boolean): DataFrame = {
+    // the per-doc score frame has TWO consumers — the threshold
+    // aggregation and the bucket-tag join — and its lineage is the
+    // whole scoring pipeline (tokenize + the LM's vocabulary-keyed
+    // joins), so without a materialization point the scorer executes
+    // twice per bucketing (r17; ppl_buckets_kn paid the four KN frame
+    // joins both times). localCheckpoint is value-neutral and the
+    // frame is one row per document — at 100 TB this is the score
+    // table a production run lands in storage before thresholding.
+    val scores = scoresIn.localCheckpoint()
     val thr = if (exact) exactTerciles(scores, scoreCol, idCol, langCol)
               else approxTerciles(scores, scoreCol, langCol)
     scores.join(broadcast(thr), Seq(langCol))
