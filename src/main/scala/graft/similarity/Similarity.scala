@@ -706,7 +706,11 @@ object Similarity {
   def kmeansTrain(emb: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int, dim: Int): KmeansModel = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
-    val clean = emb.filter(scorable(col(vecCol)))
+    // iterating-tail discipline: the seed pick plus every Lloyd round
+    // re-executes this frame's lineage (scan + scorable filter — or a
+    // whole upstream cascade when the caller composes); materialize it
+    // once so the rounds read checkpointed blocks. Value-neutral.
+    val clean = emb.filter(scorable(col(vecCol))).localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("__h"), col(idCol))
     def toArrays(means: DataFrame): DataFrame = toCentroidArrays(means)
